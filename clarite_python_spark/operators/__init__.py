@@ -1,0 +1,9 @@
+from clarite_python_spark.operators import (  # noqa: F401
+    analyze,
+    dedup,
+    describe,
+    modify,
+    multimodal,
+    similarity,
+    text,
+)

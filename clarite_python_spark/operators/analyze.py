@@ -1,0 +1,648 @@
+"""The regression fan-out — CLARITE's core "query engine"
+(reference ``clarite/modules/analyze/``).
+
+``association_study`` fits one GLM per (outcome x regression-variable)
+pair over a single wide table. The reference iterates variables in one
+process (its multiprocessing pool is force-disabled,
+``glm_regression.py:400-401``); here the designed per-variable
+independence becomes the distributed axis:
+
+    wide df --unpivot(RV cols)--> long (ID, outcome, covars..., variable, value)
+        --groupBy("variable").applyInPandas(numpy GLM kernel)--> result rows
+        --orderBy(pvalue)
+
+The unpivot is a Catalyst ``Expand`` (one scan); the only shuffle keys on
+``variable``, so each reducer handles ~|rows| values — the correct layout
+up to ~10^7 rows/group. Beyond that (100-TB regime) a columnar strategy —
+one Spark ML ``GeneralizedLinearRegression`` job per variable scheduled
+from a driver thread pool over column-sliced DataFrames — keeps the same
+result schema; the melt path is the default because EWAS tables are wide
+(10^3 columns) and short-ish per group.
+
+Kernel inputs that are identical across groups (covariate types/levels,
+family, min_n) ride along as a tiny closure-captured dict (broadcast by
+task serialization, ≈KBs).
+"""
+
+from __future__ import annotations
+
+import warnings
+from itertools import combinations
+from typing import Mapping, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from clarite_python_spark.catalog import (
+    BINARY,
+    CATEGORICAL,
+    CONSTANT,
+    CONTINUOUS,
+    ID_COL,
+    UNKNOWN,
+    ClariteFrame,
+)
+from clarite_python_spark.functions.distributions import chi2_sf
+from clarite_python_spark.functions.glm import (
+    BINOMIAL,
+    GAUSSIAN,
+    dummy_encode,
+    fit_glm,
+)
+
+__all__ = ["association_study", "interaction_study", "add_corrected_pvalues"]
+
+
+RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("Variable", T.StringType()),
+        T.StructField("Outcome", T.StringType()),
+        T.StructField("Category", T.StringType()),
+        T.StructField("Variable_type", T.StringType()),
+        T.StructField("Weight", T.StringType()),
+        T.StructField("Converged", T.BooleanType()),
+        T.StructField("N", T.LongType()),
+        T.StructField("Beta", T.DoubleType()),
+        T.StructField("SE", T.DoubleType()),
+        T.StructField("Beta_pvalue", T.DoubleType()),
+        T.StructField("LRT_pvalue", T.DoubleType()),
+        T.StructField("Diff_AIC", T.DoubleType()),
+        T.StructField("pvalue", T.DoubleType()),
+    ]
+)
+# The reference's result frame (glm_regression.py:240-252) has index
+# (Variable, Outcome[, Category]) and columns Variable_type..pvalue; the
+# Category level exists only when report_categorical_betas=True — we keep
+# a single schema with a nullable Category column.
+
+
+def _default_row(rv: str, outcome: str) -> dict:
+    """All-NaN result row (reference get_default_result_dict,
+    glm_regression.py:197-210)."""
+    return {
+        "Variable": rv,
+        "Outcome": outcome,
+        "Category": None,
+        "Variable_type": None,
+        "Weight": None,
+        "Converged": False,
+        "N": None,
+        "Beta": np.nan,
+        "SE": np.nan,
+        "Beta_pvalue": np.nan,
+        "LRT_pvalue": np.nan,
+        "Diff_AIC": np.nan,
+        "pvalue": np.nan,
+    }
+
+
+def _encode_binary_outcome(levels: list) -> dict:
+    """Sorted levels -> {level: 0/1}; 'Case'/'Control' special-cased so
+    Control=0, Case=1 (reference glm_regression.py:135-150, GH #115)."""
+    cats = sorted(levels)
+    if len(cats) != 2:
+        raise ValueError(f"binary outcome must have 2 levels, got {cats}")
+    if cats[0] == "Case" and cats[1] == "Control":
+        cats = ["Control", "Case"]
+    return {cats[0]: 0.0, cats[1]: 1.0}
+
+
+def _design_matrix(
+    sub: pd.DataFrame,
+    covariates: Sequence[str],
+    covar_types: Mapping[str, str],
+) -> tuple[np.ndarray, list[str], list[str]]:
+    """Intercept + encoded covariates. Categorical covariates are
+    treatment-coded against their *present* sorted levels (the reference
+    drops empty categories after the complete-case mask,
+    glm_regression.py:510-520, then patsy uses sorted levels).
+    Returns (matrix, names, warnings)."""
+    n = len(sub)
+    cols = [np.ones(n)]
+    names = ["Intercept"]
+    warns: list[str] = []
+    for cv in covariates:
+        vals = sub[cv]
+        if vals.nunique(dropna=True) <= 1:
+            warns.append(f"non-varying covariate '{cv}' ignored")
+            continue
+        if covar_types.get(cv) in (BINARY, CATEGORICAL):
+            levels = sorted(vals.dropna().unique().tolist())
+            mat, nm = dummy_encode(vals.to_numpy(), levels, cv)
+            if mat.shape[1]:
+                cols.append(mat)
+                names.extend(nm)
+        else:
+            cols.append(vals.to_numpy(dtype=float))
+            names.append(cv)
+    X = np.column_stack([c if c.ndim == 2 else c[:, None] for c in cols])
+    return X, names, warns
+
+
+def _make_assoc_kernel(
+    outcome: str,
+    covariates: list[str],
+    covar_types: dict[str, str],
+    rv_types: dict[str, str],
+    family: str,
+    min_n: int,
+    report_categorical_betas: bool,
+):
+    """Build the applyInPandas kernel for one outcome's fan-out.
+
+    Mirrors the reference per-RV flow (_run_rv, glm_regression.py:450-565):
+    complete-case mask -> min_n gate -> drop non-varying covariates ->
+    fit -> extract Wald (continuous/binary RV) or LRT (categorical RV).
+    """
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        rv = key[0]
+        vtype = rv_types[rv]
+        rows: list[dict] = []
+        try:
+            use_cols = [outcome, *covariates, "value"]
+            sub = pdf[use_cols].dropna()
+            n_complete = len(sub)
+            if n_complete < min_n:
+                raise ValueError(f"too few complete observations ({n_complete} < {min_n})")
+            y = sub[outcome].to_numpy(dtype=float)
+            Xr, names_r, _ = _design_matrix(sub, covariates, covar_types)
+
+            if vtype == CONTINUOUS:
+                x = sub["value"].to_numpy(dtype=float)[:, None]
+                X = np.hstack([Xr, x])
+                res = fit_glm(X, y, names_r + [rv], family)
+                row = _default_row(rv, outcome)
+                row.update(Variable_type=vtype, N=n_complete)
+                if res.converged:
+                    b, s, p = res.by_name()[rv]
+                    row.update(Converged=True, Beta=b, SE=s, Beta_pvalue=p, pvalue=p)
+                rows.append(row)
+            elif vtype in (BINARY, CATEGORICAL):
+                levels = sorted(sub["value"].dropna().unique().tolist())
+                mat, nm = dummy_encode(sub["value"].to_numpy(), levels, rv)
+                X = np.hstack([Xr, mat])
+                res = fit_glm(X, y, names_r + nm, family)
+                if vtype == BINARY:
+                    row = _default_row(rv, outcome)
+                    row.update(Variable_type=vtype, N=n_complete)
+                    if res.converged and nm:
+                        b, s, p = res.by_name()[nm[0]]
+                        row.update(Converged=True, Beta=b, SE=s, Beta_pvalue=p, pvalue=p)
+                    rows.append(row)
+                else:
+                    res_r = fit_glm(Xr, y, names_r, family)
+                    if res.converged and res_r.converged:
+                        lrdf = res_r.df_resid - res.df_resid
+                        lrstat = -2.0 * (res_r.llf - res.llf)
+                        lr_p = float(chi2_sf(lrstat, lrdf)) if lrdf > 0 else np.nan
+                        diff_aic = res.aic - res_r.aic
+                        if report_categorical_betas:
+                            by = res.by_name()
+                            for param in nm:
+                                b, s, p = by[param]
+                                row = _default_row(rv, outcome)
+                                row.update(
+                                    Variable_type=vtype,
+                                    N=n_complete,
+                                    Converged=True,
+                                    Category=param,
+                                    Beta=b,
+                                    SE=s,
+                                    Beta_pvalue=p,
+                                    LRT_pvalue=lr_p,
+                                    Diff_AIC=diff_aic,
+                                    pvalue=lr_p,
+                                )
+                                rows.append(row)
+                        else:
+                            row = _default_row(rv, outcome)
+                            row.update(
+                                Variable_type=vtype,
+                                N=n_complete,
+                                Converged=True,
+                                LRT_pvalue=lr_p,
+                                Diff_AIC=diff_aic,
+                                pvalue=lr_p,
+                            )
+                            rows.append(row)
+                    else:
+                        row = _default_row(rv, outcome)
+                        row.update(Variable_type=vtype, N=n_complete)
+                        rows.append(row)
+            else:
+                raise ValueError(f"unsupported regression variable type {vtype!r}")
+        except Exception:
+            rows = [_default_row(rv, outcome)]
+        out = pd.DataFrame(rows)
+        out["N"] = out["N"].astype("Int64")
+        return out[[f.name for f in RESULT_SCHEMA.fields]]
+
+    return kernel
+
+
+def _zscore_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Global ddof=1 z-score (reference glm_regression.py:172-190 uses
+    scipy zscore ddof=1 over the whole column, NaNs omitted). One stats
+    agg broadcast back — no driver round-trip."""
+    if not cols:
+        return df
+    stats = df.agg(
+        *[F.mean(c).alias(f"mu::{c}") for c in cols],
+        *[F.stddev_samp(c).alias(f"sd::{c}") for c in cols],
+    )
+    joined = df.crossJoin(F.broadcast(stats))
+    return joined.select(
+        *[
+            ((F.col(c) - F.col(f"`mu::{c}`")) / F.col(f"`sd::{c}`")).alias(c)
+            if c in set(cols)
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
+def association_study(
+    data: ClariteFrame,
+    outcomes: str | Sequence[str],
+    regression_variables: Sequence[str] | None = None,
+    covariates: Sequence[str] | None = None,
+    min_n: int = 200,
+    standardize_data: bool = False,
+    report_categorical_betas: bool = False,
+) -> DataFrame:
+    """EWAS-style mass regression (reference association_study.py:14-132).
+
+    For each outcome and each regression variable: fit
+    ``outcome ~ 1 + covariates + variable`` with family chosen by the
+    outcome's CLARITE type (continuous -> Gaussian/identity with t-based
+    Wald tests; binary -> Binomial/logit with z-based tests), complete-case
+    per variable, ``min_n`` gate (default 200,
+    glm_regression.py:54-56,474-479); categorical variables are tested
+    with an LRT vs the restricted model. Returns the reference's result
+    schema sorted by pvalue.
+    """
+    if isinstance(outcomes, str):
+        outcomes = [outcomes]
+    covariates = list(covariates or [])
+    all_vars = data.variables
+    if regression_variables is None:
+        regression_variables = [c for c in all_vars if c not in set(outcomes) | set(covariates)]
+    rvs = list(regression_variables)
+
+    cat = data.catalog
+    for v in [*outcomes, *covariates, *rvs]:
+        if v not in cat.types:
+            raise ValueError(f"unknown variable {v!r}")
+    skipped = [v for v in rvs if cat.get(v) in (CONSTANT, UNKNOWN)]
+    if skipped:
+        warnings.warn(f"skipping {len(skipped)} constant/unknown regression variables")
+        rvs = [v for v in rvs if v not in set(skipped)]
+
+    covar_types = {c: cat.get(c) for c in covariates}
+    results: list[DataFrame] = []
+    for outcome in outcomes:
+        outcome_type = cat.get(outcome)
+        my_rvs = [v for v in rvs if v != outcome]
+        rv_types = {v: cat.get(v) for v in my_rvs}
+        df = data.df
+        if outcome_type == CONTINUOUS:
+            family = GAUSSIAN
+            df = df.withColumn(outcome, F.col(outcome).cast("double"))
+        elif outcome_type == BINARY:
+            family = BINOMIAL
+            mapping = _encode_binary_outcome(data.category_levels(outcome))
+            expr = F.when(F.col(outcome).isNull(), F.lit(None).cast("double"))
+            for k, v in mapping.items():
+                expr = expr.when(F.col(outcome).cast("string") == F.lit(str(k)), F.lit(v))
+            df = df.withColumn(outcome, expr)
+        elif outcome_type == CATEGORICAL:
+            raise NotImplementedError(
+                "Categorical Outcomes are not yet supported for this type of regression."
+            )
+        else:
+            raise ValueError(f"outcome {outcome!r} type could not be determined")
+
+        if standardize_data:
+            z_cols = [v for v in my_rvs if rv_types[v] == CONTINUOUS]
+            z_cols += [c for c in covariates if covar_types[c] == CONTINUOUS]
+            if outcome_type == CONTINUOUS:
+                z_cols.append(outcome)
+            df = _zscore_columns(df, z_cols)
+
+        id_vars = [ID_COL, outcome, *covariates]
+        kernel = _make_assoc_kernel(
+            outcome, covariates, covar_types, rv_types, family, min_n, report_categorical_betas
+        )
+        for group, cast_type in (
+            ([v for v in my_rvs if rv_types[v] == CONTINUOUS], "double"),
+            ([v for v in my_rvs if rv_types[v] in (BINARY, CATEGORICAL)], "string"),
+        ):
+            if not group:
+                continue
+            long = df.select(
+                *id_vars, *[F.col(c).cast(cast_type).alias(c) for c in group]
+            ).unpivot(id_vars, group, "variable", "value")
+            res = long.groupBy("variable").applyInPandas(kernel, RESULT_SCHEMA)
+            results.append(res)
+
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    order = [F.asc_nulls_last("pvalue")]
+    if report_categorical_betas:
+        order.append(F.asc_nulls_last("Beta_pvalue"))
+    return out.orderBy(*order)
+
+
+# --------------------------------------------------------------------------
+# multiple-testing correction (pure window ops)
+# --------------------------------------------------------------------------
+
+
+def add_corrected_pvalues(
+    result: DataFrame, pvalue: str = "pvalue", groupby: str | Sequence[str] | None = None
+) -> DataFrame:
+    """Bonferroni + Benjamini-Hochberg FDR columns
+    (reference analyze/utils.py:9-117, statsmodels multipletests :69-74).
+
+    Pure Spark window math — no kernel:
+    - m = number of non-NA pvalues (distinct groups when ``groupby``);
+    - bonferroni = min(p*m, 1);
+    - BH = running min of p*m/rank over descending-p order
+      (``Window.orderBy(desc(p)).rowsBetween(unboundedPreceding, 0)``).
+
+    With ``groupby``, repeated rows of the same group count as ONE test
+    (reference :47-58): corrections are computed over the deduplicated
+    (group, pvalue) pairs then joined back.
+
+    Scale note: the global windows are single-partition — fine for result
+    tables (|variables| rows, ≤10^6), which is the only place this runs.
+    """
+    if groupby is not None:
+        keys = [groupby] if isinstance(groupby, str) else list(groupby)
+        base = result.select(*keys, pvalue).dropDuplicates(keys)
+        corrected = add_corrected_pvalues(base, pvalue=pvalue, groupby=None)
+        return result.join(
+            corrected.select(*keys, "pvalue_bonferroni", "pvalue_fdr"), on=keys, how="left"
+        ).orderBy(
+            F.asc_nulls_last("pvalue_fdr"), F.asc_nulls_last("pvalue_bonferroni")
+        )
+
+    non_na = F.when(F.col(pvalue).isNotNull() & ~F.isnan(pvalue), 1).otherwise(0)
+    with_m = result.withColumn("__m", F.sum(non_na).over(Window.partitionBy()))
+    valid = F.col(pvalue).isNotNull() & ~F.isnan(pvalue)
+    w_rank = Window.orderBy(F.asc(pvalue))  # NaN/null sort last; ranks of valid rows are correct
+    w_cummin = Window.orderBy(F.desc_nulls_last(pvalue)).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    out = (
+        with_m.withColumn("__rank", F.row_number().over(w_rank))
+        .withColumn(
+            "pvalue_bonferroni",
+            F.when(valid, F.least(F.col(pvalue) * F.col("__m"), F.lit(1.0))),
+        )
+        .withColumn(
+            "__bh_raw",
+            F.when(valid, F.least(F.col(pvalue) * F.col("__m") / F.col("__rank"), F.lit(1.0))),
+        )
+        .withColumn("pvalue_fdr", F.min("__bh_raw").over(w_cummin))
+        .drop("__m", "__rank", "__bh_raw")
+    )
+    return out.orderBy(F.asc_nulls_last("pvalue_fdr"), F.asc_nulls_last("pvalue_bonferroni"))
+
+
+# --------------------------------------------------------------------------
+# interaction study
+# --------------------------------------------------------------------------
+
+INTERACTION_SCHEMA = T.StructType(
+    [
+        T.StructField("Outcome", T.StringType()),
+        T.StructField("Term1", T.StringType()),
+        T.StructField("Term2", T.StringType()),
+        T.StructField("Parameter", T.StringType()),
+        T.StructField("Converged", T.BooleanType()),
+        T.StructField("N", T.LongType()),
+        T.StructField("LRT_pvalue", T.DoubleType()),
+        T.StructField("Red_Var1_beta", T.DoubleType()),
+        T.StructField("Red_Var1_SE", T.DoubleType()),
+        T.StructField("Red_Var1_Pval", T.DoubleType()),
+        T.StructField("Red_Var2_beta", T.DoubleType()),
+        T.StructField("Red_Var2_SE", T.DoubleType()),
+        T.StructField("Red_Var2_Pval", T.DoubleType()),
+        T.StructField("Full_Var1_Var2_beta", T.DoubleType()),
+        T.StructField("Full_Var1_Var2_SE", T.DoubleType()),
+        T.StructField("Full_Var1_Var2_Pval", T.DoubleType()),
+        T.StructField("Full_Var1_beta", T.DoubleType()),
+        T.StructField("Full_Var1_SE", T.DoubleType()),
+        T.StructField("Full_Var1_Pval", T.DoubleType()),
+        T.StructField("Full_Var2_beta", T.DoubleType()),
+        T.StructField("Full_Var2_SE", T.DoubleType()),
+        T.StructField("Full_Var2_Pval", T.DoubleType()),
+        T.StructField("Log", T.StringType()),
+    ]
+)
+# 20-column schema of the reference (interaction_regression.py:143-168).
+
+
+def _interaction_default(i1: str, i2: str, outcome: str) -> dict:
+    d = {f.name: None for f in INTERACTION_SCHEMA.fields}
+    d.update(
+        Outcome=outcome,
+        Term1=i1,
+        Term2=i2,
+        Parameter=f"{i1}:{i2}",
+        Converged=False,
+        Log="",
+    )
+    return d
+
+
+def interaction_study(
+    data: ClariteFrame,
+    outcomes: str | Sequence[str],
+    interactions: Sequence[tuple[str, str]] | None = None,
+    covariates: Sequence[str] | None = None,
+    min_n: int = 200,
+    report_betas: bool = False,
+) -> DataFrame:
+    """Pairwise-interaction LRT (reference interaction_study.py:10-137,
+    interaction_regression.py:22-501): restricted =
+    ``outcome ~ 1 + v1 + v2 + covars``, full = ``+ v1:v2``;
+    ``interactions=None`` means all C(n,2) pairs (ref :111).
+
+    Spark plan: the pair list is generated driver-side; each pair becomes
+    one group of a long table built with a single Expand
+    (``explode(array(struct(t1, t2, v1, v2)))``) — rows x |pairs|, grouped
+    by (Term1, Term2) into the numpy GLM kernel. Interaction columns are
+    products of the (dummy-encoded) main-effect columns, names
+    ``a[:T.x]:b[:T.y]`` matching patsy.
+    """
+    if isinstance(outcomes, str):
+        outcomes = [outcomes]
+    covariates = list(covariates or [])
+    cat = data.catalog
+    rv_all = [
+        c
+        for c in data.variables
+        if c not in set(outcomes) | set(covariates) and cat.get(c) in (BINARY, CATEGORICAL, CONTINUOUS)
+    ]
+    if interactions is None:
+        pairs = list(combinations(rv_all, 2))
+    else:
+        pairs = [tuple(p) for p in interactions]
+        for p in pairs:
+            if len(p) != 2 or p[0] not in set(rv_all) or p[1] not in set(rv_all):
+                raise ValueError(f"invalid interaction {p}")
+    covar_types = {c: cat.get(c) for c in covariates}
+    var_types = {v: cat.get(v) for v in rv_all}
+
+    results = []
+    for outcome in outcomes:
+        outcome_type = cat.get(outcome)
+        df = data.df
+        if outcome_type == CONTINUOUS:
+            family = GAUSSIAN
+            df = df.withColumn(outcome, F.col(outcome).cast("double"))
+        elif outcome_type == BINARY:
+            family = BINOMIAL
+            mapping = _encode_binary_outcome(data.category_levels(outcome))
+            expr = F.when(F.col(outcome).isNull(), F.lit(None).cast("double"))
+            for k, v in mapping.items():
+                expr = expr.when(F.col(outcome).cast("string") == F.lit(str(k)), F.lit(v))
+            df = df.withColumn(outcome, expr)
+        else:
+            raise ValueError(f"outcome {outcome!r} must be continuous or binary")
+
+        structs = [
+            F.struct(
+                F.lit(t1).alias("Term1"),
+                F.lit(t2).alias("Term2"),
+                F.col(t1).cast("string").alias("v1"),
+                F.col(t2).cast("string").alias("v2"),
+            )
+            for t1, t2 in pairs
+        ]
+        long = df.select(
+            ID_COL, outcome, *covariates, F.explode(F.array(*structs)).alias("__pair")
+        ).select(ID_COL, outcome, *covariates, "__pair.*")
+
+        kernel = _make_interaction_kernel(
+            outcome, covariates, covar_types, var_types, family, min_n, report_betas
+        )
+        res = long.groupBy("Term1", "Term2").applyInPandas(kernel, INTERACTION_SCHEMA)
+        results.append(res)
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out.orderBy(F.asc_nulls_last("LRT_pvalue"))
+
+
+def _encode_term(sub: pd.DataFrame, col: str, vtype: str, name: str):
+    """Main-effect encoding for one interaction term: continuous -> one
+    float column; binary/categorical -> treatment-coded dummies."""
+    if vtype == CONTINUOUS:
+        return sub[col].to_numpy(dtype=float)[:, None], [name]
+    levels = sorted(sub[col].dropna().unique().tolist())
+    return dummy_encode(sub[col].to_numpy(), levels, name)
+
+
+def _make_interaction_kernel(
+    outcome: str,
+    covariates: list[str],
+    covar_types: dict[str, str],
+    var_types: dict[str, str],
+    family: str,
+    min_n: int,
+    report_betas: bool,
+):
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        t1, t2 = key
+        rows: list[dict] = []
+        try:
+            use_cols = [outcome, *covariates, "v1", "v2"]
+            sub = pdf[use_cols].copy()
+            # v1/v2 arrive as strings; recover numerics for continuous terms
+            for vcol, term in (("v1", t1), ("v2", t2)):
+                if var_types[term] == CONTINUOUS:
+                    sub[vcol] = pd.to_numeric(sub[vcol], errors="coerce")
+            sub = sub.dropna()
+            n_complete = len(sub)
+            if n_complete < min_n:
+                raise ValueError(f"too few complete observations ({n_complete} < {min_n})")
+            y = sub[outcome].to_numpy(dtype=float)
+            Xc, names_c, _ = _design_matrix(sub, covariates, covar_types)
+            m1, n1 = _encode_term(sub, "v1", var_types[t1], t1)
+            m2, n2 = _encode_term(sub, "v2", var_types[t2], t2)
+            X_r = np.hstack([Xc, m1, m2])
+            names_r = names_c + n1 + n2
+            inter_cols = []
+            inter_names = []
+            for i, a in enumerate(n1):
+                for j, b in enumerate(n2):
+                    inter_cols.append(m1[:, i] * m2[:, j])
+                    inter_names.append(f"{a}:{b}")
+            X_f = np.hstack([X_r] + [np.column_stack(inter_cols)]) if inter_cols else X_r
+            names_f = names_r + inter_names
+            res_f = fit_glm(X_f, y, names_f, family)
+            res_r = fit_glm(X_r, y, names_r, family)
+            if res_f.converged and res_r.converged:
+                lrdf = res_r.df_resid - res_f.df_resid
+                lrstat = -2.0 * (res_r.llf - res_f.llf)
+                if lrdf == 0 and lrstat == 0:
+                    row = _interaction_default(t1, t2, outcome)
+                    row.update(
+                        Converged=True, N=n_complete, Log="Both models are equivalent in terms of fit"
+                    )
+                    rows.append(row)
+                else:
+                    lr_p = float(chi2_sf(lrstat, lrdf)) if lrdf > 0 else float("nan")
+                    if report_betas:
+                        by_f = res_f.by_name()
+                        by_r = res_r.by_name()
+                        for pname in inter_names:
+                            a, b = pname.split(":", 1)
+                            row = _interaction_default(t1, t2, outcome)
+                            row.update(
+                                Parameter=pname,
+                                Converged=True,
+                                N=n_complete,
+                                LRT_pvalue=lr_p,
+                                Red_Var1_beta=by_r[a][0],
+                                Red_Var1_SE=by_r[a][1],
+                                Red_Var1_Pval=by_r[a][2],
+                                Red_Var2_beta=by_r[b][0],
+                                Red_Var2_SE=by_r[b][1],
+                                Red_Var2_Pval=by_r[b][2],
+                                Full_Var1_Var2_beta=by_f[pname][0],
+                                Full_Var1_Var2_SE=by_f[pname][1],
+                                Full_Var1_Var2_Pval=by_f[pname][2],
+                                Full_Var1_beta=by_f[a][0],
+                                Full_Var1_SE=by_f[a][1],
+                                Full_Var1_Pval=by_f[a][2],
+                                Full_Var2_beta=by_f[b][0],
+                                Full_Var2_SE=by_f[b][1],
+                                Full_Var2_Pval=by_f[b][2],
+                            )
+                            rows.append(row)
+                    else:
+                        row = _interaction_default(t1, t2, outcome)
+                        row.update(Converged=True, N=n_complete, LRT_pvalue=lr_p)
+                        rows.append(row)
+            else:
+                row = _interaction_default(t1, t2, outcome)
+                row.update(N=n_complete)
+                rows.append(row)
+        except Exception as e:
+            row = _interaction_default(t1, t2, outcome)
+            row["Log"] = str(e)[:200]
+            rows = [row]
+        out = pd.DataFrame(rows)
+        out["N"] = out["N"].astype("Int64")
+        return out[[f.name for f in INTERACTION_SCHEMA.fields]]
+
+    return kernel

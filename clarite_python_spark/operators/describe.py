@@ -1,0 +1,186 @@
+"""Descriptive-statistics operators (reference ``clarite/modules/describe.py``).
+
+All are expressed as batched single-pass aggregations (one scan for any
+number of columns) followed by a driver-side or Expand-based reshape of
+the tiny (1 x N) stats row — never one job per column.
+"""
+
+from __future__ import annotations
+
+import math
+from itertools import combinations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from clarite_python_spark.catalog import (
+    BINARY,
+    CATEGORICAL,
+    CONSTANT,
+    CONTINUOUS,
+    ID_COL,
+    ClariteFrame,
+    validate_skip_only,
+)
+from clarite_python_spark.functions.distributions import skewtest_z_p
+
+__all__ = [
+    "correlations",
+    "freq_table",
+    "get_types",
+    "percent_na",
+    "skewness",
+    "summarize",
+]
+
+
+def correlations(cf: ClariteFrame, threshold: float = 0.75, _wide_limit: int = 80) -> DataFrame:
+    """Pairwise Pearson correlations above ``threshold``
+    (reference describe.py:26-75): corr matrix -> upper triangle ->
+    (var1, var2, correlation) -> filter |corr| >= threshold -> sort by
+    |corr| desc.
+
+    Spark plan: for up to ``_wide_limit`` numeric columns, ONE agg with
+    C(p,2) ``F.corr`` expressions — a single scan, and F.corr's pairwise
+    null handling matches pandas ``df.corr`` semantics. For wider frames
+    the quadratic expression count stops paying; we fall back to
+    ``pyspark.ml.stat.Correlation`` on an assembled vector (one pass,
+    driver-side p x p matrix — fine for p ≈ 10^3; note its rows must be
+    complete cases, a documented semantic difference).
+    """
+    cols = [c for c in cf.variables if cf.catalog.get(c) == CONTINUOUS]
+    pairs = list(combinations(cols, 2))
+    spark = cf.df.sparkSession
+    if not pairs:
+        return spark.createDataFrame([], "var1 string, var2 string, correlation double")
+    if len(cols) <= _wide_limit:
+        aggs = [F.corr(a, b).alias(f"{a}::{b}") for a, b in pairs]
+        row = cf.df.agg(*aggs).collect()[0]
+        data = [
+            (a, b, float(row[f"{a}::{b}"]))
+            for a, b in pairs
+            if row[f"{a}::{b}"] is not None and abs(row[f"{a}::{b}"]) >= threshold
+        ]
+        out = spark.createDataFrame(data, "var1 string, var2 string, correlation double")
+    else:  # pragma: no cover - exercised only on very wide frames
+        from pyspark.ml.feature import VectorAssembler
+        from pyspark.ml.stat import Correlation
+
+        vec = VectorAssembler(inputCols=cols, outputCol="__v").transform(
+            cf.df.na.drop(subset=cols)
+        )
+        mat = Correlation.corr(vec, "__v").head()[0].toArray()
+        data = [
+            (cols[i], cols[j], float(mat[i, j]))
+            for i, j in ((i, j) for i in range(len(cols)) for j in range(i + 1, len(cols)))
+            if not math.isnan(mat[i, j]) and abs(mat[i, j]) >= threshold
+        ]
+        out = spark.createDataFrame(data, "var1 string, var2 string, correlation double")
+    return out.orderBy(F.abs(F.col("correlation")).desc(), "var1", "var2")
+
+
+def freq_table(cf: ClariteFrame, skip=None, only=None) -> DataFrame:
+    """Value counts per categorical variable (describe.py:78-135).
+
+    Categorical/binary/constant columns are unpivoted and counted in ONE
+    ``groupBy(variable, value)`` job (map-side combine keeps the shuffle at
+    |variables| x |levels| rows); non-categorical columns contribute a
+    single ``<Non-Categorical Values>`` row with their non-NA count,
+    computed in the same batched agg style."""
+    cols = validate_skip_only(cf.variables, skip, only)
+    cat_cols = [c for c in cols if cf.catalog.get(c) in (BINARY, CATEGORICAL, CONSTANT)]
+    other_cols = [c for c in cols if c not in set(cat_cols)]
+    spark = cf.df.sparkSession
+    parts = []
+    if cat_cols:
+        long = cf.df.select(*[F.col(c).cast("string").alias(c) for c in cat_cols]).unpivot(
+            [], cat_cols, "variable", "value"
+        )
+        parts.append(
+            long.where(F.col("value").isNotNull())
+            .groupBy("variable", "value")
+            .agg(F.count(F.lit(1)).alias("count"))
+        )
+    if other_cols:
+        row = cf.df.agg(*[F.count(F.col(c)).alias(c) for c in other_cols])
+        counts = row.unpivot([], other_cols, "variable", "count").select(
+            "variable", F.lit("<Non-Categorical Values>").alias("value"), F.col("count")
+        )
+        parts.append(counts)
+    if not parts:
+        return spark.createDataFrame([], "variable string, value string, count long")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("variable", F.col("count").desc(), "value")
+
+
+def get_types(cf: ClariteFrame) -> DataFrame:
+    """CLARITE type per variable (describe.py:138-163) — catalog lookup,
+    no data scan."""
+    spark = cf.df.sparkSession
+    data = [(c, cf.catalog.get(c)) for c in cf.variables]
+    return spark.createDataFrame(data, "variable string, type string")
+
+
+def percent_na(cf: ClariteFrame, skip=None, only=None) -> DataFrame:
+    """Percent NA per variable (describe.py:166-194, kernel :191).
+    One agg scan, reshaped with a 1-row unpivot."""
+    cols = validate_skip_only(cf.variables, skip, only)
+    row = cf.df.agg(
+        *[((1.0 - F.count(F.col(c)) / F.count(F.lit(1))) * 100.0).alias(c) for c in cols]
+    )
+    return row.unpivot([], cols, "variable", "percent_na").orderBy("variable")
+
+
+def skewness(cf: ClariteFrame, dropna: bool = True, skip=None, only=None) -> DataFrame:
+    """Skew + D'Agostino skew-test z and two-sided p per continuous
+    variable (describe.py:197-253, kernels :244-248).
+
+    ``F.skewness`` computes the population g1 = m3/m2^1.5 — the same
+    statistic scipy's ``skew(bias=True)`` default returns. The skew-test
+    z/p are closed-form functions of (g1, n), evaluated driver-side from
+    the single aggregated stats row (see functions/distributions.py).
+    With ``dropna=False`` any NA in the column makes the result NaN
+    (scipy nan_policy='propagate')."""
+    cols = [c for c in validate_skip_only(cf.variables, skip, only) if cf.catalog.get(c) == CONTINUOUS]
+    spark = cf.df.sparkSession
+    if not cols:
+        return spark.createDataFrame(
+            [], "variable string, skew double, zscore double, pvalue double"
+        )
+    row = (
+        cf.df.agg(
+            *[F.skewness(F.col(c)).alias(f"g1::{c}") for c in cols],
+            *[F.count(F.col(c)).alias(f"n::{c}") for c in cols],
+            *[F.count(F.lit(1)).alias("n::__rows__")][:1],
+        )
+        .collect()[0]
+        .asDict()
+    )
+    data = []
+    for c in cols:
+        g1, n = row[f"g1::{c}"], row[f"n::{c}"]
+        if not dropna and n < row["n::__rows__"]:
+            data.append((c, float("nan"), float("nan"), float("nan")))
+            continue
+        if g1 is None or n is None or n < 8:
+            data.append((c, float(g1) if g1 is not None else float("nan"), float("nan"), float("nan")))
+            continue
+        z, p = skewtest_z_p(float(g1), int(n))
+        data.append((c, float(g1), z, p))
+    return spark.createDataFrame(
+        data, "variable string, skew double, zscore double, pvalue double"
+    ).orderBy("variable")
+
+
+def summarize(cf: ClariteFrame) -> dict:
+    """Row count + per-type variable counts (describe.py:256-287)."""
+    type_counts = {t: 0 for t in (CONSTANT, BINARY, CATEGORICAL, CONTINUOUS)}
+    for c in cf.variables:
+        t = cf.catalog.get(c)
+        if t in type_counts:
+            type_counts[t] += 1
+        else:
+            type_counts[t] = type_counts.get(t, 0) + 1
+    return {"rows": cf.df.count(), "types": type_counts}

@@ -1,0 +1,573 @@
+"""QC / modify operators (reference ``clarite/modules/modify.py``).
+
+Design rules (SURVEY.md §7):
+
+- every column-statistic operator does its data pass as ONE batched
+  ``agg`` with N expressions, regardless of column count — whole-stage
+  codegen vectorizes the expression list, so cost is one scan;
+- decisions (which columns survive) are driver-side over the tiny
+  (1 x N-columns) stats row; the data plan stays lazy;
+- value rewrites (recode, outliers) avoid driver collects where possible
+  by broadcast-joining the 1-row stats frame back onto the data;
+- each operator returns a new ``ClariteFrame`` and attaches a
+  ``last_report`` dict mirroring the counts the reference prints eagerly
+  via ``print_wrap`` (utilities.py:13-23) — the log IS the spec in the
+  reference's tests, so the counts must be computable, but we only pay
+  for them when the operator inherently needs the stats anyway.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from clarite_python_spark.catalog import (
+    BINARY,
+    CATEGORICAL,
+    CONSTANT,
+    CONTINUOUS,
+    ID_COL,
+    UNKNOWN,
+    ClariteFrame,
+    VariableCatalog,
+    _is_numeric,
+    validate_skip_only,
+)
+
+__all__ = [
+    "categorize",
+    "colfilter",
+    "colfilter_min_n",
+    "colfilter_min_cat_n",
+    "colfilter_percent_zero",
+    "make_binary",
+    "make_categorical",
+    "make_continuous",
+    "merge_observations",
+    "merge_variables",
+    "move_variables",
+    "recode_values",
+    "remove_outliers",
+    "rowfilter",
+    "rowfilter_incomplete_obs",
+    "transform",
+    "drop_extra_categories",
+]
+
+
+def _report(cf: ClariteFrame, report: dict) -> ClariteFrame:
+    cf.last_report = report  # transient, mirrors the reference's printed counts
+    return cf
+
+
+# --------------------------------------------------------------------------
+# type inference / assertion
+# --------------------------------------------------------------------------
+
+
+def categorize(cf: ClariteFrame, cat_min: int = 3, cat_max: int = 6, cont_min: int = 15) -> ClariteFrame:
+    """Infer the CLARITE type of every variable from distinct-value counts.
+
+    Reference ``modify.py:41-176`` (kernel: ``data.nunique(dropna=True)``
+    at ``:86``):
+
+    - 0 non-NA values            -> column dropped
+    - 1 distinct                 -> constant
+    - 2 distinct                 -> binary
+    - cat_min..cat_max distinct  -> categorical
+    - cat_max+1..cont_min-1      -> unknown (too many for cat, too few for cont)
+    - >= cont_min distinct       -> continuous if castable to number, else
+                                    unknown ("couldn't convert",
+                                    modify.py:118-125)
+
+    Spark plan: ONE agg scan computing (count, count_distinct, numeric
+    try_cast failure count) for all columns — three expressions per column
+    in a single pass, no per-column jobs. Categorical level sets are
+    collected in the same pass via ``collect_set`` only for columns that
+    end up binary/categorical (second cheap pass over <=cat_max-distinct
+    columns).
+    """
+    df = cf.df
+    cols = cf.variables
+    aggs: list[Column] = []
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"n::{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"d::{c}"))
+        # non-null values that fail a numeric cast (0 for numeric columns)
+        aggs.append(
+            F.sum(
+                (F.col(c).isNotNull() & F.col(c).cast("string").try_cast("double").isNull()).cast("long")
+            ).alias(f"bad::{c}")
+        )
+    stats = df.agg(*aggs).collect()[0].asDict()
+
+    catalog = VariableCatalog()
+    keep: list[str] = []
+    dropped: list[str] = []
+    for c in cols:
+        n, d, bad = stats[f"n::{c}"], stats[f"d::{c}"], stats[f"bad::{c}"] or 0
+        if n == 0:
+            dropped.append(c)
+            continue
+        keep.append(c)
+        if d == 1:
+            catalog.set(c, CONSTANT)
+        elif d == 2:
+            catalog.set(c, BINARY)
+        elif cat_min <= d <= cat_max:
+            catalog.set(c, CATEGORICAL)
+        elif d >= cont_min:
+            catalog.set(c, CONTINUOUS if bad == 0 else UNKNOWN)
+        else:
+            catalog.set(c, UNKNOWN)
+
+    # cache category levels for the small-cardinality columns in one pass
+    small = catalog.of_type(CONSTANT, BINARY, CATEGORICAL)
+    if small:
+        level_rows = df.agg(*[F.collect_set(F.col(c)).alias(c) for c in small]).collect()[0].asDict()
+        for c in small:
+            catalog.categories[c] = sorted(level_rows[c])
+
+    out = ClariteFrame(df.select(ID_COL, *keep), catalog)
+    counts = {t: len(catalog.of_type(t)) for t in (CONSTANT, BINARY, CATEGORICAL, CONTINUOUS, UNKNOWN)}
+    return _report(out, {"dropped_all_na": dropped, "type_counts": counts})
+
+
+def _assert_and_mark(cf: ClariteFrame, vtype: str, skip, only) -> ClariteFrame:
+    cols = validate_skip_only(cf.variables, skip, only)
+    out = cf.with_df(cf.df)
+    for c in cols:
+        out.catalog.set(c, vtype)
+    return out
+
+
+def make_binary(cf: ClariteFrame, skip=None, only=None) -> ClariteFrame:
+    """Assert exactly 2 distinct values then mark binary (modify.py:397-453).
+
+    One agg scan validates all target columns together."""
+    cols = validate_skip_only(cf.variables, skip, only)
+    stats = cf.df.agg(*[F.count_distinct(F.col(c)).alias(c) for c in cols]).collect()[0].asDict()
+    bad = {c: d for c, d in stats.items() if d != 2}
+    if bad:
+        raise ValueError(f"{len(bad)} variable(s) did not have 2 distinct values: {sorted(bad)}")
+    out = _assert_and_mark(cf, BINARY, skip, only)
+    levels = cf.df.agg(*[F.collect_set(F.col(c)).alias(c) for c in cols]).collect()[0].asDict()
+    for c in cols:
+        out.catalog.categories[c] = sorted(levels[c])
+    return _report(out, {"set_binary": cols})
+
+
+def make_categorical(cf: ClariteFrame, skip=None, only=None) -> ClariteFrame:
+    """Mark columns categorical (modify.py:457-500); caches levels."""
+    cols = validate_skip_only(cf.variables, skip, only)
+    out = _assert_and_mark(cf, CATEGORICAL, skip, only)
+    levels = cf.df.agg(*[F.collect_set(F.col(c)).alias(c) for c in cols]).collect()[0].asDict()
+    for c in cols:
+        out.catalog.categories[c] = sorted(levels[c])
+    return _report(out, {"set_categorical": cols})
+
+
+def make_continuous(cf: ClariteFrame, skip=None, only=None) -> ClariteFrame:
+    """Cast to double, erroring if any non-null value fails the cast
+    (modify.py:504-567, try-convert :544-550). One validation agg scan."""
+    cols = validate_skip_only(cf.variables, skip, only)
+    df = cf.df
+    checks = df.agg(
+        *[
+            F.sum(
+                (F.col(c).isNotNull() & F.col(c).cast("string").try_cast("double").isNull()).cast("long")
+            ).alias(c)
+            for c in cols
+        ]
+    ).collect()[0].asDict()
+    bad = sorted(c for c, n in checks.items() if (n or 0) > 0)
+    if bad:
+        raise ValueError(f"couldn't convert to continuous: {bad}")
+    new_df = df.select(
+        *[
+            F.col(c).try_cast("double").alias(c) if c in set(cols) else F.col(c)
+            for c in df.columns
+        ]
+    )
+    out = cf.with_df(new_df)
+    for c in cols:
+        out.catalog.set(c, CONTINUOUS)
+    return _report(out, {"set_continuous": cols})
+
+
+# --------------------------------------------------------------------------
+# column filters
+# --------------------------------------------------------------------------
+
+
+def _colfilter_result(cf: ClariteFrame, keep: list[str], dropped: list[str], extra: dict) -> ClariteFrame:
+    out = cf.select_variables(keep)
+    report = {"dropped": dropped, "kept": keep}
+    report.update(extra)
+    return _report(out, report)
+
+
+def colfilter(cf: ClariteFrame, skip=None, only=None) -> ClariteFrame:
+    """Keep/drop named columns (modify.py:180-225). Pure projection —
+    Catalyst prunes the scan down to the survivors."""
+    keep = validate_skip_only(cf.variables, skip, only)
+    dropped = [c for c in cf.variables if c not in set(keep)]
+    return _colfilter_result(cf, keep, dropped, {})
+
+
+def colfilter_min_n(cf: ClariteFrame, n: int = 200, skip=None, only=None) -> ClariteFrame:
+    """Drop variables with fewer than ``n`` non-NA values
+    (modify.py:284-340). One agg scan for all candidate columns."""
+    cols = validate_skip_only(cf.variables, skip, only)
+    counts = cf.df.agg(*[F.count(F.col(c)).alias(c) for c in cols]).collect()[0].asDict()
+    dropped = sorted(c for c in cols if counts[c] < n)
+    keep = [c for c in cf.variables if c not in set(dropped)]
+    return _colfilter_result(cf, keep, dropped, {"non_na_counts": counts})
+
+
+def colfilter_min_cat_n(cf: ClariteFrame, n: int = 200, skip=None, only=None) -> ClariteFrame:
+    """Drop binary/categorical variables whose least frequent level occurs
+    fewer than ``n`` times (modify.py:229-280, kernel :268).
+
+    Spark plan: melt the categorical columns -> ONE
+    ``groupBy(variable, value).count() -> groupBy(variable).min(count)``
+    job (two shuffles of a tiny intermediate), instead of one job per
+    column. Map-side partial aggregation keeps the shuffle small
+    (|variables| x |levels| rows).
+    """
+    cols = validate_skip_only(cf.variables, skip, only)
+    cand = [c for c in cols if cf.catalog.get(c) in (BINARY, CATEGORICAL)]
+    if not cand:
+        return _colfilter_result(cf, cf.variables, [], {"min_level_counts": {}})
+    long = cf.df.select(
+        *[F.col(c).cast("string").alias(c) for c in cand]
+    ).unpivot([], cand, "variable", "value")
+    mins = (
+        long.where(F.col("value").isNotNull())
+        .groupBy("variable", "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("variable")
+        .agg(F.min("cnt").alias("min_cnt"))
+        .collect()
+    )
+    min_counts = {r["variable"]: r["min_cnt"] for r in mins}
+    dropped = sorted(c for c in cand if min_counts.get(c, 0) < n)
+    keep = [c for c in cf.variables if c not in set(dropped)]
+    return _colfilter_result(cf, keep, dropped, {"min_level_counts": min_counts})
+
+
+def colfilter_percent_zero(
+    cf: ClariteFrame, filter_percent: float = 90.0, skip=None, only=None
+) -> ClariteFrame:
+    """Drop continuous variables with >= ``filter_percent``% zeros among
+    non-NA values (modify.py:344-393, kernel :381). One agg scan."""
+    cols = validate_skip_only(cf.variables, skip, only)
+    cand = [c for c in cols if cf.catalog.get(c) == CONTINUOUS]
+    if not cand:
+        return _colfilter_result(cf, cf.variables, [], {"percent_zero": {}})
+    aggs = [
+        (F.sum((F.col(c) == 0).cast("long")) / F.count(F.col(c)) * 100.0).alias(c) for c in cand
+    ]
+    pct = cf.df.agg(*aggs).collect()[0].asDict()
+    dropped = sorted(c for c in cand if pct[c] is not None and pct[c] >= filter_percent)
+    keep = [c for c in cf.variables if c not in set(dropped)]
+    return _colfilter_result(cf, keep, dropped, {"percent_zero": pct})
+
+
+# --------------------------------------------------------------------------
+# row filters
+# --------------------------------------------------------------------------
+
+
+def rowfilter_incomplete_obs(cf: ClariteFrame, skip=None, only=None) -> ClariteFrame:
+    """Drop rows with any NA among the selected columns
+    (modify.py:739-781) == ``na.drop(how="any", subset=cols)``.
+
+    Pure narrow filter: Catalyst pushes the IsNotNull predicates into the
+    scan."""
+    cols = validate_skip_only(cf.variables, skip, only)
+    return _report(cf.with_df(cf.df.na.drop(how="any", subset=cols)), {"subset": cols})
+
+
+_OPS = {
+    "lt": lambda c, v: c < v,
+    "lte": lambda c, v: c <= v,
+    "eq": lambda c, v: c == v,
+    "gte": lambda c, v: c >= v,
+    "gt": lambda c, v: c > v,
+    "neq": lambda c, v: c != v,
+}
+
+
+def rowfilter(cf: ClariteFrame, column: str, comparison: str, value) -> ClariteFrame:
+    """Keep rows where ``column <op> value`` (CLI ``modify rowfilter``,
+    reference ``clarite/cli/commands/modify.py:196-255``). Predicate is
+    pushable to the parquet scan."""
+    if comparison not in _OPS:
+        raise ValueError(f"comparison must be one of {sorted(_OPS)}")
+    return _report(
+        cf.with_df(cf.df.where(_OPS[comparison](F.col(column), F.lit(value)))),
+        {"column": column, "comparison": comparison, "value": value},
+    )
+
+
+# --------------------------------------------------------------------------
+# value transformations
+# --------------------------------------------------------------------------
+
+
+def recode_values(
+    cf: ClariteFrame, replacement_dict: Mapping, skip=None, only=None, count_changes: bool = False
+) -> ClariteFrame:
+    """Replace values per the dict on selected columns (modify.py:571-633,
+    kernel ``data.replace`` at :615).
+
+    Chained ``F.when`` per column — stays inside whole-stage codegen. The
+    reference reports #cells changed (diff-count :618-622, where NA==NA
+    counts as equal); we compute that count in one agg only when
+    ``count_changes`` (it is pure reporting)."""
+    cols = validate_skip_only(cf.variables, skip, only)
+    items = list(replacement_dict.items())
+
+    def recoded(c: str) -> Column:
+        expr = None
+        for k, v in items:
+            cond = F.col(c) == F.lit(k)
+            expr = F.when(cond, F.lit(v)) if expr is None else expr.when(cond, F.lit(v))
+        return expr.otherwise(F.col(c)).alias(c)
+
+    new_df = cf.df.select(
+        *[recoded(c) if c in set(cols) else F.col(c) for c in cf.df.columns]
+    )
+    report: dict = {"columns": cols}
+    if count_changes:
+        # null-safe inequality: NaN/NULL cells count as unchanged (ref :619)
+        diff = cf.df.select(
+            *[(~F.col(c).eqNullSafe(recoded(c))).cast("long").alias(c) for c in cols]
+        ).agg(*[F.sum(F.col(c)).alias(c) for c in cols]).collect()[0].asDict()
+        report["cells_changed"] = {c: int(diff[c] or 0) for c in cols}
+    return _report(cf.with_df(new_df), report)
+
+
+def remove_outliers(
+    cf: ClariteFrame,
+    method: str = "gaussian",
+    cutoff: float = 3.0,
+    skip=None,
+    only=None,
+    exact: bool = True,
+) -> ClariteFrame:
+    """Set continuous outliers to NULL (modify.py:637-735).
+
+    - ``gaussian``: outside mean ± cutoff*stddev_samp (ref :719-723)
+    - ``iqr``: outside [Q1 - cutoff*IQR, Q3 + cutoff*IQR] (ref :713-718)
+
+    Oracle-exactness: pandas ``quantile`` is exact linear interpolation, so
+    we default to Spark's exact ``percentile`` aggregate. ``exact=False``
+    switches to ``approx_percentile(..., 10000)`` — the 100-TB path, where
+    an exact per-column percentile (per-partition value buffering) is the
+    wrong trade.
+
+    Plan shape: one stats agg (all columns in one pass) broadcast-joined
+    back onto the data — no driver round-trip in the data path, two scans
+    total, and the second scan's WHEN expressions stay in codegen.
+    """
+    if cutoff <= 0:
+        raise ValueError("cutoff must be positive")
+    cols = [c for c in validate_skip_only(cf.variables, skip, only) if cf.catalog.get(c) == CONTINUOUS]
+    if not cols:
+        return _report(cf.with_df(cf.df), {"columns": []})
+    aggs: list[Column] = []
+    for c in cols:
+        if method == "gaussian":
+            aggs.append((F.mean(c) - cutoff * F.stddev_samp(c)).alias(f"lo::{c}"))
+            aggs.append((F.mean(c) + cutoff * F.stddev_samp(c)).alias(f"hi::{c}"))
+        elif method == "iqr":
+            if exact:
+                q1 = F.percentile(F.col(c), F.lit(0.25))
+                q3 = F.percentile(F.col(c), F.lit(0.75))
+            else:
+                q1 = F.expr(f"approx_percentile({c}, 0.25, 10000)")
+                q3 = F.expr(f"approx_percentile({c}, 0.75, 10000)")
+            aggs.append((q1 - cutoff * (q3 - q1)).alias(f"lo::{c}"))
+            aggs.append((q3 + cutoff * (q3 - q1)).alias(f"hi::{c}"))
+        else:
+            raise ValueError("method must be 'gaussian' or 'iqr'")
+    stats = cf.df.agg(*aggs)
+    joined = cf.df.crossJoin(F.broadcast(stats))
+    new_df = joined.select(
+        *[
+            (
+                F.when(
+                    (F.col(c) < F.col(f"`lo::{c}`")) | (F.col(c) > F.col(f"`hi::{c}`")), F.lit(None)
+                )
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in set(cols)
+                else F.col(c)
+            )
+            for c in cf.df.columns
+        ]
+    )
+    return _report(cf.with_df(new_df), {"columns": cols, "method": method, "cutoff": cutoff})
+
+
+def outlier_counts(
+    cf: ClariteFrame, method: str = "gaussian", cutoff: float = 3.0, skip=None, only=None
+) -> DataFrame:
+    """Per-variable (n_low, n_high) outlier counts — the numbers the
+    reference logs (modify.py:726-733) — as a small DataFrame.
+
+    Same one-pass stats + broadcast shape as ``remove_outliers`` followed
+    by a single counting agg and an unpivot of the 1-row result."""
+    cols = [c for c in validate_skip_only(cf.variables, skip, only) if cf.catalog.get(c) == CONTINUOUS]
+    cf2 = remove_outliers(cf, method=method, cutoff=cutoff, only=cols)
+    # count rows where the value was non-null before and null after
+    pairs = cf.df.select(ID_COL, *[F.col(c).alias(f"old::{c}") for c in cols]).join(
+        cf2.df.select(ID_COL, *[F.col(c).alias(f"new::{c}") for c in cols]), on=ID_COL
+    )
+    aggs = [
+        F.sum((F.col(f"`old::{c}`").isNotNull() & F.col(f"`new::{c}`").isNull()).cast("long")).alias(c)
+        for c in cols
+    ]
+    row = pairs.agg(*aggs)
+    return row.unpivot([], cols, "variable", "n_removed")
+
+
+def transform(cf: ClariteFrame, transform_method: str, skip=None, only=None) -> ClariteFrame:
+    """Apply a named unary function to continuous variables
+    (modify.py:944-1008, apply :1000). Registry of JVM-side functions —
+    no Python UDF in the hot path."""
+    registry = {
+        "log": F.log,
+        "log10": F.log10,
+        "log2": F.log2,
+        "log1p": F.log1p,
+        "sqrt": F.sqrt,
+        "exp": F.exp,
+        "abs": F.abs,
+        "cbrt": F.cbrt,
+        "reciprocal": lambda c: F.lit(1.0) / c,
+        "zscore": None,  # handled below (needs a stats pass)
+    }
+    if transform_method not in registry:
+        raise ValueError(f"transform_method must be one of {sorted(registry)}")
+    cols = [c for c in validate_skip_only(cf.variables, skip, only) if cf.catalog.get(c) == CONTINUOUS]
+    if transform_method == "zscore":
+        stats = cf.df.agg(
+            *[F.mean(c).alias(f"mu::{c}") for c in cols],
+            *[F.stddev_samp(c).alias(f"sd::{c}") for c in cols],
+        )
+        joined = cf.df.crossJoin(F.broadcast(stats))
+        new_df = joined.select(
+            *[
+                ((F.col(c) - F.col(f"`mu::{c}`")) / F.col(f"`sd::{c}`")).alias(c)
+                if c in set(cols)
+                else F.col(c)
+                for c in cf.df.columns
+            ]
+        )
+    else:
+        fn = registry[transform_method]
+        new_df = cf.df.select(
+            *[fn(F.col(c)).alias(c) if c in set(cols) else F.col(c) for c in cf.df.columns]
+        )
+    return _report(cf.with_df(new_df), {"columns": cols, "method": transform_method})
+
+
+def drop_extra_categories(cf: ClariteFrame, skip=None, only=None) -> ClariteFrame:
+    """Refresh cached category levels from the data, removing levels with
+    zero occurrences (modify.py:1012-1061; kernel utilities.py:197-232).
+
+    Values never change — only the catalog's level sets. One collect_set
+    agg pass over the categorical columns."""
+    cols = [
+        c
+        for c in validate_skip_only(cf.variables, skip, only)
+        if cf.catalog.get(c) in (BINARY, CATEGORICAL, CONSTANT)
+    ]
+    out = cf.with_df(cf.df)
+    removed: dict[str, list] = {}
+    if cols:
+        levels = cf.df.agg(*[F.collect_set(F.col(c)).alias(c) for c in cols]).collect()[0].asDict()
+        for c in cols:
+            present = sorted(levels[c])
+            old = out.catalog.categories.get(c)
+            if old is not None and set(old) - set(present):
+                removed[c] = sorted(set(old) - set(present))
+            out.catalog.categories[c] = present
+    return _report(out, {"removed_levels": removed})
+
+
+# --------------------------------------------------------------------------
+# joins / set ops
+# --------------------------------------------------------------------------
+
+
+def merge_variables(
+    left: ClariteFrame, right: ClariteFrame, how: str = "outer", broadcast_right: bool = False
+) -> ClariteFrame:
+    """Side-by-side merge on ID (modify.py:848-885, kernel :881).
+
+    Equi-join on the unique key; pass ``broadcast_right=True`` when the
+    right side is a small dimension so Catalyst plans a broadcast-hash
+    join instead of a shuffle."""
+    if how not in ("left", "right", "inner", "outer"):
+        raise ValueError("how must be left/right/inner/outer")
+    overlap = set(left.variables) & set(right.variables)
+    if overlap:
+        raise ValueError(f"duplicate variable names in merge: {sorted(overlap)}")
+    rdf = F.broadcast(right.df) if broadcast_right else right.df
+    df = left.df.join(rdf, on=ID_COL, how=how)
+    catalog = left.catalog.copy()
+    catalog.types.update(right.catalog.types)
+    catalog.categories.update(right.catalog.categories)
+    return ClariteFrame(df, catalog)
+
+
+def merge_observations(top: ClariteFrame, bottom: ClariteFrame, check_duplicates: bool = True) -> ClariteFrame:
+    """Vertical concat keeping only common columns (modify.py:785-844).
+
+    Errors on duplicate IDs across the two frames (ref :801-805) and on
+    semantic-type mismatches (ref :826-843). The duplicate check is one
+    distributed semi-join-shaped count, done only when requested."""
+    common = [c for c in top.variables if c in set(bottom.variables)]
+    mismatch = {
+        c: (top.catalog.get(c), bottom.catalog.get(c))
+        for c in common
+        if top.catalog.get(c) != bottom.catalog.get(c)
+    }
+    if mismatch:
+        raise ValueError(f"variable type mismatch in merge_observations: {mismatch}")
+    t = top.df.select(ID_COL, *common)
+    b = bottom.df.select(ID_COL, *common)
+    df = t.unionByName(b)
+    if check_duplicates:
+        dups = df.groupBy(ID_COL).count().where(F.col("count") > 1).limit(1).count()
+        if dups:
+            raise ValueError("merge_observations: duplicate IDs across frames")
+    catalog = VariableCatalog(
+        {c: top.catalog.types.get(c, UNKNOWN) for c in common},
+        {c: top.catalog.categories[c] for c in common if c in top.catalog.categories},
+    )
+    return ClariteFrame(df, catalog)
+
+
+def move_variables(
+    left: ClariteFrame, right: ClariteFrame, skip=None, only=None
+) -> tuple[ClariteFrame, ClariteFrame]:
+    """Move columns from ``left`` into ``right`` (modify.py:889-940):
+    projection on the left + equi-join on ID on the right."""
+    moving = validate_skip_only(left.variables, skip, only)
+    new_left = left.select_variables([c for c in left.variables if c not in set(moving)])
+    moved = left.df.select(ID_COL, *moving)
+    new_right_df = right.df.join(moved, on=ID_COL, how="left")
+    catalog = right.catalog.copy()
+    for c in moving:
+        catalog.types[c] = left.catalog.types.get(c, UNKNOWN)
+        if c in left.catalog.categories:
+            catalog.categories[c] = left.catalog.categories[c]
+    return new_left, ClariteFrame(new_right_df, catalog)

@@ -1,0 +1,131 @@
+"""Embedding similarity search over an ``array<float>`` column.
+
+Two paths (SURVEY.md §7 Phase E / driver extension spec):
+
+- ``cosine_topk`` — brute-force exact top-k: broadcast the (small) query
+  set, score every corpus vector with JVM array lambdas
+  (``zip_with`` + ``aggregate`` dot product — no Python, no shuffle until
+  the final per-query top-k), rank with a window partitioned by query.
+- ``lsh_topk`` — the scale path: random-hyperplane (signed random
+  projection) bucketing; only same-bucket candidates are scored exactly.
+  Hyperplanes are generated driver-side from a fixed numpy seed and
+  inlined as literal arrays (deterministic, no UDF).
+
+At 100 TB the brute-force path is still the right *baseline* (one narrow
+pass per query batch); IVF/LSH cuts the scored fraction once |queries| is
+large.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["cosine", "cosine_topk", "lsh_topk"]
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity between two array<numeric> columns (JVM-side)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    ``queries``: (query_id, vec). Plan: broadcast-nested-loop join of the
+    tiny query set against the corpus (one corpus scan regardless of
+    |queries|), JVM-side cosine, then per-query top-k via window. Ties
+    broken by corpus id for determinism."""
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col).cast("array<double>"), F.col("__qvec").cast("array<double>")).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy(query_id_col, "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim)
+
+
+def _bucket(vec: Column, planes: np.ndarray) -> Column:
+    """Signed-random-projection bucket id: bit b = sign(vec . plane_b)."""
+    bits = [
+        F.when(_dot(vec, F.array(*[F.lit(float(x)) for x in plane])) >= 0, F.lit(1 << b)).otherwise(
+            F.lit(0)
+        )
+        for b, plane in enumerate(planes)
+    ]
+    out = bits[0]
+    for bcol in bits[1:]:
+        out = out + bcol
+    return out.cast("long")
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors that share the
+    query's random-hyperplane bucket. Recall trades with ``n_planes``
+    (8 planes => 256 buckets => ~1/256 of the corpus scored per query).
+
+    The bucket expression is pure JVM arithmetic over literal hyperplanes;
+    the candidate join is an equi-join on the bucket id (shuffle keyed on
+    a small int — broadcastable when queries are few)."""
+    dim = len(queries.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.withColumn("__bucket", _bucket(F.col(vec_col).cast("array<double>"), planes))
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        _bucket(F.col(vec_col).cast("array<double>"), planes).alias("__bucket"),
+    )
+    scored = c.join(F.broadcast(q), on="__bucket").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col).cast("array<double>"), F.col("__qvec").cast("array<double>")).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy(query_id_col, "rank")
+    )

@@ -1,0 +1,116 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Everything here is pure JVM-side column expressions (``pyspark.sql.
+functions`` — array/lambda/regex), so it stays inside whole-stage codegen
+and scales linearly with no Python in the hot path. These are extensions
+beyond the reference surface (SURVEY.md §7 Phase E).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["tokens", "token_count", "text_stats", "language_id", "fingerprint", "quality_score"]
+
+# Tiny per-language function-word lists for the n-gram/stopword language
+# heuristic. Deliberately small: the point is the *plumbing* (scoring per
+# language as vectorized expressions); swap in real models offline.
+_LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "las"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "mit"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"],
+}
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokenization as an array column (empty tokens dropped)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda x: x != "")
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokens(col))
+
+
+def _stopword_hits(toks: Column, words: list[str]) -> Column:
+    """Non-distinct count of tokens in ``words`` (order-stable, matches a
+    plain SQL ``sum(case when token in (...))``)."""
+    return F.aggregate(
+        toks,
+        F.lit(0),
+        lambda acc, x: acc + F.when(x.isin(*words), F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality statistics: chars, tokens, mean token length,
+    punctuation ratio, digit ratio, stopword ratio, uppercase ratio."""
+    toks = tokens(text_col)
+    n_chars = F.length(F.col(text_col))
+    n_tokens = F.size(toks)
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (
+            F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+            / F.greatest(n_tokens, F.lit(1))
+        ).alias("mean_token_len"),
+        (
+            F.length(F.regexp_replace(F.col(text_col), r"[^\p{Punct}]", ""))
+            / F.greatest(n_chars, F.lit(1))
+        ).alias("punct_ratio"),
+        (
+            F.length(F.regexp_replace(F.col(text_col), r"[^0-9]", ""))
+            / F.greatest(n_chars, F.lit(1))
+        ).alias("digit_ratio"),
+        (
+            _stopword_hits(toks, _LANG_STOPWORDS["en"]) / F.greatest(n_tokens, F.lit(1))
+        ).alias("stopword_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Composite heuristic quality score in [0, 1]: favors mid-length
+    documents with low punctuation/digit density — the standard cheap
+    pre-filter before expensive pipeline stages."""
+    stats = text_stats(df, text_col, id_col)
+    length_score = F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0))
+    punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("punct_ratio") * 5.0)
+    digit_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("digit_ratio") * 5.0)
+    return stats.select(
+        id_col,
+        ((length_score + punct_penalty + digit_penalty) / 3.0).alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: CJK script detection + per-language
+    function-word scoring; ties broken by fixed language order. Returns
+    (id, lang_pred, lang_score)."""
+    toks = tokens(text_col)
+    n_tokens = F.greatest(F.size(toks), F.lit(1))
+    scores = {
+        lang: (_stopword_hits(toks, words) / n_tokens) for lang, words in _LANG_STOPWORDS.items()
+    }
+    is_cjk = F.col(text_col).rlike("[一-鿿]")
+    best_lang = F.lit("unknown")
+    best_score = F.lit(0.0)
+    for lang in sorted(_LANG_STOPWORDS):  # fixed order => deterministic ties
+        better = scores[lang] > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, scores[lang]).otherwise(best_score)
+    return df.select(
+        F.col(id_col),
+        F.when(is_cjk, F.lit("zh")).otherwise(best_lang).alias("lang_pred"),
+        F.when(is_cjk, F.lit(1.0)).otherwise(best_score).alias("lang_score"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic document fingerprint over whitespace/case-normalized
+    text (md5 — engine-portable), the key for exact dedup."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))

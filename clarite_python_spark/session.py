@@ -1,0 +1,44 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Defaults are chosen for correctness-at-scale, not just local runs:
+
+- AQE on (runtime shuffle-partition coalescing + skew-join splitting);
+- Arrow on (every ``applyInPandas`` kernel transfers columnar batches);
+- session timezone pinned to UTC so timestamp semantics are stable across
+  engines (the DuckDB correctness oracle reads the same parquet);
+- shuffle partitions sized by env (32 locally; a real cluster would set
+  this to ~2-3x total cores or rely on AQE coalescing).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "clarite_python_spark", cpus: int | None = None) -> SparkSession:
+    """Create (or reuse) a SparkSession configured for this engine.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` (or all cores). On a real
+    cluster the ``master`` setting is ignored in favor of the deploy-mode
+    master; everything else carries over.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # read INT64 TIMESTAMP(NANOS) parquet columns as long (Spark has no
+        # nanos timestamp); sources/io.load_testdata rebuilds a timestamp
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

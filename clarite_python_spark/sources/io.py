@@ -1,0 +1,123 @@
+"""Sources & sinks.
+
+Reference surface (SURVEY.md §2.1):
+- ``load.from_tsv`` / ``load.from_csv`` (reference ``clarite/modules/load.py:
+  17-87``): read delimited text, designate one column as the unique ``ID``
+  row label.
+- CLI sink/source pair: data file + ``.dtypes`` JSON sidecar carrying the
+  semantic type catalog (reference ``clarite/cli/custom_types.py:38-151``).
+
+Spark-first notes:
+- CSV ``inferSchema`` costs an extra pass; for big data prefer
+  ``from_parquet`` (schema in footer, column-pruned + predicate-pushed
+  scans). The text readers exist for reference parity.
+- The sidecar is a tiny driver-side JSON (one entry per column) written
+  next to the data; on a cluster it would go through the Hadoop FS API —
+  here plain ``open()`` since we target local paths.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from clarite_python_spark.catalog import ID_COL, ClariteFrame, VariableCatalog
+
+
+def _with_id(df: DataFrame, index_col: int | str) -> DataFrame:
+    name = df.columns[index_col] if isinstance(index_col, int) else index_col
+    if name not in df.columns:
+        raise ValueError(f"index_col {index_col!r} not found")
+    if name != ID_COL:
+        df = df.withColumnRenamed(name, ID_COL)
+    return df
+
+
+def from_csv(
+    spark: SparkSession, filename: str, index_col: int | str = 0, sep: str = ",", **options
+) -> ClariteFrame:
+    """Load a CSV with a unique ID column (reference load.py:54-87)."""
+    df = spark.read.csv(filename, header=True, inferSchema=True, sep=sep, **options)
+    return ClariteFrame(_with_id(df, index_col))
+
+
+def from_tsv(spark: SparkSession, filename: str, index_col: int | str = 0, **options) -> ClariteFrame:
+    """Load a TSV with a unique ID column (reference load.py:17-51)."""
+    return from_csv(spark, filename, index_col=index_col, sep="\t", **options)
+
+
+def from_parquet(spark: SparkSession, path: str, index_col: int | str | None = None) -> ClariteFrame:
+    """Load parquet; apply the ``.dtypes`` sidecar catalog if present.
+
+    This is the scale path: columnar scans, predicate pushdown, partition
+    pruning all apply. ``index_col=None`` requires an existing ``ID``
+    column or synthesizes one is NOT done implicitly (uniqueness is the
+    caller's contract)."""
+    df = spark.read.parquet(path)
+    if index_col is not None:
+        df = _with_id(df, index_col)
+    catalog = None
+    sidecar = _sidecar_path(path)
+    if os.path.exists(sidecar):
+        with open(sidecar) as fh:
+            catalog = VariableCatalog.from_json(fh.read())
+    return ClariteFrame(df, catalog) if catalog else ClariteFrame(df)
+
+
+def _sidecar_path(path: str) -> str:
+    return path.rstrip("/") + ".dtypes"
+
+
+def save(cf: ClariteFrame, path: str, fmt: str = "parquet", mode: str = "overwrite") -> None:
+    """Persist data + semantic-type sidecar (reference custom_types.py:117-151).
+
+    parquet is the default sink (splittable, columnar, statistics for
+    pushdown); ``fmt="tsv"`` reproduces the reference's text format."""
+    if fmt == "parquet":
+        cf.df.write.mode(mode).parquet(path)
+    elif fmt == "tsv":
+        cf.df.write.mode(mode).option("header", True).option("sep", "\t").csv(path)
+    else:
+        raise ValueError(f"unsupported format {fmt!r}")
+    with open(_sidecar_path(path), "w") as fh:
+        fh.write(cf.catalog.to_json())
+
+
+def load_testdata(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> dict[str, DataFrame]:
+    """Convenience loader for the driver's TPC-H-ish parquet tables."""
+    tables = tables or [
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ]
+    out = {}
+    for t in tables:
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        if t == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+            # events.ts is parquet TIMESTAMP(NANOS); with
+            # spark.sql.legacy.parquet.nanosAsLong it arrives as long —
+            # rebuild a microsecond timestamp (driver data is µs-grained)
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        out[t] = df
+    return out
+
+
+def check_unique_ids(df: DataFrame, col: str = ID_COL) -> int:
+    """Count duplicate-ID rows (0 means the invariant holds).
+
+    Distributed anti-check: groupBy(ID).count > 1 (no driver collect of
+    data, only the scalar)."""
+    return (
+        df.groupBy(col).agg(F.count(F.lit(1)).alias("n")).where(F.col("n") > 1).limit(1).count()
+    )

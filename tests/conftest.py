@@ -1,0 +1,102 @@
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import SparkSession
+
+from clarite_python_spark.catalog import ClariteFrame, VariableCatalog
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = (
+        SparkSession.builder.appName("clarite-tests")
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def mixed_cf(spark) -> ClariteFrame:
+    """A small frame covering every CLARITE type, with NAs."""
+    rng = np.random.RandomState(7)
+    n = 400
+    pdf = pd.DataFrame(
+        {
+            "ID": np.arange(n),
+            "const1": 1.0,
+            "bin1": rng.choice(["a", "b"], n),
+            "cat1": rng.choice(["x", "y", "z", "w"], n),
+            "cont1": rng.randn(n) * 10 + 50,
+            "cont2": rng.rand(n),
+            "mostly_na": [float(i) if i < 10 else None for i in range(n)],
+            "with_zeros": [0.0] * 380 + list(rng.rand(20)),
+            "strcol": [f"s{i}" for i in range(n)],
+        }
+    )
+    pdf.loc[rng.choice(n, 30, replace=False), "cont1"] = None
+    df = spark.createDataFrame(pdf)
+    return ClariteFrame(df)
+
+
+@pytest.fixture(scope="session")
+def ewas_pdf() -> pd.DataFrame:
+    """Synthetic EWAS-style data with known effects, for regression tests."""
+    rng = np.random.RandomState(1855)
+    n = 1000
+    age = rng.uniform(20, 70, n)
+    sexm = rng.choice([0.0, 1.0], n)
+    signal = rng.randn(n)
+    noise1 = rng.randn(n)
+    noise2 = rng.randn(n)
+    cat = rng.choice(["A", "B", "C"], n)
+    cat_effect = np.where(cat == "B", 2.0, np.where(cat == "C", -1.0, 0.0))
+    y = 5.0 + 0.1 * age + 1.5 * sexm + 3.0 * signal + cat_effect + rng.randn(n)
+    ybin = (y + rng.randn(n) * 2 > np.median(y)).astype(float)
+    return pd.DataFrame(
+        {
+            "ID": np.arange(n),
+            "outcome": y,
+            "outcome_bin": np.where(ybin == 1, "Case", "Control"),
+            "age": age,
+            "sex": np.where(sexm == 1, "M", "F"),
+            "signal": signal,
+            "noise1": noise1,
+            "noise2": noise2,
+            "cat_var": cat,
+        }
+    )
+
+
+@pytest.fixture(scope="session")
+def ewas_cf(spark, ewas_pdf) -> ClariteFrame:
+    df = spark.createDataFrame(ewas_pdf)
+    cat = VariableCatalog(
+        types={
+            "outcome": "continuous",
+            "outcome_bin": "binary",
+            "age": "continuous",
+            "sex": "binary",
+            "signal": "continuous",
+            "noise1": "continuous",
+            "noise2": "continuous",
+            "cat_var": "categorical",
+        },
+        categories={
+            "outcome_bin": ["Case", "Control"],
+            "sex": ["F", "M"],
+            "cat_var": ["A", "B", "C"],
+        },
+    )
+    return ClariteFrame(df, cat)

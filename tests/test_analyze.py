@@ -1,0 +1,185 @@
+"""association_study / interaction_study / add_corrected_pvalues contracts.
+
+The numeric oracle is a driver-side numpy fit over the same pandas data —
+i.e. the distributed melt+applyInPandas fan-out must reproduce the
+single-machine math exactly."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from clarite_python_spark.functions.glm import dummy_encode, fit_glm
+from clarite_python_spark.operators import analyze
+
+
+@pytest.fixture(scope="module")
+def assoc_result(ewas_cf):
+    return analyze.association_study(
+        ewas_cf,
+        outcomes="outcome",
+        covariates=["age", "sex"],
+        min_n=50,
+    ).toPandas().set_index("Variable")
+
+
+def test_association_study_finds_signal(assoc_result):
+    r = assoc_result
+    assert r.loc["signal", "pvalue"] < 1e-20
+    assert r.loc["noise1", "pvalue"] > 1e-4
+    assert r.loc["cat_var", "LRT_pvalue"] < 1e-10
+    assert r.loc["cat_var", "Variable_type"] == "categorical"
+    assert bool(r.loc["signal", "Converged"])
+    assert r.loc["signal", "N"] == 1000
+
+
+def test_association_study_matches_driver_side_fit(assoc_result, ewas_pdf):
+    """Distributed result == local numpy fit of the same model."""
+    pdf = ewas_pdf
+    sexm = (pdf["sex"] == "M").astype(float).to_numpy()
+    X = np.column_stack([np.ones(len(pdf)), pdf["age"], sexm, pdf["signal"]])
+    res = fit_glm(X, pdf["outcome"].to_numpy(), ["i", "age", "sex[T.M]", "signal"], "gaussian")
+    assert assoc_result.loc["signal", "Beta"] == pytest.approx(res.params[3], rel=1e-10)
+    assert assoc_result.loc["signal", "SE"] == pytest.approx(res.bse[3], rel=1e-10)
+    assert assoc_result.loc["signal", "pvalue"] == pytest.approx(res.pvalues[3], rel=1e-8, abs=1e-300)
+
+
+def test_association_study_sorted_by_pvalue(ewas_cf):
+    out = analyze.association_study(
+        ewas_cf, outcomes="outcome", covariates=["age", "sex"], min_n=50
+    ).toPandas()
+    pv = out["pvalue"].dropna().to_numpy()
+    assert np.all(np.diff(pv) >= 0)
+
+
+def test_association_study_binary_outcome(ewas_cf):
+    out = (
+        analyze.association_study(
+            ewas_cf,
+            outcomes="outcome_bin",
+            covariates=["age", "sex"],
+            min_n=50,
+        )
+        .toPandas()
+        .set_index("Variable")
+    )
+    # logistic on a signal correlated with the latent outcome
+    assert out.loc["signal", "pvalue"] < 1e-6
+    assert out.loc["outcome", "pvalue"] < 1e-10  # outcome itself is a strong predictor
+    assert bool(out.loc["signal", "Converged"])
+
+
+def test_min_n_gate(ewas_cf):
+    out = (
+        analyze.association_study(
+            ewas_cf, outcomes="outcome", covariates=["age", "sex"], min_n=5000
+        )
+        .toPandas()
+        .set_index("Variable")
+    )
+    assert not bool(out.loc["signal", "Converged"])
+    assert pd.isna(out.loc["signal", "pvalue"])
+
+
+def test_standardize_data(ewas_cf, ewas_pdf):
+    out = (
+        analyze.association_study(
+            ewas_cf,
+            outcomes="outcome",
+            covariates=["age", "sex"],
+            min_n=50,
+            standardize_data=True,
+        )
+        .toPandas()
+        .set_index("Variable")
+    )
+    # standardized beta = raw beta * sd(x)/sd(y)
+    raw = analyze.association_study(
+        ewas_cf, outcomes="outcome", covariates=["age", "sex"], min_n=50
+    ).toPandas().set_index("Variable")
+    sd_x = ewas_pdf["signal"].std(ddof=1)
+    sd_y = ewas_pdf["outcome"].std(ddof=1)
+    assert out.loc["signal", "Beta"] == pytest.approx(
+        raw.loc["signal", "Beta"] * sd_x / sd_y, rel=1e-9
+    )
+
+
+def test_report_categorical_betas(ewas_cf):
+    out = analyze.association_study(
+        ewas_cf,
+        outcomes="outcome",
+        regression_variables=["cat_var"],
+        covariates=["age", "sex"],
+        min_n=50,
+        report_categorical_betas=True,
+    ).toPandas()
+    cats = set(out["Category"].dropna())
+    assert cats == {"cat_var[T.B]", "cat_var[T.C]"}
+    assert (out["LRT_pvalue"] < 1e-10).all()
+
+
+def test_add_corrected_pvalues_matches_statsmodels_algorithm(spark):
+    rng = np.random.RandomState(5)
+    p = rng.rand(50)
+    pdf = pd.DataFrame({"Variable": [f"v{i}" for i in range(50)], "pvalue": p})
+    out = (
+        analyze.add_corrected_pvalues(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("Variable")
+    )
+    # reference algorithm in numpy (statsmodels multipletests bonferroni + fdr_bh)
+    m = len(p)
+    bonf = np.minimum(p * m, 1.0)
+    order = np.argsort(p)
+    ranked = p[order] * m / (np.arange(m) + 1)
+    bh_sorted = np.minimum.accumulate(ranked[::-1])[::-1]
+    bh = np.empty(m)
+    bh[order] = np.minimum(bh_sorted, 1.0)
+    for i in range(m):
+        v = f"v{i}"
+        assert out.loc[v, "pvalue_bonferroni"] == pytest.approx(bonf[i], rel=1e-12)
+        assert out.loc[v, "pvalue_fdr"] == pytest.approx(bh[i], rel=1e-12)
+
+
+def test_add_corrected_pvalues_with_nan(spark):
+    pdf = pd.DataFrame({"Variable": ["a", "b", "c"], "pvalue": [0.01, np.nan, 0.04]})
+    out = analyze.add_corrected_pvalues(spark.createDataFrame(pdf)).toPandas().set_index("Variable")
+    assert out.loc["a", "pvalue_bonferroni"] == pytest.approx(0.02)  # m=2
+    assert pd.isna(out.loc["b", "pvalue_bonferroni"])
+
+
+def test_interaction_study(spark, ewas_cf, ewas_pdf):
+    out = (
+        analyze.interaction_study(
+            ewas_cf,
+            outcomes="outcome",
+            interactions=[("signal", "noise1"), ("age", "noise2")],
+            covariates=["sex"],
+            min_n=50,
+        )
+        .toPandas()
+        .set_index(["Term1", "Term2"])
+    )
+    # no real interactions in the generative model -> LRT p not tiny
+    assert out.loc[("signal", "noise1"), "LRT_pvalue"] > 1e-4
+    assert bool(out.loc[("signal", "noise1"), "Converged"])
+    assert out.loc[("signal", "noise1"), "N"] == 1000
+
+
+def test_interaction_study_detects_built_in_interaction(spark):
+    rng = np.random.RandomState(6)
+    n = 1500
+    a = rng.randn(n)
+    b = rng.randn(n)
+    y = 1.0 + 0.5 * a + 0.5 * b + 2.0 * a * b + rng.randn(n)
+    pdf = pd.DataFrame({"ID": range(n), "y": y, "a": a, "b": b})
+    from clarite_python_spark.catalog import ClariteFrame, VariableCatalog
+
+    cf = ClariteFrame(
+        spark.createDataFrame(pdf),
+        VariableCatalog(types={"y": "continuous", "a": "continuous", "b": "continuous"}),
+    )
+    out = analyze.interaction_study(cf, outcomes="y", min_n=50, report_betas=True).toPandas()
+    row = out[(out.Term1 == "a") & (out.Term2 == "b")]
+    assert row["LRT_pvalue"].iloc[0] < 1e-50
+    assert row["Full_Var1_Var2_beta"].iloc[0] == pytest.approx(2.0, abs=0.1)
