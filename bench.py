@@ -1,0 +1,77 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries from ``__spark_entry__.queries()`` at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query is timed to full materialization (collect), after one warm-up
+query to amortize session/JIT startup. Per-query times are what to
+compare round-over-round (BENCH_r{N}.json vs BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "association_study_lineitem",
+    "association_study_covariates",
+    "interaction_study_lineitem",
+    "correlations_lineitem",
+    "remove_outliers_iqr_lineitem",
+    "exact_dedup_documents",
+    "minhash_dedup_documents",
+    "text_stats_documents",
+    "similarity_topk_embeddings",
+    "windowed_events",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as entry_mod
+    from clarite_python_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = entry_mod.queries()
+
+    # warm-up: JVM/codegen/Arrow path init on a small query
+    qs["q1_pricing_summary"](spark, sf_dir).collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        rows = qs[name](spark, sf_dir).collect()
+        times[name] = round(time.perf_counter() - t0, 3)
+        assert rows is not None
+    total = round(sum(times.values()), 3)
+
+    sf = 0.1
+    try:
+        sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    except ValueError:
+        pass
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -38,14 +38,29 @@ def _norm(text_col: str) -> Column:
     return F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
 
 
+def _rebalance(df: DataFrame) -> DataFrame:
+    """Spread compute-heavy per-row work across cores when the scan came in
+    too few splits (a local/small-file artifact: MinHash/SimHash cost is in
+    interpreted lambda evaluation, not IO). At scale the input arrives in
+    many splits and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep one representative (min id) per exact normalized-text match.
 
-    hash-groupBy (min is algebraic: map-side partial agg) + semi join —
-    no window, no sort; both shuffles key on the md5 fingerprint."""
+    Single hash-groupBy keyed on the md5 fingerprint with
+    ``min_by(struct(*), id)`` — the whole winning row rides the aggregation
+    (map-side partial agg), so there is no second scan and no self-join."""
     keyed = df.withColumn("__fp", F.md5(_norm(text_col)))
-    winners = keyed.groupBy("__fp").agg(F.min(id_col).alias(id_col))
-    return keyed.join(winners, on=["__fp", id_col], how="inner").drop("__fp")
+    return (
+        keyed.groupBy("__fp")
+        .agg(F.min_by(F.struct(*df.columns), F.col(id_col)).alias("__row"))
+        .select("__row.*")
+    )
 
 
 def shingles(text_col: str = "text", n: int = 3) -> Column:
@@ -64,10 +79,23 @@ def shingles(text_col: str = "text", n: int = 3) -> Column:
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
     """MinHash signature: element j = min over shingles of
-    ``xxhash64(shingle, seed=j)``. xxhash64 is Spark-native (JVM, seeded),
-    so the whole signature is one vectorized expression — no UDF."""
-    return F.array(
-        *[F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(j)))) for j in range(num_hashes)]
+    ``xxhash64(shingle, j)`` (hash-family member j = Spark-native xxhash64
+    over the (shingle, j) tuple — JVM-side, no UDF).
+
+    Built as ONE ``aggregate`` fold over the shingle array so the
+    (interpreted — higher-order functions don't codegen) shingling
+    expression is evaluated once per row, not once per hash function:
+    acc[j] = least(acc[j], xxhash64(s, j)). The naive per-hash
+    ``array_min(transform(...))`` form re-derives the shingle array
+    ``num_hashes`` times and is ~30x slower."""
+    max_long = (1 << 63) - 1
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    return F.aggregate(
+        shingle_col,
+        F.array_repeat(F.lit(max_long).cast("long"), num_hashes),
+        lambda acc, s: F.zip_with(
+            acc, F.transform(seeds, lambda j: F.xxhash64(s, j)), lambda a, h: F.least(a, h)
+        ),
     )
 
 
@@ -88,6 +116,7 @@ def minhash_lsh_candidates(
 
     ``max_bucket`` drops degenerate buckets to bound pair blowup."""
     rows_per_band = num_hashes // bands
+    df = _rebalance(df)
     sig = minhash_signature(shingles(text_col, shingle_n), num_hashes)
     banded = df.select(F.col(id_col), sig.alias("__sig")).select(
         id_col,
@@ -128,8 +157,16 @@ def ngram_jaccard_pairs(
     """Verify candidate pairs with exact n-gram Jaccard similarity.
 
     Joins each side of the pair to its (distinct) shingle set and computes
-    |∩| / |∪| with JVM array ops. Only candidate pairs are scored."""
-    sh = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
+    |∩| / |∪| with JVM array ops. Shingles are computed only for documents
+    that appear in a candidate pair (semi-join first — the expensive
+    interpreted shingling must be O(|candidates|), not O(|corpus|))."""
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sub = df.join(cand_ids, on=id_col, how="left_semi")
+    sh = sub.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     scored = (
@@ -172,7 +209,8 @@ def simhash(
     bit position over tokens; fingerprint bit = sign of the sum.
 
     One ``aggregate`` lambda with an array accumulator — single narrow
-    pass, no shuffle. Returns (id, simhash bigint)."""
+    pass. Returns (id, simhash hex string)."""
+    df = _rebalance(df)
     toks = tokens(text_col)
     zero = F.array(*[F.lit(0).cast("long") for _ in range(bits)])
     counts = F.aggregate(
@@ -182,20 +220,19 @@ def simhash(
             acc,
             F.transform(
                 F.sequence(F.lit(0), F.lit(bits - 1)),
-                lambda b: F.when(
-                    F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-                ).otherwise(F.lit(-1)).cast("long"),
+                lambda b: F.when(F.getbit(F.xxhash64(t), b) == 1, F.lit(1))
+                .otherwise(F.lit(-1))
+                .cast("long"),
             ),
             lambda a, x: a + x,
         ),
     )
-    fp = F.aggregate(
-        F.zip_with(
-            counts,
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda c, b: F.when(c >= 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+    # fingerprint as a hex string: bit b of the hash = sign(counts[b]);
+    # assemble MSB-first binary then base-convert (avoids 64-bit signed
+    # overflow under ANSI mode)
+    bits_str = F.concat_ws(
+        "",
+        F.transform(F.reverse(counts), lambda c: F.when(c >= 0, F.lit("1")).otherwise(F.lit("0"))),
     )
+    fp = F.conv(bits_str, 2, 16)
     return df.select(F.col(id_col), fp.alias("simhash"))

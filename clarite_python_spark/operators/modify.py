@@ -380,23 +380,7 @@ def remove_outliers(
     cols = [c for c in validate_skip_only(cf.variables, skip, only) if cf.catalog.get(c) == CONTINUOUS]
     if not cols:
         return _report(cf.with_df(cf.df), {"columns": []})
-    aggs: list[Column] = []
-    for c in cols:
-        if method == "gaussian":
-            aggs.append((F.mean(c) - cutoff * F.stddev_samp(c)).alias(f"lo::{c}"))
-            aggs.append((F.mean(c) + cutoff * F.stddev_samp(c)).alias(f"hi::{c}"))
-        elif method == "iqr":
-            if exact:
-                q1 = F.percentile(F.col(c), F.lit(0.25))
-                q3 = F.percentile(F.col(c), F.lit(0.75))
-            else:
-                q1 = F.expr(f"approx_percentile({c}, 0.25, 10000)")
-                q3 = F.expr(f"approx_percentile({c}, 0.75, 10000)")
-            aggs.append((q1 - cutoff * (q3 - q1)).alias(f"lo::{c}"))
-            aggs.append((q3 + cutoff * (q3 - q1)).alias(f"hi::{c}"))
-        else:
-            raise ValueError("method must be 'gaussian' or 'iqr'")
-    stats = cf.df.agg(*aggs)
+    stats = _outlier_bounds(cf.df, cols, method, cutoff, exact)
     joined = cf.df.crossJoin(F.broadcast(stats))
     new_df = joined.select(
         *[
@@ -415,6 +399,30 @@ def remove_outliers(
     return _report(cf.with_df(new_df), {"columns": cols, "method": method, "cutoff": cutoff})
 
 
+def _outlier_bounds(
+    df: DataFrame, cols: list[str], method: str, cutoff: float, exact: bool = True
+) -> DataFrame:
+    """1-row frame of (lo::col, hi::col) cutoffs for every column — one agg
+    pass, broadcastable back onto the data."""
+    aggs: list[Column] = []
+    for c in cols:
+        if method == "gaussian":
+            aggs.append((F.mean(c) - cutoff * F.stddev_samp(c)).alias(f"lo::{c}"))
+            aggs.append((F.mean(c) + cutoff * F.stddev_samp(c)).alias(f"hi::{c}"))
+        elif method == "iqr":
+            if exact:
+                q1 = F.percentile(F.col(c), F.lit(0.25))
+                q3 = F.percentile(F.col(c), F.lit(0.75))
+            else:
+                q1 = F.expr(f"approx_percentile({c}, 0.25, 10000)")
+                q3 = F.expr(f"approx_percentile({c}, 0.75, 10000)")
+            aggs.append((q1 - cutoff * (q3 - q1)).alias(f"lo::{c}"))
+            aggs.append((q3 + cutoff * (q3 - q1)).alias(f"hi::{c}"))
+        else:
+            raise ValueError("method must be 'gaussian' or 'iqr'")
+    return df.agg(*aggs)
+
+
 def outlier_counts(
     cf: ClariteFrame, method: str = "gaussian", cutoff: float = 3.0, skip=None, only=None
 ) -> DataFrame:
@@ -424,16 +432,15 @@ def outlier_counts(
     Same one-pass stats + broadcast shape as ``remove_outliers`` followed
     by a single counting agg and an unpivot of the 1-row result."""
     cols = [c for c in validate_skip_only(cf.variables, skip, only) if cf.catalog.get(c) == CONTINUOUS]
-    cf2 = remove_outliers(cf, method=method, cutoff=cutoff, only=cols)
-    # count rows where the value was non-null before and null after
-    pairs = cf.df.select(ID_COL, *[F.col(c).alias(f"old::{c}") for c in cols]).join(
-        cf2.df.select(ID_COL, *[F.col(c).alias(f"new::{c}") for c in cols]), on=ID_COL
-    )
+    bounds = _outlier_bounds(cf.df, cols, method, cutoff)
+    joined = cf.df.crossJoin(F.broadcast(bounds))
     aggs = [
-        F.sum((F.col(f"`old::{c}`").isNotNull() & F.col(f"`new::{c}`").isNull()).cast("long")).alias(c)
+        F.sum(
+            ((F.col(c) < F.col(f"`lo::{c}`")) | (F.col(c) > F.col(f"`hi::{c}`"))).cast("long")
+        ).alias(c)
         for c in cols
     ]
-    row = pairs.agg(*aggs)
+    row = joined.agg(*aggs)
     return row.unpivot([], cols, "variable", "n_removed")
 
 
