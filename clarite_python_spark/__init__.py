@@ -35,11 +35,14 @@ from clarite_python_spark.operators import (  # noqa: F401
     text,
 )
 from clarite_python_spark.sources import io as load  # noqa: F401
+from clarite_python_spark import survey  # noqa: F401
+from clarite_python_spark.survey import SurveyDesignSpec  # noqa: F401
 
 __version__ = "0.1.0"
 
 __all__ = [
     "ClariteFrame",
+    "SurveyDesignSpec",
     "VariableCatalog",
     "get_spark",
     "load",
@@ -48,5 +51,6 @@ __all__ = [
     "analyze",
     "dedup",
     "similarity",
+    "survey",
     "text",
 ]

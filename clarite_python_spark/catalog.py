@@ -51,6 +51,13 @@ def _is_numeric(dtype: T.DataType) -> bool:
     return isinstance(dtype, _NUMERIC_SPARK_TYPES)
 
 
+def qcol(name: str) -> F.Column:
+    """Column reference by *literal* name — backtick-quoted so variable
+    names containing dots (common in R-origin data, e.g. ``sch.wide`` in
+    the reference's api dataset) are not parsed as struct access."""
+    return F.col(f"`{name.replace('`', '``')}`")
+
+
 @dataclass
 class VariableCatalog:
     """Per-column CLARITE type + (optionally cached) category levels.
@@ -148,14 +155,14 @@ class ClariteFrame:
         return ClariteFrame(df, cat)
 
     def select_variables(self, cols: Sequence[str]) -> "ClariteFrame":
-        return self.with_df(self.df.select(ID_COL, *cols))
+        return self.with_df(self.df.select(ID_COL, *[qcol(c).alias(c) for c in cols]))
 
     def category_levels(self, col: str) -> list:
         """Sorted distinct non-null levels; cached in the catalog.
 
         One narrow scan when uncached (column-pruned by Catalyst)."""
         if col not in self.catalog.categories:
-            rows = self.df.select(col).where(F.col(col).isNotNull()).distinct().collect()
+            rows = self.df.select(qcol(col).alias(col)).where(qcol(col).isNotNull()).distinct().collect()
             self.catalog.categories[col] = sorted(r[0] for r in rows)
         return self.catalog.categories[col]
 

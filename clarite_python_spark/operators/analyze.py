@@ -45,15 +45,21 @@ from clarite_python_spark.catalog import (
     UNKNOWN,
     ClariteFrame,
 )
-from clarite_python_spark.functions.distributions import chi2_sf
+from clarite_python_spark.functions.distributions import chi2_sf, t_sf
 from clarite_python_spark.functions.glm import (
     BINOMIAL,
     GAUSSIAN,
     dummy_encode,
     fit_glm,
 )
+from clarite_python_spark.functions.wglm import (
+    fit_weighted_glm,
+    regterm_pvalue,
+    sandwich_vcov,
+    survey_dof,
+)
 
-__all__ = ["association_study", "interaction_study", "add_corrected_pvalues"]
+__all__ = ["association_study", "interaction_study", "add_corrected_pvalues", "ewas"]
 
 
 RESULT_SCHEMA = T.StructType(
@@ -244,6 +250,232 @@ def _make_assoc_kernel(
     return kernel
 
 
+def _sorted_levels(values: pd.Series) -> list:
+    """Distinct non-NA values, sorted numerically when every value parses
+    as a number, else lexically — matching pandas' sorted category levels
+    (values keep their original numeric order in the reference even
+    though our melt carries them as strings)."""
+    lv = values.dropna().unique().tolist()
+    try:
+        return sorted(lv, key=float)
+    except (TypeError, ValueError):
+        return sorted(lv)
+
+
+def _missing_weight_error(sub_values: pd.Series, missing_mask, weight_name: str) -> str:
+    """Detailed missing-weight error (reference survey_design.py:431-486)."""
+    n_missing = int(missing_mask.sum())
+    unique_missing = set(sub_values[missing_mask].dropna().unique())
+    unique_not_missing = set(sub_values[~missing_mask].dropna().unique())
+    sometimes = sorted(str(v) for v in unique_missing & unique_not_missing)
+    always = sorted(str(v) for v in unique_missing - unique_not_missing)
+    error = (
+        f"{n_missing:,} observations are missing weights ({weight_name})"
+        f" when the variable is not missing."
+    )
+    if len(sometimes) == 1:
+        error += f"\n\tOne value sometimes occurs in observations with missing weight: {sometimes[0]}"
+    elif len(sometimes) > 1:
+        error += (
+            f"\n\t{len(sometimes)} values sometimes occur in observations with missing weight:"
+            f" {', '.join(sometimes[:5])}{', ...' if len(sometimes) > 5 else ''}"
+        )
+    if len(always) == 1:
+        error += (
+            f"\n\tOne value is only found in observations with missing weights: {always[0]}."
+            " Should it be encoded as NaN?"
+        )
+    elif len(always) > 1:
+        error += (
+            f"\n\t{len(always)} values are only found in observations with missing weights: "
+            f"{', '.join(always[:5])}{', ...' if len(always) > 5 else ''} Should they be encoded as NaN?"
+        )
+    return error
+
+
+def _make_weighted_kernel(
+    outcome: str,
+    covariates: list[str],
+    covar_types: dict[str, str],
+    rv_types: dict[str, str],
+    family: str,
+    min_n: int,
+    report_categorical_betas: bool,
+    constants: dict,
+    weight_info: dict,
+):
+    """applyInPandas kernel for the survey-weighted fan-out (reference
+    ``weighted_glm_regression.py:357-494``). ``constants`` is the
+    full-design broadcast state from SurveyDesignSpec.constants();
+    ``weight_info`` = {single_weight, weight_name, weight_names,
+    weight_means, drop_unweighted}.
+    """
+    from clarite_python_spark.survey.design import (
+        CLUST_COL,
+        STRAT_COL,
+        SUBSET_COL,
+        _weight_col,
+    )
+
+    has_strata = constants["has_strata"]
+    has_cluster = constants["has_cluster"]
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        rv = key[0]
+        vtype = rv_types[rv]
+        rows: list[dict] = []
+        try:
+            # ---- resolve + normalize the weight for this variable ----
+            if weight_info["single_weight"]:
+                wname = weight_info["weight_name"]
+            elif weight_info["weight_names"] is not None:
+                wname = weight_info["weight_names"].get(rv)
+                if wname is None:
+                    raise ValueError(
+                        f"No weight found in the survey design for the '{rv}' variable"
+                    )
+            else:
+                wname = None
+            if wname is not None:
+                wvals = pdf[_weight_col(wname)] / weight_info["weight_means"][wname]
+            else:
+                wvals = pd.Series(1.0, index=pdf.index)
+
+            subset = pdf[SUBSET_COL]
+            if subset.isna().any():
+                n_miss = int(subset.isna().sum())
+                raise ValueError(
+                    f"The survey design is missing information for {n_miss:,} rows in the data"
+                )
+            subset = subset.astype(bool)
+
+            # ---- missing-weight policy (reference survey_design.py:397-486)
+            weight_label = wname
+            var_na = pdf["value"].isna()
+            if wname is not None:
+                missing_weight = ~var_na & wvals.isna() & subset
+                n_mw = int(missing_weight.sum())
+                if n_mw > 0:
+                    if weight_info["drop_unweighted"]:
+                        weight_label = f"{wname} ({n_mw} observations are missing weights)"
+                    else:
+                        raise ValueError(
+                            _missing_weight_error(pdf["value"], missing_weight, wname)
+                        )
+            else:
+                missing_weight = pd.Series(False, index=pdf.index)
+
+            complete = ~pdf[[outcome, *covariates, "value"]].isna().any(axis=1)
+            restricted = complete & subset & ~missing_weight
+            N = int(restricted.sum())
+            if N < min_n:
+                raise ValueError(
+                    f"too few complete observations (min_n filter: {N} < {min_n})"
+                )
+
+            sub = pdf.loc[restricted]
+            y = sub[outcome].to_numpy(dtype=float)
+            w = wvals.loc[restricted].to_numpy(dtype=float)
+            strat = sub[STRAT_COL].to_numpy(dtype=object)
+            clust = sub[CLUST_COL].to_numpy(dtype=object) if has_cluster else None
+            Xr, names_r, _ = _design_matrix(sub, covariates, covar_types)
+
+            def finish_wald(row, fitted, names, n_params):
+                vcov = sandwich_vcov(fitted, strat, clust, constants)
+                stderr = np.sqrt(np.clip(np.diag(vcov), 0, None))
+                pos = [
+                    i
+                    for i, n in enumerate(names)
+                    if n == rv or n.startswith(f"{rv}[T.")
+                ]
+                if len(pos) != 1:
+                    raise ValueError(
+                        f"Failed to find regression variable column in the results for {rv}"
+                    )
+                i = pos[0]
+                beta, se = float(fitted.params[i]), float(stderr[i])
+                dof = survey_dof(has_strata, has_cluster, strat, clust, len(sub), n_params)
+                if dof < 1:
+                    row.update(Converged=True, Beta=beta, SE=np.inf, Beta_pvalue=1.0, pvalue=1.0)
+                else:
+                    p = 2.0 * float(t_sf(abs(beta / se), dof))
+                    row.update(Converged=True, Beta=beta, SE=se, Beta_pvalue=p, pvalue=p)
+
+            if vtype in (CONTINUOUS, BINARY):
+                if vtype == CONTINUOUS:
+                    x = pd.to_numeric(sub["value"]).to_numpy(dtype=float)[:, None]
+                    names = names_r + [rv]
+                else:
+                    levels = _sorted_levels(sub["value"])
+                    x, nm = dummy_encode(sub["value"].to_numpy(), levels, rv)
+                    names = names_r + nm
+                X = np.hstack([Xr, x])
+                fitted = fit_weighted_glm(X, y, w, family)
+                row = _default_row(rv, outcome)
+                row.update(Variable_type=vtype, Weight=weight_label, N=N)
+                if fitted.converged:
+                    finish_wald(row, fitted, names, X.shape[1])
+                rows.append(row)
+            elif vtype == CATEGORICAL:
+                levels = _sorted_levels(sub["value"])
+                mat, nm = dummy_encode(sub["value"].to_numpy(), levels, rv)
+                X_f = np.hstack([Xr, mat])
+                names_f = names_r + nm
+                fit_f = fit_weighted_glm(X_f, y, w, family)
+                fit_r = fit_weighted_glm(Xr, y, w, family)
+                # non-converged weighted categorical fits emit NO rows
+                # (reference generator, weighted_glm_regression.py:245-286)
+                if fit_f.converged and fit_r.converged:
+                    vcov_f = sandwich_vcov(fit_f, strat, clust, constants)
+                    dof = survey_dof(has_strata, has_cluster, strat, clust, len(sub), X_f.shape[1])
+                    chisq = fit_r.deviance - fit_f.deviance
+                    lr_p = regterm_pvalue(chisq, vcov_f, names_f, fit_f.a_inv, rv, dof)
+                    if report_categorical_betas:
+                        stderr = np.sqrt(np.clip(np.diag(vcov_f), 0, None))
+                        for i, pname in enumerate(names_f):
+                            if not (pname == rv or pname.startswith(f"{rv}[T.")):
+                                continue
+                            beta, se = float(fit_f.params[i]), float(stderr[i])
+                            if dof < 1:
+                                se, bp = np.inf, 1.0
+                            else:
+                                bp = 2.0 * float(t_sf(abs(beta / se), dof))
+                            row = _default_row(rv, outcome)
+                            row.update(
+                                Variable_type=vtype,
+                                Weight=weight_label,
+                                N=N,
+                                Converged=True,
+                                Category=pname,
+                                Beta=beta,
+                                SE=se,
+                                Beta_pvalue=bp,
+                                LRT_pvalue=lr_p,
+                                pvalue=lr_p,
+                            )
+                            rows.append(row)
+                    else:
+                        row = _default_row(rv, outcome)
+                        row.update(
+                            Variable_type=vtype,
+                            Weight=weight_label,
+                            N=N,
+                            Converged=True,
+                            LRT_pvalue=lr_p,
+                            pvalue=lr_p,
+                        )
+                        rows.append(row)
+            else:
+                raise ValueError(f"unsupported regression variable type {vtype!r}")
+        except Exception:
+            rows = [_default_row(rv, outcome)]
+        out = pd.DataFrame(rows, columns=[f.name for f in RESULT_SCHEMA.fields])
+        out["N"] = out["N"].astype("Int64")
+        return out[[f.name for f in RESULT_SCHEMA.fields]]
+
+    return kernel
+
+
 def _zscore_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     """Global ddof=1 z-score (reference glm_regression.py:172-190 uses
     scipy zscore ddof=1 over the whole column, NaNs omitted). One stats
@@ -273,6 +505,8 @@ def association_study(
     min_n: int = 200,
     standardize_data: bool = False,
     report_categorical_betas: bool = False,
+    survey_design_spec=None,
+    regression_kind: str | None = None,
 ) -> DataFrame:
     """EWAS-style mass regression (reference association_study.py:14-132).
 
@@ -284,7 +518,18 @@ def association_study(
     glm_regression.py:54-56,474-479); categorical variables are tested
     with an LRT vs the restricted model. Returns the reference's result
     schema sorted by pvalue.
+
+    With ``survey_design_spec`` (a SurveyDesignSpec) the fit is
+    survey-adjusted (reference ``weighted_glm_regression.py``): the
+    narrow design frame equi-joins into the long table on ``ID``, the
+    full-design constants broadcast into the kernel, and inference uses
+    the linearized sandwich vcov + survey dof (+ working-LRT for
+    categorical variables).
     """
+    if regression_kind not in (None, "glm", "weighted_glm"):
+        raise ValueError(f"unsupported regression_kind {regression_kind!r}")
+    if regression_kind == "weighted_glm" and survey_design_spec is None:
+        raise ValueError("A 'survey_design_spec' must be provided")
     if isinstance(outcomes, str):
         outcomes = [outcomes]
     covariates = list(covariates or [])
@@ -334,9 +579,34 @@ def association_study(
             df = _zscore_columns(df, z_cols)
 
         id_vars = [ID_COL, outcome, *covariates]
-        kernel = _make_assoc_kernel(
-            outcome, covariates, covar_types, rv_types, family, min_n, report_categorical_betas
-        )
+        if survey_design_spec is not None:
+            err = survey_design_spec.validate(data)
+            if err is not None:
+                raise ValueError(err)
+            df = df.join(survey_design_spec.df, on=ID_COL, how="left")
+            id_vars = id_vars + survey_design_spec.design_columns()
+            weight_info = {
+                "single_weight": survey_design_spec.single_weight,
+                "weight_name": survey_design_spec.weight_name,
+                "weight_names": survey_design_spec.weight_names,
+                "weight_means": survey_design_spec.weight_means(),
+                "drop_unweighted": survey_design_spec.drop_unweighted,
+            }
+            kernel = _make_weighted_kernel(
+                outcome,
+                covariates,
+                covar_types,
+                rv_types,
+                family,
+                min_n,
+                report_categorical_betas,
+                survey_design_spec.constants(),
+                weight_info,
+            )
+        else:
+            kernel = _make_assoc_kernel(
+                outcome, covariates, covar_types, rv_types, family, min_n, report_categorical_betas
+            )
         for group, cast_type in (
             ([v for v in my_rvs if rv_types[v] == CONTINUOUS], "double"),
             ([v for v in my_rvs if rv_types[v] in (BINARY, CATEGORICAL)], "string"),
@@ -356,6 +626,20 @@ def association_study(
     if report_categorical_betas:
         order.append(F.asc_nulls_last("Beta_pvalue"))
     return out.orderBy(*order)
+
+
+def ewas(
+    outcome: str,
+    covariates: Sequence[str],
+    data: ClariteFrame,
+    **kwargs,
+) -> DataFrame:
+    """Deprecated alias for :func:`association_study` (reference
+    ``clarite/modules/analyze/ewas.py:9-106`` raises the same warning)."""
+    warnings.warn(
+        "ewas is deprecated; use association_study instead", DeprecationWarning
+    )
+    return association_study(data=data, outcomes=outcome, covariates=covariates, **kwargs)
 
 
 # --------------------------------------------------------------------------

@@ -20,6 +20,7 @@ from clarite_python_spark.catalog import (
     CONTINUOUS,
     ID_COL,
     ClariteFrame,
+    qcol,
     validate_skip_only,
 )
 from clarite_python_spark.functions.distributions import skewtest_z_p
@@ -93,7 +94,7 @@ def freq_table(cf: ClariteFrame, skip=None, only=None) -> DataFrame:
     spark = cf.df.sparkSession
     parts = []
     if cat_cols:
-        long = cf.df.select(*[F.col(c).cast("string").alias(c) for c in cat_cols]).unpivot(
+        long = cf.df.select(*[qcol(c).cast("string").alias(c) for c in cat_cols]).unpivot(
             [], cat_cols, "variable", "value"
         )
         parts.append(
@@ -102,7 +103,7 @@ def freq_table(cf: ClariteFrame, skip=None, only=None) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("count"))
         )
     if other_cols:
-        row = cf.df.agg(*[F.count(F.col(c)).alias(c) for c in other_cols])
+        row = cf.df.agg(*[F.count(qcol(c)).alias(c) for c in other_cols])
         counts = row.unpivot([], other_cols, "variable", "count").select(
             "variable", F.lit("<Non-Categorical Values>").alias("value"), F.col("count")
         )
@@ -128,7 +129,7 @@ def percent_na(cf: ClariteFrame, skip=None, only=None) -> DataFrame:
     One agg scan, reshaped with a 1-row unpivot."""
     cols = validate_skip_only(cf.variables, skip, only)
     row = cf.df.agg(
-        *[((1.0 - F.count(F.col(c)) / F.count(F.lit(1))) * 100.0).alias(c) for c in cols]
+        *[((1.0 - F.count(qcol(c)) / F.count(F.lit(1))) * 100.0).alias(c) for c in cols]
     )
     return row.unpivot([], cols, "variable", "percent_na").orderBy("variable")
 
@@ -151,8 +152,8 @@ def skewness(cf: ClariteFrame, dropna: bool = True, skip=None, only=None) -> Dat
         )
     row = (
         cf.df.agg(
-            *[F.skewness(F.col(c)).alias(f"g1::{c}") for c in cols],
-            *[F.count(F.col(c)).alias(f"n::{c}") for c in cols],
+            *[F.skewness(qcol(c)).alias(f"g1::{c}") for c in cols],
+            *[F.count(qcol(c)).alias(f"n::{c}") for c in cols],
             *[F.count(F.lit(1)).alias("n::__rows__")][:1],
         )
         .collect()[0]

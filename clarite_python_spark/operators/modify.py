@@ -34,6 +34,7 @@ from clarite_python_spark.catalog import (
     ClariteFrame,
     VariableCatalog,
     _is_numeric,
+    qcol,
     validate_skip_only,
 )
 
@@ -94,12 +95,12 @@ def categorize(cf: ClariteFrame, cat_min: int = 3, cat_max: int = 6, cont_min: i
     cols = cf.variables
     aggs: list[Column] = []
     for c in cols:
-        aggs.append(F.count(F.col(c)).alias(f"n::{c}"))
-        aggs.append(F.count_distinct(F.col(c)).alias(f"d::{c}"))
+        aggs.append(F.count(qcol(c)).alias(f"n::{c}"))
+        aggs.append(F.count_distinct(qcol(c)).alias(f"d::{c}"))
         # non-null values that fail a numeric cast (0 for numeric columns)
         aggs.append(
             F.sum(
-                (F.col(c).isNotNull() & F.col(c).cast("string").try_cast("double").isNull()).cast("long")
+                (qcol(c).isNotNull() & qcol(c).cast("string").try_cast("double").isNull()).cast("long")
             ).alias(f"bad::{c}")
         )
     stats = df.agg(*aggs).collect()[0].asDict()
@@ -127,11 +128,11 @@ def categorize(cf: ClariteFrame, cat_min: int = 3, cat_max: int = 6, cont_min: i
     # cache category levels for the small-cardinality columns in one pass
     small = catalog.of_type(CONSTANT, BINARY, CATEGORICAL)
     if small:
-        level_rows = df.agg(*[F.collect_set(F.col(c)).alias(c) for c in small]).collect()[0].asDict()
+        level_rows = df.agg(*[F.collect_set(qcol(c)).alias(c) for c in small]).collect()[0].asDict()
         for c in small:
             catalog.categories[c] = sorted(level_rows[c])
 
-    out = ClariteFrame(df.select(ID_COL, *keep), catalog)
+    out = ClariteFrame(df.select(ID_COL, *[qcol(c).alias(c) for c in keep]), catalog)
     counts = {t: len(catalog.of_type(t)) for t in (CONSTANT, BINARY, CATEGORICAL, CONTINUOUS, UNKNOWN)}
     return _report(out, {"dropped_all_na": dropped, "type_counts": counts})
 
@@ -149,12 +150,12 @@ def make_binary(cf: ClariteFrame, skip=None, only=None) -> ClariteFrame:
 
     One agg scan validates all target columns together."""
     cols = validate_skip_only(cf.variables, skip, only)
-    stats = cf.df.agg(*[F.count_distinct(F.col(c)).alias(c) for c in cols]).collect()[0].asDict()
+    stats = cf.df.agg(*[F.count_distinct(qcol(c)).alias(c) for c in cols]).collect()[0].asDict()
     bad = {c: d for c, d in stats.items() if d != 2}
     if bad:
         raise ValueError(f"{len(bad)} variable(s) did not have 2 distinct values: {sorted(bad)}")
     out = _assert_and_mark(cf, BINARY, skip, only)
-    levels = cf.df.agg(*[F.collect_set(F.col(c)).alias(c) for c in cols]).collect()[0].asDict()
+    levels = cf.df.agg(*[F.collect_set(qcol(c)).alias(c) for c in cols]).collect()[0].asDict()
     for c in cols:
         out.catalog.categories[c] = sorted(levels[c])
     return _report(out, {"set_binary": cols})
@@ -164,7 +165,7 @@ def make_categorical(cf: ClariteFrame, skip=None, only=None) -> ClariteFrame:
     """Mark columns categorical (modify.py:457-500); caches levels."""
     cols = validate_skip_only(cf.variables, skip, only)
     out = _assert_and_mark(cf, CATEGORICAL, skip, only)
-    levels = cf.df.agg(*[F.collect_set(F.col(c)).alias(c) for c in cols]).collect()[0].asDict()
+    levels = cf.df.agg(*[F.collect_set(qcol(c)).alias(c) for c in cols]).collect()[0].asDict()
     for c in cols:
         out.catalog.categories[c] = sorted(levels[c])
     return _report(out, {"set_categorical": cols})
@@ -178,7 +179,7 @@ def make_continuous(cf: ClariteFrame, skip=None, only=None) -> ClariteFrame:
     checks = df.agg(
         *[
             F.sum(
-                (F.col(c).isNotNull() & F.col(c).cast("string").try_cast("double").isNull()).cast("long")
+                (qcol(c).isNotNull() & qcol(c).cast("string").try_cast("double").isNull()).cast("long")
             ).alias(c)
             for c in cols
         ]
@@ -188,7 +189,7 @@ def make_continuous(cf: ClariteFrame, skip=None, only=None) -> ClariteFrame:
         raise ValueError(f"couldn't convert to continuous: {bad}")
     new_df = df.select(
         *[
-            F.col(c).try_cast("double").alias(c) if c in set(cols) else F.col(c)
+            qcol(c).try_cast("double").alias(c) if c in set(cols) else qcol(c)
             for c in df.columns
         ]
     )
@@ -222,7 +223,7 @@ def colfilter_min_n(cf: ClariteFrame, n: int = 200, skip=None, only=None) -> Cla
     """Drop variables with fewer than ``n`` non-NA values
     (modify.py:284-340). One agg scan for all candidate columns."""
     cols = validate_skip_only(cf.variables, skip, only)
-    counts = cf.df.agg(*[F.count(F.col(c)).alias(c) for c in cols]).collect()[0].asDict()
+    counts = cf.df.agg(*[F.count(qcol(c)).alias(c) for c in cols]).collect()[0].asDict()
     dropped = sorted(c for c in cols if counts[c] < n)
     keep = [c for c in cf.variables if c not in set(dropped)]
     return _colfilter_result(cf, keep, dropped, {"non_na_counts": counts})
@@ -243,7 +244,7 @@ def colfilter_min_cat_n(cf: ClariteFrame, n: int = 200, skip=None, only=None) ->
     if not cand:
         return _colfilter_result(cf, cf.variables, [], {"min_level_counts": {}})
     long = cf.df.select(
-        *[F.col(c).cast("string").alias(c) for c in cand]
+        *[qcol(c).cast("string").alias(c) for c in cand]
     ).unpivot([], cand, "variable", "value")
     mins = (
         long.where(F.col("value").isNotNull())
@@ -269,7 +270,7 @@ def colfilter_percent_zero(
     if not cand:
         return _colfilter_result(cf, cf.variables, [], {"percent_zero": {}})
     aggs = [
-        (F.sum((F.col(c) == 0).cast("long")) / F.count(F.col(c)) * 100.0).alias(c) for c in cand
+        (F.sum((qcol(c) == 0).cast("long")) / F.count(qcol(c)) * 100.0).alias(c) for c in cand
     ]
     pct = cf.df.agg(*aggs).collect()[0].asDict()
     dropped = sorted(c for c in cand if pct[c] is not None and pct[c] >= filter_percent)
@@ -309,7 +310,7 @@ def rowfilter(cf: ClariteFrame, column: str, comparison: str, value) -> ClariteF
     if comparison not in _OPS:
         raise ValueError(f"comparison must be one of {sorted(_OPS)}")
     return _report(
-        cf.with_df(cf.df.where(_OPS[comparison](F.col(column), F.lit(value)))),
+        cf.with_df(cf.df.where(_OPS[comparison](qcol(column), F.lit(value)))),
         {"column": column, "comparison": comparison, "value": value},
     )
 
@@ -335,19 +336,19 @@ def recode_values(
     def recoded(c: str) -> Column:
         expr = None
         for k, v in items:
-            cond = F.col(c) == F.lit(k)
+            cond = qcol(c) == F.lit(k)
             expr = F.when(cond, F.lit(v)) if expr is None else expr.when(cond, F.lit(v))
-        return expr.otherwise(F.col(c)).alias(c)
+        return expr.otherwise(qcol(c)).alias(c)
 
     new_df = cf.df.select(
-        *[recoded(c) if c in set(cols) else F.col(c) for c in cf.df.columns]
+        *[recoded(c) if c in set(cols) else qcol(c) for c in cf.df.columns]
     )
     report: dict = {"columns": cols}
     if count_changes:
         # null-safe inequality: NaN/NULL cells count as unchanged (ref :619)
         diff = cf.df.select(
-            *[(~F.col(c).eqNullSafe(recoded(c))).cast("long").alias(c) for c in cols]
-        ).agg(*[F.sum(F.col(c)).alias(c) for c in cols]).collect()[0].asDict()
+            *[(~qcol(c).eqNullSafe(recoded(c))).cast("long").alias(c) for c in cols]
+        ).agg(*[F.sum(qcol(c)).alias(c) for c in cols]).collect()[0].asDict()
         report["cells_changed"] = {c: int(diff[c] or 0) for c in cols}
     return _report(cf.with_df(new_df), report)
 
@@ -386,12 +387,12 @@ def remove_outliers(
         *[
             (
                 F.when(
-                    (F.col(c) < F.col(f"`lo::{c}`")) | (F.col(c) > F.col(f"`hi::{c}`")), F.lit(None)
+                    (qcol(c) < F.col(f"`lo::{c}`")) | (qcol(c) > F.col(f"`hi::{c}`")), F.lit(None)
                 )
-                .otherwise(F.col(c))
+                .otherwise(qcol(c))
                 .alias(c)
                 if c in set(cols)
-                else F.col(c)
+                else qcol(c)
             )
             for c in cf.df.columns
         ]
@@ -411,8 +412,8 @@ def _outlier_bounds(
             aggs.append((F.mean(c) + cutoff * F.stddev_samp(c)).alias(f"hi::{c}"))
         elif method == "iqr":
             if exact:
-                q1 = F.percentile(F.col(c), F.lit(0.25))
-                q3 = F.percentile(F.col(c), F.lit(0.75))
+                q1 = F.percentile(qcol(c), F.lit(0.25))
+                q3 = F.percentile(qcol(c), F.lit(0.75))
             else:
                 q1 = F.expr(f"approx_percentile({c}, 0.25, 10000)")
                 q3 = F.expr(f"approx_percentile({c}, 0.75, 10000)")
@@ -436,7 +437,7 @@ def outlier_counts(
     joined = cf.df.crossJoin(F.broadcast(bounds))
     aggs = [
         F.sum(
-            ((F.col(c) < F.col(f"`lo::{c}`")) | (F.col(c) > F.col(f"`hi::{c}`"))).cast("long")
+            ((qcol(c) < F.col(f"`lo::{c}`")) | (qcol(c) > F.col(f"`hi::{c}`"))).cast("long")
         ).alias(c)
         for c in cols
     ]
@@ -471,16 +472,16 @@ def transform(cf: ClariteFrame, transform_method: str, skip=None, only=None) -> 
         joined = cf.df.crossJoin(F.broadcast(stats))
         new_df = joined.select(
             *[
-                ((F.col(c) - F.col(f"`mu::{c}`")) / F.col(f"`sd::{c}`")).alias(c)
+                ((qcol(c) - F.col(f"`mu::{c}`")) / F.col(f"`sd::{c}`")).alias(c)
                 if c in set(cols)
-                else F.col(c)
+                else qcol(c)
                 for c in cf.df.columns
             ]
         )
     else:
         fn = registry[transform_method]
         new_df = cf.df.select(
-            *[fn(F.col(c)).alias(c) if c in set(cols) else F.col(c) for c in cf.df.columns]
+            *[fn(qcol(c)).alias(c) if c in set(cols) else qcol(c) for c in cf.df.columns]
         )
     return _report(cf.with_df(new_df), {"columns": cols, "method": transform_method})
 
@@ -499,7 +500,7 @@ def drop_extra_categories(cf: ClariteFrame, skip=None, only=None) -> ClariteFram
     out = cf.with_df(cf.df)
     removed: dict[str, list] = {}
     if cols:
-        levels = cf.df.agg(*[F.collect_set(F.col(c)).alias(c) for c in cols]).collect()[0].asDict()
+        levels = cf.df.agg(*[F.collect_set(qcol(c)).alias(c) for c in cols]).collect()[0].asDict()
         for c in cols:
             present = sorted(levels[c])
             old = out.catalog.categories.get(c)
@@ -549,8 +550,8 @@ def merge_observations(top: ClariteFrame, bottom: ClariteFrame, check_duplicates
     }
     if mismatch:
         raise ValueError(f"variable type mismatch in merge_observations: {mismatch}")
-    t = top.df.select(ID_COL, *common)
-    b = bottom.df.select(ID_COL, *common)
+    t = top.df.select(ID_COL, *[qcol(c).alias(c) for c in common])
+    b = bottom.df.select(ID_COL, *[qcol(c).alias(c) for c in common])
     df = t.unionByName(b)
     if check_duplicates:
         dups = df.groupBy(ID_COL).count().where(F.col("count") > 1).limit(1).count()
@@ -570,7 +571,7 @@ def move_variables(
     projection on the left + equi-join on ID on the right."""
     moving = validate_skip_only(left.variables, skip, only)
     new_left = left.select_variables([c for c in left.variables if c not in set(moving)])
-    moved = left.df.select(ID_COL, *moving)
+    moved = left.df.select(ID_COL, *[qcol(c).alias(c) for c in moving])
     new_right_df = right.df.join(moved, on=ID_COL, how="left")
     catalog = right.catalog.copy()
     for c in moving:

@@ -28,7 +28,18 @@ from pyspark.sql import types as T
 from clarite_python_spark.catalog import ID_COL, ClariteFrame, VariableCatalog
 
 
-def _with_id(df: DataFrame, index_col: int | str) -> DataFrame:
+def _with_id(df: DataFrame, index_col: int | str | None) -> DataFrame:
+    if index_col is None:
+        # pandas-style default RangeIndex: synthesize 0..n-1 in file order
+        # (reference from_csv(index_col=None) keeps the positional index).
+        # Global window — fine for reference-parity text files; at scale
+        # callers should supply a real key column.
+        from pyspark.sql import Window
+
+        return df.withColumn(
+            ID_COL,
+            F.row_number().over(Window.orderBy(F.monotonically_increasing_id())) - 1,
+        )
     name = df.columns[index_col] if isinstance(index_col, int) else index_col
     if name not in df.columns:
         raise ValueError(f"index_col {index_col!r} not found")
@@ -38,14 +49,21 @@ def _with_id(df: DataFrame, index_col: int | str) -> DataFrame:
 
 
 def from_csv(
-    spark: SparkSession, filename: str, index_col: int | str = 0, sep: str = ",", **options
+    spark: SparkSession, filename: str, index_col: int | str | None = 0, sep: str = ",", **options
 ) -> ClariteFrame:
-    """Load a CSV with a unique ID column (reference load.py:54-87)."""
+    """Load a CSV with a unique ID column (reference load.py:54-87).
+
+    ``nullValue="NA"`` by default: the reference loads through pandas,
+    whose default NA markers include the R-style ``NA`` used throughout
+    its test data files."""
+    options.setdefault("nullValue", "NA")
     df = spark.read.csv(filename, header=True, inferSchema=True, sep=sep, **options)
     return ClariteFrame(_with_id(df, index_col))
 
 
-def from_tsv(spark: SparkSession, filename: str, index_col: int | str = 0, **options) -> ClariteFrame:
+def from_tsv(
+    spark: SparkSession, filename: str, index_col: int | str | None = 0, **options
+) -> ClariteFrame:
     """Load a TSV with a unique ID column (reference load.py:17-51)."""
     return from_csv(spark, filename, index_col=index_col, sep="\t", **options)
 

@@ -1,0 +1,304 @@
+"""Golden parity tests for the survey-weighted regression fan-out.
+
+The oracle is the reference repo's checked-in golden CSVs, produced by
+standalone R scripts using the R `survey` package
+(``/root/reference/tests/r_test_output/analyze/*.csv``, generation
+scripts ``tests/r_tests_ewas.R`` seed 1855) — behavioral DATA only, no
+code is taken. Comparison tolerances follow the reference's own policy
+(``tests/analyze/test_association_study.py:1-11``): exact-ish (1e-6)
+for simple designs, rtol 1e-4 for survey-adjusted NHANES.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from clarite_python_spark.operators import analyze, modify
+from clarite_python_spark.sources.io import from_csv
+from clarite_python_spark.survey import SurveyDesignSpec
+
+DATA = "/root/reference/tests/test_data_files"
+GOLD = "/root/reference/tests/r_test_output/analyze"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(DATA), reason="reference golden data not available"
+)
+
+
+def compare_golden(res: pd.DataFrame, golden_file: str, rtol: float = 1e-6) -> None:
+    gold = pd.read_csv(f"{GOLD}/{golden_file}")
+    res = res.set_index("Variable")
+    gold = gold.set_index("Variable")
+    assert sorted(res.index) == sorted(gold.index)
+    gold = gold.loc[res.index]
+    for col in ("Variable_type",):
+        assert list(res[col]) == list(gold[col]), col
+    assert list(res["N"].astype("int64")) == list(gold["N"].astype("int64"))
+    for col in ("Beta", "SE", "pvalue"):
+        a = res[col].astype(float).to_numpy()
+        b = gold[col].astype(float).to_numpy()
+        both = ~(np.isnan(a) & np.isnan(b))
+        assert np.allclose(a[both], b[both], rtol=rtol, atol=0), (
+            col,
+            a[both],
+            b[both],
+        )
+
+
+def run_study(cf, outcome, covariates, design, min_n=200):
+    return (
+        analyze.association_study(
+            data=cf,
+            outcomes=outcome,
+            covariates=covariates,
+            survey_design_spec=design,
+            min_n=min_n,
+        )
+        .toPandas()
+    )
+
+
+def rotated_nhanes(cf, design):
+    """The reference's 3-way covariate rotation over HI_CHOL."""
+    parts = [
+        run_study(cf, "HI_CHOL", ["agecat", "RIAGENDR"], design),
+        run_study(cf, "HI_CHOL", ["race", "RIAGENDR"], design),
+        run_study(cf, "HI_CHOL", ["race", "agecat"], design),
+    ]
+    return pd.concat(parts, axis=0, ignore_index=True)
+
+
+@pytest.fixture(scope="module")
+def fpc_cf(spark):
+    spark.conf.set("spark.sql.caseSensitive", "true")  # fpc_data has nh & Nh
+    cf = from_csv(spark, f"{DATA}/fpc_data.csv", index_col=None)
+    cf = modify.make_continuous(cf, only=["x", "y"])
+    yield cf
+    spark.conf.set("spark.sql.caseSensitive", "false")
+
+
+@pytest.fixture(scope="module")
+def nhanes_cf(spark):
+    cf = from_csv(spark, f"{DATA}/nhanes_data.csv", index_col=None)
+    cf = modify.make_binary(cf, only=["HI_CHOL", "RIAGENDR"])
+    cf = modify.make_categorical(cf, only=["race", "agecat"])
+    return cf
+
+
+def test_fpc_withoutfpc(fpc_cf):
+    design = SurveyDesignSpec(
+        fpc_cf.df, weights="weight", cluster="psuid", strata="stratid", nest=True
+    )
+    cf = modify.colfilter(fpc_cf, only=["x", "y"])
+    res = run_study(cf, "y", [], design, min_n=1)
+    compare_golden(res, "fpc_withoutfpc_result.csv")
+
+
+def test_fpc_withfpc(fpc_cf):
+    design = SurveyDesignSpec(
+        fpc_cf.df, weights="weight", cluster="psuid", strata="stratid", fpc="Nh", nest=True
+    )
+    cf = modify.colfilter(fpc_cf, only=["x", "y"])
+    res = run_study(cf, "y", [], design, min_n=1)
+    compare_golden(res, "fpc_withfpc_result.csv")
+
+
+def test_fpc_nostrata(spark):
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try:
+        cf = from_csv(spark, f"{DATA}/fpc_nostrat_data.csv", index_col=None)
+        cf = modify.make_continuous(cf, only=["x", "y"])
+        design = SurveyDesignSpec(
+            cf.df, weights="weight", cluster="psuid", strata=None, fpc="Nh", nest=True
+        )
+        cf = modify.colfilter(cf, only=["x", "y"])
+        res = run_study(cf, "y", [], design, min_n=1)
+        compare_golden(res, "fpc_withfpc_nostrat_result.csv")
+    finally:
+        spark.conf.set("spark.sql.caseSensitive", "false")
+
+
+@pytest.mark.parametrize(
+    "data_file,design_kw,golden",
+    [
+        (
+            "apistrat_data.csv",
+            dict(weights="pw", cluster=None, strata="stype", fpc="fpc"),
+            "api_apistrat_result.csv",
+        ),
+        (
+            "apiclus1_data.csv",
+            dict(weights="pw", cluster="dnum", strata=None, fpc="fpc"),
+            "api_apiclus1_result.csv",
+        ),
+    ],
+)
+def test_api_designs(spark, data_file, design_kw, golden):
+    cf = from_csv(spark, f"{DATA}/{data_file}", index_col=None)
+    cf = modify.make_continuous(cf, only=["api00", "ell", "meals", "mobility"])
+    design = SurveyDesignSpec(cf.df, **design_kw)
+    cf = modify.colfilter(cf, only=["api00", "ell", "meals", "mobility"])
+    parts = [
+        run_study(cf, "api00", ["meals", "mobility"], design, min_n=1),
+        run_study(cf, "api00", ["ell", "mobility"], design, min_n=1),
+        run_study(cf, "api00", ["ell", "meals"], design, min_n=1),
+    ]
+    res = pd.concat(parts, axis=0, ignore_index=True)
+    compare_golden(res, golden)
+
+
+def test_api_noweights_glm(spark):
+    """Unweighted GLM parity on the api population data."""
+    cf = from_csv(spark, f"{DATA}/apipop_data.csv", index_col=None)
+    cf = modify.make_continuous(cf, only=["api00", "ell", "meals", "mobility"])
+    cf = modify.colfilter(cf, only=["api00", "ell", "meals", "mobility"])
+    parts = [
+        analyze.association_study(
+            data=cf, outcomes="api00", covariates=c, min_n=1
+        ).toPandas()
+        for c in (["meals", "mobility"], ["ell", "mobility"], ["ell", "meals"])
+    ]
+    res = pd.concat(parts, axis=0, ignore_index=True)
+    compare_golden(res, "api_apipop_result.csv")
+
+
+def test_nhanes_noweights_glm(nhanes_cf):
+    cf = modify.colfilter(nhanes_cf, only=["HI_CHOL", "RIAGENDR", "race", "agecat"])
+    parts = [
+        analyze.association_study(
+            data=cf, outcomes="HI_CHOL", covariates=c
+        ).toPandas()
+        for c in (["agecat", "RIAGENDR"], ["race", "RIAGENDR"], ["race", "agecat"])
+    ]
+    res = pd.concat(parts, axis=0, ignore_index=True)
+    compare_golden(res, "nhanes_noweights_result.csv", rtol=1e-5)
+
+
+def test_nhanes_fulldesign(nhanes_cf):
+    design = SurveyDesignSpec(
+        nhanes_cf.df,
+        weights="WTMEC2YR",
+        cluster="SDMVPSU",
+        strata="SDMVSTRA",
+        fpc=None,
+        nest=True,
+    )
+    cf = modify.colfilter(nhanes_cf, only=["HI_CHOL", "RIAGENDR", "race", "agecat"])
+    res = rotated_nhanes(cf, design)
+    compare_golden(res, "nhanes_complete_result.csv", rtol=1e-4)
+
+
+def test_nhanes_weightsonly(nhanes_cf):
+    design = SurveyDesignSpec(nhanes_cf.df, weights="WTMEC2YR")
+    cf = modify.colfilter(nhanes_cf, only=["HI_CHOL", "RIAGENDR", "race", "agecat"])
+    res = rotated_nhanes(cf, design)
+    compare_golden(res, "nhanes_weightsonly_result.csv", rtol=1e-4)
+
+
+def test_nhanes_fulldesign_withna(spark):
+    cf = from_csv(spark, f"{DATA}/nhanes_NAs_data.csv", index_col=None)
+    cf = modify.make_binary(cf, only=["HI_CHOL", "RIAGENDR"])
+    cf = modify.make_categorical(cf, only=["race", "agecat"])
+    design = SurveyDesignSpec(
+        cf.df,
+        weights="WTMEC2YR",
+        cluster="SDMVPSU",
+        strata="SDMVSTRA",
+        fpc=None,
+        nest=True,
+    )
+    cf2 = modify.colfilter(cf, only=["HI_CHOL", "RIAGENDR", "race", "agecat"])
+    res = rotated_nhanes(cf2, design)
+    compare_golden(res, "nhanes_complete_withna_result.csv", rtol=1e-4)
+
+
+def test_nhanes_subset_category(nhanes_cf):
+    design = SurveyDesignSpec(
+        nhanes_cf.df,
+        weights="WTMEC2YR",
+        cluster="SDMVPSU",
+        strata="SDMVSTRA",
+        fpc=None,
+        nest=True,
+    )
+    # pandas semantics: NaN != "(19,39]" keeps NA rows -> null-safe negation
+    design.subset(
+        nhanes_cf.df, ~F.col("agecat").cast("string").eqNullSafe("(19,39]")
+    )
+    cf = modify.colfilter(nhanes_cf, only=["HI_CHOL", "RIAGENDR", "race", "agecat"])
+    res = rotated_nhanes(cf, design)
+    compare_golden(res, "nhanes_complete_result_subset_cat.csv", rtol=1e-3)
+
+
+def test_nhanes_subset_continuous(spark):
+    cf = from_csv(spark, f"{DATA}/nhanes_data_subset.csv", index_col=None)
+    cf = modify.make_binary(cf, only=["HI_CHOL", "RIAGENDR"])
+    cf = modify.make_categorical(cf, only=["race", "agecat"])
+    design = SurveyDesignSpec(
+        cf.df,
+        weights="WTMEC2YR",
+        cluster="SDMVPSU",
+        strata="SDMVSTRA",
+        fpc=None,
+        nest=True,
+        drop_unweighted=True,
+    )
+    design.subset(cf.df, F.col("subset") > 0)
+    cf = modify.colfilter(cf, only=["HI_CHOL", "RIAGENDR", "race", "agecat"])
+    res = rotated_nhanes(cf, design)
+    compare_golden(res, "nhanes_complete_result_subset_cont.csv", rtol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "single_cluster,golden",
+    [
+        ("certainty", "nhanes_certainty_result.csv"),
+        ("adjust", "nhanes_adjust_result.csv"),
+        ("average", "nhanes_average_result.csv"),
+    ],
+)
+def test_nhanes_lonely(spark, single_cluster, golden):
+    cf = from_csv(spark, f"{DATA}/nhanes_lonely_data.csv", index_col=None)
+    cf = modify.make_binary(cf, only=["HI_CHOL", "RIAGENDR"])
+    cf = modify.make_categorical(cf, only=["race", "agecat"])
+    design = SurveyDesignSpec(
+        cf.df,
+        weights="WTMEC2YR",
+        cluster="SDMVPSU",
+        strata="SDMVSTRA",
+        fpc=None,
+        nest=True,
+        single_cluster=single_cluster,
+    )
+    cf = modify.colfilter(cf, only=["HI_CHOL", "RIAGENDR", "race", "agecat"])
+    res = rotated_nhanes(cf, design)
+    compare_golden(res, golden, rtol=1e-4)
+
+
+def test_single_cluster_fail_raises(spark):
+    cf = from_csv(spark, f"{DATA}/nhanes_lonely_data.csv", index_col=None)
+    cf = modify.make_binary(cf, only=["HI_CHOL", "RIAGENDR"])
+    cf = modify.make_categorical(cf, only=["race", "agecat"])
+    design = SurveyDesignSpec(
+        cf.df,
+        weights="WTMEC2YR",
+        cluster="SDMVPSU",
+        strata="SDMVSTRA",
+        nest=True,
+        single_cluster="fail",
+    )
+    with pytest.raises(ValueError, match="single clusters"):
+        design.constants()
+
+
+def test_design_validation(nhanes_cf):
+    design = SurveyDesignSpec(
+        nhanes_cf.df, weights="WTMEC2YR", cluster="SDMVPSU", strata="SDMVSTRA", nest=True
+    )
+    err = design.validate(nhanes_cf)  # data still contains design cols
+    assert err is not None and "should not be included" in err
