@@ -301,6 +301,55 @@ def association_study_covariates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("Variable")
 
 
+def association_study_weighted_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey-weighted fan-out (SurveyDesignSpec + sandwich vcov +
+    survey-dof t tests; reference weighted_glm_regression.py) over a
+    deterministic design derived from orders columns — rows-only check
+    (the linearized variance is not SQL-expressible)."""
+    from clarite_python_spark.survey import SurveyDesignSpec
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("ID"),
+        "o_totalprice",
+        (F.col("o_custkey") % 7).cast("double").alias("cust_band"),
+        "o_orderpriority",
+        # deterministic design columns
+        (F.col("o_custkey") % 5).cast("string").alias("strat"),
+        (F.col("o_custkey") % 40).cast("string").alias("clust"),
+        (1.0 + (F.col("o_orderkey") % 10) / 10.0).alias("wt"),
+    )
+    design = SurveyDesignSpec(
+        base.select("ID", "strat", "clust", "wt"),
+        strata="strat",
+        cluster="clust",
+        nest=True,
+        weights="wt",
+        single_cluster="certainty",
+    )
+    cf = ClariteFrame(base.select("ID", "o_totalprice", "cust_band", "o_orderpriority"))
+    cf = modify.make_continuous(cf, only=["o_totalprice", "cust_band"])
+    cf = modify.make_categorical(cf, only=["o_orderpriority"])
+    res = analyze.association_study(
+        cf,
+        outcomes="o_totalprice",
+        covariates=["cust_band"],
+        survey_design_spec=design,
+        min_n=10,
+    )
+    return res.select(
+        "Variable",
+        "Outcome",
+        "Variable_type",
+        "Weight",
+        "Converged",
+        "N",
+        F.round("Beta", 6).alias("Beta"),
+        F.round("SE", 6).alias("SE"),
+        F.round("pvalue", 6).alias("pvalue"),
+    ).orderBy("Variable")
+
+
 def glm_logistic_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-outcome (Binomial/logit) fan-out — rows-only check."""
     orders = _t(spark, sf_dir, "orders")
@@ -510,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skewness_lineitem": skewness_lineitem,
         "association_study_lineitem": association_study_lineitem,
         "association_study_covariates": association_study_covariates,
+        "association_study_weighted_orders": association_study_weighted_orders,
         "glm_logistic_orders": glm_logistic_orders,
         "interaction_study_lineitem": interaction_study_lineitem,
         "corrected_pvalues_documents": corrected_pvalues_documents,

@@ -280,6 +280,117 @@ def test_nhanes_lonely(spark, single_cluster, golden):
     compare_golden(res, golden, rtol=1e-4)
 
 
+def test_nhanes_realistic_multiweight(spark):
+    """Multi-weight design (per-variable weights) + missing values
+    (reference test_nhanes_realistic): variables with missing weights and
+    no drop_unweighted produce all-NaN error rows."""
+    from clarite_python_spark.sources.io import from_tsv
+
+    cf = from_tsv(spark, f"{DATA}/nhanes_real.txt", index_col="ID")
+    survey_cols = ["SDMVPSU", "SDMVSTRA", "WTMEC4YR", "WTSHM4YR", "WTSVOC4Y"]
+    design = SurveyDesignSpec(
+        cf.df.select("ID", *survey_cols),
+        weights={
+            "RHQ570": "WTMEC4YR",
+            "first_degree_support": "WTMEC4YR",
+            "URXUPT": "WTSHM4YR",
+            "LBXV3A": "WTSVOC4Y",
+            "LBXBEC": "WTMEC4YR",
+        },
+        cluster="SDMVPSU",
+        strata="SDMVSTRA",
+        fpc=None,
+        nest=True,
+    )
+    cf = modify.colfilter(cf, skip=survey_cols)
+    cf = modify.make_binary(
+        cf,
+        only=[
+            "RHQ570",
+            "first_degree_support",
+            "SDDSRVYR",
+            "female",
+            "black",
+            "mexican",
+            "other_hispanic",
+            "other_eth",
+        ],
+    )
+    cf = modify.make_categorical(cf, only=["SES_LEVEL"])
+    res = analyze.association_study(
+        data=cf,
+        outcomes="BMXBMI",
+        covariates=[
+            "SES_LEVEL",
+            "SDDSRVYR",
+            "female",
+            "black",
+            "mexican",
+            "other_hispanic",
+            "other_eth",
+            "RIDAGEYR",
+        ],
+        survey_design_spec=design,
+    ).toPandas()
+    compare_golden(res, "nhanes_real_result.csv", rtol=1e-4)
+
+
+def test_nhanes_subset_singleclusters(spark):
+    """Subset that leaves single clusters in some strata — full-design
+    constants keep the variance finite (reference
+    test_nhanes_subset_singleclusters)."""
+    from clarite_python_spark.sources.io import from_tsv
+
+    cf = from_tsv(spark, f"{DATA}/nhanes_subset/data.txt")
+    design_cf = from_tsv(spark, f"{DATA}/nhanes_subset/design_data.txt")
+    # reference restricts the design frame to the data's rows first
+    design_df = design_cf.df.join(cf.df.select("ID"), on="ID", how="left_semi")
+    cf = modify.make_binary(cf, only=["LBXHBC", "black", "female"])
+    cf = modify.make_categorical(cf, only=["SES_LEVEL", "SDDSRVYR"])
+    design = SurveyDesignSpec(
+        design_df,
+        weights="WTMEC4YR",
+        cluster="SDMVPSU",
+        strata="SDMVSTRA",
+        fpc=None,
+        nest=True,
+    )
+    design.subset(cf.df, F.col("black") == 1)
+    cf = modify.colfilter(cf, skip=["black"])
+    res = analyze.association_study(
+        data=cf,
+        outcomes="LBXLYPCT",
+        covariates=["female", "SES_LEVEL", "RIDAGEYR", "SDDSRVYR", "BMXBMI"],
+        survey_design_spec=design,
+        min_n=50,
+    ).toPandas()
+    compare_golden(res, "nhanes_subset_result.csv", rtol=1e-4)
+
+
+def test_report_categorical_betas_weighted(nhanes_cf):
+    design = SurveyDesignSpec(
+        nhanes_cf.df, weights="WTMEC2YR", cluster="SDMVPSU", strata="SDMVSTRA", nest=True
+    )
+    cf = modify.colfilter(nhanes_cf, only=["HI_CHOL", "RIAGENDR", "race", "agecat"])
+    plain = run_study(cf, "HI_CHOL", ["agecat", "RIAGENDR"], design)
+    betas = (
+        analyze.association_study(
+            data=cf,
+            outcomes="HI_CHOL",
+            covariates=["agecat", "RIAGENDR"],
+            survey_design_spec=design,
+            report_categorical_betas=True,
+        )
+        .toPandas()
+    )
+    # one row per non-reference category, all sharing the LRT pvalue
+    race = betas[betas.Variable == "race"]
+    assert len(race) == 3
+    assert race.Category.str.startswith("race[T.").all()
+    assert np.allclose(race.LRT_pvalue, plain.loc[plain.Variable == "race", "pvalue"].iloc[0])
+    assert race.Beta.notna().all() and race.SE.notna().all()
+
+
 def test_single_cluster_fail_raises(spark):
     cf = from_csv(spark, f"{DATA}/nhanes_lonely_data.csv", index_col=None)
     cf = modify.make_binary(cf, only=["HI_CHOL", "RIAGENDR"])
