@@ -35,6 +35,7 @@ from clarite_python_spark.operators import (  # noqa: F401
     text,
 )
 from clarite_python_spark.sources import io as load  # noqa: F401
+from clarite_python_spark import plot  # noqa: F401
 from clarite_python_spark import survey  # noqa: F401
 from clarite_python_spark.survey import SurveyDesignSpec  # noqa: F401
 
@@ -47,6 +48,7 @@ __all__ = [
     "get_spark",
     "load",
     "modify",
+    "plot",
     "describe",
     "analyze",
     "dedup",

@@ -71,9 +71,15 @@ class VariableCatalog:
 
     types: dict[str, str] = field(default_factory=dict)
     categories: dict[str, list] = field(default_factory=dict)
+    # genotype columns: {col: [ref_allele, alt_allele]}
+    alleles: dict[str, list] = field(default_factory=dict)
 
     def copy(self) -> "VariableCatalog":
-        return VariableCatalog(dict(self.types), {k: list(v) for k, v in self.categories.items()})
+        return VariableCatalog(
+            dict(self.types),
+            {k: list(v) for k, v in self.categories.items()},
+            {k: list(v) for k, v in self.alleles.items()},
+        )
 
     def set(self, col: str, vtype: str, categories: list | None = None) -> None:
         if vtype not in ALL_TYPES:
@@ -98,12 +104,19 @@ class VariableCatalog:
     # ---- persistence (mirrors the reference .dtypes JSON sidecar) ----
 
     def to_json(self) -> str:
-        return json.dumps({"types": self.types, "categories": self.categories}, default=str)
+        return json.dumps(
+            {"types": self.types, "categories": self.categories, "alleles": self.alleles},
+            default=str,
+        )
 
     @classmethod
     def from_json(cls, s: str) -> "VariableCatalog":
         d = json.loads(s)
-        return cls(dict(d.get("types", {})), {k: list(v) for k, v in d.get("categories", {}).items()})
+        return cls(
+            dict(d.get("types", {})),
+            {k: list(v) for k, v in d.get("categories", {}).items()},
+            {k: list(v) for k, v in d.get("alleles", {}).items()},
+        )
 
     @classmethod
     def infer_physical(cls, df: DataFrame) -> "VariableCatalog":

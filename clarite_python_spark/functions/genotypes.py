@@ -1,0 +1,103 @@
+"""Genotype encodings as Spark column expressions.
+
+The reference stores genotypes in the pandas-genomics ``GenotypeDtype``
+extension array and encodes them right before regression
+(``glm_regression.py:364-384``, ``interaction_study.py:66-89``) with the
+pandas-genomics encoders:
+
+- ``additive``   -> count of alternate alleles (0, 1, 2) — continuous
+- ``dominant``   -> 1 if any alternate allele else 0 — continuous
+- ``recessive``  -> 1 if homozygous alternate else 0 — continuous
+- ``codominant`` -> 3-level categorical (Ref / Het / Hom)
+- ``edge``       -> {hom-ref: 0, het: alpha_v, hom-alt: 1} with a
+  per-variant alpha from an ``edge_encoding_info`` table (Hall et al.,
+  EDGE encoding; pandas-genomics docs)
+
+Spark-side a genotype is an opaque ``"a1/a2"`` StringType column (alleles
+in any order) with the (ref, alt) alleles tracked in the
+VariableCatalog. Encodings are pure JVM-side column expressions — no UDF,
+fully codegen'd — so a GWAS-scale fan-out (10^6 variants) adds only an
+Expand+projection to the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from clarite_python_spark.catalog import CATEGORICAL, CONTINUOUS, qcol
+
+KNOWN_ENCODINGS = ("additive", "dominant", "recessive", "codominant", "edge")
+
+CODOMINANT_LEVELS = ["Het", "Hom", "Ref"]  # sorted() of the 3 labels
+
+
+def alt_count(col: str, alt: str) -> Column:
+    """Number of alternate alleles in an ``"a1/a2"`` genotype string."""
+    left = F.split(qcol(col), "/").getItem(0)
+    right = F.split(qcol(col), "/").getItem(1)
+    return (
+        (left == F.lit(alt)).cast("int") + (right == F.lit(alt)).cast("int")
+    ).cast("double")
+
+
+def encode_genotype(
+    col: str,
+    ref: str,
+    alt: str,
+    encoding: str = "additive",
+    alpha: float | None = None,
+) -> tuple[Column, str]:
+    """Return (encoded column expression, resulting CLARITE type).
+
+    Mirrors the pandas-genomics encoders the reference dispatches to; the
+    resulting type drives regression dispatch exactly like the reference's
+    re-derivation of the encoded dtype (glm_regression.py:441-444).
+    """
+    n_alt = alt_count(col, alt)
+    null = F.when(qcol(col).isNull(), F.lit(None).cast("double"))
+    if encoding == "additive":
+        return null.otherwise(n_alt), CONTINUOUS
+    if encoding == "dominant":
+        return null.otherwise((n_alt >= 1).cast("double")), CONTINUOUS
+    if encoding == "recessive":
+        return null.otherwise((n_alt == 2).cast("double")), CONTINUOUS
+    if encoding == "codominant":
+        expr = (
+            F.when(qcol(col).isNull(), F.lit(None).cast("string"))
+            .when(n_alt == 0, F.lit("Ref"))
+            .when(n_alt == 1, F.lit("Het"))
+            .otherwise(F.lit("Hom"))
+        )
+        return expr, CATEGORICAL
+    if encoding == "edge":
+        if alpha is None:
+            raise ValueError(
+                "'edge_encoding_info' must be provided when using edge encoding"
+            )
+        expr = (
+            null.when(n_alt == 0, F.lit(0.0))
+            .when(n_alt == 1, F.lit(float(alpha)))
+            .otherwise(F.lit(1.0))
+        )
+        return expr, CONTINUOUS
+    raise ValueError(f"Genotypes provided with unknown 'encoding': {encoding}")
+
+
+def edge_alphas(edge_encoding_info) -> dict[str, float]:
+    """Normalize an ``edge_encoding_info`` table — columns
+    ``[Variant ID, Alpha Value]`` per pandas-genomics — to a {variant:
+    alpha} dict. Accepts a pandas DataFrame, a Spark DataFrame (collected:
+    one row per variant, tiny), or a plain mapping."""
+    if isinstance(edge_encoding_info, dict):
+        return {str(k): float(v) for k, v in edge_encoding_info.items()}
+    import pandas as pd
+
+    if isinstance(edge_encoding_info, pd.DataFrame):
+        pdf = edge_encoding_info
+    else:  # Spark DataFrame
+        pdf = edge_encoding_info.toPandas()
+    cols = {c.lower().replace(" ", "_"): c for c in pdf.columns}
+    var_col = cols.get("variant_id") or cols.get("variant") or pdf.columns[0]
+    alpha_col = cols.get("alpha_value") or cols.get("alpha") or pdf.columns[1]
+    return {str(r[var_col]): float(r[alpha_col]) for _, r in pdf.iterrows()}

@@ -250,6 +250,47 @@ def _make_assoc_kernel(
     return kernel
 
 
+def _encode_genotype_variables(
+    data: ClariteFrame,
+    candidates: Sequence[str],
+    encoding: str,
+    edge_encoding_info,
+) -> ClariteFrame:
+    """Pre-encode genotype columns before the fan-out (reference
+    ``_get_rv_specific_data``, glm_regression.py:364-384): the encoded
+    column replaces the genotype in place and its CLARITE type becomes
+    the encoded type (continuous, or categorical for codominant). Pure
+    column expressions — the plan gains one projection, no UDF."""
+    from clarite_python_spark.catalog import GENOTYPES
+    from clarite_python_spark.functions.genotypes import (
+        KNOWN_ENCODINGS,
+        edge_alphas,
+        encode_genotype,
+    )
+
+    geno = [c for c in candidates if data.catalog.get(c) == GENOTYPES]
+    if not geno:
+        return data
+    if encoding not in KNOWN_ENCODINGS:
+        raise ValueError(f"Genotypes provided with unknown 'encoding': {encoding}")
+    if encoding == "edge" and edge_encoding_info is None:
+        raise ValueError("'edge_encoding_info' must be provided when using edge encoding")
+    alphas = edge_alphas(edge_encoding_info) if encoding == "edge" else {}
+    df = data.df
+    cat = data.catalog.copy()
+    for c in geno:
+        if c not in cat.alleles:
+            raise ValueError(f"genotype column {c!r} has no allele info (make_genotypes)")
+        ref, alt = cat.alleles[c]
+        alpha = alphas.get(c)
+        if encoding == "edge" and alpha is None:
+            raise ValueError(f"no edge alpha provided for variant {c!r}")
+        expr, new_type = encode_genotype(c, ref, alt, encoding, alpha)
+        df = df.withColumn(c, expr)
+        cat.set(c, new_type)
+    return ClariteFrame(df, cat)
+
+
 def _sorted_levels(values: pd.Series) -> list:
     """Distinct non-NA values, sorted numerically when every value parses
     as a number, else lexically — matching pandas' sorted category levels
@@ -507,6 +548,8 @@ def association_study(
     report_categorical_betas: bool = False,
     survey_design_spec=None,
     regression_kind: str | None = None,
+    encoding: str = "additive",
+    edge_encoding_info=None,
 ) -> DataFrame:
     """EWAS-style mass regression (reference association_study.py:14-132).
 
@@ -538,6 +581,9 @@ def association_study(
         regression_variables = [c for c in all_vars if c not in set(outcomes) | set(covariates)]
     rvs = list(regression_variables)
 
+    data = _encode_genotype_variables(
+        data, [*rvs, *covariates], encoding, edge_encoding_info
+    )
     cat = data.catalog
     for v in [*outcomes, *covariates, *rvs]:
         if v not in cat.types:
@@ -753,6 +799,8 @@ def interaction_study(
     covariates: Sequence[str] | None = None,
     min_n: int = 200,
     report_betas: bool = False,
+    encoding: str = "additive",
+    edge_encoding_info=None,
 ) -> DataFrame:
     """Pairwise-interaction LRT (reference interaction_study.py:10-137,
     interaction_regression.py:22-501): restricted =
@@ -769,6 +817,12 @@ def interaction_study(
     if isinstance(outcomes, str):
         outcomes = [outcomes]
     covariates = list(covariates or [])
+    data = _encode_genotype_variables(
+        data,
+        [c for c in data.variables if c not in set(outcomes)],
+        encoding,
+        edge_encoding_info,
+    )
     cat = data.catalog
     rv_all = [
         c

@@ -45,6 +45,7 @@ __all__ = [
     "colfilter_min_cat_n",
     "colfilter_percent_zero",
     "make_binary",
+    "make_genotypes",
     "make_categorical",
     "make_continuous",
     "merge_observations",
@@ -169,6 +170,24 @@ def make_categorical(cf: ClariteFrame, skip=None, only=None) -> ClariteFrame:
     for c in cols:
         out.catalog.categories[c] = sorted(levels[c])
     return _report(out, {"set_categorical": cols})
+
+
+def make_genotypes(cf: ClariteFrame, alleles: Mapping[str, Sequence[str]]) -> ClariteFrame:
+    """Mark ``"a1/a2"`` string columns as genotypes with their (ref, alt)
+    alleles. The reference's genotype columns carry this in the
+    pandas-genomics GenotypeDtype (``utilities.py:105-107``); here the
+    alleles live in the catalog and encodings are column expressions
+    (functions/genotypes.py)."""
+    from clarite_python_spark.catalog import GENOTYPES
+
+    out = cf.with_df(cf.df)
+    for c, ra in alleles.items():
+        if c not in set(cf.variables):
+            raise ValueError(f"column {c!r} not found in data")
+        ref, alt = ra
+        out.catalog.set(c, GENOTYPES)
+        out.catalog.alleles[c] = [ref, alt]
+    return _report(out, {"set_genotypes": sorted(alleles)})
 
 
 def make_continuous(cf: ClariteFrame, skip=None, only=None) -> ClariteFrame:

@@ -26,6 +26,7 @@ def test_queries_and_oracles_aligned():
     rows_only = set(qs) - set(oracles)
     assert rows_only <= {
         "association_study_covariates",
+        "association_study_weighted_orders",
         "glm_logistic_orders",
         "interaction_study_lineitem",
         "minhash_dedup_documents",
