@@ -94,16 +94,21 @@ def categorize(cf: ClariteFrame, cat_min: int = 3, cat_max: int = 6, cont_min: i
     """
     df = cf.df
     cols = cf.variables
+    numeric = {f.name for f in df.schema.fields if _is_numeric(f.dataType)}
     aggs: list[Column] = []
     for c in cols:
         aggs.append(F.count(qcol(c)).alias(f"n::{c}"))
         aggs.append(F.count_distinct(qcol(c)).alias(f"d::{c}"))
-        # non-null values that fail a numeric cast (0 for numeric columns)
-        aggs.append(
-            F.sum(
-                (qcol(c).isNotNull() & qcol(c).cast("string").try_cast("double").isNull()).cast("long")
-            ).alias(f"bad::{c}")
-        )
+        # non-null values that fail a numeric cast — physically numeric
+        # columns can't fail, so skip the (expensive) string round-trip
+        if c in numeric:
+            aggs.append(F.lit(0).alias(f"bad::{c}"))
+        else:
+            aggs.append(
+                F.sum(
+                    (qcol(c).isNotNull() & qcol(c).cast("string").try_cast("double").isNull()).cast("long")
+                ).alias(f"bad::{c}")
+            )
     stats = df.agg(*aggs).collect()[0].asDict()
 
     catalog = VariableCatalog()
@@ -195,17 +200,20 @@ def make_continuous(cf: ClariteFrame, skip=None, only=None) -> ClariteFrame:
     (modify.py:504-567, try-convert :544-550). One validation agg scan."""
     cols = validate_skip_only(cf.variables, skip, only)
     df = cf.df
-    checks = df.agg(
-        *[
-            F.sum(
-                (qcol(c).isNotNull() & qcol(c).cast("string").try_cast("double").isNull()).cast("long")
-            ).alias(c)
-            for c in cols
-        ]
-    ).collect()[0].asDict()
-    bad = sorted(c for c, n in checks.items() if (n or 0) > 0)
-    if bad:
-        raise ValueError(f"couldn't convert to continuous: {bad}")
+    numeric = {f.name for f in df.schema.fields if _is_numeric(f.dataType)}
+    to_check = [c for c in cols if c not in numeric]
+    if to_check:  # physically numeric columns can't fail the cast
+        checks = df.agg(
+            *[
+                F.sum(
+                    (qcol(c).isNotNull() & qcol(c).cast("string").try_cast("double").isNull()).cast("long")
+                ).alias(c)
+                for c in to_check
+            ]
+        ).collect()[0].asDict()
+        bad = sorted(c for c, n in checks.items() if (n or 0) > 0)
+        if bad:
+            raise ValueError(f"couldn't convert to continuous: {bad}")
     new_df = df.select(
         *[
             qcol(c).try_cast("double").alias(c) if c in set(cols) else qcol(c)
@@ -427,15 +435,15 @@ def _outlier_bounds(
     aggs: list[Column] = []
     for c in cols:
         if method == "gaussian":
-            aggs.append((F.mean(c) - cutoff * F.stddev_samp(c)).alias(f"lo::{c}"))
-            aggs.append((F.mean(c) + cutoff * F.stddev_samp(c)).alias(f"hi::{c}"))
+            aggs.append((F.mean(qcol(c)) - cutoff * F.stddev_samp(qcol(c))).alias(f"lo::{c}"))
+            aggs.append((F.mean(qcol(c)) + cutoff * F.stddev_samp(qcol(c))).alias(f"hi::{c}"))
         elif method == "iqr":
+            # ONE percentile buffer per column (array of quantiles), not two
             if exact:
-                q1 = F.percentile(qcol(c), F.lit(0.25))
-                q3 = F.percentile(qcol(c), F.lit(0.75))
+                qs = F.percentile(qcol(c), F.array(F.lit(0.25), F.lit(0.75)))
             else:
-                q1 = F.expr(f"approx_percentile({c}, 0.25, 10000)")
-                q3 = F.expr(f"approx_percentile({c}, 0.75, 10000)")
+                qs = F.expr(f"approx_percentile(`{c}`, array(0.25, 0.75), 10000)")
+            q1, q3 = qs.getItem(0), qs.getItem(1)
             aggs.append((q1 - cutoff * (q3 - q1)).alias(f"lo::{c}"))
             aggs.append((q3 + cutoff * (q3 - q1)).alias(f"hi::{c}"))
         else:
