@@ -1,0 +1,371 @@
+"""Command-line interface (reference ``clarite/cli/``).
+
+The reference CLI (`clarite-cli <group> <command>`, click-based,
+``clarite/cli/cli.py:8-18``) moves data between commands as a text file +
+``.dtypes`` JSON sidecar; each command loads, calls the same module
+function, and saves. This CLI keeps the exact same shape with Spark
+datasets: a "dataset" argument is a parquet directory (default) or TSV
+with the catalog sidecar written by ``sources.io.save``.
+
+Groups: load, modify, describe, analyze, plot — one subcommand per
+operator (reference ``clarite/cli/commands/*``). Each invocation is a
+fresh process with one SparkSession, mirroring the reference's
+process-per-command flow (state lives entirely in the files).
+
+Usage examples::
+
+    python -m clarite_python_spark.cli load from-tsv in.tsv ds1
+    python -m clarite_python_spark.cli modify categorize ds1 ds2
+    python -m clarite_python_spark.cli describe summarize ds2
+    python -m clarite_python_spark.cli analyze association-study ds2 out \
+        --outcomes y --covariates age sex --min-n 50
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from clarite_python_spark.catalog import ClariteFrame
+
+
+def _spark():
+    from clarite_python_spark.session import get_spark
+
+    return get_spark("clarite-cli")
+
+
+def _load(spark, path: str) -> ClariteFrame:
+    from clarite_python_spark.sources.io import from_parquet
+
+    return from_parquet(spark, path)
+
+
+def _save(cf: ClariteFrame, path: str) -> None:
+    from clarite_python_spark.sources.io import save
+
+    save(cf, path)
+    print(f"saved {path} ({len(cf.variables)} variables)")
+
+
+def _save_result(df, path: str) -> None:
+    df.write.mode("overwrite").parquet(path)
+    print(f"saved {path}")
+
+
+def _add_io(p, result: bool = False) -> None:
+    p.add_argument("data", help="input dataset (parquet dir + .dtypes sidecar)")
+    p.add_argument("output", help="output path")
+
+
+def _skip_only(p) -> None:
+    p.add_argument("--skip", nargs="*", default=None)
+    p.add_argument("--only", nargs="*", default=None)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="clarite-spark")
+    groups = ap.add_subparsers(dest="group", required=True)
+
+    # ---- load ----
+    g_load = groups.add_parser("load").add_subparsers(dest="command", required=True)
+    for name in ("from-tsv", "from-csv"):
+        p = g_load.add_parser(name)
+        p.add_argument("input")
+        p.add_argument("output")
+        p.add_argument("--index-col", default=None)
+
+    # ---- modify ----
+    g_mod = groups.add_parser("modify").add_subparsers(dest="command", required=True)
+    p = g_mod.add_parser("categorize")
+    _add_io(p)
+    p.add_argument("--cat-min", type=int, default=3)
+    p.add_argument("--cat-max", type=int, default=6)
+    p.add_argument("--cont-min", type=int, default=15)
+    for name in ("make-binary", "make-categorical", "make-continuous", "colfilter",
+                 "rowfilter-incomplete-obs", "drop-extra-categories"):
+        p = g_mod.add_parser(name)
+        _add_io(p)
+        _skip_only(p)
+    for name, default in (("colfilter-min-n", 200), ("colfilter-min-cat-n", 200)):
+        p = g_mod.add_parser(name)
+        _add_io(p)
+        p.add_argument("--n", type=int, default=default)
+        _skip_only(p)
+    p = g_mod.add_parser("colfilter-percent-zero")
+    _add_io(p)
+    p.add_argument("--filter-percent", type=float, default=90.0)
+    _skip_only(p)
+    p = g_mod.add_parser("rowfilter")
+    _add_io(p)
+    p.add_argument("--column", required=True)
+    p.add_argument("--comparison", required=True, choices=["lt", "lte", "eq", "gte", "gt"])
+    p.add_argument("--value", required=True)
+    p = g_mod.add_parser("recode-values")
+    _add_io(p)
+    p.add_argument("--mapping", required=True, help='JSON {"old": "new", ...}')
+    _skip_only(p)
+    p = g_mod.add_parser("remove-outliers")
+    _add_io(p)
+    p.add_argument("--method", default="gaussian", choices=["gaussian", "iqr"])
+    p.add_argument("--cutoff", type=float, default=3.0)
+    _skip_only(p)
+    p = g_mod.add_parser("transform")
+    _add_io(p)
+    p.add_argument("--transform-method", required=True)
+    _skip_only(p)
+    p = g_mod.add_parser("merge-variables")
+    p.add_argument("left")
+    p.add_argument("right")
+    p.add_argument("output")
+    p.add_argument("--how", default="outer", choices=["left", "right", "inner", "outer"])
+    p = g_mod.add_parser("merge-observations")
+    p.add_argument("top")
+    p.add_argument("bottom")
+    p.add_argument("output")
+
+    # ---- describe ----
+    g_desc = groups.add_parser("describe").add_subparsers(dest="command", required=True)
+    for name in ("correlations", "freq-table", "get-types", "percent-na", "skewness"):
+        p = g_desc.add_parser(name)
+        p.add_argument("data")
+        p.add_argument("output")
+        if name == "correlations":
+            p.add_argument("--threshold", type=float, default=0.75)
+    p = g_desc.add_parser("summarize")
+    p.add_argument("data")
+
+    # ---- analyze ----
+    g_an = groups.add_parser("analyze").add_subparsers(dest="command", required=True)
+    p = g_an.add_parser("association-study")
+    _add_io(p)
+    p.add_argument("--outcomes", nargs="+", required=True)
+    p.add_argument("--covariates", nargs="*", default=[])
+    p.add_argument("--regression-variables", nargs="*", default=None)
+    p.add_argument("--min-n", type=int, default=200)
+    p.add_argument("--standardize-data", action="store_true")
+    p.add_argument("--report-categorical-betas", action="store_true")
+    # survey design flags (reference cli/commands/analyze.py:76-211)
+    p.add_argument("--survey-data", default=None, help="dataset with design columns")
+    p.add_argument("--strata", default=None)
+    p.add_argument("--cluster", default=None)
+    p.add_argument("--nest", action="store_true")
+    p.add_argument("--weight", default=None, help="single weight column")
+    p.add_argument(
+        "--weights-file",
+        default=None,
+        help="TSV of Variable<TAB>Weight for per-variable weights",
+    )
+    p.add_argument("--fpc", default=None)
+    p.add_argument(
+        "--single-cluster", default="fail", choices=["fail", "adjust", "average", "certainty"]
+    )
+    p.add_argument("--drop-unweighted", action="store_true")
+    p = g_an.add_parser("add-corrected-pvalues")
+    _add_io(p)
+    p.add_argument("--pvalue", default="pvalue")
+    p.add_argument("--groupby", nargs="*", default=None)
+    p = g_an.add_parser("get-significant")
+    _add_io(p)
+    p.add_argument("--pvalue", type=float, default=0.05)
+    p.add_argument(
+        "--method", default="fdr", choices=["fdr", "bonferroni"],
+    )
+
+    # ---- plot ----
+    g_plot = groups.add_parser("plot").add_subparsers(dest="command", required=True)
+    p = g_plot.add_parser("manhattan")
+    p.add_argument("results", nargs="+")
+    p.add_argument("output")
+    p = g_plot.add_parser("top-results")
+    p.add_argument("result")
+    p.add_argument("output")
+    p.add_argument("--num-rows", type=int, default=20)
+    p = g_plot.add_parser("histogram")
+    p.add_argument("data")
+    p.add_argument("column")
+    p.add_argument("output")
+
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    spark = _spark()
+    from clarite_python_spark.operators import analyze, describe, modify
+    from pyspark.sql import functions as F
+
+    cmd = (args.group, args.command)
+    if args.group == "load":
+        from clarite_python_spark.sources.io import from_csv, from_tsv
+
+        idx = args.index_col
+        if idx is not None and idx.isdigit():
+            idx = int(idx)
+        fn = from_tsv if args.command == "from-tsv" else from_csv
+        _save(fn(spark, args.input, index_col=idx if idx is not None else 0), args.output)
+        return 0
+
+    if args.group == "modify":
+        two_frame = {"merge-variables", "merge-observations"}
+        if args.command in two_frame:
+            if args.command == "merge-variables":
+                out = modify.merge_variables(
+                    _load(spark, args.left), _load(spark, args.right), how=args.how
+                )
+            else:
+                out = modify.merge_observations(
+                    _load(spark, args.top), _load(spark, args.bottom)
+                )
+            _save(out, args.output)
+            return 0
+        cf = _load(spark, args.data)
+        so = dict(skip=getattr(args, "skip", None), only=getattr(args, "only", None))
+        if args.command == "categorize":
+            out = modify.categorize(cf, args.cat_min, args.cat_max, args.cont_min)
+        elif args.command == "make-binary":
+            out = modify.make_binary(cf, **so)
+        elif args.command == "make-categorical":
+            out = modify.make_categorical(cf, **so)
+        elif args.command == "make-continuous":
+            out = modify.make_continuous(cf, **so)
+        elif args.command == "colfilter":
+            out = modify.colfilter(cf, **so)
+        elif args.command == "colfilter-min-n":
+            out = modify.colfilter_min_n(cf, n=args.n, **so)
+        elif args.command == "colfilter-min-cat-n":
+            out = modify.colfilter_min_cat_n(cf, n=args.n, **so)
+        elif args.command == "colfilter-percent-zero":
+            out = modify.colfilter_percent_zero(cf, filter_percent=args.filter_percent, **so)
+        elif args.command == "rowfilter-incomplete-obs":
+            out = modify.rowfilter_incomplete_obs(cf, **so)
+        elif args.command == "drop-extra-categories":
+            out = modify.drop_extra_categories(cf, **so)
+        elif args.command == "rowfilter":
+            value: object = args.value
+            try:
+                value = float(value) if "." in str(value) else int(value)
+            except ValueError:
+                pass
+            out = modify.rowfilter(cf, args.column, args.comparison, value)
+        elif args.command == "recode-values":
+            out = modify.recode_values(cf, json.loads(args.mapping), **so)
+        elif args.command == "remove-outliers":
+            out = modify.remove_outliers(cf, method=args.method, cutoff=args.cutoff, **so)
+        elif args.command == "transform":
+            out = modify.transform(cf, args.transform_method, **so)
+        else:  # pragma: no cover
+            raise SystemExit(f"unknown command {cmd}")
+        _save(out, args.output)
+        return 0
+
+    if args.group == "describe":
+        cf = _load(spark, args.data)
+        if args.command == "summarize":
+            print(json.dumps(describe.summarize(cf)))
+            return 0
+        fn = {
+            "correlations": lambda: describe.correlations(cf, threshold=args.threshold),
+            "freq-table": lambda: describe.freq_table(cf),
+            "get-types": lambda: describe.get_types(cf),
+            "percent-na": lambda: describe.percent_na(cf),
+            "skewness": lambda: describe.skewness(cf),
+        }[args.command]
+        _save_result(fn(), args.output)
+        return 0
+
+    if args.group == "analyze":
+        if args.command == "association-study":
+            cf = _load(spark, args.data)
+            design = None
+            if args.strata or args.cluster or args.weight or args.weights_file:
+                from clarite_python_spark.survey import SurveyDesignSpec
+
+                survey_df = (
+                    _load(spark, args.survey_data).df if args.survey_data else cf.df
+                )
+                weights = args.weight
+                if args.weights_file:
+                    # TSV of variable -> weight-column name
+                    # (reference cli/commands/analyze.py:103-110)
+                    import csv
+
+                    with open(args.weights_file) as fh:
+                        weights = dict(
+                            (row[0], row[1])
+                            for row in csv.reader(fh, delimiter="\t")
+                            if len(row) >= 2
+                        )
+                design = SurveyDesignSpec(
+                    survey_df,
+                    strata=args.strata,
+                    cluster=args.cluster,
+                    nest=args.nest,
+                    weights=weights,
+                    fpc=args.fpc,
+                    single_cluster=args.single_cluster,
+                    drop_unweighted=args.drop_unweighted,
+                )
+                if not args.survey_data:
+                    # design columns came from the data file: exclude them
+                    # from the analysis frame (design vars must not appear
+                    # in the data, reference survey_design.py:488-550)
+                    design_cols = [
+                        c
+                        for c in (
+                            args.strata,
+                            args.cluster,
+                            args.fpc,
+                            *design.unique_weight_names,
+                        )
+                        if c is not None and c in cf.variables
+                    ]
+                    if design_cols:
+                        cf = modify.colfilter(cf, skip=design_cols)
+            res = analyze.association_study(
+                cf,
+                outcomes=args.outcomes,
+                regression_variables=args.regression_variables,
+                covariates=args.covariates,
+                min_n=args.min_n,
+                standardize_data=args.standardize_data,
+                report_categorical_betas=args.report_categorical_betas,
+                survey_design_spec=design,
+            )
+            _save_result(res, args.output)
+            return 0
+        if args.command == "add-corrected-pvalues":
+            df = spark.read.parquet(args.data)
+            _save_result(
+                analyze.add_corrected_pvalues(df, pvalue=args.pvalue, groupby=args.groupby),
+                args.output,
+            )
+            return 0
+        if args.command == "get-significant":
+            # reference cli/commands/analyze.py:299-324
+            df = spark.read.parquet(args.data)
+            col = "pvalue_fdr" if args.method == "fdr" else "pvalue_bonferroni"
+            _save_result(df.where(F.col(col) <= args.pvalue), args.output)
+            return 0
+
+    if args.group == "plot":
+        from clarite_python_spark import plot as plot_mod
+
+        if args.command == "manhattan":
+            dfs = {p: spark.read.parquet(p) for p in args.results}
+            plot_mod.manhattan(dfs, filename=args.output)
+        elif args.command == "top-results":
+            plot_mod.top_results(
+                spark.read.parquet(args.result), num_rows=args.num_rows, filename=args.output
+            )
+        elif args.command == "histogram":
+            plot_mod.histogram(_load(spark, args.data), args.column, filename=args.output)
+        print(f"wrote {args.output}")
+        return 0
+
+    raise SystemExit(f"unknown command {cmd}")  # pragma: no cover
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -569,7 +569,16 @@ def association_study(
     the linearized sandwich vcov + survey dof (+ working-LRT for
     categorical variables).
     """
-    if regression_kind not in (None, "glm", "weighted_glm"):
+    custom_kernel_factory = None
+    if callable(regression_kind):
+        # user extension point (reference association_study.py:90-96
+        # accepts a custom Regression subclass): a factory
+        # ``f(outcome, covariates, covar_types, rv_types, family, min_n,
+        # report_categorical_betas) -> kernel(key, pdf) -> pd.DataFrame``
+        # whose kernel runs inside the grouped fan-out and must return
+        # rows matching RESULT_SCHEMA.
+        custom_kernel_factory = regression_kind
+    elif regression_kind not in (None, "glm", "weighted_glm"):
         raise ValueError(f"unsupported regression_kind {regression_kind!r}")
     if regression_kind == "weighted_glm" and survey_design_spec is None:
         raise ValueError("A 'survey_design_spec' must be provided")
@@ -648,6 +657,10 @@ def association_study(
                 report_categorical_betas,
                 survey_design_spec.constants(),
                 weight_info,
+            )
+        elif custom_kernel_factory is not None:
+            kernel = custom_kernel_factory(
+                outcome, covariates, covar_types, rv_types, family, min_n, report_categorical_betas
             )
         else:
             kernel = _make_assoc_kernel(

@@ -183,3 +183,36 @@ def test_interaction_study_detects_built_in_interaction(spark):
     row = out[(out.Term1 == "a") & (out.Term2 == "b")]
     assert row["LRT_pvalue"].iloc[0] < 1e-50
     assert row["Full_Var1_Var2_beta"].iloc[0] == pytest.approx(2.0, abs=0.1)
+
+
+def test_custom_regression_kernel(ewas_cf):
+    """User extension point: a custom kernel factory runs inside the
+    grouped fan-out in place of the GLM (reference accepts a custom
+    Regression subclass, association_study.py:90-96)."""
+    import pandas as pd
+
+    from clarite_python_spark.operators import analyze as an
+
+    def factory(outcome, covariates, covar_types, rv_types, family, min_n, rcb):
+        def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            rv = key[0]
+            sub = pdf[[outcome, "value"]].dropna()
+            r = sub[outcome].astype(float).corr(pd.to_numeric(sub["value"]))
+            row = an._default_row(rv, outcome)
+            row.update(Variable_type=rv_types[rv], N=len(sub), Converged=True, Beta=float(r), pvalue=0.5)
+            out = pd.DataFrame([row])
+            out["N"] = out["N"].astype("Int64")
+            return out[[f.name for f in an.RESULT_SCHEMA.fields]]
+
+        return kernel
+
+    res = analyze.association_study(
+        ewas_cf,
+        outcomes="outcome",
+        covariates=["age", "sex"],
+        regression_variables=["signal", "noise1"],
+        regression_kind=factory,
+        min_n=50,
+    ).toPandas().set_index("Variable")
+    assert abs(res.loc["signal", "Beta"]) > 0.5  # correlation, not a GLM beta
+    assert (res.pvalue == 0.5).all()

@@ -1,0 +1,129 @@
+"""CLI tests: the reference's file-based pipeline flow (load -> modify ->
+describe -> analyze) driven through cli.main with parquet + .dtypes
+sidecar datasets (reference clarite/cli/)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from clarite_python_spark import cli
+from clarite_python_spark.sources.io import from_parquet
+
+
+@pytest.fixture()
+def tsv_file(tmp_path, ewas_pdf):
+    p = tmp_path / "data.tsv"
+    ewas_pdf.to_csv(p, sep="\t", index=False)
+    return str(p)
+
+
+def test_cli_pipeline(spark, tmp_path, tsv_file):
+    d = str(tmp_path)
+    assert cli.main(["load", "from-tsv", tsv_file, f"{d}/ds1", "--index-col", "ID"]) == 0
+    assert os.path.exists(f"{d}/ds1.dtypes")
+
+    assert cli.main(["modify", "categorize", f"{d}/ds1", f"{d}/ds2"]) == 0
+    cf = from_parquet(spark, f"{d}/ds2")
+    assert cf.catalog.get("outcome") == "continuous"
+    assert cf.catalog.get("sex") == "binary"
+    assert cf.catalog.get("cat_var") == "categorical"
+
+    assert cli.main(["modify", "colfilter", f"{d}/ds2", f"{d}/ds3", "--skip", "noise2"]) == 0
+    cf3 = from_parquet(spark, f"{d}/ds3")
+    assert "noise2" not in cf3.variables
+
+    assert cli.main(["describe", "percent-na", f"{d}/ds3", f"{d}/pna"]) == 0
+    pna = spark.read.parquet(f"{d}/pna").toPandas()
+    assert set(pna.columns) == {"variable", "percent_na"}
+
+    assert (
+        cli.main(
+            [
+                "analyze",
+                "association-study",
+                f"{d}/ds3",
+                f"{d}/res",
+                "--outcomes",
+                "outcome",
+                "--covariates",
+                "age",
+                "sex",
+                "--min-n",
+                "50",
+            ]
+        )
+        == 0
+    )
+    res = spark.read.parquet(f"{d}/res").toPandas()
+    assert "signal" in set(res.Variable)
+    assert res.set_index("Variable").loc["signal", "pvalue"] < 1e-10
+
+    assert cli.main(["analyze", "add-corrected-pvalues", f"{d}/res", f"{d}/resc"]) == 0
+    resc = spark.read.parquet(f"{d}/resc").toPandas()
+    assert {"pvalue_bonferroni", "pvalue_fdr"} <= set(resc.columns)
+
+    assert (
+        cli.main(
+            ["analyze", "get-significant", f"{d}/resc", f"{d}/sig", "--pvalue", "0.05"]
+        )
+        == 0
+    )
+    sig = spark.read.parquet(f"{d}/sig").toPandas()
+    assert (sig.pvalue_fdr <= 0.05).all()
+    assert "signal" in set(sig.Variable)
+
+
+def test_cli_rowfilter_and_outliers(spark, tmp_path, tsv_file):
+    d = str(tmp_path)
+    cli.main(["load", "from-tsv", tsv_file, f"{d}/a", "--index-col", "ID"])
+    cli.main(["modify", "categorize", f"{d}/a", f"{d}/b"])
+    assert (
+        cli.main(
+            ["modify", "rowfilter", f"{d}/b", f"{d}/c", "--column", "age",
+             "--comparison", "gte", "--value", "40"]
+        )
+        == 0
+    )
+    c = from_parquet(spark, f"{d}/c")
+    ages = c.df.select("age").toPandas()["age"]
+    assert (ages >= 40).all()
+    assert (
+        cli.main(
+            ["modify", "remove-outliers", f"{d}/c", f"{d}/e", "--method", "iqr",
+             "--cutoff", "1.5", "--only", "signal"]
+        )
+        == 0
+    )
+
+
+def test_cli_weights_file(spark, tmp_path, ewas_pdf):
+    """--weights-file: per-variable weight mapping TSV."""
+    d = str(tmp_path)
+    rng_w = (ewas_pdf.ID % 7 + 1).astype(float)
+    pdf = ewas_pdf.assign(w1=rng_w, w2=1.0)
+    pdf.to_csv(f"{d}/data.tsv", sep="\t", index=False)
+    with open(f"{d}/weights.tsv", "w") as fh:
+        for v in ("signal", "noise1", "cat_var"):
+            fh.write(f"{v}\tw1\n")
+    cli.main(["load", "from-tsv", f"{d}/data.tsv", f"{d}/a", "--index-col", "ID"])
+    cli.main(["modify", "categorize", f"{d}/a", f"{d}/b"])
+    assert (
+        cli.main(
+            [
+                "analyze", "association-study", f"{d}/b", f"{d}/res",
+                "--outcomes", "outcome",
+                "--covariates", "age", "sex",
+                "--regression-variables", "signal", "noise1", "cat_var",
+                "--weights-file", f"{d}/weights.tsv",
+                "--min-n", "50",
+            ]
+        )
+        == 0
+    )
+    res = spark.read.parquet(f"{d}/res").toPandas().set_index("Variable")
+    assert res.loc["signal", "Weight"] == "w1"
+    assert res.loc["signal", "pvalue"] < 1e-10
