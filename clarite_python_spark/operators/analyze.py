@@ -550,6 +550,8 @@ def association_study(
     regression_kind: str | None = None,
     encoding: str = "additive",
     edge_encoding_info=None,
+    strategy: str = "grouped",
+    max_concurrent_jobs: int = 8,
 ) -> DataFrame:
     """EWAS-style mass regression (reference association_study.py:14-132).
 
@@ -568,6 +570,13 @@ def association_study(
     full-design constants broadcast into the kernel, and inference uses
     the linearized sandwich vcov + survey dof (+ working-LRT for
     categorical variables).
+
+    ``strategy``: ``"grouped"`` (default) = melt +
+    ``groupBy(variable).applyInPandas`` — right for wide/short EWAS
+    tables; ``"columnar"`` = one distributed ML-GLM job per variable
+    scheduled from a driver thread pool (``max_concurrent_jobs``) — the
+    100-TB path where a variable's rows exceed one worker's memory
+    (SURVEY.md §7 risk #4). Same result schema; unweighted studies only.
     """
     custom_kernel_factory = None
     if callable(regression_kind):
@@ -632,6 +641,31 @@ def association_study(
             if outcome_type == CONTINUOUS:
                 z_cols.append(outcome)
             df = _zscore_columns(df, z_cols)
+
+        if strategy == "columnar":
+            if survey_design_spec is not None:
+                raise ValueError(
+                    "strategy='columnar' does not support survey designs (use grouped)"
+                )
+            from clarite_python_spark.operators.analyze_columnar import (
+                columnar_association_study,
+            )
+
+            pdf = columnar_association_study(
+                df,
+                outcome,
+                my_rvs,
+                rv_types,
+                covariates,
+                covar_types,
+                family,
+                min_n,
+                max_concurrent_jobs,
+            )
+            results.append(data.df.sparkSession.createDataFrame(pdf, RESULT_SCHEMA))
+            continue
+        if strategy != "grouped":
+            raise ValueError(f"unknown strategy {strategy!r}")
 
         id_vars = [ID_COL, outcome, *covariates]
         if survey_design_spec is not None:
