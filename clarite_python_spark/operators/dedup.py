@@ -85,9 +85,12 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
     Built as ONE ``aggregate`` fold over the shingle array so the
     (interpreted — higher-order functions don't codegen) shingling
     expression is evaluated once per row, not once per hash function:
-    acc[j] = least(acc[j], xxhash64(s, j)). The naive per-hash
-    ``array_min(transform(...))`` form re-derives the shingle array
-    ``num_hashes`` times and is ~30x slower."""
+    acc[j] = least(acc[j], xxhash64(s, j)). Measured alternatives both
+    lose: per-hash ``array_min(transform(...))`` re-derives the shingle
+    array num_hashes times (~30x); pre-hashing each string once and
+    deriving members from the 8-byte value adds a nested array
+    allocation per element that costs more than the string re-hash
+    (~2x slower at 32 hashes)."""
     max_long = (1 << 63) - 1
     seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     return F.aggregate(
