@@ -59,7 +59,13 @@ from clarite_python_spark.functions.wglm import (
     survey_dof,
 )
 
-__all__ = ["association_study", "interaction_study", "add_corrected_pvalues", "ewas"]
+__all__ = [
+    "association_study",
+    "interaction_study",
+    "add_corrected_pvalues",
+    "ewas",
+    "get_significant",
+]
 
 
 RESULT_SCHEMA = T.StructType(
@@ -790,6 +796,21 @@ def add_corrected_pvalues(
         .drop("__m", "__rank", "__bh_raw")
     )
     return out.orderBy(F.asc_nulls_last("pvalue_fdr"), F.asc_nulls_last("pvalue_bonferroni"))
+
+
+def get_significant(
+    result: DataFrame, pvalue: float = 0.05, method: str = "fdr"
+) -> DataFrame:
+    """Rows whose corrected pvalue is <= the threshold (reference CLI
+    ``analyze get_significant``, cli/commands/analyze.py:299-324).
+    ``method`` selects the ``pvalue_fdr`` or ``pvalue_bonferroni`` column
+    (run :func:`add_corrected_pvalues` first)."""
+    col = {"fdr": "pvalue_fdr", "bonferroni": "pvalue_bonferroni"}.get(method)
+    if col is None:
+        raise ValueError("method must be 'fdr' or 'bonferroni'")
+    if col not in result.columns:
+        raise ValueError(f"{col} not found — run add_corrected_pvalues first")
+    return result.where(F.col(col) <= pvalue)
 
 
 # --------------------------------------------------------------------------

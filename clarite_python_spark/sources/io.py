@@ -105,6 +105,42 @@ def save(cf: ClariteFrame, path: str, fmt: str = "parquet", mode: str = "overwri
         fh.write(cf.catalog.to_json())
 
 
+EWAS_REQUIRED_COLUMNS = [
+    "Variable",
+    "Outcome",
+    "Variable_type",
+    "Converged",
+    "N",
+    "Beta",
+    "SE",
+    "Beta_pvalue",
+    "LRT_pvalue",
+    "Diff_AIC",
+    "pvalue",
+]
+# The reference's EWAS-result schema (analyze/__init__.py:28-40); the
+# corrected columns are optional extras after add_corrected_pvalues.
+
+
+def save_ewas(result: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Persist an association-study result frame, validating the schema
+    first (reference save_clarite_ewas, cli/custom_types.py:154-177)."""
+    missing = [c for c in EWAS_REQUIRED_COLUMNS if c not in result.columns]
+    if missing:
+        raise ValueError(f"not an EWAS result frame — missing columns: {missing}")
+    result.write.mode(mode).parquet(path)
+
+
+def load_ewas(spark: SparkSession, path: str) -> DataFrame:
+    """Load + schema-validate an EWAS result frame (reference
+    ClariteEwasResultParamType.convert, cli/custom_types.py:204-228)."""
+    df = spark.read.parquet(path)
+    missing = [c for c in EWAS_REQUIRED_COLUMNS if c not in df.columns]
+    if missing:
+        raise ValueError(f"not an EWAS result file — missing columns: {missing}")
+    return df
+
+
 def load_testdata(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> dict[str, DataFrame]:
     """Convenience loader for the driver's TPC-H-ish parquet tables."""
     tables = tables or [

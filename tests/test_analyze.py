@@ -216,3 +216,27 @@ def test_custom_regression_kernel(ewas_cf):
     ).toPandas().set_index("Variable")
     assert abs(res.loc["signal", "Beta"]) > 0.5  # correlation, not a GLM beta
     assert (res.pvalue == 0.5).all()
+
+
+def test_get_significant_and_ewas_io(spark, tmp_path, ewas_cf):
+    from clarite_python_spark.sources.io import load_ewas, save_ewas
+
+    res = analyze.association_study(
+        ewas_cf, outcomes="outcome", covariates=["age", "sex"], min_n=50
+    )
+    corrected = analyze.add_corrected_pvalues(res)
+    sig = analyze.get_significant(corrected, pvalue=0.05, method="fdr").toPandas()
+    assert "signal" in set(sig.Variable)
+    assert (sig.pvalue_fdr <= 0.05).all()
+
+    p = str(tmp_path / "ewas_res")
+    save_ewas(corrected, p)
+    loaded = load_ewas(spark, p)
+    assert loaded.count() == corrected.count()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="missing columns"):
+        save_ewas(ewas_cf.df, str(tmp_path / "bad"))
+    with _pytest.raises(ValueError, match="add_corrected_pvalues"):
+        analyze.get_significant(res)
