@@ -44,6 +44,7 @@ from clarite_python_spark.catalog import (
     ID_COL,
     UNKNOWN,
     ClariteFrame,
+    qcol,
 )
 from clarite_python_spark.functions.distributions import chi2_sf, t_sf
 from clarite_python_spark.functions.glm import (
@@ -184,7 +185,7 @@ def _make_assoc_kernel(
             Xr, names_r, _ = _design_matrix(sub, covariates, covar_types)
 
             if vtype == CONTINUOUS:
-                x = sub["value"].to_numpy(dtype=float)[:, None]
+                x = pd.to_numeric(sub["value"]).to_numpy(dtype=float)[:, None]
                 X = np.hstack([Xr, x])
                 res = fit_glm(X, y, names_r + [rv], family)
                 row = _default_row(rv, outcome)
@@ -194,7 +195,7 @@ def _make_assoc_kernel(
                     row.update(Converged=True, Beta=b, SE=s, Beta_pvalue=p, pvalue=p)
                 rows.append(row)
             elif vtype in (BINARY, CATEGORICAL):
-                levels = sorted(sub["value"].dropna().unique().tolist())
+                levels = _sorted_levels(sub["value"])
                 mat, nm = dummy_encode(sub["value"].to_numpy(), levels, rv)
                 X = np.hstack([Xr, mat])
                 res = fit_glm(X, y, names_r + nm, family)
@@ -706,14 +707,14 @@ def association_study(
             kernel = _make_assoc_kernel(
                 outcome, covariates, covar_types, rv_types, family, min_n, report_categorical_betas
             )
-        for group, cast_type in (
-            ([v for v in my_rvs if rv_types[v] == CONTINUOUS], "double"),
-            ([v for v in my_rvs if rv_types[v] in (BINARY, CATEGORICAL)], "string"),
-        ):
-            if not group:
-                continue
+        # ONE unpivot covering every variable type: values ride as strings
+        # (int->"1", double keeps its repr) and the kernels recover
+        # numerics with pd.to_numeric — one scan instead of one per type
+        # group, which matters when the table is the expensive input.
+        group = [v for v in my_rvs if rv_types[v] in (CONTINUOUS, BINARY, CATEGORICAL)]
+        if group:
             long = df.select(
-                *id_vars, *[F.col(c).cast(cast_type).alias(c) for c in group]
+                *id_vars, *[qcol(c).cast("string").alias(c) for c in group]
             ).unpivot(id_vars, group, "variable", "value")
             res = long.groupBy("variable").applyInPandas(kernel, RESULT_SCHEMA)
             results.append(res)
