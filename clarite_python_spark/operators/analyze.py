@@ -559,6 +559,7 @@ def association_study(
     edge_encoding_info=None,
     strategy: str = "grouped",
     max_concurrent_jobs: int = 8,
+    use_sufficient_stats: bool = True,
 ) -> DataFrame:
     """EWAS-style mass regression (reference association_study.py:14-132).
 
@@ -712,6 +713,36 @@ def association_study(
         # numerics with pd.to_numeric — one scan instead of one per type
         # group, which matters when the table is the expensive input.
         group = [v for v in my_rvs if rv_types[v] in (CONTINUOUS, BINARY, CATEGORICAL)]
+        suff: list[str] = []
+        if (
+            use_sufficient_stats
+            and survey_design_spec is None
+            and custom_kernel_factory is None
+            and family == GAUSSIAN
+        ):
+            # Gaussian + continuous-variable fits are closed-form OLS:
+            # compute them as batched masked-sum aggregations (no melt, no
+            # shuffle of data rows, no Python workers) — the GWAS/EWAS
+            # hot path (functions/olsagg.py; ~20x the kernel at the
+            # reference's canonical 22.6k x 970 shape).
+            from clarite_python_spark.functions.olsagg import gaussian_suffstats_rows
+
+            suff = [v for v in group if rv_types[v] == CONTINUOUS]
+            group = [v for v in group if rv_types[v] != CONTINUOUS]
+        if suff:
+            suff_rows = gaussian_suffstats_rows(
+                df,
+                outcome,
+                suff,
+                covariates,
+                covar_types,
+                data.category_levels,
+                min_n,
+                lambda rv: _default_row(rv, outcome),
+            )
+            results.append(
+                data.df.sparkSession.createDataFrame(suff_rows, RESULT_SCHEMA)
+            )
         if group:
             long = df.select(
                 *id_vars, *[qcol(c).cast("string").alias(c) for c in group]

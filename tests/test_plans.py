@@ -1,0 +1,60 @@
+"""Physical-plan quality assertions: filters and projections written
+through the operator API must reach the parquet scan (predicate pushdown
++ column pruning) — the properties that make the same code scale to
+100 TB."""
+
+from __future__ import annotations
+
+import pytest
+
+from clarite_python_spark.catalog import ClariteFrame
+from clarite_python_spark.operators import modify
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _formatted_plan(df) -> str:
+    jdf = df._jdf
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return jdf.queryExecution().explainString(mode)
+
+
+@pytest.fixture(scope="module")
+def orders_cf(spark):
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet").withColumnRenamed(
+        "o_orderkey", "ID"
+    )
+    return ClariteFrame(df)
+
+
+def test_rowfilter_pushes_predicate(orders_cf):
+    out = modify.rowfilter(orders_cf, "o_totalprice", "gte", 100000.0)
+    plan = _formatted_plan(out.df)
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(o_totalprice,100000.0)" in plan
+
+
+def test_colfilter_prunes_scan(orders_cf):
+    out = modify.colfilter(orders_cf, only=["o_totalprice", "o_orderstatus"])
+    plan = _formatted_plan(out.df)
+    # ReadSchema lists only the selected columns (+ID)
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "o_totalprice" in read_schema and "o_orderstatus" in read_schema
+    assert "o_orderdate" not in read_schema and "o_custkey" not in read_schema
+
+
+def test_chained_operators_fuse_into_one_scan(orders_cf):
+    """QC chain (colfilter -> rowfilter) stays ONE scan with both the
+    filter and the pruning applied — lazy frames fuse, unlike the
+    reference's eager copy-per-operator pipeline."""
+    step1 = modify.colfilter(orders_cf, only=["o_totalprice", "o_orderstatus"])
+    step2 = modify.rowfilter(step1, "o_orderstatus", "eq", "O")
+    plan = _formatted_plan(step2.df)
+    # exactly one scan node (formatted output prints each node twice:
+    # once in the tree, once in the details — count the file index)
+    assert plan.count("InMemoryFileIndex") == 1
+    assert "EqualTo(o_orderstatus,O)" in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "o_custkey" not in read_schema
