@@ -55,7 +55,7 @@ def correlations(cf: ClariteFrame, threshold: float = 0.75, _wide_limit: int = 8
     if not pairs:
         return spark.createDataFrame([], "var1 string, var2 string, correlation double")
     if len(cols) <= _wide_limit:
-        aggs = [F.corr(a, b).alias(f"{a}::{b}") for a, b in pairs]
+        aggs = [F.corr(qcol(a), qcol(b)).alias(f"{a}::{b}") for a, b in pairs]
         row = cf.df.agg(*aggs).collect()[0]
         data = [
             (a, b, float(row[f"{a}::{b}"]))
