@@ -1,34 +1,35 @@
-"""Sufficient-statistics OLS: the Gaussian/continuous fan-out as one
-vectorized pass (no melt, no per-variable Python groups).
+"""Sufficient-statistics OLS: Gaussian fits as one vectorized pass
+(no melt, no per-variable Python groups).
 
-For a Gaussian outcome and CONTINUOUS regression variables the GLM is
-ordinary least squares, and everything every per-variable fit needs is
-masked sums of products:
+For a Gaussian outcome every fit here is ordinary least squares, so all
+a fit needs is masked sums of products. The engine works on "units" —
+a unit is one independent regression with one or more member columns:
 
-    with A = [1, covariates..., outcome] and, per variable v,
-    mask m_v = (v, outcome, covariates all non-null):
-      G_v = sum(m_v * A ⊗ A)   (the (k+2)x(k+2) masked Gram of A)
-      u_v = sum(v * A)          (v's cross-products; NaN v contribute 0)
-      uu_v = sum(v^2),  n_v = sum(m_v)
+- association study: unit = one continuous variable v, members [v];
+- interaction study: unit = a continuous pair (a, b), members
+  [a, b, a*b] — the restricted (no-interaction) model is a sub-block of
+  the same Gram matrix, so the LRT costs nothing extra.
+
+With A = [1, covariates..., outcome] and, per unit u with mask m_u
+(= all members + outcome + covariates non-null):
+
+    G_u  = sum(m_u * A ⊗ A)          (masked Gram of A)
+    UA_u = sum(members_u ⊗ A)        (member cross-products)
+    UU_u = sum(members_u ⊗ members_u)
+    n_u  = sum(m_u)
 
 Execution: ``mapInPandas`` over the WIDE table — each Arrow batch
-computes its partial stats for ALL variables with two BLAS matmuls
-(``M.T @ P`` and ``U.T @ A``), emitting |variables| tiny partial rows;
-a p-row groupBy-sum reduction collects to the driver, which solves the
-per-variable normal equations ((k+2)-sized systems) and produces the
-reference's Wald t statistics.
+computes partials for ALL units with a handful of BLAS matmuls and
+emits |units| tiny rows; a groupBy-sum reduction collects to the driver,
+which solves each unit's normal equations and produces Wald t / LRT
+statistics.
 
-Why not the grouped pandas kernel: the melt ships |rows| x |variables|
-long rows (strings) through a shuffle into Python workers — measured
-~18 fits/sec at the reference's canonical 22.6k x 970 EWAS. This path
-ships each datum once as Arrow columns, does ~n*p*(k+2)^2 flops in
-BLAS, and shuffles only p x ~20 doubles. Why not pure aggregate
-expressions: |variables| x ~20 masked-sum expressions blow up Catalyst
-codegen superlinearly (measured 64s for a single 128-variable chunk).
-
-Numerics match ``fit_gaussian`` (same normal equations); per-variable
-complete-case masks, the min_n gate, and non-varying-covariate drops are
-reproduced from the same stats. Results feed the same RESULT_SCHEMA.
+Why not the grouped pandas kernel: the melt ships |rows| x |units| long
+rows through a shuffle into Python workers (measured ~18 fits/s at the
+reference's canonical 22.6k x 970 EWAS; this path measures ~123/s).
+Why not aggregate expressions: |units| x ~20 masked-sum expressions blow
+up Catalyst codegen superlinearly (measured 64 s for one 128-variable
+chunk). Numerics match the numpy kernels (same normal equations).
 """
 
 from __future__ import annotations
@@ -41,9 +42,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from clarite_python_spark.catalog import BINARY, CATEGORICAL, qcol
-from clarite_python_spark.functions.distributions import t_sf
+from clarite_python_spark.functions.distributions import chi2_sf, t_sf
 
-__all__ = ["gaussian_suffstats_rows"]
+__all__ = ["gaussian_suffstats_rows", "gaussian_interaction_rows"]
 
 
 def _covariate_frame(
@@ -52,11 +53,11 @@ def _covariate_frame(
     covar_types: dict[str, str],
     levels: dict[str, list],
 ) -> tuple[np.ndarray, np.ndarray]:
-    """(n x k) numeric covariate design + row mask of complete covariate
-    rows. Categorical covariates treatment-coded against their GLOBAL
-    sorted levels (per-variable empty levels surface as zero-variance
-    columns, dropped at solve time — same design matrix the reference
-    builds after _remove_empty_categories)."""
+    """(n x k) numeric covariate design + complete-covariate row mask.
+    Categorical covariates treatment-coded against GLOBAL sorted levels
+    (per-unit empty levels surface as zero-variance columns, dropped at
+    solve time — the same design the reference builds after
+    _remove_empty_categories)."""
     cols = []
     ok = np.ones(len(pdf), dtype=bool)
     for cv in covariates:
@@ -73,44 +74,58 @@ def _covariate_frame(
     return design, ok
 
 
-def gaussian_suffstats_rows(
+class _UnitStats:
+    """Collected sufficient statistics for one unit."""
+
+    __slots__ = ("n", "gq", "ua", "uu")
+
+    def __init__(self, n, gq, ua, uu):
+        self.n = n
+        self.gq = gq  # (q x q) masked Gram of A = [1, covars, y]
+        self.ua = ua  # (nm x q) member x A sums
+        self.uu = uu  # (nm x nm) member x member sums
+
+
+def _collect_unit_stats(
     df: DataFrame,
     outcome: str,
-    rvs: Sequence[str],
+    units: Sequence[tuple[str, list[str]]],
     covariates: Sequence[str],
     covar_types: dict[str, str],
     levels_of: Callable[[str], list],
-    min_n: int,
-    default_row: Callable[[str], dict],
-) -> list[dict]:
-    """Fit every continuous variable against a Gaussian outcome via
-    sufficient statistics; returns result-row dicts (RESULT_SCHEMA keys).
-    """
-    rvs = list(rvs)
+) -> tuple[dict[str, _UnitStats], int]:
+    """One mapInPandas pass computing every unit's sufficient statistics.
+    All units must have the same member count. Returns ({unit: stats}, k)."""
+    units = list(units)
     covariates = list(covariates)
+    nm = len(units[0][1])
+    assert all(len(m) == nm for _, m in units)
     levels = {
         cv: [str(x) for x in levels_of(cv)]
         for cv in covariates
         if covar_types.get(cv) in (BINARY, CATEGORICAL)
     }
-    # design width: intercept + encoded covariates + outcome (A-matrix)
-    k = sum(
-        len(levels[cv]) - 1 if cv in levels else 1 for cv in covariates
-    )
-    q = k + 2  # [1, covars..., y]
-    p = len(rvs)
-
-    stat_cols = ["n", "uu"] + [f"u{i}" for i in range(q)] + [
-        f"g{i}_{j}" for i in range(q) for j in range(i, q)
-    ]
-    out_schema = "rv string, " + ", ".join(f"`{c}` double" for c in stat_cols)
+    k = sum(len(levels[cv]) - 1 if cv in levels else 1 for cv in covariates)
+    q = k + 2  # A = [1, covars..., y]
     tri = [(i, j) for i in range(q) for j in range(i, q)]
+    mm_tri = [(i, j) for i in range(nm) for j in range(i, nm)]
 
-    rv_list = rvs  # closure capture
-    cov_list = covariates
-    cov_types = dict(covar_types)
-    lv = levels
-    outcome_col = outcome
+    member_cols = sorted({c for _, ms in units for c in ms})
+    col_pos = {c: i for i, c in enumerate(member_cols)}
+    unit_names = [u for u, _ in units]
+    unit_members = np.array(
+        [[col_pos[c] for c in ms] for _, ms in units], dtype=int
+    )  # (p x nm)
+
+    stat_cols = (
+        ["n"]
+        + [f"g{i}_{j}" for i, j in tri]
+        + [f"ua{a}_{i}" for a in range(nm) for i in range(q)]
+        + [f"uu{a}_{b}" for a, b in mm_tri]
+    )
+    out_schema = "unit string, " + ", ".join(f"`{c}` double" for c in stat_cols)
+
+    cov_list, cov_types, lv, outcome_col = covariates, dict(covar_types), levels, outcome
 
     def partials(batches):
         for pdf in batches:
@@ -121,89 +136,232 @@ def gaussian_suffstats_rows(
             y = pd.to_numeric(pdf[outcome_col]).to_numpy(dtype=float)
             base_ok = c_ok & ~np.isnan(y)
             a = np.column_stack([np.ones(n_rows), c_design, np.nan_to_num(y)])
-            a[~base_ok] = 0.0  # rows failing the global mask contribute nothing
-            v = pdf[rv_list].apply(pd.to_numeric, errors="coerce").to_numpy(dtype=float)
-            m = (~np.isnan(v) & base_ok[:, None]).astype(float)
-            u = np.nan_to_num(v) * base_ok[:, None]
-            # pairwise products of A columns (n x |tri|), then mask-weighted sums
+            a[~base_ok] = 0.0
+            vals = pdf[member_cols].to_numpy(dtype=float)
+            # per-unit member matrices (n x p x nm) via fancy indexing
+            vu = vals[:, unit_members]  # n x p x nm
+            m = (~np.isnan(vu)).all(axis=2) & base_ok[:, None]  # n x p
+            mf = m.astype(float)
+            vu = np.nan_to_num(vu) * mf[:, :, None]
             prods = np.stack([a[:, i] * a[:, j] for i, j in tri], axis=1)
-            g = m.T @ prods  # p x |tri|
-            ua = u.T @ a  # p x q
-            uu = (u * u).sum(axis=0)  # p
-            n_v = m.sum(axis=0)  # p
-            out = {"rv": rv_list, "n": n_v, "uu": uu}
-            for i in range(q):
-                out[f"u{i}"] = ua[:, i]
+            g = mf.T @ prods  # p x |tri|
+            out = {"unit": unit_names, "n": mf.sum(axis=0)}
             for t, (i, j) in enumerate(tri):
                 out[f"g{i}_{j}"] = g[:, t]
+            for am in range(nm):
+                ua = np.einsum("np,nq->pq", vu[:, :, am], a)  # p x q
+                for i in range(q):
+                    out[f"ua{am}_{i}"] = ua[:, i]
+            for am, bm in mm_tri:
+                out[f"uu{am}_{bm}"] = (vu[:, :, am] * vu[:, :, bm]).sum(axis=0)
             yield pd.DataFrame(out)
 
-    partial_df = df.select(
-        qcol(outcome).alias(outcome), *[qcol(c).alias(c) for c in covariates],
-        *[qcol(c).alias(c) for c in rvs],
-    ).mapInPandas(partials, out_schema)
+    need = [outcome, *covariates, *member_cols]
+    partial_df = df.select(*[qcol(c).alias(c) for c in need]).mapInPandas(
+        partials, out_schema
+    )
     reduced = (
-        partial_df.groupBy("rv")
+        partial_df.groupBy("unit")
         .agg(*[F.sum(f"`{c}`").alias(c) for c in stat_cols])
         .collect()
     )
-    by_rv = {r["rv"]: r for r in reduced}
+    out: dict[str, _UnitStats] = {}
+    for r in reduced:
+        gq = np.zeros((q, q))
+        for i, j in tri:
+            gq[i, j] = gq[j, i] = float(r[f"g{i}_{j}"] or 0.0)
+        ua = np.array(
+            [[float(r[f"ua{a}_{i}"] or 0.0) for i in range(q)] for a in range(nm)]
+        )
+        uu = np.zeros((nm, nm))
+        for a_, b_ in mm_tri:
+            uu[a_, b_] = uu[b_, a_] = float(r[f"uu{a_}_{b_}"] or 0.0)
+        out[r["unit"]] = _UnitStats(float(r["n"] or 0.0), gq, ua, uu)
+    return out, k
 
+
+def _solve_ols(
+    st: _UnitStats, k: int, member_sel: list[int]
+) -> dict | None:
+    """Solve the unit's normal equations using the selected members as
+    the trailing design columns. Returns fit summary or None if
+    df_resid <= 0. Zero-variance covariate columns are dropped (the
+    reference ignores non-varying covariates per fit)."""
+    n = st.n
+    q = k + 2
+    nm_sel = len(member_sel)
+    zdim = k + 1 + nm_sel
+    g = np.zeros((zdim, zdim))
+    h = np.zeros(zdim)
+    g[: k + 1, : k + 1] = st.gq[: k + 1, : k + 1]
+    for si, am in enumerate(member_sel):
+        g[: k + 1, k + 1 + si] = st.ua[am, : k + 1]
+        g[k + 1 + si, : k + 1] = st.ua[am, : k + 1]
+        h[k + 1 + si] = st.ua[am, q - 1]
+        for sj, bm in enumerate(member_sel):
+            g[k + 1 + si, k + 1 + sj] = st.uu[am, bm]
+    h[: k + 1] = st.gq[: k + 1, q - 1]
+    yy = st.gq[q - 1, q - 1]
+
+    keep = [0]
+    for idx in range(1, k + 1):
+        col_var = g[idx, idx] - g[0, idx] ** 2 / n
+        if col_var > 1e-12 * max(abs(g[idx, idx]), 1.0):
+            keep.append(idx)
+    keep.extend(range(k + 1, zdim))
+
+    gk = g[np.ix_(keep, keep)]
+    hk = h[keep]
+    beta, *_ = np.linalg.lstsq(gk, hk, rcond=None)
+    rank = np.linalg.matrix_rank(gk)
+    df_resid = n - rank
+    if df_resid <= 0:
+        return None
+    ssr = max(float(yy - 2.0 * beta @ hk + beta @ gk @ beta), 0.0)
+    scale = ssr / df_resid
+    cov = scale * np.linalg.pinv(gk)
+    se = np.sqrt(np.clip(np.diag(cov), 0, None))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tvals = beta / se
+    pvals = 2.0 * np.asarray(t_sf(np.abs(tvals), df_resid), dtype=float)
+    # statsmodels-convention profiled Gaussian llf / aic
+    if scale > 0:
+        llf = -0.5 * (ssr / scale + n * np.log(2.0 * np.pi * scale))
+    else:
+        llf = np.nan
+    aic = -2.0 * llf + 2.0 * len(keep)
+    member_stats = []
+    base = len(keep) - nm_sel
+    for si in range(nm_sel):
+        i = base + si
+        member_stats.append((float(beta[i]), float(se[i]), float(pvals[i])))
+    return {
+        "df_resid": float(df_resid),
+        "llf": float(llf),
+        "aic": float(aic),
+        "members": member_stats,
+    }
+
+
+def gaussian_suffstats_rows(
+    df: DataFrame,
+    outcome: str,
+    rvs: Sequence[str],
+    covariates: Sequence[str],
+    covar_types: dict[str, str],
+    levels_of: Callable[[str], list],
+    min_n: int,
+    default_row: Callable[[str], dict],
+) -> list[dict]:
+    """Association-study rows (RESULT_SCHEMA keys) for continuous
+    variables against a Gaussian outcome — one pass, driver solves."""
+    units = [(rv, [rv]) for rv in rvs]
+    stats, k = _collect_unit_stats(
+        df, outcome, units, covariates, covar_types, levels_of
+    )
     rows: list[dict] = []
     for rv in rvs:
         row = default_row(rv)
         rows.append(row)
-        r = by_rv.get(rv)
-        if r is None:
-            continue
-        n = float(r["n"] or 0.0)
-        if n < min_n:
+        st = stats.get(rv)
+        if st is None or st.n < min_n:
             continue  # reference: min_n failure keeps the all-NaN row
         row["Variable_type"] = "continuous"
-        row["N"] = int(n)
-        # Assemble the (k+2)x(k+2) system for z = [1, covars..., v]:
-        # Gram of [1,c] from the masked A-gram; v-terms from u/uu.
-        gq = np.zeros((q, q))
-        for i, j in tri:
-            gq[i, j] = gq[j, i] = float(r[f"g{i}_{j}"] or 0.0)
-        ua = np.array([float(r[f"u{i}"] or 0.0) for i in range(q)])
-        uu = float(r["uu"] or 0.0)
-        # indices: 0 = intercept, 1..k = covars, q-1 = y
-        zdim = k + 2
-        g = np.zeros((zdim, zdim))
-        h = np.zeros(zdim)
-        g[: k + 1, : k + 1] = gq[: k + 1, : k + 1]
-        g[: k + 1, -1] = ua[: k + 1]
-        g[-1, : k + 1] = ua[: k + 1]
-        g[-1, -1] = uu
-        h[: k + 1] = gq[: k + 1, -1]
-        h[-1] = ua[-1]
-        yy = gq[-1, -1]
-
-        # drop zero-variance design columns (non-varying covariates /
-        # empty dummy levels under this variable's mask)
-        keep = [0]
-        for idx in range(1, k + 1):
-            col_var = g[idx, idx] - g[0, idx] ** 2 / n
-            if col_var > 1e-12 * max(abs(g[idx, idx]), 1.0):
-                keep.append(idx)
-        keep.append(zdim - 1)
-
-        gk = g[np.ix_(keep, keep)]
-        hk = h[keep]
-        beta, *_ = np.linalg.lstsq(gk, hk, rcond=None)
-        rank = np.linalg.matrix_rank(gk)
-        df_resid = n - rank
-        if df_resid <= 0:
+        row["N"] = int(st.n)
+        fit = _solve_ols(st, k, [0])
+        if fit is None:
             continue
-        ssr = yy - 2.0 * beta @ hk + beta @ gk @ beta
-        scale = ssr / df_resid
-        cov = scale * np.linalg.pinv(gk)
-        b = float(beta[-1])
-        se = float(np.sqrt(max(cov[-1, -1], 0.0)))
-        if se > 0:
-            pval = 2.0 * float(t_sf(abs(b / se), df_resid))
+        b, se, p = fit["members"][0]
+        row.update(Converged=True, Beta=b, SE=se, Beta_pvalue=p, pvalue=p)
+    return rows
+
+
+def gaussian_interaction_rows(
+    df: DataFrame,
+    outcome: str,
+    pairs: Sequence[tuple[str, str]],
+    covariates: Sequence[str],
+    covar_types: dict[str, str],
+    levels_of: Callable[[str], list],
+    min_n: int,
+    report_betas: bool,
+    default_row: Callable[[str, str], dict],
+) -> list[dict]:
+    """Interaction-study rows (INTERACTION_SCHEMA keys) for
+    continuous x continuous pairs against a Gaussian outcome.
+
+    Unit members are [a, b, a*b]; the restricted model reuses the same
+    Gram with the product column dropped, so full + restricted + LRT all
+    come from ONE scan. This is the scale path for pairwise epistasis:
+    the grouped kernel multiplies rows by C(p,2), this multiplies only
+    the per-batch matmul width."""
+    prod_names = {}
+    work = df
+    for i, (a, b) in enumerate(pairs):
+        pn = f"__px{i}"
+        prod_names[(a, b)] = pn
+        work = work.withColumn(
+            pn, qcol(a).cast("double") * qcol(b).cast("double")
+        )
+    units = [
+        (f"{a}\x00{b}", [a, b, prod_names[(a, b)]]) for a, b in pairs
+    ]
+    stats, k = _collect_unit_stats(
+        work, outcome, units, covariates, covar_types, levels_of
+    )
+    rows: list[dict] = []
+    for a, b in pairs:
+        st = stats.get(f"{a}\x00{b}")
+        if st is None or st.n < min_n:
+            row = default_row(a, b)
+            row["Log"] = (
+                f"too few complete observations ({0 if st is None else int(st.n)} < {min_n})"
+            )
+            rows.append(row)
+            continue
+        full = _solve_ols(st, k, [0, 1, 2])
+        restricted = _solve_ols(st, k, [0, 1])
+        if full is None or restricted is None:
+            row = default_row(a, b)
+            row.update(N=int(st.n))
+            rows.append(row)
+            continue
+        lrdf = restricted["df_resid"] - full["df_resid"]
+        lrstat = -2.0 * (restricted["llf"] - full["llf"])
+        if lrdf == 0 and lrstat == 0:
+            row = default_row(a, b)
+            row.update(
+                Converged=True, N=int(st.n), Log="Both models are equivalent in terms of fit"
+            )
+            rows.append(row)
+            continue
+        lr_p = float(chi2_sf(lrstat, lrdf)) if lrdf > 0 else float("nan")
+        if report_betas:
+            row = default_row(a, b)
+            row.update(
+                Parameter=f"{a}:{b}",
+                Converged=True,
+                N=int(st.n),
+                LRT_pvalue=lr_p,
+                Red_Var1_beta=restricted["members"][0][0],
+                Red_Var1_SE=restricted["members"][0][1],
+                Red_Var1_Pval=restricted["members"][0][2],
+                Red_Var2_beta=restricted["members"][1][0],
+                Red_Var2_SE=restricted["members"][1][1],
+                Red_Var2_Pval=restricted["members"][1][2],
+                Full_Var1_Var2_beta=full["members"][2][0],
+                Full_Var1_Var2_SE=full["members"][2][1],
+                Full_Var1_Var2_Pval=full["members"][2][2],
+                Full_Var1_beta=full["members"][0][0],
+                Full_Var1_SE=full["members"][0][1],
+                Full_Var1_Pval=full["members"][0][2],
+                Full_Var2_beta=full["members"][1][0],
+                Full_Var2_SE=full["members"][1][1],
+                Full_Var2_Pval=full["members"][1][2],
+            )
+            rows.append(row)
         else:
-            pval = float("nan")
-        row.update(Converged=True, Beta=b, SE=se, Beta_pvalue=pval, pvalue=pval)
+            row = default_row(a, b)
+            row.update(Converged=True, N=int(st.n), LRT_pvalue=lr_p)
+            rows.append(row)
     return rows

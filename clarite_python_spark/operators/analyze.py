@@ -901,6 +901,7 @@ def interaction_study(
     report_betas: bool = False,
     encoding: str = "additive",
     edge_encoding_info=None,
+    use_sufficient_stats: bool = True,
 ) -> DataFrame:
     """Pairwise-interaction LRT (reference interaction_study.py:10-137,
     interaction_regression.py:22-501): restricted =
@@ -956,6 +957,37 @@ def interaction_study(
         else:
             raise ValueError(f"outcome {outcome!r} must be continuous or binary")
 
+        my_pairs = list(pairs)
+        if use_sufficient_stats and family == GAUSSIAN:
+            # continuous x continuous pairs are closed-form OLS: full +
+            # restricted + LRT from one sufficient-stats pass (the scale
+            # path for pairwise epistasis; functions/olsagg.py)
+            from clarite_python_spark.functions.olsagg import gaussian_interaction_rows
+
+            suff_pairs = [
+                (a, b)
+                for a, b in my_pairs
+                if var_types[a] == CONTINUOUS and var_types[b] == CONTINUOUS
+            ]
+            my_pairs = [p for p in my_pairs if p not in set(suff_pairs)]
+            if suff_pairs:
+                suff_rows = gaussian_interaction_rows(
+                    df,
+                    outcome,
+                    suff_pairs,
+                    covariates,
+                    covar_types,
+                    data.category_levels,
+                    min_n,
+                    report_betas,
+                    lambda a, b: _interaction_default(a, b, outcome),
+                )
+                results.append(
+                    data.df.sparkSession.createDataFrame(suff_rows, INTERACTION_SCHEMA)
+                )
+        if not my_pairs:
+            continue
+
         structs = [
             F.struct(
                 F.lit(t1).alias("Term1"),
@@ -963,7 +995,7 @@ def interaction_study(
                 F.col(t1).cast("string").alias("v1"),
                 F.col(t2).cast("string").alias("v2"),
             )
-            for t1, t2 in pairs
+            for t1, t2 in my_pairs
         ]
         long = df.select(
             ID_COL, outcome, *covariates, F.explode(F.array(*structs)).alias("__pair")

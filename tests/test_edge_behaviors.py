@@ -130,3 +130,40 @@ def test_suffstats_matches_kernel_exactly(ewas_cf):
         mask = ~(a.isna() & b.isna())
         assert np.allclose(a[mask], b[mask], rtol=1e-9, atol=1e-12), col
     assert list(fast.N) == list(slow.N)
+
+
+def test_interaction_suffstats_matches_kernel(ewas_cf):
+    """Continuous-pair interaction via sufficient stats equals the
+    grouped kernel (same OLS + LRT)."""
+    kw = dict(
+        outcomes="outcome",
+        covariates=["age"],
+        interactions=[("signal", "noise1"), ("noise1", "noise2")],
+        min_n=50,
+        report_betas=True,
+    )
+    fast = (
+        analyze.interaction_study(ewas_cf, **kw)
+        .toPandas()
+        .set_index(["Term1", "Term2"])
+        .sort_index()
+    )
+    slow = (
+        analyze.interaction_study(ewas_cf, use_sufficient_stats=False, **kw)
+        .toPandas()
+        .set_index(["Term1", "Term2"])
+        .sort_index()
+    )
+    assert list(fast.index) == list(slow.index)
+    for col in (
+        "LRT_pvalue",
+        "Full_Var1_Var2_beta",
+        "Full_Var1_Var2_SE",
+        "Full_Var1_Var2_Pval",
+        "Red_Var1_beta",
+        "Full_Var2_Pval",
+    ):
+        a, b = fast[col].astype(float), slow[col].astype(float)
+        mask = ~(a.isna() & b.isna())
+        assert np.allclose(a[mask], b[mask], rtol=1e-8, atol=1e-12), col
+    assert list(fast.N) == list(slow.N)
