@@ -64,9 +64,17 @@ def _covariate_frame(
         vals = pdf[cv]
         ok &= vals.notna().to_numpy()
         if covar_types.get(cv) in (BINARY, CATEGORICAL):
+            # match levels numerically when they parse: an int column with
+            # nulls arrives as float64 ("1.0") while the catalog level is
+            # the int ("1") — string equality would silently zero the dummy
+            num = pd.to_numeric(vals, errors="coerce")
             s = vals.astype("string")
             for lv in levels[cv][1:]:
-                cols.append((s == str(lv)).to_numpy(dtype=float))
+                try:
+                    match = (num == float(lv)).to_numpy()
+                except (TypeError, ValueError):
+                    match = (s == str(lv)).to_numpy()
+                cols.append(match.astype(float))
         else:
             cols.append(pd.to_numeric(vals).to_numpy(dtype=float))
     k = len(cols)

@@ -1,0 +1,281 @@
+"""Survey-weighted Gaussian fits via per-cluster sufficient statistics.
+
+For a Gaussian outcome and a CONTINUOUS variable v under a survey design
+WITH a cluster variable, both the weighted fit and the linearized
+sandwich variance are functions of per-(variable, cluster) weighted
+masked sums. With z = [1, covariates..., v], weights w (normalized) and
+v's complete-case-and-subset mask m:
+
+    fit:      solve (sum_c Gz_c) b = sum_c hz_c
+    sandwich: per-cluster score sum J_c = hz_c - Gz_c @ b
+              (s_i = w_i (y_i - z_i'b) z_i summed within cluster),
+    then the same stratum-centering / lonely-PSU / fpc algebra as the
+    kernel (functions/wglm.py) on the tiny (#clusters x p) J matrix.
+
+So ONE mapInPandas pass over the wide table (BLAS matmuls per Arrow
+batch against a #clusters-wide one-hot) replaces the melt + per-variable
+Python groups, and the shuffle carries |vars| x |clusters| x ~20
+doubles. #clusters is bounded by the sampling frame, so this is
+scan-bound at any data size.
+
+Only cluster designs qualify: without a cluster column every observation
+is its own cluster (reference survey_design.py:195-198) and the
+"per-cluster" state would be O(rows) — those designs stay on the
+grouped kernel. Binary/categorical variables and Binomial outcomes
+(IRLS) also stay on the kernel.
+
+Verified against the same R `survey` goldens as the kernel
+(fpc / apiclus1 designs) and against the kernel itself at rtol 1e-9.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from clarite_python_spark.catalog import BINARY, CATEGORICAL, qcol
+from clarite_python_spark.functions.distributions import t_sf
+from clarite_python_spark.functions.wglm import _center_strata
+
+__all__ = ["weighted_gaussian_suffstats_rows"]
+
+
+def weighted_gaussian_suffstats_rows(
+    df: DataFrame,
+    outcome: str,
+    rvs: Sequence[str],
+    covariates: Sequence[str],
+    covar_types: dict[str, str],
+    levels_of: Callable[[str], list],
+    min_n: int,
+    default_row: Callable[[str], dict],
+    constants: dict,
+    weight_col: str | None,
+    weight_mean: float,
+    weight_label: str | None,
+    strat_col: str,
+    clust_col: str,
+    subset_col: str,
+) -> list[dict]:
+    """Weighted association rows (RESULT_SCHEMA keys) for continuous
+    variables sharing ONE weight column (multi-weight designs call once
+    per weight group). ``df`` is the data frame already joined with the
+    design columns."""
+    assert constants["has_cluster"], "cluster designs only"
+    rvs = list(rvs)
+    covariates = list(covariates)
+    levels = {
+        cv: [str(x) for x in levels_of(cv)]
+        for cv in covariates
+        if covar_types.get(cv) in (BINARY, CATEGORICAL)
+    }
+    k = sum(len(levels[cv]) - 1 if cv in levels else 1 for cv in covariates)
+    q = k + 2  # A = [1, covars..., y]
+    tri = [(i, j) for i in range(q) for j in range(i, q)]
+
+    clusters: list = list(constants["clusters"])
+    nc = len(clusters)
+    cl_index = {c: i for i, c in enumerate(clusters)}
+
+    stat_cols = (
+        ["n", "nwmiss", "ndmiss"]
+        + [f"g{i}_{j}" for i, j in tri]
+        + [f"u{i}" for i in range(q)]
+        + ["uu"]
+    )
+    out_schema = "unit string, clust int, " + ", ".join(
+        f"`{c}` double" for c in stat_cols
+    )
+
+    cov_list, cov_types, lvs = covariates, dict(covar_types), levels
+
+    def partials(batches):
+        from clarite_python_spark.functions.olsagg import _covariate_frame
+
+        for pdf in batches:
+            n_rows = len(pdf)
+            if n_rows == 0:
+                continue
+            c_design, c_ok = _covariate_frame(pdf, cov_list, cov_types, lvs)
+            y = pd.to_numeric(pdf[outcome]).to_numpy(dtype=float)
+            base_ok = c_ok & ~np.isnan(y)
+            a = np.column_stack([np.ones(n_rows), c_design, np.nan_to_num(y)])
+            a[~base_ok] = 0.0  # keep NaN covariates out of the products
+
+            subset = pdf[subset_col]
+            design_ok = subset.notna().to_numpy()
+            subset_ok = subset.fillna(False).to_numpy(dtype=bool)
+            if weight_col is not None:
+                w_raw = pd.to_numeric(pdf[weight_col]).to_numpy(dtype=float)
+            else:
+                w_raw = np.ones(n_rows)
+            w_ok = ~np.isnan(w_raw)
+            w_norm = np.nan_to_num(w_raw) / weight_mean
+
+            cl = (
+                pdf[clust_col]
+                .map(cl_index)
+                .to_numpy(dtype=float)
+            )
+            cl_ok = ~np.isnan(cl)
+            onehot = np.zeros((n_rows, nc))
+            rows_with_cl = np.where(cl_ok)[0]
+            onehot[rows_with_cl, cl[rows_with_cl].astype(int)] = 1.0
+
+            v = pdf[rvs].to_numpy(dtype=float)
+            v_ok = ~np.isnan(v)
+            # full inclusion mask per variable
+            m = v_ok & (base_ok & subset_ok & w_ok & design_ok & cl_ok)[:, None]
+            mf = m.astype(float)
+            mw = mf * w_norm[:, None]  # weighted mask
+            uw = np.nan_to_num(v) * mw  # w * v, masked
+
+            out = {
+                "unit": np.repeat(rvs, nc),
+                "clust": np.tile(np.arange(nc), len(rvs)),
+            }
+
+            def put(name: str, mat: np.ndarray) -> None:  # mat: p x nc
+                out[name] = mat.reshape(-1)
+
+            put("n", mf.T @ onehot)
+            # missing-weight rows sit inside the design (subset true), so
+            # they always carry a cluster — the one-hot catches them all
+            nwmiss = (v_ok & subset_ok[:, None] & ~w_ok[:, None]).astype(float)
+            put("nwmiss", nwmiss.T @ onehot)
+            # a row with NO design info (null subset after the left join)
+            # fails EVERY variable (kernel parity: the weighted kernel
+            # raises on subset.isna().any()); such rows have no cluster,
+            # so park the batch count on cluster slot 0
+            ndm = np.zeros((len(rvs), nc))
+            ndm[:, 0] = float((~design_ok).sum())
+            put("ndmiss", ndm)
+            prods = np.stack([a[:, i] * a[:, j] for i, j in tri], axis=1)
+            for t, (i, j) in enumerate(tri):
+                put(f"g{i}_{j}", (mw * prods[:, t][:, None]).T @ onehot)
+            for i in range(q):
+                put(f"u{i}", (uw * a[:, i][:, None]).T @ onehot)
+            put("uu", (uw * np.nan_to_num(v)).T @ onehot)
+            yield pd.DataFrame(out)
+
+    need = [outcome, *covariates, *rvs, strat_col, clust_col, subset_col]
+    if weight_col is not None:
+        need.append(weight_col)
+    # design columns carry __-prefixed names that must stay verbatim
+    partial_df = df.select(*[qcol(c).alias(c) for c in need]).mapInPandas(
+        partials, out_schema
+    )
+    reduced = (
+        partial_df.groupBy("unit", "clust")
+        .agg(*[F.sum(f"`{c}`").alias(c) for c in stat_cols])
+        .collect()
+    )
+    by_unit: dict[str, dict[int, dict]] = {}
+    for r in reduced:
+        by_unit.setdefault(r["unit"], {})[int(r["clust"])] = r
+
+    strat_for_clust = constants["strat_for_clust"]
+    clust_per_strat = constants["clust_per_strat"]
+    fpc_for_clust = constants.get("fpc_for_clust", {})
+    single_cluster = constants["single_cluster"]
+    has_strata = constants["has_strata"]
+
+    rows: list[dict] = []
+    zdim = k + 2  # [1, covars..., v]
+    for rv in rvs:
+        row = default_row(rv)
+        rows.append(row)
+        per_cl = by_unit.get(rv, {})
+        if any(float(r["ndmiss"] or 0.0) > 0 for r in per_cl.values()):
+            continue  # design missing rows -> error row (kernel parity)
+        n_miss_w = sum(float(r["nwmiss"] or 0.0) for r in per_cl.values())
+        label = weight_label
+        if n_miss_w > 0:
+            if constants.get("drop_unweighted"):
+                label = f"{weight_label} ({int(n_miss_w)} observations are missing weights)"
+            else:
+                continue  # missing-weight error -> all-NaN row
+        n_total = sum(float(r["n"] or 0.0) for r in per_cl.values())
+        if n_total < min_n:
+            continue
+        row.update(Variable_type="continuous", Weight=label, N=int(n_total))
+
+        # per-cluster weighted Grams for z = [1, covars..., v]
+        gz_c = np.zeros((nc, zdim, zdim))
+        hz_c = np.zeros((nc, zdim))
+        for ci, r in per_cl.items():
+            gq = np.zeros((q, q))
+            for i, j in tri:
+                gq[i, j] = gq[j, i] = float(r[f"g{i}_{j}"] or 0.0)
+            u = np.array([float(r[f"u{i}"] or 0.0) for i in range(q)])
+            uu = float(r["uu"] or 0.0)
+            gz_c[ci, : k + 1, : k + 1] = gq[: k + 1, : k + 1]
+            gz_c[ci, : k + 1, -1] = u[: k + 1]
+            gz_c[ci, -1, : k + 1] = u[: k + 1]
+            gz_c[ci, -1, -1] = uu
+            hz_c[ci, : k + 1] = gq[: k + 1, -1]
+            hz_c[ci, -1] = u[-1]
+        g = gz_c.sum(axis=0)
+        h = hz_c.sum(axis=0)
+
+        # drop zero-variance design columns (non-varying covariates);
+        # the weighted "variance" must divide by the weighted count
+        # g[0,0] = sum(w), NOT the raw row count — subsample weights
+        # don't average to 1 within a variable's complete cases
+        w_tot = g[0, 0]
+        keep = [0]
+        for idx in range(1, k + 1):
+            col_var = g[idx, idx] - (g[0, idx] ** 2 / w_tot if w_tot > 0 else 0.0)
+            if col_var > 1e-12 * max(abs(g[idx, idx]), 1.0):
+                keep.append(idx)
+        keep.append(zdim - 1)
+        gk = g[np.ix_(keep, keep)]
+        hk = h[keep]
+        try:
+            beta = np.linalg.solve(gk, hk)
+        except np.linalg.LinAlgError:
+            beta, *_ = np.linalg.lstsq(gk, hk, rcond=None)
+
+        # sandwich: per-cluster score sums (zero rows for absent clusters)
+        jdata = hz_c[:, keep] - np.einsum("cij,j->ci", gz_c[np.ix_(range(nc), keep, keep)], beta)
+        j_strat = np.asarray([strat_for_clust[c] for c in clusters], dtype=object)
+        if has_strata:
+            pop_mean = jdata.sum(axis=0) / n_total
+            jdata = _center_strata(jdata, j_strat, single_cluster, pop_mean)
+            if single_cluster == "average":
+                n_single = sum(1 for vv in clust_per_strat.values() if vv == 1)
+                n_strat_fit = len(
+                    {strat_for_clust[clusters[ci]] for ci, r in per_cl.items() if float(r["n"] or 0.0) > 0}
+                )
+                jdata = jdata * np.sqrt(n_strat_fit / (n_strat_fit - n_single))
+        nh = np.asarray([clust_per_strat[s] for s in j_strat], dtype=float)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mh = np.sqrt(nh / (nh - 1.0))
+        mh[~np.isfinite(mh)] = 1.0
+        fh = np.sqrt(
+            1.0 - np.asarray([fpc_for_clust.get(c, 0.0) for c in clusters], dtype=float)
+        )
+        jdata = jdata * (fh * mh)[:, None]
+        a_inv = np.linalg.pinv(gk)
+        vcov = a_inv @ (jdata.T @ jdata) @ a_inv.T
+        se = float(np.sqrt(max(vcov[-1, -1], 0.0)))
+        b = float(beta[-1])
+
+        n_clust_fit = sum(1 for r in per_cl.values() if float(r["n"] or 0.0) > 0)
+        n_strat_fit = len(
+            {strat_for_clust[clusters[ci]] for ci, r in per_cl.items() if float(r["n"] or 0.0) > 0}
+        )
+        if has_strata:
+            dof = n_clust_fit - n_strat_fit - (len(keep) - 1)
+        else:
+            dof = n_clust_fit - 1 - (len(keep) - 1)
+        if dof < 1:
+            row.update(Converged=True, Beta=b, SE=np.inf, Beta_pvalue=1.0, pvalue=1.0)
+        else:
+            p = 2.0 * float(t_sf(abs(b / se), dof))
+            row.update(Converged=True, Beta=b, SE=se, Beta_pvalue=p, pvalue=p)
+    return rows

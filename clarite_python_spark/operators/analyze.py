@@ -713,6 +713,76 @@ def association_study(
         # numerics with pd.to_numeric — one scan instead of one per type
         # group, which matters when the table is the expensive input.
         group = [v for v in my_rvs if rv_types[v] in (CONTINUOUS, BINARY, CATEGORICAL)]
+        if (
+            use_sufficient_stats
+            and survey_design_spec is not None
+            and family == GAUSSIAN
+            and survey_design_spec.has_cluster
+            and len(survey_design_spec.constants()["clusters"]) <= 256
+        ):
+            # survey-weighted Gaussian fits for CONTINUOUS variables are
+            # closed-form: per-(variable, cluster) weighted sufficient
+            # statistics feed both the fit and the linearized sandwich
+            # (functions/wolsagg.py) — one mapInPandas scan instead of
+            # melting data rows through per-variable Python groups. The
+            # one-hot-matmul accumulator is O(batch x #clusters), so gate
+            # on a bounded cluster count (sampling frames are small; a
+            # million-cluster design falls back to the grouped kernel).
+            from clarite_python_spark.functions.wolsagg import (
+                weighted_gaussian_suffstats_rows,
+            )
+            from clarite_python_spark.survey.design import (
+                CLUST_COL,
+                STRAT_COL,
+                SUBSET_COL,
+                _weight_col,
+            )
+
+            wsuff = [v for v in group if rv_types[v] == CONTINUOUS]
+            group = [v for v in group if rv_types[v] != CONTINUOUS]
+            by_weight: dict = {}
+            no_weight_rows: list[dict] = []
+            for v in wsuff:
+                if weight_info["single_weight"]:
+                    by_weight.setdefault(weight_info["weight_name"], []).append(v)
+                elif weight_info["weight_names"] is not None:
+                    wn = weight_info["weight_names"].get(v)
+                    if wn is None:
+                        # reference: "No weight found ..." -> all-NaN row
+                        no_weight_rows.append(_default_row(v, outcome))
+                    else:
+                        by_weight.setdefault(wn, []).append(v)
+                else:
+                    by_weight.setdefault(None, []).append(v)
+            w_consts = dict(
+                survey_design_spec.constants(),
+                drop_unweighted=weight_info["drop_unweighted"],
+            )
+            w_rows = list(no_weight_rows)
+            for wn, wvars in by_weight.items():
+                w_rows.extend(
+                    weighted_gaussian_suffstats_rows(
+                        df,
+                        outcome,
+                        wvars,
+                        covariates,
+                        covar_types,
+                        data.category_levels,
+                        min_n,
+                        lambda rv: _default_row(rv, outcome),
+                        w_consts,
+                        _weight_col(wn) if wn is not None else None,
+                        weight_info["weight_means"][wn] if wn is not None else 1.0,
+                        wn,
+                        STRAT_COL,
+                        CLUST_COL,
+                        SUBSET_COL,
+                    )
+                )
+            if w_rows:
+                results.append(
+                    data.df.sparkSession.createDataFrame(w_rows, RESULT_SCHEMA)
+                )
         suff: list[str] = []
         if (
             use_sufficient_stats

@@ -413,3 +413,108 @@ def test_design_validation(nhanes_cf):
     )
     err = design.validate(nhanes_cf)  # data still contains design cols
     assert err is not None and "should not be included" in err
+
+
+# ---------------------------------------------------------------------------
+# weighted sufficient-stats path (functions/wolsagg.py) vs the grouped kernel
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def nhanes_real_cf(spark):
+    from clarite_python_spark.sources.io import from_tsv
+
+    return from_tsv(spark, f"{DATA}/nhanes_real.txt", index_col="ID")
+
+
+def _real_study(cf, design, **kw):
+    cf = modify.colfilter(
+        cf, skip=["SDMVPSU", "SDMVSTRA", "WTMEC4YR", "WTSHM4YR", "WTSVOC4Y"]
+    )
+    cf = modify.make_binary(cf, only=["RHQ570", "first_degree_support", "SDDSRVYR",
+                                      "female", "black", "mexican",
+                                      "other_hispanic", "other_eth"])
+    cf = modify.make_categorical(cf, only=["SES_LEVEL"])
+    return (
+        analyze.association_study(
+            data=cf,
+            outcomes="BMXBMI",
+            covariates=["SES_LEVEL", "SDDSRVYR", "female", "black", "mexican",
+                        "other_hispanic", "other_eth", "RIDAGEYR"],
+            survey_design_spec=design,
+            **kw,
+        )
+        .toPandas()
+        .set_index("Variable")
+        .sort_index()
+    )
+
+
+@pytest.mark.parametrize("subset", [False, True])
+def test_weighted_suffstats_matches_kernel(spark, nhanes_real_cf, subset):
+    """The per-cluster sufficient-stats path is the same weighted OLS +
+    sandwich as the grouped kernel — near machine-precision agreement,
+    including under a subset (absent clusters keep zero score rows)."""
+    cf = nhanes_real_cf
+
+    def mkdesign():
+        d = SurveyDesignSpec(
+            cf.df.select("ID", "SDMVPSU", "SDMVSTRA", "WTMEC4YR", "WTSHM4YR", "WTSVOC4Y"),
+            weights={
+                "RHQ570": "WTMEC4YR",
+                "first_degree_support": "WTMEC4YR",
+                "URXUPT": "WTSHM4YR",
+                "LBXV3A": "WTSVOC4Y",
+                "LBXBEC": "WTMEC4YR",
+            },
+            cluster="SDMVPSU",
+            strata="SDMVSTRA",
+            fpc=None,
+            nest=True,
+        )
+        if subset:
+            d.subset(cf.df.select("ID", "RIDAGEYR"), F.col("RIDAGEYR") > 21)
+        return d
+
+    fast = _real_study(cf, mkdesign())
+    slow = _real_study(cf, mkdesign(), use_sufficient_stats=False)
+    assert list(fast.index) == list(slow.index)
+    assert list(fast.N.astype("Int64")) == list(slow.N.astype("Int64"))
+    assert list(fast.Weight) == list(slow.Weight)
+    for col in ("Beta", "SE", "pvalue"):
+        a = fast[col].astype(float).to_numpy()
+        b = slow[col].astype(float).to_numpy()
+        both = ~(np.isnan(a) & np.isnan(b))
+        assert np.allclose(a[both], b[both], rtol=1e-9, atol=1e-12), (col, a, b)
+
+
+def test_suffstats_numeric_categorical_covariate_with_nulls(spark):
+    """Regression test: an int-coded categorical covariate whose column
+    carries nulls arrives in pandas as float64 ("1.0") while the catalog
+    level is the int ("1") — the suffstats dummy match must not silently
+    zero out (string-equality bug caught on nhanes_real SES_LEVEL)."""
+    rng = np.random.RandomState(3)
+    n = 500
+    ses = rng.choice([0, 1, 2], n).astype(float)
+    ses[:5] = np.nan
+    x = rng.normal(size=n)
+    y = 2.0 * x + 3.0 * (ses == 2) + rng.normal(size=n)
+    pdf = pd.DataFrame({"ID": np.arange(n), "y": y, "x": x, "ses": ses})
+    from clarite_python_spark.catalog import ClariteFrame, VariableCatalog
+
+    cf = ClariteFrame(
+        spark.createDataFrame(pdf),
+        VariableCatalog(types={"y": "continuous", "x": "continuous", "ses": "categorical"}),
+    )
+    kw = dict(outcomes="y", covariates=["ses"], regression_variables=["x"], min_n=50)
+    fast = analyze.association_study(cf, **kw).toPandas().set_index("Variable")
+    slow = (
+        analyze.association_study(cf, use_sufficient_stats=False, **kw)
+        .toPandas()
+        .set_index("Variable")
+    )
+    for col in ("Beta", "SE", "pvalue"):
+        assert np.allclose(
+            fast[col].astype(float), slow[col].astype(float), rtol=1e-9
+        ), col
+    assert fast.loc["x", "Beta"] == pytest.approx(2.0, abs=0.2)
