@@ -179,6 +179,20 @@ class ClariteFrame:
             self.catalog.categories[col] = sorted(r[0] for r in rows)
         return self.catalog.categories[col]
 
+    def prefetch_category_levels(self, cols: Sequence[str]) -> None:
+        """Warm the level cache for many columns in ONE scan
+        (``collect_set`` per column in a single agg) instead of one
+        ``distinct`` job each — the level sets are small by construction
+        (categorize's ``cat_max``), the scan is the cost that matters."""
+        todo = [c for c in dict.fromkeys(cols) if c not in self.catalog.categories]
+        if not todo:
+            return
+        row = self.df.agg(
+            *[F.collect_set(qcol(c)).alias(f"l::{c}") for c in todo]
+        ).collect()[0]
+        for c in todo:
+            self.catalog.categories[c] = sorted(row[f"l::{c}"])
+
 
 def validate_skip_only(
     columns: Sequence[str], skip: Sequence[str] | str | None = None, only: Sequence[str] | str | None = None

@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 from clarite_python_spark.catalog import BINARY, CATEGORICAL, qcol
 from clarite_python_spark.functions.distributions import chi2_sf, t_sf
 
-__all__ = ["gaussian_suffstats_rows", "gaussian_interaction_rows"]
+__all__ = ["gaussian_assoc_rows", "gaussian_interaction_rows"]
 
 
 def _covariate_frame(
@@ -103,11 +103,16 @@ def _collect_unit_stats(
     levels_of: Callable[[str], list],
 ) -> tuple[dict[str, _UnitStats], int]:
     """One mapInPandas pass computing every unit's sufficient statistics.
-    All units must have the same member count. Returns ({unit: stats}, k)."""
+    Units may have DIFFERENT member counts (a continuous variable is a
+    1-member unit; a categorical variable's treatment dummies form one
+    unit of ``#levels - 1`` members): members are laid out FLAT, so the
+    per-batch matmuls spend no FLOPs on padding — the rectangular
+    (p x nm) stat layout exists only in the tiny partial rows,
+    zero-filled for absent slots. Returns ({unit: stats}, k)."""
     units = list(units)
     covariates = list(covariates)
-    nm = len(units[0][1])
-    assert all(len(m) == nm for _, m in units)
+    nm_of = [len(ms) for _, ms in units]
+    nm = max(nm_of)
     levels = {
         cv: [str(x) for x in levels_of(cv)]
         for cv in covariates
@@ -121,9 +126,25 @@ def _collect_unit_stats(
     member_cols = sorted({c for _, ms in units for c in ms})
     col_pos = {c: i for i, c in enumerate(member_cols)}
     unit_names = [u for u, _ in units]
-    unit_members = np.array(
-        [[col_pos[c] for c in ms] for _, ms in units], dtype=int
-    )  # (p x nm)
+    p = len(units)
+    # flat member layout: one entry per (unit, slot)
+    flat_col = np.array([col_pos[c] for _, ms in units for c in ms], dtype=int)
+    flat_unit = np.repeat(np.arange(p), nm_of)
+    flat_slot = np.concatenate([np.arange(w) for w in nm_of])
+    seg_starts = np.concatenate([[0], np.cumsum(nm_of)[:-1]])
+    # within-unit member pairs, as flat indices
+    pair_a: list[int] = []
+    pair_b: list[int] = []
+    pair_slots: list[tuple[int, int, int]] = []  # (unit, i, j)
+    for u in range(p):
+        s = int(seg_starts[u])
+        for i in range(nm_of[u]):
+            for j in range(i, nm_of[u]):
+                pair_a.append(s + i)
+                pair_b.append(s + j)
+                pair_slots.append((u, i, j))
+    pair_a_arr = np.asarray(pair_a, dtype=int)
+    pair_b_arr = np.asarray(pair_b, dtype=int)
 
     stat_cols = (
         ["n"]
@@ -146,22 +167,29 @@ def _collect_unit_stats(
             a = np.column_stack([np.ones(n_rows), c_design, np.nan_to_num(y)])
             a[~base_ok] = 0.0
             vals = pdf[member_cols].to_numpy(dtype=float)
-            # per-unit member matrices (n x p x nm) via fancy indexing
-            vu = vals[:, unit_members]  # n x p x nm
-            m = (~np.isnan(vu)).all(axis=2) & base_ok[:, None]  # n x p
+            vf = vals[:, flat_col]  # n x total_members
+            okf = ~np.isnan(vf)
+            # unit mask = AND over its member segment + base mask
+            m = np.bitwise_and.reduceat(okf, seg_starts, axis=1) & base_ok[:, None]
             mf = m.astype(float)
-            vu = np.nan_to_num(vu) * mf[:, :, None]
+            vfm = np.nan_to_num(vf) * mf[:, flat_unit]
             prods = np.stack([a[:, i] * a[:, j] for i, j in tri], axis=1)
             g = mf.T @ prods  # p x |tri|
+            ua_flat = vfm.T @ a  # total_members x q — one matmul, no padding
+            uu_flat = np.einsum("nf,nf->f", vfm[:, pair_a_arr], vfm[:, pair_b_arr])
             out = {"unit": unit_names, "n": mf.sum(axis=0)}
             for t, (i, j) in enumerate(tri):
                 out[f"g{i}_{j}"] = g[:, t]
+            rect_ua = np.zeros((p, nm, q))
+            rect_ua[flat_unit, flat_slot] = ua_flat
             for am in range(nm):
-                ua = np.einsum("np,nq->pq", vu[:, :, am], a)  # p x q
                 for i in range(q):
-                    out[f"ua{am}_{i}"] = ua[:, i]
+                    out[f"ua{am}_{i}"] = rect_ua[:, am, i]
+            rect_uu = np.zeros((p, nm, nm))
+            for t, (u, i, j) in enumerate(pair_slots):
+                rect_uu[u, i, j] = uu_flat[t]
             for am, bm in mm_tri:
-                out[f"uu{am}_{bm}"] = (vu[:, :, am] * vu[:, :, bm]).sum(axis=0)
+                out[f"uu{am}_{bm}"] = rect_uu[:, am, bm]
             yield pd.DataFrame(out)
 
     need = [outcome, *covariates, *member_cols]
@@ -249,39 +277,6 @@ def _solve_ols(
         "aic": float(aic),
         "members": member_stats,
     }
-
-
-def gaussian_suffstats_rows(
-    df: DataFrame,
-    outcome: str,
-    rvs: Sequence[str],
-    covariates: Sequence[str],
-    covar_types: dict[str, str],
-    levels_of: Callable[[str], list],
-    min_n: int,
-    default_row: Callable[[str], dict],
-) -> list[dict]:
-    """Association-study rows (RESULT_SCHEMA keys) for continuous
-    variables against a Gaussian outcome — one pass, driver solves."""
-    units = [(rv, [rv]) for rv in rvs]
-    stats, k = _collect_unit_stats(
-        df, outcome, units, covariates, covar_types, levels_of
-    )
-    rows: list[dict] = []
-    for rv in rvs:
-        row = default_row(rv)
-        rows.append(row)
-        st = stats.get(rv)
-        if st is None or st.n < min_n:
-            continue  # reference: min_n failure keeps the all-NaN row
-        row["Variable_type"] = "continuous"
-        row["N"] = int(st.n)
-        fit = _solve_ols(st, k, [0])
-        if fit is None:
-            continue
-        b, se, p = fit["members"][0]
-        row.update(Converged=True, Beta=b, SE=se, Beta_pvalue=p, pvalue=p)
-    return rows
 
 
 def gaussian_interaction_rows(
@@ -373,3 +368,159 @@ def gaussian_interaction_rows(
             row.update(Converged=True, N=int(st.n), LRT_pvalue=lr_p)
             rows.append(row)
     return rows
+
+
+def _kernel_sorted_levels(raw: Sequence) -> list:
+    """Order levels the way the grouped kernel does on melt strings
+    (numeric when every value parses as a number, else lexical,
+    analyze._sorted_levels) — applied to the RAW values so dummy
+    comparisons stay in the column's native type."""
+    vals = list(raw)
+    try:
+        return sorted(vals, key=lambda x: float(str(x)))
+    except (TypeError, ValueError):
+        return sorted(vals, key=str)
+
+
+
+
+def gaussian_assoc_rows(
+    df: DataFrame,
+    outcome: str,
+    cont_rvs: Sequence[str],
+    enc_rvs: Sequence[str],
+    rv_types: dict[str, str],
+    covariates: Sequence[str],
+    covar_types: dict[str, str],
+    levels_of: Callable[[str], list],
+    min_n: int,
+    report_categorical_betas: bool,
+    default_row: Callable[[str], dict],
+) -> tuple[list[dict], list[str]]:
+    """Association-study rows (RESULT_SCHEMA keys) for a Gaussian outcome
+    in ONE scan: continuous variables are 1-member units (Wald t on the
+    member), binary/categorical variables are units whose members are
+    treatment dummies vs the first kernel-sorted catalog level
+    (null-propagating column expressions — Catalyst projections, no
+    extra pass). Categorical LRT = full vs the ``member_sel=[]``
+    restricted fit of the same Gram.
+
+    The grouped kernel derives levels from each variable's COMPLETE
+    CASES; this path uses the global catalog levels. When they disagree
+    (a level entirely confined to incomplete rows: its dummy count — or
+    the base count — is zero) the parametrization would differ, so such
+    variables are returned in ``fallback`` for the kernel fan-out
+    (reference drops empty categories per fit, glm_regression.py:510-520).
+
+    Returns (rows, fallback_variable_names).
+    """
+    cont_rvs = list(cont_rvs)
+    enc_rvs = list(enc_rvs)
+    fallback: list[str] = []
+    rows: list[dict] = []
+    lv_of: dict[str, list] = {}
+    for rv in enc_rvs:
+        lvs = _kernel_sorted_levels(levels_of(rv))
+        if len(lvs) < 2:
+            fallback.append(rv)  # constant/degenerate: kernel semantics
+        else:
+            lv_of[rv] = lvs
+    enc_todo = [rv for rv in enc_rvs if rv in lv_of]
+    if not cont_rvs and not enc_todo:
+        return [], fallback
+
+    units: list[tuple[str, list[str]]] = [(rv, [rv]) for rv in cont_rvs]
+    exprs = []
+    for i, rv in enumerate(enc_todo):
+        mems = []
+        for j, lv in enumerate(lv_of[rv][1:]):
+            dc = f"__d{i}_{j}"
+            exprs.append(
+                F.when(qcol(rv).isNull(), F.lit(None).cast("double"))
+                .otherwise((qcol(rv) == F.lit(lv)).cast("double"))
+                .alias(dc)
+            )
+            mems.append(dc)
+        units.append((rv, mems))
+    work = df.select("*", *exprs) if exprs else df
+
+    stats, k = _collect_unit_stats(
+        work, outcome, units, covariates, covar_types, levels_of
+    )
+
+    for rv in cont_rvs:
+        row = default_row(rv)
+        rows.append(row)
+        st = stats.get(rv)
+        if st is None or st.n < min_n:
+            continue  # reference: min_n failure keeps the all-NaN row
+        row["Variable_type"] = "continuous"
+        row["N"] = int(st.n)
+        fit = _solve_ols(st, k, [0])
+        if fit is None:
+            continue
+        b, se, p = fit["members"][0]
+        row.update(Converged=True, Beta=b, SE=se, Beta_pvalue=p, pvalue=p)
+
+    for rv in enc_todo:
+        st = stats.get(rv)
+        real_nm = len(lv_of[rv]) - 1
+        if st is None or st.n < min_n:
+            rows.append(default_row(rv))  # min_n gate -> all-NaN row
+            continue
+        cnts = [st.uu[a, a] for a in range(real_nm)]
+        base = st.n - sum(cnts)
+        if base <= 0 or any(c <= 0 for c in cnts):
+            fallback.append(rv)  # complete-case level set != catalog's
+            continue
+        n = int(st.n)
+        vtype = rv_types[rv]
+        if vtype == BINARY:
+            row = default_row(rv)
+            row.update(Variable_type=vtype, N=n)
+            fit = _solve_ols(st, k, [0])
+            if fit is not None:
+                b, se, p = fit["members"][0]
+                row.update(Converged=True, Beta=b, SE=se, Beta_pvalue=p, pvalue=p)
+            rows.append(row)
+            continue
+        full = _solve_ols(st, k, list(range(real_nm)))
+        restricted = _solve_ols(st, k, [])
+        if full is None or restricted is None:
+            row = default_row(rv)
+            row.update(Variable_type=vtype, N=n)
+            rows.append(row)
+            continue
+        lrdf = restricted["df_resid"] - full["df_resid"]
+        lrstat = -2.0 * (restricted["llf"] - full["llf"])
+        lr_p = float(chi2_sf(lrstat, lrdf)) if lrdf > 0 else float("nan")
+        diff_aic = full["aic"] - restricted["aic"]
+        if report_categorical_betas:
+            for a, lv in enumerate(lv_of[rv][1:]):
+                b, se, p = full["members"][a]
+                row = default_row(rv)
+                row.update(
+                    Variable_type=vtype,
+                    N=n,
+                    Converged=True,
+                    Category=f"{rv}[T.{lv}]",
+                    Beta=b,
+                    SE=se,
+                    Beta_pvalue=p,
+                    LRT_pvalue=lr_p,
+                    Diff_AIC=diff_aic,
+                    pvalue=lr_p,
+                )
+                rows.append(row)
+        else:
+            row = default_row(rv)
+            row.update(
+                Variable_type=vtype,
+                N=n,
+                Converged=True,
+                LRT_pvalue=lr_p,
+                Diff_AIC=diff_aic,
+                pvalue=lr_p,
+            )
+            rows.append(row)
+    return rows, fallback

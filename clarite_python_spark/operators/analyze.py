@@ -783,36 +783,46 @@ def association_study(
                 results.append(
                     data.df.sparkSession.createDataFrame(w_rows, RESULT_SCHEMA)
                 )
-        suff: list[str] = []
         if (
             use_sufficient_stats
             and survey_design_spec is None
             and custom_kernel_factory is None
             and family == GAUSSIAN
         ):
-            # Gaussian + continuous-variable fits are closed-form OLS:
-            # compute them as batched masked-sum aggregations (no melt, no
-            # shuffle of data rows, no Python workers) — the GWAS/EWAS
-            # hot path (functions/olsagg.py; ~20x the kernel at the
-            # reference's canonical 22.6k x 970 shape).
-            from clarite_python_spark.functions.olsagg import gaussian_suffstats_rows
+            # Every Gaussian fit is closed-form OLS: ONE batched
+            # masked-sum pass covers continuous variables (Wald t),
+            # binary variables (Wald on the treatment dummy) and
+            # categorical variables (LRT vs the restricted sub-block of
+            # the same Gram) — no melt, no shuffle of data rows, no
+            # Python groups (functions/olsagg.py; ~20x the kernel at the
+            # reference's canonical 22.6k x 970 shape). Variables whose
+            # complete-case level set differs from the catalog's fall
+            # back to the grouped kernel below.
+            from clarite_python_spark.functions.olsagg import gaussian_assoc_rows
 
-            suff = [v for v in group if rv_types[v] == CONTINUOUS]
-            group = [v for v in group if rv_types[v] != CONTINUOUS]
-        if suff:
-            suff_rows = gaussian_suffstats_rows(
+            cont = [v for v in group if rv_types[v] == CONTINUOUS]
+            enc = [v for v in group if rv_types[v] in (BINARY, CATEGORICAL)]
+            data.prefetch_category_levels(
+                [c for c in covariates if covar_types[c] in (BINARY, CATEGORICAL)]
+                + enc
+            )
+            assoc_rows, group = gaussian_assoc_rows(
                 df,
                 outcome,
-                suff,
+                cont,
+                enc,
+                rv_types,
                 covariates,
                 covar_types,
                 data.category_levels,
                 min_n,
+                report_categorical_betas,
                 lambda rv: _default_row(rv, outcome),
             )
-            results.append(
-                data.df.sparkSession.createDataFrame(suff_rows, RESULT_SCHEMA)
-            )
+            if assoc_rows:
+                results.append(
+                    data.df.sparkSession.createDataFrame(assoc_rows, RESULT_SCHEMA)
+                )
         if group:
             long = df.select(
                 *id_vars, *[qcol(c).cast("string").alias(c) for c in group]

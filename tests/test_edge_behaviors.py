@@ -125,11 +125,40 @@ def test_suffstats_matches_kernel_exactly(ewas_cf):
         .set_index("Variable")
         .sort_index()
     )
-    for col in ("Beta", "SE", "pvalue", "LRT_pvalue"):
+    for col in ("Beta", "SE", "pvalue", "LRT_pvalue", "Diff_AIC"):
         a, b = fast[col].astype(float), slow[col].astype(float)
         mask = ~(a.isna() & b.isna())
         assert np.allclose(a[mask], b[mask], rtol=1e-9, atol=1e-12), col
     assert list(fast.N) == list(slow.N)
+    assert list(fast.Variable_type) == list(slow.Variable_type)
+
+
+def test_encoded_suffstats_categorical_betas_matches_kernel(ewas_cf):
+    """report_categorical_betas through the encoded sufficient-stats path
+    equals the grouped kernel row-for-row (Category naming included)."""
+    kw = dict(
+        outcomes="outcome",
+        covariates=["age", "sex"],
+        min_n=50,
+        report_categorical_betas=True,
+    )
+    fast = (
+        analyze.association_study(ewas_cf, **kw)
+        .toPandas()
+        .set_index(["Variable", "Category"])
+        .sort_index()
+    )
+    slow = (
+        analyze.association_study(ewas_cf, use_sufficient_stats=False, **kw)
+        .toPandas()
+        .set_index(["Variable", "Category"])
+        .sort_index()
+    )
+    assert list(fast.index) == list(slow.index)
+    for col in ("Beta", "SE", "Beta_pvalue", "LRT_pvalue", "Diff_AIC", "pvalue"):
+        a, b = fast[col].astype(float), slow[col].astype(float)
+        mask = ~(a.isna() & b.isna())
+        assert np.allclose(a[mask], b[mask], rtol=1e-9, atol=1e-12), col
 
 
 def test_interaction_suffstats_matches_kernel(ewas_cf):
