@@ -550,6 +550,77 @@ def windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("window_start", "event_type")
 
 
+def ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs over all (id_a < id_b)
+    pairs at threshold 0.2 (operators/dedup.py:ngram_jaccard_pairs).
+
+    All-pairs candidates here make the result oracle-checkable; the scale
+    path is the same verify kernel fed by MinHash-LSH candidates
+    (``minhash_dedup_documents``), which is O(corpus), not O(n^2)."""
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+    cands = ids.select(F.col("doc_id").alias("id_a")).join(
+        ids.select(F.col("doc_id").alias("id_b")), F.col("id_a") < F.col("id_b")
+    )
+    out = dedup.ngram_jaccard_pairs(docs, cands, shingle_n=3, threshold=0.2)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def embedding_neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact all-pairs baseline at
+    threshold 0.45; ``n_planes>0`` in the operator is the LSH-blocked
+    scale path)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.embedding_neardup(emb, threshold=0.45)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine")).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def colfilter_min_n_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """colfilter_min_n contract (reference modify.py:284-340) over
+    deterministic engineered sparsity; returns the operator's report
+    (variable, n_non_null, kept) — one batched agg scan."""
+    ev = _t(spark, sf_dir, "events")
+    data = ev.select(
+        F.col("event_id").alias("ID"),
+        F.col("value").alias("v_full"),
+        F.when(F.col("user_id") % 2 == 0, F.col("value")).alias("v_half"),
+        F.when(F.col("user_id") % 10 == 0, F.col("value")).alias("v_sparse"),
+    )
+    total = data.count()
+    out = modify.colfilter_min_n(ClariteFrame(data), n=int(total * 0.6))
+    rep = out.last_report
+    kept = set(rep["kept"])
+    rows = [
+        (v, int(rep["non_na_counts"][v]), v in kept)
+        for v in sorted(rep["non_na_counts"])
+    ]
+    return spark.createDataFrame(rows, "variable string, n_non_null long, kept boolean").orderBy(
+        "variable"
+    )
+
+
+def get_significant_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """add_corrected_pvalues -> get_significant(fdr <= 0.97) pipeline
+    (reference cli/commands/analyze.py:299-324)."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", (((F.col("doc_id") * 37) % 1000 + 1) / 1000.0).alias("pvalue")
+    )
+    out = analyze.get_significant(
+        analyze.add_corrected_pvalues(base), pvalue=0.97, method="fdr"
+    )
+    return out.select(
+        "doc_id",
+        F.round("pvalue", 9).alias("pvalue"),
+        F.round("pvalue_bonferroni", 9).alias("pvalue_bonferroni"),
+        F.round("pvalue_fdr", 9).alias("pvalue_fdr"),
+    ).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # driver API
 # --------------------------------------------------------------------------
@@ -599,6 +670,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh_embeddings": similarity_lsh_embeddings,
         "multimodal_features_documents": multimodal_features_documents,
         "windowed_events": windowed_events,
+        "ngram_jaccard_documents": ngram_jaccard_documents,
+        "embedding_neardup_embeddings": embedding_neardup_embeddings,
+        "colfilter_min_n_events": colfilter_min_n_events,
+        "get_significant_documents": get_significant_documents,
     }
 
 
@@ -915,5 +990,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                    event_type, count(*) AS n, round(sum(value), 4) AS total_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "ngram_jaccard_documents": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKENS} AS toks FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 3
+                          THEN list_distinct(list_transform(
+                                 generate_series(1, len(toks) - 2),
+                                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+                          ELSE [array_to_string(toks, ' ')] END AS sh
+              FROM t
+            ), scored AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     len(list_intersect(a.sh, b.sh)) * 1.0
+                       / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) AS jaccard
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+            FROM scored WHERE jaccard >= 0.2 ORDER BY id_a, id_b
+        """,
+        "embedding_neardup_embeddings": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                    / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.45
+            ORDER BY id_a, id_b
+        """,
+        "colfilter_min_n_events": """
+            WITH tot AS (SELECT count(*) AS total FROM events),
+            counts AS (
+              SELECT 'v_full' AS variable, count(value) AS n_non_null FROM events
+              UNION ALL
+              SELECT 'v_half', count(CASE WHEN user_id % 2 = 0 THEN value END) FROM events
+              UNION ALL
+              SELECT 'v_sparse', count(CASE WHEN user_id % 10 = 0 THEN value END) FROM events
+            )
+            SELECT variable, n_non_null,
+                   n_non_null >= CAST(floor(total * 0.6) AS BIGINT) AS kept
+            FROM counts, tot ORDER BY variable
+        """,
+        "get_significant_documents": """
+            WITH base AS (
+              SELECT doc_id, ((doc_id * 37) % 1000 + 1) / 1000.0 AS pvalue FROM documents
+            ), ranked AS (
+              SELECT doc_id, pvalue,
+                     count(*) OVER () AS m,
+                     row_number() OVER (ORDER BY pvalue) AS rnk
+              FROM base
+            ), corrected AS (
+              SELECT doc_id, pvalue,
+                     least(pvalue * m, 1.0) AS pvalue_bonferroni,
+                     min(least(pvalue * m / rnk, 1.0))
+                       OVER (ORDER BY pvalue DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pvalue_fdr
+              FROM ranked
+            )
+            SELECT doc_id, round(pvalue, 9) AS pvalue,
+                   round(pvalue_bonferroni, 9) AS pvalue_bonferroni,
+                   round(pvalue_fdr, 9) AS pvalue_fdr
+            FROM corrected WHERE pvalue_fdr <= 0.97 ORDER BY doc_id
         """,
     }

@@ -22,7 +22,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine", "cosine_topk", "lsh_topk"]
+__all__ = ["cosine", "cosine_topk", "lsh_topk", "embedding_neardup"]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -128,4 +128,45 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .orderBy(query_id_col, "rank")
+    )
+
+
+def embedding_neardup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 0,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (id_a < id_b) with
+    cosine(vec_a, vec_b) >= ``threshold``.
+
+    ``n_planes=0`` compares all pairs — the exact O(n^2) correctness
+    baseline (what the DuckDB oracle reproduces). ``n_planes > 0`` is the
+    scale path: random-hyperplane LSH blocking (same family as
+    :func:`lsh_topk`) turns the cross join into an equi-join on the
+    bucket id, so only same-bucket vectors are scored — recall < 1 by
+    design, cost O(n^2 / 2^n_planes) per bucket on average. True
+    near-duplicates (cosine -> 1) land in the same bucket with
+    probability (1 - theta/pi)^n_planes, which stays high precisely for
+    the pairs this operator exists to find."""
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("__va")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("__vb")
+    )
+    if n_planes > 0:
+        dim = len(df.select(vec_col).first()[0])
+        planes = _hyperplanes(dim, n_planes, seed)
+        a = a.withColumn("__bucket", _bucket(F.col("__va"), planes))
+        b = b.withColumn("__bucket", _bucket(F.col("__vb"), planes))
+        pairs = a.join(b, on="__bucket").where(F.col("id_a") < F.col("id_b"))
+    else:
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cosine", cosine(F.col("__va"), F.col("__vb")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )

@@ -36,7 +36,18 @@ def test_queries_and_oracles_aligned():
     }
 
 
-@pytest.mark.parametrize("name", ["q1_pricing_summary", "exact_dedup_documents", "windowed_events"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q1_pricing_summary",
+        "exact_dedup_documents",
+        "windowed_events",
+        "ngram_jaccard_documents",
+        "embedding_neardup_embeddings",
+        "colfilter_min_n_events",
+        "get_significant_documents",
+    ],
+)
 def test_sample_queries_run_on_smallest_sf(spark, name):
     df = entry_mod.queries()[name](spark, "/root/testdata/sf0.001")
     assert df.count() > 0
