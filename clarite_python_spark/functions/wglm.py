@@ -37,6 +37,7 @@ __all__ = [
     "WeightedGLMFit",
     "fit_weighted_glm",
     "sandwich_vcov",
+    "jackknife_vcov",
     "survey_dof",
     "regterm_pvalue",
 ]
@@ -239,6 +240,77 @@ def sandwich_vcov(
 
     v_hat = jdata.T @ jdata
     return fit.a_inv @ v_hat @ fit.a_inv.T
+
+
+def jackknife_vcov(
+    X: np.ndarray,
+    y: np.ndarray,
+    w: np.ndarray,
+    family: str,
+    fit: WeightedGLMFit,
+    strat: np.ndarray | None,
+    clust: np.ndarray | None,
+    constants: dict,
+) -> np.ndarray:
+    """Delete-1-cluster jackknife vcov (reference survey_model.py:174-208;
+    replicate weights survey_design.py:699-721). The reference implements
+    this estimator but its ``fit`` always uses linearization — we expose
+    it through ``association_study(vcov_method="jackknife")``.
+
+    Per full-design cluster ``c`` in stratum ``s`` with ``nh`` clusters:
+    replicate weights scale stratum-``s`` rows by ``nh/(nh-1)`` and zero
+    cluster-``c`` rows; refit; center replicates on the full-fit params
+    (reference ``center_by="est"`` default); scale each replicate by
+    ``sqrt((nh-1)/nh) * sqrt(1-fpc_c)``; vcov = sum of outer products.
+
+    Cluster designs only: without clusters the reference's default
+    one-cluster-per-row design degenerates to n refits. Cost is
+    O(#clusters) refits per variable — #clusters is small (sampling-frame
+    PSUs, e.g. ~60 for NHANES), and each refit reuses the in-kernel
+    numpy design matrix, so this stays executor-local and bounded.
+    Single-cluster strata (nh==1) skip the weight rescale; their
+    ``sqrt((nh-1)/nh)=0`` factor zeroes the replicate's contribution."""
+    if not constants["has_cluster"]:
+        raise ValueError("jackknife vcov requires a cluster design")
+    clusters = constants["clusters"]
+    strat_for_clust = constants["strat_for_clust"]
+    clust_per_strat = constants["clust_per_strat"]
+    fpc_for_clust = constants.get("fpc_for_clust", {})
+    clust_arr = np.asarray(list(clust), dtype=object)
+    strat_arr = (
+        np.asarray(list(strat), dtype=object) if strat is not None else None
+    )
+    p = len(fit.params)
+    reps = np.zeros((len(clusters), p))
+    for i, c in enumerate(clusters):
+        s = strat_for_clust[c]
+        nh = float(clust_per_strat[s])
+        wrep = np.asarray(w, dtype=float).copy()
+        if nh > 1.0:
+            if strat_arr is not None:
+                in_stratum = np.fromiter(
+                    (x == s for x in strat_arr), dtype=bool, count=len(strat_arr)
+                )
+            else:
+                in_stratum = np.ones(len(wrep), dtype=bool)
+            wrep[in_stratum] *= nh / (nh - 1.0)
+        in_clust = np.fromiter(
+            (x == c for x in clust_arr), dtype=bool, count=len(clust_arr)
+        )
+        wrep[in_clust] = 0.0
+        reps[i] = fit_weighted_glm(X, y, wrep, family).params
+    reps = reps - fit.params[None, :]
+    nh_vec = np.asarray(
+        [float(clust_per_strat[strat_for_clust[c]]) for c in clusters], dtype=float
+    )
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mh = np.sqrt((nh_vec - 1.0) / nh_vec)
+    mh[~np.isfinite(mh)] = 1.0
+    fh = np.sqrt(
+        1.0 - np.asarray([fpc_for_clust.get(c, 0.0) for c in clusters], dtype=float)
+    )
+    reps = reps * (mh * fh)[:, None]
+    return reps.T @ reps
 
 
 def survey_dof(

@@ -55,6 +55,7 @@ from clarite_python_spark.functions.glm import (
 )
 from clarite_python_spark.functions.wglm import (
     fit_weighted_glm,
+    jackknife_vcov,
     regterm_pvalue,
     sandwich_vcov,
     survey_dof,
@@ -351,12 +352,16 @@ def _make_weighted_kernel(
     report_categorical_betas: bool,
     constants: dict,
     weight_info: dict,
+    vcov_method: str = "stata",
 ):
     """applyInPandas kernel for the survey-weighted fan-out (reference
     ``weighted_glm_regression.py:357-494``). ``constants`` is the
     full-design broadcast state from SurveyDesignSpec.constants();
     ``weight_info`` = {single_weight, weight_name, weight_names,
-    weight_means, drop_unweighted}.
+    weight_means, drop_unweighted}. ``vcov_method``: ``"stata"`` =
+    linearized sandwich (what the reference's ``fit`` uses);
+    ``"jackknife"`` = delete-1-cluster replicates (implemented but unused
+    in the reference, survey_model.py:174-208).
     """
     from clarite_python_spark.survey.design import (
         CLUST_COL,
@@ -428,8 +433,15 @@ def _make_weighted_kernel(
             clust = sub[CLUST_COL].to_numpy(dtype=object) if has_cluster else None
             Xr, names_r, _ = _design_matrix(sub, covariates, covar_types)
 
-            def finish_wald(row, fitted, names, n_params):
-                vcov = sandwich_vcov(fitted, strat, clust, constants)
+            def compute_vcov(fitted, X):
+                if vcov_method == "jackknife":
+                    return jackknife_vcov(
+                        X, y, w, family, fitted, strat, clust, constants
+                    )
+                return sandwich_vcov(fitted, strat, clust, constants)
+
+            def finish_wald(row, fitted, names, n_params, X):
+                vcov = compute_vcov(fitted, X)
                 stderr = np.sqrt(np.clip(np.diag(vcov), 0, None))
                 pos = [
                     i
@@ -462,7 +474,7 @@ def _make_weighted_kernel(
                 row = _default_row(rv, outcome)
                 row.update(Variable_type=vtype, Weight=weight_label, N=N)
                 if fitted.converged:
-                    finish_wald(row, fitted, names, X.shape[1])
+                    finish_wald(row, fitted, names, X.shape[1], X)
                 rows.append(row)
             elif vtype == CATEGORICAL:
                 levels = _sorted_levels(sub["value"])
@@ -474,7 +486,7 @@ def _make_weighted_kernel(
                 # non-converged weighted categorical fits emit NO rows
                 # (reference generator, weighted_glm_regression.py:245-286)
                 if fit_f.converged and fit_r.converged:
-                    vcov_f = sandwich_vcov(fit_f, strat, clust, constants)
+                    vcov_f = compute_vcov(fit_f, X_f)
                     dof = survey_dof(has_strata, has_cluster, strat, clust, len(sub), X_f.shape[1])
                     chisq = fit_r.deviance - fit_f.deviance
                     lr_p = regterm_pvalue(chisq, vcov_f, names_f, fit_f.a_inv, rv, dof)
@@ -560,6 +572,7 @@ def association_study(
     strategy: str = "grouped",
     max_concurrent_jobs: int = 8,
     use_sufficient_stats: bool = True,
+    vcov_method: str = "stata",
 ) -> DataFrame:
     """EWAS-style mass regression (reference association_study.py:14-132).
 
@@ -597,6 +610,12 @@ def association_study(
         custom_kernel_factory = regression_kind
     elif regression_kind not in (None, "glm", "weighted_glm"):
         raise ValueError(f"unsupported regression_kind {regression_kind!r}")
+    if vcov_method not in ("stata", "jackknife"):
+        raise ValueError(f"unsupported vcov_method {vcov_method!r}")
+    if vcov_method == "jackknife" and (
+        survey_design_spec is None or not survey_design_spec.has_cluster
+    ):
+        raise ValueError("vcov_method='jackknife' requires a cluster survey design")
     if regression_kind == "weighted_glm" and survey_design_spec is None:
         raise ValueError("A 'survey_design_spec' must be provided")
     if isinstance(outcomes, str):
@@ -699,6 +718,7 @@ def association_study(
                 report_categorical_betas,
                 survey_design_spec.constants(),
                 weight_info,
+                vcov_method=vcov_method,
             )
         elif custom_kernel_factory is not None:
             kernel = custom_kernel_factory(
@@ -718,6 +738,7 @@ def association_study(
             and survey_design_spec is not None
             and family == GAUSSIAN
             and survey_design_spec.has_cluster
+            and vcov_method == "stata"
             and len(survey_design_spec.constants()["clusters"]) <= 256
         ):
             # survey-weighted Gaussian fits for CONTINUOUS variables are

@@ -518,3 +518,88 @@ def test_suffstats_numeric_categorical_covariate_with_nulls(spark):
             fast[col].astype(float), slow[col].astype(float), rtol=1e-9
         ), col
     assert fast.loc["x", "Beta"] == pytest.approx(2.0, abs=0.2)
+
+
+# --------------------------------------------------------------------------
+# jackknife vcov (reference survey_model.py:174-208 — implemented there but
+# never selected by fit(); exposed here via vcov_method="jackknife")
+# --------------------------------------------------------------------------
+
+
+def test_jackknife_matches_independent_wls(fpc_cf):
+    # fpc_cf's lazy plan reads case-colliding headers (nh/Nh); the conf is
+    # session-wide and an earlier test resets it, so set it again here.
+    fpc_cf.df.sparkSession.conf.set("spark.sql.caseSensitive", "true")
+    design = SurveyDesignSpec(
+        fpc_cf.df, weights="weight", cluster="psuid", strata="stratid", nest=True
+    )
+    cf = modify.colfilter(fpc_cf, only=["x", "y"])
+    res = (
+        analyze.association_study(
+            data=cf,
+            outcomes="y",
+            covariates=[],
+            survey_design_spec=design,
+            min_n=1,
+            vcov_method="jackknife",
+        )
+        .toPandas()
+        .set_index("Variable")
+    )
+    # independent delete-1-cluster jackknife on the same data, computed
+    # with plain pandas/numpy WLS (different code path from the kernel)
+    pdf = pd.read_csv(f"{DATA}/fpc_data.csv")
+    pdf["clust"] = pdf["stratid"].astype(str) + "/" + pdf["psuid"].astype(str)  # nest=True
+    w = (pdf["weight"] / pdf["weight"].mean()).to_numpy(dtype=float)
+    X = np.column_stack([np.ones(len(pdf)), pdf["x"].to_numpy(dtype=float)])
+    y = pdf["y"].to_numpy(dtype=float)
+
+    def wls(wvec):
+        sq = np.sqrt(wvec)
+        return np.linalg.lstsq(X * sq[:, None], y * sq, rcond=None)[0]
+
+    full = wls(w)
+    clusters = sorted(pdf["clust"].unique())
+    strat_of = pdf.groupby("clust")["stratid"].first().to_dict()
+    nh_of = pdf.groupby("stratid")["clust"].nunique().to_dict()
+    reps = []
+    scales = []
+    for c in clusters:
+        s = strat_of[c]
+        nh = float(nh_of[s])
+        wrep = w.copy()
+        wrep[(pdf["stratid"] == s).to_numpy()] *= nh / (nh - 1.0)
+        wrep[(pdf["clust"] == c).to_numpy()] = 0.0
+        reps.append(wls(wrep) - full)
+        scales.append(np.sqrt((nh - 1.0) / nh))
+    reps = np.asarray(reps) * np.asarray(scales)[:, None]
+    vcov = reps.T @ reps
+    expected_se = np.sqrt(vcov[1, 1])
+    assert res.loc["x", "Beta"] == pytest.approx(full[1], rel=1e-9)
+    assert res.loc["x", "SE"] == pytest.approx(expected_se, rel=1e-9)
+    # jackknife and linearization should agree to first order here
+    lin = (
+        analyze.association_study(
+            data=cf,
+            outcomes="y",
+            covariates=[],
+            survey_design_spec=design,
+            min_n=1,
+        )
+        .toPandas()
+        .set_index("Variable")
+    )
+    assert res.loc["x", "SE"] == pytest.approx(lin.loc["x", "SE"], rel=0.5)
+    fpc_cf.df.sparkSession.conf.set("spark.sql.caseSensitive", "false")
+
+
+def test_jackknife_requires_cluster_design(nhanes_cf):
+    design = SurveyDesignSpec(nhanes_cf.df, weights="WTMEC2YR")
+    with pytest.raises(ValueError, match="cluster"):
+        analyze.association_study(
+            data=nhanes_cf,
+            outcomes="HI_CHOL",
+            covariates=["race", "agecat"],
+            survey_design_spec=design,
+            vcov_method="jackknife",
+        )
