@@ -814,7 +814,7 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'l_tax', l_tax FROM lineitem
             )
             SELECT v.variable,
-                   sum(CASE WHEN x < q1 - 1.5*(q3-q1) OR x > q3 + 1.5*(q3-q1) THEN 1 ELSE 0 END) AS n_removed
+                   CAST(sum(CASE WHEN x < q1 - 1.5*(q3-q1) OR x > q3 + 1.5*(q3-q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
             FROM v JOIN b ON v.variable = b.variable
             GROUP BY v.variable ORDER BY v.variable
         """,
@@ -832,7 +832,7 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
             )
             SELECT v.variable,
-                   sum(CASE WHEN x < lo OR x > hi THEN 1 ELSE 0 END) AS n_removed
+                   CAST(sum(CASE WHEN x < lo OR x > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
             FROM v JOIN b ON v.variable = b.variable
             GROUP BY v.variable ORDER BY v.variable
         """,
@@ -928,7 +928,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "token_counts_by_source": f"""
-            SELECT source, count(*) AS n_docs, sum(len({_TOKENS})) AS n_tokens
+            SELECT source, count(*) AS n_docs, CAST(sum(len({_TOKENS})) AS BIGINT) AS n_tokens
             FROM documents GROUP BY source ORDER BY source
         """,
         "language_id_documents": f"""
