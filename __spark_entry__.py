@@ -573,6 +573,19 @@ def embedding_neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold 0.45; ``n_planes>0`` in the operator is the LSH-blocked
     scale path)."""
     emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.embedding_neardup(emb, threshold=0.45, exact=True)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine")).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def embedding_neardup_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-blocked near-dup pairs (the scale-default path: banded
+    random-hyperplane blocking, equi-join on (band, bucket) — no cross
+    join). Rows-only check: recall < 1 by design, so no SQL oracle; the
+    subset + recall contract vs the exact path is asserted in
+    tests/test_similarity_neardup.py."""
+    emb = _t(spark, sf_dir, "embeddings")
     out = similarity.embedding_neardup(emb, threshold=0.45)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine")).orderBy(
         "id_a", "id_b"
@@ -672,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_events": windowed_events,
         "ngram_jaccard_documents": ngram_jaccard_documents,
         "embedding_neardup_embeddings": embedding_neardup_embeddings,
+        "embedding_neardup_lsh_embeddings": embedding_neardup_lsh_embeddings,
         "colfilter_min_n_events": colfilter_min_n_events,
         "get_significant_documents": get_significant_documents,
     }

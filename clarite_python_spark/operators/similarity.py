@@ -136,35 +136,75 @@ def embedding_neardup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    n_planes: int = 0,
+    n_planes: int = 6,
+    n_bands: int = 8,
     seed: int = 42,
+    exact: bool = False,
+    max_exact_rows: int | None = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (id_a < id_b) with
     cosine(vec_a, vec_b) >= ``threshold``.
 
-    ``n_planes=0`` compares all pairs — the exact O(n^2) correctness
-    baseline (what the DuckDB oracle reproduces). ``n_planes > 0`` is the
-    scale path: random-hyperplane LSH blocking (same family as
-    :func:`lsh_topk`) turns the cross join into an equi-join on the
-    bucket id, so only same-bucket vectors are scored — recall < 1 by
-    design, cost O(n^2 / 2^n_planes) per bucket on average. True
-    near-duplicates (cosine -> 1) land in the same bucket with
-    probability (1 - theta/pi)^n_planes, which stays high precisely for
-    the pairs this operator exists to find."""
+    The default is the scale path: banded random-hyperplane LSH blocking
+    (same hash family as :func:`lsh_topk`). Each vector gets ``n_bands``
+    bucket ids of ``n_planes`` sign-bits each; a pair is a candidate iff
+    it collides in at least one band, and only candidates are scored
+    exactly.  Candidate recall for a pair at angle theta is
+    ``1 - (1 - (1 - theta/pi)^n_planes)^n_bands`` — ~0.98 at cosine 0.9
+    with the defaults, -> 1 as cosine -> 1.  The band join is an
+    equi-join on (band, bucket): no cross join anywhere, expected cost
+    O(n_bands * n^2 / 2^n_planes) spread across buckets.
+
+    ``exact=True`` (or ``n_planes=0``) compares all pairs — the O(n^2)
+    correctness baseline the DuckDB oracle reproduces.  Because an
+    all-pairs theta-join is a scale-killer, the exact path refuses
+    corpora above ``max_exact_rows`` (pass ``None`` to override)."""
     a = df.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("__va")
     )
     b = df.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("__vb")
     )
-    if n_planes > 0:
-        dim = len(df.select(vec_col).first()[0])
-        planes = _hyperplanes(dim, n_planes, seed)
-        a = a.withColumn("__bucket", _bucket(F.col("__va"), planes))
-        b = b.withColumn("__bucket", _bucket(F.col("__vb"), planes))
-        pairs = a.join(b, on="__bucket").where(F.col("id_a") < F.col("id_b"))
-    else:
+    if exact or n_planes <= 0:
+        if max_exact_rows is not None:
+            n = df.count()
+            if n > max_exact_rows:
+                raise ValueError(
+                    f"embedding_neardup(exact=True) on {n} rows would score "
+                    f"~{n * (n - 1) // 2} pairs (> max_exact_rows={max_exact_rows}). "
+                    "Use the default LSH-blocked mode, or pass max_exact_rows=None "
+                    "to force the all-pairs plan."
+                )
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        dim = len(df.select(vec_col).first()[0])
+        planes = _hyperplanes(dim, n_planes * n_bands, seed)
+
+        def _band_buckets(vec: Column) -> Column:
+            return F.array(
+                *[
+                    _bucket(vec, planes[k * n_planes : (k + 1) * n_planes])
+                    for k in range(n_bands)
+                ]
+            )
+
+        ab = a.select(
+            "id_a",
+            "__va",
+            F.posexplode(_band_buckets(F.col("__va"))).alias("__band", "__bucket"),
+        )
+        bb = b.select(
+            "id_b",
+            "__vb",
+            F.posexplode(_band_buckets(F.col("__vb"))).alias("__band", "__bucket"),
+        )
+        # A pair colliding in several bands appears once per collision;
+        # dedup on the id pair before scoring so each pair is scored once.
+        pairs = (
+            ab.join(bb, on=["__band", "__bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
     return (
         pairs.withColumn("cosine", cosine(F.col("__va"), F.col("__vb")))
         .where(F.col("cosine") >= threshold)

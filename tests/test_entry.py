@@ -32,6 +32,7 @@ def test_queries_and_oracles_aligned():
         "minhash_dedup_documents",
         "simhash_documents",
         "similarity_lsh_embeddings",
+        "embedding_neardup_lsh_embeddings",
         "multimodal_features_documents",
     }
 
@@ -44,6 +45,7 @@ def test_queries_and_oracles_aligned():
         "windowed_events",
         "ngram_jaccard_documents",
         "embedding_neardup_embeddings",
+        "embedding_neardup_lsh_embeddings",
         "colfilter_min_n_events",
         "get_significant_documents",
     ],

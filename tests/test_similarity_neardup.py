@@ -28,7 +28,7 @@ def test_brute_matches_numpy(spark, emb):
                 expected.add((int(ids[i]), int(ids[j])))
     got = {
         (r["id_a"], r["id_b"])
-        for r in embedding_neardup(emb, threshold=0.4).collect()
+        for r in embedding_neardup(emb, threshold=0.4, exact=True).collect()
     }
     assert got == expected
 
@@ -36,7 +36,7 @@ def test_brute_matches_numpy(spark, emb):
 def test_lsh_blocked_is_subset_with_same_scores(spark, emb):
     brute = {
         (r["id_a"], r["id_b"]): round(r["cosine"], 9)
-        for r in embedding_neardup(emb, threshold=0.3).collect()
+        for r in embedding_neardup(emb, threshold=0.3, exact=True).collect()
     }
     lsh = {
         (r["id_a"], r["id_b"]): round(r["cosine"], 9)
@@ -46,3 +46,62 @@ def test_lsh_blocked_is_subset_with_same_scores(spark, emb):
     assert set(lsh) <= set(brute)
     for k, v in lsh.items():
         assert v == brute[k]
+
+
+def test_default_blocked_recall_at_045(spark, emb):
+    """Subset + recall contract of the scale-default (banded LSH) path at
+    the entry query's threshold. The sf0.001 pairs all sit barely above
+    0.45 (cosine 0.45-0.48), where banded-LSH candidate recall is
+    theory-bounded at 1-(1-p^6)^8 ~= 0.48 (p = 1-theta/pi); hyperplanes
+    are seeded so the measured value is deterministic — pin a floor just
+    under it. High-cosine recall (the operator's actual target) is
+    asserted in test_blocked_recall_on_planted_dups."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup(emb, threshold=0.45, exact=True).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup(emb, threshold=0.45).collect()
+    }
+    assert blocked <= exact
+    assert exact, "test data must produce at least one near-dup pair"
+    recall = len(blocked) / len(exact)
+    assert recall >= 0.4, f"banded-LSH recall {recall:.2f} below floor"
+
+
+def test_blocked_recall_on_planted_dups(spark):
+    """Planted true near-dups (cosine >= ~0.9) must be recovered by the
+    default banded-LSH blocking with high recall — this is the regime the
+    operator exists for (theory: ~0.98 at cosine 0.9 with 6 planes x 8
+    bands)."""
+    rng = np.random.RandomState(7)
+    base = rng.randn(60, 16)
+    dup = base[:25] + 0.15 * rng.randn(25, 16)  # cosine ~0.95 vs original
+    M = np.vstack([base, dup])
+    rows = [(i, [float(x) for x in M[i]]) for i in range(len(M))]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup(df, threshold=0.85, exact=True).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup(df, threshold=0.85).collect()
+    }
+    assert blocked <= exact
+    assert len(exact) >= 20, "planting should create >=20 high-cosine pairs"
+    recall = len(blocked) / len(exact)
+    assert recall >= 0.9, f"high-cosine banded-LSH recall {recall:.2f} < 0.9"
+
+
+def test_exact_guard_refuses_large_corpus(spark, emb):
+    with pytest.raises(ValueError, match="max_exact_rows"):
+        embedding_neardup(emb, threshold=0.45, exact=True, max_exact_rows=10)
+    # explicit override runs the all-pairs plan
+    assert (
+        embedding_neardup(emb, threshold=0.45, exact=True, max_exact_rows=None)
+        .limit(1)
+        .count()
+        >= 0
+    )
