@@ -72,6 +72,65 @@ def _fit_ml_glm(sub: DataFrame, feature_cols: list[str], outcome: str, family: s
     return model.summary, model
 
 
+def _sort_levels(levels: list[str]) -> list[str]:
+    try:
+        return sorted(levels, key=float)
+    except (TypeError, ValueError):
+        return sorted(levels)
+
+
+def _prefetch_fit_stats(
+    df: DataFrame,
+    rvs: Sequence[str],
+    rv_types: dict[str, str],
+    outcome: str,
+    covariates: list[str],
+    covar_types: dict[str, str],
+    batch_size: int = 128,
+) -> tuple[dict[str, int], dict[str, dict[str, list[str]]]]:
+    """Batched per-variable complete-case stats: one agg job per
+    ``batch_size`` variables instead of 2+ driver round-trips per
+    variable (N via distinct count jobs, levels via ``distinct()``).
+
+    For each variable the complete-case mask is AND(isNotNull) over
+    [outcome, rv, covariates]; N = sum(mask) and, for every categorical
+    column in that variable's model, levels = collect_set(mask ? col) —
+    exactly the values a per-variable ``na.drop()`` subset would see, so
+    treatment coding is unchanged (a level absent from the variable's
+    complete cases contributes no dummy)."""
+    ns: dict[str, int] = {}
+    levels: dict[str, dict[str, list[str]]] = {}
+    cat_covs = [c for c in covariates if covar_types.get(c) in (BINARY, CATEGORICAL)]
+    rvs = list(rvs)
+    for start in range(0, len(rvs), batch_size):
+        chunk = rvs[start : start + batch_size]
+        exprs = []
+        for rv in chunk:
+            mask = F.lit(True)
+            for c in (outcome, rv, *covariates):
+                mask = mask & qcol(c).isNotNull()
+            exprs.append(F.sum(mask.cast("long")).alias(f"n::{rv}"))
+            cat_cols = list(cat_covs)
+            if rv_types.get(rv) != CONTINUOUS:
+                cat_cols.append(rv)
+            for c in cat_cols:
+                exprs.append(
+                    F.collect_set(
+                        F.when(mask, qcol(c).cast("string"))
+                    ).alias(f"l::{rv}::{c}")
+                )
+        row = df.agg(*exprs).collect()[0]
+        for rv in chunk:
+            ns[rv] = int(row[f"n::{rv}"] or 0)
+            levels[rv] = {}
+            cat_cols = list(cat_covs)
+            if rv_types.get(rv) != CONTINUOUS:
+                cat_cols.append(rv)
+            for c in cat_cols:
+                levels[rv][c] = _sort_levels(list(row[f"l::{rv}::{c}"]))
+    return ns, levels
+
+
 def _one_variable(
     df: DataFrame,
     rv: str,
@@ -81,9 +140,12 @@ def _one_variable(
     covar_types: dict[str, str],
     family: str,
     min_n: int,
+    n: int,
+    cat_levels: dict[str, list[str]],
 ) -> list[dict]:
     """Fit one variable end-to-end (runs on a driver thread; all heavy
-    work is executor-side)."""
+    work is executor-side). ``n`` and ``cat_levels`` come prefetched from
+    :func:`_prefetch_fit_stats` — no per-variable count/distinct jobs."""
     from clarite_python_spark.operators.analyze import _default_row
 
     row = _default_row(rv, outcome)
@@ -91,8 +153,6 @@ def _one_variable(
     try:
         use_cols = [outcome, rv, *covariates]
         sub = df.select(*[qcol(c).alias(c) for c in use_cols]).na.drop()
-        # cheap single pass for N + levels of categorical columns
-        n = sub.count()
         row["N"] = n
         if n < min_n:
             raise ValueError(f"too few complete observations ({n} < {min_n})")
@@ -100,15 +160,7 @@ def _one_variable(
         feats: list[str] = []
         for cv in covariates:
             if covar_types.get(cv) in (BINARY, CATEGORICAL):
-                levels = [
-                    r[0]
-                    for r in sub.select(qcol(cv).cast("string")).distinct().collect()
-                ]
-                try:
-                    levels = sorted(levels, key=float)
-                except (TypeError, ValueError):
-                    levels = sorted(levels)
-                sub, nm = _dummy_cols(sub, cv, levels, f"c{len(feats)}")
+                sub, nm = _dummy_cols(sub, cv, cat_levels[cv], f"c{len(feats)}")
                 feats.extend(nm)
             else:
                 name = f"__c{len(feats)}"
@@ -119,12 +171,7 @@ def _one_variable(
             sub = sub.withColumn("__rv", qcol(rv).cast("double"))
             rv_feats = ["__rv"]
         else:
-            levels = [r[0] for r in sub.select(qcol(rv).cast("string")).distinct().collect()]
-            try:
-                levels = sorted(levels, key=float)
-            except (TypeError, ValueError):
-                levels = sorted(levels)
-            sub, rv_feats = _dummy_cols(sub, rv, levels, "rv")
+            sub, rv_feats = _dummy_cols(sub, rv, cat_levels[rv], "rv")
 
         sub = sub.withColumn("__y", qcol(outcome).cast("double"))
         summary, model = _fit_ml_glm(sub, feats + rv_feats, "__y", family)
@@ -205,6 +252,9 @@ def columnar_association_study(
     per variable)."""
     from clarite_python_spark.operators.analyze import RESULT_SCHEMA
 
+    ns, levels = _prefetch_fit_stats(
+        df, rvs, rv_types, outcome, covariates, covar_types
+    )
     with ThreadPoolExecutor(max_workers=max_concurrent_jobs) as pool:
         futures = [
             pool.submit(
@@ -217,6 +267,8 @@ def columnar_association_study(
                 covar_types,
                 family,
                 min_n,
+                ns[rv],
+                levels[rv],
             )
             for rv in rvs
         ]
