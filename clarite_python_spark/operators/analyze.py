@@ -1003,6 +1003,7 @@ def interaction_study(
     encoding: str = "additive",
     edge_encoding_info=None,
     use_sufficient_stats: bool = True,
+    pair_batch_size: int = 2000,
 ) -> DataFrame:
     """Pairwise-interaction LRT (reference interaction_study.py:10-137,
     interaction_regression.py:22-501): restricted =
@@ -1010,11 +1011,18 @@ def interaction_study(
     ``interactions=None`` means all C(n,2) pairs (ref :111).
 
     Spark plan: the pair list is generated driver-side; each pair becomes
-    one group of a long table built with a single Expand
+    one group of a long table built with an Expand
     (``explode(array(struct(t1, t2, v1, v2)))``) — rows x |pairs|, grouped
     by (Term1, Term2) into the numpy GLM kernel. Interaction columns are
     products of the (dummy-encoded) main-effect columns, names
     ``a[:T.x]:b[:T.y]`` matching patsy.
+
+    ``pair_batch_size`` bounds the Expand: the pair list is chunked and
+    each chunk becomes its own job, results unioned. All-pairs over
+    p=970 variables is ~470k pairs — one Expand of rows x 470k is an
+    OOM/shuffle blowup, while 235 bounded jobs stream through the
+    cluster (and give per-batch progress). The sufficient-stats path is
+    chunked too (bounds the per-agg expression count).
     """
     if isinstance(outcomes, str):
         outcomes = [outcomes]
@@ -1071,11 +1079,11 @@ def interaction_study(
                 if var_types[a] == CONTINUOUS and var_types[b] == CONTINUOUS
             ]
             my_pairs = [p for p in my_pairs if p not in set(suff_pairs)]
-            if suff_pairs:
+            for start in range(0, len(suff_pairs), pair_batch_size):
                 suff_rows = gaussian_interaction_rows(
                     df,
                     outcome,
-                    suff_pairs,
+                    suff_pairs[start : start + pair_batch_size],
                     covariates,
                     covar_types,
                     data.category_levels,
@@ -1089,24 +1097,25 @@ def interaction_study(
         if not my_pairs:
             continue
 
-        structs = [
-            F.struct(
-                F.lit(t1).alias("Term1"),
-                F.lit(t2).alias("Term2"),
-                F.col(t1).cast("string").alias("v1"),
-                F.col(t2).cast("string").alias("v2"),
-            )
-            for t1, t2 in my_pairs
-        ]
-        long = df.select(
-            ID_COL, outcome, *covariates, F.explode(F.array(*structs)).alias("__pair")
-        ).select(ID_COL, outcome, *covariates, "__pair.*")
-
         kernel = _make_interaction_kernel(
             outcome, covariates, covar_types, var_types, family, min_n, report_betas
         )
-        res = long.groupBy("Term1", "Term2").applyInPandas(kernel, INTERACTION_SCHEMA)
-        results.append(res)
+        for start in range(0, len(my_pairs), pair_batch_size):
+            batch = my_pairs[start : start + pair_batch_size]
+            structs = [
+                F.struct(
+                    F.lit(t1).alias("Term1"),
+                    F.lit(t2).alias("Term2"),
+                    F.col(t1).cast("string").alias("v1"),
+                    F.col(t2).cast("string").alias("v2"),
+                )
+                for t1, t2 in batch
+            ]
+            long = df.select(
+                ID_COL, outcome, *covariates, F.explode(F.array(*structs)).alias("__pair")
+            ).select(ID_COL, outcome, *covariates, "__pair.*")
+            res = long.groupBy("Term1", "Term2").applyInPandas(kernel, INTERACTION_SCHEMA)
+            results.append(res)
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
