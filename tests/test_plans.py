@@ -45,6 +45,27 @@ def test_colfilter_prunes_scan(orders_cf):
     assert "o_orderdate" not in read_schema and "o_custkey" not in read_schema
 
 
+def test_synthesized_id_has_no_global_window(spark, tmp_path):
+    """index_col=None ID synthesis must rank within spark partitions
+    (zipWithIndex-style), not sort the whole table in one partition
+    (VERDICT r1 item 5): no SinglePartition exchange in the plan, and
+    the ids are still exactly 0..n-1 in file order."""
+    import pandas as pd
+
+    from clarite_python_spark.sources import io as cio
+
+    p = tmp_path / "t.csv"
+    pd.DataFrame({"a": range(100), "b": [f"s{i}" for i in range(100)]}).to_csv(
+        p, index=False
+    )
+    cf = cio.from_csv(spark, str(p), index_col=None)
+    plan = _formatted_plan(cf.df)
+    assert "SinglePartition" not in plan
+    rows = cf.df.orderBy("ID").collect()
+    assert [r["ID"] for r in rows] == list(range(100))
+    assert [r["a"] for r in rows] == list(range(100))  # file order preserved
+
+
 def test_chained_operators_fuse_into_one_scan(orders_cf):
     """QC chain (colfilter -> rowfilter) stays ONE scan with both the
     filter and the pruning applied — lazy frames fuse, unlike the
