@@ -21,6 +21,7 @@ from __future__ import annotations
 import math
 from typing import Mapping, Sequence
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -472,10 +473,15 @@ def outlier_counts(
     return row.unpivot([], cols, "variable", "n_removed")
 
 
-def transform(cf: ClariteFrame, transform_method: str, skip=None, only=None) -> ClariteFrame:
-    """Apply a named unary function to continuous variables
-    (modify.py:944-1008, apply :1000). Registry of JVM-side functions —
-    no Python UDF in the hot path."""
+def transform(cf: ClariteFrame, transform_method, skip=None, only=None) -> ClariteFrame:
+    """Apply a unary function to continuous variables (modify.py:944-1008,
+    apply :1000).
+
+    Named methods resolve to a registry of JVM-side functions — no Python
+    in the hot path. A user *callable* (the reference accepts any method
+    ``data.apply`` can run) falls back to an Arrow-batched pandas UDF:
+    the callable receives a ``pd.Series`` per batch and must return a
+    same-length array-like (numpy ufuncs work as-is)."""
     registry = {
         "log": F.log,
         "log10": F.log10,
@@ -488,6 +494,8 @@ def transform(cf: ClariteFrame, transform_method: str, skip=None, only=None) -> 
         "reciprocal": lambda c: F.lit(1.0) / c,
         "zscore": None,  # handled below (needs a stats pass)
     }
+    if not isinstance(transform_method, str) and callable(transform_method):
+        return _transform_callable(cf, transform_method, skip, only)
     if transform_method not in registry:
         raise ValueError(f"transform_method must be one of {sorted(registry)}")
     cols = [c for c in validate_skip_only(cf.variables, skip, only) if cf.catalog.get(c) == CONTINUOUS]
@@ -511,6 +519,31 @@ def transform(cf: ClariteFrame, transform_method: str, skip=None, only=None) -> 
             *[fn(qcol(c)).alias(c) if c in set(cols) else qcol(c) for c in cf.df.columns]
         )
     return _report(cf.with_df(new_df), {"columns": cols, "method": transform_method})
+
+
+def _transform_callable(cf: ClariteFrame, fn, skip=None, only=None) -> ClariteFrame:
+    """User-function fallback for :func:`transform` (reference
+    modify.py:944-1008 applies any named method via ``data.apply``).
+
+    One Arrow-batched scalar pandas UDF shared by all continuous columns;
+    per-batch, not per-row — the slow path, but vectorized."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _apply(s: pd.Series) -> pd.Series:
+        out = fn(s)
+        return pd.Series(out, index=s.index, dtype="float64")
+
+    cols = [c for c in validate_skip_only(cf.variables, skip, only) if cf.catalog.get(c) == CONTINUOUS]
+    colset = set(cols)
+    new_df = cf.df.select(
+        *[
+            _apply(qcol(c).cast("double")).alias(c) if c in colset else qcol(c)
+            for c in cf.df.columns
+        ]
+    )
+    name = getattr(fn, "__name__", None) or "callable"
+    return _report(cf.with_df(new_df), {"columns": cols, "method": name})
 
 
 def drop_extra_categories(cf: ClariteFrame, skip=None, only=None) -> ClariteFrame:

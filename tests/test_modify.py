@@ -127,6 +127,32 @@ def test_transform_zscore(mixed_cf):
     assert row[1] == pytest.approx(1.0, rel=1e-9)
 
 
+def test_transform_user_callable(mixed_cf):
+    """Arbitrary-callable fallback (reference modify.py:944-1008 applies
+    any method via data.apply): pandas-UDF path must match the same
+    callable run through pandas directly."""
+    import numpy as np
+
+    cf = modify.categorize(mixed_cf)
+
+    def shifted_tanh(s):
+        return np.tanh(s) + 1.0
+
+    out = modify.transform(cf, shifted_tanh, only=["cont2"])
+    assert out.last_report["method"] == "shifted_tanh"
+    orig = cf.df.select("ID", "cont2").toPandas().set_index("ID")["cont2"]
+    new = out.df.select("ID", "cont2").toPandas().set_index("ID")["cont2"]
+    expected = shifted_tanh(orig.astype(float))
+    for i in orig.index:
+        assert new[i] == pytest.approx(expected[i], rel=1e-12)
+
+
+def test_transform_unknown_name_still_raises(mixed_cf):
+    cf = modify.categorize(mixed_cf)
+    with pytest.raises(ValueError, match="transform_method"):
+        modify.transform(cf, "not_a_method")
+
+
 def test_make_continuous_errors_on_strings(mixed_cf):
     cf = modify.categorize(mixed_cf)
     with pytest.raises(ValueError):
