@@ -184,6 +184,49 @@ def ngram_jaccard_pairs(
     return scored.where(F.col("jaccard") >= threshold)
 
 
+def _min_label_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over an undirected edge list (id_a, id_b) by
+    iterative min-label propagation: every vertex starts labeled with its
+    own id; each round takes the min of its own and its neighbors'
+    labels; fixpoint => label == min id of the component.
+
+    Converges in O(component diameter) rounds — near-dup clusters are
+    shallow, so ``max_iter`` is a safety bound, not a typical cost. Each
+    round is one shuffle join keyed on vertex id over the DUPLICATE
+    vertices only (not the corpus), and ``localCheckpoint`` truncates the
+    lineage so plans don't grow exponentially. Returns (id, label)."""
+    sym = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
+        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels.select(F.col("id").alias("dst"), "label"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new = (
+            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["label"], F.coalesce(nbr["nbr_label"], labels["label"])
+                ).alias("label"),
+                (F.coalesce(nbr["nbr_label"], labels["label"]) < labels["label"])
+                .cast("long")
+                .alias("__chg"),
+            )
+            .localCheckpoint()
+        )
+        changed = new.agg(F.sum("__chg")).collect()[0][0] or 0
+        labels = new.drop("__chg")
+        if changed == 0:
+            break
+    return labels
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -192,16 +235,27 @@ def minhash_dedup(
     bands: int = 8,
     shingle_n: int = 3,
     threshold: float = 0.8,
+    transitive: bool = False,
+    max_iter: int = 20,
 ) -> DataFrame:
     """End-to-end near-dup removal: LSH candidates -> exact-Jaccard verify
-    -> keep the min-id representative of each duplicate pair's loser set.
+    -> drop duplicates, keeping one representative per group.
 
-    (Full transitive-closure clustering needs iterative connected
-    components — at this stage we drop any doc that is similar to a
-    lower-id doc, the greedy standard for corpus dedup.)"""
+    ``transitive=False`` (greedy, the corpus-dedup standard): drop any doc
+    similar to a lower-id doc. ``transitive=True``: connected-components
+    clustering over the verified pairs (iterative min-label propagation,
+    :func:`_min_label_components`), keeping exactly the min-id doc of each
+    cluster — A~B~C chains with A!~C resolve to one survivor per cluster
+    even when the greedy rule would keep disconnected-looking extras."""
     cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
     dups = ngram_jaccard_pairs(df, cands, text_col, id_col, shingle_n, threshold)
-    losers = dups.select(F.col("id_b").alias(id_col)).distinct()
+    if transitive:
+        comp = _min_label_components(dups.select("id_a", "id_b"), max_iter)
+        losers = comp.where(F.col("label") != F.col("id")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        losers = dups.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
 
 

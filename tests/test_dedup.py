@@ -1,0 +1,83 @@
+"""minhash_dedup clustering semantics: greedy (drop any doc similar to a
+lower-id doc) vs transitive connected-components (one survivor per
+cluster), and the min-label propagation kernel itself."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clarite_python_spark.operators.dedup import (
+    _min_label_components,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+)
+
+
+def test_min_label_components_chain_and_islands(spark):
+    # components: {1,3,5} (chain 1-3, 3-5), {2,4}, singleton edges only
+    edges = spark.createDataFrame(
+        [(1, 3), (3, 5), (2, 4)], "id_a: long, id_b: long"
+    )
+    got = {
+        (r["id"], r["label"]) for r in _min_label_components(edges).collect()
+    }
+    assert got == {(1, 1), (3, 1), (5, 1), (2, 2), (4, 2)}
+
+
+def test_min_label_components_long_chain_converges(spark):
+    # path 10-9-8-...-0: worst case for propagation (diameter = 10)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a: long, id_b: long"
+    )
+    labels = {r["id"]: r["label"] for r in _min_label_components(edges).collect()}
+    assert set(labels.values()) == {0}
+
+
+@pytest.fixture(scope="module")
+def chain_docs(spark):
+    """doc3 is near-dup of doc1 AND doc2, but doc1 !~ doc2 at the chosen
+    threshold: base 20 tokens; doc1 swaps the last token, doc2 swaps the
+    first, doc3 is the base. 3-gram Jaccard: 1~3 = 2~3 = 17/19 ~ 0.895,
+    1~2 = 16/20 = 0.80 < 0.85."""
+    base = [f"w{i}" for i in range(20)]
+    d1 = " ".join(base[:-1] + ["xx"])
+    d2 = " ".join(["yy"] + base[1:])
+    d3 = " ".join(base)
+    rows = [(1, d1), (2, d2), (3, d3), (9, "entirely different text here ok")]
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_verified_pairs_form_the_chain(chain_docs):
+    ids = chain_docs.select(F.col("doc_id").alias("id_a")).join(
+        chain_docs.select(F.col("doc_id").alias("id_b")),
+        F.col("id_a") < F.col("id_b"),
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(chain_docs, ids, threshold=0.85).collect()
+    }
+    assert pairs == {(1, 3), (2, 3)}
+
+
+def test_greedy_vs_transitive_on_chain(chain_docs):
+    greedy = {
+        r["doc_id"] for r in minhash_dedup(chain_docs, threshold=0.85).collect()
+    }
+    # greedy drops only id_b of each verified pair -> 3 goes, 1 and 2 stay
+    assert greedy == {1, 2, 9}
+    transitive = {
+        r["doc_id"]
+        for r in minhash_dedup(chain_docs, threshold=0.85, transitive=True).collect()
+    }
+    # connected components: cluster {1,2,3} keeps exactly min id 1
+    assert transitive == {1, 9}
+
+
+def test_transitive_noop_without_dups(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "one two three four five")],
+        "doc_id: long, text: string",
+    )
+    out = minhash_dedup(docs, threshold=0.8, transitive=True)
+    assert out.count() == 2
