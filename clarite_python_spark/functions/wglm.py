@@ -228,9 +228,12 @@ def sandwich_vcov(
         pop_mean = score.mean(axis=0)
         jdata = _center_strata(jdata, j_strat, single_cluster, pop_mean)
         if single_cluster == "average":
+            # design-level counts (reference survey_model.py:146-148 uses
+            # design.n_strat): a stratum dropping entirely from this
+            # variable's complete cases must not change the scale factor
             n_single = sum(1 for v in constants["clust_per_strat"].values() if v == 1)
-            n_strat_fit = len(set(strat))
-            jdata = jdata * np.sqrt(n_strat_fit / (n_strat_fit - n_single))
+            n_strat = len(constants["clust_per_strat"])
+            jdata = jdata * np.sqrt(n_strat / (n_strat - n_single))
 
     with np.errstate(divide="ignore", invalid="ignore"):
         mh = np.sqrt(nh / (nh - 1.0))
@@ -298,7 +301,13 @@ def jackknife_vcov(
             (x == c for x in clust_arr), dtype=bool, count=len(clust_arr)
         )
         wrep[in_clust] = 0.0
-        reps[i] = fit_weighted_glm(X, y, wrep, family).params
+        rep_fit = fit_weighted_glm(X, y, wrep, family)
+        if not rep_fit.converged:
+            # a non-converged replicate (e.g. separation after zeroing a
+            # cluster) would silently pollute the variance — fall back to
+            # the linearized sandwich for this variable instead
+            return sandwich_vcov(fit, strat, clust, constants)
+        reps[i] = rep_fit.params
     reps = reps - fit.params[None, :]
     nh_vec = np.asarray(
         [float(clust_per_strat[strat_for_clust[c]]) for c in clusters], dtype=float

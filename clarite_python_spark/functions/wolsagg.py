@@ -247,11 +247,11 @@ def weighted_gaussian_suffstats_rows(
             pop_mean = jdata.sum(axis=0) / n_total
             jdata = _center_strata(jdata, j_strat, single_cluster, pop_mean)
             if single_cluster == "average":
+                # design-level stratum count, matching wglm.sandwich_vcov
+                # (reference survey_model.py:146-148 uses design.n_strat)
                 n_single = sum(1 for vv in clust_per_strat.values() if vv == 1)
-                n_strat_fit = len(
-                    {strat_for_clust[clusters[ci]] for ci, r in per_cl.items() if float(r["n"] or 0.0) > 0}
-                )
-                jdata = jdata * np.sqrt(n_strat_fit / (n_strat_fit - n_single))
+                n_strat = len(clust_per_strat)
+                jdata = jdata * np.sqrt(n_strat / (n_strat - n_single))
         nh = np.asarray([clust_per_strat[s] for s in j_strat], dtype=float)
         with np.errstate(divide="ignore", invalid="ignore"):
             mh = np.sqrt(nh / (nh - 1.0))

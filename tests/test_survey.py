@@ -593,6 +593,87 @@ def test_jackknife_matches_independent_wls(fpc_cf):
     fpc_cf.df.sparkSession.conf.set("spark.sql.caseSensitive", "false")
 
 
+def test_average_rescale_uses_design_level_strata():
+    """single_cluster='average' must scale by design-level n_strat
+    (reference survey_model.py:146-148 uses design.n_strat), not the
+    strata observed in this variable's complete cases: dropping stratum C
+    entirely from the fit keeps the factor at 3/(3-1)."""
+    from clarite_python_spark.functions.wglm import fit_weighted_glm, sandwich_vcov
+
+    rng = np.random.RandomState(3)
+    # design: strata A (a1,a2), B (b1,b2), C (c1 — lonely); fit covers A,B only
+    strat = np.asarray(["A"] * 6 + ["B"] * 6, dtype=object)
+    clust = np.asarray(
+        ["a1"] * 3 + ["a2"] * 3 + ["b1"] * 3 + ["b2"] * 3, dtype=object
+    )
+    X = np.column_stack([np.ones(12), rng.randn(12)])
+    y = 1.0 + 2.0 * X[:, 1] + rng.randn(12)
+    w = np.ones(12)
+    fit = fit_weighted_glm(X, y, w, "gaussian")
+    constants = {
+        "has_strata": True,
+        "has_cluster": True,
+        "single_cluster": "average",
+        "clusters": ["a1", "a2", "b1", "b2", "c1"],
+        "strat_for_clust": {"a1": "A", "a2": "A", "b1": "B", "b2": "B", "c1": "C"},
+        "clust_per_strat": {"A": 2, "B": 2, "C": 1},
+        "fpc_for_clust": {},
+    }
+    vcov = sandwich_vcov(fit, strat, clust, constants)
+    # independent computation with the design-level 3/(3-1) factor
+    jdata = np.zeros((5, 2))
+    for i, c in enumerate(constants["clusters"]):
+        jdata[i] = fit.score[clust == c].sum(axis=0)
+    for s in ("A", "B", "C"):
+        rows = np.asarray(
+            [constants["strat_for_clust"][c] == s for c in constants["clusters"]]
+        )
+        jdata[rows] -= jdata[rows].mean(axis=0)
+    jdata *= np.sqrt(3.0 / 2.0)  # design-level n_strat=3, n_single=1
+    nh = np.asarray([2.0, 2.0, 2.0, 2.0, 1.0])
+    mh = np.where(nh > 1, np.sqrt(nh / np.maximum(nh - 1.0, 1.0)), 1.0)
+    jdata = jdata * mh[:, None]
+    expected = fit.a_inv @ (jdata.T @ jdata) @ fit.a_inv.T
+    assert np.allclose(vcov, expected, rtol=1e-12)
+
+
+def test_jackknife_falls_back_when_replicate_diverges(monkeypatch):
+    """A non-converged jackknife replicate must not silently pollute the
+    variance: the kernel falls back to the linearized sandwich."""
+    from clarite_python_spark.functions import wglm
+
+    rng = np.random.RandomState(4)
+    strat = np.asarray(["A"] * 6 + ["B"] * 6, dtype=object)
+    clust = np.asarray(
+        ["a1"] * 3 + ["a2"] * 3 + ["b1"] * 3 + ["b2"] * 3, dtype=object
+    )
+    X = np.column_stack([np.ones(12), rng.randn(12)])
+    y = 1.0 + 2.0 * X[:, 1] + rng.randn(12)
+    w = np.ones(12)
+    fit = wglm.fit_weighted_glm(X, y, w, "gaussian")
+    constants = {
+        "has_strata": True,
+        "has_cluster": True,
+        "single_cluster": "fail",
+        "clusters": ["a1", "a2", "b1", "b2"],
+        "strat_for_clust": {"a1": "A", "a2": "A", "b1": "B", "b2": "B"},
+        "clust_per_strat": {"A": 2, "B": 2},
+        "fpc_for_clust": {},
+    }
+    real_fit = wglm.fit_weighted_glm
+
+    def diverging(*a, **k):
+        out = real_fit(*a, **k)
+        return wglm.WeightedGLMFit(
+            out.params, out.names, out.mu, out.deviance, False, out.a_inv, out.score
+        )
+
+    monkeypatch.setattr(wglm, "fit_weighted_glm", diverging)
+    vcov = wglm.jackknife_vcov(X, y, w, "gaussian", fit, strat, clust, constants)
+    expected = wglm.sandwich_vcov(fit, strat, clust, constants)
+    assert np.allclose(vcov, expected, rtol=1e-12)
+
+
 def test_jackknife_requires_cluster_design(nhanes_cf):
     design = SurveyDesignSpec(nhanes_cf.df, weights="WTMEC2YR")
     with pytest.raises(ValueError, match="cluster"):
