@@ -123,6 +123,58 @@ def fit_binomial(
     return GLMResult(beta, bse, pvals, llf, float(aic), float(df_resid), converged, names)
 
 
+def fit_binomial_freq(
+    X: np.ndarray,
+    y: np.ndarray,
+    w: np.ndarray,
+    names: list[str],
+    max_iter: int = 100,
+    tol: float = 1e-8,
+) -> GLMResult:
+    """Frequency-weighted logistic IRLS: ``w[i]`` identical observations
+    collapsed into one design row. Mirrors :func:`fit_binomial` step for
+    step (same start, same update, same deviance criterion), so the
+    iterates — and therefore params/SE/llf/AIC — equal the row-level fit
+    exactly (all quantities are sums over rows = count-weighted sums over
+    cells). ``n`` for df_resid/llf is the total count, not the cell
+    count."""
+    X = np.asarray(X, dtype=float)
+    y = np.asarray(y, dtype=float)
+    w = np.asarray(w, dtype=float)
+    n = float(w.sum())
+    p = X.shape[1]
+    mu_bar = np.clip((w @ y) / n, 1e-6, 1 - 1e-6)
+    mu = np.full(len(y), mu_bar)
+    eta = np.log(mu / (1 - mu))
+    beta = np.zeros(p)
+    dev_old = np.inf
+    converged = False
+    for _ in range(max_iter):
+        wirls = np.clip(mu * (1.0 - mu), 1e-10, None)
+        z = eta + (y - mu) / wirls
+        wt = w * wirls
+        wx = X * wt[:, None]
+        try:
+            beta = np.linalg.solve(X.T @ wx, wx.T @ z)
+        except np.linalg.LinAlgError:
+            sq = np.sqrt(wt)
+            beta = np.linalg.lstsq(X * sq[:, None], z * sq, rcond=None)[0]
+        eta = np.clip(X @ beta, -30, 30)
+        mu = np.clip(1.0 / (1.0 + np.exp(-eta)), 1e-10, 1 - 1e-10)
+        dev = -2.0 * float(w @ (y * np.log(mu) + (1.0 - y) * np.log(1.0 - mu)))
+        if abs(dev - dev_old) < tol * (abs(dev) + 0.1):
+            converged = True
+            break
+        dev_old = dev
+    wirls = np.clip(mu * (1.0 - mu), 1e-10, None)
+    cov = np.linalg.pinv(X.T @ (X * (w * wirls)[:, None]))
+    df_resid = n - p
+    bse, pvals = _wald(beta, cov, df_resid, use_t=False)
+    llf = float(w @ (y * np.log(mu) + (1.0 - y) * np.log(1.0 - mu)))
+    aic = -2.0 * llf + 2.0 * p
+    return GLMResult(beta, bse, pvals, llf, float(aic), float(df_resid), converged, names)
+
+
 def fit_glm(X: np.ndarray, y: np.ndarray, names: list[str], family: str) -> GLMResult:
     X = np.asarray(X, dtype=float)
     y = np.asarray(y, dtype=float)

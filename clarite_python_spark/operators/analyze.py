@@ -286,6 +286,10 @@ def _encode_genotype_variables(
     alphas = edge_alphas(edge_encoding_info) if encoding == "edge" else {}
     df = data.df
     cat = data.catalog.copy()
+    # single withColumns projection: a per-column withColumn loop nests
+    # one Project per genotype — at GWAS width (10^3-10^6 variants) the
+    # plan depth overflows the JVM stack during analysis
+    exprs = {}
     for c in geno:
         if c not in cat.alleles:
             raise ValueError(f"genotype column {c!r} has no allele info (make_genotypes)")
@@ -294,9 +298,21 @@ def _encode_genotype_variables(
         if encoding == "edge" and alpha is None:
             raise ValueError(f"no edge alpha provided for variant {c!r}")
         expr, new_type = encode_genotype(c, ref, alt, encoding, alpha)
-        df = df.withColumn(c, expr)
+        exprs[c] = expr
         cat.set(c, new_type)
-    return ClariteFrame(df, cat)
+    return ClariteFrame(df.withColumns(exprs), cat)
+
+
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread the fan-out's scans across cores when the input arrived in
+    fewer splits than the cluster has slots (a local / createDataFrame
+    artifact: a pandas-built frame is ONE partition, serializing every
+    aggregation). At scale parquet arrives in many splits and this is a
+    no-op — it never ADDS a shuffle to a well-partitioned input."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def _sorted_levels(values: pd.Series) -> list:
@@ -626,6 +642,11 @@ def association_study(
         regression_variables = [c for c in all_vars if c not in set(outcomes) | set(covariates)]
     rvs = list(regression_variables)
 
+    from clarite_python_spark.catalog import GENOTYPES
+
+    genotype_cols = {
+        c for c in [*rvs, *covariates] if data.catalog.get(c) == GENOTYPES
+    }
     data = _encode_genotype_variables(
         data, [*rvs, *covariates], encoding, edge_encoding_info
     )
@@ -644,7 +665,7 @@ def association_study(
         outcome_type = cat.get(outcome)
         my_rvs = [v for v in rvs if v != outcome]
         rv_types = {v: cat.get(v) for v in my_rvs}
-        df = data.df
+        df = _ensure_parallelism(data.df)
         if outcome_type == CONTINUOUS:
             family = GAUSSIAN
             df = df.withColumn(outcome, F.col(outcome).cast("double"))
@@ -843,6 +864,40 @@ def association_study(
             if assoc_rows:
                 results.append(
                     data.df.sparkSession.createDataFrame(assoc_rows, RESULT_SCHEMA)
+                )
+        if (
+            use_sufficient_stats
+            and survey_design_spec is None
+            and custom_kernel_factory is None
+            and family == BINOMIAL
+        ):
+            # Binomial fits collapse to contingency cells when the
+            # variable and all covariates have small value domains (GWAS
+            # genotypes: 3 values) — ONE count aggregation replaces the
+            # per-variable melt+shuffle, then frequency-weighted IRLS
+            # (identical iterates to the row-level kernel) runs
+            # driver-side per variable (functions/binomagg.py). Variables
+            # with wide domains or continuous covariates fall back to the
+            # grouped kernel below.
+            from clarite_python_spark.functions.binomagg import (
+                binomial_contingency_rows,
+            )
+
+            b_rows, group = binomial_contingency_rows(
+                df,
+                outcome,
+                group,
+                rv_types,
+                covariates,
+                covar_types,
+                min_n,
+                report_categorical_betas,
+                lambda rv: _default_row(rv, outcome),
+                known_small=genotype_cols,
+            )
+            if b_rows:
+                results.append(
+                    data.df.sparkSession.createDataFrame(b_rows, RESULT_SCHEMA)
                 )
         if group:
             long = df.select(

@@ -185,6 +185,52 @@ def test_interaction_study_detects_built_in_interaction(spark):
     assert row["Full_Var1_Var2_beta"].iloc[0] == pytest.approx(2.0, abs=0.1)
 
 
+def test_binomial_contingency_matches_kernel(spark):
+    """The binomial contingency suffstats path (functions/binomagg.py)
+    must reproduce the grouped kernel exactly: frequency-weighted IRLS
+    over cells has the same iterates as the row-level fit. Covers
+    continuous low-cardinality, binary, and categorical rvs, a
+    categorical covariate, and missing values."""
+    rng = np.random.RandomState(17)
+    n = 1500
+    g = rng.binomial(2, 0.3, n).astype(float)          # continuous, 3 values
+    b = rng.choice(["u", "v"], n)                       # binary rv
+    c3 = rng.choice(["p", "q", "r"], n)                 # categorical rv
+    sex = rng.choice(["M", "F"], n)                     # categorical covariate
+    eta = -0.3 + 0.7 * g + 0.5 * (b == "v") + 0.4 * (sex == "M")
+    y = np.where(rng.uniform(size=n) < 1 / (1 + np.exp(-eta)), "Case", "Control")
+    pdf = pd.DataFrame(
+        {"ID": range(n), "Outcome": y, "g": g, "b": b, "c3": c3, "sex": sex}
+    )
+    pdf.loc[::17, "g"] = np.nan  # missing values exercise complete-case N
+    from clarite_python_spark.catalog import ClariteFrame, VariableCatalog
+
+    types = {
+        "Outcome": "binary",
+        "g": "continuous",
+        "b": "binary",
+        "c3": "categorical",
+        "sex": "categorical",
+    }
+    cf = ClariteFrame(spark.createDataFrame(pdf), VariableCatalog(types=types))
+    kw = dict(outcomes="Outcome", covariates=["sex"], min_n=50)
+    fast = (
+        analyze.association_study(cf, **kw).toPandas().set_index("Variable").sort_index()
+    )
+    slow = (
+        analyze.association_study(cf, use_sufficient_stats=False, **kw)
+        .toPandas()
+        .set_index("Variable")
+        .sort_index()
+    )
+    assert list(fast.N) == list(slow.N)
+    assert list(fast.Converged) == list(slow.Converged)
+    for col in ("Beta", "SE", "Beta_pvalue", "LRT_pvalue", "Diff_AIC", "pvalue"):
+        a, bb = fast[col].astype(float), slow[col].astype(float)
+        mask = ~(a.isna() & bb.isna())
+        assert np.allclose(a[mask], bb[mask], rtol=1e-9, atol=1e-12), col
+
+
 def test_interaction_study_pair_batching(spark):
     """All-pairs over p=50 (1,225 pairs) must run chunked — no single
     rows x C(p,2) Expand (VERDICT r1 item 4) — and chunking must not

@@ -98,3 +98,41 @@ def test_edge_requires_info(gwas_cf):
 def test_unknown_encoding(gwas_cf):
     with pytest.raises(ValueError, match="unknown 'encoding'"):
         run(gwas_cf, encoding="bogus")
+
+
+def test_gwas_scale_case_control(spark):
+    """GWAS-shaped statistical + fan-out canary (mirrors the reference's
+    simulated case/control GWAS, tests/analyze/test_gwas.py:10-31 and the
+    10k x 1k 'largeish' sim at :34-57, without pandas-genomics): signal
+    SNPs must reach p<=1e-5 through the binomial fan-out, null SNPs must
+    not pile up below it. Also exercises the wide-Expand path at 1,000
+    variables x 10k rows."""
+    rng = np.random.RandomState(42)
+    n, p = 10_000, 1_000
+    signal = {"SNP1": 0.8, "SNP2": 0.6}
+    maf = rng.uniform(0.1, 0.4, p)
+    counts = rng.binomial(2, maf, size=(n, p))
+    eta = -0.5 + counts[:, 0] * signal["SNP1"] + counts[:, 1] * signal["SNP2"]
+    y = (rng.uniform(size=n) < 1.0 / (1.0 + np.exp(-eta))).astype(int)
+    gt = np.where(counts == 0, "A/A", np.where(counts == 1, "A/T", "T/T"))
+    cols = {"ID": np.arange(n), "Outcome": np.where(y == 1, "Case", "Control")}
+    names = [f"SNP{i + 1}" for i in range(p)]
+    for i, nm in enumerate(names):
+        cols[nm] = gt[:, i]
+    cf = ClariteFrame(spark.createDataFrame(pd.DataFrame(cols)))
+    cf = modify.make_binary(cf, only=["Outcome"])
+    cf = modify.make_genotypes(cf, {nm: ("A", "T") for nm in names})
+    res = (
+        analyze.association_study(cf, outcomes="Outcome", min_n=50, encoding="additive")
+        .toPandas()
+        .set_index("Variable")
+    )
+    assert len(res) == p
+    assert res["Converged"].all()
+    for nm in signal:
+        assert res.loc[nm, "pvalue"] <= 1e-5, nm
+    nulls = res.drop(index=list(signal))
+    # 998 null SNPs: none should look genome-wide significant, and only
+    # chance-level counts may dip below 1e-2
+    assert (nulls["pvalue"] > 1e-5).all()
+    assert (nulls["pvalue"] < 1e-2).sum() <= 30
