@@ -50,12 +50,20 @@ def main() -> None:
     for name in HEADLINE:
         qs[name](spark, sf_dir).collect()
 
+    # best-of-N per query: single-shot timings on a shared machine vary
+    # 2-5x under external load (observed 3.4s vs 14.3s for identical
+    # minhash code); the minimum is the reproducible steady-state number
+    # worth comparing round-over-round.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        rows = qs[name](spark, sf_dir).collect()
-        times[name] = round(time.perf_counter() - t0, 3)
-        assert rows is not None
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            rows = qs[name](spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+            assert rows is not None
+        times[name] = round(best, 3)
     total = round(sum(times.values()), 3)
 
     sf = 0.1
