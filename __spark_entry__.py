@@ -497,6 +497,19 @@ def minhash_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dedup(docs, threshold=0.8).select("doc_id").orderBy("doc_id")
 
 
+def minhash_dedup_transitive_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components clustering variant: iterative min-label
+    propagation over the verified near-dup pairs keeps exactly one doc
+    per cluster (dedup.py:_min_label_components). Iterative => no SQL
+    oracle; chain semantics are pinned in tests/test_dedup.py."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        dedup.minhash_dedup(docs, threshold=0.8, transitive=True)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints — rows-only check (xxhash64-based)."""
     docs = _t(spark, sf_dir, "documents")
@@ -524,6 +537,34 @@ def similarity_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", "rank", F.round("cosine", 6).alias("cosine")).orderBy(
         "query_id", "rank"
     )
+
+
+def similarity_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with every list probed: the coarse-quantizer machinery
+    (spherical k-means, list assignment, probe equi-join, exact scoring)
+    must reproduce brute-force top-k exactly, so it shares the brute
+    oracle. Partial-probe recall is pinned in tests/test_similarity_ivf.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ivf_topk(emb, queries, k=10, n_lists=8, n_probe=8)
+    return out.select(
+        "query_id", "vec_id", "rank", F.round("cosine", 6).alias("cosine")
+    ).orderBy("query_id", "rank")
+
+
+def similarity_ivf_probe_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with partial probes (the actual scale configuration: expected
+    scan fraction n_probe/n_lists) — approximate, so rows-only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ivf_topk(emb, queries, k=10, n_lists=8, n_probe=4)
+    return out.select(
+        "query_id", "vec_id", "rank", F.round("cosine", 6).alias("cosine")
+    ).orderBy("query_id", "rank")
 
 
 def multimodal_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -678,9 +719,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id_documents": language_id_documents,
         "quality_score_documents": quality_score_documents,
         "minhash_dedup_documents": minhash_dedup_documents,
+        "minhash_dedup_transitive_documents": minhash_dedup_transitive_documents,
         "simhash_documents": simhash_documents,
         "similarity_topk_embeddings": similarity_topk_embeddings,
         "similarity_lsh_embeddings": similarity_lsh_embeddings,
+        "similarity_ivf_embeddings": similarity_ivf_embeddings,
+        "similarity_ivf_probe_embeddings": similarity_ivf_probe_embeddings,
         "multimodal_features_documents": multimodal_features_documents,
         "windowed_events": windowed_events,
         "ngram_jaccard_documents": ngram_jaccard_documents,
@@ -984,6 +1028,25 @@ def oracle_sql() -> dict[str, str]:
             FROM s ORDER BY doc_id
         """,
         "similarity_topk_embeddings": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 5
+            ), scored AS (
+              SELECT q.query_id, e.vec_id,
+                     list_dot_product(e.embedding::DOUBLE[], q.qvec)
+                       / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(q.qvec, q.qvec))) AS cosine
+              FROM embeddings e CROSS JOIN q
+            ), ranked AS (
+              SELECT query_id, vec_id, cosine,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, rank, round(cosine, 6) AS cosine
+            FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+        # IVF with n_probe == n_lists scores the full corpus per query,
+        # so the exact brute-force ranking is its oracle too
+        "similarity_ivf_embeddings": """
             WITH q AS (
               SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 5
             ), scored AS (

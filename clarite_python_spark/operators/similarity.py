@@ -22,7 +22,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine", "cosine_topk", "lsh_topk", "embedding_neardup"]
+__all__ = ["cosine", "cosine_topk", "lsh_topk", "ivf_topk", "embedding_neardup"]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -122,6 +122,109 @@ def lsh_topk(
         cosine(F.col(vec_col).cast("array<double>"), F.col("__qvec").cast("array<double>")).alias(
             "cosine"
         ),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy(query_id_col, "rank")
+    )
+
+
+def _train_centroids(
+    df: DataFrame, vec_col: str, n_lists: int, seed: int, sample_size: int, iters: int = 10
+) -> np.ndarray:
+    """Spherical k-means on a driver-side sample (the coarse quantizer is
+    tiny state — n_lists x dim — trained once; the corpus itself never
+    leaves the executors). Deterministic via the seed."""
+    rows = df.select(vec_col).limit(sample_size).collect()
+    M = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cents = M[rng.choice(len(M), size=min(n_lists, len(M)), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(M @ cents.T, axis=1)
+        for j in range(len(cents)):
+            members = M[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                cents[j] = c / max(np.linalg.norm(c), 1e-12)
+            else:
+                cents[j] = M[rng.randint(len(M))]
+    return cents
+
+
+def _centroid_dots(vec: Column, cents: np.ndarray) -> Column:
+    """array<double> of cosine(vec, centroid_j) — centroids are unit
+    vectors inlined as literals, so one normalized dot each (pure JVM)."""
+    nv = _norm(vec)
+    return F.array(
+        *[
+            _dot(vec, F.array(*[F.lit(float(x)) for x in c])) / nv
+            for c in cents
+        ]
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+    sample_size: int = 10_000,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a spherical-k-means coarse
+    quantizer partitions the corpus into ``n_lists`` lists; each query
+    scores only the ``n_probe`` lists whose centroids are nearest —
+    expected scan fraction n_probe/n_lists of the corpus per query.
+
+    All heavy work is executor-side JVM arithmetic: list assignment is
+    argmax over inlined centroid dots, the probe join is an equi-join on
+    the small list id (queries broadcast), and only probed candidates
+    get an exact cosine. The trained quantizer is O(n_lists x dim)
+    driver state — at 100 TB the corpus assignment rides the ingest scan
+    (and would be persisted alongside the vectors, so repeated query
+    batches skip it)."""
+    dim = len(queries.select(vec_col).first()[0])
+    cents = _train_centroids(corpus, vec_col, n_lists, seed, sample_size)
+    assert cents.shape[1] == dim
+
+    cvec = F.col(vec_col).cast("array<double>")
+    dots = _centroid_dots(cvec, cents)
+    corpus_l = corpus.withColumn(
+        "__list",
+        (F.array_position(dots, F.array_max(dots)) - 1).cast("int"),
+    )
+    # per-query top-n_probe centroid ids: sort (dot, idx) structs desc
+    qdots = _centroid_dots(cvec, cents)
+    probe_ids = F.slice(
+        F.reverse(
+            F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+                    lambda i: F.struct(F.get(qdots, i).alias("d"), i.alias("i")),
+                )
+            )
+        ),
+        1,
+        min(n_probe, len(cents)),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(F.transform(probe_ids, lambda s: s["i"])).alias("__list"),
+    )
+    scored = corpus_l.join(F.broadcast(q), on="__list").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(
+            F.col(vec_col).cast("array<double>"), F.col("__qvec").cast("array<double>")
+        ).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (

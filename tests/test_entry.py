@@ -30,8 +30,10 @@ def test_queries_and_oracles_aligned():
         "glm_logistic_orders",
         "interaction_study_lineitem",
         "minhash_dedup_documents",
+        "minhash_dedup_transitive_documents",
         "simhash_documents",
         "similarity_lsh_embeddings",
+        "similarity_ivf_probe_embeddings",
         "embedding_neardup_lsh_embeddings",
         "multimodal_features_documents",
     }
