@@ -39,3 +39,62 @@ def test_stream_matches_batch(spark, tmp_path):
         a[key + ["n"]], b[key + ["n"]], check_dtype=False
     )
     assert abs(a.total_value.sum() - b.total_value.sum()) < 1e-6
+
+
+def test_stream_exact_dedup_matches_batch_fingerprints(spark, tmp_path):
+    """Streaming dedup keeps first-seen per fingerprint; the SET of kept
+    fingerprints must equal the batch exact_dedup's (representative ids
+    may differ — that's the documented contract)."""
+    from clarite_python_spark.operators.dedup import exact_dedup
+    from clarite_python_spark.streaming.dedup import fingerprinted, stream_exact_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    src = str(tmp_path / "docs_src")
+    docs.write.mode("overwrite").parquet(src)
+
+    batch_fps = {
+        r["__fp"]
+        for r in fingerprinted(exact_dedup(spark.read.parquet(src))).select("__fp").collect()
+    }
+    q = (
+        stream_exact_dedup(spark, src)
+        .writeStream.format("memory")
+        .queryName("stream_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from stream_dedup")
+    stream_fps = {r["__fp"] for r in fingerprinted(got).select("__fp").collect()}
+    assert stream_fps == batch_fps
+    assert got.count() == len(batch_fps)  # exactly one survivor per key
+
+
+def test_stream_exact_dedup_watermarked(spark, tmp_path):
+    """Watermarked variant (bounded state): within one availableNow
+    backfill batch no key's state expires mid-batch, so it still yields
+    one survivor per fingerprint."""
+    from pyspark.sql import functions as F
+
+    from clarite_python_spark.streaming.dedup import stream_exact_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumn(
+        "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id"))
+    )
+    src = str(tmp_path / "docs_ts_src")
+    docs.write.mode("overwrite").parquet(src)
+    q = (
+        stream_exact_dedup(spark, src, ts_col="ts", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("stream_dedup_wm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from stream_dedup_wm")
+    from clarite_python_spark.operators.dedup import exact_dedup
+
+    expected = exact_dedup(spark.read.parquet(src)).count()
+    assert got.count() == expected
