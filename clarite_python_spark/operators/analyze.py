@@ -304,13 +304,17 @@ def _encode_genotype_variables(
 
 
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
-    """Spread the fan-out's scans across cores when the input arrived in
-    fewer splits than the cluster has slots (a local / createDataFrame
-    artifact: a pandas-built frame is ONE partition, serializing every
-    aggregation). At scale parquet arrives in many splits and this is a
-    no-op — it never ADDS a shuffle to a well-partitioned input."""
+    """Spread the fan-out's scans across cores when the input arrived as
+    a SINGLE partition (a local / createDataFrame artifact: a
+    pandas-built frame is one partition, serializing every aggregation —
+    measured 70s vs ~3s for the GWAS contingency pass). Only the
+    degenerate case triggers: for any multi-split input (parquet at
+    scale) the repartition shuffle costs more than the extra
+    parallelism buys on scan-bound aggregations (measured 3.1s vs 1.7s
+    on a 3-split sf0.1 lineitem suffstats query), so this never adds a
+    shuffle there."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if target > 1 and df.rdd.getNumPartitions() == 1:
         return df.repartition(target)
     return df
 
@@ -1107,7 +1111,7 @@ def interaction_study(
     results = []
     for outcome in outcomes:
         outcome_type = cat.get(outcome)
-        df = data.df
+        df = _ensure_parallelism(data.df)
         if outcome_type == CONTINUOUS:
             family = GAUSSIAN
             df = df.withColumn(outcome, F.col(outcome).cast("double"))
