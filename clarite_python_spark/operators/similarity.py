@@ -280,7 +280,14 @@ def embedding_neardup(
                 )
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
-        dim = len(df.select(vec_col).first()[0])
+        head = df.select(vec_col).first()
+        if head is None:  # empty corpus: no pairs, keep the schema
+            return (
+                a.join(b, F.col("id_a") < F.col("id_b"))
+                .withColumn("cosine", F.lit(0.0))
+                .select("id_a", "id_b", "cosine")
+            )
+        dim = len(head[0])
         planes = _hyperplanes(dim, n_planes * n_bands, seed)
 
         def _band_buckets(vec: Column) -> Column:

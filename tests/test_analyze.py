@@ -231,6 +231,33 @@ def test_binomial_contingency_matches_kernel(spark):
         assert np.allclose(a[mask], bb[mask], rtol=1e-9, atol=1e-12), col
 
 
+def test_binomial_contingency_edge_cases(spark):
+    """Cells past max_cells signal fallback (None); an all-null rv gets
+    the kernel-identical all-NaN default row via the min_n gate."""
+    from pyspark.sql import Row
+
+    from clarite_python_spark.functions.binomagg import _fit_one_from_cells
+    from clarite_python_spark.operators.analyze import _default_row
+
+    cells = [
+        Row(variable="v", value=str(i), Outcome=float(i % 2), __n=1)
+        for i in range(50)
+    ]
+    out = _fit_one_from_cells(
+        "v", "continuous", cells, "Outcome", [], {}, 1, False,
+        lambda rv: _default_row(rv, "Outcome"), max_cells=10,
+    )
+    assert out is None  # too many cells -> grouped-kernel fallback
+
+    # all-null rv: complete-case N = 0 < min_n -> default (all-NaN) row
+    null_cells = [Row(variable="v", value=None, Outcome=1.0, __n=5)]
+    out = _fit_one_from_cells(
+        "v", "continuous", null_cells, "Outcome", [], {}, 10, False,
+        lambda rv: _default_row(rv, "Outcome"), max_cells=256,
+    )
+    assert len(out) == 1 and out[0]["Converged"] is False and np.isnan(out[0]["Beta"])
+
+
 def test_interaction_study_pair_batching(spark):
     """All-pairs over p=50 (1,225 pairs) must run chunked — no single
     rows x C(p,2) Expand (VERDICT r1 item 4) — and chunking must not

@@ -95,6 +95,13 @@ def test_blocked_recall_on_planted_dups(spark):
     assert recall >= 0.9, f"high-cosine banded-LSH recall {recall:.2f} < 0.9"
 
 
+def test_blocked_path_empty_corpus(spark):
+    empty = spark.createDataFrame([], "vec_id: long, embedding: array<double>")
+    out = embedding_neardup(empty, threshold=0.5)
+    assert out.columns == ["id_a", "id_b", "cosine"]
+    assert out.count() == 0
+
+
 def test_exact_guard_refuses_large_corpus(spark, emb):
     with pytest.raises(ValueError, match="max_exact_rows"):
         embedding_neardup(emb, threshold=0.45, exact=True, max_exact_rows=10)
