@@ -1,0 +1,87 @@
+"""Property-based checks (hypothesis) for driver-side statistical
+invariants that golden/oracle tests only probe pointwise.
+
+Spark jobs are expensive per example, so max_examples is kept small —
+these are invariant checks, not fuzzing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from clarite_python_spark.operators import analyze, dedup
+
+
+def _bh_reference(pvals: np.ndarray) -> np.ndarray:
+    """Independent statsmodels-style BH implementation (sort desc,
+    running min of p*m/rank, clip at 1)."""
+    m = len(pvals)
+    order = np.argsort(pvals)[::-1]  # descending
+    ranked = pvals[order] * m / np.arange(m, 0, -1)
+    out = np.minimum.accumulate(np.minimum(ranked, 1.0))
+    unsorted = np.empty(m)
+    unsorted[order] = out
+    return unsorted
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_corrected_pvalues_match_reference_impl(spark, pvals):
+    pdf = pd.DataFrame(
+        {"Variable": [f"v{i}" for i in range(len(pvals))], "pvalue": pvals}
+    )
+    out = (
+        analyze.add_corrected_pvalues(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("Variable")
+    )
+    arr = np.asarray(pvals)
+    bonf = np.minimum(arr * len(arr), 1.0)
+    bh = _bh_reference(arr)
+    for i in range(len(arr)):
+        assert out.loc[f"v{i}", "pvalue_bonferroni"] == pytest.approx(
+            bonf[i], rel=1e-12, abs=1e-15
+        )
+        assert out.loc[f"v{i}", "pvalue_fdr"] == pytest.approx(
+            bh[i], rel=1e-12, abs=1e-15
+        )
+
+
+def test_exact_dedup_whitespace_case_invariance(spark):
+    """The dedup fingerprint normalizes case and whitespace runs: texts
+    differing only there must collapse to one representative (min id)."""
+    rows = [
+        (1, "The quick   brown\tfox"),
+        (2, "the quick brown fox"),
+        (3, "  THE QUICK BROWN FOX  "),
+        (4, "a different document"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    kept = {r["doc_id"] for r in dedup.exact_dedup(docs).collect()}
+    assert kept == {1, 4}
+
+
+def test_minhash_identical_texts_identical_signatures(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "alpha beta gamma delta epsilon")],
+        "doc_id: long, text: string",
+    )
+    sigs = [
+        r["sig"]
+        for r in docs.select(
+            dedup.minhash_signature(dedup.shingles("text", 3)).alias("sig")
+        ).collect()
+    ]
+    assert sigs[0] == sigs[1]
+    assert len(sigs[0]) == 32
