@@ -26,7 +26,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["with_media_metadata", "decode_image_features", "sample_frames"]
+__all__ = [
+    "with_media_metadata",
+    "decode_image_features",
+    "resize_images",
+    "sample_frames",
+]
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -74,6 +79,60 @@ def decode_image_features(
         for pdf in batches:
             feats = [_fake_features(p, dim).tolist() for p in pdf[payload_col]]
             yield pd.DataFrame({id_col: pdf[id_col].values, "features": feats})
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """STUB: deterministic stand-in for decode -> resize -> re-encode
+    (no codec libs in this container). Output length scales with the
+    target pixel count so batch-memory behavior is realistic; content is
+    a keyed hash-stream of the input, so it is deterministic and
+    distinct per (payload, size). Replace with PIL ``Image.resize`` in a
+    real deployment."""
+    n_out = max(1, min(width * height, 1 << 16))
+    out = bytearray()
+    counter = 0
+    seed = hashlib.sha256((payload or b"") + f"{width}x{height}".encode()).digest()
+    while len(out) < n_out:
+        out.extend(hashlib.sha256(seed + counter.to_bytes(4, "big")).digest())
+        counter += 1
+    return bytes(out[:n_out])
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Resize image payloads via ``mapInPandas`` (binary in, binary out).
+
+    The Spark shape is the production one: payloads stay in place (no
+    shuffle — the stage is a map over the scan), output rows carry the
+    resized payload plus target dims so a sink or downstream decode
+    stage can validate. Only ``_fake_resize`` is a stub."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [_fake_resize(p, width, height) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "payload": resized,
+                    "width": width,
+                    "height": height,
+                }
+            )
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
 
