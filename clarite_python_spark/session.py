@@ -39,6 +39,12 @@ def get_spark(app_name: str = "clarite_python_spark", cpus: int | None = None) -
         # nanos timestamp); sources/io.load_testdata rebuilds a timestamp
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # single-JVM local mode: when all cores saturate (wide fan-outs +
+        # GC), the heartbeat thread can starve past the 10s default and
+        # crash the context — give it headroom (network.timeout must stay
+        # larger than the heartbeat interval)
+        .config("spark.executor.heartbeatInterval", "60s")
+        .config("spark.network.timeout", "600s")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
