@@ -947,8 +947,11 @@ def add_corrected_pvalues(
     Pure Spark window math — no kernel:
     - m = number of non-NA pvalues (distinct groups when ``groupby``);
     - bonferroni = min(p*m, 1);
-    - BH = running min of p*m/rank over descending-p order
-      (``Window.orderBy(desc(p)).rowsBetween(unboundedPreceding, 0)``).
+    - BH = running min of p*m/rank over descending-p order, with a RANGE
+      frame (``Window.orderBy(desc(p)).rangeBetween(unboundedPreceding,
+      currentRow)``) so tied p-values are peers sharing one frame: every
+      tied row sees the tie group's smallest p*m/rank, matching
+      statsmodels ``multipletests`` exactly under ties.
 
     With ``groupby``, repeated rows of the same group count as ONE test
     (reference :47-58): corrections are computed over the deduplicated
@@ -971,8 +974,10 @@ def add_corrected_pvalues(
     with_m = result.withColumn("__m", F.sum(non_na).over(Window.partitionBy()))
     valid = F.col(pvalue).isNotNull() & ~F.isnan(pvalue)
     w_rank = Window.orderBy(F.asc(pvalue))  # NaN/null sort last; ranks of valid rows are correct
-    w_cummin = Window.orderBy(F.desc_nulls_last(pvalue)).rowsBetween(
-        Window.unboundedPreceding, 0
+    # RANGE (not ROWS) frame: peers — rows with a tied pvalue — are always
+    # inside each other's frame, so ties deterministically share the cummin.
+    w_cummin = Window.orderBy(F.desc_nulls_last(pvalue)).rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
     out = (
         with_m.withColumn("__rank", F.row_number().over(w_rank))

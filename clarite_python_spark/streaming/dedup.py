@@ -45,8 +45,12 @@ def stream_exact_dedup(
     stream = spark.readStream.schema(spark.read.parquet(path).schema).parquet(path)
     keyed = fingerprinted(stream, text_col)
     if ts_col is not None:
-        keyed = keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-            ["__fp"]
+        # withWatermark requires TIMESTAMP; cast guards against
+        # TIMESTAMP_NTZ parquet columns (session TZ pinned UTC).
+        keyed = (
+            keyed.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["__fp"])
         )
     else:
         keyed = keyed.dropDuplicates(["__fp"])

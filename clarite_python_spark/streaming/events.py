@@ -39,8 +39,11 @@ def stream_windowed_counts(
     stream = spark.readStream.schema(
         spark.read.parquet(path).schema
     ).parquet(path)
+    # withWatermark requires TIMESTAMP; parquet may deliver TIMESTAMP_NTZ.
+    # Session TZ is pinned UTC so the cast is semantics-preserving.
     return (
-        stream.withWatermark("ts", watermark)
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")

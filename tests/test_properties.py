@@ -9,7 +9,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from clarite_python_spark.operators import analyze, dedup
@@ -27,7 +27,12 @@ def _bh_reference(pvals: np.ndarray) -> np.ndarray:
     return unsorted
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
 @given(
     st.lists(
         st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
@@ -35,6 +40,8 @@ def _bh_reference(pvals: np.ndarray) -> np.ndarray:
         max_size=40,
     )
 )
+@example(pvals=[0.5, 0.5])  # regression: BH ties must share the cummin frame
+@example(pvals=[0.2, 0.2, 0.2, 0.9])
 def test_corrected_pvalues_match_reference_impl(spark, pvals):
     pdf = pd.DataFrame(
         {"Variable": [f"v{i}" for i in range(len(pvals))], "pvalue": pvals}
