@@ -580,6 +580,20 @@ def multimodal_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("media_id")
 
 
+def multimodal_metadata_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable multimodal metadata stage: byte length + SHA-256
+    content hash of each payload (operators/multimodal.py:
+    with_media_metadata) — pure JVM column expressions, no decode."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload")
+    )
+    out = multimodal.with_media_metadata(media)
+    return out.select(
+        "media_id", F.col("n_bytes").cast("long").alias("n_bytes"), "content_sha"
+    ).orderBy("media_id")
+
+
 def windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     out = windowed_counts(ev, "1 hour")
@@ -726,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_embeddings": similarity_ivf_embeddings,
         "similarity_ivf_probe_embeddings": similarity_ivf_probe_embeddings,
         "multimodal_features_documents": multimodal_features_documents,
+        "multimodal_metadata_documents": multimodal_metadata_documents,
         "windowed_events": windowed_events,
         "ngram_jaccard_documents": ngram_jaccard_documents,
         "embedding_neardup_embeddings": embedding_neardup_embeddings,
@@ -1062,6 +1077,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, rank, round(cosine, 6) AS cosine
             FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+        "multimodal_metadata_documents": """
+            SELECT doc_id AS media_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   sha256(text) AS content_sha
+            FROM documents
+            ORDER BY media_id
         """,
         "windowed_events": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

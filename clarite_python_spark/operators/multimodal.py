@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
 
-The decode step itself is STUBBED (image/audio codec libraries are not in
-this container): ``decode_image`` produces a deterministic fake feature
-vector derived from the bytes' hash, clearly marked, so the Spark-side
-plumbing — schema, batch shape, partition sizing, UDF signature — is real
-and tested while the codec is swappable.
+Decoding dispatches on magic bytes: BMP (24-bit ``BI_RGB``) and binary
+PPM/PGM payloads are REALLY decoded by the pure-numpy codec in
+``functions.imagecodec`` — real pixels in, real pixel-derived features /
+nearest-neighbor resizes out. Every other MIME type falls back to the
+clearly-marked deterministic STUBS (``_fake_features``/``_fake_resize``;
+JPEG/PNG/audio codec libraries are not in this container), so the Spark
+plumbing — schema, batch shape, partition sizing, UDF signature — is
+identical for both paths and the codec is swappable per format.
 
 Scale notes:
 - binary payloads ride in parquet BYTE_ARRAY pages; keep them OUT of
@@ -25,6 +28,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from clarite_python_spark.functions.imagecodec import (
+    decode_image,
+    encode_bmp,
+    encode_ppm,
+    resize_nearest,
+)
 
 __all__ = [
     "with_media_metadata",
@@ -53,12 +63,25 @@ def with_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFram
 
 
 def _fake_features(payload: bytes, dim: int) -> np.ndarray:
-    """STUB: deterministic stand-in for a real image decoder + feature
-    extractor. Derives ``dim`` floats from the SHA-256 of the payload.
-    Replace with (e.g.) PIL/torchvision decode in a real deployment."""
+    """STUB: deterministic stand-in for codecs we can't decode here
+    (JPEG/PNG/...). Derives ``dim`` floats from the SHA-256 of the
+    payload. Replace with (e.g.) PIL/torchvision in a real deployment."""
     h = hashlib.sha256(payload or b"").digest()
     rng = np.random.RandomState(int.from_bytes(h[:4], "big"))
     return rng.rand(dim).astype(np.float32)
+
+
+def _pixel_features(arr: np.ndarray, dim: int) -> np.ndarray:
+    """REAL pixel-derived features for decoded images: per-channel mean
+    and std (scaled to [0, 1]), then a normalized grayscale histogram
+    filling the remaining dimensions."""
+    flat = arr.reshape(-1, 3).astype(np.float64)
+    stats = np.concatenate([flat.mean(axis=0), flat.std(axis=0)]) / 255.0
+    if dim <= 6:
+        return stats[:dim].astype(np.float32)
+    gray = flat.mean(axis=1)
+    hist, _ = np.histogram(gray, bins=dim - 6, range=(0.0, 255.0))
+    return np.concatenate([stats, hist / gray.size]).astype(np.float32)
 
 
 def decode_image_features(
@@ -66,8 +89,10 @@ def decode_image_features(
 ) -> DataFrame:
     """Decode + feature-extract images via ``mapInPandas``.
 
-    The per-batch loop is the real production shape (Arrow batches in,
-    feature arrays out); only ``_fake_features`` is a stub."""
+    BMP/PPM/PGM payloads are really decoded (``imagecodec.decode_image``)
+    and yield true pixel statistics (``_pixel_features``); other formats
+    fall back to the ``_fake_features`` stub. The per-batch loop is the
+    production shape either way (Arrow batches in, feature arrays out)."""
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -77,7 +102,12 @@ def decode_image_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_fake_features(p, dim).tolist() for p in pdf[payload_col]]
+            feats = []
+            for p in pdf[payload_col]:
+                arr = decode_image(p)
+                feats.append(
+                    (_pixel_features(arr, dim) if arr is not None else _fake_features(p, dim)).tolist()
+                )
             yield pd.DataFrame({id_col: pdf[id_col].values, "features": feats})
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
@@ -109,10 +139,13 @@ def resize_images(
 ) -> DataFrame:
     """Resize image payloads via ``mapInPandas`` (binary in, binary out).
 
-    The Spark shape is the production one: payloads stay in place (no
-    shuffle — the stage is a map over the scan), output rows carry the
-    resized payload plus target dims so a sink or downstream decode
-    stage can validate. Only ``_fake_resize`` is a stub."""
+    BMP/PPM/PGM payloads are really decoded, nearest-neighbor resized,
+    and re-encoded in their own format family (BMP stays BMP, P6/P5
+    becomes P6); other formats fall back to the ``_fake_resize`` stub.
+    The Spark shape is the production one either way: payloads stay in
+    place (no shuffle — the stage is a map over the scan), output rows
+    carry the resized payload plus target dims so a sink or downstream
+    decode stage can validate."""
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -122,9 +155,16 @@ def resize_images(
         ]
     )
 
+    def _resize_one(p: bytes | None) -> bytes:
+        arr = decode_image(p)
+        if arr is None:
+            return _fake_resize(p, width, height)
+        out = resize_nearest(arr, width, height)
+        return encode_bmp(out) if bytes(p[:2]) == b"BM" else encode_ppm(out)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            resized = [_fake_resize(p, width, height) for p in pdf[payload_col]]
+            resized = [_resize_one(p) for p in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].values,

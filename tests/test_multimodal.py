@@ -1,8 +1,12 @@
 """Multimodal plumbing: schemas, batch shapes, and determinism of the
-mapInPandas stages (codec bodies are honest stubs — see multimodal.py)."""
+mapInPandas stages. BMP/PPM payloads exercise the REAL pure-numpy codec
+(functions/imagecodec.py); other payloads hit the honest stub path."""
 
 from __future__ import annotations
 
+import struct
+
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -49,6 +53,107 @@ def test_resize_images_schema_and_size(media):
     byid = {r["media_id"]: r["payload"] for r in rows}
     assert same == byid
     assert any(other[i] != byid[i] for i in byid)
+
+
+def _bmp_bytes(pixels: list[list[tuple[int, int, int]]]) -> bytes:
+    """Independent in-test BMP synthesizer (hand-packed headers, bottom-up
+    BGR rows, 4-byte row padding) — deliberately NOT the library encoder."""
+    h, w = len(pixels), len(pixels[0])
+    stride = (w * 3 + 3) & ~3
+    raw = b""
+    for row in reversed(pixels):
+        rb = b"".join(bytes((b, g, r)) for (r, g, b) in row)
+        raw += rb + b"\x00" * (stride - len(rb))
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(raw), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raw), 0, 0, 0, 0)
+    return header + dib + raw
+
+
+PIXELS = [  # 2 rows x 3 cols, distinct channel values
+    [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+    [(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+]
+
+
+def test_bmp_decode_exact_pixels():
+    from clarite_python_spark.functions.imagecodec import decode_image
+
+    arr = decode_image(_bmp_bytes(PIXELS))
+    assert arr is not None and arr.shape == (2, 3, 3)
+    np.testing.assert_array_equal(arr, np.array(PIXELS, dtype=np.uint8))
+
+
+def test_ppm_decode_with_comment():
+    from clarite_python_spark.functions.imagecodec import decode_image
+
+    expected = np.array(PIXELS, dtype=np.uint8)
+    payload = b"P6\n# a comment\n3 2\n255\n" + expected.tobytes()
+    np.testing.assert_array_equal(decode_image(payload), expected)
+    # P5 grayscale replicates into 3 channels
+    gray = b"P5\n2 2\n255\n" + bytes([0, 64, 128, 255])
+    arr = decode_image(gray)
+    assert arr.shape == (2, 2, 3)
+    np.testing.assert_array_equal(arr[:, :, 0], [[0, 64], [128, 255]])
+    np.testing.assert_array_equal(arr[:, :, 0], arr[:, :, 2])
+
+
+def test_decode_features_real_pixels_through_stage(spark):
+    """A real BMP through the mapInPandas stage must yield exact
+    pixel-derived statistics, not hash noise."""
+    bmp = _bmp_bytes(PIXELS)
+    df = spark.createDataFrame([(1, bmp)], "media_id: long, payload: binary")
+    feats = decode_image_features(df, dim=8).first()["features"]
+    flat = np.array(PIXELS, dtype=np.float64).reshape(-1, 3)
+    expected_stats = np.concatenate([flat.mean(axis=0), flat.std(axis=0)]) / 255.0
+    np.testing.assert_allclose(feats[:6], expected_stats, rtol=1e-6)
+    gray = flat.mean(axis=1)
+    hist = np.histogram(gray, bins=2, range=(0.0, 255.0))[0] / gray.size
+    np.testing.assert_allclose(feats[6:], hist, rtol=1e-6)
+
+
+def test_resize_real_bmp_through_stage(spark):
+    """4x4 quadrant BMP -> 2x2 nearest-neighbor: each output pixel is its
+    quadrant's color, and the output payload is itself a decodable BMP."""
+    from clarite_python_spark.functions.imagecodec import decode_image
+
+    q = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0)]
+    pixels = [
+        [q[0], q[0], q[1], q[1]],
+        [q[0], q[0], q[1], q[1]],
+        [q[2], q[2], q[3], q[3]],
+        [q[3], q[2], q[3], q[3]],
+    ]
+    df = spark.createDataFrame(
+        [(1, _bmp_bytes(pixels))], "media_id: long, payload: binary"
+    )
+    out = resize_images(df, width=2, height=2).first()
+    assert bytes(out["payload"][:2]) == b"BM"  # stays in its format family
+    arr = decode_image(out["payload"])
+    np.testing.assert_array_equal(arr, [[q[0], q[1]], [q[2], q[3]]])
+
+
+def test_resize_ppm_reencodes_p6(spark):
+    from clarite_python_spark.functions.imagecodec import decode_image
+
+    payload = b"P5\n2 2\n255\n" + bytes([0, 100, 200, 255])
+    df = spark.createDataFrame([(1, payload)], "media_id: long, payload: binary")
+    out = resize_images(df, width=4, height=4).first()
+    assert bytes(out["payload"][:2]) == b"P6"
+    arr = decode_image(out["payload"])
+    assert arr.shape == (4, 4, 3)
+    np.testing.assert_array_equal(arr[0, 0], [0, 0, 0])
+    np.testing.assert_array_equal(arr[3, 3], [255, 255, 255])
+
+
+def test_non_image_payload_falls_back_to_stub(spark):
+    """Unknown magic bytes keep the documented stub behavior."""
+    df = spark.createDataFrame(
+        [(1, b"\x89PNG not really decodable here")], "media_id: long, payload: binary"
+    )
+    feats = decode_image_features(df, dim=4).first()["features"]
+    assert len(feats) == 4 and all(0.0 <= v <= 1.0 for v in feats)
+    out = resize_images(df, width=4, height=3).first()
+    assert len(out["payload"]) == 12  # stub length contract unchanged
 
 
 def test_sample_frames_bounds(media):
