@@ -831,6 +831,82 @@ def association_study(
                 )
         if (
             use_sufficient_stats
+            and survey_design_spec is not None
+            and family == BINOMIAL
+            and survey_design_spec.has_cluster
+            and vcov_method == "stata"
+            and len(survey_design_spec.constants()["clusters"]) <= 256
+            and all(covar_types[c] in (BINARY, CATEGORICAL) for c in covariates)
+        ):
+            # survey-weighted binomial fits collapse to weighted
+            # contingency cells keyed by (value, covariates, outcome,
+            # CLUSTER): frequency-weighted IRLS reproduces the kernel's
+            # iterates exactly and per-cluster score sums feed the same
+            # sandwich algebra (functions/wbinomagg.py) — one codegen
+            # count/sum aggregation instead of melting data rows through
+            # per-variable Python groups. Discrete-domain variables only
+            # (binary/categorical, or genotype-encoded continuous);
+            # everything else stays on the grouped kernel below.
+            from clarite_python_spark.functions.wbinomagg import (
+                weighted_binomial_cells_rows,
+            )
+            from clarite_python_spark.survey.design import (
+                CLUST_COL,
+                SUBSET_COL,
+                _weight_col,
+            )
+
+            wsuff = [
+                v
+                for v in group
+                if rv_types[v] in (BINARY, CATEGORICAL)
+                or (rv_types[v] == CONTINUOUS and v in genotype_cols)
+            ]
+            group = [v for v in group if v not in set(wsuff)]
+            by_weight = {}
+            no_weight_rows = []
+            for v in wsuff:
+                if weight_info["single_weight"]:
+                    by_weight.setdefault(weight_info["weight_name"], []).append(v)
+                elif weight_info["weight_names"] is not None:
+                    wn = weight_info["weight_names"].get(v)
+                    if wn is None:
+                        no_weight_rows.append(_default_row(v, outcome))
+                    else:
+                        by_weight.setdefault(wn, []).append(v)
+                else:
+                    by_weight.setdefault(None, []).append(v)
+            w_consts = dict(
+                survey_design_spec.constants(),
+                drop_unweighted=weight_info["drop_unweighted"],
+            )
+            w_rows = list(no_weight_rows)
+            for wn, wvars in by_weight.items():
+                r_rows, fb = weighted_binomial_cells_rows(
+                    df,
+                    outcome,
+                    wvars,
+                    rv_types,
+                    covariates,
+                    covar_types,
+                    min_n,
+                    report_categorical_betas,
+                    lambda rv: _default_row(rv, outcome),
+                    w_consts,
+                    _weight_col(wn) if wn is not None else None,
+                    weight_info["weight_means"][wn] if wn is not None else 1.0,
+                    wn,
+                    CLUST_COL,
+                    SUBSET_COL,
+                )
+                w_rows.extend(r_rows)
+                group.extend(fb)  # cell blowup -> grouped kernel
+            if w_rows:
+                results.append(
+                    data.df.sparkSession.createDataFrame(w_rows, RESULT_SCHEMA)
+                )
+        if (
+            use_sufficient_stats
             and survey_design_spec is None
             and custom_kernel_factory is None
             and family == GAUSSIAN

@@ -1,0 +1,127 @@
+"""Survey-weighted binomial sufficient-stats path (functions/wbinomagg.py):
+must route for discrete-domain variables under cluster designs and match
+the grouped kernel's numbers exactly (same IRLS iterates, same sandwich)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from clarite_python_spark.operators import analyze, modify
+from clarite_python_spark.sources.io import from_csv
+from clarite_python_spark.survey import SurveyDesignSpec
+
+DATA = "/root/reference/tests/test_data_files"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(DATA), reason="reference golden data not available"
+)
+
+
+@pytest.fixture(scope="module")
+def nhanes_cf(spark):
+    cf = from_csv(spark, f"{DATA}/nhanes_data.csv", index_col=None)
+    cf = modify.make_binary(cf, only=["HI_CHOL", "RIAGENDR"])
+    cf = modify.make_categorical(cf, only=["race", "agecat"])
+    return cf
+
+
+def _design(cf):
+    return SurveyDesignSpec(
+        cf.df,
+        weights="WTMEC2YR",
+        cluster="SDMVPSU",
+        strata="SDMVSTRA",
+        fpc=None,
+        nest=True,
+    )
+
+
+def _study(cf, use_sufficient_stats):
+    return (
+        analyze.association_study(
+            data=modify.colfilter(cf, only=["HI_CHOL", "RIAGENDR", "race", "agecat"]),
+            outcomes="HI_CHOL",
+            covariates=["agecat", "RIAGENDR"],
+            survey_design_spec=_design(cf),
+            use_sufficient_stats=use_sufficient_stats,
+        )
+        .toPandas()
+        .set_index("Variable")
+        .sort_index()
+    )
+
+
+def test_suffstats_matches_grouped_kernel_exactly(nhanes_cf):
+    """Binary (RIAGENDR-style) and categorical (race) variables through the
+    cell path must reproduce the row-level kernel at near machine
+    precision — identical IRLS iterates, identical sandwich."""
+    fast = _study(nhanes_cf, True)
+    slow = _study(nhanes_cf, False)
+    assert list(fast.index) == list(slow.index)
+    assert list(fast["Variable_type"]) == list(slow["Variable_type"])
+    assert list(fast["N"]) == list(slow["N"])
+    assert list(fast["Weight"]) == list(slow["Weight"])
+    for col in ("Beta", "SE", "Beta_pvalue", "LRT_pvalue", "pvalue"):
+        a = fast[col].astype(float).to_numpy()
+        b = slow[col].astype(float).to_numpy()
+        both = ~(np.isnan(a) & np.isnan(b))
+        np.testing.assert_allclose(a[both], b[both], rtol=1e-9, err_msg=col)
+
+
+def test_suffstats_path_actually_routes(nhanes_cf, monkeypatch):
+    """The dispatch must take the cell path for eligible studies (guards
+    against the gate silently sending everything to the melt kernel)."""
+    import clarite_python_spark.functions.wbinomagg as wb
+
+    calls: list[list[str]] = []
+    orig = wb.weighted_binomial_cells_rows
+
+    def spy(df, outcome, rvs, *a, **kw):
+        calls.append(list(rvs))
+        return orig(df, outcome, rvs, *a, **kw)
+
+    monkeypatch.setattr(wb, "weighted_binomial_cells_rows", spy)
+    res = _study(nhanes_cf, True)
+    assert calls and sorted(calls[0]) == ["race"]  # the one non-covariate RV
+    assert res.loc["race", "Converged"]
+
+
+def test_report_categorical_betas_through_cell_path(nhanes_cf):
+    fast = (
+        analyze.association_study(
+            data=modify.colfilter(
+                nhanes_cf, only=["HI_CHOL", "RIAGENDR", "race", "agecat"]
+            ),
+            outcomes="HI_CHOL",
+            covariates=["agecat", "RIAGENDR"],
+            survey_design_spec=_design(nhanes_cf),
+            report_categorical_betas=True,
+            use_sufficient_stats=True,
+        )
+        .toPandas()
+    )
+    slow = (
+        analyze.association_study(
+            data=modify.colfilter(
+                nhanes_cf, only=["HI_CHOL", "RIAGENDR", "race", "agecat"]
+            ),
+            outcomes="HI_CHOL",
+            covariates=["agecat", "RIAGENDR"],
+            survey_design_spec=_design(nhanes_cf),
+            report_categorical_betas=True,
+            use_sufficient_stats=False,
+        )
+        .toPandas()
+    )
+    key = ["Variable", "Category"]
+    a = fast.sort_values(key).reset_index(drop=True)
+    b = slow.sort_values(key).reset_index(drop=True)
+    assert list(a["Category"]) == list(b["Category"])
+    for col in ("Beta", "SE", "Beta_pvalue", "LRT_pvalue"):
+        np.testing.assert_allclose(
+            a[col].astype(float), b[col].astype(float), rtol=1e-9, err_msg=col
+        )
