@@ -765,9 +765,86 @@ def _lang_score(words: str) -> str:
     )
 
 
+def _lsh_bucket_sql(vec_expr: str, planes) -> str:
+    """Signed-random-projection bucket id as DuckDB SQL over literal
+    hyperplanes — bit b = sign(list_dot_product(vec, plane_b)), matching
+    operators/similarity.py:_bucket exactly (same seeded planes, same
+    double-precision dot)."""
+    bits = [
+        "(CASE WHEN list_dot_product({v}, [{lits}]) >= 0 THEN {bit} ELSE 0 END)".format(
+            v=vec_expr,
+            lits=",".join(repr(float(x)) for x in plane),
+            bit=1 << b,
+        )
+        for b, plane in enumerate(planes)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+def _similarity_lsh_oracle() -> str:
+    """DuckDB twin of lsh_topk(k=10, n_planes=6, seed=42): same bucket
+    assignment via inlined plane literals, equi-join on bucket, exact
+    cosine ranking inside the bucket."""
+    from clarite_python_spark.operators.similarity import _hyperplanes
+
+    bucket = _lsh_bucket_sql("embedding::DOUBLE[]", _hyperplanes(64, 6, 42))
+    return f"""
+        WITH e2 AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v, {bucket} AS bucket FROM embeddings
+        ), q AS (
+          SELECT vec_id AS query_id, v AS qvec, bucket FROM e2 WHERE vec_id < 5
+        ), scored AS (
+          SELECT q.query_id, e2.vec_id,
+                 list_dot_product(e2.v, q.qvec)
+                   / (sqrt(list_dot_product(e2.v, e2.v))
+                      * sqrt(list_dot_product(q.qvec, q.qvec))) AS cosine
+          FROM e2 JOIN q ON e2.bucket = q.bucket
+        ), ranked AS (
+          SELECT query_id, vec_id, cosine,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, vec_id, rank, round(cosine, 6) AS cosine
+        FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+    """
+
+
+def _neardup_lsh_oracle() -> str:
+    """DuckDB twin of embedding_neardup(threshold=0.45, n_planes=6,
+    n_bands=8, seed=42): 8 band buckets of 6 sign-bits each (slices of
+    one 48-plane draw), pair is a candidate iff any band collides, then
+    exact cosine filter."""
+    from clarite_python_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 6 * 8, 42)
+    band_cols = ",\n                 ".join(
+        f"{_lsh_bucket_sql('embedding::DOUBLE[]', planes[k * 6 : (k + 1) * 6])} AS b{k}"
+        for k in range(8)
+    )
+    any_band = " OR ".join(f"a.b{k} = b.b{k}" for k in range(8))
+    return f"""
+        WITH e2 AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 {band_cols}
+          FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+        FROM e2 a JOIN e2 b ON a.vec_id < b.vec_id AND ({any_band})
+        WHERE list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(b.v, b.v))) >= 0.45
+        ORDER BY id_a, id_b
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     norm_text = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
     return {
+        "similarity_lsh_embeddings": _similarity_lsh_oracle(),
+        "embedding_neardup_lsh_embeddings": _neardup_lsh_oracle(),
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
