@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from clarite_python_spark.catalog import ClariteFrame
 from clarite_python_spark.operators import analyze, dedup, describe, modify, multimodal, similarity, text
 from clarite_python_spark.sources.io import load_testdata
-from clarite_python_spark.streaming.events import windowed_counts
+from clarite_python_spark.streaming.events import sessionized, windowed_counts
 
 
 def _session_defaults(spark: SparkSession) -> None:
@@ -605,6 +605,21 @@ def windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("window_start", "event_type")
 
 
+def sessionized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session aggregation via Spark's native session_window
+    (streaming/events.py:sessionized; 4-hour inactivity gap). The oracle
+    is the classic gaps-and-islands SQL."""
+    ev = _t(spark, sf_dir, "events")
+    out = sessionized(ev, gap="4 hours")
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+        "n_events",
+        F.round("total_value", 4).alias("total_value"),
+    ).orderBy("user_id", "session_start")
+
+
 def ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs over all (id_a < id_b)
     pairs at threshold 0.2 (operators/dedup.py:ngram_jaccard_pairs).
@@ -742,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features_documents": multimodal_features_documents,
         "multimodal_metadata_documents": multimodal_metadata_documents,
         "windowed_events": windowed_events,
+        "sessionized_events": sessionized_events,
         "ngram_jaccard_documents": ngram_jaccard_documents,
         "embedding_neardup_embeddings": embedding_neardup_embeddings,
         "embedding_neardup_lsh_embeddings": embedding_neardup_lsh_embeddings,
@@ -1154,6 +1170,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, rank, round(cosine, 6) AS cosine
             FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+        # gaps-and-islands: a session breaks when the gap to the previous
+        # event of the same user is >= the inactivity window (Spark's
+        # session_window merges [ts, ts+gap) windows that OVERLAP, so an
+        # exact-gap boundary starts a new session in both engines)
+        "sessionized_events": """
+            WITH e AS (
+              SELECT user_id, ts, value FROM events
+              WHERE ts IS NOT NULL AND user_id IS NOT NULL
+            ), flagged AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                            OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               >= INTERVAL 4 HOUR
+                          THEN 1 ELSE 0 END AS new_s
+              FROM e
+            ), sessions AS (
+              SELECT user_id, ts, value,
+                     sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS sid
+              FROM flagged
+            )
+            SELECT user_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+                   strftime(max(ts) + INTERVAL 4 HOUR, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS total_value
+            FROM sessions
+            GROUP BY user_id, sid
+            ORDER BY user_id, session_start
         """,
         "multimodal_metadata_documents": """
             SELECT doc_id AS media_id,

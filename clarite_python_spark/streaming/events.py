@@ -1,11 +1,20 @@
 """Structured Streaming over the ``events`` table (extension — the
 reference is pure batch, SURVEY.md §2.12).
 
-The same windowed aggregation is exposed twice:
-- ``windowed_counts(df)`` — batch form, used by the DuckDB oracle;
-- ``stream_windowed_counts(spark, path)`` — streaming form with a
-  watermark for late data; drive it with ``trigger(availableNow=True)``
-  to process a static directory end-to-end in tests.
+Each aggregation is exposed twice:
+- ``windowed_counts(df)`` / ``sessionized(df)`` — batch forms, used by
+  the DuckDB oracle (the session oracle is the classic gaps-and-islands
+  SQL);
+- ``stream_windowed_counts(spark, path)`` / ``stream_sessionized`` —
+  streaming forms with a watermark for late data; drive them with
+  ``trigger(availableNow=True)`` to process a static directory
+  end-to-end in tests.
+
+Session windows use Spark's native ``F.session_window`` (merging
+event-time windows, Spark 3.2+): declaring the session in the logical
+plan lets the streaming engine keep per-key session state and finalize
+a session when the watermark passes its end — no hand-rolled
+``applyInPandasWithState`` needed for these semantics.
 """
 
 from __future__ import annotations
@@ -23,6 +32,63 @@ def windowed_counts(events: DataFrame, window: str = "1 hour") -> DataFrame:
             F.col("w.start").alias("window_start"),
             "event_type",
             "n",
+            "total_value",
+        )
+    )
+
+
+def sessionized(
+    events: DataFrame,
+    gap: str = "4 hours",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key session aggregation (batch): events closer than ``gap``
+    to the previous event of the same key merge into one session;
+    ``session_end`` is Spark's session-window end (last event + gap).
+
+    The physical plan is one shuffle on (key, merged window) — exactly a
+    groupBy agg; at 100 TB this partitions by user like any keyed agg."""
+    return (
+        events.where(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
+        .groupBy(F.session_window(ts_col, gap).alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(value_col).alias("total_value"))
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_sessionized(
+    spark: SparkSession,
+    path: str,
+    gap: str = "4 hours",
+    watermark: str = "2 hours",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming form: per-key session state is finalized (and evicted)
+    once the event-time watermark passes the session's end — state is
+    bounded by active sessions, the standard choice for continuous
+    clickstream ingest."""
+    stream = spark.readStream.schema(spark.read.parquet(path).schema).parquet(path)
+    return (
+        stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .where(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(value_col).alias("total_value"))
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
             "total_value",
         )
     )

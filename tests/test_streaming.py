@@ -7,7 +7,12 @@ from __future__ import annotations
 import pandas as pd
 
 from clarite_python_spark.sources.io import load_testdata
-from clarite_python_spark.streaming.events import stream_windowed_counts, windowed_counts
+from clarite_python_spark.streaming.events import (
+    sessionized,
+    stream_sessionized,
+    stream_windowed_counts,
+    windowed_counts,
+)
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -37,6 +42,59 @@ def test_stream_matches_batch(spark, tmp_path):
     assert len(a) == len(b) and len(a) > 0
     pd.testing.assert_frame_equal(
         a[key + ["n"]], b[key + ["n"]], check_dtype=False
+    )
+    assert abs(a.total_value.sum() - b.total_value.sum()) < 1e-6
+
+
+def test_sessionized_semantics(spark):
+    """Crafted gaps: events 1h apart merge under a 2h gap; a 3h gap
+    breaks the session; session_end = last event + gap; per-key."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 01:00:00", 2.0),   # +1h -> same session
+        (1, "2024-01-01 04:30:00", 4.0),   # +3.5h -> new session
+        (2, "2024-01-01 00:30:00", 8.0),   # other key: own session
+    ]
+    ev = spark.createDataFrame(rows, "user_id: long, ts: string, value: double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {
+        (r["user_id"], str(r["session_start"])): (r["n_events"], r["total_value"], str(r["session_end"]))
+        for r in sessionized(ev, gap="2 hours").collect()
+    }
+    assert out[(1, "2024-01-01 00:00:00")] == (2, 3.0, "2024-01-01 03:00:00")
+    assert out[(1, "2024-01-01 04:30:00")] == (1, 4.0, "2024-01-01 06:30:00")
+    assert out[(2, "2024-01-01 00:30:00")] == (1, 8.0, "2024-01-01 02:30:00")
+    assert len(out) == 3
+
+
+def test_stream_sessionized_matches_batch(spark, tmp_path):
+    events = load_testdata(spark, SF_DIR, ["events"])["events"]
+    src = str(tmp_path / "events_sess_src")
+    events.write.mode("overwrite").parquet(src)
+
+    batch = sessionized(spark.read.parquet(src), gap="4 hours").toPandas()
+    q = (
+        stream_sessionized(spark, src, gap="4 hours", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("stream_sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from stream_sessions").toPandas()
+
+    key = ["user_id", "session_start"]
+    a = batch.sort_values(key).reset_index(drop=True)
+    b = got.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0
+    pd.testing.assert_frame_equal(
+        a[key + ["session_end", "n_events"]],
+        b[key + ["session_end", "n_events"]],
+        check_dtype=False,
     )
     assert abs(a.total_value.sum() - b.total_value.sum()) < 1e-6
 
