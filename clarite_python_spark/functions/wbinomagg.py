@@ -28,8 +28,23 @@ sampling frame (caller gates at <=256), so this is scan-bound at any
 data size — the designed 100-TB path for survey-weighted case/control
 GWAS (3-valued genotypes x ~60 NHANES PSUs ~ 360 cells/variant).
 
+No-cluster designs (strata-only or weights-only) are covered too: there
+every observation is its own cluster (reference survey_design.py:195-198)
+so the sandwich needs per-OBSERVATION score outer products — still
+cell-additive via the second weight moment:
+
+    sum_i s_i           = sum_cells sw  * r * x      (r = y - mu)
+    sum_i s_i s_i'      = sum_cells sw2 * r^2 * x x'  (sw2 = sum of w^2)
+
+with stratum centering in closed form (subtract n_full * m m',
+m = stratum score sum / full-design stratum rows; 'adjust' single-row
+strata subtract the grand per-observation mean) — so cells key on the
+STRATUM instead of the cluster and the same one-pass aggregation serves
+all design shapes.
+
 Eligibility (caller falls back to the grouped kernel otherwise):
-- cluster design, stata (linearized) vcov;
+- stata (linearized) vcov; bounded design (<=256 clusters, or <=1024
+  strata for no-cluster designs);
 - all covariates BINARY/CATEGORICAL;
 - variable BINARY/CATEGORICAL, or CONTINUOUS with a known-small domain
   (encoded genotypes); cell blowup past ``max_cells`` re-checked exactly
@@ -118,6 +133,57 @@ def _cluster_sandwich(
     return a_inv @ (jdata.T @ jdata) @ a_inv.T
 
 
+def _stratum_sandwich(
+    score: np.ndarray,
+    u: np.ndarray,
+    cell_strat: list,
+    n_rows: float,
+    a_inv: np.ndarray,
+    constants: dict,
+) -> np.ndarray:
+    """No-cluster linearized sandwich from per-cell moments. ``score``
+    rows are sum_i s_i per cell (= sw*r*x); ``u`` rows are sqrt(sw2)*r*x
+    so U_s' U_s = sum_i s_i s_i' within a stratum's cells."""
+    p = score.shape[1]
+    rows_per_strat = constants["rows_per_strat"]
+    fpc_map = constants.get("fpc_for_strat", {})
+    single_cluster = constants["single_cluster"]
+    if not constants["has_strata"]:
+        n_full = float(rows_per_strat["__all__"])
+        scale = n_full / (n_full - 1.0) if n_full > 1 else 1.0
+        v = (u.T @ u) * scale * (1.0 - float(fpc_map.get("__all__", 0.0)))
+        return a_inv @ v @ a_inv.T
+
+    pop_mean = score.sum(axis=0) / n_rows
+    by_strat: dict = {}
+    for i, s in enumerate(cell_strat):
+        by_strat.setdefault(s, []).append(i)
+    v = np.zeros((p, p))
+    for s, n_full in rows_per_strat.items():
+        idx = by_strat.get(s, [])
+        n_full = float(n_full)
+        s1 = score[idx].sum(axis=0) if idx else np.zeros(p)
+        if n_full <= 1.0:
+            if single_cluster == "adjust":
+                d = s1 - pop_mean
+                contrib = np.outer(d, d)
+            else:  # centered on the (trivial) stratum mean -> zero
+                continue
+            mh2 = 1.0  # nh/(nh-1) is inf-guarded to 1 in the kernel
+        else:
+            us = u[idx]
+            s2 = us.T @ us if len(idx) else np.zeros((p, p))
+            m = s1 / n_full
+            contrib = s2 - n_full * np.outer(m, m)
+            mh2 = n_full / (n_full - 1.0)
+        v += contrib * mh2 * (1.0 - float(fpc_map.get(s, 0.0)))
+    if single_cluster == "average":
+        n_single = sum(1 for x in rows_per_strat.values() if x == 1)
+        n_strat = len(rows_per_strat)
+        v = v * (n_strat / (n_strat - n_single))
+    return a_inv @ v @ a_inv.T
+
+
 def weighted_binomial_cells_rows(
     df: DataFrame,
     outcome: str,
@@ -134,6 +200,7 @@ def weighted_binomial_cells_rows(
     weight_label: str | None,
     clust_col: str,
     subset_col: str,
+    strat_col: str | None = None,
     max_cells: int = 100_000,
     var_batch: int = 4096,
 ) -> tuple[list[dict], list[str]]:
@@ -142,7 +209,7 @@ def weighted_binomial_cells_rows(
     per weight group). ``df`` already carries the design columns.
     Returns (rows, variables that must fall back to the grouped kernel).
     """
-    assert constants["has_cluster"], "cluster designs only"
+    has_cluster = constants["has_cluster"]
     rvs = list(rvs)
     covariates = list(covariates)
 
@@ -159,6 +226,16 @@ def weighted_binomial_cells_rows(
         wmiss_expr = F.lit(False)
         wnorm_expr = F.lit(1.0)
 
+    # cell grouping key: the CLUSTER for cluster designs; the STRATUM for
+    # strata-only designs (each obs is its own cluster, so the sandwich
+    # needs per-stratum moments); a constant for weights-only designs
+    if has_cluster:
+        group_expr = F.col(clust_col).alias("__g")
+    elif constants["has_strata"] and strat_col is not None:
+        group_expr = F.col(strat_col).alias("__g")
+    else:
+        group_expr = F.lit(0).alias("__g")
+
     base = df.where(F.col(subset_col))
     cell_rows: list = []
     for s in range(0, len(rvs), var_batch):
@@ -166,16 +243,20 @@ def weighted_binomial_cells_rows(
         long = base.select(
             _null_if_nan(df, outcome),
             *[_null_if_nan(df, c) for c in covariates],
-            F.col(clust_col).alias("__cl"),
+            group_expr,
             wmiss_expr.alias("__wmiss"),
             wnorm_expr.alias("__w"),
             *[qcol(v).cast("string").alias(v) for v in batch],
         ).unpivot(
-            [outcome, *covariates, "__cl", "__wmiss", "__w"], batch, "variable", "value"
+            [outcome, *covariates, "__g", "__wmiss", "__w"], batch, "variable", "value"
         )
         cell_rows.extend(
-            long.groupBy("variable", "value", outcome, *covariates, "__cl", "__wmiss")
-            .agg(F.count(F.lit(1)).alias("__n"), F.sum("__w").alias("__sw"))
+            long.groupBy("variable", "value", outcome, *covariates, "__g", "__wmiss")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.sum("__w").alias("__sw"),
+                F.sum(F.col("__w") * F.col("__w")).alias("__sw2"),
+            )
             .collect()
         )
     by_var: dict[str, list] = defaultdict(list)
@@ -209,8 +290,8 @@ def weighted_binomial_cells_rows(
             N = int(sum(r["__n"] for r in comp))
             if N < min_n:
                 raise ValueError(f"too few complete observations ({N} < {min_n})")
-            cell_cl = [r["__cl"] for r in comp]
-            if any(c is None for c in cell_cl):
+            cell_g = [r["__g"] for r in comp]
+            if has_cluster and any(g is None for g in cell_g):
                 raise ValueError("fitted rows with no cluster assignment")
 
             y = np.asarray([float(r[outcome]) for r in comp])
@@ -231,14 +312,33 @@ def weighted_binomial_cells_rows(
                     names_r.extend(nm)
             Xr = np.column_stack([c if c.ndim == 2 else c[:, None] for c in cols])
 
-            strat_for_clust = constants["strat_for_clust"]
-            n_clust_obs = len(set(cell_cl))
-            n_strat_obs = len({strat_for_clust[c] for c in set(cell_cl)})
+            # survey dof (reference survey_design.py:723-745): observed
+            # cluster/stratum counts; no-cluster designs use N as rows
+            if has_cluster:
+                strat_for_clust = constants["strat_for_clust"]
+                n_clust_obs = len(set(cell_g))
+                n_strat_obs = len({strat_for_clust[c] for c in set(cell_g)})
 
-            def dof_for(n_params: int) -> float:
-                if constants["has_strata"]:
-                    return n_clust_obs - n_strat_obs - (n_params - 1)
-                return n_clust_obs - 1 - (n_params - 1)
+                def dof_for(n_params: int) -> float:
+                    if constants["has_strata"]:
+                        return n_clust_obs - n_strat_obs - (n_params - 1)
+                    return n_clust_obs - 1 - (n_params - 1)
+
+            else:
+                n_strat_obs = len(set(cell_g))
+
+                def dof_for(n_params: int) -> float:
+                    if constants["has_strata"]:
+                        return N - n_strat_obs - (n_params - 1)
+                    return N - n_params - 1
+
+            sw2 = np.asarray([float(r["__sw2"]) for r in comp])
+
+            def sandwich(fitted, X):
+                if has_cluster:
+                    return _cluster_sandwich(fitted.score, cell_g, N, fitted.a_inv, constants)
+                u = (np.sqrt(sw2) * (y - fitted.mu))[:, None] * X
+                return _stratum_sandwich(fitted.score, u, cell_g, N, fitted.a_inv, constants)
 
             if vtype in (CONTINUOUS, BINARY):
                 if vtype == CONTINUOUS:
@@ -254,7 +354,7 @@ def weighted_binomial_cells_rows(
                 row = default_row(rv)
                 row.update(Variable_type=vtype, Weight=label, N=N)
                 if fit.converged:
-                    vcov = _cluster_sandwich(fit.score, cell_cl, N, fit.a_inv, constants)
+                    vcov = sandwich(fit, X)
                     pos = [
                         i for i, n in enumerate(names)
                         if n == rv or n.startswith(f"{rv}[T.")
@@ -282,7 +382,7 @@ def weighted_binomial_cells_rows(
                 # non-converged weighted categorical fits emit NO rows
                 # (kernel parity, reference weighted_glm_regression.py:245-286)
                 if fit_f.converged and fit_r.converged:
-                    vcov_f = _cluster_sandwich(fit_f.score, cell_cl, N, fit_f.a_inv, constants)
+                    vcov_f = sandwich(fit_f, X_f)
                     dof = dof_for(X_f.shape[1])
                     chisq = fit_r.deviance - fit_f.deviance
                     lr_p = regterm_pvalue(chisq, vcov_f, names_f, fit_f.a_inv, rv, dof)

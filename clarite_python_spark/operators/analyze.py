@@ -833,9 +833,17 @@ def association_study(
             use_sufficient_stats
             and survey_design_spec is not None
             and family == BINOMIAL
-            and survey_design_spec.has_cluster
             and vcov_method == "stata"
-            and len(survey_design_spec.constants()["clusters"]) <= 256
+            and (
+                (
+                    survey_design_spec.has_cluster
+                    and len(survey_design_spec.constants()["clusters"]) <= 256
+                )
+                or (
+                    not survey_design_spec.has_cluster
+                    and len(survey_design_spec.constants()["rows_per_strat"]) <= 1024
+                )
+            )
             and all(covar_types[c] in (BINARY, CATEGORICAL) for c in covariates)
         ):
             # survey-weighted binomial fits collapse to weighted
@@ -852,6 +860,7 @@ def association_study(
             )
             from clarite_python_spark.survey.design import (
                 CLUST_COL,
+                STRAT_COL,
                 SUBSET_COL,
                 _weight_col,
             )
@@ -898,6 +907,7 @@ def association_study(
                     wn,
                     CLUST_COL,
                     SUBSET_COL,
+                    strat_col=STRAT_COL,
                 )
                 w_rows.extend(r_rows)
                 group.extend(fb)  # cell blowup -> grouped kernel

@@ -90,6 +90,45 @@ def test_suffstats_path_actually_routes(nhanes_cf, monkeypatch):
     assert res.loc["race", "Converged"]
 
 
+def _study_design(cf, design, use_sufficient_stats):
+    return (
+        analyze.association_study(
+            data=modify.colfilter(cf, only=["HI_CHOL", "RIAGENDR", "race", "agecat"]),
+            outcomes="HI_CHOL",
+            covariates=["agecat", "RIAGENDR"],
+            survey_design_spec=design,
+            use_sufficient_stats=use_sufficient_stats,
+        )
+        .toPandas()
+        .set_index("Variable")
+        .sort_index()
+    )
+
+
+@pytest.mark.parametrize(
+    "design_kw",
+    [
+        dict(weights="WTMEC2YR"),  # weights-only: every obs its own cluster
+        dict(weights="WTMEC2YR", strata="SDMVSTRA"),  # strata, no cluster
+    ],
+    ids=["weights_only", "strata_only"],
+)
+def test_no_cluster_designs_match_grouped_kernel(nhanes_cf, design_kw):
+    """No-cluster sandwich needs per-observation score outer products —
+    recovered exactly from the cells' second weight moment (sw2)."""
+    design = SurveyDesignSpec(nhanes_cf.df, **design_kw)
+    fast = _study_design(nhanes_cf, design, True)
+    design2 = SurveyDesignSpec(nhanes_cf.df, **design_kw)
+    slow = _study_design(nhanes_cf, design2, False)
+    assert list(fast.index) == list(slow.index)
+    assert list(fast["N"]) == list(slow["N"])
+    for col in ("Beta", "SE", "Beta_pvalue", "LRT_pvalue", "pvalue"):
+        a = fast[col].astype(float).to_numpy()
+        b = slow[col].astype(float).to_numpy()
+        both = ~(np.isnan(a) & np.isnan(b))
+        np.testing.assert_allclose(a[both], b[both], rtol=1e-9, err_msg=col)
+
+
 def test_report_categorical_betas_through_cell_path(nhanes_cf):
     fast = (
         analyze.association_study(
