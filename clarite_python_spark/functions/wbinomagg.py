@@ -79,6 +79,7 @@ from clarite_python_spark.functions.wglm import (
     BINOMIAL,
     _center_strata,
     fit_weighted_glm,
+    jackknife_vcov,
     regterm_pvalue,
 )
 
@@ -201,6 +202,7 @@ def weighted_binomial_cells_rows(
     clust_col: str,
     subset_col: str,
     strat_col: str | None = None,
+    vcov_method: str = "stata",
     max_cells: int = 100_000,
     var_batch: int = 4096,
 ) -> tuple[list[dict], list[str]]:
@@ -335,6 +337,19 @@ def weighted_binomial_cells_rows(
             sw2 = np.asarray([float(r["__sw2"]) for r in comp])
 
             def sandwich(fitted, X):
+                if vcov_method == "jackknife":
+                    # delete-1-cluster replicates are EXACT on cells: the
+                    # replicate reweighting (zero the cluster, scale its
+                    # stratum by nh/(nh-1)) is constant within a cell, so
+                    # freq-weighted refits reproduce row-level iterates
+                    # (cluster designs only — enforced by the caller)
+                    strat_arr = np.asarray(
+                        [constants["strat_for_clust"][c] for c in cell_g], dtype=object
+                    )
+                    return jackknife_vcov(
+                        X, y, w, BINOMIAL, fitted, strat_arr,
+                        np.asarray(cell_g, dtype=object), constants,
+                    )
                 if has_cluster:
                     return _cluster_sandwich(fitted.score, cell_g, N, fitted.a_inv, constants)
                 u = (np.sqrt(sw2) * (y - fitted.mu))[:, None] * X

@@ -833,7 +833,10 @@ def association_study(
             use_sufficient_stats
             and survey_design_spec is not None
             and family == BINOMIAL
-            and vcov_method == "stata"
+            and (
+                vcov_method == "stata"
+                or (vcov_method == "jackknife" and survey_design_spec.has_cluster)
+            )
             and (
                 (
                     survey_design_spec.has_cluster
@@ -908,6 +911,7 @@ def association_study(
                     CLUST_COL,
                     SUBSET_COL,
                     strat_col=STRAT_COL,
+                    vcov_method=vcov_method,
                 )
                 w_rows.extend(r_rows)
                 group.extend(fb)  # cell blowup -> grouped kernel

@@ -129,6 +129,41 @@ def test_no_cluster_designs_match_grouped_kernel(nhanes_cf, design_kw):
         np.testing.assert_allclose(a[both], b[both], rtol=1e-9, err_msg=col)
 
 
+def test_jackknife_through_cell_path_matches_kernel(nhanes_cf):
+    """Delete-1-cluster replicate weights are constant within a cell, so
+    jackknife refits on cells reproduce the row-level replicates exactly."""
+
+    def run(use_suffstats):
+        return (
+            analyze.association_study(
+                data=modify.colfilter(
+                    nhanes_cf, only=["HI_CHOL", "RIAGENDR", "race", "agecat"]
+                ),
+                outcomes="HI_CHOL",
+                covariates=["agecat", "RIAGENDR"],
+                survey_design_spec=_design(nhanes_cf),
+                vcov_method="jackknife",
+                use_sufficient_stats=use_suffstats,
+            )
+            .toPandas()
+            .set_index("Variable")
+            .sort_index()
+        )
+
+    fast, slow = run(True), run(False)
+    for col in ("Beta", "SE", "pvalue"):
+        a = fast[col].astype(float).to_numpy()
+        b = slow[col].astype(float).to_numpy()
+        both = ~(np.isnan(a) & np.isnan(b))
+        np.testing.assert_allclose(a[both], b[both], rtol=1e-9, err_msg=col)
+    # jackknife differs from the linearized sandwich (the categorical
+    # LRT pvalue moves with the vcov) -> proves the replicate path ran
+    stata = _study(nhanes_cf, True)
+    assert not np.allclose(
+        fast["pvalue"].astype(float), stata["pvalue"].astype(float), rtol=1e-6
+    )
+
+
 def test_report_categorical_betas_through_cell_path(nhanes_cf):
     fast = (
         analyze.association_study(
