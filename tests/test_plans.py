@@ -66,6 +66,63 @@ def test_synthesized_id_has_no_global_window(spark, tmp_path):
     assert [r["a"] for r in rows] == list(range(100))  # file order preserved
 
 
+def test_sessionized_plan_single_keyed_shuffle(spark):
+    """sessionized() must compile to: null filters PUSHED to parquet, a
+    3-column pruned scan, map-side partial aggregation, and exactly ONE
+    exchange hash-partitioned on the session key (MergingSessions after
+    the sort) — the plan that scales to clickstream sizes."""
+    from clarite_python_spark.sources.io import load_testdata
+    from clarite_python_spark.streaming.events import sessionized
+
+    ev = load_testdata(spark, SF_DIR, ["events"])["events"]
+    plan = _formatted_plan(sessionized(ev, gap="4 hours"))
+    assert "IsNotNull(ts)" in plan and "IsNotNull(user_id)" in plan  # pushed
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "event_type" not in read_schema and "props" not in read_schema
+    assert plan.count("(5) Exchange") + plan.count("Exchange hashpartitioning") >= 1
+    # one data shuffle, keyed on user_id
+    exchanges = [ln for ln in plan.splitlines() if "hashpartitioning" in ln]
+    assert len({e.split("[plan_id")[0] for e in exchanges}) == 1
+    assert all("user_id" in e for e in exchanges)
+    assert "MergingSessions" in plan
+    assert "partial_count" in plan  # map-side combine before the shuffle
+
+
+def test_weighted_binomial_cells_agg_stays_jvm_side(spark):
+    """The wbinomagg cell aggregation must be a pure unpivot -> hash
+    aggregate (Expand + partial agg, no Python/Arrow eval nodes): the
+    only Python in the weighted suffstats path is driver-side IRLS."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select(
+            F.col("o_orderkey").alias("ID"),
+            (F.col("o_totalprice") > 150000).cast("double").alias("y"),
+            F.col("o_orderstatus").alias("cov"),
+            (F.col("o_orderkey") % 10).alias("__g"),
+            F.lit(False).alias("__wmiss"),
+            F.lit(1.0).alias("__w"),
+            F.col("o_orderpriority").alias("v1"),
+            F.col("o_orderdate").cast("string").alias("v2"),
+        )
+    )
+    long = df.select(
+        "y", "cov", "__g", "__wmiss", "__w",
+        *[F.col(v).cast("string").alias(v) for v in ("v1", "v2")],
+    ).unpivot(["y", "cov", "__g", "__wmiss", "__w"], ["v1", "v2"], "variable", "value")
+    cells = long.groupBy("variable", "value", "y", "cov", "__g", "__wmiss").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__w").alias("__sw"),
+        F.sum(F.col("__w") * F.col("__w")).alias("__sw2"),
+    )
+    plan = _formatted_plan(cells)
+    assert "Expand" in plan  # the unpivot
+    assert "partial_count" in plan or "partial_sum" in plan  # map-side combine
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
+        assert bad not in plan
+
+
 def test_chained_operators_fuse_into_one_scan(orders_cf):
     """QC chain (colfilter -> rowfilter) stays ONE scan with both the
     filter and the pruning applied — lazy frames fuse, unlike the
