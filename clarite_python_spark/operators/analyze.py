@@ -1063,7 +1063,9 @@ def add_corrected_pvalues(
     non_na = F.when(F.col(pvalue).isNotNull() & ~F.isnan(pvalue), 1).otherwise(0)
     with_m = result.withColumn("__m", F.sum(non_na).over(Window.partitionBy()))
     valid = F.col(pvalue).isNotNull() & ~F.isnan(pvalue)
-    w_rank = Window.orderBy(F.asc(pvalue))  # NaN/null sort last; ranks of valid rows are correct
+    # NULLS LAST explicitly: plain asc() sorts nulls FIRST, which would
+    # hand rank 1 to a missing pvalue and shift every BH rank by one
+    w_rank = Window.orderBy(F.asc_nulls_last(pvalue))  # NaN also sorts last in asc
     # RANGE (not ROWS) frame: peers — rows with a tied pvalue — are always
     # inside each other's frame, so ties deterministically share the cummin.
     w_cummin = Window.orderBy(F.desc_nulls_last(pvalue)).rangeBetween(
@@ -1079,7 +1081,12 @@ def add_corrected_pvalues(
             "__bh_raw",
             F.when(valid, F.least(F.col(pvalue) * F.col("__m") / F.col("__rank"), F.lit(1.0))),
         )
-        .withColumn("pvalue_fdr", F.min("__bh_raw").over(w_cummin))
+        .withColumn(
+            # invalid pvalues keep a null correction (reference
+            # utils.py:47-58 computes over dropna and rejoins)
+            "pvalue_fdr",
+            F.when(valid, F.min("__bh_raw").over(w_cummin)),
+        )
         .drop("__m", "__rank", "__bh_raw")
     )
     return out.orderBy(F.asc_nulls_last("pvalue_fdr"), F.asc_nulls_last("pvalue_bonferroni"))

@@ -148,6 +148,50 @@ def test_add_corrected_pvalues_with_nan(spark):
     assert pd.isna(out.loc["b", "pvalue_bonferroni"])
 
 
+def test_add_corrected_pvalues_ties_and_nan(spark):
+    """Regression (VERDICT r3 item 1): tied p-values must share the BH
+    cummin frame deterministically — with a NaN row alongside to pin the
+    RANGE-frame/NaN interaction (NaN sorts first under desc order)."""
+    pdf = pd.DataFrame(
+        {
+            "Variable": ["a", "b", "c", "d", "e"],
+            "pvalue": [0.5, 0.5, np.nan, 0.1, 0.5],
+        }
+    )
+    out = (
+        analyze.add_corrected_pvalues(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("Variable")
+    )
+    # m=4; ties at 0.5 share p*m/max_rank = 0.5*4/4 = 0.5
+    for v in ("a", "b", "e"):
+        assert out.loc[v, "pvalue_fdr"] == pytest.approx(0.5, rel=1e-12)
+    assert out.loc["d", "pvalue_fdr"] == pytest.approx(0.4, rel=1e-12)  # min(0.1*4/1, 0.5)
+    assert pd.isna(out.loc["c", "pvalue_fdr"])
+
+
+def test_add_corrected_pvalues_groupby_ties(spark):
+    """groupby dedups (group, pvalue) pairs before correcting — tied
+    duplicates of one group count as ONE test and tied values across
+    groups share the BH frame."""
+    pdf = pd.DataFrame(
+        {
+            "grp": ["g1", "g1", "g2", "g3"],
+            "Variable": ["a", "a2", "b", "c"],
+            "pvalue": [0.5, 0.5, 0.5, 0.1],
+        }
+    )
+    out = (
+        analyze.add_corrected_pvalues(spark.createDataFrame(pdf), groupby="grp")
+        .toPandas()
+        .set_index("Variable")
+    )
+    # m=3 distinct groups; 0.5-tie across g1/g2 -> 0.5*3/3 = 0.5 for both
+    for v in ("a", "a2", "b"):
+        assert out.loc[v, "pvalue_fdr"] == pytest.approx(0.5, rel=1e-12)
+    assert out.loc["c", "pvalue_fdr"] == pytest.approx(0.3, rel=1e-12)
+
+
 def test_interaction_study(spark, ewas_cf, ewas_pdf):
     out = (
         analyze.interaction_study(
