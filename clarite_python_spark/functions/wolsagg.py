@@ -18,11 +18,15 @@ Python groups, and the shuffle carries |vars| x |clusters| x ~20
 doubles. #clusters is bounded by the sampling frame, so this is
 scan-bound at any data size.
 
-Only cluster designs qualify: without a cluster column every observation
-is its own cluster (reference survey_design.py:195-198) and the
-"per-cluster" state would be O(rows) — those designs stay on the
-grouped kernel. Binary/categorical variables and Binomial outcomes
-(IRLS) also stay on the kernel.
+Cluster designs need ONE scan (per-cluster Grams determine the
+sandwich). No-cluster designs — where every observation is its own
+cluster (reference survey_design.py:195-198) — use TWO scans
+(:func:`weighted_gaussian_nocluster_rows`): pass 1 fits from per-stratum
+Grams; pass 2 computes per-stratum sums of ``w^2 e^2 z z'`` against the
+fitted coefficients, which is exactly ``sum_i s_i s_i'`` — so stratum
+centering reduces to subtracting ``n_full * m m'`` in closed form.
+Binary/categorical variables and Binomial outcomes route to
+functions/wbinomagg.py (weighted contingency cells) instead.
 
 Verified against the same R `survey` goldens as the kernel
 (fpc / apiclus1 designs) and against the kernel itself at rtol 1e-9.
@@ -41,45 +45,36 @@ from clarite_python_spark.catalog import BINARY, CATEGORICAL, qcol
 from clarite_python_spark.functions.distributions import t_sf
 from clarite_python_spark.functions.wglm import _center_strata
 
-__all__ = ["weighted_gaussian_suffstats_rows"]
+__all__ = ["weighted_gaussian_suffstats_rows", "weighted_gaussian_nocluster_rows"]
 
 
-def weighted_gaussian_suffstats_rows(
+def _grams_reduced(
     df: DataFrame,
     outcome: str,
-    rvs: Sequence[str],
-    covariates: Sequence[str],
-    covar_types: dict[str, str],
-    levels_of: Callable[[str], list],
-    min_n: int,
-    default_row: Callable[[str], dict],
-    constants: dict,
+    rvs: list,
+    covariates: list,
+    covar_types: dict,
+    levels: dict,
     weight_col: str | None,
     weight_mean: float,
-    weight_label: str | None,
+    groups: list,
+    group_col: str | None,
     strat_col: str,
     clust_col: str,
     subset_col: str,
-) -> list[dict]:
-    """Weighted association rows (RESULT_SCHEMA keys) for continuous
-    variables sharing ONE weight column (multi-weight designs call once
-    per weight group). ``df`` is the data frame already joined with the
-    design columns."""
-    assert constants["has_cluster"], "cluster designs only"
-    rvs = list(rvs)
-    covariates = list(covariates)
-    levels = {
-        cv: [str(x) for x in levels_of(cv)]
-        for cv in covariates
-        if covar_types.get(cv) in (BINARY, CATEGORICAL)
-    }
+):
+    """ONE mapInPandas pass computing per-(variable, group) weighted
+    masked sums, reduced by a tiny groupBy. ``group_col`` is the design
+    column whose values index ``groups`` (the cluster for cluster
+    designs, the stratum for strata-only designs); ``None`` puts
+    everything in one group (weights-only designs). Returns
+    {rv: {group_index: stats_row}} with the per-group Gram pieces."""
     k = sum(len(levels[cv]) - 1 if cv in levels else 1 for cv in covariates)
     q = k + 2  # A = [1, covars..., y]
     tri = [(i, j) for i in range(q) for j in range(i, q)]
 
-    clusters: list = list(constants["clusters"])
-    nc = len(clusters)
-    cl_index = {c: i for i, c in enumerate(clusters)}
+    nc = len(groups)
+    cl_index = {c: i for i, c in enumerate(groups)}
 
     stat_cols = (
         ["n", "nwmiss", "ndmiss"]
@@ -116,15 +111,15 @@ def weighted_gaussian_suffstats_rows(
             w_ok = ~np.isnan(w_raw)
             w_norm = np.nan_to_num(w_raw) / weight_mean
 
-            cl = (
-                pdf[clust_col]
-                .map(cl_index)
-                .to_numpy(dtype=float)
-            )
-            cl_ok = ~np.isnan(cl)
-            onehot = np.zeros((n_rows, nc))
-            rows_with_cl = np.where(cl_ok)[0]
-            onehot[rows_with_cl, cl[rows_with_cl].astype(int)] = 1.0
+            if group_col is None:  # weights-only: one group for all rows
+                cl_ok = np.ones(n_rows, dtype=bool)
+                onehot = np.ones((n_rows, 1))
+            else:
+                cl = pdf[group_col].map(cl_index).to_numpy(dtype=float)
+                cl_ok = ~np.isnan(cl)
+                onehot = np.zeros((n_rows, nc))
+                rows_with_cl = np.where(cl_ok)[0]
+                onehot[rows_with_cl, cl[rows_with_cl].astype(int)] = 1.0
 
             v = pdf[rvs].to_numpy(dtype=float)
             v_ok = ~np.isnan(v)
@@ -162,7 +157,9 @@ def weighted_gaussian_suffstats_rows(
             put("uu", (uw * np.nan_to_num(v)).T @ onehot)
             yield pd.DataFrame(out)
 
-    need = [outcome, *covariates, *rvs, strat_col, clust_col, subset_col]
+    need = [outcome, *covariates, *rvs, subset_col]
+    if group_col is not None:
+        need.append(group_col)
     if weight_col is not None:
         need.append(weight_col)
     # design columns carry __-prefixed names that must stay verbatim
@@ -177,6 +174,55 @@ def weighted_gaussian_suffstats_rows(
     by_unit: dict[str, dict[int, dict]] = {}
     for r in reduced:
         by_unit.setdefault(r["unit"], {})[int(r["clust"])] = r
+    return by_unit, k, q, tri
+
+
+def weighted_gaussian_suffstats_rows(
+    df: DataFrame,
+    outcome: str,
+    rvs: Sequence[str],
+    covariates: Sequence[str],
+    covar_types: dict[str, str],
+    levels_of: Callable[[str], list],
+    min_n: int,
+    default_row: Callable[[str], dict],
+    constants: dict,
+    weight_col: str | None,
+    weight_mean: float,
+    weight_label: str | None,
+    strat_col: str,
+    clust_col: str,
+    subset_col: str,
+) -> list[dict]:
+    """Weighted association rows (RESULT_SCHEMA keys) for continuous
+    variables sharing ONE weight column (multi-weight designs call once
+    per weight group). ``df`` is the data frame already joined with the
+    design columns."""
+    assert constants["has_cluster"], "cluster designs only"
+    rvs = list(rvs)
+    covariates = list(covariates)
+    levels = {
+        cv: [str(x) for x in levels_of(cv)]
+        for cv in covariates
+        if covar_types.get(cv) in (BINARY, CATEGORICAL)
+    }
+    clusters: list = list(constants["clusters"])
+    nc = len(clusters)
+    by_unit, k, q, tri = _grams_reduced(
+        df,
+        outcome,
+        rvs,
+        covariates,
+        covar_types,
+        levels,
+        weight_col,
+        weight_mean,
+        clusters,
+        clust_col,
+        strat_col,
+        clust_col,
+        subset_col,
+    )
 
     strat_for_clust = constants["strat_for_clust"]
     clust_per_strat = constants["clust_per_strat"]
@@ -273,6 +319,286 @@ def weighted_gaussian_suffstats_rows(
             dof = n_clust_fit - n_strat_fit - (len(keep) - 1)
         else:
             dof = n_clust_fit - 1 - (len(keep) - 1)
+        if dof < 1:
+            row.update(Converged=True, Beta=b, SE=np.inf, Beta_pvalue=1.0, pvalue=1.0)
+        else:
+            p = 2.0 * float(t_sf(abs(b / se), dof))
+            row.update(Converged=True, Beta=b, SE=se, Beta_pvalue=p, pvalue=p)
+    return rows
+
+
+def _score2_reduced(
+    df: DataFrame,
+    outcome: str,
+    rvs: list,
+    covariates: list,
+    covar_types: dict,
+    levels: dict,
+    betas: dict,
+    weight_col: str | None,
+    weight_mean: float,
+    groups: list,
+    group_col: str | None,
+    subset_col: str,
+):
+    """Second scan for no-cluster sandwiches: per-(variable, group) sums
+    of w^2 e^2 z z' with e = y - z'beta computed against the fitted
+    coefficients (broadcast in the closure as full-z vectors, zeros in
+    dropped slots). Only needed when clusters don't exist — per-cluster
+    Grams already determine the cluster sandwich in one pass."""
+    fit_rvs = [rv for rv in rvs if rv in betas]
+    k = sum(len(levels[cv]) - 1 if cv in levels else 1 for cv in covariates)
+    zdim = k + 2
+    tri_z = [(i, j) for i in range(zdim) for j in range(i, zdim)]
+    nc = len(groups)
+    cl_index = {c: i for i, c in enumerate(groups)}
+    stat_cols = [f"s{i}_{j}" for i, j in tri_z]
+    out_schema = "unit string, clust int, " + ", ".join(f"`{c}` double" for c in stat_cols)
+    cov_list, cov_types, lvs = covariates, dict(covar_types), levels
+    beta_mat = np.vstack([betas[rv] for rv in fit_rvs])  # (#rvs, zdim)
+
+    def partials(batches):
+        from clarite_python_spark.functions.olsagg import _covariate_frame
+
+        for pdf in batches:
+            n_rows = len(pdf)
+            if n_rows == 0:
+                continue
+            c_design, c_ok = _covariate_frame(pdf, cov_list, cov_types, lvs)
+            y = pd.to_numeric(pdf[outcome]).to_numpy(dtype=float)
+            base_ok = c_ok & ~np.isnan(y)
+            zb = np.column_stack([np.ones(n_rows), c_design])  # [1, covars]
+            zb = np.nan_to_num(zb)
+
+            subset = pdf[subset_col]
+            subset_ok = subset.fillna(False).to_numpy(dtype=bool)
+            if weight_col is not None:
+                w_raw = pd.to_numeric(pdf[weight_col]).to_numpy(dtype=float)
+            else:
+                w_raw = np.ones(n_rows)
+            w_ok = ~np.isnan(w_raw)
+            w_norm = np.nan_to_num(w_raw) / weight_mean
+
+            if group_col is None:
+                cl_ok = np.ones(n_rows, dtype=bool)
+                onehot = np.ones((n_rows, 1))
+            else:
+                cl = pdf[group_col].map(cl_index).to_numpy(dtype=float)
+                cl_ok = ~np.isnan(cl)
+                onehot = np.zeros((n_rows, nc))
+                rows_with_cl = np.where(cl_ok)[0]
+                onehot[rows_with_cl, cl[rows_with_cl].astype(int)] = 1.0
+
+            v = pdf[fit_rvs].to_numpy(dtype=float)
+            v_ok = ~np.isnan(v)
+            m = v_ok & (base_ok & subset_ok & w_ok & cl_ok)[:, None]
+            vz = np.nan_to_num(v)
+
+            out = {
+                "unit": np.repeat(fit_rvs, nc),
+                "clust": np.tile(np.arange(nc), len(fit_rvs)),
+            }
+            acc = np.zeros((len(fit_rvs), nc, len(tri_z)))
+            for jv in range(len(fit_rvs)):
+                b = beta_mat[jv]
+                e = y - (zb @ b[:-1] + vz[:, jv] * b[-1])
+                wgt = m[:, jv] * (w_norm**2) * np.nan_to_num(e) ** 2
+                z = np.column_stack([zb, vz[:, jv]])
+                for t, (i, jj) in enumerate(tri_z):
+                    acc[jv, :, t] = (wgt * z[:, i] * z[:, jj]) @ onehot
+            for t, (i, jj) in enumerate(tri_z):
+                out[f"s{i}_{jj}"] = acc[:, :, t].reshape(-1)
+            yield pd.DataFrame(out)
+
+    need = [outcome, *covariates, *fit_rvs, subset_col]
+    if group_col is not None:
+        need.append(group_col)
+    if weight_col is not None:
+        need.append(weight_col)
+    partial_df = df.select(*[qcol(c).alias(c) for c in need]).mapInPandas(
+        partials, out_schema
+    )
+    reduced = (
+        partial_df.groupBy("unit", "clust")
+        .agg(*[F.sum(f"`{c}`").alias(c) for c in stat_cols])
+        .collect()
+    )
+    by_unit: dict[str, dict[int, dict]] = {}
+    for r in reduced:
+        by_unit.setdefault(r["unit"], {})[int(r["clust"])] = r
+    return by_unit, tri_z
+
+
+def weighted_gaussian_nocluster_rows(
+    df: DataFrame,
+    outcome: str,
+    rvs: Sequence[str],
+    covariates: Sequence[str],
+    covar_types: dict[str, str],
+    levels_of: Callable[[str], list],
+    min_n: int,
+    default_row: Callable[[str], dict],
+    constants: dict,
+    weight_col: str | None,
+    weight_mean: float,
+    weight_label: str | None,
+    strat_col: str,
+    subset_col: str,
+) -> list[dict]:
+    """Weighted Gaussian association rows for NO-cluster designs
+    (strata-only or weights-only): every observation is its own cluster
+    (reference survey_design.py:195-198), so the sandwich needs
+    per-observation score outer products — recovered in a SECOND scan of
+    per-(variable, stratum) sums of w^2 e^2 z z' against the pass-1 fit.
+    Stratum centering in closed form (n_full * m m'; 'adjust' single-row
+    strata subtract the grand per-observation mean; 'average' rescales
+    with full-design counts). Two scans total, both scan-bound."""
+    rvs = list(rvs)
+    covariates = list(covariates)
+    has_strata = constants["has_strata"]
+    single_cluster = constants["single_cluster"]
+    rows_per_strat = constants["rows_per_strat"]
+    fpc_map = constants.get("fpc_for_strat", {})
+    levels = {
+        cv: [str(x) for x in levels_of(cv)]
+        for cv in covariates
+        if covar_types.get(cv) in (BINARY, CATEGORICAL)
+    }
+    groups = list(rows_per_strat) if has_strata else ["__all__"]
+    group_col = strat_col if has_strata else None
+    nc = len(groups)
+    by_unit, k, q, tri = _grams_reduced(
+        df, outcome, rvs, covariates, covar_types, levels,
+        weight_col, weight_mean, groups, group_col,
+        strat_col, strat_col, subset_col,
+    )
+
+    zdim = k + 2
+    rows: list[dict] = []
+    fit_state: dict[str, dict] = {}
+    betas_full: dict[str, np.ndarray] = {}
+    for rv in rvs:
+        row = default_row(rv)
+        rows.append(row)
+        per_g = by_unit.get(rv, {})
+        if any(float(r["ndmiss"] or 0.0) > 0 for r in per_g.values()):
+            continue
+        n_miss_w = sum(float(r["nwmiss"] or 0.0) for r in per_g.values())
+        label = weight_label
+        if n_miss_w > 0:
+            if constants.get("drop_unweighted"):
+                label = f"{weight_label} ({int(n_miss_w)} observations are missing weights)"
+            else:
+                continue
+        n_total = sum(float(r["n"] or 0.0) for r in per_g.values())
+        if n_total < min_n:
+            continue
+        row.update(Variable_type="continuous", Weight=label, N=int(n_total))
+
+        gz_c = np.zeros((nc, zdim, zdim))
+        hz_c = np.zeros((nc, zdim))
+        for ci, r in per_g.items():
+            gq = np.zeros((q, q))
+            for i, j in tri:
+                gq[i, j] = gq[j, i] = float(r[f"g{i}_{j}"] or 0.0)
+            u = np.array([float(r[f"u{i}"] or 0.0) for i in range(q)])
+            uu = float(r["uu"] or 0.0)
+            gz_c[ci, : k + 1, : k + 1] = gq[: k + 1, : k + 1]
+            gz_c[ci, : k + 1, -1] = u[: k + 1]
+            gz_c[ci, -1, : k + 1] = u[: k + 1]
+            gz_c[ci, -1, -1] = uu
+            hz_c[ci, : k + 1] = gq[: k + 1, -1]
+            hz_c[ci, -1] = u[-1]
+        g = gz_c.sum(axis=0)
+        h = hz_c.sum(axis=0)
+        w_tot = g[0, 0]
+        keep = [0]
+        for idx in range(1, k + 1):
+            col_var = g[idx, idx] - (g[0, idx] ** 2 / w_tot if w_tot > 0 else 0.0)
+            if col_var > 1e-12 * max(abs(g[idx, idx]), 1.0):
+                keep.append(idx)
+        keep.append(zdim - 1)
+        gk = g[np.ix_(keep, keep)]
+        hk = h[keep]
+        try:
+            beta = np.linalg.solve(gk, hk)
+        except np.linalg.LinAlgError:
+            beta, *_ = np.linalg.lstsq(gk, hk, rcond=None)
+        beta_full = np.zeros(zdim)
+        beta_full[keep] = beta
+        betas_full[rv] = beta_full
+        # per-stratum score sums J_s = h_s - G_s beta (zero rows for
+        # strata absent from this variable's complete cases)
+        jdata = hz_c[:, keep] - np.einsum(
+            "cij,j->ci", gz_c[np.ix_(range(nc), keep, keep)], beta
+        )
+        n_obs_strat = {groups[ci]: float(r["n"] or 0.0) for ci, r in per_g.items()}
+        fit_state[rv] = dict(
+            row=row, keep=keep, gk=gk, jdata=jdata, n_total=n_total,
+            n_strat_obs=sum(1 for v_ in n_obs_strat.values() if v_ > 0),
+        )
+
+    if not fit_state:
+        return rows
+
+    u_by_unit, tri_z = _score2_reduced(
+        df, outcome, rvs, covariates, covar_types, levels, betas_full,
+        weight_col, weight_mean, groups, group_col, subset_col,
+    )
+
+    for rv, st in fit_state.items():
+        row, keep, gk = st["row"], st["keep"], st["gk"]
+        n_total, jdata = st["n_total"], st["jdata"]
+        per_u = u_by_unit.get(rv, {})
+        p_k = len(keep)
+        if single_cluster == "average" and has_strata:
+            n_single = sum(1 for v_ in rows_per_strat.values() if v_ == 1)
+            avg_scale = len(rows_per_strat) / (len(rows_per_strat) - n_single)
+        else:
+            avg_scale = 1.0
+        v = np.zeros((p_k, p_k))
+        if has_strata:
+            pop_mean = jdata.sum(axis=0) / n_total
+            for ci, s in enumerate(groups):
+                n_full = float(rows_per_strat[s])
+                s1 = jdata[ci]
+                r = per_u.get(ci)
+                u_full = np.zeros((zdim, zdim))
+                if r is not None:
+                    for i, j in tri_z:
+                        u_full[i, j] = u_full[j, i] = float(r[f"s{i}_{j}"] or 0.0)
+                u_k = u_full[np.ix_(keep, keep)]
+                if n_full <= 1.0:
+                    if single_cluster == "adjust":
+                        d = s1 - pop_mean
+                        contrib = np.outer(d, d)
+                    else:
+                        continue
+                    mh2 = 1.0
+                else:
+                    m = s1 / n_full
+                    contrib = u_k - n_full * np.outer(m, m)
+                    mh2 = n_full / (n_full - 1.0)
+                v += contrib * mh2 * (1.0 - float(fpc_map.get(s, 0.0)))
+            v *= avg_scale
+        else:
+            n_full = float(rows_per_strat["__all__"])
+            r = per_u.get(0)
+            u_full = np.zeros((zdim, zdim))
+            if r is not None:
+                for i, j in tri_z:
+                    u_full[i, j] = u_full[j, i] = float(r[f"s{i}_{j}"] or 0.0)
+            scale = n_full / (n_full - 1.0) if n_full > 1 else 1.0
+            v = u_full[np.ix_(keep, keep)] * scale * (1.0 - float(fpc_map.get("__all__", 0.0)))
+
+        a_inv = np.linalg.pinv(gk)
+        vcov = a_inv @ v @ a_inv.T
+        se = float(np.sqrt(max(vcov[-1, -1], 0.0)))
+        b = float(betas_full[rv][-1])
+        if has_strata:
+            dof = n_total - st["n_strat_obs"] - (p_k - 1)
+        else:
+            dof = n_total - p_k - 1
         if dof < 1:
             row.update(Converged=True, Beta=b, SE=np.inf, Beta_pvalue=1.0, pvalue=1.0)
         else:

@@ -762,9 +762,17 @@ def association_study(
             use_sufficient_stats
             and survey_design_spec is not None
             and family == GAUSSIAN
-            and survey_design_spec.has_cluster
             and vcov_method == "stata"
-            and len(survey_design_spec.constants()["clusters"]) <= 256
+            and (
+                (
+                    survey_design_spec.has_cluster
+                    and len(survey_design_spec.constants()["clusters"]) <= 256
+                )
+                or (
+                    not survey_design_spec.has_cluster
+                    and len(survey_design_spec.constants()["rows_per_strat"]) <= 1024
+                )
+            )
         ):
             # survey-weighted Gaussian fits for CONTINUOUS variables are
             # closed-form: per-(variable, cluster) weighted sufficient
@@ -774,7 +782,12 @@ def association_study(
             # one-hot-matmul accumulator is O(batch x #clusters), so gate
             # on a bounded cluster count (sampling frames are small; a
             # million-cluster design falls back to the grouped kernel).
+            # No-cluster designs (strata-only / weights-only) need
+            # per-observation score outer products for the sandwich — a
+            # SECOND scan computes per-stratum sums of w^2 e^2 z z'
+            # against the pass-1 fit (weighted_gaussian_nocluster_rows).
             from clarite_python_spark.functions.wolsagg import (
+                weighted_gaussian_nocluster_rows,
                 weighted_gaussian_suffstats_rows,
             )
             from clarite_python_spark.survey.design import (
@@ -806,25 +819,32 @@ def association_study(
             )
             w_rows = list(no_weight_rows)
             for wn, wvars in by_weight.items():
-                w_rows.extend(
-                    weighted_gaussian_suffstats_rows(
-                        df,
-                        outcome,
-                        wvars,
-                        covariates,
-                        covar_types,
-                        data.category_levels,
-                        min_n,
-                        lambda rv: _default_row(rv, outcome),
-                        w_consts,
-                        _weight_col(wn) if wn is not None else None,
-                        weight_info["weight_means"][wn] if wn is not None else 1.0,
-                        wn,
-                        STRAT_COL,
-                        CLUST_COL,
-                        SUBSET_COL,
-                    )
+                w_args = (
+                    df,
+                    outcome,
+                    wvars,
+                    covariates,
+                    covar_types,
+                    data.category_levels,
+                    min_n,
+                    lambda rv: _default_row(rv, outcome),
+                    w_consts,
+                    _weight_col(wn) if wn is not None else None,
+                    weight_info["weight_means"][wn] if wn is not None else 1.0,
+                    wn,
                 )
+                if survey_design_spec.has_cluster:
+                    w_rows.extend(
+                        weighted_gaussian_suffstats_rows(
+                            *w_args, STRAT_COL, CLUST_COL, SUBSET_COL
+                        )
+                    )
+                else:
+                    w_rows.extend(
+                        weighted_gaussian_nocluster_rows(
+                            *w_args, STRAT_COL, SUBSET_COL
+                        )
+                    )
             if w_rows:
                 results.append(
                     data.df.sparkSession.createDataFrame(w_rows, RESULT_SCHEMA)

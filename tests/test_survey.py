@@ -684,3 +684,45 @@ def test_jackknife_requires_cluster_design(nhanes_cf):
             survey_design_spec=design,
             vcov_method="jackknife",
         )
+
+
+@pytest.mark.parametrize(
+    "design_kw",
+    [
+        dict(weights="pw", cluster=None, strata="stype", fpc="fpc"),  # strata-only
+        dict(weights="pw"),  # weights-only
+    ],
+    ids=["strata_only", "weights_only"],
+)
+def test_gaussian_nocluster_suffstats_matches_kernel(spark, design_kw):
+    """No-cluster Gaussian suffstats (two-pass: Grams -> fit, then
+    w^2 e^2 z z' score moments -> sandwich) must reproduce the grouped
+    kernel at near machine precision (functions/wolsagg.py:
+    weighted_gaussian_nocluster_rows)."""
+    cf = from_csv(spark, f"{DATA}/apistrat_data.csv", index_col=None)
+    cf = modify.make_continuous(cf, only=["api00", "ell", "meals", "mobility"])
+    data = modify.colfilter(cf, only=["api00", "ell", "meals", "mobility"])
+
+    def run(use_suff):
+        return (
+            analyze.association_study(
+                data=data,
+                outcomes="api00",
+                covariates=["meals", "mobility"],
+                survey_design_spec=SurveyDesignSpec(cf.df, **design_kw),
+                min_n=1,
+                use_sufficient_stats=use_suff,
+            )
+            .toPandas()
+            .set_index("Variable")
+            .sort_index()
+        )
+
+    fast, slow = run(True), run(False)
+    assert list(fast.index) == list(slow.index)
+    assert list(fast["N"]) == list(slow["N"])
+    for col in ("Beta", "SE", "pvalue"):
+        a = fast[col].astype(float).to_numpy()
+        b = slow[col].astype(float).to_numpy()
+        both = ~(np.isnan(a) & np.isnan(b))
+        assert np.allclose(a[both], b[both], rtol=1e-9), (col, a, b)
