@@ -568,8 +568,10 @@ def similarity_ivf_probe_embeddings(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 def multimodal_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing demo: text bytes as a binary payload through the
-    mapInPandas decode stage (stubbed codec) — rows-only check."""
+    """Multimodal plumbing demo: text bytes as a binary payload through
+    the mapInPandas decode stage — rows-only check. Payloads here are
+    not BMP/PPM, so they take the deterministic stub branch; real image
+    bytes take the pure-numpy codec (functions/imagecodec.py)."""
     docs = _t(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload")
@@ -591,6 +593,28 @@ def multimodal_metadata_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     out = multimodal.with_media_metadata(media)
     return out.select(
         "media_id", F.col("n_bytes").cast("long").alias("n_bytes"), "content_sha"
+    ).orderBy("media_id")
+
+
+def multimodal_pixels_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode path, oracle-checked end-to-end: each document's text
+    bytes become an 8x4 binary P6 (PPM) payload; the pure-numpy codec
+    (functions/imagecodec.py) decodes it inside the mapInPandas stage and
+    emits exact pixel statistics, which the DuckDB oracle recomputes from
+    the same bytes (hex-pair extraction)."""
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.encode(F.lit("P6\n8 4\n255\n"), "utf-8"),
+        F.substring(F.encode("text", "utf-8"), 1, 96),
+    )
+    media = (
+        docs.where(F.length(F.encode("text", "utf-8")) >= 96)
+        .select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+    )
+    feats = multimodal.decode_image_features(media, dim=8)
+    return feats.select(
+        "media_id",
+        *[F.round(F.col("features")[i], 6).alias(f"f{i}") for i in range(8)],
     ).orderBy("media_id")
 
 
@@ -756,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_probe_embeddings": similarity_ivf_probe_embeddings,
         "multimodal_features_documents": multimodal_features_documents,
         "multimodal_metadata_documents": multimodal_metadata_documents,
+        "multimodal_pixels_documents": multimodal_pixels_documents,
         "windowed_events": windowed_events,
         "sessionized_events": sessionized_events,
         "ngram_jaccard_documents": ngram_jaccard_documents,
@@ -1170,6 +1195,44 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, rank, round(cosine, 6) AS cosine
             FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+        # REAL-decode oracle: rebuild the 8x4 P6 payload's pixel bytes via
+        # hex-pair extraction and recompute the codec's exact pixel
+        # statistics (channel means/stds /255, 2-bin gray histogram) in
+        # double math identical to operators/multimodal.py:_pixel_features
+        "multimodal_pixels_documents": """
+            WITH b AS (
+              SELECT doc_id AS media_id, substr(hex(encode(text)), 1, 192) AS px_hex
+              FROM documents WHERE octet_length(encode(text)) >= 96
+            ), byt AS (
+              SELECT media_id, i::INT AS i,
+                     concat('0x', substr(px_hex, i::INT*2+1, 2))::INT AS v
+              FROM b, unnest(range(96)) t(i)
+            ), ch AS (
+              SELECT media_id, (i%3)::INT AS c, v,
+                     avg(v) OVER (PARTITION BY media_id, i%3) AS m
+              FROM byt
+            ), stat AS (
+              SELECT media_id,
+                round(avg(v) FILTER (c=0)/255.0, 6) AS f0,
+                round(avg(v) FILTER (c=1)/255.0, 6) AS f1,
+                round(avg(v) FILTER (c=2)/255.0, 6) AS f2,
+                round(sqrt(avg((v-m)*(v-m)) FILTER (c=0))/255.0, 6) AS f3,
+                round(sqrt(avg((v-m)*(v-m)) FILTER (c=1))/255.0, 6) AS f4,
+                round(sqrt(avg((v-m)*(v-m)) FILTER (c=2))/255.0, 6) AS f5
+              FROM ch GROUP BY media_id
+            ), gray AS (
+              SELECT media_id, i//3 AS px_i, sum(v)/3.0 AS g
+              FROM byt GROUP BY media_id, i//3
+            ), hist AS (
+              SELECT media_id,
+                round(sum(CASE WHEN g < 127.5 THEN 1 ELSE 0 END)/32.0, 6) AS f6,
+                round(sum(CASE WHEN g >= 127.5 THEN 1 ELSE 0 END)/32.0, 6) AS f7
+              FROM gray GROUP BY media_id
+            )
+            SELECT media_id, f0, f1, f2, f3, f4, f5, f6, f7
+            FROM stat JOIN hist USING (media_id)
+            ORDER BY media_id
         """,
         # gaps-and-islands: a session breaks when the gap to the previous
         # event of the same user is >= the inactivity window (Spark's

@@ -68,7 +68,7 @@ def _fake_features(payload: bytes, dim: int) -> np.ndarray:
     payload. Replace with (e.g.) PIL/torchvision in a real deployment."""
     h = hashlib.sha256(payload or b"").digest()
     rng = np.random.RandomState(int.from_bytes(h[:4], "big"))
-    return rng.rand(dim).astype(np.float32)
+    return rng.rand(dim)
 
 
 def _pixel_features(arr: np.ndarray, dim: int) -> np.ndarray:
@@ -78,10 +78,10 @@ def _pixel_features(arr: np.ndarray, dim: int) -> np.ndarray:
     flat = arr.reshape(-1, 3).astype(np.float64)
     stats = np.concatenate([flat.mean(axis=0), flat.std(axis=0)]) / 255.0
     if dim <= 6:
-        return stats[:dim].astype(np.float32)
+        return stats[:dim]
     gray = flat.mean(axis=1)
     hist, _ = np.histogram(gray, bins=dim - 6, range=(0.0, 255.0))
-    return np.concatenate([stats, hist / gray.size]).astype(np.float32)
+    return np.concatenate([stats, hist / gray.size])
 
 
 def decode_image_features(
@@ -93,10 +93,12 @@ def decode_image_features(
     and yield true pixel statistics (``_pixel_features``); other formats
     fall back to the ``_fake_features`` stub. The per-batch loop is the
     production shape either way (Arrow batches in, feature arrays out)."""
+    # double features: the pixel statistics are exact double math, so a
+    # SQL oracle can reproduce them bit-for-bit (float32 would round)
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
-            T.StructField("features", T.ArrayType(T.FloatType())),
+            T.StructField("features", T.ArrayType(T.DoubleType())),
         ]
     )
 
