@@ -14,6 +14,7 @@ float jitter cannot flip the hash.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -293,8 +294,9 @@ def association_study_columnar_lineitem(spark: SparkSession, sf_dir: str) -> Dat
 
 
 def association_study_covariates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Covariate-adjusted fan-out incl. a categorical RV (LRT) — not
-    SQL-expressible; rows-only check."""
+    """Covariate-adjusted fan-out incl. a categorical RV (LRT).  Gaussian
+    fits are closed-form OLS, so the DuckDB oracle recomputes Beta/SE/
+    pvalue from explicit normal equations (see _assoc_covariates_oracle)."""
     li = _t(spark, sf_dir, "lineitem")
     cf = ClariteFrame(
         li.select(
@@ -398,7 +400,9 @@ def glm_logistic_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def interaction_study_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise interaction LRT — rows-only check."""
+    """Pairwise interaction LRT.  Cont x cont pairs are closed-form OLS,
+    so the DuckDB oracle recomputes the LRT from explicit normal
+    equations (see _interaction_oracle)."""
     li = _t(spark, sf_dir, "lineitem")
     cf = ClariteFrame(
         li.select(
@@ -881,6 +885,150 @@ def _neardup_lsh_oracle() -> str:
     """
 
 
+def _balanced_sum(terms: list[str]) -> str:
+    """Parenthesize a sum as a balanced tree (DuckDB's binder caps
+    expression recursion at 128, so a left-deep 73-term chain won't bind)."""
+    while len(terms) > 1:
+        terms = [
+            f"({terms[i]} + {terms[i + 1]})" if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
+
+
+def _erfc_cols(x: str, tt: str) -> str:
+    """DuckDB expression for erfc({x}) given column refs {x} >= 0 and
+    {tt} = {x}^2: Maclaurin series of erf to 72 terms (abs err < 3e-12 on
+    [0, 3.7], verified against math.erfc), one-term asymptotic upper bound
+    beyond 3.7 where erfc < 1.7e-7 — both branches round identically to
+    the engine's math.erfc at the 6-decimal comparison precision."""
+    coefs = [
+        ((-1) ** n) / (math.factorial(n) * (2 * n + 1)) for n in range(73)
+    ]
+    poly = _balanced_sum([f"({c!r})*pow({tt}, {n})" for n, c in enumerate(coefs)])
+    return (
+        f"(CASE WHEN {x} > 3.7 THEN exp(-{tt})/({x}*sqrt(pi())) "
+        f"ELSE 1.0 - 2.0/sqrt(pi())*{x}*{poly} END)"
+    )
+
+
+def _assoc_covariates_oracle() -> str:
+    """DuckDB twin of association_study_covariates: the Gaussian fits are
+    closed-form normal equations, solved here by sequential FWL
+    orthogonalization (residualize y/RV on [1, l_tax], then regress) —
+    the same math fit_glm solves via lstsq (functions/glm.py:68-84,
+    reference glm_regression.py:259-275).  Wald p-values use the engine's
+    t distribution (use_t=True, df = n-3) via the normal tail plus the
+    first-order 1/nu Cornish-Fisher correction (abs err < 3e-9 at
+    nu ~ 6e4, verified vs functions/distributions.t_sf); the categorical
+    LRT has df=2 so chi2_sf(x, 2) = exp(-x/2) exactly."""
+    wald = (
+        f"2.0*(0.5*{_erfc_cols('xx', 'tt')} "
+        "+ exp(-tv*tv/2.0)/sqrt(2.0*pi())*(tv*tv*tv+tv)/(4.0*(n-3)))"
+    )
+    return f"""
+        WITH b AS (
+          SELECT l_extendedprice AS y, l_tax AS c,
+                 l_quantity AS xq,
+                 CASE WHEN l_linestatus = 'O' THEN 1.0 ELSE 0.0 END AS xb,
+                 CASE WHEN l_returnflag = 'N' THEN 1.0 ELSE 0.0 END AS dn,
+                 CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS dr
+          FROM lineitem
+          WHERE l_extendedprice IS NOT NULL AND l_tax IS NOT NULL
+            AND l_quantity IS NOT NULL AND l_linestatus IS NOT NULL
+            AND l_returnflag IS NOT NULL
+        ), m AS (
+          SELECT avg(y) my, avg(c) mc, avg(xq) mq, avg(xb) mb,
+                 avg(dn) mn, avg(dr) mr, count(*) n FROM b
+        ), d AS (
+          SELECT y-my ry, c-mc rc, xq-mq rq, xb-mb rb, dn-mn rn, dr-mr rr FROM b, m
+        ), s1 AS (
+          SELECT sum(rc*ry)/sum(rc*rc) gy, sum(rc*rq)/sum(rc*rc) gq,
+                 sum(rc*rb)/sum(rc*rc) gb, sum(rc*rn)/sum(rc*rc) gn,
+                 sum(rc*rr)/sum(rc*rc) gr FROM d
+        ), d2 AS (
+          SELECT ry-gy*rc ry2, rq-gq*rc rq2, rb-gb*rc rb2,
+                 rn-gn*rc rn2, rr-gr*rc rr2 FROM d, s1
+        ), s2 AS (
+          SELECT sum(rq2*ry2) sqy, sum(rq2*rq2) sqq,
+                 sum(rb2*ry2) sby, sum(rb2*rb2) sbb,
+                 sum(ry2*ry2) syy,
+                 sum(rn2*ry2) sny, sum(rn2*rn2) snn, sum(rn2*rr2) snr,
+                 sum(rr2*ry2) sry_, sum(rr2*rr2) srr,
+                 (SELECT n FROM m) n
+          FROM d2
+        ), raw AS (
+          SELECT 'l_quantity' AS Variable, 'continuous' AS Variable_type, n,
+                 sqy/sqq AS beta, sqrt((syy - sqy*sqy/sqq)/(n-3)/sqq) AS se,
+                 NULL::DOUBLE AS lrstat
+          FROM s2
+          UNION ALL
+          SELECT 'l_linestatus', 'binary', n,
+                 sby/sbb, sqrt((syy - sby*sby/sbb)/(n-3)/sbb), NULL::DOUBLE
+          FROM s2
+          UNION ALL
+          SELECT 'l_returnflag', 'categorical', n, NULL::DOUBLE, NULL::DOUBLE,
+                 2.0 + n*ln( syy*(n-4)
+                   / (((syy - sny*sny/snn)
+                       - pow(sry_ - (snr/snn)*sny, 2)/(srr - snr*snr/snn))*(n-2)) )
+          FROM s2
+        ), stats AS (
+          SELECT *, abs(beta/se)/sqrt(2.0) AS xx,
+                 pow(abs(beta/se), 2)/2.0 AS tt, abs(beta/se) AS tv
+          FROM raw
+        )
+        SELECT Variable, 'l_extendedprice' AS Outcome, Variable_type,
+               TRUE AS Converged, n AS N,
+               round(coalesce(beta, 'nan'::DOUBLE), 6) AS Beta,
+               round(coalesce(se, 'nan'::DOUBLE), 6) AS SE,
+               round(CASE WHEN Variable_type = 'categorical' THEN exp(-lrstat/2.0)
+                     ELSE {wald} END, 6) AS pvalue
+        FROM stats ORDER BY Variable
+    """
+
+
+def _interaction_oracle() -> str:
+    """DuckDB twin of interaction_study_lineitem: full model
+    [1, t1, t2, t1*t2] vs restricted [1, t1, t2] per pair, SSRs by
+    sequential FWL orthogonalization; lrstat uses the profiled Gaussian
+    llf convention (scale = ssr/df_resid, functions/olsagg.py:256-268),
+    so lrstat = (df_r - df_f) + n*ln(ssr_r*df_f/(ssr_f*df_r)) and the
+    df=1 chi-square tail is erfc(sqrt(lrstat/2))."""
+
+    def pair(t1: str, t2: str) -> str:
+        return f"""
+          SELECT '{t1}' AS Term1, '{t2}' AS Term2, n, lrstat FROM (
+            WITH b AS (
+              SELECT l_extendedprice y, {t1} a, {t2} bb, ({t1})*({t2}) p FROM lineitem
+              WHERE l_extendedprice IS NOT NULL AND {t1} IS NOT NULL AND {t2} IS NOT NULL
+            ), m AS (SELECT avg(y) my, avg(a) ma, avg(bb) mb, avg(p) mp, count(*) n FROM b),
+            d AS (SELECT y-my ry, a-ma ra, bb-mb rb, p-mp rp FROM b, m),
+            s1 AS (SELECT sum(ra*ry)/sum(ra*ra) gy, sum(ra*rb)/sum(ra*ra) gb,
+                          sum(ra*rp)/sum(ra*ra) gp FROM d),
+            d2 AS (SELECT ry-gy*ra ry2, rb-gb*ra rb2, rp-gp*ra rp2 FROM d, s1),
+            s2 AS (SELECT sum(rb2*ry2)/sum(rb2*rb2) hy, sum(rb2*rp2)/sum(rb2*rb2) hp FROM d2),
+            d3 AS (SELECT ry2-hy*rb2 ry3, rp2-hp*rb2 rp3 FROM d2, s2),
+            s3 AS (SELECT sum(ry3*ry3) ssr_r, sum(rp3*ry3) spy, sum(rp3*rp3) spp,
+                          (SELECT n FROM m) n FROM d3)
+            SELECT n, (1.0 + n*ln(ssr_r*(n-4)/((ssr_r - spy*spy/spp)*(n-3)))) AS lrstat
+            FROM s3
+          )"""
+
+    pairs = [
+        ("l_quantity", "l_discount"),
+        ("l_quantity", "l_tax"),
+        ("l_discount", "l_tax"),
+    ]
+    inner = " UNION ALL ".join(pair(*p) for p in pairs)
+    return f"""
+        WITH raw AS ({inner}),
+        stats AS (SELECT *, sqrt(lrstat/2.0) AS xx, lrstat/2.0 AS tt FROM raw)
+        SELECT Term1, Term2, 'l_extendedprice' AS Outcome, TRUE AS Converged, n AS N,
+               round({_erfc_cols('xx', 'tt')}, 6) AS LRT_pvalue
+        FROM stats ORDER BY Term1, Term2
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     norm_text = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
     return {
@@ -1086,6 +1234,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'l_tax', 'l_extendedprice', count(*), regr_slope(l_extendedprice, l_tax) FROM lineitem
             ) ORDER BY Variable
         """,
+        "association_study_covariates": _assoc_covariates_oracle(),
+        "interaction_study_lineitem": _interaction_oracle(),
         "corrected_pvalues_documents": """
             WITH base AS (
               SELECT doc_id, ((doc_id * 37) % 1000 + 1) / 1000.0 AS pvalue FROM documents
