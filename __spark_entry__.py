@@ -329,8 +329,13 @@ def association_study_covariates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def association_study_weighted_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survey-weighted fan-out (SurveyDesignSpec + sandwich vcov +
     survey-dof t tests; reference weighted_glm_regression.py) over a
-    deterministic design derived from orders columns — rows-only check
-    (the linearized variance is not SQL-expressible)."""
+    deterministic design derived from orders columns.  The continuous RV
+    is weighted OLS, so the DuckDB oracle recomputes Beta, the linearized
+    (stata) sandwich SE, and the survey-dof t p-value from weighted
+    normal equations + per-cluster score sums (_assoc_weighted_oracle);
+    the categorical RV's working-LRT p-value (saddlepoint _pFsum) is not
+    SQL-expressible, so the projection masks that single cell to NULL on
+    both sides — its Beta/SE/N/Weight/type stay compared."""
     from clarite_python_spark.survey import SurveyDesignSpec
 
     orders = _t(spark, sf_dir, "orders")
@@ -338,6 +343,7 @@ def association_study_weighted_orders(spark: SparkSession, sf_dir: str) -> DataF
         F.col("o_orderkey").alias("ID"),
         "o_totalprice",
         (F.col("o_custkey") % 7).cast("double").alias("cust_band"),
+        ((F.col("o_orderkey") % 97) / 10.0).alias("ship_band"),
         "o_orderpriority",
         # deterministic design columns
         (F.col("o_custkey") % 5).cast("string").alias("strat"),
@@ -352,8 +358,10 @@ def association_study_weighted_orders(spark: SparkSession, sf_dir: str) -> DataF
         weights="wt",
         single_cluster="certainty",
     )
-    cf = ClariteFrame(base.select("ID", "o_totalprice", "cust_band", "o_orderpriority"))
-    cf = modify.make_continuous(cf, only=["o_totalprice", "cust_band"])
+    cf = ClariteFrame(
+        base.select("ID", "o_totalprice", "cust_band", "ship_band", "o_orderpriority")
+    )
+    cf = modify.make_continuous(cf, only=["o_totalprice", "cust_band", "ship_band"])
     cf = modify.make_categorical(cf, only=["o_orderpriority"])
     res = analyze.association_study(
         cf,
@@ -371,7 +379,9 @@ def association_study_weighted_orders(spark: SparkSession, sf_dir: str) -> DataF
         "N",
         F.round("Beta", 6).alias("Beta"),
         F.round("SE", 6).alias("SE"),
-        F.round("pvalue", 6).alias("pvalue"),
+        F.when(F.col("Variable_type") == "categorical", F.lit(None).cast("double"))
+        .otherwise(F.round("pvalue", 6))
+        .alias("pvalue"),
     ).orderBy("Variable")
 
 
@@ -1029,6 +1039,98 @@ def _interaction_oracle() -> str:
     """
 
 
+def _t_sf_odd_sql(t: str, nu: str) -> str:
+    """DuckDB expression for the Student-t survival P(T > {t}) at odd
+    integer df {nu} (<= 83): the elementary closed form
+    1/2 - [arctan(xs) + xs/(1+xs^2) * sum a_j/(1+xs^2)^j]/pi with
+    a_0 = 1, a_j = a_{j-1} * 2j/(2j+1) — the a_j are df-independent, so
+    terms are gated on j <= (nu-3)/2.  Verified to < 7e-13 abs err
+    against functions/distributions.t_sf.  Requires a column ``xs`` =
+    {t}/sqrt({nu}) in scope."""
+    a = [1.0]
+    for j in range(1, 41):
+        a.append(a[-1] * 2 * j / (2 * j + 1.0))
+    terms = [
+        f"(CASE WHEN {j} <= ({nu}-3)/2 THEN ({a[j]!r})/pow(1.0+xs*xs, {j}) ELSE 0.0 END)"
+        for j in range(1, 41)
+    ]
+    return (
+        f"(0.5 - (atan(xs) + xs/(1.0+xs*xs)*(1.0 + {_balanced_sum(terms)}))/pi())"
+    )
+
+
+def _assoc_weighted_oracle() -> str:
+    """DuckDB twin of association_study_weighted_orders' continuous-RV
+    row: weighted OLS beta by weighted FWL orthogonalization, the
+    linearized (stata) sandwich SE from per-(stratum, cluster) score sums
+    — z_hc = sum_i w_i e_i rx_i / sum(w rx^2) is the RV component of the
+    influence sums, centered on the stratum mean with the nh/(nh-1)
+    small-sample factor (functions/wglm.py:143-245, reference
+    survey_model.py:105-168) — and the survey-dof t test
+    (#clusters - #strata - 2, wglm.py:325-341).  Weight normalization by
+    the design mean (design.py:194) cancels algebraically and is omitted.
+    nh here counts observed clusters; the engine counts full-design
+    clusters — identical because the design columns are never null, so
+    every cluster is observed.  The categorical row's working-LRT
+    p-value (saddlepoint) is masked to NULL in both the Spark projection
+    and here; its Beta/SE are null in the engine's weighted path."""
+    return f"""
+        WITH b AS (
+          SELECT o_totalprice AS y,
+                 CAST(o_custkey % 7 AS DOUBLE) AS c,
+                 (o_orderkey % 97) / 10.0 AS x,
+                 CAST(o_custkey % 5 AS VARCHAR) AS strat,
+                 CAST(o_custkey % 40 AS VARCHAR) AS clust,
+                 1.0 + (o_orderkey % 10) / 10.0 AS w,
+                 o_orderpriority
+          FROM orders
+          WHERE o_totalprice IS NOT NULL AND o_custkey IS NOT NULL
+            AND o_orderkey IS NOT NULL
+        ), m AS (
+          SELECT sum(w*y)/sum(w) my, sum(w*c)/sum(w) mc, sum(w*x)/sum(w) mx,
+                 count(*) n FROM b
+        ), d AS (
+          SELECT y-my ry, c-mc rc, x-mx rx, strat, clust, w FROM b, m
+        ), s1 AS (
+          SELECT sum(w*rc*ry)/sum(w*rc*rc) gy, sum(w*rc*rx)/sum(w*rc*rc) gx FROM d
+        ), d2 AS (
+          SELECT ry-gy*rc ry2, rx-gx*rc rx2, strat, clust, w FROM d, s1
+        ), s2 AS (
+          SELECT sum(w*rx2*ry2)/sum(w*rx2*rx2) beta, sum(w*rx2*rx2) sxx FROM d2
+        ), cl AS (
+          SELECT strat, clust,
+                 sum(w*(ry2 - beta*rx2)*rx2)/(SELECT sxx FROM s2) AS z
+          FROM d2, s2 GROUP BY strat, clust
+        ), cs AS (
+          SELECT strat, z, avg(z) OVER (PARTITION BY strat) AS zbar,
+                 count(*) OVER (PARTITION BY strat) AS nh
+          FROM cl
+        ), v AS (
+          SELECT sum(nh/(nh-1.0)*pow(z - zbar, 2)) AS vv,
+                 (SELECT count(DISTINCT clust) FROM cl)
+                   - (SELECT count(DISTINCT strat) FROM cl) - 2 AS dof
+          FROM cs
+        ), stats AS (
+          SELECT (SELECT beta FROM s2) beta, sqrt(vv) se, dof,
+                 (SELECT n FROM m) n,
+                 abs((SELECT beta FROM s2)/sqrt(vv)) AS tv,
+                 abs((SELECT beta FROM s2)/sqrt(vv))/sqrt(dof) AS xs
+          FROM v
+        )
+        SELECT * FROM (
+          SELECT 'ship_band' AS Variable, 'o_totalprice' AS Outcome,
+                 'continuous' AS Variable_type, 'wt' AS Weight,
+                 TRUE AS Converged, n AS N,
+                 round(beta, 6) AS Beta, round(se, 6) AS SE,
+                 round(2.0*{_t_sf_odd_sql('tv', 'dof')}, 6) AS pvalue
+          FROM stats
+          UNION ALL
+          SELECT 'o_orderpriority', 'o_totalprice', 'categorical', 'wt',
+                 TRUE, (SELECT n FROM m), NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE
+        ) ORDER BY Variable
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     norm_text = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
     return {
@@ -1235,6 +1337,7 @@ def oracle_sql() -> dict[str, str]:
             ) ORDER BY Variable
         """,
         "association_study_covariates": _assoc_covariates_oracle(),
+        "association_study_weighted_orders": _assoc_weighted_oracle(),
         "interaction_study_lineitem": _interaction_oracle(),
         "corrected_pvalues_documents": """
             WITH base AS (
