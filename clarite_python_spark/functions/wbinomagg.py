@@ -240,6 +240,7 @@ def weighted_binomial_cells_rows(
 
     base = df.where(F.col(subset_col))
     cell_rows: list = []
+    prefallback: set[str] = set()
     for s in range(0, len(rvs), var_batch):
         batch = rvs[s : s + var_batch]
         long = base.select(
@@ -252,15 +253,43 @@ def weighted_binomial_cells_rows(
         ).unpivot(
             [outcome, *covariates, "__g", "__wmiss", "__w"], batch, "variable", "value"
         )
-        cell_rows.extend(
+        cells_df = (
             long.groupBy("variable", "value", outcome, *covariates, "__g", "__wmiss")
             .agg(
                 F.count(F.lit(1)).alias("__n"),
                 F.sum("__w").alias("__sw"),
                 F.sum(F.col("__w") * F.col("__w")).alias("__sw2"),
             )
-            .collect()
+            .persist()
         )
+        try:
+            # pre-count guard: count COMPLETE cells per variable on the
+            # executors (same predicate as the per-rv gate below) BEFORE
+            # any driver collect, so a pathological wide-domain
+            # "categorical" falls back to the grouped kernel without ever
+            # materializing its cell list on the driver
+            complete_cell = (
+                ~F.col("__wmiss")
+                & F.col("value").isNotNull()
+                & qcol(outcome).isNotNull()
+            )
+            for c in covariates:
+                complete_cell = complete_cell & qcol(c).isNotNull()
+            counts = {
+                r["variable"]: int(r["n_comp"])
+                for r in cells_df.groupBy("variable")
+                .agg(F.sum(F.when(complete_cell, 1).otherwise(0)).alias("n_comp"))
+                .collect()
+            }
+            big = {v for v in batch if counts.get(v) and counts[v] > max_cells}
+            prefallback |= big
+            keep = [v for v in batch if v not in big]
+            if keep:
+                cell_rows.extend(
+                    cells_df.where(F.col("variable").isin(keep)).collect()
+                )
+        finally:
+            cells_df.unpersist()
     by_var: dict[str, list] = defaultdict(list)
     for r in cell_rows:
         by_var[r["variable"]].append(r)
@@ -268,6 +297,9 @@ def weighted_binomial_cells_rows(
     rows: list[dict] = []
     fallback: list[str] = []
     for rv in rvs:
+        if rv in prefallback:
+            fallback.append(rv)
+            continue
         vtype = rv_types[rv]
         cells = by_var.get(rv, [])
         try:

@@ -199,3 +199,91 @@ def test_report_categorical_betas_through_cell_path(nhanes_cf):
         np.testing.assert_allclose(
             a[col].astype(float), b[col].astype(float), rtol=1e-9, err_msg=col
         )
+
+
+def _wide_cf(spark, n_rows: int, n_levels: int):
+    """Synthetic frame with a pathologically wide 'categorical' RV plus a
+    well-behaved binary RV, and a deterministic cluster design."""
+    from pyspark.sql import functions as F
+
+    from clarite_python_spark.catalog import ClariteFrame
+
+    # hash-scrambled columns so no cluster is perfectly balanced (a
+    # perfectly symmetric design makes every sandwich SE exactly 0)
+    df = spark.range(n_rows).select(
+        F.col("id").alias("ID"),
+        F.when(F.abs(F.hash("id")) % 2 == 0, "Case").otherwise("Control").alias("y"),
+        (F.col("id") % n_levels).cast("string").alias("wide"),
+        F.when(F.abs(F.hash("id", F.lit(7))) % 3 == 0, "a").otherwise("b").alias("narrow"),
+        (F.abs(F.hash("id", F.lit(13))) % 4).cast("string").alias("clust"),
+        F.lit(1.0).alias("wt"),
+    )
+    design = SurveyDesignSpec(
+        df.select("ID", "clust", "wt"), cluster="clust", weights="wt"
+    )
+    cf = ClariteFrame(df.select("ID", "y", "wide", "narrow"))
+    cf = modify.make_binary(cf, only=["y", "narrow"])
+    cf = modify.make_categorical(cf, only=["wide"])
+    return cf, design
+
+
+def test_cell_precount_guard_no_driver_collect(spark, monkeypatch):
+    """A 1.1e5-distinct 'categorical' must be routed to fallback by the
+    executor-side pre-count (default max_cells gate) — the driver never
+    collects its cell list.  The study is aborted right after the cell
+    stage so the grouped-kernel fallback (which cannot fit 1e5 dummies)
+    never runs; what's asserted is the guard's routing decision."""
+    import clarite_python_spark.functions.wbinomagg as wb
+
+    cf, design = _wide_cf(spark, 110_001, 110_001)
+    captured: dict = {}
+    orig = wb.weighted_binomial_cells_rows
+
+    class _Abort(RuntimeError):
+        pass
+
+    def spy(*args, **kw):
+        rows, fb = orig(*args, **kw)
+        captured["rows"] = rows
+        captured["fallback"] = fb
+        raise _Abort()
+
+    monkeypatch.setattr(wb, "weighted_binomial_cells_rows", spy)
+    with pytest.raises(_Abort):
+        analyze.association_study(
+            data=cf,
+            outcomes="y",
+            survey_design_spec=design,
+            use_sufficient_stats=True,
+        ).collect()
+    assert captured["fallback"] == ["wide"]
+    # the well-behaved variable stayed on the cell path and converged
+    narrow = [r for r in captured["rows"] if r["Variable"] == "narrow"]
+    assert len(narrow) == 1 and narrow[0]["Converged"]
+
+
+def test_cell_precount_fallback_reaches_kernel(spark, monkeypatch):
+    """End-to-end: a variable the guard rejects must still produce a
+    converged result row via the grouped kernel."""
+    import clarite_python_spark.functions.wbinomagg as wb
+
+    cf, design = _wide_cf(spark, 600, 48)
+    orig = wb.weighted_binomial_cells_rows
+
+    def tight(*args, **kw):
+        kw["max_cells"] = 32
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(wb, "weighted_binomial_cells_rows", tight)
+    res = (
+        analyze.association_study(
+            data=cf,
+            outcomes="y",
+            survey_design_spec=design,
+            use_sufficient_stats=True,
+        )
+        .toPandas()
+        .set_index("Variable")
+    )
+    assert bool(res.loc["wide", "Converged"])
+    assert bool(res.loc["narrow", "Converged"])
