@@ -941,6 +941,87 @@ def association_study(
                 )
         if (
             use_sufficient_stats
+            and survey_design_spec is not None
+            and family == BINOMIAL
+            and vcov_method == "stata"
+            and (
+                (
+                    survey_design_spec.has_cluster
+                    and len(survey_design_spec.constants()["clusters"]) <= 256
+                )
+                or (
+                    not survey_design_spec.has_cluster
+                    and len(survey_design_spec.constants()["rows_per_strat"]) <= 1024
+                )
+            )
+            and all(covar_types[c] in (BINARY, CATEGORICAL) for c in covariates)
+        ):
+            # CONTINUOUS variables in a weighted logistic study (incl.
+            # wide-domain cell fallbacks routed just above): distributed
+            # IRLS — one shuffle-free scan per iteration batched over all
+            # unconverged variables, then per-cluster score sums for the
+            # linearized sandwich (functions/wbinomirls.py). This closes
+            # the last weighted scale cliff: these fits previously melted
+            # rows x variables through the grouped kernel.
+            from clarite_python_spark.functions.wbinomirls import (
+                weighted_binomial_irls_rows,
+            )
+            from clarite_python_spark.survey.design import (
+                CLUST_COL,
+                STRAT_COL,
+                SUBSET_COL,
+                _weight_col,
+            )
+
+            wirls = [v for v in group if rv_types[v] == CONTINUOUS]
+            group = [v for v in group if v not in set(wirls)]
+            data.prefetch_category_levels(
+                [c for c in covariates if covar_types[c] in (BINARY, CATEGORICAL)]
+            )
+            by_weight = {}
+            no_weight_rows = []
+            for v in wirls:
+                if weight_info["single_weight"]:
+                    by_weight.setdefault(weight_info["weight_name"], []).append(v)
+                elif weight_info["weight_names"] is not None:
+                    wn = weight_info["weight_names"].get(v)
+                    if wn is None:
+                        no_weight_rows.append(_default_row(v, outcome))
+                    else:
+                        by_weight.setdefault(wn, []).append(v)
+                else:
+                    by_weight.setdefault(None, []).append(v)
+            w_consts = dict(
+                survey_design_spec.constants(),
+                drop_unweighted=weight_info["drop_unweighted"],
+            )
+            w_rows = list(no_weight_rows)
+            for wn, wvars in by_weight.items():
+                w_rows.extend(
+                    weighted_binomial_irls_rows(
+                        df,
+                        outcome,
+                        wvars,
+                        covariates,
+                        covar_types,
+                        data.category_levels,
+                        min_n,
+                        lambda rv: _default_row(rv, outcome),
+                        w_consts,
+                        _weight_col(wn) if wn is not None else None,
+                        weight_info["weight_means"][wn] if wn is not None else 1.0,
+                        wn,
+                        STRAT_COL,
+                        CLUST_COL,
+                        SUBSET_COL,
+                    )
+                )
+            if w_rows:
+                results.append(
+                    data.df.sparkSession.createDataFrame(w_rows, RESULT_SCHEMA)
+                )
+        if (
+            use_sufficient_stats
             and survey_design_spec is None
             and custom_kernel_factory is None
             and family == GAUSSIAN
