@@ -124,6 +124,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("top")
     p.add_argument("bottom")
     p.add_argument("output")
+    # reference cli/commands/modify.py:400-404
+    p = g_mod.add_parser("move-variables")
+    p.add_argument("left")
+    p.add_argument("right")
+    p.add_argument("output_left")
+    p.add_argument("output_right")
+    _skip_only(p)
 
     # ---- describe ----
     g_desc = groups.add_parser("describe").add_subparsers(dest="command", required=True)
@@ -186,6 +193,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("data")
     p.add_argument("column")
     p.add_argument("output")
+    # reference cli/commands/plot.py:58-75
+    p = g_plot.add_parser("distributions")
+    p.add_argument("data")
+    p.add_argument("output")
+    p.add_argument("--kind", default="count", choices=["count", "box", "violin", "qq"])
+    p.add_argument("--nrows", type=int, default=4)
+    p.add_argument("--ncols", type=int, default=3)
+    p.add_argument("--quality", default="medium", choices=["low", "medium", "high"])
+    p.add_argument("--no-sort", action="store_true")
+    for name in ("manhattan-fdr", "manhattan-bonferroni"):
+        p = g_plot.add_parser(name)
+        p.add_argument("results", nargs="+")
+        p.add_argument("output")
+        p.add_argument("--cutoff", type=float, default=0.05)
 
     return ap
 
@@ -219,6 +240,16 @@ def main(argv: list[str] | None = None) -> int:
                     _load(spark, args.top), _load(spark, args.bottom)
                 )
             _save(out, args.output)
+            return 0
+        if args.command == "move-variables":
+            new_left, new_right = modify.move_variables(
+                _load(spark, args.left),
+                _load(spark, args.right),
+                skip=args.skip,
+                only=args.only,
+            )
+            _save(new_left, args.output_left)
+            _save(new_right, args.output_right)
             return 0
         cf = _load(spark, args.data)
         so = dict(skip=getattr(args, "skip", None), only=getattr(args, "only", None))
@@ -361,6 +392,28 @@ def main(argv: list[str] | None = None) -> int:
             )
         elif args.command == "histogram":
             plot_mod.histogram(_load(spark, args.data), args.column, filename=args.output)
+        elif args.command == "distributions":
+            plot_mod.distributions(
+                _load(spark, args.data),
+                filename=args.output,
+                continuous_kind=args.kind,
+                nrows=args.nrows,
+                ncols=args.ncols,
+                quality=args.quality,
+                sort=not args.no_sort,
+            )
+        elif args.command == "manhattan-fdr":
+            plot_mod.manhattan_fdr(
+                {p: spark.read.parquet(p) for p in args.results},
+                cutoff=args.cutoff,
+                filename=args.output,
+            )
+        elif args.command == "manhattan-bonferroni":
+            plot_mod.manhattan_bonferroni(
+                {p: spark.read.parquet(p) for p in args.results},
+                cutoff=args.cutoff,
+                filename=args.output,
+            )
         print(f"wrote {args.output}")
         return 0
 

@@ -127,3 +127,51 @@ def test_cli_weights_file(spark, tmp_path, ewas_pdf):
     res = spark.read.parquet(f"{d}/res").toPandas().set_index("Variable")
     assert res.loc["signal", "Weight"] == "w1"
     assert res.loc["signal", "pvalue"] < 1e-10
+
+
+def test_cli_move_variables(spark, tmp_path, tsv_file):
+    d = str(tmp_path)
+    cli.main(["load", "from-tsv", tsv_file, f"{d}/a", "--index-col", "ID"])
+    cli.main(["modify", "colfilter", f"{d}/a", f"{d}/other", "--only", "age", "sex"])
+    assert (
+        cli.main(
+            ["modify", "move-variables", f"{d}/a", f"{d}/other", f"{d}/left",
+             f"{d}/right", "--only", "noise2"]
+        )
+        == 0
+    )
+    left = from_parquet(spark, f"{d}/left")
+    right = from_parquet(spark, f"{d}/right")
+    assert "noise2" not in left.variables
+    assert "noise2" in right.variables
+
+
+def test_cli_plot_commands(spark, tmp_path, tsv_file):
+    """distributions / manhattan-fdr / manhattan-bonferroni are wired:
+    with matplotlib present they write files; without it (this
+    container) the render gate must raise its clear ImportError AFTER
+    the Spark-side prep ran — either way the CLI reaches the renderer."""
+    from clarite_python_spark.plot import plots as plots_mod
+
+    d = str(tmp_path)
+    cli.main(["load", "from-tsv", tsv_file, f"{d}/a", "--index-col", "ID"])
+    cli.main(["modify", "categorize", f"{d}/a", f"{d}/b"])
+    cli.main(
+        ["analyze", "association-study", f"{d}/b", f"{d}/res", "--outcomes",
+         "outcome", "--covariates", "age", "sex", "--min-n", "50"]
+    )
+    cli.main(["analyze", "add-corrected-pvalues", f"{d}/res", f"{d}/resc"])
+
+    cmds = [
+        ["plot", "distributions", f"{d}/b", f"{d}/dist.pdf", "--nrows", "2", "--ncols", "2"],
+        ["plot", "manhattan-fdr", f"{d}/resc", f"{d}/mf.png"],
+        ["plot", "manhattan-bonferroni", f"{d}/resc", f"{d}/mb.png"],
+    ]
+    if plots_mod.HAS_MPL:
+        for cmd in cmds:
+            assert cli.main(cmd) == 0
+            assert os.path.getsize(cmd[-1]) > 0
+    else:
+        for cmd in cmds:
+            with pytest.raises(ImportError, match="matplotlib"):
+                cli.main(cmd)
