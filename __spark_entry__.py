@@ -1497,9 +1497,13 @@ def oracle_sql() -> dict[str, str]:
               WHERE ts IS NOT NULL AND user_id IS NOT NULL
             ), flagged AS (
               SELECT user_id, ts, value,
+                     -- strictly > gap: session_window MERGES an event at
+                     -- exactly last+gap (window end is inclusive for the
+                     -- merge test; pinned by the sessionization property
+                     -- test's ==gap example)
                      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                             OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                               >= INTERVAL 4 HOUR
+                               > INTERVAL 4 HOUR
                           THEN 1 ELSE 0 END AS new_s
               FROM e
             ), sessions AS (

@@ -5,6 +5,8 @@ a static directory with trigger(availableNow=True)."""
 from __future__ import annotations
 
 import pandas as pd
+from hypothesis import HealthCheck, example, given, settings
+from hypothesis import strategies as st
 
 from clarite_python_spark.sources.io import load_testdata
 from clarite_python_spark.streaming.events import (
@@ -156,3 +158,131 @@ def test_stream_exact_dedup_watermarked(spark, tmp_path):
 
     expected = exact_dedup(spark.read.parquet(src)).count()
     assert got.count() == expected
+
+
+def _sessions_reference(rows, gap_s: int):
+    """Pandas gaps-and-islands reference for sessionized(): a new session
+    starts only when the gap to the previous same-key event is STRICTLY
+    greater than the gap — session_window merges an event at exactly
+    last+gap (verified empirically; the ==gap example pins it).
+    Returns {(user, start_epoch): (n, total, end_epoch)}."""
+    by_user: dict = {}
+    for u, t, v in rows:
+        by_user.setdefault(u, []).append((t, v))
+    out = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        sess: list[list] = []
+        for t, v in evs:
+            if sess and t - sess[-1][1] <= gap_s:
+                cur = sess[-1]
+                cur[1] = max(cur[1], t)
+                cur[2] += 1
+                cur[3] += v
+            else:
+                sess.append([t, t, 1, v])
+        for start, last, n, tot in sess:
+            out[(u, start)] = (n, tot, last + gap_s)
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),            # user
+            st.integers(min_value=0, max_value=40_000),       # epoch offset s
+            st.integers(min_value=-5, max_value=5),           # value
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@example(rows=[(1, 0, 1), (1, 3600, 1)])          # exactly == gap: merged
+@example(rows=[(1, 0, 1), (1, 3601, 1)])          # gap + 1s: new session
+@example(rows=[(1, 0, 1), (1, 0, 2), (2, 0, 3)])  # equal timestamps, two keys
+@example(rows=[(1, 0, 1)])                        # single-event session
+def test_sessionized_matches_gaps_and_islands(spark, rows):
+    from pyspark.sql import functions as F
+
+    base = 1_700_000_000
+    gap_s = 3600
+    ev = spark.createDataFrame(
+        [(u, base + t, float(v)) for u, t, v in rows],
+        "user_id: long, epoch: long, value: double",
+    ).withColumn("ts", F.timestamp_seconds(F.col("epoch")))
+    got = {
+        (r["user_id"], int(r["session_start"].timestamp()) - base): (
+            r["n_events"],
+            r["total_value"],
+            int(r["session_end"].timestamp()) - base,
+        )
+        for r in sessionized(ev, gap="1 hour").collect()
+    }
+    want = {
+        (u, s): (n, tot, e)
+        for (u, s), (n, tot, e) in _sessions_reference(
+            [(u, t, float(v)) for u, t, v in rows], gap_s
+        ).items()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        n, tot, end = want[k]
+        gn, gtot, gend = got[k]
+        assert gn == n and gend == end and abs(gtot - tot) < 1e-9
+
+
+def test_stream_sessionized_drops_data_older_than_watermark(spark, tmp_path):
+    """State-eviction contract: after a restart restores the watermark
+    from the checkpoint, an event whose would-be session window closed
+    before that watermark must be DROPPED — it may neither resurrect a
+    finalized session nor emit one of its own (mirrors the windowed-
+    counts watermark test, but across two availableNow runs so the
+    watermark actually gates a later batch)."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "sess_src")
+    ckpt = str(tmp_path / "sess_ckpt")
+    sink = str(tmp_path / "sess_sink")
+    t0 = 1_700_000_000
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "user_id: long, epoch: long, value: double"
+        ).withColumn("ts", F.timestamp_seconds(F.col("epoch"))).drop("epoch").write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        # parquet sink: the one append sink that supports checkpoint
+        # RECOVERY (the memory sink does not), which is what restores
+        # the watermark for run 2
+        q = (
+            stream_sessionized(spark, src, gap="10 minutes", watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(sink).toPandas()
+
+    # run 1: u1's session finalizes (watermark reaches t0+9h via u9)
+    write([(1, t0, 1.0), (1, t0 + 300, 2.0), (9, t0 + 36_000, 9.0)])
+    out1 = run()
+    assert set(out1.user_id) == {1}  # u9 still in state
+
+    # run 2: u2 is LATE (ts+gap << restored watermark t0+9h) -> dropped;
+    # u3 pushes the watermark so u9's pending session finalizes
+    write([(2, t0 + 3600, 5.0), (3, t0 + 72_000, 7.0)])
+    out2 = run()
+    assert 9 in set(out2.user_id)      # pending session finalized live
+    assert 2 not in set(out2.user_id)  # late event evicted, not revived
+    assert 2 not in set(run().user_id)  # nor parked in state
