@@ -241,15 +241,27 @@ def weighted_binomial_cells_rows(
     base = df.where(F.col(subset_col))
     cell_rows: list = []
     prefallback: set[str] = set()
+    dtypes = dict(df.dtypes)
     for s in range(0, len(rvs), var_batch):
         batch = rvs[s : s + var_batch]
+        # skip the type-unifying string cast when the whole batch is
+        # already one type (encoded GWAS panels: all DOUBLE) — saves
+        # rows x vars string conversions on the cell scan
+        native = all(rv_types[v] == CONTINUOUS for v in batch) and len(
+            {dtypes.get(v) for v in batch}
+        ) == 1
+        val_cols = (
+            [qcol(v).alias(v) for v in batch]
+            if native
+            else [qcol(v).cast("string").alias(v) for v in batch]
+        )
         long = base.select(
             _null_if_nan(df, outcome),
             *[_null_if_nan(df, c) for c in covariates],
             group_expr,
             wmiss_expr.alias("__wmiss"),
             wnorm_expr.alias("__w"),
-            *[qcol(v).cast("string").alias(v) for v in batch],
+            *val_cols,
         ).unpivot(
             [outcome, *covariates, "__g", "__wmiss", "__w"], batch, "variable", "value"
         )

@@ -272,8 +272,9 @@ def _encode_genotype_variables(
     from clarite_python_spark.catalog import GENOTYPES
     from clarite_python_spark.functions.genotypes import (
         KNOWN_ENCODINGS,
+        _sql_name,
         edge_alphas,
-        encode_genotype,
+        encode_genotype_sql,
     )
 
     geno = [c for c in candidates if data.catalog.get(c) == GENOTYPES]
@@ -286,9 +287,11 @@ def _encode_genotype_variables(
     alphas = edge_alphas(edge_encoding_info) if encoding == "edge" else {}
     df = data.df
     cat = data.catalog.copy()
-    # single withColumns projection: a per-column withColumn loop nests
-    # one Project per genotype — at GWAS width (10^3-10^6 variants) the
-    # plan depth overflows the JVM stack during analysis
+    # ONE selectExpr of SQL strings, replacing columns in place: the
+    # Column-API form cost ~20 py4j round-trips per variant (measured
+    # 43 s of driver time at 1,000 variants just BUILDING the plan); a
+    # per-column withColumn loop additionally nests one Project per
+    # genotype and overflows the JVM stack at GWAS width (10^3-10^6)
     exprs = {}
     for c in geno:
         if c not in cat.alleles:
@@ -297,10 +300,14 @@ def _encode_genotype_variables(
         alpha = alphas.get(c)
         if encoding == "edge" and alpha is None:
             raise ValueError(f"no edge alpha provided for variant {c!r}")
-        expr, new_type = encode_genotype(c, ref, alt, encoding, alpha)
-        exprs[c] = expr
+        sql, new_type = encode_genotype_sql(c, ref, alt, encoding, alpha)
+        exprs[c] = sql
         cat.set(c, new_type)
-    return ClariteFrame(df.withColumns(exprs), cat)
+    select = [
+        f"{exprs[c]} AS {_sql_name(c)}" if c in exprs else _sql_name(c)
+        for c in df.columns
+    ]
+    return ClariteFrame(df.selectExpr(*select), cat)
 
 
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
