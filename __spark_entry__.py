@@ -386,7 +386,13 @@ def association_study_weighted_orders(spark: SparkSession, sf_dir: str) -> DataF
 
 
 def glm_logistic_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-outcome (Binomial/logit) fan-out — rows-only check."""
+    """Binary-outcome (Binomial/logit) fan-out.  The DuckDB oracle
+    replays the kernel's IRLS as 30 unrolled MATERIALIZED CTE iterations
+    (a fixed point is a fixed point: once converged, further iterations
+    are numeric no-ops, so the unrolled chain lands on the same MLE the
+    deviance-stop finds — see _glm_logistic_oracle).  Beta is rounded
+    then ``+ 0.0`` to collapse the IEEE -0.0/EPS sign split on a
+    true-zero coefficient."""
     orders = _t(spark, sf_dir, "orders")
     df = orders.select(
         F.col("o_orderkey").alias("ID"),
@@ -404,7 +410,7 @@ def glm_logistic_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Variable_type",
         "Converged",
         "N",
-        F.round("Beta", 6).alias("Beta"),
+        (F.round("Beta", 6) + F.lit(0.0)).alias("Beta"),
         F.round("pvalue", 6).alias("pvalue"),
     ).orderBy("Variable")
 
@@ -1131,6 +1137,80 @@ def _assoc_weighted_oracle() -> str:
     """
 
 
+def _glm_logistic_inner(rv_expr: str, n_iter: int = 30) -> str:
+    """Unrolled-IRLS DuckDB fit of ``filled ~ 1 + {rv_expr}``: replays
+    functions/glm.fit_binomial step for step — same start
+    (mu0 = clip(mean(y), 1e-6)), same eta/mu clips, same working-weight
+    floor, 2x2 normal-equation solve in closed form — as {n_iter}
+    chained CTE iterations.  MATERIALIZED is load-bearing: DuckDB
+    otherwise inlines the chain and the i_{{k-1}} references blow up
+    exponentially.  The engine stops on relative deviance change < 1e-8
+    (~8 iterations here); the fixed extra iterations move the already-
+    converged coefficients by O(1e-15), invisible at the 6-decimal
+    comparison.  SE/p are z-based Wald (use_t=False for Binomial):
+    SE = sqrt([ (X'WX)^-1 ]_11) at the final mu, p = erfc(|z|/sqrt(2))."""
+    ctes = [
+        "b AS MATERIALIZED (SELECT CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y, "
+        f"{rv_expr} AS x FROM orders WHERE o_orderstatus IS NOT NULL)",
+        "s0 AS MATERIALIZED (SELECT least(greatest(avg(y), 1e-6), 1.0-1e-6) AS mu0 FROM b)",
+    ]
+
+    def sums(eta: str, mu: str) -> str:
+        w = f"greatest(({mu})*(1.0-({mu})), 1e-10)"
+        z = f"(({eta}) + (b.y - ({mu}))/({w}))"
+        return (
+            f"SELECT sum({w}) sw, sum({w}*b.x) swx, sum({w}*b.x*b.x) swxx, "
+            f"sum({w}*{z}) swz, sum({w}*b.x*{z}) swxz"
+        )
+
+    solve = (
+        "(swxx*swz - swx*swxz)/(sw*swxx - swx*swx) AS b0, "
+        "(sw*swxz - swx*swz)/(sw*swxx - swx*swx) AS b1"
+    )
+    ctes.append(
+        f"i1 AS MATERIALIZED (SELECT {solve} FROM "
+        f"({sums('ln(p.mu0/(1.0-p.mu0))', 'p.mu0')} FROM b, s0 p))"
+    )
+    eta = "greatest(least(p.b0 + p.b1*b.x, 30.0), -30.0)"
+    mu = f"least(greatest(1.0/(1.0+exp(-({eta}))), 1e-10), 1.0-1e-10)"
+    for k in range(2, n_iter + 1):
+        ctes.append(
+            f"i{k} AS MATERIALIZED (SELECT {solve} FROM "
+            f"({sums(eta, mu)} FROM b, i{k - 1} p))"
+        )
+    w = f"greatest(({mu})*(1.0-({mu})), 1e-10)"
+    ctes.append(
+        f"fin AS MATERIALIZED (SELECT max(p.b1) AS beta, "
+        f"sqrt(max(sw)/(max(sw)*max(swxx) - max(swx)*max(swx))) AS se, max(n) AS n FROM "
+        f"(SELECT sum({w}) sw, sum({w}*b.x) swx, sum({w}*b.x*b.x) swxx, count(*) n "
+        f"FROM b, i{n_iter} p) s, i{n_iter} p)"
+    )
+    ctes.append(
+        "stats AS (SELECT beta, se, n, abs(beta/se)/sqrt(2.0) AS xx, "
+        "pow(abs(beta/se),2)/2.0 AS tt FROM fin)"
+    )
+    return (
+        "WITH " + ", ".join(ctes) + " SELECT n AS N, (round(beta, 6) + 0.0) AS Beta, "
+        f"round({_erfc_cols('xx', 'tt')}, 6) AS pvalue FROM stats"
+    )
+
+
+def _glm_logistic_oracle() -> str:
+    def one(rv_expr: str, label: str) -> str:
+        return (
+            f"SELECT '{label}' AS Variable, 'filled' AS Outcome, "
+            f"'continuous' AS Variable_type, TRUE AS Converged, N, Beta, pvalue "
+            f"FROM ({_glm_logistic_inner(rv_expr)})"
+        )
+
+    return (
+        one("o_totalprice", "o_totalprice")
+        + " UNION ALL "
+        + one("CAST(o_custkey % 100 AS DOUBLE)", "cust_bucket")
+        + " ORDER BY Variable"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     norm_text = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
     return {
@@ -1338,6 +1418,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "association_study_covariates": _assoc_covariates_oracle(),
         "association_study_weighted_orders": _assoc_weighted_oracle(),
+        "glm_logistic_orders": _glm_logistic_oracle(),
         "interaction_study_lineitem": _interaction_oracle(),
         "corrected_pvalues_documents": """
             WITH base AS (
