@@ -68,6 +68,7 @@ from collections import defaultdict
 from typing import Callable, Sequence
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -297,9 +298,16 @@ def weighted_binomial_cells_rows(
             prefallback |= big
             keep = [v for v in batch if v not in big]
             if keep:
-                cell_rows.extend(
-                    cells_df.where(F.col("variable").isin(keep)).collect()
-                )
+                # Arrow toPandas, not collect(): at GWAS width the cell
+                # list is #vars x ~360 rows and Row unpickling +
+                # Row.__getitem__ dominated the driver (~15 s measured at
+                # 1,000 SNPs); plain dicts restore cheap field access.
+                # NaN -> None so the completeness checks below keep Row
+                # semantics for SQL NULLs.
+                pdf = cells_df.where(F.col("variable").isin(keep)).toPandas()
+                pdf = pdf.astype(object)
+                pdf = pdf.where(pd.notna(pdf), None)
+                cell_rows.extend(pdf.to_dict("records"))
         finally:
             cells_df.unpersist()
     by_var: dict[str, list] = defaultdict(list)
