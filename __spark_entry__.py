@@ -466,6 +466,19 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(docs).select("doc_id").orderBy("doc_id")
 
 
+def minhash_dedup_md5_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup removal with the PORTABLE 60-bit
+    md5 hash family (operators/dedup.py:_md5_member): same shingling,
+    banding, bucket join, exact-Jaccard verify and greedy anti-join as
+    the xxhash64 production default, but every stage is reproducible in
+    DuckDB — so unlike ``minhash_dedup_documents`` this one is
+    oracle-checked end-to-end rather than rows-only."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        dedup.minhash_dedup(docs, hash_family="md5").select("doc_id").orderBy("doc_id")
+    )
+
+
 def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return text.fingerprint(docs).orderBy("doc_id")
@@ -792,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id_documents": language_id_documents,
         "quality_score_documents": quality_score_documents,
         "minhash_dedup_documents": minhash_dedup_documents,
+        "minhash_dedup_md5_documents": minhash_dedup_md5_documents,
         "minhash_dedup_transitive_documents": minhash_dedup_transitive_documents,
         "simhash_documents": simhash_documents,
         "similarity_topk_embeddings": similarity_topk_embeddings,
@@ -1211,6 +1225,65 @@ def _glm_logistic_oracle() -> str:
     )
 
 
+def _minhash_md5_oracle() -> str:
+    """DuckDB twin of the FULL md5-family MinHash pipeline
+    (operators/dedup.py): word-3-gram shingles, 32 signature members
+    (min over shingles of the 60-bit value of the first 15 md5 hex chars
+    of ``shingle:j``, parsed with exact shift arithmetic), 8 x 4 banding
+    on joined-value strings, bucket-size-capped candidate pairs, exact
+    Jaccard >= 0.8 verify, greedy drop-higher-id anti-join."""
+    return r"""
+        WITH toksrc AS MATERIALIZED (
+          SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS toks
+          FROM documents
+        ), docs AS MATERIALIZED (
+          SELECT doc_id,
+                 list_distinct(
+                   CASE WHEN len(toks) >= 3
+                        THEN list_transform(range(1, len(toks) - 1),
+                                            i -> array_to_string(toks[i:i+2], ' '))
+                        ELSE [array_to_string(toks, ' ')] END) AS sh
+          FROM toksrc
+        ), members AS MATERIALIZED (
+          SELECT doc_id, s, r.range AS j,
+                 list_sum(list_transform(range(1, 16),
+                    k -> (CAST(strpos('0123456789abcdef',
+                           substr(md5(s || ':' || CAST(r.range AS VARCHAR)), k, 1)) AS BIGINT) - 1)
+                         << ((15 - k) * 4))) AS h
+          FROM (SELECT doc_id, unnest(sh) AS s FROM docs) u
+          CROSS JOIN range(0, 32) r
+        ), sigs AS MATERIALIZED (
+          SELECT doc_id, list(mh ORDER BY j) AS sig
+          FROM (SELECT doc_id, j, min(h) AS mh FROM members GROUP BY doc_id, j)
+          GROUP BY doc_id
+        ), bands AS MATERIALIZED (
+          SELECT doc_id, r.range AS b,
+                 array_to_string(sig[r.range*4+1 : r.range*4+4], ',') AS bucket
+          FROM sigs CROSS JOIN range(0, 8) r
+        ), bsize AS MATERIALIZED (
+          SELECT b, bucket, count(*) AS c FROM bands GROUP BY b, bucket
+        ), pairs AS MATERIALIZED (
+          SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+          FROM bands a
+          JOIN bands bb ON a.b = bb.b AND a.bucket = bb.bucket AND a.doc_id < bb.doc_id
+          JOIN bsize s ON s.b = a.b AND s.bucket = a.bucket
+          WHERE s.c <= 1000
+        ), dups AS MATERIALIZED (
+          SELECT id_a, id_b FROM (
+            SELECT p.id_a, p.id_b,
+                   len(list_intersect(da.sh, db.sh)) * 1.0
+                     / greatest(len(list_distinct(da.sh || db.sh)), 1) AS jac
+            FROM pairs p
+            JOIN docs da ON da.doc_id = p.id_a
+            JOIN docs db ON db.doc_id = p.id_b
+          ) WHERE jac >= 0.8
+        )
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT id_b FROM dups)
+        ORDER BY doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     norm_text = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
     return {
@@ -1419,6 +1492,7 @@ def oracle_sql() -> dict[str, str]:
         "association_study_covariates": _assoc_covariates_oracle(),
         "association_study_weighted_orders": _assoc_weighted_oracle(),
         "glm_logistic_orders": _glm_logistic_oracle(),
+        "minhash_dedup_md5_documents": _minhash_md5_oracle(),
         "interaction_study_lineitem": _interaction_oracle(),
         "corrected_pvalues_documents": """
             WITH base AS (

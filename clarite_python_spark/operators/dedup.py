@@ -77,27 +77,45 @@ def shingles(text_col: str = "text", n: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature: element j = min over shingles of
-    ``xxhash64(shingle, j)`` (hash-family member j = Spark-native xxhash64
-    over the (shingle, j) tuple — JVM-side, no UDF).
+def _md5_member(s: Column, j: Column) -> Column:
+    """Portable 60-bit hash-family member: the first 15 hex chars of
+    ``md5(shingle:j)`` as a BIGINT.  ~10x slower than xxhash64 (md5 +
+    hex conv per member) but bit-for-bit reproducible in DuckDB, which
+    has no xxhash64 — this is what makes the md5-family MinHash pipeline
+    oracle-checkable end-to-end."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(":", s, j.cast("string"))), 1, 15), 16, 10
+    ).cast("long")
+
+
+def minhash_signature(
+    shingle_col: Column, num_hashes: int = 32, hash_family: str = "xxhash64"
+) -> Column:
+    """MinHash signature: element j = min over shingles of hash-family
+    member j.  ``hash_family="xxhash64"`` (default, the scale path):
+    Spark-native xxhash64 over the (shingle, j) tuple — JVM-side, no
+    UDF.  ``"md5"``: 60-bit md5-derived members (:func:`_md5_member`) —
+    slower, but exactly reproducible in DuckDB for oracle checks.
 
     Built as ONE ``aggregate`` fold over the shingle array so the
     (interpreted — higher-order functions don't codegen) shingling
     expression is evaluated once per row, not once per hash function:
-    acc[j] = least(acc[j], xxhash64(s, j)). Measured alternatives both
+    acc[j] = least(acc[j], member(s, j)). Measured alternatives both
     lose: per-hash ``array_min(transform(...))`` re-derives the shingle
     array num_hashes times (~30x); pre-hashing each string once and
     deriving members from the 8-byte value adds a nested array
     allocation per element that costs more than the string re-hash
     (~2x slower at 32 hashes)."""
+    member = F.xxhash64 if hash_family == "xxhash64" else _md5_member
+    if hash_family not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown hash_family {hash_family!r}")
     max_long = (1 << 63) - 1
     seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     return F.aggregate(
         shingle_col,
         F.array_repeat(F.lit(max_long).cast("long"), num_hashes),
         lambda acc, s: F.zip_with(
-            acc, F.transform(seeds, lambda j: F.xxhash64(s, j)), lambda a, h: F.least(a, h)
+            acc, F.transform(seeds, lambda j: member(s, j)), lambda a, h: F.least(a, h)
         ),
     )
 
@@ -110,6 +128,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle_n: int = 3,
     max_bucket: int = 1000,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
@@ -117,21 +136,31 @@ def minhash_lsh_candidates(
     each band -> explode -> groupBy(band, band_hash) -> pairs from
     buckets. Returns distinct (id_a, id_b) with id_a < id_b.
 
-    ``max_bucket`` drops degenerate buckets to bound pair blowup."""
+    ``max_bucket`` drops degenerate buckets to bound pair blowup.
+    ``hash_family="md5"`` keeps the band key as the raw joined-value
+    string (no xxhash64 compaction) so DuckDB reproduces it exactly."""
     rows_per_band = num_hashes // bands
     df = _rebalance(df)
-    sig = minhash_signature(shingles(text_col, shingle_n), num_hashes)
+    sig = minhash_signature(shingles(text_col, shingle_n), num_hashes, hash_family)
+
+    def bucket_key(b):
+        joined = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice("__sig", b * rows_per_band + 1, rows_per_band),
+                lambda v: v.cast("string"),
+            ),
+        )
+        if hash_family == "xxhash64":
+            return F.xxhash64(joined).cast("string")
+        return joined
+
     banded = df.select(F.col(id_col), sig.alias("__sig")).select(
         id_col,
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.transform(F.slice("__sig", b * rows_per_band + 1, rows_per_band), lambda v: v.cast("string")))
-                    ).alias("bucket"),
-                ),
+                lambda b: F.struct(b.alias("band"), bucket_key(b).alias("bucket")),
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
@@ -237,6 +266,7 @@ def minhash_dedup(
     threshold: float = 0.8,
     transitive: bool = False,
     max_iter: int = 20,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """End-to-end near-dup removal: LSH candidates -> exact-Jaccard verify
     -> drop duplicates, keeping one representative per group.
@@ -247,7 +277,9 @@ def minhash_dedup(
     :func:`_min_label_components`), keeping exactly the min-id doc of each
     cluster — A~B~C chains with A!~C resolve to one survivor per cluster
     even when the greedy rule would keep disconnected-looking extras."""
-    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, shingle_n, hash_family=hash_family
+    )
     dups = ngram_jaccard_pairs(df, cands, text_col, id_col, shingle_n, threshold)
     if transitive:
         comp = _min_label_components(dups.select("id_a", "id_b"), max_iter)
