@@ -479,6 +479,19 @@ def minhash_dedup_md5_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def simhash_md5_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints with the portable 60-bit md5 token hash
+    (same sign-of-bit-sums algorithm as the xxhash64 default) — emitted
+    as the fingerprint's integer VALUE so DuckDB can recompute it
+    bit-for-bit (its hex formatting differs from Spark's conv)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        dedup.simhash(docs, bits=60, hash_family="md5")
+        .select("doc_id", F.conv("simhash", 16, 10).cast("long").alias("simhash"))
+        .orderBy("doc_id")
+    )
+
+
 def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return text.fingerprint(docs).orderBy("doc_id")
@@ -806,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score_documents": quality_score_documents,
         "minhash_dedup_documents": minhash_dedup_documents,
         "minhash_dedup_md5_documents": minhash_dedup_md5_documents,
+        "simhash_md5_documents": simhash_md5_documents,
         "minhash_dedup_transitive_documents": minhash_dedup_transitive_documents,
         "simhash_documents": simhash_documents,
         "similarity_topk_embeddings": similarity_topk_embeddings,
@@ -1493,6 +1507,30 @@ def oracle_sql() -> dict[str, str]:
         "association_study_weighted_orders": _assoc_weighted_oracle(),
         "glm_logistic_orders": _glm_logistic_oracle(),
         "minhash_dedup_md5_documents": _minhash_md5_oracle(),
+        "simhash_md5_documents": r"""
+            WITH toksrc AS MATERIALIZED (
+              SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS toks
+              FROM documents
+            ), th AS MATERIALIZED (
+              SELECT doc_id,
+                     list_sum(list_transform(range(1, 16),
+                        k -> (CAST(strpos('0123456789abcdef', substr(md5(t), k, 1)) AS BIGINT) - 1)
+                             << ((15 - k) * 4))) AS h
+              FROM (SELECT doc_id, unnest(toks) AS t FROM toksrc) u
+            ), cnts AS MATERIALIZED (
+              SELECT doc_id, r.range AS b,
+                     sum(CASE WHEN ((h >> r.range) & 1) = 1 THEN 1 ELSE -1 END) AS c
+              FROM th CROSS JOIN range(0, 60) r
+              GROUP BY doc_id, r.range
+            ), fp AS (
+              SELECT doc_id,
+                     sum(CASE WHEN c >= 0 THEN 1::BIGINT << b ELSE 0 END) AS v
+              FROM cnts GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(f.v, (1::BIGINT << 60) - 1) AS simhash
+            FROM documents d LEFT JOIN fp f ON f.doc_id = d.doc_id
+            ORDER BY d.doc_id
+        """,
         "interaction_study_lineitem": _interaction_oracle(),
         "corrected_pvalues_documents": """
             WITH base AS (

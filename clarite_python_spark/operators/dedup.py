@@ -292,13 +292,29 @@ def minhash_dedup(
 
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """SimHash fingerprint: per token, hash to ``bits`` bits; sum ±1 per
     bit position over tokens; fingerprint bit = sign of the sum.
 
     One ``aggregate`` lambda with an array accumulator — single narrow
-    pass. Returns (id, simhash hex string)."""
+    pass. Returns (id, simhash hex string).  ``hash_family="md5"`` uses
+    the portable 60-bit md5 member (requires ``bits <= 60``) so the
+    whole fingerprint is reproducible in DuckDB for oracle checks."""
+    if hash_family == "md5" and bits > 60:
+        raise ValueError("md5 hash family carries 60 bits")
+    if hash_family not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+
+    def token_hash(t: Column) -> Column:
+        if hash_family == "xxhash64":
+            return F.xxhash64(t)
+        return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
     df = _rebalance(df)
     toks = tokens(text_col)
     zero = F.array(*[F.lit(0).cast("long") for _ in range(bits)])
@@ -309,7 +325,7 @@ def simhash(
             acc,
             F.transform(
                 F.sequence(F.lit(0), F.lit(bits - 1)),
-                lambda b: F.when(F.getbit(F.xxhash64(t), b) == 1, F.lit(1))
+                lambda b: F.when(F.getbit(token_hash(t), b) == 1, F.lit(1))
                 .otherwise(F.lit(-1))
                 .cast("long"),
             ),
