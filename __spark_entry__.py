@@ -479,6 +479,19 @@ def minhash_dedup_md5_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_dedup_md5_transitive_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components variant of the md5-family pipeline: the
+    min-label propagation fixpoint equals min-over-transitive-closure,
+    which DuckDB computes with a recursive CTE — so unlike the xxhash64
+    transitive query this one is oracle-checked end-to-end."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        dedup.minhash_dedup(docs, hash_family="md5", transitive=True)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def simhash_md5_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints with the portable 60-bit md5 token hash
     (same sign-of-bit-sums algorithm as the xxhash64 default) — emitted
@@ -819,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score_documents": quality_score_documents,
         "minhash_dedup_documents": minhash_dedup_documents,
         "minhash_dedup_md5_documents": minhash_dedup_md5_documents,
+        "minhash_dedup_md5_transitive_documents": minhash_dedup_md5_transitive_documents,
         "simhash_md5_documents": simhash_md5_documents,
         "minhash_dedup_transitive_documents": minhash_dedup_transitive_documents,
         "simhash_documents": simhash_documents,
@@ -1239,15 +1253,13 @@ def _glm_logistic_oracle() -> str:
     )
 
 
-def _minhash_md5_oracle() -> str:
-    """DuckDB twin of the FULL md5-family MinHash pipeline
-    (operators/dedup.py): word-3-gram shingles, 32 signature members
-    (min over shingles of the 60-bit value of the first 15 md5 hex chars
-    of ``shingle:j``, parsed with exact shift arithmetic), 8 x 4 banding
-    on joined-value strings, bucket-size-capped candidate pairs, exact
-    Jaccard >= 0.8 verify, greedy drop-higher-id anti-join."""
-    return r"""
-        WITH toksrc AS MATERIALIZED (
+def _minhash_md5_pipeline() -> str:
+    """Shared CTE chain for the md5-family MinHash twins: word-3-gram
+    shingles, 32 signature members (min over shingles of the 60-bit
+    value of the first 15 md5 hex chars of ``shingle:j``, parsed with
+    exact shift arithmetic), 8 x 4 banding on joined-value strings,
+    bucket-size-capped candidate pairs, exact Jaccard >= 0.8 verify."""
+    return r"""toksrc AS MATERIALIZED (
           SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS toks
           FROM documents
         ), docs AS MATERIALIZED (
@@ -1291,11 +1303,44 @@ def _minhash_md5_oracle() -> str:
             JOIN docs da ON da.doc_id = p.id_a
             JOIN docs db ON db.doc_id = p.id_b
           ) WHERE jac >= 0.8
-        )
+        )"""
+
+
+def _minhash_md5_oracle() -> str:
+    """Greedy variant: drop any doc with a verified lower-id near-dup."""
+    return (
+        "WITH "
+        + _minhash_md5_pipeline()
+        + """
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (SELECT id_b FROM dups)
         ORDER BY doc_id
     """
+    )
+
+
+def _minhash_md5_transitive_oracle() -> str:
+    """Connected-components variant: the engine's min-label propagation
+    fixpoint labels every vertex with the min id of its component, which
+    equals min over the transitive closure — a recursive CTE here."""
+    return (
+        "WITH RECURSIVE "
+        + _minhash_md5_pipeline()
+        + """, sym AS MATERIALIZED (
+          SELECT id_a AS src, id_b AS dst FROM dups
+          UNION SELECT id_b, id_a FROM dups
+        ), reach AS (
+          SELECT src, dst FROM sym
+          UNION
+          SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+        ), labels AS (
+          SELECT src AS id, least(src, min(dst)) AS label FROM reach GROUP BY src
+        )
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM labels WHERE label != id)
+        ORDER BY doc_id
+    """
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1507,6 +1552,7 @@ def oracle_sql() -> dict[str, str]:
         "association_study_weighted_orders": _assoc_weighted_oracle(),
         "glm_logistic_orders": _glm_logistic_oracle(),
         "minhash_dedup_md5_documents": _minhash_md5_oracle(),
+        "minhash_dedup_md5_transitive_documents": _minhash_md5_transitive_oracle(),
         "simhash_md5_documents": r"""
             WITH toksrc AS MATERIALIZED (
               SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS toks
