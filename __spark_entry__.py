@@ -615,7 +615,8 @@ def similarity_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def similarity_ivf_probe_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with partial probes (the actual scale configuration: expected
-    scan fraction n_probe/n_lists) — approximate, so rows-only."""
+    scan fraction n_probe/n_lists).  Oracle-checked end-to-end including
+    the k-means quantizer training — see _ivf_probe_oracle."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -1179,6 +1180,79 @@ def _assoc_weighted_oracle() -> str:
     """
 
 
+def _ivf_probe_oracle() -> str:
+    """DuckDB twin of similarity_ivf_probe_embeddings — the ENTIRE IVF
+    path including quantizer training: spherical k-means (10 iterations,
+    assignment = first-argmax over centroid dots, mean + renormalize
+    update) unrolled as MATERIALIZED CTE pairs, then corpus list
+    assignment, per-query top-4 probe selection (ties: higher centroid
+    id first, matching reverse(array_sort(struct(d, i)))), candidate
+    scoring and per-query top-10.  Reproducible because the engine's
+    sample is sorted (operators/similarity.py:_train_centroids orders by
+    id before limit) and the seeded init indices depend only on
+    (seed=42, n rows) — inlined here for the driver's sf0.01 corpus
+    (n=500, like the LSH plane literals which fix dim=64).  Empty
+    k-means clusters would diverge (the engine re-seeds from its RNG);
+    none occur on this corpus — a mismatch would flag it."""
+    import numpy as np
+
+    init = np.random.RandomState(42).choice(500, size=8, replace=False)
+    vals = ", ".join(f"({j}, {int(ci)})" for j, ci in enumerate(init))
+    ctes = [
+        """m AS MATERIALIZED (
+           SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS idx,
+                  list_transform(embedding::DOUBLE[],
+                    x -> x / greatest(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 1e-12)) AS v
+           FROM embeddings)""",
+        f"""c0 AS MATERIALIZED (
+           SELECT t.j, m.v FROM m JOIN (VALUES {vals}) t(j, ci) ON m.idx = t.ci)""",
+    ]
+    for k in range(1, 11):
+        ctes.append(f"""a{k} AS MATERIALIZED (
+          SELECT vec_id, v, j FROM (
+            SELECT m.vec_id, m.v, c.j,
+                   row_number() OVER (PARTITION BY m.vec_id
+                                      ORDER BY list_dot_product(m.v, c.v) DESC, c.j ASC) AS rn
+            FROM m, c{k - 1} c) WHERE rn = 1)""")
+        ctes.append(f"""c{k} AS MATERIALIZED (
+          SELECT j, list_transform(sv, x -> x / greatest(sqrt(list_dot_product(sv, sv)), 1e-12)) AS v
+          FROM (
+            SELECT j, list(mval ORDER BY d) AS sv FROM (
+              SELECT j, d, avg(val) AS mval FROM (
+                SELECT a.j, unnest(a.v) AS val, unnest(range(len(a.v))) AS d FROM a{k} a)
+              GROUP BY j, d)
+            GROUP BY j))""")
+    final = """
+        corp AS MATERIALIZED (
+          SELECT e.vec_id, e.embedding::DOUBLE[] AS raw,
+                 (SELECT c.j FROM c10 c
+                  ORDER BY list_dot_product(e.embedding::DOUBLE[], c.v)
+                           / sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) DESC,
+                           c.j ASC LIMIT 1) AS lst
+          FROM embeddings e),
+        probes AS MATERIALIZED (
+          SELECT q.vec_id AS query_id, q.embedding::DOUBLE[] AS qvec, c.j AS lst,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.embedding::DOUBLE[], c.v)
+                            / sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) DESC,
+                            c.j DESC) AS pr
+          FROM embeddings q, c10 c WHERE q.vec_id < 5),
+        scored AS (
+          SELECT p.query_id, co.vec_id,
+                 list_dot_product(co.raw, p.qvec)
+                   / (sqrt(list_dot_product(co.raw, co.raw)) * sqrt(list_dot_product(p.qvec, p.qvec))) AS cosine
+          FROM (SELECT * FROM probes WHERE pr <= 4) p
+          JOIN corp co ON co.lst = p.lst),
+        ranked AS (
+          SELECT query_id, vec_id, cosine,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, vec_id, rank, round(cosine, 6) AS cosine
+        FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+    """
+    return "WITH " + ",\n".join(ctes) + ",\n" + final
+
+
 def _glm_logistic_inner(rv_expr: str, n_iter: int = 30) -> str:
     """Unrolled-IRLS DuckDB fit of ``filled ~ 1 + {rv_expr}``: replays
     functions/glm.fit_binomial step for step — same start
@@ -1553,6 +1627,7 @@ def oracle_sql() -> dict[str, str]:
         "glm_logistic_orders": _glm_logistic_oracle(),
         "minhash_dedup_md5_documents": _minhash_md5_oracle(),
         "minhash_dedup_md5_transitive_documents": _minhash_md5_transitive_oracle(),
+        "similarity_ivf_probe_embeddings": _ivf_probe_oracle(),
         "simhash_md5_documents": r"""
             WITH toksrc AS MATERIALIZED (
               SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS toks

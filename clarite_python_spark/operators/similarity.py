@@ -132,12 +132,23 @@ def lsh_topk(
 
 
 def _train_centroids(
-    df: DataFrame, vec_col: str, n_lists: int, seed: int, sample_size: int, iters: int = 10
+    df: DataFrame,
+    vec_col: str,
+    n_lists: int,
+    seed: int,
+    sample_size: int,
+    iters: int = 10,
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """Spherical k-means on a driver-side sample (the coarse quantizer is
     tiny state — n_lists x dim — trained once; the corpus itself never
-    leaves the executors). Deterministic via the seed."""
-    rows = df.select(vec_col).limit(sample_size).collect()
+    leaves the executors). Deterministic via the seed AND a sorted
+    sample: ``orderBy(id).limit(n)`` compiles to TakeOrderedAndProject
+    (O(n log sample) per partition, no full sort), unlike a bare
+    ``limit`` whose row order follows partition scheduling — the trained
+    quantizer must not depend on which executor reported first."""
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
+    rows = [(r[1],) for r in rows]
     M = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
     M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
@@ -191,7 +202,7 @@ def ivf_topk(
     (and would be persisted alongside the vectors, so repeated query
     batches skip it)."""
     dim = len(queries.select(vec_col).first()[0])
-    cents = _train_centroids(corpus, vec_col, n_lists, seed, sample_size)
+    cents = _train_centroids(corpus, vec_col, n_lists, seed, sample_size, id_col=id_col)
     assert cents.shape[1] == dim
 
     cvec = F.col(vec_col).cast("array<double>")
