@@ -629,9 +629,12 @@ def similarity_ivf_probe_embeddings(spark: SparkSession, sf_dir: str) -> DataFra
 
 def multimodal_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing demo: text bytes as a binary payload through
-    the mapInPandas decode stage — rows-only check. Payloads here are
-    not BMP/PPM, so they take the deterministic stub branch; real image
-    bytes take the pure-numpy codec (functions/imagecodec.py)."""
+    the mapInPandas decode stage. Payloads here are not BMP/PPM, so they
+    take the deterministic stub branch (real image bytes take the
+    pure-numpy codec, functions/imagecodec.py — oracle-checked by
+    multimodal_pixels_documents). The stub derives features hash-directly
+    from the payload SHA-256, so DuckDB recomputes the feature sums
+    exactly (_fake_features, operators/multimodal.py)."""
     docs = _t(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload")
@@ -1253,6 +1256,24 @@ def _ivf_probe_oracle() -> str:
     return "WITH " + ",\n".join(ctes) + ",\n" + final
 
 
+def _multimodal_features_oracle() -> str:
+    """DuckDB twin of the hash-direct feature stub: feature i = big-endian
+    uint32 i of sha256(payload) / 2^32 (operators/multimodal.py:
+    _fake_features); the query sums the 8 features.  Hex digits are
+    parsed with the same exact shift arithmetic as the minhash twin."""
+    hx = "(CAST(strpos('0123456789abcdef', substr(sha256(text), {p}, 1)) AS BIGINT) - 1)"
+
+    def u32(i: int) -> str:
+        terms = [f"({hx.format(p=8 * i + kk + 1)} << {4 * (7 - kk)})" for kk in range(8)]
+        return "(" + " + ".join(terms) + ")"
+
+    feat_sum = " + ".join(f"({u32(i)} / 4294967296.0)" for i in range(8))
+    return f"""
+        SELECT doc_id AS media_id, round({feat_sum}, 4) AS feat_sum
+        FROM documents ORDER BY media_id
+    """
+
+
 def _glm_logistic_inner(rv_expr: str, n_iter: int = 30) -> str:
     """Unrolled-IRLS DuckDB fit of ``filled ~ 1 + {rv_expr}``: replays
     functions/glm.fit_binomial step for step — same start
@@ -1628,6 +1649,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup_md5_documents": _minhash_md5_oracle(),
         "minhash_dedup_md5_transitive_documents": _minhash_md5_transitive_oracle(),
         "similarity_ivf_probe_embeddings": _ivf_probe_oracle(),
+        "multimodal_features_documents": _multimodal_features_oracle(),
         "simhash_md5_documents": r"""
             WITH toksrc AS MATERIALIZED (
               SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS toks

@@ -64,11 +64,19 @@ def with_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFram
 
 def _fake_features(payload: bytes, dim: int) -> np.ndarray:
     """STUB: deterministic stand-in for codecs we can't decode here
-    (JPEG/PNG/...). Derives ``dim`` floats from the SHA-256 of the
-    payload. Replace with (e.g.) PIL/torchvision in a real deployment."""
+    (JPEG/PNG/...). Feature i is big-endian uint32 i of the (chained)
+    SHA-256 of the payload, scaled to [0, 1) — hash-direct rather than
+    seeding an RNG so the derivation is reproducible anywhere (incl. the
+    DuckDB oracle). Replace with (e.g.) PIL/torchvision in a real
+    deployment."""
+    buf = b""
     h = hashlib.sha256(payload or b"").digest()
-    rng = np.random.RandomState(int.from_bytes(h[:4], "big"))
-    return rng.rand(dim)
+    while len(buf) < 4 * dim:
+        buf += h
+        h = hashlib.sha256(h).digest()
+    return np.asarray(
+        [int.from_bytes(buf[4 * i : 4 * i + 4], "big") / 2**32 for i in range(dim)]
+    )
 
 
 def _pixel_features(arr: np.ndarray, dim: int) -> np.ndarray:
