@@ -21,7 +21,16 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clarite_python_spark.catalog import ClariteFrame
-from clarite_python_spark.operators import analyze, dedup, describe, modify, multimodal, similarity, text
+from clarite_python_spark.operators import (
+    analyze,
+    dedup,
+    describe,
+    modify,
+    multimodal,
+    pipeline,
+    similarity,
+    text,
+)
 from clarite_python_spark.sources.io import load_testdata
 from clarite_python_spark.streaming.events import sessionized, windowed_counts
 
@@ -791,6 +800,58 @@ def get_significant_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def user_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the applyInPandasWithState running-stats operator
+    (streaming/state.py) — per-user count/sum/mean/variance; the stream's
+    final emission per key equals these rows (parity-tested)."""
+    from clarite_python_spark.streaming.state import user_stats
+
+    ev = _t(spark, sf_dir, "events")
+    out = user_stats(ev)
+    return out.select(
+        "user_id",
+        "n_events",
+        F.round("total_value", 4).alias("total_value"),
+        F.round("mean_value", 6).alias("mean_value"),
+        F.round("var_value", 6).alias("var_value"),
+    ).orderBy("user_id")
+
+
+def deterministic_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based train/val/test assignment (operators/pipeline.py:
+    deterministic_split) — per-split row counts."""
+    docs = _t(spark, sf_dir, "documents")
+    out = pipeline.deterministic_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1}, salt="s1")
+    return out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).orderBy("split")
+
+
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-mixture sampling: keep all of src0, none of
+    src1, 40% of everything else — the corpus-reweighting step."""
+    docs = _t(spark, sf_dir, "documents")
+    out = pipeline.deterministic_sample(
+        docs, by="source", fractions={"src0": 1.0, "src1": 0.0}, fraction=0.4, salt="mix"
+    )
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
+def pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-chunk sequence packing at 512 tokens per source."""
+    docs = _t(spark, sf_dir, "documents")
+    out = pipeline.pack_sequences(docs, max_tokens=512)
+    return out.select("source", "doc_id", "n_tokens", "seq_id", "seq_offset").orderBy(
+        "source", "doc_id"
+    )
+
+
+def redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails/phones/IPv4) with per-doc counts; the
+    pattern table is restricted to the Java-regex ∩ RE2 subset so the
+    oracle applies the SAME strings."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.redact(docs).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # driver API
 # --------------------------------------------------------------------------
@@ -854,6 +915,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh_embeddings": embedding_neardup_lsh_embeddings,
         "colfilter_min_n_events": colfilter_min_n_events,
         "get_significant_documents": get_significant_documents,
+        "user_stats_events": user_stats_events,
+        "deterministic_split_documents": deterministic_split_documents,
+        "stratified_sample_documents": stratified_sample_documents,
+        "pack_sequences_documents": pack_sequences_documents,
+        "redact_documents": redact_documents,
     }
 
 
@@ -863,6 +929,22 @@ _DE = "'der','die','das','und','ist','nicht','ein','eine','zu','mit'"
 _FR = "'le','la','les','de','et','un','une','est','que','pour'"
 
 _TOKENS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')"
+
+# redaction pattern table (operators/text.py:PII_PATTERNS) — single-quote
+# safe by construction (character classes only)
+from clarite_python_spark.operators.text import PII_PATTERNS as _PII  # noqa: E402
+
+
+def _md5_bucket(id_expr: str, salt: str, buckets: int = 10000) -> str:
+    """DuckDB twin of pipeline.hash_bucket: 60-bit value of the first 15
+    md5 hex chars of ``id:salt``, mod buckets — same shift-parse idiom as
+    the md5 MinHash oracle."""
+    return (
+        f"(list_sum(list_transform(range(1, 16), "
+        f"k -> (CAST(strpos('0123456789abcdef', "
+        f"substr(md5({id_expr} || ':{salt}'), k, 1)) AS BIGINT) - 1) "
+        f"<< ((15 - k) * 4))) % {buckets})"
+    )
 
 
 def _lang_score(words: str) -> str:
@@ -1934,5 +2016,59 @@ def oracle_sql() -> dict[str, str]:
                    round(pvalue_bonferroni, 9) AS pvalue_bonferroni,
                    round(pvalue_fdr, 9) AS pvalue_fdr
             FROM corrected WHERE pvalue_fdr <= 0.97 ORDER BY doc_id
+        """,
+        "user_stats_events": """
+            SELECT user_id,
+                   count(value) AS n_events,
+                   round(sum(value), 4) AS total_value,
+                   round(avg(value), 6) AS mean_value,
+                   round(var_samp(value), 6) AS var_value
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "deterministic_split_documents": f"""
+            WITH b AS (
+              SELECT CASE
+                       WHEN {_md5_bucket("doc_id", "s1")} < 8000 THEN 'train'
+                       WHEN {_md5_bucket("doc_id", "s1")} < 9000 THEN 'val'
+                       ELSE 'test'
+                     END AS split
+              FROM documents
+            )
+            SELECT split, count(*) AS n FROM b GROUP BY split ORDER BY split
+        """,
+        "stratified_sample_documents": f"""
+            SELECT doc_id, source FROM documents
+            WHERE {_md5_bucket("doc_id", "mix")} <
+                  CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 0 ELSE 4000 END
+            ORDER BY doc_id
+        """,
+        "pack_sequences_documents": f"""
+            WITH toks AS (
+              SELECT source, doc_id, CAST(len({_TOKENS}) AS BIGINT) AS n_tokens
+              FROM documents
+            ), laid AS (
+              SELECT source, doc_id, n_tokens,
+                     CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+                          AS BIGINT) AS start
+              FROM toks
+            )
+            SELECT source, doc_id, n_tokens,
+                   start // 512 AS seq_id, start % 512 AS seq_offset
+            FROM laid ORDER BY source, doc_id
+        """,
+        "redact_documents": f"""
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '{_PII["email"]}', '[email]', 'g'),
+                       '{_PII["ipv4"]}', '[ipv4]', 'g'),
+                       '{_PII["phone"]}', '[phone]', 'g') AS text_redacted,
+                   CAST(len(regexp_extract_all(text, '{_PII["email"]}')) AS INT) AS n_email,
+                   CAST(len(regexp_extract_all(text, '{_PII["ipv4"]}')) AS INT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(text, '{_PII["phone"]}')) AS INT) AS n_phone,
+                   CAST(len(regexp_extract_all(text, '{_PII["email"]}'))
+                      + len(regexp_extract_all(text, '{_PII["ipv4"]}'))
+                      + len(regexp_extract_all(text, '{_PII["phone"]}')) AS INT) AS n_redacted
+            FROM documents ORDER BY doc_id
         """,
     }

@@ -1,0 +1,167 @@
+"""Dataset-pipeline operators: deterministic sampling/splitting and
+sequence packing for large-scale training-data preparation.
+
+Extensions beyond the reference surface (the reference is a QC/EWAS
+library; these are the dataset-assembly steps a 100-TB corpus pipeline
+needs around it). Everything here is hash arithmetic and window
+functions — pure JVM column expressions, no Python in the hot path, no
+extra shuffles beyond the declared window partitioning.
+
+Determinism is the design center: `sample()`/`split()` decisions depend
+only on (id, salt), never on partitioning, row order, or executor count,
+so a re-run on different cluster shapes — or a different engine
+entirely — selects the SAME rows. That is what makes training datasets
+reproducible and is why these use a portable md5 bucket rather than
+Spark's `DataFrame.sample` (whose Bernoulli draw depends on partition
+layout and seed plumbing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hash_bucket",
+    "deterministic_split",
+    "deterministic_sample",
+    "pack_sequences",
+]
+
+#: number of hash buckets fractions are quantized to: fraction 0.8123
+#: keeps buckets [0, 8123). 10^4 gives basis-point resolution while
+#: keeping every comparison exact-integer (no float portability risk).
+BUCKETS = 10_000
+
+
+def hash_bucket(id_col: str | Column, salt: str = "", buckets: int = BUCKETS) -> Column:
+    """Deterministic uniform bucket in [0, buckets) from md5(id:salt).
+
+    Uses the first 15 hex chars (60 bits) parsed via ``conv`` — the same
+    engine-portable construction as the md5 MinHash family
+    (operators/dedup.py:_md5_member), so DuckDB/any engine reproduces the
+    assignment bit-for-bit. 60 bits >> log2(buckets) keeps the modulo
+    bias negligible (< 2**-46).
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    key = F.concat_ws(":", c.cast("string"), F.lit(salt))
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    return (h % F.lit(buckets)).alias("bucket")
+
+
+def deterministic_split(
+    df: DataFrame,
+    splits: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test/...) by hash.
+
+    ``splits`` maps name -> fraction; fractions must sum to <= 1 (any
+    remainder is assigned NULL, i.e. "held out"). Assignment is a pure
+    per-row map: no shuffle, no sort, fully pushdown-friendly, identical
+    on 1 or 1000 executors. Fractions are quantized to 1/10000.
+    """
+    fracs = list(splits.items())
+    if any(f < 0 for _, f in fracs):
+        raise ValueError("split fractions must be non-negative")
+    total = sum(f for _, f in fracs)
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1")
+    b = hash_bucket(id_col, salt)
+    expr: Column = F.lit(None).cast("string")
+    hi = 0
+    for name, frac in fracs:
+        lo, hi = hi, hi + int(round(frac * BUCKETS))
+        expr = F.when((b >= lo) & (b < hi), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float | None = None,
+    by: str | None = None,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic (stratified) sampling by hash bucket.
+
+    - ``fraction`` alone: keep ~fraction of all rows.
+    - ``by`` + ``fractions``: per-stratum rates — this is also the
+      source-mixture weighting step of a corpus pipeline (e.g. keep 100%
+      of wiki, 10% of crawl); strata absent from ``fractions`` fall back
+      to ``fraction`` (default 0 = drop).
+
+    The filter is a row-local predicate on md5(id) — Catalyst pushes it
+    to the scan, and the kept set is independent of partitioning, so
+    resampling at a higher rate is a SUPERSET of a lower rate (bucket
+    ranges nest). That superset property is what lets a pipeline scale
+    a mixture up without re-drawing everything.
+    """
+    b = hash_bucket(id_col, salt)
+    if fractions is not None:
+        if by is None:
+            raise ValueError("fractions requires `by`")
+        default = int(round((fraction or 0.0) * BUCKETS))
+        cut: Column = F.lit(default)
+        for stratum, frac in sorted(fractions.items()):
+            cut = F.when(F.col(by) == stratum, F.lit(int(round(frac * BUCKETS)))).otherwise(cut)
+        return df.where(b < cut)
+    if fraction is None:
+        raise ValueError("need fraction or fractions")
+    return df.where(b < int(round(fraction * BUCKETS)))
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    token_col: str | Column | None = None,
+    by: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: assign each document to a
+    training-sequence bin of ``max_tokens`` tokens.
+
+    Documents are laid out end-to-end per ``by`` group in ``order_col``
+    order; a document starting at running-token offset ``o`` lands in
+    sequence ``floor(o / max_tokens)`` (the standard concat-and-chunk
+    layout used for LLM pretraining batches; documents may straddle a
+    boundary — the returned ``seq_offset`` is where the doc starts
+    within its first sequence).
+
+    Plan: one window (cumulative sum partitioned by the group) — a
+    single hash shuffle on the group key then a sort within partitions.
+    At 100 TB a per-source window would put one source on one task, so
+    ``n_shards > 1`` subdivides each group by a deterministic hash shard
+    of ``id_col``: packing stays reproducible (shard assignment is
+    content-addressed, not partition-dependent) and each window
+    partition is ~group/n_shards rows. Returns the input columns plus
+    (n_tokens, shard, seq_id, seq_offset).
+    """
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    if token_col is None:
+        from clarite_python_spark.operators.text import token_count
+
+        tok: Column = token_count(text_col)
+    else:
+        tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    out = df.withColumn("n_tokens", tok.cast("long"))
+    if n_shards > 1:
+        out = out.withColumn("shard", hash_bucket(id_col, "shard", n_shards))
+        part = [by, "shard"]
+    else:
+        out = out.withColumn("shard", F.lit(0))
+        part = [by]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*part).orderBy(order_col)
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (
+        out.withColumn("seq_id", F.floor(start / F.lit(max_tokens)))
+        .withColumn("seq_offset", start % F.lit(max_tokens))
+    )

@@ -11,7 +11,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["tokens", "token_count", "text_stats", "language_id", "fingerprint", "quality_score"]
+__all__ = [
+    "tokens",
+    "token_count",
+    "text_stats",
+    "language_id",
+    "fingerprint",
+    "quality_score",
+    "redact",
+    "PII_PATTERNS",
+]
 
 # Tiny per-language function-word lists for the n-gram/stopword language
 # heuristic. Deliberately small: the point is the *plumbing* (scoring per
@@ -106,6 +115,50 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.col(id_col),
         F.when(is_cjk, F.lit("zh")).otherwise(best_lang).alias("lang_pred"),
         F.when(is_cjk, F.lit(1.0)).otherwise(best_score).alias("lang_score"),
+    )
+
+
+# Redaction patterns deliberately restricted to the regex subset shared
+# by Java regex (Spark), RE2 (DuckDB/Go) and PCRE: character classes,
+# bounded repetition, \b — no lookaround, no backrefs. That keeps one
+# pattern table valid across every engine a pipeline might mix.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9() .-]{7,}[0-9]",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def redact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: dict[str, str] | None = None,
+    token: str = "[{name}]",
+) -> DataFrame:
+    """PII scrubbing: replace every match of each named pattern with a
+    placeholder token and count the redactions per document.
+
+    One projection — each pattern contributes one ``regexp_count`` on the
+    ORIGINAL text (so counts are independent of pattern order) and one
+    ``regexp_replace`` applied in name order. Pure codegen expressions;
+    linear scan, no shuffle, trivially parallel at any scale.
+
+    Returns (id, text_redacted, n_<name>... , n_redacted).
+    """
+    pats = patterns if patterns is not None else PII_PATTERNS
+    red = F.col(text_col)
+    counts = []
+    for name in sorted(pats):
+        pat = pats[name]
+        counts.append(F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}"))
+        red = F.regexp_replace(red, pat, token.format(name=name))
+    total = None
+    for c in sorted(pats):
+        n = F.col(f"n_{c}")
+        total = n if total is None else total + n
+    return df.select(F.col(id_col), red.alias("text_redacted"), *counts).withColumn(
+        "n_redacted", total if total is not None else F.lit(0)
     )
 
 

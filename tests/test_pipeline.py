@@ -1,0 +1,176 @@
+"""Tests for dataset-pipeline ops: deterministic split/sample, sequence
+packing, PII redaction."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from clarite_python_spark.operators import pipeline, text
+from tests.conftest import SF_DIR
+
+DOCS = f"{SF_DIR}/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(DOCS)
+
+
+# ---------------------------------------------------------------- split
+
+
+def test_split_covers_all_rows_and_matches_duckdb(docs):
+    out = pipeline.deterministic_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, salt="s1"
+    )
+    got = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert None not in got  # fractions sum to 1 => no held-out rows
+    assert sum(got.values()) == docs.count()
+    # engine-portability: DuckDB reproduces the same assignment per id
+    want = dict(
+        duckdb.sql(
+            f"""
+        WITH b AS (
+          SELECT CASE
+            WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split
+          FROM (SELECT list_sum(list_transform(range(1, 16),
+                  k -> (CAST(strpos('0123456789abcdef',
+                         substr(md5(doc_id || ':s1'), k, 1)) AS BIGINT) - 1)
+                       << ((15 - k) * 4))) % 10000 AS bucket
+                FROM '{DOCS}')
+        ) SELECT split, count(*) FROM b GROUP BY split
+        """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_split_fraction_validation(docs):
+    with pytest.raises(ValueError):
+        pipeline.deterministic_split(docs, {"a": 0.9, "b": 0.2})
+    with pytest.raises(ValueError):
+        pipeline.deterministic_split(docs, {"a": -0.1})
+
+
+def test_split_remainder_is_null(docs):
+    out = pipeline.deterministic_split(docs, {"train": 0.5}, salt="x")
+    n_null = out.where(F.col("split").isNull()).count()
+    n = docs.count()
+    assert 0 < n_null < n
+    # roughly half (hash-uniform; 500 docs so allow generous slack)
+    assert abs(n_null / n - 0.5) < 0.1
+
+
+# --------------------------------------------------------------- sample
+
+
+def test_sample_nesting_property(docs):
+    """A higher sampling rate keeps a superset of a lower rate."""
+    lo = {r[0] for r in pipeline.deterministic_sample(docs, 0.2, salt="n").select("doc_id").collect()}
+    hi = {r[0] for r in pipeline.deterministic_sample(docs, 0.6, salt="n").select("doc_id").collect()}
+    assert lo <= hi
+    assert len(lo) < len(hi)
+
+
+def test_sample_is_partitioning_invariant(docs):
+    a = {r[0] for r in pipeline.deterministic_sample(docs, 0.3).select("doc_id").collect()}
+    b = {
+        r[0]
+        for r in pipeline.deterministic_sample(docs.repartition(17), 0.3)
+        .select("doc_id")
+        .collect()
+    }
+    assert a == b
+
+
+def test_stratified_mixture_rates(docs):
+    fr = {"src0": 1.0, "src1": 0.0}
+    out = pipeline.deterministic_sample(docs, by="source", fractions=fr, fraction=0.5)
+    got = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    base = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert got.get("src0") == base["src0"]  # rate 1.0 keeps everything
+    assert "src1" not in got  # rate 0.0 drops the stratum
+    for s, n in base.items():
+        if s not in fr:  # default rate applies to unlisted strata
+            assert 0 < got[s] < n
+
+
+# ----------------------------------------------------------------- pack
+
+
+def test_pack_sequences_layout(docs):
+    out = pipeline.pack_sequences(docs, max_tokens=512).orderBy("source", "doc_id")
+    rows = out.select("source", "doc_id", "n_tokens", "seq_id", "seq_offset").collect()
+    # recompute the concat-chunk layout in python per source
+    run: dict[str, int] = {}
+    for r in rows:
+        start = run.get(r["source"], 0)
+        assert r["seq_id"] == start // 512
+        assert r["seq_offset"] == start % 512
+        run[r["source"]] = start + r["n_tokens"]
+
+
+def test_pack_sequences_sharded_determinism(docs):
+    """Shard assignment is content-hashed, so results don't depend on
+    input partitioning; each (source, shard) packs independently."""
+    a = pipeline.pack_sequences(docs, 256, n_shards=4)
+    b = pipeline.pack_sequences(docs.repartition(13), 256, n_shards=4)
+    cols = ["doc_id", "shard", "seq_id", "seq_offset"]
+    assert sorted(map(tuple, a.select(cols).collect())) == sorted(
+        map(tuple, b.select(cols).collect())
+    )
+    assert a.select("shard").distinct().count() == 4
+
+
+def test_pack_rejects_bad_max():
+    with pytest.raises(ValueError):
+        pipeline.pack_sequences(None, 0)
+
+
+# --------------------------------------------------------------- redact
+
+
+def test_redact_counts_and_replaces(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob@example.com or +1 (555) 123-4567 ok"),
+            (2, "server 10.0.0.1 and 192.168.1.254 up"),
+            (3, "clean text, nothing here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r.asDict() for r in text.redact(df).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert out[1]["n_redacted"] == 2
+    assert "[email]" in out[1]["text_redacted"] and "[phone]" in out[1]["text_redacted"]
+    assert "bob@example.com" not in out[1]["text_redacted"]
+    assert out[2]["n_ipv4"] == 2 and "[ipv4]" in out[2]["text_redacted"]
+    assert out[3]["n_redacted"] == 0 and out[3]["text_redacted"] == "clean text, nothing here"
+
+
+def test_redact_patterns_portable_to_duckdb(docs):
+    """The same pattern strings produce the same counts in DuckDB's RE2."""
+    got = (
+        text.redact(docs)
+        .agg(
+            F.sum("n_email").alias("e"),
+            F.sum("n_phone").alias("p"),
+            F.sum("n_ipv4").alias("i"),
+        )
+        .collect()[0]
+    )
+    e, p, i = duckdb.sql(
+        f"""
+        SELECT sum(len(regexp_extract_all(text, '{text.PII_PATTERNS["email"]}'))),
+               sum(len(regexp_extract_all(text, '{text.PII_PATTERNS["phone"]}'))),
+               sum(len(regexp_extract_all(text, '{text.PII_PATTERNS["ipv4"]}')))
+        FROM '{DOCS}'
+        """
+    ).fetchone()
+    assert (got["e"], got["p"], got["i"]) == (e, p, i)
