@@ -800,6 +800,13 @@ def get_significant_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def top_tokens_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: global top-25 tokens (explode -> partial-agg
+    count -> TakeOrderedAndProject)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.top_tokens(docs, k=25).orderBy("rank")
+
+
 def user_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the applyInPandasWithState running-stats operator
     (streaming/state.py) — per-user count/sum/mean/variance; the stream's
@@ -915,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh_embeddings": embedding_neardup_lsh_embeddings,
         "colfilter_min_n_events": colfilter_min_n_events,
         "get_significant_documents": get_significant_documents,
+        "top_tokens_documents": top_tokens_documents,
         "user_stats_events": user_stats_events,
         "deterministic_split_documents": deterministic_split_documents,
         "stratified_sample_documents": stratified_sample_documents,
@@ -2016,6 +2024,16 @@ def oracle_sql() -> dict[str, str]:
                    round(pvalue_bonferroni, 9) AS pvalue_bonferroni,
                    round(pvalue_fdr, 9) AS pvalue_fdr
             FROM corrected WHERE pvalue_fdr <= 0.97 ORDER BY doc_id
+        """,
+        "top_tokens_documents": f"""
+            WITH tok AS (
+              SELECT lower(unnest({_TOKENS})) AS token FROM documents
+            ), vocab AS (
+              SELECT token, count(*) AS n FROM tok GROUP BY token
+            )
+            SELECT token, n,
+                   CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rank
+            FROM vocab ORDER BY n DESC, token LIMIT 25
         """,
         "user_stats_events": """
             SELECT user_id,

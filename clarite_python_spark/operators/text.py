@@ -20,6 +20,7 @@ __all__ = [
     "quality_score",
     "redact",
     "PII_PATTERNS",
+    "top_tokens",
 ]
 
 # Tiny per-language function-word lists for the n-gram/stopword language
@@ -116,6 +117,42 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.when(is_cjk, F.lit("zh")).otherwise(best_lang).alias("lang_pred"),
         F.when(is_cjk, F.lit(1.0)).otherwise(best_score).alias("lang_score"),
     )
+
+
+def top_tokens(
+    df: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    by: str | None = None,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Vocabulary extraction: the ``k`` most frequent tokens (optionally
+    per ``by`` group), ties broken lexicographically.
+
+    Plan: explode -> groupBy(token) with map-side partial aggregation (the
+    heavy-hitter skew on common tokens is absorbed by the partial
+    combine — each task pre-sums its own 'the's before the shuffle), then
+    a top-k window over the already-aggregated vocabulary, which is
+    |vocab| rows, not |corpus|. Returns (by?, token, n, rank).
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(text_col)
+    tok = F.explode(toks).alias("token")
+    keys = [by] if by else []
+    ex = df.select(*keys, tok)
+    if lowercase:
+        ex = ex.withColumn("token", F.lower(F.col("token")))
+    grp = ex.groupBy(*keys, "token").agg(F.count(F.lit(1)).alias("n"))
+    order = [F.desc("n"), F.asc("token")]
+    if keys:
+        w = Window.partitionBy(*keys).orderBy(*order)
+        return grp.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    # global top-k: orderBy+limit compiles to TakeOrderedAndProject (a
+    # per-partition heap + driver merge of k rows), NOT a one-partition
+    # sort of the whole vocabulary; the rank window then runs on k rows.
+    top = grp.orderBy(*order).limit(k)
+    return top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
 
 
 # Redaction patterns deliberately restricted to the regex subset shared

@@ -174,3 +174,24 @@ def test_redact_patterns_portable_to_duckdb(docs):
         """
     ).fetchone()
     assert (got["e"], got["p"], got["i"]) == (e, p, i)
+
+
+# ------------------------------------------------------------ top_tokens
+
+
+def test_top_tokens_global_and_grouped(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "b b c"), (2, "a", "b c c c"), (3, "z", "d d")],
+        ["doc_id", "source", "text"],
+    )
+    top = {(r["token"], r["n"], r["rank"]) for r in text.top_tokens(df, k=2).collect()}
+    assert top == {("c", 4, 1), ("b", 3, 2)}
+    grouped = text.top_tokens(df, k=1, by="source").collect()
+    got = {(r["source"], r["token"], r["n"]) for r in grouped}
+    assert got == {("a", "c", 4), ("z", "d", 2)}
+
+
+def test_top_tokens_tie_break_lexicographic(spark):
+    df = spark.createDataFrame([(1, "x y")], ["doc_id", "text"])
+    rows = text.top_tokens(df, k=2).orderBy("rank").collect()
+    assert [(r["token"], r["rank"]) for r in rows] == [("x", 1), ("y", 2)]
