@@ -128,6 +128,36 @@ def save(cf: ClariteFrame, path: str, fmt: str = "parquet", mode: str = "overwri
         fh.write(cf.catalog.to_json())
 
 
+def save_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str] | str,
+    n_buckets: int = 128,
+    sort_cols: list[str] | str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table hash-bucketed (and optionally sorted) on its join/
+    aggregation key — the 100-TB answer to repeated shuffles.
+
+    Two tables bucketed on the same key with the same bucket count join
+    with ZERO Exchange (each bucket pairs 1:1), and a groupBy on the
+    bucket key skips its shuffle too; sorted buckets additionally skip
+    the sort before a SortMergeJoin. This trades one write-time shuffle
+    for every future read-time shuffle on that key — the right call for
+    fact tables that are joined/aggregated on the same key daily.
+
+    Bucketing metadata lives in the session catalog, so this writes via
+    ``saveAsTable`` (plain parquet files + catalog entry; no Hive
+    required). Read back with ``spark.table(table)``.
+    """
+    bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else bucket_cols
+    writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols is not None:
+        sort_cols = [sort_cols] if isinstance(sort_cols, str) else sort_cols
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 EWAS_REQUIRED_COLUMNS = [
     "Variable",
     "Outcome",

@@ -136,3 +136,38 @@ def test_chained_operators_fuse_into_one_scan(orders_cf):
     assert "EqualTo(o_orderstatus,O)" in plan
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "o_custkey" not in read_schema
+
+
+def test_bucketed_join_and_groupby_skip_exchange(spark, tmp_path):
+    """Two tables bucketed on the same key join with no Exchange, and a
+    groupBy on the bucket key skips its shuffle — the write-once /
+    shuffle-never contract of save_bucketed."""
+    from pyspark.sql import functions as F
+
+    from clarite_python_spark.sources.io import save_bucketed
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    save_bucketed(orders, "t_orders_b", "o_orderkey", 8, sort_cols="o_orderkey")
+    save_bucketed(li, "t_lineitem_b", "l_orderkey", 8, sort_cols="l_orderkey")
+    try:
+        a = spark.table("t_orders_b")
+        b = spark.table("t_lineitem_b")
+        joined = a.hint("merge").join(b, a.o_orderkey == b.l_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        agg_plan = (
+            b.groupBy("l_orderkey")
+            .agg(F.sum("l_quantity"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in agg_plan
+        # and the result is still correct
+        n = joined.count()
+        ref = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+        assert n == ref > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
