@@ -800,6 +800,28 @@ def get_significant_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/joins.py): every click gets the user's most
+    recent at-or-before purchase. Oracle is DuckDB's native ASOF LEFT
+    JOIN; the Spark plan is union + one keyed shuffle + running window —
+    no range/cartesian join."""
+    from clarite_python_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    out = asof_join(clicks, buys, on="ts", by="user_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("purchase_value", 4).alias("purchase_value"),
+        F.col("ts_right").alias("purchase_ts"),
+    ).orderBy("event_id")
+
+
 def top_tokens_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: global top-25 tokens (explode -> partial-agg
     count -> TakeOrderedAndProject)."""
@@ -922,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh_embeddings": embedding_neardup_lsh_embeddings,
         "colfilter_min_n_events": colfilter_min_n_events,
         "get_significant_documents": get_significant_documents,
+        "asof_join_events": asof_join_events,
         "top_tokens_documents": top_tokens_documents,
         "user_stats_events": user_stats_events,
         "deterministic_split_documents": deterministic_split_documents,
@@ -2024,6 +2047,19 @@ def oracle_sql() -> dict[str, str]:
                    round(pvalue_bonferroni, 9) AS pvalue_bonferroni,
                    round(pvalue_fdr, 9) AS pvalue_fdr
             FROM corrected WHERE pvalue_fdr <= 0.97 ORDER BY doc_id
+        """,
+        "asof_join_events": """
+            WITH clicks AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+            ), buys AS (
+              SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+            )
+            SELECT c.event_id, c.user_id, c.ts,
+                   round(b.value, 4) AS purchase_value,
+                   b.ts AS purchase_ts
+            FROM clicks c ASOF LEFT JOIN buys b
+              ON c.user_id = b.user_id AND c.ts >= b.ts
+            ORDER BY c.event_id
         """,
         "top_tokens_documents": f"""
             WITH tok AS (

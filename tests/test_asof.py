@@ -1,0 +1,104 @@
+"""asof_join: semantics pinned against pandas.merge_asof (the de-facto
+reference for as-of semantics) on crafted and real data, plus the plan
+shape (one keyed shuffle, no cartesian/range join)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from clarite_python_spark.operators.joins import asof_join
+from clarite_python_spark.sources.io import load_testdata
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_backward_semantics_crafted(spark):
+    left = spark.createDataFrame(
+        [(1, 10.0, "a"), (1, 20.0, "b"), (1, 5.0, "c"), (2, 10.0, "d")],
+        "k: long, ts: double, who: string",
+    )
+    right = spark.createDataFrame(
+        [(1, 8.0, 100.0), (1, 10.0, 200.0), (1, 15.0, 300.0), (3, 1.0, 999.0)],
+        "k: long, ts: double, v: double",
+    )
+    got = {
+        r["who"]: (r["v"], r["ts_right"])
+        for r in asof_join(left, right, on="ts", by="k").collect()
+    }
+    assert got["a"] == (200.0, 10.0)  # equal ts matches (<=)
+    assert got["b"] == (300.0, 15.0)  # most recent, not first
+    assert got["c"] == (None, None)  # nothing at-or-before 5
+    assert got["d"] == (None, None)  # key 2 has no right rows
+
+
+def test_forward_and_tolerance(spark):
+    left = spark.createDataFrame([(1, 10.0, "a"), (1, 30.0, "b")], "k: long, ts: double, who: string")
+    right = spark.createDataFrame([(1, 12.0, 1.0), (1, 100.0, 2.0)], "k: long, ts: double, v: double")
+    fwd = {r["who"]: r["v"] for r in asof_join(left, right, by="k", direction="forward").collect()}
+    assert fwd == {"a": 1.0, "b": 2.0}
+    tol = {
+        r["who"]: r["v"]
+        for r in asof_join(left, right, by="k", direction="forward", tolerance=5).collect()
+    }
+    assert tol == {"a": 1.0, "b": None}  # 100-30=70 > 5 nulled, row kept
+
+
+def test_matches_pandas_merge_asof_on_events(spark):
+    ev = load_testdata(spark, SF_DIR, ["events"])["events"]
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    got = (
+        asof_join(clicks, buys, on="ts", by="user_id")
+        .select("event_id", "purchase_value", "ts_right")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    lp, rp = clicks.toPandas(), buys.toPandas()
+    want = (
+        pd.merge_asof(
+            lp.sort_values("ts"), rp.sort_values("ts"), on="ts", by="user_id", direction="backward"
+        )
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    pd.testing.assert_series_equal(
+        got["purchase_value"], want["purchase_value"], check_names=False
+    )
+
+
+def test_name_collision_gets_suffix(spark):
+    left = spark.createDataFrame([(1, 1.0, 5.0)], "k: long, ts: double, v: double")
+    right = spark.createDataFrame([(1, 1.0, 7.0)], "k: long, ts: double, v: double")
+    out = asof_join(left, right, by="k")
+    assert "v" in out.columns and "v_right" in out.columns
+    r = out.collect()[0]
+    assert r["v"] == 5.0 and r["v_right"] == 7.0
+
+
+def test_rejects_bad_args(spark):
+    df = spark.createDataFrame([(1, 1.0)], "k: long, ts: double")
+    with pytest.raises(ValueError):
+        asof_join(df, df, by="k", direction="sideways")
+    with pytest.raises(ValueError):
+        asof_join(df, df, by="k", right_cols=["k"])
+
+
+def test_plan_is_one_keyed_shuffle_no_cartesian(spark):
+    ev = load_testdata(spark, SF_DIR, ["events"])["events"]
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    buys = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    plan = (
+        asof_join(clicks, buys, on="ts", by="user_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # the union of the two scans shuffles ONCE on the key for the window
+    assert plan.count("Exchange hashpartitioning") == 1
