@@ -822,6 +822,25 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join (operators/joins.py:interval_join): all
+    clicks within 2 h at-or-after a purchase by the same user. The Spark
+    plan is a binned EQUI-join (no inequality-join cartesian); the oracle
+    is the naive inequality join, which DuckDB executes exactly."""
+    from clarite_python_spark.operators.joins import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    out = interval_join(clicks, buys, by="user_id", bin_width=3600.0)
+    return out.select("event_id", "user_id", "purchase_id").orderBy("event_id", "purchase_id")
+
+
 def top_tokens_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: global top-25 tokens (explode -> partial-agg
     count -> TakeOrderedAndProject)."""
@@ -945,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "colfilter_min_n_events": colfilter_min_n_events,
         "get_significant_documents": get_significant_documents,
         "asof_join_events": asof_join_events,
+        "interval_join_events": interval_join_events,
         "top_tokens_documents": top_tokens_documents,
         "user_stats_events": user_stats_events,
         "deterministic_split_documents": deterministic_split_documents,
@@ -2060,6 +2080,14 @@ def oracle_sql() -> dict[str, str]:
             FROM clicks c ASOF LEFT JOIN buys b
               ON c.user_id = b.user_id AND c.ts >= b.ts
             ORDER BY c.event_id
+        """,
+        "interval_join_events": """
+            SELECT c.event_id, c.user_id, p.event_id AS purchase_id
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id
+             AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 2 HOURS
+            ORDER BY c.event_id, purchase_id
         """,
         "top_tokens_documents": f"""
             WITH tok AS (

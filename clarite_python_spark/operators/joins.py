@@ -27,7 +27,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "interval_join"]
+
+
+def _seconds(df: DataFrame, name: str, col: Column | None = None) -> Column:
+    """Numeric columns stay in their own units; TIMESTAMP / TIMESTAMP_NTZ
+    (which Spark 4 refuses to cast straight to double, even via try_cast)
+    go timestamp -> epoch seconds. Branches on the SCHEMA type because no
+    single cast expression analyzes for both families."""
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    c = F.col(name) if col is None else col
+    if isinstance(df.schema[name].dataType, (TimestampType, TimestampNTZType)):
+        return c.cast("timestamp").cast("double")
+    return c.cast("double")
 
 
 def asof_join(
@@ -100,10 +113,92 @@ def asof_join(
     ).where(F.col("__side") == 1).drop("__side")
 
     if tolerance is not None:
-        lts, rts = F.col(on).cast("double"), F.col(on_right).cast("double")
+        lts = _seconds(left, on)
+        rts = _seconds(right, on, F.col(on_right))
         gap = (lts - rts) if direction == "backward" else (rts - lts)
         ok = F.col(on_right).isNotNull() & (gap <= F.lit(float(tolerance)))
         null_cols = {out_name[c]: F.when(ok, F.col(out_name[c])) for c in right_cols}
         null_cols[on_right] = F.when(ok, F.col(on_right))
         joined = joined.withColumns(null_cols)
     return joined
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    by: str | list[str] | None = None,
+    bin_width: float = 3600.0,
+    inclusive_end: bool = True,
+    suffix: str = "_ivl",
+    max_bins_per_interval: int = 10_000,
+) -> DataFrame:
+    """Point-in-interval join: every (point, interval) pair with
+    ``start <= point <= end`` (``< end`` when ``inclusive_end=False``),
+    optionally per ``by`` key. Inner join: points in no interval drop,
+    points in several intervals appear once per interval.
+
+    Open-source Spark executes an inequality join as a broadcast-nested
+    -loop / cartesian — O(n·m). This instead BINS time: each interval is
+    exploded to the ``width``-sized bins it touches, each point computes
+    its single bin, and the pair candidates come from an EQUI-join on
+    (key, bin) that Catalyst shuffles/broadcasts like any other; the
+    exact predicate then filters within candidates. Cost is linear with
+    an explode factor of ~(interval length / bin_width + 1) — pick
+    ``bin_width`` near the median interval length, keeping the factor
+    ~2. A runaway interval (> ``max_bins_per_interval`` bins) fails
+    fast with an explicit error rather than exploding a task.
+
+    Interval columns keep their names (``suffix``-renamed on collision
+    with a point column). Timestamps are binned on epoch seconds;
+    numeric columns on their own units.
+    """
+    keys = [by] if isinstance(by, str) else list(by or [])
+    w = float(bin_width)
+    if w <= 0:
+        raise ValueError("bin_width must be positive")
+
+    ivl_cols = [c for c in intervals.columns if c not in keys]
+    out_name = {c: (c + suffix if c in points.columns else c) for c in ivl_cols}
+    i = intervals.select(
+        *keys, *[F.col(c).alias(out_name[c]) for c in ivl_cols]
+    )
+    s_bin = F.floor(_seconds(intervals, start_col, F.col(out_name[start_col])) / w).cast("long")
+    e_raw = _seconds(intervals, end_col, F.col(out_name[end_col])) / w
+    e_bin = F.floor(e_raw).cast("long")
+    # half-open intervals whose end sits exactly on a bin edge don't
+    # touch that bin
+    if not inclusive_end:
+        e_bin = F.when(e_raw == F.floor(e_raw), e_bin - 1).otherwise(e_bin)
+    n_bins = e_bin - s_bin + 1
+    guard = F.assert_true(
+        n_bins <= F.lit(max_bins_per_interval),
+        F.concat(
+            F.lit("interval spans too many bins ("),
+            n_bins.cast("string"),
+            F.lit(f" > {max_bins_per_interval}); raise bin_width"),
+        ),
+    )
+    i = i.withColumn("__bin", F.explode_outer(F.when(guard.isNull(), F.sequence(s_bin, e_bin))))
+    p = points.withColumn("__bin", F.floor(_seconds(points, point_col) / w).cast("long"))
+
+    pa, ia = p.alias("__p"), i.alias("__i")
+    cond = F.col("__p.__bin") == F.col("__i.__bin")
+    for k in keys:
+        cond = cond & (F.col(f"__p.{k}") == F.col(f"__i.{k}"))
+    cond = cond & (F.col(point_col) >= F.col(out_name[start_col]))
+    end_pred = (
+        F.col(point_col) <= F.col(out_name[end_col])
+        if inclusive_end
+        else F.col(point_col) < F.col(out_name[end_col])
+    )
+    cond = cond & end_pred
+    return (
+        pa.join(ia, cond, "inner")
+        .select(
+            *[F.col(f"__p.{c}") for c in points.columns],
+            *[F.col(f"__i.{out_name[c]}") for c in ivl_cols],
+        )
+    )

@@ -102,3 +102,93 @@ def test_plan_is_one_keyed_shuffle_no_cartesian(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     # the union of the two scans shuffles ONCE on the key for the window
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ---------------------------------------------------------- interval_join
+
+
+def test_interval_join_semantics(spark):
+    pts = spark.createDataFrame(
+        [(1, 5.0, "a"), (1, 10.0, "b"), (1, 20.0, "c"), (2, 5.0, "d")],
+        "k: long, ts: double, who: string",
+    )
+    ivl = spark.createDataFrame(
+        [(1, 0.0, 10.0, "i1"), (1, 9.0, 30.0, "i2"), (3, 0.0, 100.0, "i3")],
+        "k: long, start: double, end: double, name: string",
+    )
+    from clarite_python_spark.operators.joins import interval_join
+
+    got = {
+        (r["who"], r["name"])
+        for r in interval_join(pts, ivl, by="k", bin_width=4.0).collect()
+    }
+    # closed intervals: ts=10 in both i1 ([0,10]) and i2 ([9,30])
+    assert got == {("a", "i1"), ("b", "i1"), ("b", "i2"), ("c", "i2")}
+    half = {
+        (r["who"], r["name"])
+        for r in interval_join(pts, ivl, by="k", bin_width=4.0, inclusive_end=False).collect()
+    }
+    assert half == {("a", "i1"), ("b", "i2"), ("c", "i2")}
+
+
+def test_interval_join_matches_duckdb_inequality_join(spark):
+    """Binned equi-join == the naive inequality join (DuckDB executes it
+    exactly): clicks within 2h after a purchase, per user."""
+    import duckdb
+
+    ev = load_testdata(spark, SF_DIR, ["events"])["events"]
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    buys = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"),
+            F.col("event_id").alias("purchase_id"),
+        )
+    )
+    from clarite_python_spark.operators.joins import interval_join
+
+    got = {
+        (r["event_id"], r["purchase_id"])
+        for r in interval_join(clicks, buys, by="user_id", bin_width=3600.0).collect()
+    }
+    want = set(
+        map(
+            tuple,
+            duckdb.sql(
+                f"""
+        WITH e AS (SELECT * FROM '{SF_DIR}/events.parquet')
+        SELECT c.event_id, p.event_id
+        FROM (SELECT * FROM e WHERE event_type='click') c
+        JOIN (SELECT * FROM e WHERE event_type='purchase') p
+          ON c.user_id = p.user_id
+         AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 2 HOURS
+        """
+            ).fetchall(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_interval_join_guard_trips_on_runaway_interval(spark):
+    pts = spark.createDataFrame([(0.5,)], "ts: double")
+    ivl = spark.createDataFrame([(0.0, 1e9, "huge")], "start: double, end: double, name: string")
+    from clarite_python_spark.operators.joins import interval_join
+
+    with pytest.raises(Exception, match="too many bins"):
+        interval_join(pts, ivl, bin_width=1.0).collect()
+
+
+def test_interval_join_plan_no_cartesian(spark):
+    pts = spark.createDataFrame([(1, 5.0)], "k: long, ts: double")
+    ivl = spark.createDataFrame([(1, 0.0, 10.0)], "k: long, start: double, end: double")
+    from clarite_python_spark.operators.joins import interval_join
+
+    plan = (
+        interval_join(pts, ivl, by="k", bin_width=4.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
