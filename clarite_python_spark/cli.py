@@ -208,6 +208,45 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument("output")
         p.add_argument("--cutoff", type=float, default=0.05)
 
+    # extension group: dataset-pipeline ops over plain parquet (no
+    # .dtypes sidecar needed — these are corpus tables, not QC frames)
+    g_pipe = groups.add_parser("pipeline").add_subparsers(dest="command", required=True)
+    p = g_pipe.add_parser("split")
+    p.add_argument("data")
+    p.add_argument("output")
+    p.add_argument("--fractions", nargs="+", default=["train=0.8", "val=0.1", "test=0.1"],
+                   help="name=frac pairs")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--salt", default="")
+    p = g_pipe.add_parser("sample")
+    p.add_argument("data")
+    p.add_argument("output")
+    p.add_argument("--fraction", type=float, default=None)
+    p.add_argument("--by", default=None)
+    p.add_argument("--fractions", nargs="*", default=None, help="stratum=frac pairs")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--salt", default="")
+    p = g_pipe.add_parser("pack")
+    p.add_argument("data")
+    p.add_argument("output")
+    p.add_argument("--max-tokens", type=int, required=True)
+    p.add_argument("--by", default="source")
+    p.add_argument("--order-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--n-shards", type=int, default=1)
+    p = g_pipe.add_parser("redact")
+    p.add_argument("data")
+    p.add_argument("output")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p = g_pipe.add_parser("dedup")
+    p.add_argument("data")
+    p.add_argument("output")
+    p.add_argument("--method", default="exact", choices=["exact", "minhash"])
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--threshold", type=float, default=0.8)
+
     return ap
 
 
@@ -415,6 +454,55 @@ def main(argv: list[str] | None = None) -> int:
                 filename=args.output,
             )
         print(f"wrote {args.output}")
+        return 0
+
+    if args.group == "pipeline":
+        from clarite_python_spark.operators import dedup as dedup_mod
+        from clarite_python_spark.operators import pipeline as pipe_mod
+        from clarite_python_spark.operators import text as text_mod
+
+        df = spark.read.parquet(args.data)
+
+        def _pairs(items):
+            out = {}
+            for item in items:
+                name, _, frac = item.partition("=")
+                out[name] = float(frac)
+            return out
+
+        if args.command == "split":
+            out = pipe_mod.deterministic_split(
+                df, _pairs(args.fractions), id_col=args.id_col, salt=args.salt
+            )
+        elif args.command == "sample":
+            out = pipe_mod.deterministic_sample(
+                df,
+                fraction=args.fraction,
+                by=args.by,
+                fractions=_pairs(args.fractions) if args.fractions else None,
+                id_col=args.id_col,
+                salt=args.salt,
+            )
+        elif args.command == "pack":
+            out = pipe_mod.pack_sequences(
+                df,
+                args.max_tokens,
+                by=args.by,
+                order_col=args.order_col,
+                text_col=args.text_col,
+                n_shards=args.n_shards,
+                id_col=args.id_col if hasattr(args, "id_col") else args.order_col,
+            )
+        elif args.command == "redact":
+            out = text_mod.redact(df, text_col=args.text_col, id_col=args.id_col)
+        elif args.command == "dedup":
+            if args.method == "exact":
+                out = dedup_mod.exact_dedup(df, text_col=args.text_col, id_col=args.id_col)
+            else:
+                out = dedup_mod.minhash_dedup(
+                    df, text_col=args.text_col, id_col=args.id_col, threshold=args.threshold
+                )
+        _save_result(out, args.output)
         return 0
 
     raise SystemExit(f"unknown command {cmd}")  # pragma: no cover

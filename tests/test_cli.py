@@ -175,3 +175,31 @@ def test_cli_plot_commands(spark, tmp_path, tsv_file):
         for cmd in cmds:
             with pytest.raises(ImportError, match="matplotlib"):
                 cli.main(cmd)
+
+
+def test_cli_pipeline_group(spark, tmp_path):
+    """Extension group: split/sample/pack/redact/dedup over plain parquet."""
+    d = str(tmp_path)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = f"{d}/docs"
+    docs.write.parquet(src)
+
+    assert cli.main(["pipeline", "split", src, f"{d}/split",
+                     "--fractions", "train=0.9", "test=0.1", "--salt", "s"]) == 0
+    out = spark.read.parquet(f"{d}/split")
+    assert set(r["split"] for r in out.select("split").distinct().collect()) == {"train", "test"}
+    assert out.count() == docs.count()
+
+    assert cli.main(["pipeline", "sample", src, f"{d}/samp", "--fraction", "0.3"]) == 0
+    n = spark.read.parquet(f"{d}/samp").count()
+    assert 0 < n < docs.count()
+
+    assert cli.main(["pipeline", "pack", src, f"{d}/pack", "--max-tokens", "256"]) == 0
+    packed = spark.read.parquet(f"{d}/pack")
+    assert {"seq_id", "seq_offset", "n_tokens"} <= set(packed.columns)
+
+    assert cli.main(["pipeline", "redact", src, f"{d}/red"]) == 0
+    assert "text_redacted" in spark.read.parquet(f"{d}/red").columns
+
+    assert cli.main(["pipeline", "dedup", src, f"{d}/dd"]) == 0
+    assert 0 < spark.read.parquet(f"{d}/dd").count() <= docs.count()
