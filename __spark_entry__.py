@@ -800,6 +800,18 @@ def get_significant_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def incremental_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest dedup (operators/dedup.py:incremental_dedup): the
+    second half of the corpus arrives as a 'new batch' and is anti-joined
+    on fingerprint against the first half, then deduped within itself."""
+    docs = _t(spark, sf_dir, "documents")
+    mid = 250  # sf-stable split point: doc_ids are dense from 0
+    seen = docs.where(F.col("doc_id") < mid)
+    new = docs.where(F.col("doc_id") >= mid)
+    out = dedup.incremental_dedup(new, seen)
+    return out.select("doc_id").orderBy("doc_id")
+
+
 def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/joins.py): every click gets the user's most
     recent at-or-before purchase. Oracle is DuckDB's native ASOF LEFT
@@ -963,6 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh_embeddings": embedding_neardup_lsh_embeddings,
         "colfilter_min_n_events": colfilter_min_n_events,
         "get_significant_documents": get_significant_documents,
+        "incremental_dedup_documents": incremental_dedup_documents,
         "asof_join_events": asof_join_events,
         "interval_join_events": interval_join_events,
         "top_tokens_documents": top_tokens_documents,
@@ -2067,6 +2080,17 @@ def oracle_sql() -> dict[str, str]:
                    round(pvalue_bonferroni, 9) AS pvalue_bonferroni,
                    round(pvalue_fdr, 9) AS pvalue_fdr
             FROM corrected WHERE pvalue_fdr <= 0.97 ORDER BY doc_id
+        """,
+        "incremental_dedup_documents": f"""
+            WITH seen AS (
+              SELECT DISTINCT md5({norm_text}) AS fp FROM documents WHERE doc_id < 250
+            ), fresh AS (
+              SELECT doc_id, md5({norm_text}) AS fp FROM documents
+              WHERE doc_id >= 250
+            )
+            SELECT min(doc_id) AS doc_id
+            FROM fresh WHERE fp NOT IN (SELECT fp FROM seen)
+            GROUP BY fp ORDER BY doc_id
         """,
         "asof_join_events": """
             WITH clicks AS (

@@ -63,6 +63,40 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def incremental_dedup(
+    new: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seen_fp_col: str | None = None,
+) -> DataFrame:
+    """Daily-ingest dedup: drop new documents whose fingerprint already
+    exists in the historical corpus, then exact-dedup within the batch.
+
+    ``seen`` is either a raw document table (fingerprinted here) or — the
+    scale form — a persisted one-column fingerprint table (pass its
+    column via ``seen_fp_col``): at 100 TB you keep the md5 set as its
+    own (ideally fingerprint-bucketed) table and never re-scan document
+    bodies. The plan is one LEFT ANTI join on the fingerprint — shuffles
+    only the 16-byte keys of the new batch against the seen set, and
+    with both sides bucketed on the fingerprint it is exchange-free —
+    plus the within-batch hash-groupBy. This is the batch twin of
+    streaming/dedup.py (same md5-of-normalized-text key everywhere, so
+    batch, incremental, and streaming dedup agree on what "same" means).
+    """
+    if seen_fp_col is None:
+        seen_fps = seen.select(F.md5(_norm(text_col)).alias("__fp")).distinct()
+    else:
+        seen_fps = seen.select(F.col(seen_fp_col).alias("__fp")).distinct()
+    keyed = new.withColumn("__fp", F.md5(_norm(text_col)))
+    fresh = keyed.join(seen_fps, "__fp", "left_anti")
+    return (
+        fresh.groupBy("__fp")
+        .agg(F.min_by(F.struct(*new.columns), F.col(id_col)).alias("__row"))
+        .select("__row.*")
+    )
+
+
 def shingles(text_col: str = "text", n: int = 3) -> Column:
     """Distinct word n-gram shingles as an array column (JVM lambdas)."""
     toks = tokens(text_col)

@@ -105,3 +105,32 @@ def test_md5_member_is_60_bit_nonnegative(spark):
     ).collect()[0]["s"]
     assert len(sig) == 8
     assert all(0 <= v < (1 << 60) for v in sig)
+
+
+def test_incremental_dedup_against_history(spark):
+    seen = spark.createDataFrame(
+        [(1, "old doc one"), (2, "old  doc\ttwo")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "OLD DOC ONE"),       # dup of history (case/ws-normalized)
+            (11, "brand new"),
+            (12, "brand  NEW"),        # dup within the batch -> min id kept
+            (13, "also new"),
+        ],
+        ["doc_id", "text"],
+    )
+    from clarite_python_spark.operators.dedup import incremental_dedup
+
+    kept = sorted(r["doc_id"] for r in incremental_dedup(new, seen).collect())
+    assert kept == [11, 13]
+
+    # scale form: seen passed as a bare fingerprint table
+    from clarite_python_spark.operators import text as text_mod
+
+    fps = text_mod.fingerprint(seen).select("fingerprint")
+    kept2 = sorted(
+        r["doc_id"]
+        for r in incremental_dedup(new, fps, seen_fp_col="fingerprint").collect()
+    )
+    assert kept2 == kept
