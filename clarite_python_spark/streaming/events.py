@@ -114,3 +114,21 @@ def stream_windowed_counts(
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
     )
+
+
+def stream_enriched(
+    spark: SparkSession,
+    path: str,
+    dim: DataFrame,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Stream-static enrichment: join a file-source event stream to a
+    static dimension table.
+
+    Spark plans a stream-static inner join with the STATIC side
+    broadcast/re-read per micro-batch — the stream itself is never
+    shuffled, so at 100 TB/day the enrich step stays a per-partition map
+    as long as the dimension fits the usual broadcast budget. No
+    watermark needed (the static side never changes mid-query)."""
+    stream = spark.readStream.schema(spark.read.parquet(path).schema).parquet(path)
+    return stream.join(F.broadcast(dim), key_col, "inner")

@@ -286,3 +286,45 @@ def test_stream_sessionized_drops_data_older_than_watermark(spark, tmp_path):
     assert 9 in set(out2.user_id)      # pending session finalized live
     assert 2 not in set(out2.user_id)  # late event evicted, not revived
     assert 2 not in set(run().user_id)  # nor parked in state
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    """Stream-static broadcast join == the batch join, driven to
+    completion with availableNow."""
+    from pyspark.sql import functions as F
+
+    from clarite_python_spark.streaming.events import stream_enriched
+
+    events = load_testdata(spark, SF_DIR, ["events"])["events"]
+    src = str(tmp_path / "events_enrich_src")
+    events.write.mode("overwrite").parquet(src)
+    dim = spark.createDataFrame(
+        [(u, "seg%d" % (u % 3)) for u in range(0, 200, 2)], ["user_id", "segment"]
+    )
+
+    q = (
+        stream_enriched(spark, src, dim)
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select user_id, segment, count(*) n from enriched group by 1,2").toPandas()
+    want = (
+        spark.read.parquet(src)
+        .join(F.broadcast(dim), "user_id")
+        .groupBy("user_id", "segment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .toPandas()
+    )
+    key = ["user_id", "segment"]
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        want.sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
+    assert len(got) > 0
