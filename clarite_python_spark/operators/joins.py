@@ -65,6 +65,11 @@ def asof_join(
     timestamp. ``tolerance`` (seconds, or ``on``'s native units for
     numeric columns) nulls out matches further than that from the left
     row — rows are kept, payloads nulled, again merge_asof semantics.
+
+    If several RIGHT rows share the same (key, ``on``) value, which of
+    them wins is unspecified (pandas picks input order, which has no
+    distributed analogue) — pre-aggregate the right side to one row per
+    (key, time) when that matters.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")

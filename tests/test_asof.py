@@ -192,3 +192,52 @@ def test_interval_join_plan_no_cartesian(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+# ------------------------------------------------- property: vs merge_asof
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ts = st.integers(min_value=0, max_value=50)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=st.lists(st.tuples(st.integers(0, 2), _ts), min_size=1, max_size=15),
+    right=st.lists(st.tuples(st.integers(0, 2), _ts), min_size=1, max_size=15),
+)
+def test_asof_property_matches_merge_asof(spark, left, right):
+    """Random keyed event sets agree with pandas merge_asof (right side
+    deduped to one row per (key, ts) — ties there are unspecified)."""
+    right = list({(k, t) for (k, t) in right})  # unique (key, ts)
+    lp = pd.DataFrame(left, columns=["k", "ts"]).astype(float)
+    lp["k"] = lp["k"].astype(int)
+    lp["rowid"] = range(len(lp))
+    rp = pd.DataFrame(right, columns=["k", "ts"]).astype(float)
+    rp["k"] = rp["k"].astype(int)
+    rp["v"] = rp["ts"] * 10 + rp["k"]
+
+    got = (
+        asof_join(
+            spark.createDataFrame(lp), spark.createDataFrame(rp), on="ts", by="k"
+        )
+        .select("rowid", "v")
+        .toPandas()
+        .sort_values("rowid")
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.merge_asof(
+            lp.sort_values(["ts", "rowid"]), rp.sort_values("ts"), on="ts", by="k"
+        )
+        .sort_values("rowid")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_series_equal(got["v"], want["v"], check_names=False)
