@@ -800,6 +800,18 @@ def get_significant_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def bpe_token_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretokenizer (BPE-ish regex) vs whitespace token counts per doc
+    (operators/text.py:bpe_token_count; pattern is Java∩RE2 so the
+    oracle runs the same string)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").alias("ws_tokens"),
+        text.bpe_token_count("text").alias("bpe_tokens"),
+    ).orderBy("doc_id")
+
+
 def incremental_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-ingest dedup (operators/dedup.py:incremental_dedup): the
     second half of the corpus arrives as a 'new batch' and is anti-joined
@@ -975,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh_embeddings": embedding_neardup_lsh_embeddings,
         "colfilter_min_n_events": colfilter_min_n_events,
         "get_significant_documents": get_significant_documents,
+        "bpe_token_counts_documents": bpe_token_counts_documents,
         "incremental_dedup_documents": incremental_dedup_documents,
         "asof_join_events": asof_join_events,
         "interval_join_events": interval_join_events,
@@ -997,6 +1010,9 @@ _TOKENS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')"
 # redaction pattern table (operators/text.py:PII_PATTERNS) — single-quote
 # safe by construction (character classes only)
 from clarite_python_spark.operators.text import PII_PATTERNS as _PII  # noqa: E402
+from clarite_python_spark.operators.text import BPE_ISH_PATTERN as _BPE  # noqa: E402
+
+_BPE_SQL = _BPE.replace("'", "''")  # SQL single-quote escape
 
 
 def _md5_bucket(id_expr: str, salt: str, buckets: int = 10000) -> str:
@@ -2080,6 +2096,12 @@ def oracle_sql() -> dict[str, str]:
                    round(pvalue_bonferroni, 9) AS pvalue_bonferroni,
                    round(pvalue_fdr, 9) AS pvalue_fdr
             FROM corrected WHERE pvalue_fdr <= 0.97 ORDER BY doc_id
+        """,
+        "bpe_token_counts_documents": f"""
+            SELECT doc_id,
+                   len({_TOKENS}) AS ws_tokens,
+                   CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS INT) AS bpe_tokens
+            FROM documents ORDER BY doc_id
         """,
         "incremental_dedup_documents": f"""
             WITH seen AS (

@@ -44,6 +44,21 @@ def token_count(col: str | Column) -> Column:
     return F.size(tokens(col))
 
 
+# GPT-2-style pretokenizer, simplified to the Java-regex ∩ RE2 subset
+# (the original's \s+(?!\S) lookahead is dropped; contractions, letter
+# runs, digit runs, punctuation runs, residual whitespace remain). The
+# count this yields tracks real BPE token counts far better than
+# whitespace words on code/punctuation-heavy text.
+BPE_ISH_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+def bpe_token_count(col: str | Column) -> Column:
+    """Pretokenizer-based token count (``regexp_count`` — one codegen
+    expression, no split/array materialization)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_ISH_PATTERN))
+
+
 def _stopword_hits(toks: Column, words: list[str]) -> Column:
     """Non-distinct count of tokens in ``words`` (order-stable, matches a
     plain SQL ``sum(case when token in (...))``)."""

@@ -195,3 +195,29 @@ def test_top_tokens_tie_break_lexicographic(spark):
     df = spark.createDataFrame([(1, "x y")], ["doc_id", "text"])
     rows = text.top_tokens(df, k=2).orderBy("rank").collect()
     assert [(r["token"], r["rank"]) for r in rows] == [("x", 1), ("y", 2)]
+
+
+def test_bpe_token_count_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, "don't stop-me now, x2!"), (2, "  spaced   out  "), (3, "abc123")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", text.bpe_token_count("text").alias("n")).collect()}
+    # don|'t| stop|-|me| now|,| x|2|! -> 10
+    assert got[1] == 10
+    # "  "|spaced|"   "|out|"  " -> runs of ws + words; leading run "  ",
+    # "spaced", "   ", "out", "  " = 5
+    assert got[2] == 5
+    assert got[3] == 2  # abc|123
+
+
+def test_bpe_pattern_portable_to_duckdb(docs):
+    import duckdb
+
+    got = docs.select(F.sum(text.bpe_token_count("text")).alias("n")).collect()[0]["n"]
+    pat = text.BPE_ISH_PATTERN.replace("'", "''")
+    want = duckdb.sql(
+        f"SELECT sum(len(regexp_extract_all(text, '{pat}'))) FROM '{DOCS}'"
+    ).fetchone()[0]
+    assert got == want
