@@ -800,6 +800,14 @@ def get_significant_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def rolling_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling-hash fingerprints
+    (operators/text.py:rolling_fingerprint); oracle folds the identical
+    arithmetic with DuckDB list_reduce."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.rolling_fingerprint(docs).orderBy("doc_id")
+
+
 def bpe_token_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pretokenizer (BPE-ish regex) vs whitespace token counts per doc
     (operators/text.py:bpe_token_count; pattern is Java∩RE2 so the
@@ -987,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh_embeddings": embedding_neardup_lsh_embeddings,
         "colfilter_min_n_events": colfilter_min_n_events,
         "get_significant_documents": get_significant_documents,
+        "rolling_fingerprint_documents": rolling_fingerprint_documents,
         "bpe_token_counts_documents": bpe_token_counts_documents,
         "incremental_dedup_documents": incremental_dedup_documents,
         "asof_join_events": asof_join_events,
@@ -2096,6 +2105,18 @@ def oracle_sql() -> dict[str, str]:
                    round(pvalue_bonferroni, 9) AS pvalue_bonferroni,
                    round(pvalue_fdr, 9) AS pvalue_fdr
             FROM corrected WHERE pvalue_fdr <= 0.97 ORDER BY doc_id
+        """,
+        "rolling_fingerprint_documents": f"""
+            SELECT doc_id,
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform({_TOKENS},
+                         t -> list_sum(list_transform(range(1, 16),
+                                k -> (CAST(strpos('0123456789abcdef',
+                                       substr(md5(lower(t)), k, 1)) AS BIGINT) - 1)
+                                     << ((15 - k) * 4))) % 2147483647)),
+                     (a, b) -> (a * 131 + b) % 2147483647) AS rolling_fp
+            FROM documents ORDER BY doc_id
         """,
         "bpe_token_counts_documents": f"""
             SELECT doc_id,

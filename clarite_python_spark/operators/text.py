@@ -219,3 +219,34 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     text (md5 — engine-portable), the key for exact dedup."""
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+
+
+def rolling_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    base: int = 131,
+    mod: int = (1 << 31) - 1,
+) -> DataFrame:
+    """Polynomial rolling-hash fingerprint over lowercased tokens:
+    ``h = (h*base + hash(token)) mod M`` folded left-to-right in ONE JVM
+    ``aggregate`` expression — order-sensitive (unlike the md5-of-blob
+    key) and incrementally extendable: appending text only folds the new
+    tokens, which is what makes rolling hashes the right primitive for
+    chunked/streamed content.
+
+    Token hashes are the portable 60-bit md5 construction (same family
+    as the MinHash/sampling ops) reduced mod M; M = 2^31-1 keeps every
+    intermediate under 2^39, safely inside ANSI-mode long arithmetic in
+    any engine. Returns (id, rolling_fp).
+    """
+    toks = F.transform(tokens(text_col), lambda x: F.lower(x))
+    member = lambda t: (  # noqa: E731
+        F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long") % mod
+    )
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * base + member(x)) % mod,
+    )
+    return df.select(F.col(id_col), fp.alias("rolling_fp"))

@@ -221,3 +221,21 @@ def test_bpe_pattern_portable_to_duckdb(docs):
         f"SELECT sum(len(regexp_extract_all(text, '{pat}'))) FROM '{DOCS}'"
     ).fetchone()[0]
     assert got == want
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "c b a"), (3, "A  B   C"), (4, "")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["rolling_fp"] for r in text.rolling_fingerprint(df).collect()}
+    assert got[1] != got[2]       # order matters (unlike a set hash)
+    assert got[1] == got[3]       # case/whitespace-normalized tokens
+    assert got[4] == 0            # empty doc folds to the seed
+    # incremental property: fp("a b c d") = (fp("a b c")*B + h(d)) % M
+    ext = {r["doc_id"]: r["rolling_fp"] for r in text.rolling_fingerprint(
+        spark.createDataFrame([(9, "a b c d")], ["doc_id", "text"])).collect()}
+    hd = {r["doc_id"]: r["rolling_fp"] for r in text.rolling_fingerprint(
+        spark.createDataFrame([(8, "d")], ["doc_id", "text"])).collect()}
+    M = (1 << 31) - 1
+    assert ext[9] == (got[1] * 131 + hd[8]) % M
