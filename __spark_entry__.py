@@ -800,6 +800,16 @@ def get_significant_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def label_centroids_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label class prototypes via posexplode + (label, dim) agg
+    (operators/similarity.py:label_centroids)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.label_centroids(emb)
+    return out.select(
+        "label", "pos", F.round("centroid", 6).alias("centroid"), "n"
+    ).orderBy("label", "pos")
+
+
 def rolling_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive polynomial rolling-hash fingerprints
     (operators/text.py:rolling_fingerprint); oracle folds the identical
@@ -995,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh_embeddings": embedding_neardup_lsh_embeddings,
         "colfilter_min_n_events": colfilter_min_n_events,
         "get_significant_documents": get_significant_documents,
+        "label_centroids_embeddings": label_centroids_embeddings,
         "rolling_fingerprint_documents": rolling_fingerprint_documents,
         "bpe_token_counts_documents": bpe_token_counts_documents,
         "incremental_dedup_documents": incremental_dedup_documents,
@@ -2105,6 +2116,14 @@ def oracle_sql() -> dict[str, str]:
                    round(pvalue_bonferroni, 9) AS pvalue_bonferroni,
                    round(pvalue_fdr, 9) AS pvalue_fdr
             FROM corrected WHERE pvalue_fdr <= 0.97 ORDER BY doc_id
+        """,
+        "label_centroids_embeddings": """
+            SELECT label, i.range AS pos,
+                   round(avg(embedding[i.range + 1]), 6) AS centroid,
+                   count(*) AS n
+            FROM embeddings
+            CROSS JOIN range(0, 64) i
+            GROUP BY label, pos ORDER BY label, pos
         """,
         "rolling_fingerprint_documents": f"""
             SELECT doc_id,

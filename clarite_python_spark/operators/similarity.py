@@ -22,7 +22,36 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine", "cosine_topk", "lsh_topk", "ivf_topk", "embedding_neardup"]
+__all__ = [
+    "cosine",
+    "cosine_topk",
+    "lsh_topk",
+    "ivf_topk",
+    "embedding_neardup",
+    "label_centroids",
+]
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label mean vector (class prototypes) in long form
+    (label, pos, centroid, n).
+
+    The scalable shape for element-wise vector aggregation:
+    ``posexplode`` the array and groupBy (label, dimension) — a plain
+    map-side-combined agg that shuffles #labels × dim partial sums, not
+    vectors. (A driver-side fold or a collect_list of whole vectors
+    would hold rows × dim; this holds nothing.) Long form is also what a
+    downstream join against points wants; pivot to arrays only at the
+    consumer edge if needed.
+    """
+    ex = df.select(F.col(label_col).alias("label"), F.posexplode(vec_col).alias("pos", "v"))
+    return ex.groupBy("label", "pos").agg(
+        F.avg("v").alias("centroid"), F.count(F.lit(1)).alias("n")
+    )
 
 
 def _dot(a: Column, b: Column) -> Column:

@@ -57,3 +57,23 @@ def test_ivf_scores_match_brute_on_shared_hits(emb, queries):
     for key, v in ivf.items():
         if key in brute:
             assert v == brute[key]
+
+
+def test_label_centroids_matches_numpy(spark):
+    import numpy as np
+
+    from clarite_python_spark.operators.similarity import label_centroids
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(30, 4).astype("float32")
+    labels = rng.randint(0, 3, 30)
+    rows = [(int(l), v.tolist()) for l, v in zip(labels, vecs)]
+    df = spark.createDataFrame(rows, "label: int, embedding: array<float>")
+    got = {(r["label"], r["pos"]): (r["centroid"], r["n"]) for r in label_centroids(df).collect()}
+    for lab in range(3):
+        want = vecs[labels == lab].mean(axis=0)
+        n = int((labels == lab).sum())
+        for pos in range(4):
+            c, cn = got[(lab, pos)]
+            assert cn == n
+            assert abs(c - want[pos]) < 1e-6
