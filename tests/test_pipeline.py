@@ -239,3 +239,27 @@ def test_rolling_fingerprint_order_sensitive(spark):
         spark.createDataFrame([(8, "d")], ["doc_id", "text"])).collect()}
     M = (1 << 31) - 1
     assert ext[9] == (got[1] * 131 + hd[8]) % M
+
+
+def test_null_text_behavior_pinned(spark):
+    """NULL text propagates as NULL stats/redactions (pandas-style),
+    never crashes, and never perturbs neighbors' packing."""
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, None), (3, "c d e")], ["doc_id", "text"]
+    )
+    red = {r["doc_id"]: r["n_redacted"] for r in text.redact(df).collect()}
+    assert red[1] == 0 and red[2] is None and red[3] == 0
+
+    packed = {
+        r["doc_id"]: (r["n_tokens"], r["seq_id"])
+        for r in pipeline.pack_sequences(
+            df.withColumn("source", F.lit("s")), max_tokens=4
+        ).collect()
+    }
+    assert packed[1] == (2, 0)
+    assert packed[2][0] is None  # null doc contributes nothing
+    assert packed[3] == (3, 0)  # neighbor layout unaffected (2+3 <= 4? no:
+    # doc3 starts at offset 2 -> seq 0)
+
+    fp = {r["doc_id"]: r["rolling_fp"] for r in text.rolling_fingerprint(df).collect()}
+    assert fp[2] is None and fp[1] is not None
