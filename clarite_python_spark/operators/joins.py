@@ -82,6 +82,10 @@ def asof_join(
 
     out_name = {c: (c + suffix if c in left.columns else c) for c in right_cols}
     on_right = on + suffix
+    if on_right in left.columns or on_right in out_name.values():
+        raise ValueError(
+            f"output column {on_right!r} collides with an input column; pass a different suffix"
+        )
 
     # union schema: keys + on + __side + left columns + right payload
     lhs = left.select(

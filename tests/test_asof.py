@@ -241,3 +241,13 @@ def test_asof_property_matches_merge_asof(spark, left, right):
         .reset_index(drop=True)
     )
     pd.testing.assert_series_equal(got["v"], want["v"], check_names=False)
+
+
+def test_asof_suffix_collision_guard(spark):
+    left = spark.createDataFrame([(1, 1.0, 0.0)], "k: long, ts: double, ts_right: double")
+    right = spark.createDataFrame([(1, 1.0, 7.0)], "k: long, ts: double, v: double")
+    with pytest.raises(ValueError, match="collides"):
+        asof_join(left, right, by="k")
+    # a different suffix resolves it
+    out = asof_join(left, right, by="k", suffix="_r").collect()[0]
+    assert out["v"] == 7.0 and out["ts_r"] == 1.0
