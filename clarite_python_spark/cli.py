@@ -234,6 +234,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--order-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     p.add_argument("--n-shards", type=int, default=1)
+    p.add_argument("--id-col", default="doc_id", help="shard-hash key when --n-shards > 1")
     p = g_pipe.add_parser("redact")
     p.add_argument("data")
     p.add_argument("output")
@@ -491,7 +492,7 @@ def main(argv: list[str] | None = None) -> int:
                 order_col=args.order_col,
                 text_col=args.text_col,
                 n_shards=args.n_shards,
-                id_col=args.id_col if hasattr(args, "id_col") else args.order_col,
+                id_col=args.id_col,
             )
         elif args.command == "redact":
             out = text_mod.redact(df, text_col=args.text_col, id_col=args.id_col)

@@ -117,9 +117,9 @@ def _md5_member(s: Column, j: Column) -> Column:
     hex conv per member) but bit-for-bit reproducible in DuckDB, which
     has no xxhash64 — this is what makes the md5-family MinHash pipeline
     oracle-checkable end-to-end."""
-    return F.conv(
-        F.substring(F.md5(F.concat_ws(":", s, j.cast("string"))), 1, 15), 16, 10
-    ).cast("long")
+    from clarite_python_spark.functions.hashing import md5_60bit
+
+    return md5_60bit(F.concat_ws(":", s, j.cast("string")))
 
 
 def minhash_signature(
@@ -347,7 +347,9 @@ def simhash(
     def token_hash(t: Column) -> Column:
         if hash_family == "xxhash64":
             return F.xxhash64(t)
-        return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+        from clarite_python_spark.functions.hashing import md5_60bit
+
+        return md5_60bit(t)
 
     df = _rebalance(df)
     toks = tokens(text_col)

@@ -82,9 +82,11 @@ def asof_join(
 
     out_name = {c: (c + suffix if c in left.columns else c) for c in right_cols}
     on_right = on + suffix
-    if on_right in left.columns or on_right in out_name.values():
+    out_cols = [c for c in left.columns] + list(out_name.values()) + [on_right]
+    dupes = sorted({c for c in out_cols if out_cols.count(c) > 1})
+    if dupes:
         raise ValueError(
-            f"output column {on_right!r} collides with an input column; pass a different suffix"
+            f"output column(s) {dupes} would be duplicated; pass a different suffix"
         )
 
     # union schema: keys + on + __side + left columns + right payload
@@ -96,7 +98,12 @@ def asof_join(
         *[F.lit(None).cast(right.schema[c].dataType).alias(out_name[c]) for c in right_cols],
         F.lit(None).cast(right.schema[on].dataType).alias(on_right),
     )
-    rhs = right.select(
+    # a right row with NULL `on` can never be "the most recent at-or-
+    # before" anything — dropping it here also keeps it from sorting
+    # NULLS FIRST and leaking its payload onto unmatched left rows.
+    # Left rows with NULL `on` are kept (left join) and get NULL payloads
+    # for the same NULLS-FIRST reason: nothing precedes them.
+    rhs = right.where(F.col(on).isNotNull()).select(
         *keys,
         F.col(on),
         F.lit(0).alias("__side"),
@@ -106,7 +113,12 @@ def asof_join(
     )
     both = lhs.unionByName(rhs)
 
-    ts_order: Column = F.col(on).asc() if direction == "backward" else F.col(on).desc()
+    # NULLS FIRST in BOTH directions: a left row with NULL `on` then has
+    # no right row before it in the scan, so it gets NULL payloads
+    # instead of inheriting whatever came last.
+    ts_order: Column = (
+        F.col(on).asc_nulls_first() if direction == "backward" else F.col(on).desc_nulls_first()
+    )
     w = (
         Window.partitionBy(*(keys or [F.lit(1)]))
         .orderBy(ts_order, F.col("__side").asc())
@@ -182,15 +194,20 @@ def interval_join(
     if not inclusive_end:
         e_bin = F.when(e_raw == F.floor(e_raw), e_bin - 1).otherwise(e_bin)
     n_bins = e_bin - s_bin + 1
+    # assert_true RAISES on NULL input, so coalesce: a NULL-boundary or
+    # reversed (end < start) interval passes the guard and instead yields
+    # no bins below — explode_outer drops it, matching the join predicate
+    # (no point satisfies start <= ts <= end when either is NULL/reversed).
     guard = F.assert_true(
-        n_bins <= F.lit(max_bins_per_interval),
+        F.coalesce(n_bins <= F.lit(max_bins_per_interval), F.lit(True)),
         F.concat(
             F.lit("interval spans too many bins ("),
             n_bins.cast("string"),
             F.lit(f" > {max_bins_per_interval}); raise bin_width"),
         ),
     )
-    i = i.withColumn("__bin", F.explode_outer(F.when(guard.isNull(), F.sequence(s_bin, e_bin))))
+    bins = F.when(guard.isNull() & (e_bin >= s_bin), F.sequence(s_bin, e_bin))
+    i = i.withColumn("__bin", F.explode_outer(bins))
     p = points.withColumn("__bin", F.floor(_seconds(points, point_col) / w).cast("long"))
 
     pa, ia = p.alias("__p"), i.alias("__i")

@@ -43,10 +43,11 @@ def hash_bucket(id_col: str | Column, salt: str = "", buckets: int = BUCKETS) ->
     assignment bit-for-bit. 60 bits >> log2(buckets) keeps the modulo
     bias negligible (< 2**-46).
     """
+    from clarite_python_spark.functions.hashing import md5_60bit
+
     c = F.col(id_col) if isinstance(id_col, str) else id_col
     key = F.concat_ws(":", c.cast("string"), F.lit(salt))
-    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
-    return (h % F.lit(buckets)).alias("bucket")
+    return (md5_60bit(key) % F.lit(buckets)).alias("bucket")
 
 
 def deterministic_split(

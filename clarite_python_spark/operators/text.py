@@ -240,10 +240,10 @@ def rolling_fingerprint(
     intermediate under 2^39, safely inside ANSI-mode long arithmetic in
     any engine. Returns (id, rolling_fp).
     """
+    from clarite_python_spark.functions.hashing import md5_60bit
+
     toks = F.transform(tokens(text_col), lambda x: F.lower(x))
-    member = lambda t: (  # noqa: E731
-        F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long") % mod
-    )
+    member = lambda t: md5_60bit(t) % mod  # noqa: E731
     fp = F.aggregate(
         toks,
         F.lit(0).cast("long"),

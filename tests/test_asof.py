@@ -246,8 +246,43 @@ def test_asof_property_matches_merge_asof(spark, left, right):
 def test_asof_suffix_collision_guard(spark):
     left = spark.createDataFrame([(1, 1.0, 0.0)], "k: long, ts: double, ts_right: double")
     right = spark.createDataFrame([(1, 1.0, 7.0)], "k: long, ts: double, v: double")
-    with pytest.raises(ValueError, match="collides"):
+    with pytest.raises(ValueError, match="duplicated"):
         asof_join(left, right, by="k")
     # a different suffix resolves it
     out = asof_join(left, right, by="k", suffix="_r").collect()[0]
     assert out["v"] == 7.0 and out["ts_r"] == 1.0
+
+
+def test_asof_null_timestamps_no_phantom_matches(spark):
+    """NULL `on` rows: right-side NULLs never match anything; left-side
+    NULLs are kept with NULL payloads — in BOTH directions."""
+    left = spark.createDataFrame(
+        [(1, 5.0, "early"), (1, None, "nots")], "k: long, ts: double, who: string"
+    )
+    right = spark.createDataFrame(
+        [(1, None, 99.0), (1, 10.0, 1.0)], "k: long, ts: double, v: double"
+    )
+    back = {r["who"]: r["v"] for r in asof_join(left, right, by="k").collect()}
+    assert back == {"early": None, "nots": None}  # not 99.0
+    fwd = {
+        r["who"]: r["v"]
+        for r in asof_join(left, right, by="k", direction="forward").collect()
+    }
+    assert fwd == {"early": 1.0, "nots": None}
+
+
+def test_interval_join_null_and_reversed_intervals_drop(spark):
+    from clarite_python_spark.operators.joins import interval_join
+
+    pts = spark.createDataFrame([(1, 5.0)], "k: long, ts: double")
+    ivl = spark.createDataFrame(
+        [
+            (1, None, 10.0, "null_start"),
+            (1, 0.0, None, "null_end"),
+            (1, 1e9, 0.0, "reversed-huge"),  # would be ~1e9 bins if generated
+            (1, 0.0, 10.0, "good"),
+        ],
+        "k: long, start: double, end: double, name: string",
+    )
+    got = [r["name"] for r in interval_join(pts, ivl, by="k", bin_width=4.0).collect()]
+    assert got == ["good"]
