@@ -30,7 +30,9 @@ from clarite_python_spark.operators import (  # noqa: F401
     analyze,
     dedup,
     describe,
+    joins,
     modify,
+    pipeline,
     similarity,
     text,
 )
@@ -52,6 +54,8 @@ __all__ = [
     "describe",
     "analyze",
     "dedup",
+    "joins",
+    "pipeline",
     "similarity",
     "survey",
     "text",

@@ -2,8 +2,10 @@ from clarite_python_spark.operators import (  # noqa: F401
     analyze,
     dedup,
     describe,
+    joins,
     modify,
     multimodal,
+    pipeline,
     similarity,
     text,
 )
