@@ -132,3 +132,51 @@ def stream_enriched(
     watermark needed (the static side never changes mid-query)."""
     stream = spark.readStream.schema(spark.read.parquet(path).schema).parquet(path)
     return stream.join(F.broadcast(dim), key_col, "inner")
+
+
+def stream_interval_join(
+    spark: SparkSession,
+    path: str,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    within: str = "2 hours",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Stream-stream inner join bounded by an event-time range: each
+    left event pairs with right events of the same user at-or-before it
+    within ``within``.
+
+    This is Spark's native stream-stream join: the time-range condition
+    plus watermarks lets the engine compute exactly how long a buffered
+    right row can still match (watermark + range bound) and evict state
+    after — without the range bound, stream-stream join state grows
+    forever. The batch twin is operators.joins.interval_join over the
+    same predicate (parity-tested)."""
+    schema = spark.read.parquet(path).schema
+    left = (
+        spark.readStream.schema(schema).parquet(path)
+        .where(F.col("event_type") == left_type)
+        .select(
+            F.col("event_id").alias("l_event_id"),
+            F.col("user_id").alias("l_user_id"),
+            F.col("ts").cast("timestamp").alias("l_ts"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    right = (
+        spark.readStream.schema(schema).parquet(path)
+        .where(F.col("event_type") == right_type)
+        .select(
+            F.col("event_id").alias("r_event_id"),
+            F.col("user_id").alias("r_user_id"),
+            F.col("ts").cast("timestamp").alias("r_ts"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    return left.join(
+        right,
+        F.expr(
+            f"l_user_id = r_user_id AND l_ts >= r_ts AND l_ts <= r_ts + INTERVAL {within}"
+        ),
+        "inner",
+    ).select("l_event_id", "l_user_id", "l_ts", "r_event_id", "r_ts")

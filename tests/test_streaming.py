@@ -328,3 +328,44 @@ def test_stream_static_enrichment(spark, tmp_path):
         check_dtype=False,
     )
     assert len(got) > 0
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Native stream-stream time-range join == the batch interval_join
+    over the same predicate (clicks within 2h after a purchase)."""
+    from pyspark.sql import functions as F
+
+    from clarite_python_spark.operators.joins import interval_join
+    from clarite_python_spark.streaming.events import stream_interval_join
+
+    events = load_testdata(spark, SF_DIR, ["events"])["events"]
+    src = str(tmp_path / "events_ssjoin_src")
+    events.write.mode("overwrite").parquet(src)
+
+    q = (
+        stream_interval_join(spark, src)
+        .writeStream.format("memory")
+        .queryName("ssjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["l_event_id"], r["r_event_id"])
+        for r in spark.sql("select l_event_id, r_event_id from ssjoin").collect()
+    }
+
+    ev = spark.read.parquet(src)
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    want = {
+        (r["event_id"], r["purchase_id"])
+        for r in interval_join(clicks, buys, by="user_id", bin_width=3600.0).collect()
+    }
+    assert got == want and len(got) > 0
