@@ -286,3 +286,47 @@ def test_interval_join_null_and_reversed_intervals_drop(spark):
     )
     got = [r["name"] for r in interval_join(pts, ivl, by="k", bin_width=4.0).collect()]
     assert got == ["good"]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(st.tuples(st.integers(0, 1), st.integers(0, 40)), min_size=1, max_size=12),
+    ivls=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 40), st.integers(-5, 45)),
+        min_size=1,
+        max_size=8,
+    ),
+    width=st.sampled_from([1.0, 3.0, 4.0, 7.5]),
+    inclusive=st.booleans(),
+)
+def test_interval_join_property_matches_bruteforce(spark, pts, ivls, width, inclusive):
+    """Random integer points/intervals (incl. exact bin-edge ends and
+    reversed intervals) match a python brute force for both closed and
+    half-open semantics, across bin widths."""
+    from clarite_python_spark.operators.joins import interval_join
+
+    p = spark.createDataFrame(
+        [(k, float(t), i) for i, (k, t) in enumerate(pts)], "k: long, ts: double, pid: long"
+    )
+    iv = spark.createDataFrame(
+        [(k, float(s), float(e), j) for j, (k, s, e) in enumerate(ivls)],
+        "k: long, start: double, end: double, iid: long",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_join(
+            p, iv, by="k", bin_width=width, inclusive_end=inclusive
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, (pk, t) in enumerate(pts)
+        for j, (ik, s, e) in enumerate(ivls)
+        if pk == ik and s <= t and (t <= e if inclusive else t < e)
+    }
+    assert got == want
