@@ -800,6 +800,15 @@ def get_significant_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def chunk_documents_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (operators/pipeline.py:
+    chunk_documents): 64-token chunks, 16-token overlap."""
+    docs = _t(spark, sf_dir, "documents")
+    return pipeline.chunk_documents(docs, chunk_tokens=64, overlap=16).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
 def label_centroids_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label class prototypes via posexplode + (label, dim) agg
     (operators/similarity.py:label_centroids)."""
@@ -1005,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh_embeddings": embedding_neardup_lsh_embeddings,
         "colfilter_min_n_events": colfilter_min_n_events,
         "get_significant_documents": get_significant_documents,
+        "chunk_documents_documents": chunk_documents_documents,
         "label_centroids_embeddings": label_centroids_embeddings,
         "rolling_fingerprint_documents": rolling_fingerprint_documents,
         "bpe_token_counts_documents": bpe_token_counts_documents,
@@ -2116,6 +2126,20 @@ def oracle_sql() -> dict[str, str]:
                    round(pvalue_bonferroni, 9) AS pvalue_bonferroni,
                    round(pvalue_fdr, 9) AS pvalue_fdr
             FROM corrected WHERE pvalue_fdr <= 0.97 ORDER BY doc_id
+        """,
+        "chunk_documents_documents": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKENS} AS t, len({_TOKENS}) AS n FROM documents
+            ), chunks AS (
+              SELECT doc_id, t, i.range AS chunk_id
+              FROM toks
+              CROSS JOIN range(0, 100000) i
+              WHERE n > 0 AND i.range < CAST(ceil(greatest(n - 16, 1) / 48.0) AS BIGINT)
+            )
+            SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+                   array_to_string(t[chunk_id*48 + 1 : chunk_id*48 + 64], ' ') AS chunk_text,
+                   CAST(len(t[chunk_id*48 + 1 : chunk_id*48 + 64]) AS INT) AS chunk_tokens_n
+            FROM chunks ORDER BY doc_id, chunk_id
         """,
         "label_centroids_embeddings": """
             SELECT label, i.range AS pos,

@@ -26,6 +26,7 @@ __all__ = [
     "deterministic_split",
     "deterministic_sample",
     "pack_sequences",
+    "chunk_documents",
 ]
 
 #: number of hash buckets fractions are quantized to: fraction 0.8123
@@ -112,6 +113,56 @@ def deterministic_sample(
     if fraction is None:
         raise ValueError("need fraction or fractions")
     return df.where(b < int(round(fraction * BUCKETS)))
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into (optionally overlapping) windows of
+    ``chunk_tokens`` whitespace tokens — the standard context-window
+    preprocessing step before embedding or training.
+
+    Chunk i covers tokens [i*stride, i*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; the last chunk may be short; an
+    empty document yields no chunks. Pure JVM array expressions
+    (tokenize once, ``sequence`` + ``explode`` the chunk index, slice +
+    rejoin) — a row-local flatMap with no shuffle, output rows ≈
+    corpus_tokens / stride regardless of document skew. Returns the id
+    plus (chunk_id, chunk_text, chunk_tokens_n).
+    """
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must satisfy 0 <= overlap < chunk_tokens")
+    from clarite_python_spark.operators.text import tokens
+
+    stride = chunk_tokens - overlap
+    toks = tokens(text_col)
+    # NULL text → size is NULL and greatest() below would ignore it;
+    # coalesce to 0 so NULL docs chunk to nothing like empty ones
+    n = F.coalesce(F.size(toks), F.lit(0))
+    # number of chunks: ceil(max(n - overlap, 1) / stride) for n > 0
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.ceil((F.greatest(n - overlap, F.lit(1))) / F.lit(stride)).cast("int")
+    )
+    out = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        # sequence(0, -1) would count DOWN; gate on n_chunks > 0 so empty
+        # docs explode to nothing instead
+        F.explode(F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1))).alias("chunk_id"),
+    )
+    piece = F.slice(F.col("__toks"), F.col("chunk_id") * stride + 1, chunk_tokens)
+    return out.select(
+        id_col,
+        "chunk_id",
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).alias("chunk_tokens_n"),
+    )
 
 
 def pack_sequences(

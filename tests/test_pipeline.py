@@ -263,3 +263,34 @@ def test_null_text_behavior_pinned(spark):
 
     fp = {r["doc_id"]: r["rolling_fp"] for r in text.rolling_fingerprint(df).collect()}
     assert fp[2] is None and fp[1] is not None
+
+
+def test_chunk_documents_windows(spark):
+    df = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6"), (2, "a b"), (3, ""), (4, None)],
+        ["doc_id", "text"],
+    )
+    rows = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["chunk_tokens_n"])
+        for r in pipeline.chunk_documents(df, chunk_tokens=3, overlap=1).collect()
+    }
+    # stride 2: [0:3],[2:5],[4:7] — 3 chunks cover all 7 tokens
+    assert rows[(1, 0)] == ("t0 t1 t2", 3)
+    assert rows[(1, 1)] == ("t2 t3 t4", 3)
+    assert rows[(1, 2)] == ("t4 t5 t6", 3)
+    assert (1, 3) not in rows
+    assert rows[(2, 0)] == ("a b", 2)
+    assert not any(d in (3, 4) for d, _ in rows)  # empty/null yield no chunks
+
+    no_overlap = {
+        r["chunk_id"]: r["chunk_text"]
+        for r in pipeline.chunk_documents(
+            df.where("doc_id = 1"), chunk_tokens=4
+        ).collect()
+    }
+    assert no_overlap == {0: "t0 t1 t2 t3", 1: "t4 t5 t6"}
+
+    with pytest.raises(ValueError):
+        pipeline.chunk_documents(df, 0)
+    with pytest.raises(ValueError):
+        pipeline.chunk_documents(df, 4, overlap=4)
