@@ -235,6 +235,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--text-col", default="text")
     p.add_argument("--n-shards", type=int, default=1)
     p.add_argument("--id-col", default="doc_id", help="shard-hash key when --n-shards > 1")
+    p = g_pipe.add_parser("chunk")
+    p.add_argument("data")
+    p.add_argument("output")
+    p.add_argument("--chunk-tokens", type=int, required=True)
+    p.add_argument("--overlap", type=int, default=0)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
     p = g_pipe.add_parser("redact")
     p.add_argument("data")
     p.add_argument("output")
@@ -492,6 +499,14 @@ def main(argv: list[str] | None = None) -> int:
                 order_col=args.order_col,
                 text_col=args.text_col,
                 n_shards=args.n_shards,
+                id_col=args.id_col,
+            )
+        elif args.command == "chunk":
+            out = pipe_mod.chunk_documents(
+                df,
+                args.chunk_tokens,
+                overlap=args.overlap,
+                text_col=args.text_col,
                 id_col=args.id_col,
             )
         elif args.command == "redact":

@@ -203,3 +203,13 @@ def test_cli_pipeline_group(spark, tmp_path):
 
     assert cli.main(["pipeline", "dedup", src, f"{d}/dd"]) == 0
     assert 0 < spark.read.parquet(f"{d}/dd").count() <= docs.count()
+
+
+def test_cli_pipeline_chunk(spark, tmp_path):
+    d = str(tmp_path)
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").write.parquet(f"{d}/docs")
+    assert cli.main(["pipeline", "chunk", f"{d}/docs", f"{d}/chunks",
+                     "--chunk-tokens", "64", "--overlap", "16"]) == 0
+    out = spark.read.parquet(f"{d}/chunks")
+    assert {"chunk_id", "chunk_text", "chunk_tokens_n"} <= set(out.columns)
+    assert out.count() > 0
