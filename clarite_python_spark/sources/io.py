@@ -113,13 +113,27 @@ def _sidecar_path(path: str) -> str:
     return path.rstrip("/") + ".dtypes"
 
 
-def save(cf: ClariteFrame, path: str, fmt: str = "parquet", mode: str = "overwrite") -> None:
+def save(
+    cf: ClariteFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | str | None = None,
+) -> None:
     """Persist data + semantic-type sidecar (reference custom_types.py:117-151).
 
     parquet is the default sink (splittable, columnar, statistics for
-    pushdown); ``fmt="tsv"`` reproduces the reference's text format."""
+    pushdown); ``fmt="tsv"`` reproduces the reference's text format.
+    ``partition_by`` hive-partitions the layout on low-cardinality
+    columns so later reads with a filter on them prune whole directories
+    before any IO — the first lever for 100-TB datasets queried by
+    date/source/split."""
     if fmt == "parquet":
-        cf.df.write.mode(mode).parquet(path)
+        writer = cf.df.write.mode(mode)
+        if partition_by is not None:
+            cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+            writer = writer.partitionBy(*cols)
+        writer.parquet(path)
     elif fmt == "tsv":
         cf.df.write.mode(mode).option("header", True).option("sep", "\t").csv(path)
     else:

@@ -171,3 +171,26 @@ def test_bucketed_join_and_groupby_skip_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_partitioned_save_enables_partition_pruning(spark, tmp_path):
+    """save(partition_by=...) lays out hive partitions; a filter on the
+    partition column reaches the scan as PartitionFilters, pruning
+    directories before IO."""
+    from clarite_python_spark.catalog import ClariteFrame
+    from clarite_python_spark.sources.io import from_parquet, save
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").withColumnRenamed(
+        "doc_id", "ID"
+    )
+    dest = str(tmp_path / "docs_by_source")
+    save(ClariteFrame(docs), dest, partition_by="source")
+
+    import os
+
+    assert any(d.startswith("source=") for d in os.listdir(dest))
+    cf = from_parquet(spark, dest)
+    q = cf.df.where("source = 'src3'")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "src3" in plan
+    assert q.count() == docs.where("source = 'src3'").count() > 0
