@@ -800,6 +800,14 @@ def get_significant_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def winnow_fingerprints_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints, k=3 window=4
+    (operators/text.py:winnow_fingerprints); DuckDB recomputes the
+    k-gram hashes and sliding minima with list lambdas."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.winnow_fingerprints(docs, k=3, window=4).orderBy("doc_id", "fingerprint")
+
+
 def chunk_documents_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (operators/pipeline.py:
     chunk_documents): 64-token chunks, 16-token overlap."""
@@ -1014,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh_embeddings": embedding_neardup_lsh_embeddings,
         "colfilter_min_n_events": colfilter_min_n_events,
         "get_significant_documents": get_significant_documents,
+        "winnow_fingerprints_documents": winnow_fingerprints_documents,
         "chunk_documents_documents": chunk_documents_documents,
         "label_centroids_embeddings": label_centroids_embeddings,
         "rolling_fingerprint_documents": rolling_fingerprint_documents,
@@ -2126,6 +2135,31 @@ def oracle_sql() -> dict[str, str]:
                    round(pvalue_bonferroni, 9) AS pvalue_bonferroni,
                    round(pvalue_fdr, 9) AS pvalue_fdr
             FROM corrected WHERE pvalue_fdr <= 0.97 ORDER BY doc_id
+        """,
+        "winnow_fingerprints_documents": f"""
+            WITH toks AS (
+              SELECT doc_id, list_transform({_TOKENS}, x -> lower(x)) AS t
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3 THEN
+                       list_transform(range(1, len(t) - 1),
+                         i -> list_sum(list_transform(range(1, 16),
+                                k -> (CAST(strpos('0123456789abcdef',
+                                       substr(md5(array_to_string(t[i:i+2], ' ')), k, 1)) AS BIGINT) - 1)
+                                     << ((15 - k) * 4))))
+                     END AS g
+              FROM toks
+            ), mins AS (
+              SELECT doc_id,
+                     CASE WHEN len(g) >= 4 THEN
+                            list_transform(range(1, len(g) - 2), i -> list_min(g[i:i+3]))
+                          WHEN len(g) >= 1 THEN [list_min(g)]
+                     END AS m
+              FROM grams
+            )
+            SELECT doc_id, unnest(list_distinct(m)) AS fingerprint
+            FROM mins WHERE m IS NOT NULL ORDER BY doc_id, fingerprint
         """,
         "chunk_documents_documents": f"""
             WITH toks AS (

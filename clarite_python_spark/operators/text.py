@@ -21,6 +21,7 @@ __all__ = [
     "redact",
     "PII_PATTERNS",
     "top_tokens",
+    "winnow_fingerprints",
 ]
 
 # Tiny per-language function-word lists for the n-gram/stopword language
@@ -219,6 +220,56 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     text (md5 — engine-portable), the key for exact dedup."""
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-token gram, slide a
+    ``window`` over the hash sequence, keep each window's minimum; the
+    distinct kept hashes are the document's fingerprint set.
+
+    Guarantees: any shared run of ``window + k - 1`` tokens between two
+    documents shares at least one fingerprint, so matching on the
+    exploded (fingerprint -> doc) table finds local overlaps that
+    whole-document hashes miss — with density ~2/(window+1) selected
+    grams instead of all of them. Complements MinHash (set-resemblance)
+    with position-aware substring matching.
+
+    All JVM array lambdas on one row — O(grams × window) comparisons,
+    no shuffle; the output explodes to ~2·grams/(window+1) rows per doc.
+    Returns (id, fingerprint) — groupBy fingerprint to find cross-doc
+    matches, exactly like ``exact_dedup`` but at substring granularity.
+    """
+    if k <= 0 or window <= 0:
+        raise ValueError("k and window must be positive")
+    from clarite_python_spark.functions.hashing import md5_60bit
+
+    toks = F.transform(tokens(text_col), lambda x: F.lower(x))
+    n = F.coalesce(F.size(toks), F.lit(0))
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: md5_60bit(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+        ),
+    )
+    g = F.size(grams)  # number of k-gram hashes (null if n < k)
+    mins = F.when(
+        g >= window,
+        F.transform(
+            F.sequence(F.lit(0), g - window),
+            lambda i: F.array_min(F.slice(grams, i + 1, window)),
+        ),
+    ).otherwise(F.when(g >= 1, F.array(F.array_min(grams))))
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(mins)).alias("fingerprint")
+    )
 
 
 def rolling_fingerprint(

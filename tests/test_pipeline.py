@@ -294,3 +294,38 @@ def test_chunk_documents_windows(spark):
         pipeline.chunk_documents(df, 0)
     with pytest.raises(ValueError):
         pipeline.chunk_documents(df, 4, overlap=4)
+
+
+def test_winnow_fingerprints_overlap_guarantee(spark):
+    """Two docs sharing a run of window+k-1 tokens share >=1 fingerprint;
+    disjoint docs share none (here: different token universes)."""
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = window+k-1 with k=3,w=4
+    df = spark.createDataFrame(
+        [
+            (1, f"intro words {shared} trailing stuff here"),
+            (2, f"{shared} completely other ending tokens"),
+            (3, "unrelated vocabulary entirely distinct everywhere now"),
+            (4, "ab"),   # fewer than k tokens -> no fingerprints
+        ],
+        ["doc_id", "text"],
+    )
+    fps = {}
+    for r in text.winnow_fingerprints(df).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert fps[1] & fps[2]           # shared run detected
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    assert 4 not in fps
+    # density: far fewer fingerprints than grams (selection actually prunes)
+    n_grams_doc1 = 10 - 3 + 1
+    assert 0 < len(fps[1]) < n_grams_doc1
+
+
+def test_winnow_fingerprints_case_ws_normalized(spark):
+    df = spark.createDataFrame(
+        [(1, "One Two Three Four Five"), (2, "one  two   three four five")],
+        ["doc_id", "text"],
+    )
+    fps = {}
+    for r in text.winnow_fingerprints(df).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert fps[1] == fps[2]
