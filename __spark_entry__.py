@@ -805,7 +805,9 @@ def winnow_fingerprints_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     (operators/text.py:winnow_fingerprints); DuckDB recomputes the
     k-gram hashes and sliding minima with list lambdas."""
     docs = _t(spark, sf_dir, "documents")
-    return text.winnow_fingerprints(docs, k=3, window=4).orderBy("doc_id", "fingerprint")
+    return text.winnow_fingerprints(docs, k=3, window=4, hash_family="md5").orderBy(
+        "doc_id", "fingerprint"
+    )
 
 
 def chunk_documents_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

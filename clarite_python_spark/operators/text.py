@@ -228,6 +228,7 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     k: int = 3,
     window: int = 4,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD'03 — the MOSS algorithm): hash every k-token gram, slide a
@@ -245,29 +246,44 @@ def winnow_fingerprints(
     no shuffle; the output explodes to ~2·grams/(window+1) rows per doc.
     Returns (id, fingerprint) — groupBy fingerprint to find cross-doc
     matches, exactly like ``exact_dedup`` but at substring granularity.
+
+    ``hash_family``: ``"xxhash64"`` (default — JVM-native, ~10x faster)
+    or ``"md5"`` (the portable 60-bit family, reproducible in DuckDB for
+    the oracle — same convention as MinHash/SimHash).
     """
     if k <= 0 or window <= 0:
         raise ValueError("k and window must be positive")
+    if hash_family not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown hash_family {hash_family!r}")
     from clarite_python_spark.functions.hashing import md5_60bit
 
+    gram_hash = F.xxhash64 if hash_family == "xxhash64" else md5_60bit
+
+    # Each stage MATERIALIZES as a projected column before the next
+    # references it: an inlined expression inside a higher-order lambda
+    # is re-evaluated per element (the gram array would be rebuilt — all
+    # its md5s — once per window position, turning O(n·w) into O(n²)
+    # hashes; measured as a hang at 5k docs).
     toks = F.transform(tokens(text_col), lambda x: F.lower(x))
-    n = F.coalesce(F.size(toks), F.lit(0))
+    staged = df.select(F.col(id_col), toks.alias("__toks"))
+    n = F.coalesce(F.size("__toks"), F.lit(0))
     grams = F.when(
         n >= k,
         F.transform(
             F.sequence(F.lit(0), n - k),
-            lambda i: md5_60bit(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+            lambda i: gram_hash(F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, k))),
         ),
     )
-    g = F.size(grams)  # number of k-gram hashes (null if n < k)
+    staged = staged.select(F.col(id_col), grams.alias("__grams"))
+    g = F.size("__grams")  # number of k-gram hashes (null if n < k)
     mins = F.when(
         g >= window,
         F.transform(
             F.sequence(F.lit(0), g - window),
-            lambda i: F.array_min(F.slice(grams, i + 1, window)),
+            lambda i: F.array_min(F.slice(F.col("__grams"), i + 1, window)),
         ),
-    ).otherwise(F.when(g >= 1, F.array(F.array_min(grams))))
-    return df.select(
+    ).otherwise(F.when(g >= 1, F.array(F.array_min("__grams"))))
+    return staged.select(
         F.col(id_col), F.explode(F.array_distinct(mins)).alias("fingerprint")
     )
 
