@@ -135,7 +135,11 @@ def save(
             writer = writer.partitionBy(*cols)
         writer.parquet(path)
     elif fmt == "tsv":
-        cf.df.write.mode(mode).option("header", True).option("sep", "\t").csv(path)
+        writer = cf.df.write.mode(mode).option("header", True).option("sep", "\t")
+        if partition_by is not None:
+            cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+            writer = writer.partitionBy(*cols)
+        writer.csv(path)
     else:
         raise ValueError(f"unsupported format {fmt!r}")
     with open(_sidecar_path(path), "w") as fh:

@@ -194,3 +194,17 @@ def test_partitioned_save_enables_partition_pruning(spark, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "src3" in plan
     assert q.count() == docs.where("source = 'src3'").count() > 0
+
+
+def test_partitioned_save_applies_to_tsv_too(spark, tmp_path):
+    import os
+
+    from clarite_python_spark.catalog import ClariteFrame
+    from clarite_python_spark.sources.io import save
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").withColumnRenamed(
+        "doc_id", "ID"
+    )
+    dest = str(tmp_path / "docs_tsv_by_source")
+    save(ClariteFrame(docs), dest, fmt="tsv", partition_by="source")
+    assert any(d.startswith("source=") for d in os.listdir(dest))
