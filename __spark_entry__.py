@@ -810,6 +810,15 @@ def winnow_fingerprints_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def winnow_matches_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc overlap pairs on winnowing fingerprints (md5 family;
+    bucket-capped self-join, operators/text.py:winnow_matches)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.winnow_matches(docs, hash_family="md5", min_shared=2).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def chunk_documents_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (operators/pipeline.py:
     chunk_documents): 64-token chunks, 16-token overlap."""
@@ -1025,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "colfilter_min_n_events": colfilter_min_n_events,
         "get_significant_documents": get_significant_documents,
         "winnow_fingerprints_documents": winnow_fingerprints_documents,
+        "winnow_matches_documents": winnow_matches_documents,
         "chunk_documents_documents": chunk_documents_documents,
         "label_centroids_embeddings": label_centroids_embeddings,
         "rolling_fingerprint_documents": rolling_fingerprint_documents,
@@ -1054,6 +1064,36 @@ from clarite_python_spark.operators.text import PII_PATTERNS as _PII  # noqa: E4
 from clarite_python_spark.operators.text import BPE_ISH_PATTERN as _BPE  # noqa: E402
 
 _BPE_SQL = _BPE.replace("'", "''")  # SQL single-quote escape
+
+
+def _winnow_fps_cte() -> str:
+    """Shared CTE chain for the winnowing twins (k=3, window=4, md5
+    family): lowercased tokens -> 60-bit k-gram hashes -> sliding-window
+    minima -> distinct fingerprints as table ``fps``."""
+    return f"""toks AS (
+              SELECT doc_id, list_transform({_TOKENS}, x -> lower(x)) AS t
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3 THEN
+                       list_transform(range(1, len(t) - 1),
+                         i -> list_sum(list_transform(range(1, 16),
+                                k -> (CAST(strpos('0123456789abcdef',
+                                       substr(md5(array_to_string(t[i:i+2], ' ')), k, 1)) AS BIGINT) - 1)
+                                     << ((15 - k) * 4))))
+                     END AS g
+              FROM toks
+            ), mins AS (
+              SELECT doc_id,
+                     CASE WHEN len(g) >= 4 THEN
+                            list_transform(range(1, len(g) - 2), i -> list_min(g[i:i+3]))
+                          WHEN len(g) >= 1 THEN [list_min(g)]
+                     END AS m
+              FROM grams
+            ), fps AS (
+              SELECT doc_id, unnest(list_distinct(m)) AS fingerprint
+              FROM mins WHERE m IS NOT NULL
+            )"""
 
 
 def _md5_bucket(id_expr: str, salt: str, buckets: int = 10000) -> str:
@@ -2139,29 +2179,21 @@ def oracle_sql() -> dict[str, str]:
             FROM corrected WHERE pvalue_fdr <= 0.97 ORDER BY doc_id
         """,
         "winnow_fingerprints_documents": f"""
-            WITH toks AS (
-              SELECT doc_id, list_transform({_TOKENS}, x -> lower(x)) AS t
-              FROM documents
-            ), grams AS (
-              SELECT doc_id,
-                     CASE WHEN len(t) >= 3 THEN
-                       list_transform(range(1, len(t) - 1),
-                         i -> list_sum(list_transform(range(1, 16),
-                                k -> (CAST(strpos('0123456789abcdef',
-                                       substr(md5(array_to_string(t[i:i+2], ' ')), k, 1)) AS BIGINT) - 1)
-                                     << ((15 - k) * 4))))
-                     END AS g
-              FROM toks
-            ), mins AS (
-              SELECT doc_id,
-                     CASE WHEN len(g) >= 4 THEN
-                            list_transform(range(1, len(g) - 2), i -> list_min(g[i:i+3]))
-                          WHEN len(g) >= 1 THEN [list_min(g)]
-                     END AS m
-              FROM grams
+            WITH {_winnow_fps_cte()}
+            SELECT doc_id, fingerprint FROM fps ORDER BY doc_id, fingerprint
+        """,
+        "winnow_matches_documents": f"""
+            WITH {_winnow_fps_cte()}, sizes AS (
+              SELECT fingerprint, count(*) AS c FROM fps GROUP BY fingerprint
+            ), ok AS (
+              SELECT f.doc_id, f.fingerprint
+              FROM fps f JOIN sizes s USING (fingerprint) WHERE s.c <= 1000
             )
-            SELECT doc_id, unnest(list_distinct(m)) AS fingerprint
-            FROM mins WHERE m IS NOT NULL ORDER BY doc_id, fingerprint
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+            FROM ok a JOIN ok b USING (fingerprint)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY id_a, id_b HAVING count(*) >= 2
+            ORDER BY id_a, id_b
         """,
         "chunk_documents_documents": f"""
             WITH toks AS (

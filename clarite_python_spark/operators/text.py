@@ -22,6 +22,7 @@ __all__ = [
     "PII_PATTERNS",
     "top_tokens",
     "winnow_fingerprints",
+    "winnow_matches",
 ]
 
 # Tiny per-language function-word lists for the n-gram/stopword language
@@ -285,6 +286,41 @@ def winnow_fingerprints(
     ).otherwise(F.when(g >= 1, F.array(F.array_min("__grams"))))
     return staged.select(
         F.col(id_col), F.explode(F.array_distinct(mins)).alias("fingerprint")
+    )
+
+
+def winnow_matches(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_bucket: int = 1000,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Cross-document overlap detection on winnowing fingerprints:
+    (id_a, id_b, n_shared) for every pair sharing ≥ ``min_shared``
+    fingerprints (id_a < id_b).
+
+    The pair generation is an equi-SELF-join on the fingerprint — the
+    same bucketed shape as MinHash banding, with the same safety valve:
+    a fingerprint held by B docs contributes B·(B-1)/2 pairs, so
+    ``max_bucket`` drops degenerate buckets (boilerplate shared by
+    thousands of docs carries no discriminative signal anyway). Work is
+    Σ_buckets B², never |corpus|².
+    """
+    fps = winnow_fingerprints(df, text_col, id_col, k, window, hash_family)
+    sizes = fps.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("__b"))
+    ok = fps.join(F.broadcast(sizes.where(F.col("__b") > max_bucket)), "fingerprint", "left_anti")
+    a = ok.select(F.col(id_col).alias("id_a"), "fingerprint")
+    b = ok.select(F.col(id_col).alias("id_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
     )
 
 

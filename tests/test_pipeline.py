@@ -329,3 +329,19 @@ def test_winnow_fingerprints_case_ws_normalized(spark):
     for r in text.winnow_fingerprints(df).collect():
         fps.setdefault(r["doc_id"], set()).add(r["fingerprint"])
     assert fps[1] == fps[2]
+
+
+def test_winnow_matches_pairs(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro words {shared} trailing stuff"),
+            (2, f"{shared} other ending"),
+            (3, "unrelated vocabulary entirely distinct everywhere"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = text.winnow_matches(df, min_shared=1).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared"] for r in rows}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert all(3 not in p for p in pairs)
