@@ -558,6 +558,25 @@ def quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def paragraph_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style sub-document dedup. The synthetic corpus is single-line,
+    so paragraph boundaries are induced by splitting on the frequent
+    token 'batch' — which makes repeated fragments genuinely common and
+    the first-occurrence-wins rule observable."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.paragraph_dedup(
+        docs.select("doc_id", "text"), sep="batch"
+    ).orderBy("doc_id")
+
+
+def gopher_rules_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule flags (published thresholds, min_words
+    lowered to 50 — the corpus spans 10-99 words so the word-count rule
+    splits it): per-doc stats + per-rule booleans, one projection."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.gopher_rules(docs).orderBy("doc_id")
+
+
 def minhash_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup removal — hash functions are Spark-native
     (xxhash64), so rows-only check."""
@@ -1013,6 +1032,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_by_source": token_counts_by_source,
         "language_id_documents": language_id_documents,
         "quality_score_documents": quality_score_documents,
+        "gopher_rules_documents": gopher_rules_documents,
+        "paragraph_dedup_documents": paragraph_dedup_documents,
         "minhash_dedup_documents": minhash_dedup_documents,
         "minhash_dedup_md5_documents": minhash_dedup_md5_documents,
         "minhash_dedup_md5_transitive_documents": minhash_dedup_md5_transitive_documents,
@@ -1991,6 +2012,75 @@ def oracle_sql() -> dict[str, str]:
                         + greatest(0.0, 1.0 - (punct_chars * 1.0 / greatest(n_chars, 1)) * 5.0)
                         + greatest(0.0, 1.0 - digit_ratio * 5.0)) / 3.0, 6) AS quality
             FROM s ORDER BY doc_id
+        """,
+        "paragraph_dedup_documents": """
+            WITH p AS (
+              SELECT doc_id, string_split(text, 'batch') AS parts FROM documents
+            ), ex AS (
+              SELECT doc_id, i::INT AS pos, trim(parts[i::INT + 1]) AS para
+              FROM p, unnest(range(len(parts))) t(i)
+            ), nz AS (
+              SELECT * FROM ex WHERE length(para) > 0
+            ), win AS (
+              SELECT doc_id, pos, para,
+                     row_number() OVER (
+                       PARTITION BY md5(lower(para)) ORDER BY doc_id, pos
+                     ) AS rn,
+                     count(*) OVER (PARTITION BY doc_id) AS n_paras_total
+              FROM nz
+            )
+            SELECT doc_id,
+                   string_agg(para, chr(10) ORDER BY pos) AS text,
+                   count(*) AS n_paras_kept,
+                   max(n_paras_total) AS n_paras_total
+            FROM win WHERE rn = 1
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        "gopher_rules_documents": f"""
+            WITH s AS (
+              SELECT doc_id, {_TOKENS} AS toks,
+                     length(text) - length(replace(text, '#', '')) AS n_hash,
+                     (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell,
+                     list_filter(string_split(text, chr(10)), x -> trim(x) != '') AS lines
+              FROM documents
+            ), m AS (
+              SELECT doc_id,
+                     len(toks) AS n_words,
+                     round(list_sum(list_transform(toks, x -> length(x)))
+                           / (greatest(len(toks), 1) * 1.0), 6) AS mean_word_len,
+                     round((n_hash + n_ell) / (greatest(len(toks), 1) * 1.0), 6) AS symbol_ratio,
+                     round(coalesce(list_sum(list_transform(lines,
+                             x -> CASE WHEN trim(x) LIKE '-%' OR trim(x) LIKE '*%'
+                                        OR trim(x) LIKE '•%' THEN 1 ELSE 0 END)), 0)
+                           / (greatest(len(lines), 1) * 1.0), 6) AS bullet_frac,
+                     round(coalesce(list_sum(list_transform(lines,
+                             x -> CASE WHEN trim(x) LIKE '%...' OR trim(x) LIKE '%…'
+                                       THEN 1 ELSE 0 END)), 0)
+                           / (greatest(len(lines), 1) * 1.0), 6) AS ellipsis_frac,
+                     round(coalesce(list_sum(list_transform(toks,
+                             x -> CASE WHEN regexp_matches(x, '[A-Za-z]') THEN 1 ELSE 0 END)), 0)
+                           / (greatest(len(toks), 1) * 1.0), 6) AS alpha_frac,
+                     ({" + ".join(
+                         f"CASE WHEN list_contains(toks, '{w}') THEN 1 ELSE 0 END"
+                         for w in ["the", "be", "to", "of", "and", "that", "have", "with"]
+                     )}) AS n_stopwords
+              FROM s
+            )
+            SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+                   ellipsis_frac, alpha_frac, n_stopwords,
+                   (n_words >= 50 AND n_words <= 100000) AS pass_word_count,
+                   (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS pass_word_len,
+                   (symbol_ratio < 0.1) AS pass_symbols,
+                   (bullet_frac < 0.9) AS pass_bullets,
+                   (ellipsis_frac < 0.3) AS pass_ellipsis,
+                   (alpha_frac >= 0.8) AS pass_alpha,
+                   (n_stopwords >= 2) AS pass_stopwords,
+                   (n_words >= 50 AND n_words <= 100000
+                    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                    AND symbol_ratio < 0.1 AND bullet_frac < 0.9
+                    AND ellipsis_frac < 0.3 AND alpha_frac >= 0.8
+                    AND n_stopwords >= 2) AS gopher_pass
+            FROM m ORDER BY doc_id
         """,
         "similarity_topk_embeddings": """
             WITH q AS (

@@ -25,6 +25,7 @@ from clarite_python_spark.operators.text import tokens
 
 __all__ = [
     "exact_dedup",
+    "paragraph_dedup",
     "shingles",
     "minhash_signature",
     "minhash_lsh_candidates",
@@ -94,6 +95,60 @@ def incremental_dedup(
         fresh.groupBy("__fp")
         .agg(F.min_by(F.struct(*new.columns), F.col(id_col)).alias("__row"))
         .select("__row.*")
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = r"\n",
+    join_sep: str = "\n",
+) -> DataFrame:
+    """C4-style sub-document dedup: split each document into paragraphs,
+    remove every occurrence of a repeated paragraph EXCEPT the first one
+    in the corpus (first = smallest ``(id, position)``), and reassemble
+    the surviving paragraphs in original order. Documents whose
+    paragraphs were all removed drop out entirely (the C4 rule).
+
+    Plan shape: one row-local ``posexplode`` (no shuffle), ONE shuffle
+    keyed on the paragraph's md5 for the first-occurrence window (a
+    min-struct over each key — no join back, the winner test rides the
+    same partitioning), then one shuffle keyed on the doc id to
+    reassemble. Paragraph bodies travel through both shuffles once;
+    at 100 TB the md5 key spreads boilerplate paragraphs evenly and the
+    min-struct window never materializes a pair list.
+
+    Returns (id, text, n_paras_kept, n_paras_total).
+    """
+    pos, para = "__pos", "__para"
+    ex = (
+        df.select(F.col(id_col), F.posexplode(F.split(F.col(text_col), sep)).alias(pos, para))
+        .withColumn(para, F.trim(F.col(para)))
+        .where(F.length(F.col(para)) > 0)
+        .withColumn("__k", F.md5(F.lower(F.col(para))))
+    )
+    first = F.min(F.struct(F.col(id_col).alias("i"), F.col(pos).alias("p"))).over(
+        Window.partitionBy("__k")
+    )
+    # per-doc total BEFORE the winner filter; windowed on the id so the
+    # final groupBy reuses the hash partitioning instead of a re-join
+    n_total = F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    kept = (
+        ex.withColumn("__first", first)
+        .withColumn("n_paras_total", n_total)
+        .where((F.col("__first.i") == F.col(id_col)) & (F.col("__first.p") == F.col(pos)))
+    )
+    return kept.groupBy(id_col).agg(
+        F.concat_ws(
+            join_sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col(pos), F.col(para)))),
+                lambda s: s[para],
+            ),
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_paras_kept"),
+        F.max("n_paras_total").alias("n_paras_total"),
     )
 
 

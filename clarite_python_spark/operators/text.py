@@ -23,6 +23,8 @@ __all__ = [
     "top_tokens",
     "winnow_fingerprints",
     "winnow_matches",
+    "gopher_rules",
+    "GOPHER_STOPWORDS",
 ]
 
 # Tiny per-language function-word lists for the n-gram/stopword language
@@ -322,6 +324,106 @@ def winnow_matches(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+# Gopher quality-rule thresholds (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", App. A / the repetition+quality filters reused by
+# MassiveText, RefinedWeb and Dolma). Each rule is a pure column
+# expression; the thresholds are the published defaults.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules as one codegen projection.
+
+    Emits the measured statistics plus one boolean per rule and an
+    overall ``gopher_pass``; keeping the per-rule flags (instead of just
+    filtering) is deliberate — at pipeline scale you want the rejection
+    *reason* distribution before committing to a filter. No shuffle, no
+    Python; linear scan at any scale.
+
+    Rules (published Gopher defaults): word count in [50, 100k]; mean
+    word length in [3, 10]; '#'/'...' symbol-to-word ratio < 0.1; <90%
+    of lines bullet-started; <30% of lines ellipsis-ended; >=80% of
+    words contain an alphabetic char; >=2 of the 8 required stopwords
+    present.
+    """
+    toks = tokens(text_col)
+    c = F.col(text_col)
+    n_words = F.size(toks)
+    n_words_f = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_word_len = F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x)) / n_words_f
+    # literal counting via replace-length deltas — identical left-to-right
+    # non-overlap semantics in every engine, no regex dialect risk
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ellipsis = (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / 3
+    symbol_ratio = (n_hash + n_ellipsis) / n_words_f
+    lines = F.filter(F.split(c, "\n"), lambda x: F.trim(x) != "")
+    n_lines_f = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    is_bullet = lambda x: (  # noqa: E731
+        F.startswith(F.trim(x), F.lit("-"))
+        | F.startswith(F.trim(x), F.lit("*"))
+        | F.startswith(F.trim(x), F.lit("•"))
+    )
+    bullet_frac = (
+        F.aggregate(lines, F.lit(0), lambda a, x: a + F.when(is_bullet(x), 1).otherwise(0))
+        / n_lines_f
+    )
+    ends_ellipsis = lambda x: F.endswith(F.trim(x), F.lit("...")) | F.endswith(  # noqa: E731
+        F.trim(x), F.lit("…")
+    )
+    ellipsis_frac = (
+        F.aggregate(lines, F.lit(0), lambda a, x: a + F.when(ends_ellipsis(x), 1).otherwise(0))
+        / n_lines_f
+    )
+    alpha_frac = (
+        F.aggregate(
+            toks, F.lit(0), lambda a, x: a + F.when(x.rlike("[A-Za-z]"), 1).otherwise(0)
+        )
+        / n_words_f
+    )
+    n_stop = None
+    for w in GOPHER_STOPWORDS:
+        hit = F.when(F.array_contains(toks, w), 1).otherwise(0)
+        n_stop = hit if n_stop is None else n_stop + hit
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_frac"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        n_stop.alias("n_stopwords"),
+    )
+    rules = {
+        "pass_word_count": (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words),
+        "pass_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "pass_symbols": F.col("symbol_ratio") < max_symbol_ratio,
+        "pass_bullets": F.col("bullet_frac") < max_bullet_frac,
+        "pass_ellipsis": F.col("ellipsis_frac") < max_ellipsis_frac,
+        "pass_alpha": F.col("alpha_frac") >= min_alpha_frac,
+        "pass_stopwords": F.col("n_stopwords") >= min_stopwords,
+    }
+    overall = None
+    for name, expr in rules.items():
+        out = out.withColumn(name, expr)
+        overall = expr if overall is None else overall & expr
+    return out.withColumn("gopher_pass", overall)
 
 
 def rolling_fingerprint(

@@ -134,3 +134,23 @@ def test_incremental_dedup_against_history(spark):
         for r in incremental_dedup(new, fps, seen_fp_col="fingerprint").collect()
     )
     assert kept2 == kept
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    from clarite_python_spark.operators.dedup import paragraph_dedup
+
+    rows = [
+        (1, "alpha\nbeta\ngamma"),
+        (2, "beta\ndelta"),        # 'beta' already seen in doc 1
+        (3, "ALPHA\n beta "),      # all paras dup (case/ws-insensitive) -> doc dropped
+        (4, "epsilon\nepsilon"),   # intra-doc repeat -> first pos kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in paragraph_dedup(df).collect()}
+
+    assert got[1]["text"] == "alpha\nbeta\ngamma"
+    assert got[1]["n_paras_kept"] == 3 and got[1]["n_paras_total"] == 3
+    assert got[2]["text"] == "delta"
+    assert got[2]["n_paras_kept"] == 1 and got[2]["n_paras_total"] == 2
+    assert 3 not in got  # every paragraph was a duplicate -> doc removed
+    assert got[4]["text"] == "epsilon" and got[4]["n_paras_total"] == 2

@@ -345,3 +345,36 @@ def test_winnow_matches_pairs(spark):
     pairs = {(r["id_a"], r["id_b"]): r["n_shared"] for r in rows}
     assert (1, 2) in pairs and pairs[(1, 2)] >= 1
     assert all(3 not in p for p in pairs)
+
+
+# ---------------------------------------------------------------- gopher
+
+
+def test_gopher_rules_edge_cases(spark):
+    rows = [
+        # 60 plain words incl. 'the' and 'of' -> passes everything
+        (1, " ".join(["the", "of"] + ["word"] * 58)),
+        # bullet-heavy + ellipsis-heavy multiline doc
+        (2, "- item one...\n- item two...\n- item three...\nplain tail line"),
+        # symbol-dense short doc
+        (3, "# # # ... tiny"),
+        # numeric-only words fail the alpha rule
+        (4, " ".join(["123"] * 60)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in text.gopher_rules(df).collect()}
+
+    assert got[1]["gopher_pass"] is True
+    assert got[1]["n_stopwords"] == 2 and got[1]["pass_stopwords"] is True
+
+    # doc 2: 4 non-empty lines, 3 bullet-started, 3 ellipsis-ended
+    assert got[2]["bullet_frac"] == pytest.approx(0.75)
+    assert got[2]["ellipsis_frac"] == pytest.approx(0.75)
+    assert got[2]["pass_ellipsis"] is False and got[2]["pass_bullets"] is True
+
+    # doc 3: 5 words, 3 '#' + 1 '...' -> symbol_ratio 0.8
+    assert got[3]["symbol_ratio"] == pytest.approx(0.8)
+    assert got[3]["pass_symbols"] is False and got[3]["pass_word_count"] is False
+
+    assert got[4]["alpha_frac"] == 0.0
+    assert got[4]["pass_alpha"] is False and got[4]["pass_word_count"] is True
