@@ -569,6 +569,17 @@ def paragraph_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def contamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: documents from source 'src0' play
+    the evaluation benchmark; every other document is checked for shared
+    word 5-grams against that set (dedup.contamination — broadcast
+    benchmark set, corpus never shuffles before the per-doc count)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("source") == "src0")
+    corpus = docs.where(F.col("source") != "src0")
+    return dedup.contamination(corpus, bench, n=5).orderBy("doc_id")
+
+
 def gopher_rules_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality-rule flags (published thresholds, min_words
     lowered to 50 — the corpus spans 10-99 words so the word-count rule
@@ -1034,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score_documents": quality_score_documents,
         "gopher_rules_documents": gopher_rules_documents,
         "paragraph_dedup_documents": paragraph_dedup_documents,
+        "contamination_documents": contamination_documents,
         "minhash_dedup_documents": minhash_dedup_documents,
         "minhash_dedup_md5_documents": minhash_dedup_md5_documents,
         "minhash_dedup_md5_transitive_documents": minhash_dedup_md5_transitive_documents,
@@ -2035,6 +2047,34 @@ def oracle_sql() -> dict[str, str]:
                    max(n_paras_total) AS n_paras_total
             FROM win WHERE rn = 1
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        "contamination_documents": f"""
+            WITH t AS (
+              SELECT doc_id, source, {_TOKENS} AS toks FROM documents
+            ), g AS (
+              SELECT doc_id, source,
+                     CASE WHEN len(toks) >= 5
+                          THEN list_distinct(list_transform(
+                                 generate_series(1, len(toks) - 4),
+                                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                                                toks[i+3], toks[i+4])))
+                          ELSE [array_to_string(toks, ' ')] END AS grams
+              FROM t
+            ), bench AS (
+              SELECT DISTINCT unnest(grams) AS gram FROM g WHERE source = 'src0'
+            ), corpus AS (
+              SELECT doc_id, unnest(grams) AS gram FROM g WHERE source != 'src0'
+            ), m AS (
+              SELECT c.doc_id, count(*) AS n_ngrams,
+                     CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_contaminated
+              FROM corpus c LEFT JOIN bench b ON c.gram = b.gram
+              GROUP BY c.doc_id
+            )
+            SELECT doc_id, n_ngrams, n_contaminated,
+                   round(n_contaminated * 1.0 / n_ngrams, 6) AS contamination_frac,
+                   n_contaminated > 0 AS contaminated
+            FROM m ORDER BY doc_id
         """,
         "gopher_rules_documents": f"""
             WITH s AS (

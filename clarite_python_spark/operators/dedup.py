@@ -26,6 +26,7 @@ from clarite_python_spark.operators.text import tokens
 __all__ = [
     "exact_dedup",
     "paragraph_dedup",
+    "contamination",
     "shingles",
     "minhash_signature",
     "minhash_lsh_candidates",
@@ -163,6 +164,52 @@ def shingles(text_col: str = "text", n: int = 3) -> Column:
                 lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
             ),
         ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark-contamination detection: flag training documents that
+    share word ``n``-grams with an evaluation benchmark (the standard
+    decontamination step — GPT-3 App. C / PaLM / Llama all use an
+    n-gram collision test of this shape before training).
+
+    Plan: distinct n-grams per document (row-local JVM lambdas, no
+    shuffle), the benchmark's DISTINCT global n-gram set (eval suites
+    are tiny next to a 100 TB corpus, so it is broadcast by default —
+    the corpus side never shuffles), one left join marking collisions,
+    one groupBy(id) count. Corpus cost is a linear scan + one keyed
+    aggregation regardless of benchmark count.
+
+    Returns (id, n_ngrams, n_contaminated, contamination_frac,
+    contaminated).
+    """
+    bcol = bench_text_col or text_col
+    grams = df.select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("__gram")
+    )
+    bench = benchmark.select(F.explode(shingles(bcol, n)).alias("__gram")).distinct()
+    bench = bench.withColumn("__hit", F.lit(1))
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    marked = grams.join(bench, "__gram", "left")
+    out = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.coalesce(F.sum("__hit"), F.lit(0)).alias("n_contaminated"),
+    )
+    return out.select(
+        id_col,
+        "n_ngrams",
+        "n_contaminated",
+        F.round(F.col("n_contaminated") / F.col("n_ngrams"), 6).alias("contamination_frac"),
+        (F.col("n_contaminated") > 0).alias("contaminated"),
     )
 
 

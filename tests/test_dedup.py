@@ -154,3 +154,28 @@ def test_paragraph_dedup_first_occurrence_wins(spark):
     assert got[2]["n_paras_kept"] == 1 and got[2]["n_paras_total"] == 2
     assert 3 not in got  # every paragraph was a duplicate -> doc removed
     assert got[4]["text"] == "epsilon" and got[4]["n_paras_total"] == 2
+
+
+def test_contamination_ngram_collisions(spark):
+    from clarite_python_spark.operators.dedup import contamination
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the benchmark 5-gram 'the quick brown fox jumps'
+            (1, "prefix words the quick brown fox jumps and more tail words"),
+            (2, "completely unrelated sentence with no overlap at all here"),
+            # exact copy of the benchmark -> every 5-gram collides
+            (3, "the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in contamination(corpus, bench, n=5).collect()}
+    assert got[1]["contaminated"] is True and got[1]["n_contaminated"] == 1
+    assert got[2]["contaminated"] is False and got[2]["n_contaminated"] == 0
+    assert got[3]["contaminated"] is True
+    assert got[3]["n_contaminated"] == got[3]["n_ngrams"]
+    assert got[3]["contamination_frac"] == 1.0
