@@ -720,6 +720,40 @@ def multimodal_pixels_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def multimodal_audio_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode path, oracle-checked end-to-end: each document's
+    first 96 text bytes become the data chunk of an 8-bit mono 8 kHz PCM
+    WAV; the pure-numpy codec (functions/audiocodec.py) decodes it inside
+    the mapInPandas stage and emits exact sample statistics (RMS, peak,
+    zero-crossing rate in raw centered units), which the DuckDB oracle
+    recomputes from the same bytes (hex-pair extraction, v = byte-128)."""
+    import struct as _struct
+
+    docs = _t(spark, sf_dir, "documents")
+    hdr = (
+        b"RIFF" + _struct.pack("<I", 36 + 96) + b"WAVE"
+        + b"fmt " + _struct.pack("<I", 16)
+        + _struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        + b"data" + _struct.pack("<I", 96)
+    )
+    payload = F.concat(F.lit(hdr), F.substring(F.encode("text", "utf-8"), 1, 96))
+    media = docs.where(F.length(F.encode("text", "utf-8")) >= 96).select(
+        F.col("doc_id").alias("media_id"), payload.alias("payload")
+    )
+    feats = multimodal.decode_audio_features(media)
+    return feats.select(
+        "media_id",
+        "decoded",
+        "sample_rate",
+        "n_channels",
+        "n_frames",
+        F.round("duration_ms", 6).alias("duration_ms"),
+        F.round("rms", 6).alias("rms"),
+        "peak",
+        F.round("zcr", 6).alias("zcr"),
+    ).orderBy("media_id")
+
+
 def windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     out = windowed_counts(ev, "1 hour")
@@ -1059,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features_documents": multimodal_features_documents,
         "multimodal_metadata_documents": multimodal_metadata_documents,
         "multimodal_pixels_documents": multimodal_pixels_documents,
+        "multimodal_audio_documents": multimodal_audio_documents,
         "windowed_events": windowed_events,
         "sessionized_events": sessionized_events,
         "ngram_jaccard_documents": ngram_jaccard_documents,
@@ -2195,6 +2230,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, f0, f1, f2, f3, f4, f5, f6, f7
             FROM stat JOIN hist USING (media_id)
             ORDER BY media_id
+        """,
+        # REAL-decode audio oracle: re-extract the 96 data-chunk bytes via
+        # hex pairs, re-center (v = byte - 128) and recompute the codec's
+        # exact sample statistics (RMS / peak / zero-crossing rate)
+        "multimodal_audio_documents": """
+            WITH b AS (
+              SELECT doc_id AS media_id, substr(hex(encode(text)), 1, 192) AS hx
+              FROM documents WHERE octet_length(encode(text)) >= 96
+            ), byt AS (
+              SELECT media_id, i::INT AS i,
+                     concat('0x', substr(hx, i::INT*2+1, 2))::INT - 128 AS v
+              FROM b, unnest(range(96)) t(i)
+            ), lagd AS (
+              SELECT media_id, v,
+                     lag(v) OVER (PARTITION BY media_id ORDER BY i) AS pv
+              FROM byt
+            ), agg AS (
+              SELECT media_id,
+                     count(*)::BIGINT AS n_frames,
+                     round(sqrt(avg((v*v)::DOUBLE)), 6) AS rms,
+                     max(abs(v))::BIGINT AS peak,
+                     round(sum(CASE WHEN pv IS NOT NULL AND pv * v < 0
+                                    THEN 1 ELSE 0 END) / 95.0, 6) AS zcr
+              FROM lagd GROUP BY media_id
+            )
+            SELECT media_id, true AS decoded, 8000 AS sample_rate,
+                   1 AS n_channels, n_frames,
+                   round(n_frames * 1000.0 / 8000, 6) AS duration_ms,
+                   rms, peak, zcr
+            FROM agg ORDER BY media_id
         """,
         # gaps-and-islands: a session breaks when the gap to the previous
         # event of the same user is >= the inactivity window (Spark's

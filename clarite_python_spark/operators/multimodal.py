@@ -29,6 +29,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from clarite_python_spark.functions.audiocodec import (
+    decode_wav,
+    encode_wav,
+    resample_nearest,
+)
 from clarite_python_spark.functions.imagecodec import (
     decode_image,
     encode_bmp,
@@ -41,6 +46,8 @@ __all__ = [
     "decode_image_features",
     "resize_images",
     "sample_frames",
+    "decode_audio_features",
+    "resample_audio",
 ]
 
 MEDIA_SCHEMA = T.StructType(
@@ -183,6 +190,103 @@ def resize_images(
                     "height": height,
                 }
             )
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def decode_audio_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """Decode + feature-extract audio via ``mapInPandas``.
+
+    RIFF/WAVE PCM payloads are really decoded (``audiocodec.decode_wav``)
+    and yield exact sample statistics — frame count, duration, RMS, peak
+    amplitude, and zero-crossing rate (fraction of adjacent same-channel
+    frame pairs whose product is negative, averaged over channels) — in
+    raw centered sample units so a SQL oracle can recompute them
+    byte-for-byte. Non-WAV payloads yield ``decoded = false`` with null
+    stats (honest fallback; swap in soundfile/librosa in a deployment
+    with codec libraries). Payloads never shuffle: the stage is a map
+    over the scan, results join back by id.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("decoded", T.BooleanType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_channels", T.IntegerType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("duration_ms", T.DoubleType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("peak", T.LongType()),
+            T.StructField("zcr", T.DoubleType()),
+        ]
+    )
+
+    def _stats(p: bytes | None) -> tuple:
+        dec = decode_wav(p)
+        if dec is None:
+            return (False, None, None, None, None, None, None, None)
+        rate, samples = dec
+        x = samples.astype(np.float64)
+        frames, channels = samples.shape
+        rms = float(np.sqrt(np.mean(x * x)))
+        peak = int(np.max(np.abs(samples)))
+        if frames > 1:
+            zcr = float(np.mean((x[:-1] * x[1:] < 0).sum(axis=0) / (frames - 1)))
+        else:
+            zcr = 0.0
+        return (True, rate, channels, frames, frames * 1000.0 / rate, rms, peak, zcr)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [_stats(p) for p in pdf[payload_col]]
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "decoded", "sample_rate", "n_channels", "n_frames",
+                    "duration_ms", "rms", "peak", "zcr",
+                ],
+            )
+            out.insert(0, id_col, pdf[id_col].values)
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def resample_audio(
+    df: DataFrame,
+    dst_rate: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    bits: int = 16,
+) -> DataFrame:
+    """Resample WAV payloads to ``dst_rate`` via ``mapInPandas`` (binary
+    in, binary out — the audio twin of ``resize_images``). Non-WAV
+    payloads pass through unchanged with ``resampled = false``."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("resampled", T.BooleanType()),
+        ]
+    )
+
+    def _one(p: bytes | None) -> tuple:
+        dec = decode_wav(p)
+        if dec is None:
+            return (p, None, False)
+        rate, samples = dec
+        out = resample_nearest(samples, rate, dst_rate)
+        return (encode_wav(out, dst_rate, bits=bits), dst_rate, True)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [_one(p) for p in pdf[payload_col]]
+            out = pd.DataFrame(rows, columns=["payload", "sample_rate", "resampled"])
+            out.insert(0, id_col, pdf[id_col].values)
+            yield out
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
 

@@ -166,3 +166,87 @@ def test_sample_frames_bounds(media):
     assert len(by_id[7]) == 4
     for r in out:
         assert len(r["frame_payload"]) <= 10
+
+
+# ---------------------------------------------------------------- audio
+
+
+def test_wav_roundtrip_16bit_stereo():
+    import numpy as np
+    from clarite_python_spark.functions.audiocodec import decode_wav, encode_wav
+
+    src = np.array([[100, -100], [2000, -2000], [-32768, 32767]], dtype=np.int32)
+    rate, got = decode_wav(encode_wav(src, 44100, bits=16))
+    assert rate == 44100 and got.shape == (3, 2)
+    assert (got == src).all()
+
+
+def test_wav_roundtrip_8bit_and_chunk_skipping():
+    import struct
+    import numpy as np
+    from clarite_python_spark.functions.audiocodec import decode_wav, encode_wav
+
+    src = np.array([0, 127, -128, 5], dtype=np.int32)
+    payload = encode_wav(src, 8000, bits=8)
+    # splice an unknown odd-sized LIST chunk before fmt/data: decoders
+    # must skip it (word-aligned) per the RIFF spec
+    body = payload[12:]
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = b"RIFF" + struct.pack("<I", 4 + len(extra) + len(body)) + b"WAVE" + extra + body
+    rate, got = decode_wav(spliced)
+    assert rate == 8000 and got[:, 0].tolist() == [0, 127, -128, 5]
+
+
+def test_wav_rejects_non_pcm_and_garbage():
+    from clarite_python_spark.functions.audiocodec import decode_wav
+
+    assert decode_wav(b"") is None
+    assert decode_wav(b"RIFFxxxxNOPE") is None
+    assert decode_wav(b"\x89PNG not audio at all....") is None
+
+
+def test_resample_nearest_audio():
+    import numpy as np
+    from clarite_python_spark.functions.audiocodec import resample_nearest
+
+    src = np.arange(8, dtype=np.int32).reshape(8, 1)
+    down = resample_nearest(src, 8000, 4000)
+    # pixel-center mapping: floor((i + 0.5) * 8 / 4) -> 1, 3, 5, 7
+    assert down[:, 0].tolist() == [1, 3, 5, 7]
+    up = resample_nearest(src, 8000, 16000)
+    assert up.shape == (16, 1)
+
+
+def test_decode_audio_features_through_stage(spark):
+    import numpy as np
+    from clarite_python_spark.functions.audiocodec import encode_wav
+    from clarite_python_spark.operators.multimodal import decode_audio_features
+
+    sig = np.array([10, -10, 10, -10, 0, 0], dtype=np.int32)  # 3 neg-product pairs / 5
+    rows = [
+        (1, bytearray(encode_wav(sig, 1000, bits=16))),
+        (2, bytearray(b"not audio")),
+    ]
+    df = spark.createDataFrame(rows, "media_id: long, payload: binary")
+    got = {r["media_id"]: r.asDict() for r in decode_audio_features(df).collect()}
+    a = got[1]
+    assert a["decoded"] is True and a["sample_rate"] == 1000
+    assert a["n_frames"] == 6 and a["duration_ms"] == 6.0
+    assert a["peak"] == 10 and a["zcr"] == 3 / 5
+    assert abs(a["rms"] - np.sqrt(np.mean(sig.astype(float) ** 2))) < 1e-12
+    assert got[2]["decoded"] is False and got[2]["rms"] is None
+
+
+def test_resample_audio_through_stage(spark):
+    import numpy as np
+    from clarite_python_spark.functions.audiocodec import decode_wav, encode_wav
+    from clarite_python_spark.operators.multimodal import resample_audio
+
+    sig = np.arange(8, dtype=np.int32)
+    rows = [(1, bytearray(encode_wav(sig, 8000, bits=16))), (2, bytearray(b"opaque"))]
+    df = spark.createDataFrame(rows, "media_id: long, payload: binary")
+    got = {r["media_id"]: r.asDict() for r in resample_audio(df, 4000).collect()}
+    rate, samples = decode_wav(got[1]["payload"])
+    assert rate == 4000 and samples[:, 0].tolist() == [1, 3, 5, 7]
+    assert got[1]["resampled"] is True
+    assert got[2]["resampled"] is False and bytes(got[2]["payload"]) == b"opaque"
