@@ -720,6 +720,16 @@ def multimodal_pixels_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: 8 k-means clusters, greedy
+    within-cluster removal at cosine >= 0.45 (the threshold the exact
+    near-dup query shows has real pairs on this corpus). Survivors +
+    cluster id; the DuckDB oracle replays quantizer training end-to-end
+    via the shared _kmeans_ctes prefix."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(emb, n_clusters=8, threshold=0.45).orderBy("vec_id")
+
+
 def multimodal_audio_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode path, oracle-checked end-to-end: each document's
     first 96 text bytes become the data chunk of an 8-bit mono 8 kHz PCM
@@ -1090,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh_embeddings": similarity_lsh_embeddings,
         "similarity_ivf_embeddings": similarity_ivf_embeddings,
         "similarity_ivf_probe_embeddings": similarity_ivf_probe_embeddings,
+        "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "multimodal_features_documents": multimodal_features_documents,
         "multimodal_metadata_documents": multimodal_metadata_documents,
         "multimodal_pixels_documents": multimodal_pixels_documents,
@@ -1494,23 +1505,15 @@ def _assoc_weighted_oracle() -> str:
     """
 
 
-def _ivf_probe_oracle() -> str:
-    """DuckDB twin of similarity_ivf_probe_embeddings — the ENTIRE IVF
-    path including quantizer training: spherical k-means (10 iterations,
-    assignment = first-argmax over centroid dots, mean + renormalize
-    update) unrolled as MATERIALIZED CTE pairs, then corpus list
-    assignment, per-query top-4 probe selection (ties: higher centroid
-    id first, matching reverse(array_sort(struct(d, i)))), candidate
-    scoring and per-query top-10.  Reproducible because the engine's
-    sample is sorted (operators/similarity.py:_train_centroids orders by
-    id before limit) and the seeded init indices depend only on
-    (seed=42, n rows) — inlined here for the driver's sf0.01 corpus
-    (n=500, like the LSH plane literals which fix dim=64).  Empty
-    k-means clusters would diverge (the engine re-seeds from its RNG);
-    none occur on this corpus — a mismatch would flag it."""
+def _kmeans_ctes(n_rows: int = 500, n_lists: int = 8, seed: int = 42, iters: int = 10) -> list[str]:
+    """Shared CTE prefix reproducing the engine's spherical-k-means
+    quantizer training in DuckDB (sorted-sample init + ``iters``
+    assignment/update rounds); ends with ``c{iters}`` holding the final
+    unit centroids. Used by both the IVF partial-probe and the
+    semantic-dedup oracles."""
     import numpy as np
 
-    init = np.random.RandomState(42).choice(500, size=8, replace=False)
+    init = np.random.RandomState(seed).choice(n_rows, size=n_lists, replace=False)
     vals = ", ".join(f"({j}, {int(ci)})" for j, ci in enumerate(init))
     ctes = [
         """m AS MATERIALIZED (
@@ -1521,7 +1524,7 @@ def _ivf_probe_oracle() -> str:
         f"""c0 AS MATERIALIZED (
            SELECT t.j, m.v FROM m JOIN (VALUES {vals}) t(j, ci) ON m.idx = t.ci)""",
     ]
-    for k in range(1, 11):
+    for k in range(1, iters + 1):
         ctes.append(f"""a{k} AS MATERIALIZED (
           SELECT vec_id, v, j FROM (
             SELECT m.vec_id, m.v, c.j,
@@ -1536,6 +1539,51 @@ def _ivf_probe_oracle() -> str:
                 SELECT a.j, unnest(a.v) AS val, unnest(range(len(a.v))) AS d FROM a{k} a)
               GROUP BY j, d)
             GROUP BY j))""")
+    return ctes
+
+
+def _semantic_dedup_oracle() -> str:
+    """DuckDB twin of semantic_dedup_embeddings: the shared k-means
+    prefix trains the 8 centroids, every vector is assigned to its
+    first-argmax cluster (scale-invariant, so raw dots suffice), and
+    within-cluster pairs at cosine >= 0.45 greedily remove the higher
+    id. Survivors keep their cluster id."""
+    ctes = _kmeans_ctes()
+    final = """
+        corp AS MATERIALIZED (
+          SELECT e.vec_id, e.embedding::DOUBLE[] AS raw,
+                 (SELECT c.j FROM c10 c
+                  ORDER BY list_dot_product(e.embedding::DOUBLE[], c.v) DESC,
+                           c.j ASC LIMIT 1)::INT AS cluster
+          FROM embeddings e),
+        removed AS (
+          SELECT DISTINCT y.vec_id FROM corp x JOIN corp y
+            ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+          WHERE list_dot_product(x.raw, y.raw)
+                / (sqrt(list_dot_product(x.raw, x.raw))
+                   * sqrt(list_dot_product(y.raw, y.raw))) >= 0.45)
+        SELECT c.vec_id, c.cluster FROM corp c
+        LEFT JOIN removed r ON c.vec_id = r.vec_id
+        WHERE r.vec_id IS NULL ORDER BY c.vec_id
+    """
+    return "WITH " + ",\n".join(ctes) + ",\n" + final
+
+
+def _ivf_probe_oracle() -> str:
+    """DuckDB twin of similarity_ivf_probe_embeddings — the ENTIRE IVF
+    path including quantizer training: spherical k-means (10 iterations,
+    assignment = first-argmax over centroid dots, mean + renormalize
+    update) unrolled as MATERIALIZED CTE pairs, then corpus list
+    assignment, per-query top-4 probe selection (ties: higher centroid
+    id first, matching reverse(array_sort(struct(d, i)))), candidate
+    scoring and per-query top-10.  Reproducible because the engine's
+    sample is sorted (operators/similarity.py:_train_centroids orders by
+    id before limit) and the seeded init indices depend only on
+    (seed=42, n rows) — inlined here for the driver's sf0.01 corpus
+    (n=500, like the LSH plane literals which fix dim=64).  Empty
+    k-means clusters would diverge (the engine re-seeds from its RNG);
+    none occur on this corpus — a mismatch would flag it."""
+    ctes = _kmeans_ctes()
     final = """
         corp AS MATERIALIZED (
           SELECT e.vec_id, e.embedding::DOUBLE[] AS raw,
@@ -1960,6 +2008,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup_md5_documents": _minhash_md5_oracle(),
         "minhash_dedup_md5_transitive_documents": _minhash_md5_transitive_oracle(),
         "similarity_ivf_probe_embeddings": _ivf_probe_oracle(),
+        "semantic_dedup_embeddings": _semantic_dedup_oracle(),
         "multimodal_features_documents": _multimodal_features_oracle(),
         "simhash_md5_documents": r"""
             WITH toksrc AS MATERIALIZED (

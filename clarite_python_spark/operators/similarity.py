@@ -28,6 +28,7 @@ __all__ = [
     "lsh_topk",
     "ivf_topk",
     "embedding_neardup",
+    "semantic_dedup",
     "label_centroids",
 ]
 
@@ -360,3 +361,61 @@ def embedding_neardup(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_size: int = 10_000,
+    max_cluster_rows: int | None = 100_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embeddings with the spherical-k-means coarse quantizer (the same one
+    IVF uses), compare pairs only WITHIN a cluster, and greedily drop
+    the higher id of every pair with cosine >= ``threshold``. Returns
+    the surviving rows as (id, cluster).
+
+    Scale shape: assignment is inlined-centroid JVM arithmetic riding
+    the scan (no shuffle); the pair join is an equi-join on the cluster
+    id, so the quadratic term is bounded by the largest cluster —
+    ``n_clusters`` should grow with the corpus (SemDeDup's published
+    runs use ~50k clusters for billions of docs). A pre-count guard
+    refuses degenerate clusterings (> ``max_cluster_rows`` in one
+    cluster) instead of silently launching an O(B^2) join; the
+    LSH-banded :func:`embedding_neardup` is the fallback when the
+    cluster bound can't hold. Greedy-by-id removal matches
+    ``minhash_dedup``'s chain semantics (a removed doc can still knock
+    out a later one), so the two near-dup families agree on semantics.
+    """
+    cents = _train_centroids(df, vec_col, n_clusters, seed, sample_size, id_col=id_col)
+    cvec = F.col(vec_col).cast("array<double>")
+    dots = _centroid_dots(cvec, cents)
+    assigned = df.select(
+        F.col(id_col),
+        cvec.alias("__v"),
+        (F.array_position(dots, F.array_max(dots)) - 1).cast("int").alias("cluster"),
+    )
+    if max_cluster_rows is not None:
+        biggest = (
+            assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).agg(F.max("n")).first()[0]
+        )
+        if biggest is not None and biggest > max_cluster_rows:
+            raise ValueError(
+                f"semantic_dedup: largest cluster has {biggest} rows "
+                f"(> max_cluster_rows={max_cluster_rows}); raise n_clusters "
+                "(bound the within-cluster quadratic) or use embedding_neardup."
+            )
+    a = assigned.select("cluster", F.col(id_col).alias("id_a"), F.col("__v").alias("__va"))
+    b = assigned.select("cluster", F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"))
+    removed = (
+        a.join(b, on="cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cosine(F.col("__va"), F.col("__vb")) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(removed, on=id_col, how="left_anti").select(id_col, "cluster")

@@ -112,3 +112,41 @@ def test_exact_guard_refuses_large_corpus(spark, emb):
         .count()
         >= 0
     )
+
+
+def test_semantic_dedup_removes_within_cluster_neardups(spark):
+    import numpy as np
+    from clarite_python_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(4, 16)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i * 10, [float(x) for x in v]))
+        # a tiny perturbation of each base vector -> cosine ~ 1
+        rows.append((i * 10 + 1, [float(x) for x in v + 0.001 * rng.randn(16)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # one cluster -> reduces to greedy exact near-dup; each
+    # near-identical pair deterministically loses its higher id
+    out = semantic_dedup(df, n_clusters=1, threshold=0.95, sample_size=100)
+    kept = sorted(r["vec_id"] for r in out.collect())
+    assert kept == [0, 10, 20, 30]
+    # with real clustering, removals are a subset (cross-cluster twins
+    # are out of SemDeDup's scope by design)
+    out4 = semantic_dedup(df, n_clusters=4, threshold=0.95, sample_size=100)
+    kept4 = sorted(r["vec_id"] for r in out4.collect())
+    assert set(kept) <= set(kept4)
+    assert all(v in kept4 for v in (0, 10, 20, 30))
+
+
+def test_semantic_dedup_cluster_guard(spark):
+    import numpy as np
+    from clarite_python_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_cluster_rows"):
+        semantic_dedup(df, n_clusters=1, threshold=0.99, sample_size=100, max_cluster_rows=10)
