@@ -569,6 +569,13 @@ def paragraph_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters: duplicate-word fraction + top word
+    2-/3-gram character coverage per document."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.repetition_stats(docs).orderBy("doc_id")
+
+
 def contamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination scan: documents from source 'src0' play
     the evaluation benchmark; every other document is checked for shared
@@ -1090,6 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules_documents": gopher_rules_documents,
         "paragraph_dedup_documents": paragraph_dedup_documents,
         "contamination_documents": contamination_documents,
+        "repetition_stats_documents": repetition_stats_documents,
         "minhash_dedup_documents": minhash_dedup_documents,
         "minhash_dedup_md5_documents": minhash_dedup_md5_documents,
         "minhash_dedup_md5_transitive_documents": minhash_dedup_md5_transitive_documents,
@@ -2131,6 +2139,41 @@ def oracle_sql() -> dict[str, str]:
                    max(n_paras_total) AS n_paras_total
             FROM win WHERE rn = 1
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        "repetition_stats_documents": f"""
+            WITH t AS (
+              SELECT doc_id, length(text) AS chars, {_TOKENS} AS toks FROM documents
+            ), g AS (
+              SELECT doc_id, chars, 2 AS n,
+                     unnest(list_transform(generate_series(1, len(toks) - 1),
+                            i -> concat_ws(' ', toks[i], toks[i+1]))) AS gram
+              FROM t WHERE len(toks) >= 2
+              UNION ALL
+              SELECT doc_id, chars, 3 AS n,
+                     unnest(list_transform(generate_series(1, len(toks) - 2),
+                            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS gram
+              FROM t WHERE len(toks) >= 3
+            ), c AS (
+              SELECT doc_id, n, gram, max(chars) AS chars, count(*) AS cnt
+              FROM g GROUP BY doc_id, n, gram
+            ), top AS (
+              SELECT doc_id, n, cnt, gram, chars,
+                     row_number() OVER (PARTITION BY doc_id, n
+                                        ORDER BY cnt DESC, gram ASC) AS rn
+              FROM c
+            ), f AS (
+              SELECT doc_id, n,
+                     round(cnt * length(gram) / (greatest(chars, 1) * 1.0), 6) AS frac
+              FROM top WHERE rn = 1
+            )
+            SELECT t.doc_id,
+                   round((len(toks) - len(list_distinct(toks)))
+                         / (greatest(len(toks), 1) * 1.0), 6) AS dup_word_frac,
+                   coalesce(max(CASE WHEN f.n = 2 THEN f.frac END), 0.0) AS top2_char_frac,
+                   coalesce(max(CASE WHEN f.n = 3 THEN f.frac END), 0.0) AS top3_char_frac
+            FROM t LEFT JOIN f ON t.doc_id = f.doc_id
+            GROUP BY t.doc_id, toks
+            ORDER BY t.doc_id
         """,
         "contamination_documents": f"""
             WITH t AS (

@@ -25,6 +25,7 @@ __all__ = [
     "winnow_matches",
     "gopher_rules",
     "GOPHER_STOPWORDS",
+    "repetition_stats",
 ]
 
 # Tiny per-language function-word lists for the n-gram/stopword language
@@ -424,6 +425,99 @@ def gopher_rules(
         out = out.withColumn(name, expr)
         overall = expr if overall is None else overall & expr
     return out.withColumn("gopher_pass", overall)
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_sizes: tuple[int, ...] = (2, 3),
+) -> DataFrame:
+    """Gopher-style intra-document repetition statistics: the repetition
+    filters from Rae et al. 2021 App. A applied per document —
+    ``dup_word_frac`` (1 - distinct/total words) and, per requested n,
+    ``top{n}_char_frac``: the fraction of the document's characters
+    covered by occurrences of its single most frequent word n-gram
+    (count x n-gram length / total chars; ties broken by the
+    lexicographically smallest gram).
+
+    Plan: one row-local explode of (n, gram) pairs, one groupBy
+    (doc, n, gram) count with map-side combine, a per-(doc, n) max_by,
+    then a pivot-by-n projection joined to the cheap per-doc word stats.
+    Shuffles are keyed on (doc, gram) — high cardinality, no skew — and
+    carry counts, not text bodies.
+    """
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("__chars"),
+        F.size(toks).alias("__n_words"),
+        F.size(F.array_distinct(toks)).alias("__n_distinct"),
+        toks.alias("__toks"),
+    )
+    def _gram_maker(nn: int):
+        # one-arg lambda (a two-arg python lambda would be read as the
+        # (value, index) transform form and silently shift arguments)
+        return lambda i: F.struct(
+            F.lit(nn).alias("n"),
+            F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, nn)).alias("gram"),
+        )
+
+    grams = base.select(
+        F.col(id_col),
+        F.col("__chars"),
+        F.explode(
+            F.flatten(
+                F.array(
+                    *[
+                        F.when(
+                            F.size(F.col("__toks")) >= n,
+                            F.transform(
+                                F.sequence(F.lit(0), F.size(F.col("__toks")) - n),
+                                _gram_maker(n),
+                            ),
+                        ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
+                        for n in ngram_sizes
+                    ]
+                )
+            )
+        ).alias("g"),
+    )
+    counts = grams.groupBy(id_col, "g.n", "g.gram").agg(
+        F.count(F.lit(1)).alias("cnt"), F.first("__chars").alias("__chars")
+    )
+    # the most frequent gram per (doc, n): max over (cnt, reversed-gram)
+    # would break ties wrong — use min_by on a (negated cnt, gram) key
+    top = counts.groupBy(id_col, "n").agg(
+        F.min_by(
+            F.struct(F.col("cnt"), F.col("gram")), F.struct(-F.col("cnt"), F.col("gram"))
+        ).alias("t"),
+        F.first("__chars").alias("__chars"),
+    )
+    per_n = top.select(
+        F.col(id_col),
+        F.col("n"),
+        F.round(
+            F.col("t.cnt") * F.length(F.col("t.gram")) / F.greatest("__chars", F.lit(1)), 6
+        ).alias("frac"),
+    )
+    out = base.select(
+        F.col(id_col),
+        F.round(
+            (F.col("__n_words") - F.col("__n_distinct"))
+            / F.greatest(F.col("__n_words"), F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_word_frac"),
+    )
+    fracs = per_n.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("frac"))).alias(f"top{n}_char_frac")
+            for n in ngram_sizes
+        ]
+    )
+    return out.join(fracs, id_col, "left").fillna(
+        0.0, subset=[f"top{n}_char_frac" for n in ngram_sizes]
+    )
 
 
 def rolling_fingerprint(

@@ -378,3 +378,30 @@ def test_gopher_rules_edge_cases(spark):
 
     assert got[4]["alpha_frac"] == 0.0
     assert got[4]["pass_alpha"] is False and got[4]["pass_word_count"] is True
+
+
+def test_repetition_stats_known_values(spark):
+    rows = [
+        # 'a b' appears twice (6 words, 5 distinct? a,b repeated)
+        (1, "a b c a b d"),
+        # heavy 3x repetition of 'x y'
+        (2, "x y x y x y"),
+        # no repetition at all
+        (3, "p q r s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in text.repetition_stats(df).collect()}
+
+    # doc 1: 6 words, 4 distinct -> dup 2/6; top 2-gram 'a b' x2, len 3,
+    # chars 11 -> 6/11
+    assert got[1]["dup_word_frac"] == pytest.approx(2 / 6, abs=1e-6)
+    assert got[1]["top2_char_frac"] == pytest.approx(6 / 11, abs=1e-6)
+
+    # doc 2: top 2-gram 'x y' x3 (overlapping occurrences counted as
+    # distinct start positions), len 3, chars 11 -> 9/11
+    assert got[2]["dup_word_frac"] == pytest.approx(4 / 6, abs=1e-6)
+    assert got[2]["top2_char_frac"] == pytest.approx(9 / 11, abs=1e-6)
+
+    assert got[3]["dup_word_frac"] == 0.0
+    # all 2-grams unique -> top one covers len 3 of 7 chars
+    assert got[3]["top2_char_frac"] == pytest.approx(3 / 7, abs=1e-6)
