@@ -254,6 +254,29 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--threshold", type=float, default=0.8)
+    p = g_pipe.add_parser("quality")
+    p.add_argument("data")
+    p.add_argument("output")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p = g_pipe.add_parser("repetition")
+    p.add_argument("data")
+    p.add_argument("output")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p = g_pipe.add_parser("paragraph-dedup")
+    p.add_argument("data")
+    p.add_argument("output")
+    p.add_argument("--sep", default=r"\n")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p = g_pipe.add_parser("contamination")
+    p.add_argument("data")
+    p.add_argument("benchmark")
+    p.add_argument("output")
+    p.add_argument("--ngram", type=int, default=8)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
 
     return ap
 
@@ -518,6 +541,19 @@ def main(argv: list[str] | None = None) -> int:
                 out = dedup_mod.minhash_dedup(
                     df, text_col=args.text_col, id_col=args.id_col, threshold=args.threshold
                 )
+        elif args.command == "quality":
+            out = text_mod.gopher_rules(df, text_col=args.text_col, id_col=args.id_col)
+        elif args.command == "repetition":
+            out = text_mod.repetition_stats(df, text_col=args.text_col, id_col=args.id_col)
+        elif args.command == "paragraph-dedup":
+            out = dedup_mod.paragraph_dedup(
+                df, text_col=args.text_col, id_col=args.id_col, sep=args.sep
+            )
+        elif args.command == "contamination":
+            bench = spark.read.parquet(args.benchmark)
+            out = dedup_mod.contamination(
+                df, bench, n=args.ngram, text_col=args.text_col, id_col=args.id_col
+            )
         _save_result(out, args.output)
         return 0
 

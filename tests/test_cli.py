@@ -213,3 +213,29 @@ def test_cli_pipeline_chunk(spark, tmp_path):
     out = spark.read.parquet(f"{d}/chunks")
     assert {"chunk_id", "chunk_text", "chunk_tokens_n"} <= set(out.columns)
     assert out.count() > 0
+
+
+def test_cli_pipeline_quality_and_dedup_extensions(spark, tmp_path):
+    d = str(tmp_path)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = f"{d}/docs"
+    docs.write.parquet(src)
+
+    assert cli.main(["pipeline", "quality", src, f"{d}/q"]) == 0
+    out = spark.read.parquet(f"{d}/q")
+    assert {"n_words", "gopher_pass", "pass_stopwords"} <= set(out.columns)
+
+    assert cli.main(["pipeline", "repetition", src, f"{d}/rep"]) == 0
+    assert {"dup_word_frac", "top2_char_frac"} <= set(
+        spark.read.parquet(f"{d}/rep").columns
+    )
+
+    assert cli.main(["pipeline", "paragraph-dedup", src, f"{d}/pd", "--sep", "batch"]) == 0
+    pd_out = spark.read.parquet(f"{d}/pd")
+    assert {"n_paras_kept", "n_paras_total"} <= set(pd_out.columns)
+    assert 0 < pd_out.count() <= docs.count()
+
+    docs.where("source = 'src0'").write.parquet(f"{d}/bench")
+    assert cli.main(["pipeline", "contamination", src, f"{d}/bench", f"{d}/cont",
+                     "--ngram", "5"]) == 0
+    assert "contamination_frac" in spark.read.parquet(f"{d}/cont").columns
