@@ -208,3 +208,44 @@ def test_partitioned_save_applies_to_tsv_too(spark, tmp_path):
     dest = str(tmp_path / "docs_tsv_by_source")
     save(ClariteFrame(docs), dest, fmt="tsv", partition_by="source")
     assert any(d.startswith("source=") for d in os.listdir(dest))
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """The corpus side of the contamination join must not shuffle: the
+    benchmark n-gram set rides a broadcast, and the only Exchange in the
+    plan is the per-doc count aggregation keyed on the id."""
+    from clarite_python_spark.operators.dedup import contamination
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = docs.where("source = 'src0'")
+    corpus = docs.where("source != 'src0'")
+    plan = _formatted_plan(contamination(corpus, bench, n=5))
+    assert "BroadcastExchange" in plan
+    # the collision join itself is broadcast, never sort-merge: the only
+    # shuffles are the benchmark-side distinct (tiny set) and the
+    # per-doc count ("- Exchange (" matches shuffles, not the broadcast)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("- Exchange (") <= 2, plan[:2000]
+
+
+def test_paragraph_dedup_two_keyed_shuffles(spark):
+    """paragraph_dedup promises exactly two keyed shuffles (md5 window +
+    doc reassembly) and no join."""
+    from clarite_python_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    plan = _formatted_plan(paragraph_dedup(docs, sep="batch"))
+    assert plan.count("- Exchange (") == 2, plan[:2000]
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_gopher_rules_is_scan_plus_project(spark):
+    """gopher_rules is one codegen projection: no exchange, no join, no
+    Python (BatchEvalPython/ArrowEvalPython) anywhere in the plan."""
+    from clarite_python_spark.operators.text import gopher_rules
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _formatted_plan(gopher_rules(docs))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    assert "* Project" in plan  # '*' marks whole-stage-codegen nodes
