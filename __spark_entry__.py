@@ -1560,16 +1560,18 @@ def _semantic_dedup_oracle() -> str:
     final = """
         corp AS MATERIALIZED (
           SELECT e.vec_id, e.embedding::DOUBLE[] AS raw,
+                 sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                       e.embedding::DOUBLE[])) AS nrm,
                  (SELECT c.j FROM c10 c
                   ORDER BY list_dot_product(e.embedding::DOUBLE[], c.v) DESC,
                            c.j ASC LIMIT 1)::INT AS cluster
           FROM embeddings e),
         removed AS (
+          -- dot >= t*na*nb (the engine's multiplication form — per-pair
+          -- work is one codegen dot, norms carried as scalars)
           SELECT DISTINCT y.vec_id FROM corp x JOIN corp y
             ON x.cluster = y.cluster AND x.vec_id < y.vec_id
-          WHERE list_dot_product(x.raw, y.raw)
-                / (sqrt(list_dot_product(x.raw, x.raw))
-                   * sqrt(list_dot_product(y.raw, y.raw))) >= 0.45)
+          WHERE list_dot_product(x.raw, y.raw) >= 0.45 * x.nrm * y.nrm)
         SELECT c.vec_id, c.cluster FROM corp c
         LEFT JOIN removed r ON c.vec_id = r.vec_id
         WHERE r.vec_id IS NULL ORDER BY c.vec_id

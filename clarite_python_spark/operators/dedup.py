@@ -192,7 +192,7 @@ def contamination(
     contaminated).
     """
     bcol = bench_text_col or text_col
-    grams = df.select(
+    grams = _rebalance(df).select(
         F.col(id_col), F.explode(shingles(text_col, n)).alias("__gram")
     )
     bench = benchmark.select(F.explode(shingles(bcol, n)).alias("__gram")).distinct()

@@ -61,6 +61,14 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+# NOTE (measured, sf0.1 pair join): unrolling the dot product into dim
+# explicit GetArrayItem+multiply terms is ~3x SLOWER than the
+# zip_with/aggregate fold above — per-element array access pays repeated
+# UnsafeArrayData navigation that the fold's single pass doesn't. Keep
+# the fold; make pair predicates cheap by carrying norms as scalar
+# columns (dot >= t*na*nb) instead of touching the arrays twice.
+
+
 def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
@@ -394,9 +402,14 @@ def semantic_dedup(
     cents = _train_centroids(df, vec_col, n_clusters, seed, sample_size, id_col=id_col)
     cvec = F.col(vec_col).cast("array<double>")
     dots = _centroid_dots(cvec, cents)
+    # carry the norm as a scalar column computed ONCE per row; the pair
+    # predicate is then `dot >= t * na * nb` — a pure codegen expression
+    # (normalizing the arrays instead would put a CodegenFallback lambda
+    # in the pair stage and disable whole-stage codegen there)
     assigned = df.select(
         F.col(id_col),
         cvec.alias("__v"),
+        _norm(cvec).alias("__n"),
         (F.array_position(dots, F.array_max(dots)) - 1).cast("int").alias("cluster"),
     )
     if max_cluster_rows is not None:
@@ -409,12 +422,32 @@ def semantic_dedup(
                 f"(> max_cluster_rows={max_cluster_rows}); raise n_clusters "
                 "(bound the within-cluster quadratic) or use embedding_neardup."
             )
-    a = assigned.select("cluster", F.col(id_col).alias("id_a"), F.col("__v").alias("__va"))
-    b = assigned.select("cluster", F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"))
+    # salt the pair join so parallelism isn't capped at n_clusters: the
+    # probe side keeps one salt (hash of its id), the build side is
+    # replicated across all salts — each unordered pair meets exactly once
+    par = df.sparkSession.sparkContext.defaultParallelism
+    n_salts = max(1, min(16, par // max(n_clusters, 1)))
+    a = assigned.select(
+        "cluster",
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)).cast("int").alias("__salt"),
+        F.col(id_col).alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = assigned.select(
+        "cluster",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt"),
+        F.col(id_col).alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
     removed = (
-        a.join(b, on="cluster")
+        a.join(b, on=["cluster", "__salt"])
         .where(F.col("id_a") < F.col("id_b"))
-        .where(cosine(F.col("__va"), F.col("__vb")) >= threshold)
+        .where(
+            _dot(F.col("__va"), F.col("__vb"))
+            >= F.lit(threshold) * F.col("__na") * F.col("__nb")
+        )
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )

@@ -427,6 +427,16 @@ def gopher_rules(
     return out.withColumn("gopher_pass", overall)
 
 
+def _rebalance(df: DataFrame) -> DataFrame:
+    """Spread compute-heavy per-row lambda work across cores when the scan
+    came in too few splits (a local/small-file artifact). At scale the
+    input arrives in many splits and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def repetition_stats(
     df: DataFrame,
     text_col: str = "text",
@@ -448,7 +458,7 @@ def repetition_stats(
     carry counts, not text bodies.
     """
     toks = tokens(text_col)
-    base = df.select(
+    base = _rebalance(df).select(
         F.col(id_col),
         F.length(F.col(text_col)).alias("__chars"),
         F.size(toks).alias("__n_words"),

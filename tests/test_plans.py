@@ -225,7 +225,9 @@ def test_contamination_broadcasts_benchmark(spark):
     # shuffles are the benchmark-side distinct (tiny set) and the
     # per-doc count ("- Exchange (" matches shuffles, not the broadcast)
     assert "SortMergeJoin" not in plan
-    assert plan.count("- Exchange (") <= 2, plan[:2000]
+    # keyed shuffles only: benchmark-side distinct + per-doc count (the
+    # round-robin _rebalance exchange is a local-split artifact)
+    assert plan.count("Arguments: hashpartitioning") <= 2, plan[:2000]
 
 
 def test_paragraph_dedup_two_keyed_shuffles(spark):
