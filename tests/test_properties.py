@@ -92,3 +92,55 @@ def test_minhash_identical_texts_identical_signatures(spark):
     ]
     assert sigs[0] == sigs[1]
     assert len(sigs[0]) == 32
+
+
+def _paragraph_dedup_reference(docs: list[tuple[int, str]], sep: str = "\n"):
+    """Pure-python reference: global first-occurrence-wins by
+    (doc_id, position) over trimmed, case-folded paragraphs."""
+    seen: set[str] = set()
+    out = {}
+    totals = {}
+    for doc_id, txt in sorted(docs):
+        paras = [p.strip() for p in txt.split(sep)]
+        paras = [p for p in paras if p]
+        totals[doc_id] = len(paras)
+        kept = []
+        for p in paras:
+            key = p.lower()
+            if key not in seen:
+                seen.add(key)
+                kept.append(p)
+        if kept:
+            out[doc_id] = ("\n".join(kept), len(kept), totals[doc_id])
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    st.lists(
+        st.lists(
+            # small alphabet + short paragraphs => real collisions
+            st.text(alphabet="ab ", min_size=0, max_size=6),
+            min_size=0,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@example(docs_paras=[["a"], ["a"], ["A "]])           # all-dup docs drop
+@example(docs_paras=[["a", "a", "b"], ["b", "c"]])    # intra+inter dup
+def test_paragraph_dedup_matches_reference(spark, docs_paras):
+    docs = [(i, "\n".join(paras)) for i, paras in enumerate(docs_paras)]
+    want = _paragraph_dedup_reference(docs)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_paras_kept"], r["n_paras_total"])
+        for r in dedup.paragraph_dedup(df).collect()
+    }
+    assert got == want
