@@ -771,6 +771,56 @@ def multimodal_audio_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def multimodal_video_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video path, oracle-checked end-to-end: each document's first
+    48 text bytes become three 2x2 24-bit DIB frames inside a standard
+    AVI container (functions/videocodec.py builds the header; frame
+    payloads are spliced from the text). sample_frames REALLY demuxes
+    the RIFF structure, wraps each frame as a BMP, and the image codec
+    decodes real pixels; the DuckDB oracle recomputes the channel means
+    from the same bytes via the DIB byte layout (BGR, 4-byte row pad,
+    bottom-up)."""
+    import numpy as np
+
+    from clarite_python_spark.functions.videocodec import encode_avi
+
+    avi = encode_avi([np.zeros((2, 2, 3), np.uint8)] * 3)
+    offs = []
+    p = 0
+    while True:
+        p = avi.find(b"00db", p)
+        if p < 0:
+            break
+        offs.append(p)
+        p += 4
+    assert len(offs) == 3 and all(len(avi) >= o + 24 for o in offs)
+    docs = _t(spark, sf_dir, "documents")
+    enc = F.encode("text", "utf-8")
+    payload = F.concat(
+        F.lit(avi[: offs[0] + 8]),
+        F.substring(enc, 1, 16),
+        F.lit(avi[offs[0] + 24 : offs[1] + 8]),
+        F.substring(enc, 17, 16),
+        F.lit(avi[offs[1] + 24 : offs[2] + 8]),
+        F.substring(enc, 33, 16),
+    )
+    media = docs.where(F.length(enc) >= 48).select(
+        F.col("doc_id").alias("media_id"), payload.alias("payload")
+    )
+    frames = multimodal.sample_frames(media, every_n=1, max_frames=3)
+    feats = multimodal.decode_image_features(
+        frames.select(
+            (F.col("media_id") * 10 + F.col("frame_idx")).alias("media_id"),
+            F.col("frame_payload").alias("payload"),
+        ),
+        dim=3,
+    )
+    return feats.select(
+        F.col("media_id").alias("frame_key"),
+        *[F.round(F.col("features")[i], 6).alias(f"f{i}") for i in range(3)],
+    ).orderBy("frame_key")
+
+
 def windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     out = windowed_counts(ev, "1 hour")
@@ -1113,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_metadata_documents": multimodal_metadata_documents,
         "multimodal_pixels_documents": multimodal_pixels_documents,
         "multimodal_audio_documents": multimodal_audio_documents,
+        "multimodal_video_documents": multimodal_video_documents,
         "windowed_events": windowed_events,
         "sessionized_events": sessionized_events,
         "ngram_jaccard_documents": ngram_jaccard_documents,
@@ -2354,6 +2405,31 @@ def oracle_sql() -> dict[str, str]:
                    round(n_frames * 1000.0 / 8000, 6) AS duration_ms,
                    rms, peak, zcr
             FROM agg ORDER BY media_id
+        """,
+        # REAL-demux video oracle: the three 2x2 DIB frames are the doc's
+        # first 48 text bytes; per frame, channel means come from the DIB
+        # layout (row stride 8 with 2 pad bytes; BGR order -> j%3: 2=R,
+        # 1=G, 0=B), matching demux -> BMP-wrap -> decode -> mean exactly
+        "multimodal_video_documents": """
+            WITH b AS (
+              SELECT doc_id AS media_id, substr(hex(encode(text)), 1, 96) AS hx
+              FROM documents WHERE octet_length(encode(text)) >= 48
+            ), byt AS (
+              SELECT media_id, i::INT AS i,
+                     concat('0x', substr(hx, i::INT*2+1, 2))::INT AS v
+              FROM b, unnest(range(48)) t(i)
+            ), px AS (
+              SELECT media_id, i//16 AS f, (i%16)%8 AS j, v
+              FROM byt WHERE (i%16)%8 < 6
+            ), agg AS (
+              SELECT media_id, f,
+                     round(avg(v) FILTER (j%3=2)/255.0, 6) AS f0,
+                     round(avg(v) FILTER (j%3=1)/255.0, 6) AS f1,
+                     round(avg(v) FILTER (j%3=0)/255.0, 6) AS f2
+              FROM px GROUP BY media_id, f
+            )
+            SELECT media_id*10 + f AS frame_key, f0, f1, f2
+            FROM agg ORDER BY frame_key
         """,
         # gaps-and-islands: a session breaks when the gap to the previous
         # event of the same user is >= the inactivity window (Spark's

@@ -40,6 +40,7 @@ from clarite_python_spark.functions.imagecodec import (
     encode_ppm,
     resize_nearest,
 )
+from clarite_python_spark.functions.videocodec import decode_avi, wrap_dib_as_bmp
 
 __all__ = [
     "with_media_metadata",
@@ -298,10 +299,17 @@ def sample_frames(
     every_n: int = 10,
     max_frames: int = 4,
 ) -> DataFrame:
-    """Frame-sampling plumbing for video payloads: emits (media_id,
-    frame_idx, frame_payload) rows. The decoder is stubbed — frames are
-    deterministic byte slices — but the explode shape, schema, and
-    batch-memory behavior match a real ffmpeg-backed implementation."""
+    """Frame sampling for video payloads: emits (media_id, frame_idx,
+    frame_payload) rows.
+
+    RIFF/AVI payloads are REALLY demuxed (``videocodec.decode_avi``):
+    every ``every_n``-th frame chunk is taken up to ``max_frames``, and
+    24-bit DIB frames are re-wrapped as standalone BMPs so a downstream
+    ``decode_image_features`` stage decodes real pixels — an actual
+    demux -> decode chain. Other payloads keep the documented stub
+    (deterministic byte slices; ffmpeg-class codecs aren't in this
+    container). ``frame_idx`` is the frame's index in the source stream
+    for the real path, the sample ordinal for the stub."""
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -310,18 +318,31 @@ def sample_frames(
         ]
     )
 
+    def _frames_of(payload: bytes | None) -> list[tuple[int, bytes]]:
+        dec = decode_avi(payload)
+        if dec is not None:
+            width, height, bpp, frames = dec
+            picked = list(range(0, len(frames), max(1, every_n)))[:max_frames]
+            if bpp == 24 and width > 0 and height > 0:
+                return [(i, wrap_dib_as_bmp(frames[i], width, height)) for i in picked]
+            return [(i, frames[i]) for i in picked]
+        payload = payload or b""
+        out = []
+        for i in range(max_frames):
+            start = i * every_n
+            if start >= len(payload):
+                break
+            out.append((i, bytes(payload[start : start + every_n])))
+        return out
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, payloads = [], [], []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                payload = payload or b""
-                for i in range(max_frames):
-                    start = i * every_n
-                    if start >= len(payload):
-                        break
+                for i, fp in _frames_of(payload):
                     ids.append(mid)
                     idxs.append(i)
-                    payloads.append(bytes(payload[start : start + every_n]))
+                    payloads.append(fp)
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame_payload": payloads})
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)

@@ -250,3 +250,55 @@ def test_resample_audio_through_stage(spark):
     assert rate == 4000 and samples[:, 0].tolist() == [1, 3, 5, 7]
     assert got[1]["resampled"] is True
     assert got[2]["resampled"] is False and bytes(got[2]["payload"]) == b"opaque"
+
+
+# ---------------------------------------------------------------- video
+
+
+def test_avi_roundtrip_and_frame_sampling(spark):
+    import numpy as np
+    from clarite_python_spark.functions.imagecodec import decode_image
+    from clarite_python_spark.functions.videocodec import encode_avi
+    from clarite_python_spark.operators.multimodal import sample_frames
+
+    rng = np.random.RandomState(1)
+    frames = [rng.randint(0, 256, (4, 6, 3), dtype=np.uint8) for _ in range(7)]
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_avi(frames, fps=10)))], "media_id: long, payload: binary"
+    )
+    # every 3rd frame, capped at 2 -> source indices 0 and 3
+    out = {r["frame_idx"]: bytes(r["frame_payload"])
+           for r in sample_frames(df, every_n=3, max_frames=2).collect()}
+    assert sorted(out) == [0, 3]
+    for idx, bmp in out.items():
+        arr = decode_image(bmp)  # real demux -> BMP wrap -> real decode
+        assert arr is not None and (arr == frames[idx]).all()
+
+
+def test_avi_nested_rec_list_and_fallback(spark):
+    import struct
+    import numpy as np
+    from clarite_python_spark.functions.videocodec import decode_avi, encode_avi
+    from clarite_python_spark.operators.multimodal import sample_frames
+
+    frames = [np.full((2, 2, 3), i * 10, dtype=np.uint8) for i in range(3)]
+    avi = bytearray(encode_avi(frames))
+    # wrap the movi children in a 'rec ' LIST (interleaved-file layout):
+    # decoders must descend into it
+    movi_at = bytes(avi).find(b"LIST", 12)
+    while bytes(avi)[movi_at + 8 : movi_at + 12] != b"movi":
+        movi_at = bytes(avi).find(b"LIST", movi_at + 4)
+    msize = struct.unpack_from("<I", avi, movi_at + 4)[0]
+    children = bytes(avi[movi_at + 12 : movi_at + 8 + msize])
+    rec = b"LIST" + struct.pack("<I", 4 + len(children)) + b"rec " + children
+    new_movi = b"LIST" + struct.pack("<I", 4 + len(rec)) + b"movi" + rec
+    rebuilt = bytes(avi[:movi_at]) + new_movi
+    rebuilt = b"RIFF" + struct.pack("<I", len(rebuilt) - 8 + 0) + rebuilt[8:]
+    got = decode_avi(rebuilt)
+    assert got is not None and len(got[3]) == 3
+
+    # non-AVI payloads keep the stub slice behavior
+    df = spark.createDataFrame([(9, bytearray(b"0123456789" * 8))],
+                               "media_id: long, payload: binary")
+    rows = sample_frames(df, every_n=10, max_frames=4).collect()
+    assert len(rows) == 4 and all(len(r["frame_payload"]) == 10 for r in rows)
