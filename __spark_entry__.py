@@ -569,6 +569,15 @@ def paragraph_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def clean_corpus_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed cleaning pipeline as a per-document decision table:
+    exact dedup + Gopher quality + repetition bounds + language filter
+    (operators/pipeline.py:clean_corpus). The oracle recomputes every
+    stage verdict independently and conjoins them."""
+    docs = _t(spark, sf_dir, "documents")
+    return pipeline.clean_corpus(docs).orderBy("doc_id")
+
+
 def repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition filters: duplicate-word fraction + top word
     2-/3-gram character coverage per document."""
@@ -1148,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup_documents": paragraph_dedup_documents,
         "contamination_documents": contamination_documents,
         "repetition_stats_documents": repetition_stats_documents,
+        "clean_corpus_documents": clean_corpus_documents,
         "minhash_dedup_documents": minhash_dedup_documents,
         "minhash_dedup_md5_documents": minhash_dedup_md5_documents,
         "minhash_dedup_md5_transitive_documents": minhash_dedup_md5_transitive_documents,
@@ -1858,6 +1868,100 @@ def _minhash_md5_transitive_oracle() -> str:
     )
 
 
+def _clean_corpus_oracle() -> str:
+    """DuckDB twin of clean_corpus_documents: the four stage verdicts
+    (exact-dedup winner, gopher_pass, repetition bounds, language)
+    recomputed independently and conjoined."""
+    norm_text = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+    return f"""
+        WITH ded AS (
+          SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5({norm_text})
+        ), gq AS (
+          SELECT doc_id, toks,
+                 len(toks) AS n_words,
+                 round(list_sum(list_transform(toks, x -> length(x)))
+                       / (greatest(len(toks), 1) * 1.0), 6) AS mwl,
+                 round(((length(text) - length(replace(text, '#', '')))
+                        + (length(text) - length(replace(text, '...', ''))) / 3)
+                       / (greatest(len(toks), 1) * 1.0), 6) AS sym,
+                 round(coalesce(list_sum(list_transform(
+                         list_filter(string_split(text, chr(10)), x -> trim(x) != ''),
+                         x -> CASE WHEN trim(x) LIKE '-%' OR trim(x) LIKE '*%'
+                                    OR trim(x) LIKE '•%' THEN 1 ELSE 0 END)), 0)
+                       / (greatest(len(list_filter(string_split(text, chr(10)),
+                                                   x -> trim(x) != '')), 1) * 1.0), 6) AS bul,
+                 round(coalesce(list_sum(list_transform(
+                         list_filter(string_split(text, chr(10)), x -> trim(x) != ''),
+                         x -> CASE WHEN trim(x) LIKE '%...' OR trim(x) LIKE '%…'
+                                   THEN 1 ELSE 0 END)), 0)
+                       / (greatest(len(list_filter(string_split(text, chr(10)),
+                                                   x -> trim(x) != '')), 1) * 1.0), 6) AS ell,
+                 round(coalesce(list_sum(list_transform(toks,
+                         x -> CASE WHEN regexp_matches(x, '[A-Za-z]') THEN 1 ELSE 0 END)), 0)
+                       / (greatest(len(toks), 1) * 1.0), 6) AS alp,
+                 ({" + ".join(
+                     f"CASE WHEN list_contains(toks, '{w}') THEN 1 ELSE 0 END"
+                     for w in ["the", "be", "to", "of", "and", "that", "have", "with"]
+                 )}) AS nstop
+          FROM (SELECT doc_id, text, {_TOKENS} AS toks FROM documents)
+        ), grm AS (
+          SELECT doc_id, chars, n, gram FROM (
+            SELECT doc_id, length(text) AS chars, 2 AS n,
+                   unnest(list_transform(generate_series(1, len({_TOKENS}) - 1),
+                          i -> concat_ws(' ', {_TOKENS}[i], {_TOKENS}[i+1]))) AS gram
+            FROM documents WHERE len({_TOKENS}) >= 2)
+        ), topg AS (
+          SELECT doc_id, round(cnt * length(gram) / (greatest(chars, 1) * 1.0), 6) AS top2
+          FROM (
+            SELECT doc_id, gram, max(chars) AS chars, count(*) AS cnt,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY count(*) DESC, gram ASC) AS rn
+            FROM grm GROUP BY doc_id, gram)
+          WHERE rn = 1
+        ), rep AS (
+          SELECT t.doc_id,
+                 (round((len(toks) - len(list_distinct(toks)))
+                        / (greatest(len(toks), 1) * 1.0), 6) <= 0.9
+                  AND coalesce(g.top2, 0.0) <= 0.9) AS keep_repetition
+          FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents) t
+          LEFT JOIN topg g ON t.doc_id = g.doc_id
+        ), lng AS (
+          SELECT doc_id, CASE
+            WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+            WHEN greatest({_lang_score(_DE)}, {_lang_score(_EN)},
+                          {_lang_score(_ES)}, {_lang_score(_FR)}) = 0 THEN 'unknown'
+            WHEN {_lang_score(_DE)} >= {_lang_score(_EN)}
+             AND {_lang_score(_DE)} >= {_lang_score(_ES)}
+             AND {_lang_score(_DE)} >= {_lang_score(_FR)} THEN 'de'
+            WHEN {_lang_score(_EN)} >= {_lang_score(_ES)}
+             AND {_lang_score(_EN)} >= {_lang_score(_FR)} THEN 'en'
+            WHEN {_lang_score(_ES)} >= {_lang_score(_FR)} THEN 'es'
+            ELSE 'fr' END AS lang_pred
+          FROM documents
+        )
+        SELECT d.doc_id,
+               (ded.doc_id IS NOT NULL) AS keep_dedup,
+               (gq.n_words >= 50 AND gq.n_words <= 100000
+                AND gq.mwl >= 3.0 AND gq.mwl <= 10.0 AND gq.sym < 0.1
+                AND gq.bul < 0.9 AND gq.ell < 0.3 AND gq.alp >= 0.8
+                AND gq.nstop >= 2) AS keep_quality,
+               rep.keep_repetition,
+               (lng.lang_pred = 'en') AS keep_language,
+               ((ded.doc_id IS NOT NULL)
+                AND (gq.n_words >= 50 AND gq.n_words <= 100000
+                     AND gq.mwl >= 3.0 AND gq.mwl <= 10.0 AND gq.sym < 0.1
+                     AND gq.bul < 0.9 AND gq.ell < 0.3 AND gq.alp >= 0.8
+                     AND gq.nstop >= 2)
+                AND rep.keep_repetition AND (lng.lang_pred = 'en')) AS keep
+        FROM documents d
+        LEFT JOIN ded ON d.doc_id = ded.doc_id
+        JOIN gq ON d.doc_id = gq.doc_id
+        JOIN rep ON d.doc_id = rep.doc_id
+        JOIN lng ON d.doc_id = lng.doc_id
+        ORDER BY d.doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     norm_text = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
     return {
@@ -2193,6 +2297,7 @@ def oracle_sql() -> dict[str, str]:
             FROM win WHERE rn = 1
             GROUP BY doc_id ORDER BY doc_id
         """,
+        "clean_corpus_documents": _clean_corpus_oracle(),
         "repetition_stats_documents": f"""
             WITH t AS (
               SELECT doc_id, length(text) AS chars, {_TOKENS} AS toks FROM documents

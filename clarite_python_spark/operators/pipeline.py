@@ -27,6 +27,7 @@ __all__ = [
     "deterministic_sample",
     "pack_sequences",
     "chunk_documents",
+    "clean_corpus",
 ]
 
 #: number of hash buckets fractions are quantized to: fraction 0.8123
@@ -216,4 +217,69 @@ def pack_sequences(
     return (
         out.withColumn("seq_id", F.floor(start / F.lit(max_tokens)))
         .withColumn("seq_offset", start % F.lit(max_tokens))
+    )
+
+
+def clean_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    languages: tuple[str, ...] = ("en",),
+    max_dup_word_frac: float = 0.9,
+    max_top2_char_frac: float = 0.9,
+    gopher_kwargs: dict | None = None,
+) -> DataFrame:
+    """End-to-end corpus-cleaning decision table: the standard filter
+    stack (exact dedup -> Gopher quality rules -> repetition filters ->
+    language ID) composed into one per-document verdict.
+
+    Emits every input document with per-stage booleans
+    (``keep_dedup``, ``keep_quality``, ``keep_repetition``,
+    ``keep_language``) and the overall ``keep`` — a decision TABLE, not
+    a filtered corpus, because at pipeline scale you audit the
+    per-stage rejection mix before materializing the cleaned output
+    (``.where("keep")`` is the one-liner that follows).
+
+    Plan shape: each stage is the already-audited operator (SCALE.md
+    rows); the composition adds three id-keyed joins that AQE
+    broadcast-or-co-partitions. Nothing here re-tokenizes — each stage
+    reads the raw text once.
+    """
+    from clarite_python_spark.operators.dedup import exact_dedup
+    from clarite_python_spark.operators.text import (
+        gopher_rules,
+        language_id,
+        repetition_stats,
+    )
+
+    kept_ids = exact_dedup(df, text_col=text_col, id_col=id_col).select(
+        F.col(id_col), F.lit(True).alias("keep_dedup")
+    )
+    quality = gopher_rules(df, text_col=text_col, id_col=id_col, **(gopher_kwargs or {})).select(
+        F.col(id_col), F.col("gopher_pass").alias("keep_quality")
+    )
+    rep = repetition_stats(df, text_col=text_col, id_col=id_col).select(
+        F.col(id_col),
+        (
+            (F.col("dup_word_frac") <= max_dup_word_frac)
+            & (F.col("top2_char_frac") <= max_top2_char_frac)
+        ).alias("keep_repetition"),
+    )
+    lang = language_id(df, text_col=text_col, id_col=id_col).select(
+        F.col(id_col), F.col("lang_pred").isin(*languages).alias("keep_language")
+    )
+    out = (
+        df.select(id_col)
+        .join(kept_ids, id_col, "left")
+        .join(quality, id_col, "left")
+        .join(rep, id_col, "left")
+        .join(lang, id_col, "left")
+        .fillna(False, subset=["keep_dedup"])
+    )
+    return out.withColumn(
+        "keep",
+        F.col("keep_dedup")
+        & F.col("keep_quality")
+        & F.col("keep_repetition")
+        & F.col("keep_language"),
     )

@@ -405,3 +405,22 @@ def test_repetition_stats_known_values(spark):
     assert got[3]["dup_word_frac"] == 0.0
     # all 2-grams unique -> top one covers len 3 of 7 chars
     assert got[3]["top2_char_frac"] == pytest.approx(3 / 7, abs=1e-6)
+
+
+def test_clean_corpus_stage_verdicts(spark):
+    varied = " ".join(["the", "of"] + [f"word{i}" for i in range(58)])
+    rows = [
+        (1, varied),                                           # passes all
+        (2, varied),                                           # exact dup of 1
+        (3, " ".join(["123"] * 60)),                           # fails quality (alpha)
+        (4, "the of " + "word word " * 40),                    # fails repetition (top2)
+        (5, "el la de que y en un una los las " * 8),          # fails language (es)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in pipeline.clean_corpus(df).collect()}
+
+    assert got[1]["keep"] is True
+    assert got[2]["keep_dedup"] is False and got[2]["keep"] is False
+    assert got[3]["keep_quality"] is False
+    assert got[4]["keep_repetition"] is False
+    assert got[5]["keep_language"] is False and got[5]["keep_repetition"] is True
