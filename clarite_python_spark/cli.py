@@ -277,6 +277,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ngram", type=int, default=8)
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
+    p = g_pipe.add_parser("clean")
+    p.add_argument("data")
+    p.add_argument("output")
+    p.add_argument("--languages", nargs="+", default=["en"])
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--apply", action="store_true",
+                   help="write only kept documents instead of the decision table")
 
     return ap
 
@@ -554,6 +562,19 @@ def main(argv: list[str] | None = None) -> int:
             out = dedup_mod.contamination(
                 df, bench, n=args.ngram, text_col=args.text_col, id_col=args.id_col
             )
+        elif args.command == "clean":
+            verdicts = pipe_mod.clean_corpus(
+                df,
+                text_col=args.text_col,
+                id_col=args.id_col,
+                languages=tuple(args.languages),
+            )
+            if args.apply:
+                out = df.join(
+                    verdicts.where("keep").select(args.id_col), args.id_col, "inner"
+                )
+            else:
+                out = verdicts
         _save_result(out, args.output)
         return 0
 

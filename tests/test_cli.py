@@ -239,3 +239,23 @@ def test_cli_pipeline_quality_and_dedup_extensions(spark, tmp_path):
     assert cli.main(["pipeline", "contamination", src, f"{d}/bench", f"{d}/cont",
                      "--ngram", "5"]) == 0
     assert "contamination_frac" in spark.read.parquet(f"{d}/cont").columns
+
+
+def test_cli_pipeline_clean(spark, tmp_path):
+    d = str(tmp_path)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.parquet(f"{d}/docs")
+
+    assert cli.main(["pipeline", "clean", f"{d}/docs", f"{d}/verdicts"]) == 0
+    v = spark.read.parquet(f"{d}/verdicts")
+    assert {"keep", "keep_dedup", "keep_quality"} <= set(v.columns)
+    assert v.count() == docs.count()
+
+    assert cli.main(["pipeline", "clean", f"{d}/docs", f"{d}/kept", "--apply",
+                     "--languages", "en", "es"]) == 0
+    kept = spark.read.parquet(f"{d}/kept")
+    assert "text" in kept.columns
+    from clarite_python_spark.operators.pipeline import clean_corpus
+
+    want = clean_corpus(docs, languages=("en", "es")).where("keep").count()
+    assert kept.count() == want < docs.count()
