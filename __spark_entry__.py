@@ -569,6 +569,28 @@ def paragraph_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def deterministic_shuffle_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed epoch shuffle: per-doc 60-bit shuffle key +
+    shard assignment (pipeline.deterministic_shuffle; the within-shard
+    sort is physical layout, the compare checks the key/shard values)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = pipeline.deterministic_shuffle(docs.select("doc_id"), salt="ep0", n_shards=4)
+    return out.select("doc_id", "shuffle_key", "shard").orderBy("doc_id")
+
+
+def token_budget_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget source mixing: src0 capped at 3000 tokens, src1 cut
+    entirely, other sources unlimited (pipeline.token_budget_sample)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = pipeline.token_budget_sample(docs, {"src0": 3000, "src1": 0})
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "cum_tokens",
+    ).orderBy("doc_id")
+
+
 def clean_corpus_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed cleaning pipeline as a per-document decision table:
     exact dedup + Gopher quality + repetition bounds + language filter
@@ -1158,6 +1180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_documents": contamination_documents,
         "repetition_stats_documents": repetition_stats_documents,
         "clean_corpus_documents": clean_corpus_documents,
+        "deterministic_shuffle_documents": deterministic_shuffle_documents,
+        "token_budget_sample_documents": token_budget_sample_documents,
         "minhash_dedup_documents": minhash_dedup_documents,
         "minhash_dedup_md5_documents": minhash_dedup_md5_documents,
         "minhash_dedup_md5_transitive_documents": minhash_dedup_md5_transitive_documents,
@@ -1242,6 +1266,17 @@ def _winnow_fps_cte() -> str:
               SELECT doc_id, unnest(list_distinct(m)) AS fingerprint
               FROM mins WHERE m IS NOT NULL
             )"""
+
+
+def _md5_key(id_expr: str, salt: str) -> str:
+    """DuckDB twin of functions.hashing.md5_60bit over ``id:salt`` (the
+    full 60-bit key, no modulus)."""
+    return (
+        f"list_sum(list_transform(range(1, 16), "
+        f"k -> (CAST(strpos('0123456789abcdef', "
+        f"substr(md5({id_expr} || ':{salt}'), k, 1)) AS BIGINT) - 1) "
+        f"<< ((15 - k) * 4)))"
+    )
 
 
 def _md5_bucket(id_expr: str, salt: str, buckets: int = 10000) -> str:
@@ -2298,6 +2333,30 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id ORDER BY doc_id
         """,
         "clean_corpus_documents": _clean_corpus_oracle(),
+        "deterministic_shuffle_documents": f"""
+            SELECT doc_id,
+                   {_md5_key("doc_id", "ep0")} AS shuffle_key,
+                   CAST({_md5_key("doc_id", "ep0")} % 4 AS INT) AS shard
+            FROM documents ORDER BY doc_id
+        """,
+        "token_budget_sample_documents": f"""
+            WITH t AS (
+              SELECT doc_id, source, {_md5_key("doc_id", "")} AS k,
+                     CAST(len({_TOKENS}) AS BIGINT) AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, source, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY source ORDER BY k
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+              FROM t
+            )
+            SELECT doc_id, source, n_tokens, cum_tokens FROM c
+            WHERE CASE source
+                    WHEN 'src0' THEN (cum_tokens - n_tokens) < 3000
+                    WHEN 'src1' THEN (cum_tokens - n_tokens) < 0
+                    ELSE true END
+            ORDER BY doc_id
+        """,
         "repetition_stats_documents": f"""
             WITH t AS (
               SELECT doc_id, length(text) AS chars, {_TOKENS} AS toks FROM documents

@@ -28,6 +28,8 @@ __all__ = [
     "pack_sequences",
     "chunk_documents",
     "clean_corpus",
+    "deterministic_shuffle",
+    "token_budget_sample",
 ]
 
 #: number of hash buckets fractions are quantized to: fraction 0.8123
@@ -282,4 +284,84 @@ def clean_corpus(
         & F.col("keep_quality")
         & F.col("keep_repetition")
         & F.col("keep_language"),
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "",
+    n_shards: int = 1,
+) -> DataFrame:
+    """Content-addressed corpus shuffle for training-order randomization:
+    every row gets a ``shuffle_key`` (the portable 60-bit md5 of
+    ``id:salt``) and a ``shard`` (key mod ``n_shards``); rows arrive
+    hash-partitioned by shard and sorted by key WITHIN each shard.
+
+    This is the scalable form of "shuffle the corpus": no global sort —
+    ``repartition(shard)`` + ``sortWithinPartitions`` is one shuffle and
+    a parallel per-shard sort, and because key and shard depend only on
+    (id, salt) the order is identical on any cluster shape or engine
+    (same property as ``deterministic_split``). Re-salting gives a fresh
+    epoch order without re-writing ids. A trainer reads shards in
+    sequence; global order across shards is key order by construction.
+    """
+    from clarite_python_spark.functions.hashing import md5_60bit
+
+    key = md5_60bit(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt)))
+    out = df.withColumn("shuffle_key", key).withColumn(
+        "shard", (F.col("shuffle_key") % n_shards).cast("int")
+    )
+    return out.repartition(max(1, n_shards), "shard").sortWithinPartitions(
+        "shard", "shuffle_key"
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int] | int,
+    by: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Source mixing by TOKEN budget rather than document count: within
+    each ``by`` group, documents are ordered by their deterministic
+    shuffle key and kept while the running token total stays within the
+    group's budget (the first document crossing the budget is kept, so
+    every non-empty group with a positive budget contributes at least
+    one document and the budget is reached, not undershot).
+
+    ``budgets`` is either {group: max_tokens} (missing groups keep
+    everything) or a single int applied to every group. One window
+    cumsum per group — a single keyed shuffle; the hash order makes the
+    selection reproducible and NESTED like deterministic_sample's rates
+    (a bigger budget keeps a superset). Returns the rows plus
+    (n_tokens, cum_tokens).
+    """
+    from pyspark.sql import Window
+
+    from clarite_python_spark.functions.hashing import md5_60bit
+    from clarite_python_spark.operators.text import token_count
+
+    key = md5_60bit(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(by).orderBy("__key")
+    out = (
+        df.withColumn("__key", key)
+        .withColumn("n_tokens", token_count(text_col))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    )
+    if isinstance(budgets, int):
+        limit = F.lit(budgets)
+    else:
+        limit = None
+        for grp, b in sorted(budgets.items()):
+            cond = F.when(F.col(by) == grp, F.lit(b))
+            limit = cond if limit is None else limit.when(F.col(by) == grp, F.lit(b))
+        limit = F.lit(None).cast("long") if limit is None else limit.otherwise(F.lit(None))
+    # keep while the PREVIOUS cumsum is under budget: the crossing doc
+    # stays, everything after it goes; NULL limit = no budget = keep all
+    return (
+        out.where(limit.isNull() | ((F.col("cum_tokens") - F.col("n_tokens")) < limit))
+        .drop("__key")
     )

@@ -424,3 +424,42 @@ def test_clean_corpus_stage_verdicts(spark):
     assert got[3]["keep_quality"] is False
     assert got[4]["keep_repetition"] is False
     assert got[5]["keep_language"] is False and got[5]["keep_repetition"] is True
+
+
+def test_deterministic_shuffle_properties(spark, docs):
+    out = pipeline.deterministic_shuffle(docs.select("doc_id"), salt="e1", n_shards=4)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    # shard is key mod n_shards; keys distinct; order within a partition
+    # is (shard, key)-sorted
+    assert all(r["shard"] == r["shuffle_key"] % 4 for r in rows)
+    assert len({r["shuffle_key"] for r in rows}) == len(rows)
+    # re-salting permutes: a different epoch salt changes the key set
+    other = {r["doc_id"]: r["shuffle_key"]
+             for r in pipeline.deterministic_shuffle(
+                 docs.select("doc_id"), salt="e2", n_shards=4).collect()}
+    same = {r["doc_id"]: r["shuffle_key"] for r in rows}
+    assert any(other[i] != same[i] for i in same)
+
+
+def test_token_budget_sample_budgets_and_nesting(spark, docs):
+    out = pipeline.token_budget_sample(docs, {"src0": 1000, "src1": 0}).collect()
+    by_src: dict[str, list] = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert "src1" not in by_src  # zero budget removes the group
+    # src0: budget reached but not wildly exceeded (crossing doc kept)
+    src0 = sorted(by_src["src0"], key=lambda r: r["cum_tokens"])
+    assert src0[-1]["cum_tokens"] >= 1000
+    assert src0[-1]["cum_tokens"] - src0[-1]["n_tokens"] < 1000
+    # unbudgeted groups keep everything
+    total = {r["source"]: 0 for r in docs.select("source").distinct().collect()}
+    for r in docs.collect():
+        total[r["source"]] += 1
+    assert len(by_src["src2"]) == total["src2"]
+    # nesting: a bigger budget keeps a superset
+    small = {r["doc_id"] for r in pipeline.token_budget_sample(docs, {"src0": 500}).collect()
+             if r["source"] == "src0"}
+    big = {r["doc_id"] for r in pipeline.token_budget_sample(docs, {"src0": 2000}).collect()
+           if r["source"] == "src0"}
+    assert small <= big
