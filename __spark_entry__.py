@@ -591,6 +591,13 @@ def token_budget_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("doc_id")
 
 
+def unigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram bits-per-token quality proxy with the
+    vocabulary built from the corpus itself (text.unigram_logprob)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.unigram_logprob(docs).orderBy("doc_id")
+
+
 def clean_corpus_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed cleaning pipeline as a per-document decision table:
     exact dedup + Gopher quality + repetition bounds + language filter
@@ -1180,6 +1187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_documents": contamination_documents,
         "repetition_stats_documents": repetition_stats_documents,
         "clean_corpus_documents": clean_corpus_documents,
+        "unigram_logprob_documents": unigram_logprob_documents,
         "deterministic_shuffle_documents": deterministic_shuffle_documents,
         "token_budget_sample_documents": token_budget_sample_documents,
         "minhash_dedup_documents": minhash_dedup_documents,
@@ -2333,6 +2341,20 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id ORDER BY doc_id
         """,
         "clean_corpus_documents": _clean_corpus_oracle(),
+        "unigram_logprob_documents": f"""
+            WITH ex AS (
+              SELECT doc_id, lower(unnest({_TOKENS})) AS tok FROM documents
+            ), vocab AS (
+              SELECT tok, count(*) AS n FROM ex GROUP BY tok
+            ), tot AS (
+              SELECT sum(n) AS total, count(*) AS v FROM vocab
+            )
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(avg(-ln((vocab.n + 1.0) / (tot.total + tot.v + 1))
+                             / ln(2)), 4) AS bits_per_token
+            FROM ex JOIN vocab USING (tok), tot
+            GROUP BY doc_id ORDER BY doc_id
+        """,
         "deterministic_shuffle_documents": f"""
             SELECT doc_id,
                    {_md5_key("doc_id", "ep0")} AS shuffle_key,

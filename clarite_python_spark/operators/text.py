@@ -26,6 +26,7 @@ __all__ = [
     "gopher_rules",
     "GOPHER_STOPWORDS",
     "repetition_stats",
+    "unigram_logprob",
 ]
 
 # Tiny per-language function-word lists for the n-gram/stopword language
@@ -559,3 +560,54 @@ def rolling_fingerprint(
         lambda acc, x: (acc * base + member(x)) % mod,
     )
     return df.select(F.col(id_col), fp.alias("rolling_fp"))
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet-style language-model quality proxy: per-document mean
+    negative log2 unigram probability (bits per token). Low values =
+    stereotypical in-distribution text, high = noise/OOV — the cheap
+    stand-in for the LM-perplexity filter of CCNet (Wenzek et al. 2020)
+    when no LM is available.
+
+    ``vocab`` is (token, n) counts — pass a precomputed/reference
+    vocabulary, or omit to build it from the corpus itself (one extra
+    token-count aggregation). Probabilities are Laplace-smoothed:
+    p = (n + 1) / (total + |V| + 1); out-of-vocabulary tokens get
+    1 / (total + |V| + 1).
+
+    Plan: explode -> broadcast-join the vocabulary -> per-doc agg. The
+    vocabulary rides a broadcast (token counts are tiny next to the
+    corpus); the corpus-side cost is the explode plus one keyed count.
+    Returns (id, n_tokens, bits_per_token).
+    """
+    import math
+
+    toks = tokens(text_col)
+    ex = _rebalance(df).select(
+        F.col(id_col), F.explode(toks).alias("__tok")
+    ).withColumn("__tok", F.lower(F.col("__tok")))
+    if vocab is None:
+        vocab = ex.groupBy("__tok").agg(F.count(F.lit(1)).alias("n"))
+    else:
+        vocab = vocab.select(F.lower(F.col("token")).alias("__tok"), F.col("n"))
+    totals = vocab.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("v")
+    ).first()
+    denom = float(totals["total"] + totals["v"] + 1)
+    log2 = math.log(2.0)
+    bits = -F.log(
+        (F.coalesce(F.col("n"), F.lit(0)) + 1.0) / F.lit(denom)
+    ) / F.lit(log2)
+    joined = ex.join(F.broadcast(vocab), on="__tok", how="left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(bits), 4).alias("bits_per_token"),
+        )
+    )

@@ -463,3 +463,22 @@ def test_token_budget_sample_budgets_and_nesting(spark, docs):
     big = {r["doc_id"] for r in pipeline.token_budget_sample(docs, {"src0": 2000}).collect()
            if r["source"] == "src0"}
     assert small <= big
+
+
+def test_unigram_logprob_with_external_vocab(spark):
+    import math
+
+    vocab = spark.createDataFrame([("common", 90), ("rare", 9)], ["token", "n"])
+    df = spark.createDataFrame(
+        [(1, "common common"), (2, "rare"), (3, "oov1 oov2")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict()
+           for r in text.unigram_logprob(df, vocab=vocab).collect()}
+    denom = 99 + 2 + 1  # total + |V| + 1
+    assert got[1]["bits_per_token"] == round(-math.log2(91 / denom), 4)
+    assert got[2]["bits_per_token"] == round(-math.log2(10 / denom), 4)
+    # OOV tokens get the floor probability 1/denom
+    assert got[3]["bits_per_token"] == round(-math.log2(1 / denom), 4)
+    # ordering: rarer text costs more bits
+    assert got[1]["bits_per_token"] < got[2]["bits_per_token"] < got[3]["bits_per_token"]
