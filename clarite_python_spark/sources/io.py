@@ -246,3 +246,44 @@ def check_unique_ids(df: DataFrame, col: str = ID_COL) -> int:
     return (
         df.groupBy(col).agg(F.count(F.lit(1)).alias("n")).where(F.col("n") > 1).limit(1).count()
     )
+
+
+def from_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    **options,
+) -> DataFrame:
+    """Load a JSON-Lines corpus (the interchange format most training
+    datasets ship as — one JSON document per line).
+
+    Pass ``schema`` (a DDL string like ``"doc_id long, text string"``)
+    whenever it is known: schema inference reads the data TWICE at
+    scale. Compressed inputs (.gz/.zst where supported) are handled by
+    the Spark source; gzip is NOT splittable, so prefer zstd or many
+    small files for parallelism. Returns a plain DataFrame — corpus
+    tables, not QC frames, so no ClariteFrame/.dtypes sidecar.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path, **options)
+
+
+def save_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = None,
+    partition_by: list[str] | str | None = None,
+) -> None:
+    """Write a corpus as JSON-Lines. ``compression="gzip"/"zstd"`` for
+    wire-size; ``partition_by`` hive-partitions (e.g. by split/source)
+    so downstream jobs prune directories."""
+    writer = df.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        writer = writer.partitionBy(*cols)
+    writer.json(path)

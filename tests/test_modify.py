@@ -212,3 +212,20 @@ def test_drop_extra_categories(mixed_cf):
     out = modify.drop_extra_categories(cf, only=["cat1"])
     assert out.catalog.categories["cat1"] == ["w", "x", "y", "z"]
     assert out.last_report["removed_levels"] == {"cat1": ["ghost"]}
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    from clarite_python_spark.sources.io import from_jsonl, save_jsonl
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d = f"{tmp_path}/corpus"
+    save_jsonl(docs, d, compression="gzip", partition_by="source")
+    back = from_jsonl(
+        spark, d, schema="doc_id long, text string, lang string, n_chars long"
+    )
+    # partition column comes back from the directory layout
+    assert "source" in back.columns
+    assert back.count() == docs.count()
+    a = {r["doc_id"]: r["text"] for r in back.collect()}
+    b = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert a == b
