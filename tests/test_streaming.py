@@ -369,3 +369,41 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
         for r in interval_join(clicks, buys, by="user_id", bin_width=3600.0).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_quality_filter_matches_batch(spark, tmp_path):
+    """The stateless corpus-quality stages (gopher_rules + language_id)
+    are plain projections, so they run unchanged on a file stream; with
+    availableNow they must produce exactly the batch verdicts. This is
+    the streaming-ingest form of the cleaning pipeline: quality flags on
+    arrival, dedup downstream via the watermarked streaming dedup."""
+    from clarite_python_spark.operators.text import gopher_rules, language_id
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    src = str(tmp_path / "docs_src")
+    docs.write.mode("overwrite").parquet(src)
+
+    batch = {
+        (r["doc_id"]): (r["gopher_pass"], r["lang_pred"])
+        for r in gopher_rules(docs)
+        .join(language_id(docs), "doc_id")
+        .select("doc_id", "gopher_pass", "lang_pred")
+        .collect()
+    }
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    flagged = gopher_rules(stream).join(language_id(stream), "doc_id")
+    q = (
+        flagged.select("doc_id", "gopher_pass", "lang_pred")
+        .writeStream.format("memory")
+        .queryName("stream_quality")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["gopher_pass"], r["lang_pred"])
+        for r in spark.sql("select * from stream_quality").collect()
+    }
+    assert got == batch and len(got) == docs.count()
