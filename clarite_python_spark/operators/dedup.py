@@ -175,6 +175,7 @@ def contamination(
     id_col: str = "doc_id",
     bench_text_col: str | None = None,
     broadcast_benchmark: bool = True,
+    hash_grams: bool = True,
 ) -> DataFrame:
     """Benchmark-contamination detection: flag training documents that
     share word ``n``-grams with an evaluation benchmark (the standard
@@ -192,10 +193,22 @@ def contamination(
     contaminated).
     """
     bcol = bench_text_col or text_col
-    grams = _rebalance(df).select(
-        F.col(id_col), F.explode(shingles(text_col, n)).alias("__gram")
+    # hash_grams (default): collide on xxhash64 of the gram instead of
+    # the gram string — the broadcast set holds 8-byte longs, not
+    # n-token strings (~5x smaller at n=5), and the probe compares
+    # longs. Collision odds are ~|grams|^2 / 2^64 (vanishing); pass
+    # hash_grams=False for exact string matching.
+    key = (lambda c: F.xxhash64(c)) if hash_grams else (lambda c: F.col(c))
+    grams = (
+        _rebalance(df)
+        .select(F.col(id_col), F.explode(shingles(text_col, n)).alias("__raw"))
+        .select(F.col(id_col), key("__raw").alias("__gram"))
     )
-    bench = benchmark.select(F.explode(shingles(bcol, n)).alias("__gram")).distinct()
+    bench = (
+        benchmark.select(F.explode(shingles(bcol, n)).alias("__raw"))
+        .select(key("__raw").alias("__gram"))
+        .distinct()
+    )
     bench = bench.withColumn("__hit", F.lit(1))
     if broadcast_benchmark:
         bench = F.broadcast(bench)

@@ -1,0 +1,89 @@
+"""Corpus-pipeline scale measurement: replicate the sf0.1 documents
+table to ~1M rows (ids re-keyed to stay unique) and measure the cleaning
+stack's throughput — the number that matters for the 100-TB design is
+docs/sec/core staying flat as the corpus grows.
+
+Usage: python scripts/bench_corpus.py [replication_factor]
+Prints one JSON line; record results in BASELINE.md / SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from clarite_python_spark.operators import dedup, pipeline, text  # noqa: E402
+from clarite_python_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    spark = get_spark("bench-corpus")
+    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    n_base = base.count()
+
+    # replicate with re-keyed ids (rep * n_base + doc_id) and a per-rep
+    # text suffix so exact dedup is not trivially collapsing the corpus
+    reps_df = spark.range(reps).withColumnRenamed("id", "rep")
+    big = (
+        base.crossJoin(reps_df)
+        .select(
+            (F.col("rep") * n_base + F.col("doc_id")).alias("doc_id"),
+            F.concat_ws(" ", F.col("text"), F.concat(F.lit("rep"), F.col("rep"))).alias(
+                "text"
+            ),
+            "source",
+        )
+        .repartition(64)
+        .persist()
+    )
+    n = big.count()  # materialize once so stages time pure compute
+
+    results: dict[str, float] = {}
+
+    def bench(name: str, fn) -> None:
+        t = time.time()
+        out = fn()
+        cnt = out.count() if hasattr(out, "count") else out
+        dt = time.time() - t
+        results[name] = round(dt, 2)
+        results[f"{name}_rows"] = cnt
+        print(f"{name}: {dt:.2f}s rows={cnt}", file=sys.stderr)
+
+    bench("gopher_rules", lambda: text.gopher_rules(big))
+    bench("language_id", lambda: text.language_id(big))
+    bench("exact_dedup", lambda: dedup.exact_dedup(big))
+    bench("repetition_stats", lambda: text.repetition_stats(big))
+    bench("unigram_logprob", lambda: text.unigram_logprob(big))
+    bench("paragraph_dedup", lambda: dedup.paragraph_dedup(big, sep="batch"))
+    bench(
+        "contamination",
+        lambda: dedup.contamination(
+            big.where("source != 'src0'"), big.where("source = 'src0'"), n=5
+        ),
+    )
+    bench("clean_corpus", lambda: pipeline.clean_corpus(big))
+    bench("deterministic_shuffle", lambda: pipeline.deterministic_shuffle(big))
+
+    total = sum(v for k, v in results.items() if not k.endswith("_rows"))
+    print(
+        json.dumps(
+            {
+                "metric": "corpus_pipeline_wall",
+                "value": round(total, 2),
+                "unit": "sec",
+                "n_docs": n,
+                "docs_per_sec_clean": round(n / results["clean_corpus"]),
+                "stages": results,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
