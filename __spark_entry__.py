@@ -591,6 +591,13 @@ def token_budget_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("doc_id")
 
 
+def corpus_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile (text.corpus_stats): counts, token
+    moments, exact-dup rate on the shared md5 fingerprint."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.corpus_stats(docs).orderBy("source")
+
+
 def unigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style unigram bits-per-token quality proxy with the
     vocabulary built from the corpus itself (text.unigram_logprob)."""
@@ -1188,6 +1195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats_documents": repetition_stats_documents,
         "clean_corpus_documents": clean_corpus_documents,
         "unigram_logprob_documents": unigram_logprob_documents,
+        "corpus_stats_documents": corpus_stats_documents,
         "deterministic_shuffle_documents": deterministic_shuffle_documents,
         "token_budget_sample_documents": token_budget_sample_documents,
         "minhash_dedup_documents": minhash_dedup_documents,
@@ -2341,6 +2349,18 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id ORDER BY doc_id
         """,
         "clean_corpus_documents": _clean_corpus_oracle(),
+        "corpus_stats_documents": f"""
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(len({_TOKENS})) AS BIGINT) AS total_tokens,
+                   round(avg(len({_TOKENS})), 4) AS mean_tokens,
+                   CAST(min(len({_TOKENS})) AS INT) AS min_tokens,
+                   CAST(max(len({_TOKENS})) AS INT) AS max_tokens,
+                   count(DISTINCT md5({norm_text})) AS distinct_docs,
+                   round(1.0 - count(DISTINCT md5({norm_text})) * 1.0 / count(*), 6)
+                     AS dup_rate
+            FROM documents GROUP BY source ORDER BY source
+        """,
         "unigram_logprob_documents": f"""
             WITH ex AS (
               SELECT doc_id, lower(unnest({_TOKENS})) AS tok FROM documents

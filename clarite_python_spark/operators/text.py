@@ -27,6 +27,7 @@ __all__ = [
     "GOPHER_STOPWORDS",
     "repetition_stats",
     "unigram_logprob",
+    "corpus_stats",
 ]
 
 # Tiny per-language function-word lists for the n-gram/stopword language
@@ -609,5 +610,40 @@ def unigram_logprob(
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.round(F.avg(bits), 4).alias("bits_per_token"),
+        )
+    )
+
+
+def corpus_stats(
+    df: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group corpus profile — the summary table a pipeline run
+    reports before/after cleaning: document and token counts, length
+    moments, and the exact-duplicate rate (1 - distinct fingerprints /
+    docs, same md5-of-normalized-text key as exact_dedup so the two
+    always agree on what "duplicate" means).
+
+    One groupBy aggregation with map-side combine; the fingerprint
+    distinct count is exact (per-group hash sets) — swap in
+    approx_count_distinct at the 10^12-doc scale where an HLL sketch's
+    ~2% error is acceptable for a report.
+    """
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    n_tok = token_count(text_col)
+    return (
+        df.groupBy(by)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_tok).alias("total_tokens"),
+            F.round(F.avg(n_tok), 4).alias("mean_tokens"),
+            F.min(n_tok).alias("min_tokens"),
+            F.max(n_tok).alias("max_tokens"),
+            F.countDistinct(F.md5(norm)).alias("distinct_docs"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.round(1.0 - F.col("distinct_docs") / F.col("n_docs"), 6),
         )
     )

@@ -482,3 +482,19 @@ def test_unigram_logprob_with_external_vocab(spark):
     assert got[3]["bits_per_token"] == round(-math.log2(1 / denom), 4)
     # ordering: rarer text costs more bits
     assert got[1]["bits_per_token"] < got[2]["bits_per_token"] < got[3]["bits_per_token"]
+
+
+def test_corpus_stats_dup_rate(spark):
+    rows = [
+        (1, "s", "a b c"),
+        (2, "s", "A  b C"),   # normalized dup of 1
+        (3, "s", "d e"),
+        (4, "t", "x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["source"]: r.asDict() for r in text.corpus_stats(df).collect()}
+    s = got["s"]
+    assert s["n_docs"] == 3 and s["distinct_docs"] == 2
+    assert s["dup_rate"] == pytest.approx(1 / 3, abs=1e-6)
+    assert s["total_tokens"] == 8 and s["min_tokens"] == 2 and s["max_tokens"] == 3
+    assert got["t"]["dup_rate"] == 0.0
