@@ -243,7 +243,7 @@ def clean_corpus(
     (``.where("keep")`` is the one-liner that follows).
 
     Plan shape: each stage is the already-audited operator (SCALE.md
-    rows); the composition adds three id-keyed joins that AQE
+    rows); the composition adds two id-keyed joins that AQE
     broadcast-or-co-partitions. Nothing here re-tokenizes — each stage
     reads the raw text once.
     """
@@ -257,8 +257,20 @@ def clean_corpus(
     kept_ids = exact_dedup(df, text_col=text_col, id_col=id_col).select(
         F.col(id_col), F.lit(True).alias("keep_dedup")
     )
-    quality = gopher_rules(df, text_col=text_col, id_col=id_col, **(gopher_kwargs or {})).select(
-        F.col(id_col), F.col("gopher_pass").alias("keep_quality")
+    # quality + language are both row-local projections: chain them via
+    # keep_cols so they run in ONE scan with no self-join (gopher carries
+    # the text forward, language carries gopher_pass)
+    quality_lang = language_id(
+        gopher_rules(
+            df, text_col=text_col, id_col=id_col, keep_cols=[text_col], **(gopher_kwargs or {})
+        ),
+        text_col=text_col,
+        id_col=id_col,
+        keep_cols=["gopher_pass"],
+    ).select(
+        F.col(id_col),
+        F.col("gopher_pass").alias("keep_quality"),
+        F.col("lang_pred").isin(*languages).alias("keep_language"),
     )
     rep = repetition_stats(df, text_col=text_col, id_col=id_col).select(
         F.col(id_col),
@@ -267,15 +279,9 @@ def clean_corpus(
             & (F.col("top2_char_frac") <= max_top2_char_frac)
         ).alias("keep_repetition"),
     )
-    lang = language_id(df, text_col=text_col, id_col=id_col).select(
-        F.col(id_col), F.col("lang_pred").isin(*languages).alias("keep_language")
-    )
     out = (
-        df.select(id_col)
-        .join(kept_ids, id_col, "left")
-        .join(quality, id_col, "left")
+        quality_lang.join(kept_ids, id_col, "left")
         .join(rep, id_col, "left")
-        .join(lang, id_col, "left")
         .fillna(False, subset=["keep_dedup"])
     )
     return out.withColumn(

@@ -118,7 +118,12 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def language_id(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
     """Heuristic language ID: CJK script detection + per-language
     function-word scoring; ties broken by fixed language order. Returns
     (id, lang_pred, lang_score)."""
@@ -138,6 +143,7 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.col(id_col),
         F.when(is_cjk, F.lit("zh")).otherwise(best_lang).alias("lang_pred"),
         F.when(is_cjk, F.lit(1.0)).otherwise(best_score).alias("lang_score"),
+        *[F.col(c) for c in (keep_cols or [])],
     )
 
 
@@ -349,8 +355,12 @@ def gopher_rules(
     max_ellipsis_frac: float = 0.3,
     min_alpha_frac: float = 0.8,
     min_stopwords: int = 2,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Gopher-style document quality rules as one codegen projection.
+    ``keep_cols`` carries extra input columns through the projection so
+    downstream row-local stages chain into the SAME scan (no re-read,
+    no join) — see pipeline.clean_corpus.
 
     Emits the measured statistics plus one boolean per rule and an
     overall ``gopher_pass``; keeping the per-rule flags (instead of just
@@ -411,6 +421,7 @@ def gopher_rules(
         F.round(ellipsis_frac, 6).alias("ellipsis_frac"),
         F.round(alpha_frac, 6).alias("alpha_frac"),
         n_stop.alias("n_stopwords"),
+        *[F.col(c) for c in (keep_cols or [])],
     )
     rules = {
         "pass_word_count": (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words),
