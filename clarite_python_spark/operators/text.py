@@ -629,6 +629,7 @@ def corpus_stats(
     df: DataFrame,
     by: str = "source",
     text_col: str = "text",
+    exact: bool = True,
 ) -> DataFrame:
     """Per-group corpus profile — the summary table a pipeline run
     reports before/after cleaning: document and token counts, length
@@ -636,13 +637,19 @@ def corpus_stats(
     docs, same md5-of-normalized-text key as exact_dedup so the two
     always agree on what "duplicate" means).
 
-    One groupBy aggregation with map-side combine; the fingerprint
-    distinct count is exact (per-group hash sets) — swap in
-    approx_count_distinct at the 10^12-doc scale where an HLL sketch's
-    ~2% error is acceptable for a report.
+    One groupBy aggregation with map-side combine; ``exact=False``
+    switches the fingerprint distinct count to ``approx_count_distinct``
+    (HyperLogLog++, ~2% error, mergeable constant-size sketches) — the
+    right setting at the 10^12-doc scale where exact per-group hash sets
+    would dominate the shuffle.
     """
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     n_tok = token_count(text_col)
+    distinct = (
+        F.countDistinct(F.md5(norm))
+        if exact
+        else F.approx_count_distinct(F.md5(norm))
+    )
     return (
         df.groupBy(by)
         .agg(
@@ -651,7 +658,7 @@ def corpus_stats(
             F.round(F.avg(n_tok), 4).alias("mean_tokens"),
             F.min(n_tok).alias("min_tokens"),
             F.max(n_tok).alias("max_tokens"),
-            F.countDistinct(F.md5(norm)).alias("distinct_docs"),
+            distinct.alias("distinct_docs"),
         )
         .withColumn(
             "dup_rate",

@@ -498,3 +498,12 @@ def test_corpus_stats_dup_rate(spark):
     assert s["dup_rate"] == pytest.approx(1 / 3, abs=1e-6)
     assert s["total_tokens"] == 8 and s["min_tokens"] == 2 and s["max_tokens"] == 3
     assert got["t"]["dup_rate"] == 0.0
+
+
+def test_corpus_stats_approx_mode(spark, docs):
+    exact = {r["source"]: r["distinct_docs"]
+             for r in text.corpus_stats(docs).collect()}
+    approx = {r["source"]: r["distinct_docs"]
+              for r in text.corpus_stats(docs, exact=False).collect()}
+    for s, n in exact.items():
+        assert abs(approx[s] - n) <= max(3, 0.05 * n)  # HLL ~2% rsd
