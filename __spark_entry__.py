@@ -614,6 +614,23 @@ def clean_corpus_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.clean_corpus(docs).orderBy("doc_id")
 
 
+def fuzzy_contamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (MinHash) decontamination with the portable md5 hash family:
+    src0 documents play the benchmark; corpus docs near-duplicating one
+    (band collision -> shingle Jaccard >= 0.5) are flagged with their
+    matching benchmark id. The oracle replays the full banding pipeline
+    (shared _minhash_md5_pipeline CTEs) with cross-set pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("source") == "src0")
+    corpus = docs.where(F.col("source") != "src0")
+    out = dedup.fuzzy_contamination(
+        corpus, bench, threshold=0.5, hash_family="md5"
+    )
+    return out.select(
+        "doc_id", "bench_id", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("doc_id", "bench_id")
+
+
 def repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition filters: duplicate-word fraction + top word
     2-/3-gram character coverage per document."""
@@ -1192,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules_documents": gopher_rules_documents,
         "paragraph_dedup_documents": paragraph_dedup_documents,
         "contamination_documents": contamination_documents,
+        "fuzzy_contamination_documents": fuzzy_contamination_documents,
         "repetition_stats_documents": repetition_stats_documents,
         "clean_corpus_documents": clean_corpus_documents,
         "unigram_logprob_documents": unigram_logprob_documents,
@@ -1882,6 +1900,39 @@ def _minhash_md5_pipeline() -> str:
         )"""
 
 
+def _fuzzy_contamination_oracle() -> str:
+    """Cross-set variant of the md5 MinHash twin: banding over ALL
+    documents (corpus ∪ benchmark = the whole table, so the engine's
+    union-bucket size cap equals count(*) per bucket here), pairs are
+    (corpus, src0-benchmark) collisions, verify is shingle Jaccard
+    >= 0.5."""
+    return (
+        "WITH "
+        + _minhash_md5_pipeline()
+        + """, bsz AS MATERIALIZED (
+          SELECT b, bucket, count(*) AS c FROM bands GROUP BY b, bucket
+        ), xpairs AS MATERIALIZED (
+          SELECT DISTINCT ca.doc_id AS doc_id, bb.doc_id AS bench_id
+          FROM bands ca
+          JOIN bands bb ON ca.b = bb.b AND ca.bucket = bb.bucket
+          JOIN documents dc ON dc.doc_id = ca.doc_id
+          JOIN documents db2 ON db2.doc_id = bb.doc_id
+          JOIN bsz s ON s.b = ca.b AND s.bucket = ca.bucket
+          WHERE dc.source != 'src0' AND db2.source = 'src0' AND s.c <= 1000
+        )
+        SELECT doc_id, bench_id, round(jac, 6) AS jaccard FROM (
+          SELECT p.doc_id, p.bench_id,
+                 len(list_intersect(da.sh, db.sh)) * 1.0
+                   / greatest(len(list_distinct(da.sh || db.sh)), 1) AS jac
+          FROM xpairs p
+          JOIN docs da ON da.doc_id = p.doc_id
+          JOIN docs db ON db.doc_id = p.bench_id
+        ) WHERE jac >= 0.5
+        ORDER BY doc_id, bench_id
+    """
+    )
+
+
 def _minhash_md5_oracle() -> str:
     """Greedy variant: drop any doc with a verified lower-id near-dup."""
     return (
@@ -2222,6 +2273,7 @@ def oracle_sql() -> dict[str, str]:
         "association_study_weighted_orders": _assoc_weighted_oracle(),
         "glm_logistic_orders": _glm_logistic_oracle(),
         "minhash_dedup_md5_documents": _minhash_md5_oracle(),
+        "fuzzy_contamination_documents": _fuzzy_contamination_oracle(),
         "minhash_dedup_md5_transitive_documents": _minhash_md5_transitive_oracle(),
         "similarity_ivf_probe_embeddings": _ivf_probe_oracle(),
         "semantic_dedup_embeddings": _semantic_dedup_oracle(),

@@ -27,6 +27,7 @@ __all__ = [
     "exact_dedup",
     "paragraph_dedup",
     "contamination",
+    "fuzzy_contamination",
     "shingles",
     "minhash_signature",
     "minhash_lsh_candidates",
@@ -226,6 +227,77 @@ def contamination(
     )
 
 
+def fuzzy_contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Fuzzy decontamination: corpus documents that NEAR-duplicate a
+    benchmark document — the MinHash complement to the exact n-gram
+    :func:`contamination` test, catching reformatted or partially-copied
+    benchmark items a verbatim n-gram collision misses.
+
+    Both sets are banded with the same MinHash family; a (corpus, bench)
+    pair is a candidate iff it collides in at least one band (equi-join
+    on (band, bucket) over the union — no cross join), buckets above
+    ``max_bucket`` total members are dropped (the standard LSH
+    guardrail), and candidates are verified with exact shingle Jaccard
+    >= ``threshold`` (0.5 default: decontamination flags partial
+    overlap, not just full dups). Shingling for the verify step is
+    O(candidates), not O(corpus). Returns (id, bench_id, jaccard).
+    """
+    bcol = bench_text_col or text_col
+    a = _banded(
+        _rebalance(df), text_col, id_col, num_hashes, bands, shingle_n, hash_family
+    ).select(F.col(id_col).alias("__id"), "band", "bucket", F.lit("c").alias("__side"))
+    b = _banded(
+        benchmark, bcol, id_col, num_hashes, bands, shingle_n, hash_family
+    ).select(F.col(id_col).alias("__id"), "band", "bucket", F.lit("b").alias("__side"))
+    buckets = (
+        a.unionByName(b)
+        .groupBy("band", "bucket")
+        .agg(
+            F.collect_list(F.when(F.col("__side") == "c", F.col("__id"))).alias("cids"),
+            F.collect_list(F.when(F.col("__side") == "b", F.col("__id"))).alias("bids"),
+        )
+        .where(
+            (F.size("cids") > 0)
+            & (F.size("bids") > 0)
+            & ((F.size("cids") + F.size("bids")) <= max_bucket)
+        )
+    )
+    pairs = (
+        buckets.select(F.explode("cids").alias(id_col), "bids")
+        .select(id_col, F.explode("bids").alias("bench_id"))
+        .distinct()
+    )
+    sub_c = df.join(pairs.select(id_col).distinct(), on=id_col, how="left_semi").select(
+        F.col(id_col), shingles(text_col, shingle_n).alias("__shc")
+    )
+    sub_b = benchmark.join(
+        pairs.select(F.col("bench_id").alias(id_col)).distinct(), on=id_col, how="left_semi"
+    ).select(F.col(id_col).alias("bench_id"), shingles(bcol, shingle_n).alias("__shb"))
+    return (
+        pairs.join(sub_c, id_col)
+        .join(sub_b, "bench_id")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("__shc", "__shb"))
+            / F.greatest(F.size(F.array_union("__shc", "__shb")), F.lit(1)),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(id_col, "bench_id", "jaccard")
+    )
+
+
 def _md5_member(s: Column, j: Column) -> Column:
     """Portable 60-bit hash-family member: the first 15 hex chars of
     ``md5(shingle:j)`` as a BIGINT.  ~10x slower than xxhash64 (md5 +
@@ -269,6 +341,43 @@ def minhash_signature(
     )
 
 
+def _banded(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    hash_family: str,
+) -> DataFrame:
+    """(id, band, bucket) band-hash frame shared by the within-corpus
+    LSH candidates and the cross-set fuzzy contamination."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(shingles(text_col, shingle_n), num_hashes, hash_family)
+
+    def bucket_key(b):
+        joined = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice("__sig", b * rows_per_band + 1, rows_per_band),
+                lambda v: v.cast("string"),
+            ),
+        )
+        if hash_family == "xxhash64":
+            return F.xxhash64(joined).cast("string")
+        return joined
+
+    return df.select(F.col(id_col), sig.alias("__sig")).select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(b.alias("band"), bucket_key(b).alias("bucket")),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -288,31 +397,9 @@ def minhash_lsh_candidates(
     ``max_bucket`` drops degenerate buckets to bound pair blowup.
     ``hash_family="md5"`` keeps the band key as the raw joined-value
     string (no xxhash64 compaction) so DuckDB reproduces it exactly."""
-    rows_per_band = num_hashes // bands
-    df = _rebalance(df)
-    sig = minhash_signature(shingles(text_col, shingle_n), num_hashes, hash_family)
-
-    def bucket_key(b):
-        joined = F.concat_ws(
-            ",",
-            F.transform(
-                F.slice("__sig", b * rows_per_band + 1, rows_per_band),
-                lambda v: v.cast("string"),
-            ),
-        )
-        if hash_family == "xxhash64":
-            return F.xxhash64(joined).cast("string")
-        return joined
-
-    banded = df.select(F.col(id_col), sig.alias("__sig")).select(
-        id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(b.alias("band"), bucket_key(b).alias("bucket")),
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    banded = _banded(
+        _rebalance(df), text_col, id_col, num_hashes, bands, shingle_n, hash_family
+    )
     buckets = (
         banded.groupBy("band", "bucket")
         .agg(F.collect_list(id_col).alias("ids"))

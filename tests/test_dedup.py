@@ -179,3 +179,26 @@ def test_contamination_ngram_collisions(spark):
     assert got[3]["contaminated"] is True
     assert got[3]["n_contaminated"] == got[3]["n_ngrams"]
     assert got[3]["contamination_frac"] == 1.0
+
+
+def test_fuzzy_contamination_flags_near_copies(spark):
+    from clarite_python_spark.operators.dedup import fuzzy_contamination
+
+    bench_text = "the quick brown fox jumps over the lazy dog every single day"
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [
+            # near copy: one word changed -> high Jaccard, flagged
+            (1, "the quick brown fox jumps over the lazy cat every single day"),
+            # unrelated
+            (2, "completely different content with no overlap whatsoever here now"),
+            # verbatim copy
+            (3, bench_text),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["jaccard"]
+           for r in fuzzy_contamination(corpus, bench, threshold=0.5).collect()}
+    assert 3 in got and got[3] == 1.0
+    assert 1 in got and 0.5 <= got[1] < 1.0
+    assert 2 not in got
