@@ -275,6 +275,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("benchmark")
     p.add_argument("output")
     p.add_argument("--ngram", type=int, default=8)
+    p.add_argument("--fuzzy", action="store_true",
+                   help="MinHash near-duplicate matching instead of exact n-grams")
+    p.add_argument("--threshold", type=float, default=0.5,
+                   help="Jaccard threshold for --fuzzy")
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
     p = g_pipe.add_parser("clean")
@@ -559,9 +563,15 @@ def main(argv: list[str] | None = None) -> int:
             )
         elif args.command == "contamination":
             bench = spark.read.parquet(args.benchmark)
-            out = dedup_mod.contamination(
-                df, bench, n=args.ngram, text_col=args.text_col, id_col=args.id_col
-            )
+            if args.fuzzy:
+                out = dedup_mod.fuzzy_contamination(
+                    df, bench, threshold=args.threshold,
+                    text_col=args.text_col, id_col=args.id_col,
+                )
+            else:
+                out = dedup_mod.contamination(
+                    df, bench, n=args.ngram, text_col=args.text_col, id_col=args.id_col
+                )
         elif args.command == "clean":
             verdicts = pipe_mod.clean_corpus(
                 df,

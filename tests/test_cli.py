@@ -240,6 +240,10 @@ def test_cli_pipeline_quality_and_dedup_extensions(spark, tmp_path):
                      "--ngram", "5"]) == 0
     assert "contamination_frac" in spark.read.parquet(f"{d}/cont").columns
 
+    assert cli.main(["pipeline", "contamination", src, f"{d}/bench", f"{d}/fuzzy",
+                     "--fuzzy", "--threshold", "0.5"]) == 0
+    assert {"bench_id", "jaccard"} <= set(spark.read.parquet(f"{d}/fuzzy").columns)
+
 
 def test_cli_pipeline_clean(spark, tmp_path):
     d = str(tmp_path)
