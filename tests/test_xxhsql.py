@@ -1,0 +1,56 @@
+"""The SQL XXH64 twin must match Spark's xxhash64 bit-for-bit — on every
+length path (empty, tails, exact 32, multi-stripe) and on the chained
+(string, long) form the MinHash members use."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from clarite_python_spark.functions import xxhsql
+
+CASES = [
+    "",
+    "a",
+    "abc",
+    "hello wo",
+    "0123456789abcdef",
+    "0123456789abcdefghijklmnopqrstu",   # 31
+    "0123456789abcdefghijklmnopqrstuv",  # 32
+    "x" * 45,
+    "y" * 64,
+    "naïve café — utf8 bytes beyond ascii 中文",
+    "-123,456,789",  # band-bucket-style joined signature string
+]
+
+
+def _sql_hashes(strings, second_long=None, max_len=96):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(s VARCHAR)")
+    for s in strings:
+        con.execute("INSERT INTO t VALUES (?)", [s])
+    base = "SELECT s, 7::BIGINT AS j FROM t"
+    ctes, fin = xxhsql.string_hash_ctes(
+        "x", base, "s", ["s"], max_len, second_long=second_long
+    )
+    sql = "WITH " + ",\n".join(f"{n} AS ({q})" for n, q in ctes) + f" SELECT s, h FROM {fin}"
+    return dict(con.sql(sql).fetchall())
+
+
+def test_matches_spark_single_arg(spark):
+    df = spark.createDataFrame([(s,) for s in CASES], "s string")
+    want = {r["s"]: r["h"] for r in df.select("s", F.xxhash64("s").alias("h")).collect()}
+    got = _sql_hashes(CASES)
+    assert got == want
+
+
+def test_matches_spark_string_long_chain(spark):
+    df = spark.createDataFrame([(s,) for s in CASES], "s string")
+    want = {
+        r["s"]: r["h"]
+        for r in df.select(
+            "s", F.xxhash64("s", F.lit(7).cast("long")).alias("h")
+        ).collect()
+    }
+    got = _sql_hashes(CASES, second_long="j")
+    assert got == want
