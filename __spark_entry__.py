@@ -658,8 +658,11 @@ def gopher_rules_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup removal — hash functions are Spark-native
-    (xxhash64), so rows-only check."""
+    """MinHash-LSH near-dup removal with the DEFAULT Spark-native
+    xxhash64 family — oracle-checked end-to-end: the DuckDB twin
+    reproduces xxhash64 itself in SQL (functions/xxhsql.py) and replays
+    shingling, signatures, banding, bucket caps, and the Jaccard
+    verify."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_dedup(docs, threshold=0.8).select("doc_id").orderBy("doc_id")
 
@@ -667,8 +670,9 @@ def minhash_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_dedup_transitive_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-components clustering variant: iterative min-label
     propagation over the verified near-dup pairs keeps exactly one doc
-    per cluster (dedup.py:_min_label_components). Iterative => no SQL
-    oracle; chain semantics are pinned in tests/test_dedup.py."""
+    per cluster (dedup.py:_min_label_components); the oracle computes
+    the same fixpoint as a recursive-CTE transitive closure over the
+    SQL-replayed xxhash64 pipeline."""
     docs = _t(spark, sf_dir, "documents")
     return (
         dedup.minhash_dedup(docs, threshold=0.8, transitive=True)
@@ -678,7 +682,9 @@ def minhash_dedup_transitive_documents(spark: SparkSession, sf_dir: str) -> Data
 
 
 def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints — rows-only check (xxhash64-based)."""
+    """SimHash fingerprints (xxhash64, 64 bits) — oracle-checked: the
+    DuckDB twin recomputes every token hash via the SQL xxhash64 and
+    matches the fingerprint hex strings bit-for-bit."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash(docs).orderBy("doc_id")
 
@@ -695,7 +701,8 @@ def similarity_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def similarity_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN — numpy-seeded hyperplanes; rows-only check."""
+    """LSH-bucketed ANN — numpy-seeded hyperplanes inlined as SQL
+    literals in the oracle (hash-green)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -941,8 +948,8 @@ def embedding_neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_neardup_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-blocked near-dup pairs (the scale-default path: banded
     random-hyperplane blocking, equi-join on (band, bucket) — no cross
-    join). Rows-only check: recall < 1 by design, so no SQL oracle; the
-    subset + recall contract vs the exact path is asserted in
+    join). Oracle-checked (banded buckets reproduced in SQL); the
+    subset + recall contract vs the exact path is also asserted in
     tests/test_similarity_neardup.py."""
     emb = _t(spark, sf_dir, "embeddings")
     out = similarity.embedding_neardup(emb, threshold=0.45)
@@ -1933,6 +1940,190 @@ def _fuzzy_contamination_oracle() -> str:
     )
 
 
+def _minhash_xxh_pipeline() -> str:
+    """CTE chain for the DEFAULT xxhash64-family MinHash dedup — the
+    same stages as _minhash_md5_pipeline but with Spark's xxhash64
+    reproduced in SQL (functions/xxhsql.py): member j of a shingle is
+    the chained two-arg hash xxh64_long(j, xxh64_bytes(shingle, 42)),
+    band buckets are the single-arg hash of the joined signature string.
+    Hash work is deduplicated: one bytes-hash per DISTINCT shingle
+    (~16.5k at the gate corpus), one long-chain per (shingle, j), one
+    string hash per (doc, band). Ends with the same ``docs``/``dups``
+    CTE names as the md5 pipeline so the greedy/transitive tails are
+    shared. Shingles here are <= 32 bytes (measured; single-tail path),
+    bucket strings <= 96 (3-stripe path)."""
+    from clarite_python_spark.functions import xxhsql
+
+    ctes: list[tuple[str, str]] = [
+        (
+            "toksrc",
+            r"""SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS toks
+           FROM documents""",
+        ),
+        (
+            "docs",
+            """SELECT doc_id,
+                 list_distinct(
+                   CASE WHEN len(toks) >= 3
+                        THEN list_transform(range(1, len(toks) - 1),
+                                            i -> array_to_string(toks[i:i+2], ' '))
+                        ELSE [array_to_string(toks, ' ')] END) AS sh
+          FROM toksrc""",
+        ),
+        ("dsh", "SELECT DISTINCT unnest(sh) AS s FROM docs"),
+    ]
+    h1_ctes, h1_fin = xxhsql.string_hash_ctes(
+        "mh1", "SELECT s FROM dsh", "s", ["s"], max_len=32, out_col="h1"
+    )
+    ctes += h1_ctes
+    mem_base = f"SELECT s, h1, r.range::BIGINT AS j FROM {h1_fin} CROSS JOIN range(0, 32) r"
+    mem_ctes, mem_fin = xxhsql.long_chain_ctes(
+        "mh2", mem_base, "j", "h1", ["s", "j"], out_col="h"
+    )
+    ctes += mem_ctes
+    ctes += [
+        ("shing", "SELECT doc_id, unnest(sh) AS s FROM docs"),
+        (
+            "sigm",
+            f"SELECT doc_id, j, min(h) AS mh FROM shing JOIN {mem_fin} USING (s) GROUP BY doc_id, j",
+        ),
+        ("sigs", "SELECT doc_id, list(mh ORDER BY j) AS sig FROM sigm GROUP BY doc_id"),
+        (
+            "bandsrc",
+            """SELECT doc_id, r.range AS b,
+                 array_to_string(sig[r.range*4+1 : r.range*4+4], ',') AS joined
+          FROM sigs CROSS JOIN range(0, 8) r""",
+        ),
+    ]
+    bh_ctes, bh_fin = xxhsql.string_hash_ctes(
+        "mhb", "SELECT doc_id, b, joined FROM bandsrc", "joined", ["doc_id", "b"],
+        max_len=96, out_col="bh",
+    )
+    ctes += bh_ctes
+    ctes += [
+        ("bands", f"SELECT doc_id, b, CAST(bh AS VARCHAR) AS bucket FROM {bh_fin}"),
+        ("bsize", "SELECT b, bucket, count(*) AS c FROM bands GROUP BY b, bucket"),
+        (
+            "pairs",
+            """SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+          FROM bands a
+          JOIN bands bb ON a.b = bb.b AND a.bucket = bb.bucket AND a.doc_id < bb.doc_id
+          JOIN bsize s ON s.b = a.b AND s.bucket = a.bucket
+          WHERE s.c <= 1000""",
+        ),
+        (
+            "dups",
+            """SELECT id_a, id_b FROM (
+            SELECT p.id_a, p.id_b,
+                   len(list_intersect(da.sh, db.sh)) * 1.0
+                     / greatest(len(list_distinct(da.sh || db.sh)), 1) AS jac
+            FROM pairs p
+            JOIN docs da ON da.doc_id = p.id_a
+            JOIN docs db ON db.doc_id = p.id_b
+          ) WHERE jac >= 0.8""",
+        ),
+    ]
+    return ",\n".join(f"{n} AS MATERIALIZED ({q})" for n, q in ctes)
+
+
+def _minhash_xxh_oracle() -> str:
+    """Greedy xxhash64-family dedup (the engine's DEFAULT path)."""
+    return (
+        "WITH "
+        + _minhash_xxh_pipeline()
+        + """
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT id_b FROM dups)
+        ORDER BY doc_id
+    """
+    )
+
+
+def _minhash_xxh_transitive_oracle() -> str:
+    """Connected-components xxhash64 variant (same closure tail as the
+    md5 twin)."""
+    return (
+        "WITH RECURSIVE "
+        + _minhash_xxh_pipeline()
+        + """, sym AS MATERIALIZED (
+          SELECT id_a AS src, id_b AS dst FROM dups
+          UNION SELECT id_b, id_a FROM dups
+        ), reach AS (
+          SELECT src, dst FROM sym
+          UNION
+          SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+        ), labels AS (
+          SELECT src AS id, least(src, min(dst)) AS label FROM reach GROUP BY src
+        )
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM labels WHERE label != id)
+        ORDER BY doc_id
+    """
+    )
+
+
+def _simhash_xxh_oracle() -> str:
+    """xxhash64-family SimHash (bits=64): per-token hashes (only ~31
+    distinct tokens in the corpus) feed occurrence-weighted ±1 bit sums;
+    the fingerprint hex string is assembled nibble-by-nibble MSB-first
+    with leading zeros stripped — exactly Spark's ``conv(bits, 2, 16)``
+    formatting (uppercase, '0' for zero)."""
+    from clarite_python_spark.functions import xxhsql
+
+    powers = ", ".join(f"({b}, {1 << b}::HUGEINT)" for b in range(64))
+    nibbles = " || ".join(
+        f"substr('0123456789ABCDEF', ((v // {1 << (4 * k)}) % 16)::INT + 1, 1)"
+        for k in range(15, -1, -1)
+    )
+    ctes: list[tuple[str, str]] = [
+        (
+            "toksrc",
+            r"""SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS toks
+           FROM documents""",
+        ),
+        ("tok", "SELECT DISTINCT unnest(toks) AS t FROM toksrc"),
+    ]
+    th_ctes, th_fin = xxhsql.string_hash_ctes(
+        "sh1", "SELECT t FROM tok", "t", ["t"], max_len=16, out_col="th"
+    )
+    ctes += th_ctes
+    ctes += [
+        (
+            "thu",
+            f"""SELECT t, CASE WHEN th < 0 THEN th::HUGEINT + {1 << 64}
+                 ELSE th::HUGEINT END AS u FROM {th_fin}""",
+        ),
+        ("occ", "SELECT doc_id, unnest(toks) AS t FROM toksrc"),
+        ("powers", f"SELECT * FROM (VALUES {powers}) p(b, p)"),
+        (
+            "bits",
+            """SELECT o.doc_id, pw.b, pw.p,
+                 sum(CASE WHEN (u // pw.p) % 2 = 1 THEN 1 ELSE -1 END) AS cnt
+          FROM occ o JOIN thu USING (t) CROSS JOIN powers pw
+          GROUP BY o.doc_id, pw.b, pw.p""",
+        ),
+        (
+            "val",
+            """SELECT doc_id,
+                 sum(CASE WHEN cnt >= 0 THEN p ELSE 0::HUGEINT END) AS v
+          FROM bits GROUP BY doc_id""",
+        ),
+        (
+            "hexed",
+            f"SELECT doc_id, regexp_replace({nibbles}, '^0+', '') AS hx FROM val",
+        ),
+    ]
+    body = ",\n".join(f"{n} AS MATERIALIZED ({q})" for n, q in ctes)
+    return (
+        "WITH "
+        + body
+        + """
+        SELECT doc_id, CASE WHEN hx = '' THEN '0' ELSE hx END AS simhash
+        FROM hexed ORDER BY doc_id
+    """
+    )
+
+
 def _minhash_md5_oracle() -> str:
     """Greedy variant: drop any doc with a verified lower-id near-dup."""
     return (
@@ -2274,6 +2465,9 @@ def oracle_sql() -> dict[str, str]:
         "glm_logistic_orders": _glm_logistic_oracle(),
         "minhash_dedup_md5_documents": _minhash_md5_oracle(),
         "fuzzy_contamination_documents": _fuzzy_contamination_oracle(),
+        "minhash_dedup_documents": _minhash_xxh_oracle(),
+        "minhash_dedup_transitive_documents": _minhash_xxh_transitive_oracle(),
+        "simhash_documents": _simhash_xxh_oracle(),
         "minhash_dedup_md5_transitive_documents": _minhash_md5_transitive_oracle(),
         "similarity_ivf_probe_embeddings": _ivf_probe_oracle(),
         "semantic_dedup_embeddings": _semantic_dedup_oracle(),
