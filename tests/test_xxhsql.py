@@ -54,3 +54,21 @@ def test_matches_spark_string_long_chain(spark):
     }
     got = _sql_hashes(CASES, second_long="j")
     assert got == want
+
+
+def test_matches_spark_on_random_strings(spark):
+    """200 seeded-random strings across all length regimes (0-100 bytes,
+    ASCII + multibyte), one batch comparison."""
+    import random
+
+    rng = random.Random(1234)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 ,.-_!é中"
+    cases = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 100)))
+        for _ in range(200)
+    ]
+    cases = list(dict.fromkeys(cases))  # de-dup keys for the dict compare
+    df = spark.createDataFrame([(s,) for s in cases], "s string")
+    want = {r["s"]: r["h"] for r in df.select("s", F.xxhash64("s").alias("h")).collect()}
+    got = _sql_hashes(cases, max_len=128)
+    assert got == want
