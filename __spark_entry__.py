@@ -1010,6 +1010,16 @@ def winnow_fingerprints_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def winnow_fingerprints_xxh_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing with the DEFAULT JVM-native xxhash64 gram hashes —
+    oracle-checked via the SQL XXH64 (one hash per DISTINCT gram,
+    re-joined by position before the sliding minima)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.winnow_fingerprints(docs, k=3, window=4).orderBy(
+        "doc_id", "fingerprint"
+    )
+
+
 def winnow_matches_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-doc overlap pairs on winnowing fingerprints (md5 family;
     bucket-capped self-join, operators/text.py:winnow_matches)."""
@@ -1247,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "colfilter_min_n_events": colfilter_min_n_events,
         "get_significant_documents": get_significant_documents,
         "winnow_fingerprints_documents": winnow_fingerprints_documents,
+        "winnow_fingerprints_xxh_documents": winnow_fingerprints_xxh_documents,
         "winnow_matches_documents": winnow_matches_documents,
         "chunk_documents_documents": chunk_documents_documents,
         "label_centroids_embeddings": label_centroids_embeddings,
@@ -1307,6 +1318,52 @@ def _winnow_fps_cte() -> str:
               SELECT doc_id, unnest(list_distinct(m)) AS fingerprint
               FROM mins WHERE m IS NOT NULL
             )"""
+
+
+def _winnow_xxh_oracle() -> str:
+    """xxhash64-family winnowing twin: SQL XXH64 per DISTINCT lowercased
+    3-gram, joined back by position, then the same sliding-minimum and
+    distinct stages as the md5 chain (signed mins — Spark's array_min
+    over longs)."""
+    from clarite_python_spark.functions import xxhsql
+
+    ctes: list[tuple[str, str]] = [
+        (
+            "toks",
+            f"SELECT doc_id, list_transform({_TOKENS}, x -> lower(x)) AS t FROM documents",
+        ),
+        (
+            "ex",
+            """SELECT doc_id, i::INT AS pos, array_to_string(t[i::INT : i::INT + 2], ' ') AS gram
+          FROM toks, unnest(range(1, len(t) - 1)) u(i) WHERE len(t) >= 3""",
+        ),
+        ("dg", "SELECT DISTINCT gram FROM ex"),
+    ]
+    h_ctes, h_fin = xxhsql.string_hash_ctes(
+        "wx", "SELECT gram FROM dg", "gram", ["gram"], max_len=32, out_col="h"
+    )
+    ctes += h_ctes
+    ctes += [
+        ("hg", f"SELECT doc_id, pos, h FROM ex JOIN {h_fin} USING (gram)"),
+        ("glist", "SELECT doc_id, list(h ORDER BY pos) AS g FROM hg GROUP BY doc_id"),
+        (
+            "mins",
+            """SELECT doc_id,
+                 CASE WHEN len(g) >= 4 THEN
+                        list_transform(range(1, len(g) - 2), i -> list_min(g[i:i+3]))
+                      WHEN len(g) >= 1 THEN [list_min(g)]
+                 END AS m
+          FROM glist""",
+        ),
+        (
+            "fps",
+            "SELECT doc_id, unnest(list_distinct(m)) AS fingerprint FROM mins WHERE m IS NOT NULL",
+        ),
+    ]
+    body = ",\n".join(f"{n} AS MATERIALIZED ({q})" for n, q in ctes)
+    return (
+        "WITH " + body + "\nSELECT doc_id, fingerprint FROM fps ORDER BY doc_id, fingerprint"
+    )
 
 
 def _md5_key(id_expr: str, salt: str) -> str:
@@ -2466,6 +2523,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup_md5_documents": _minhash_md5_oracle(),
         "fuzzy_contamination_documents": _fuzzy_contamination_oracle(),
         "minhash_dedup_documents": _minhash_xxh_oracle(),
+        "winnow_fingerprints_xxh_documents": _winnow_xxh_oracle(),
         "minhash_dedup_transitive_documents": _minhash_xxh_transitive_oracle(),
         "simhash_documents": _simhash_xxh_oracle(),
         "minhash_dedup_md5_transitive_documents": _minhash_md5_transitive_oracle(),
