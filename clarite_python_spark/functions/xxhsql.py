@@ -221,6 +221,32 @@ def hex_input(col: str, max_len: int) -> str:
     return f"hex(encode({col})) || repeat('0', {2 * (max_len + 8)})"
 
 
+def long_chain_ctes(
+    prefix: str,
+    base_sql: str,
+    long_col: str,
+    seed_col: str,
+    carry_cols: list[str],
+    out_col: str = "h",
+):
+    """CTE chain for Spark's multi-argument chaining step: given a row
+    with a (signed BIGINT) hash ``seed_col`` of the preceding argument
+    and a BIGINT ``long_col``, compute signed
+    ``xxhash64(<preceding args>, long_col)`` = hashLong(long_col,
+    seed=seed_col) — the form MinHash members use, where member j of a
+    shingle is ``xxhash64(shingle, j)`` and the shingle's own hash is
+    computed once per distinct shingle upstream. Returns
+    (cte_list, final_cte_name); the final CTE has carry_cols + out_col."""
+    st = Steps(prefix)
+    seed_u = st.add(
+        f"(CASE WHEN {seed_col} < 0 THEN {seed_col}::HUGEINT + {U64}"
+        f" ELSE {seed_col}::HUGEINT END)"
+    )
+    h = xxh64_long(st, long_col, seed_u)
+    final = [(c, c) for c in carry_cols] + [(to_signed(h), out_col)]
+    return st.ctes(f"({base_sql})", carry_cols + [long_col, seed_col], final)
+
+
 def string_hash_ctes(
     prefix: str,
     base_sql: str,

@@ -72,3 +72,32 @@ def test_matches_spark_on_random_strings(spark):
     want = {r["s"]: r["h"] for r in df.select("s", F.xxhash64("s").alias("h")).collect()}
     got = _sql_hashes(cases, max_len=128)
     assert got == want
+
+
+def test_long_chain_ctes_matches_spark(spark):
+    """long_chain_ctes — the deduplicated member-hash form the MinHash
+    oracle uses (one bytes-hash per distinct shingle, then per-(s, j)
+    hashLong chaining) — must equal Spark's two-arg xxhash64(s, j)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(s VARCHAR)")
+    for s in CASES:
+        con.execute("INSERT INTO t VALUES (?)", [s])
+    h_ctes, h_fin = xxhsql.string_hash_ctes(
+        "c1", "SELECT s FROM t", "s", ["s"], max_len=96, out_col="h1"
+    )
+    base = f"SELECT s, h1, r.range::BIGINT AS j FROM {h_fin} CROSS JOIN range(0, 8) r"
+    m_ctes, m_fin = xxhsql.long_chain_ctes("c2", base, "j", "h1", ["s", "j"])
+    sql = (
+        "WITH " + ",\n".join(f"{n} AS ({q})" for n, q in h_ctes + m_ctes)
+        + f" SELECT s, j, h FROM {m_fin}"
+    )
+    got = {(s, j): h for s, j, h in con.sql(sql).fetchall()}
+    rows = [(s, j) for s in CASES for j in range(8)]
+    df = spark.createDataFrame(rows, "s string, j long")
+    want = {
+        (r["s"], r["j"]): r["h"]
+        for r in df.select("s", "j", F.xxhash64("s", "j").alias("h")).collect()
+    }
+    assert got == want
