@@ -569,6 +569,16 @@ def paragraph_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def duplicate_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplication profile (Lee et al. 2021 re-expressed
+    as distributed 16-token windows): per-doc duplicated-window and
+    covered-token counts with merged overlaps."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.duplicate_spans(
+        docs.select("doc_id", "text"), n=16
+    ).orderBy("doc_id")
+
+
 def deterministic_shuffle_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-addressed epoch shuffle: per-doc 60-bit shuffle key +
     shard assignment (pipeline.deterministic_shuffle; the within-shard
@@ -1225,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score_documents": quality_score_documents,
         "gopher_rules_documents": gopher_rules_documents,
         "paragraph_dedup_documents": paragraph_dedup_documents,
+        "duplicate_spans_documents": duplicate_spans_documents,
         "contamination_documents": contamination_documents,
         "fuzzy_contamination_documents": fuzzy_contamination_documents,
         "repetition_stats_documents": repetition_stats_documents,
@@ -2651,6 +2662,41 @@ def oracle_sql() -> dict[str, str]:
                    max(n_paras_total) AS n_paras_total
             FROM win WHERE rn = 1
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        "duplicate_spans_documents": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_transform({_TOKENS}, x -> lower(x)) AS tk
+              FROM documents
+            ), d AS (
+              SELECT doc_id, len(tk) AS n_tokens, tk FROM t
+            ), wins AS (
+              SELECT doc_id, r.i::BIGINT AS pos,
+                     array_to_string(tk[r.i + 1 : r.i + 16], ' ') AS g
+              FROM d, unnest(range(greatest(n_tokens - 15, 0))) r(i)
+            ), cnt AS (
+              SELECT g FROM wins GROUP BY g HAVING count(*) >= 2
+            ), dup AS (
+              SELECT doc_id, pos FROM wins JOIN cnt USING (g)
+            ), lagd AS (
+              SELECT doc_id, pos,
+                     lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS lp
+              FROM dup
+            ), cov AS (
+              SELECT doc_id, count(*) AS dup_windows,
+                     sum(CASE WHEN lp IS NULL THEN 16
+                              ELSE least(16, pos - lp) END) AS dup_tokens
+              FROM lagd GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(n_tokens AS INT) AS n_tokens,
+                   CAST(greatest(n_tokens - 15, 0) AS INT) AS n_windows,
+                   CAST(coalesce(dup_windows, 0) AS BIGINT) AS dup_windows,
+                   CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+                   CASE WHEN n_tokens > 0
+                        THEN round(coalesce(dup_tokens, 0) * 1.0 / n_tokens, 6)
+                        ELSE 0.0 END AS dup_fraction
+            FROM d LEFT JOIN cov USING (doc_id) ORDER BY d.doc_id
         """,
         "clean_corpus_documents": _clean_corpus_oracle(),
         "corpus_stats_documents": f"""

@@ -26,6 +26,7 @@ from clarite_python_spark.operators.text import tokens
 __all__ = [
     "exact_dedup",
     "paragraph_dedup",
+    "duplicate_spans",
     "contamination",
     "fuzzy_contamination",
     "shingles",
@@ -151,6 +152,98 @@ def paragraph_dedup(
         ).alias(text_col),
         F.count(F.lit(1)).alias("n_paras_kept"),
         F.max("n_paras_total").alias("n_paras_total"),
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact substring-duplication profile (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499 —
+    their suffix-array criterion re-expressed as distributed n-token
+    windows): every n-token window whose exact text occurs at least
+    ``min_count`` times corpus-wide marks its tokens as duplicated;
+    per document, report how many tokens sit under at least one
+    duplicated window. Feed ``dup_fraction`` into a filter (or
+    clean_corpus) to drop boilerplate-heavy documents — the profile
+    form of the paper's substring removal.
+
+    Plan shape (100-TB): tokenize + window-hash are row-local JVM
+    lambdas staged like winnowing (each array materialized before the
+    next lambda references it, so hashes are computed once, not
+    re-evaluated per window). The explode emits (id, pos, hash) longs —
+    window TEXT never leaves the row. Corpus-wide counts ride a window
+    partitioned by the hash (ONE shuffle of 24-byte rows, map-side
+    combine-free but key-spread by the hash); interval merge of the
+    surviving positions is a lag window + groupBy on the id (second
+    shuffle), which the final per-doc join reuses. Overlapping windows
+    merge exactly: the first duplicated window in a run covers n
+    tokens, each subsequent one ``min(n, gap)`` more.
+
+    Counting collides on ``xxhash64`` of the window (8-byte keys, the
+    same trade as ``contamination(hash_grams=True)``): two distinct
+    n-grams sharing a hash would both count as duplicated — odds
+    ~|windows|²/2⁶⁴, vanishing.
+
+    Returns (id, n_tokens, n_windows, dup_windows, dup_tokens,
+    dup_fraction) — one row per input document.
+    """
+    if n <= 0:
+        raise ValueError("n must be positive")
+    if min_count < 2:
+        raise ValueError("min_count must be >= 2")
+    toks = F.transform(tokens(text_col), lambda x: F.lower(x))
+    staged = _rebalance(df).select(F.col(id_col), toks.alias("__toks"))
+    ntok = F.coalesce(F.size("__toks"), F.lit(0))
+    wins = F.when(
+        ntok >= n,
+        F.transform(
+            F.sequence(F.lit(0), ntok - n),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, n))),
+        ),
+    )
+    staged = staged.select(
+        F.col(id_col), ntok.alias("n_tokens"), wins.alias("__wins")
+    )
+    # n_windows is arithmetic on n_tokens — the per-doc stats branch must
+    # not evaluate the hash lambdas a second time (column pruning drops
+    # __wins here, so the corpus is tokenized twice but hashed once)
+    docs = staged.select(
+        id_col,
+        "n_tokens",
+        F.greatest(F.col("n_tokens") - (n - 1), F.lit(0)).alias("n_windows"),
+    )
+    ex = staged.select(
+        F.col(id_col), F.posexplode("__wins").alias("__pos", "__gh")
+    )
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("__gh"))
+    dup = ex.withColumn("__cnt", cnt).where(F.col("__cnt") >= min_count)
+    lagp = F.lag("__pos").over(Window.partitionBy(id_col).orderBy("__pos"))
+    contrib = F.when(lagp.isNull(), F.lit(n)).otherwise(
+        F.least(F.lit(n), F.col("__pos") - lagp)
+    )
+    cov = (
+        dup.withColumn("__contrib", contrib)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("dup_windows"),
+            F.sum("__contrib").alias("dup_tokens"),
+        )
+    )
+    out = docs.join(cov, id_col, "left")
+    return out.select(
+        id_col,
+        "n_tokens",
+        "n_windows",
+        F.coalesce(F.col("dup_windows"), F.lit(0)).alias("dup_windows"),
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"),
+        F.when(F.col("n_tokens") > 0,
+               F.round(F.coalesce(F.col("dup_tokens"), F.lit(0)) / F.col("n_tokens"), 6)
+               ).otherwise(F.lit(0.0)).alias("dup_fraction"),
     )
 
 

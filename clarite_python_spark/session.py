@@ -45,6 +45,20 @@ def get_spark(app_name: str = "clarite_python_spark", cpus: int | None = None) -
         # larger than the heartbeat interval)
         .config("spark.executor.heartbeatInterval", "60s")
         .config("spark.network.timeout", "600s")
+        # InferFiltersFromGenerate duplicates the generator child into a
+        # Filter(size(e) > 0) below every explode. For this engine's
+        # explodes the child is an EXPENSIVE computed array (gram hashes,
+        # MinHash shingles, winnowing minima) that can never push past
+        # its own computation, so the inferred filter just evaluates the
+        # whole lambda chain a second time — and, sitting below the
+        # fan-out repartition, often on far fewer partitions. Generate
+        # with outer=false already skips null/empty inputs, so excluding
+        # the rule is semantically free. Measured: duplicate_spans at
+        # sf0.1 4.54 s -> 0.82 s (5.5x); see BASELINE.md round-5 table.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -20,6 +20,12 @@ def spark():
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # mirror get_spark(): see session.py — the inferred filter would
+        # re-evaluate expensive generator children (gram hashes) twice
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -202,3 +202,45 @@ def test_fuzzy_contamination_flags_near_copies(spark):
     assert 3 in got and got[3] == 1.0
     assert 1 in got and 0.5 <= got[1] < 1.0
     assert 2 not in got
+
+
+def test_duplicate_spans_hand_computed(spark):
+    """Lee-et-al-style window duplication: overlapping duplicated windows
+    merge (coverage = n for the first window in a run + min(n, gap) per
+    subsequent), within-doc repetition counts, short docs report zeros."""
+    from clarite_python_spark.operators.dedup import duplicate_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),        # windows abc bcd cde def; abc+bcd shared with doc 2
+            (2, "x a b c d y"),        # windows xab abc bcd cdy
+            (3, "z z z z z z z z"),    # all 6 windows identical (within-doc dup)
+            (4, "q w"),                # shorter than n -> no windows
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in duplicate_spans(df, n=3).collect()}
+    assert (got[1]["n_tokens"], got[1]["n_windows"]) == (6, 4)
+    assert (got[1]["dup_windows"], got[1]["dup_tokens"]) == (2, 4)
+    assert abs(got[1]["dup_fraction"] - round(4 / 6, 6)) < 1e-9
+    assert (got[2]["dup_windows"], got[2]["dup_tokens"]) == (2, 4)
+    # doc 3: coverage saturates at n_tokens
+    assert (got[3]["dup_windows"], got[3]["dup_tokens"]) == (6, 8)
+    assert got[3]["dup_fraction"] == 1.0
+    assert (got[4]["n_windows"], got[4]["dup_windows"], got[4]["dup_fraction"]) == (0, 0, 0.0)
+
+
+def test_duplicate_spans_case_insensitive_and_min_count(spark):
+    from clarite_python_spark.operators.dedup import duplicate_spans
+
+    df = spark.createDataFrame(
+        [(1, "Foo Bar Baz tail1"), (2, "foo bar baz tail2"), (3, "foo bar baz tail3")],
+        "doc_id long, text string",
+    )
+    # n=3: "foo bar baz" occurs 3x (case-folded); the tails are unique
+    got = {r["doc_id"]: r.asDict() for r in duplicate_spans(df, n=3).collect()}
+    for d in (1, 2, 3):
+        assert (got[d]["dup_windows"], got[d]["dup_tokens"]) == (1, 3)
+    # raising min_count above the occurrence count clears the flags
+    got4 = {r["doc_id"]: r.asDict() for r in duplicate_spans(df, n=3, min_count=4).collect()}
+    assert all(got4[d]["dup_windows"] == 0 for d in (1, 2, 3))

@@ -251,3 +251,23 @@ def test_gopher_rules_is_scan_plus_project(spark):
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
     assert "* Project" in plan  # '*' marks whole-stage-codegen nodes
+
+
+def test_duplicate_spans_two_keyed_shuffles_no_python(spark):
+    """duplicate_spans promises: window text never shuffles (the explode
+    emits hashes), exactly two keyed shuffles (gram-hash count window +
+    doc-id lag/agg), and no Python in the plan. The per-doc stats branch
+    must not re-evaluate the window-hash lambda (xxhash64 appears in one
+    Project only)."""
+    from clarite_python_spark.operators.dedup import duplicate_spans
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    plan = _formatted_plan(duplicate_spans(docs, n=16))
+    assert plan.count("hashpartitioning") >= 2
+    assert "EvalPython" not in plan
+    # hash lambda evaluated in exactly one plan node (the explode-branch
+    # Project) — the stats branch derives n_windows arithmetically
+    import re as _re
+
+    nodes_with_hash = sum("xxhash64" in blk for blk in _re.split(r"\n\(\d+\) ", plan))
+    assert nodes_with_hash == 1, plan[:2000]
