@@ -25,6 +25,7 @@ from clarite_python_spark.operators import (
     analyze,
     dedup,
     describe,
+    layout,
     modify,
     multimodal,
     pipeline,
@@ -567,6 +568,24 @@ def paragraph_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.paragraph_dedup(
         docs.select("doc_id", "text"), sep="batch"
     ).orderBy("doc_id")
+
+
+_ZBOUNDS = {"l_extendedprice": (900.0, 105000.0), "l_quantity": (1.0, 50.0)}
+
+
+def zorder_key_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (price, quantity) with fixed
+    anchors — the deterministic layout key behind optimize_layout
+    (operators/layout.py). Aggregated into 64 buckets so every row's key
+    is exercised while the result stays small."""
+    li = _t(spark, sf_dir, "lineitem")
+    z = layout.zorder_key(_ZBOUNDS, bits=8)
+    return (
+        li.select(z.alias("z"))
+        .groupBy((F.col("z") % 64).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("z").alias("zsum"))
+        .orderBy("bucket")
+    )
 
 
 def duplicate_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1236,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules_documents": gopher_rules_documents,
         "paragraph_dedup_documents": paragraph_dedup_documents,
         "duplicate_spans_documents": duplicate_spans_documents,
+        "zorder_key_lineitem": zorder_key_lineitem,
         "contamination_documents": contamination_documents,
         "fuzzy_contamination_documents": fuzzy_contamination_documents,
         "repetition_stats_documents": repetition_stats_documents,
@@ -2008,6 +2028,20 @@ def _fuzzy_contamination_oracle() -> str:
     )
 
 
+def _zorder_oracle() -> str:
+    """The SQL twin of the Z-order key (layout.zorder_key_sql) — same
+    floor/clamp/interleave arithmetic, bucketed like the Spark query."""
+    from clarite_python_spark.operators.layout import zorder_key_sql
+
+    z = zorder_key_sql(_ZBOUNDS, bits=8)
+    return f"""
+        WITH z AS (SELECT {z} AS z FROM lineitem)
+        SELECT z % 64 AS bucket, count(*) AS n,
+               CAST(sum(z) AS BIGINT) AS zsum
+        FROM z GROUP BY bucket ORDER BY bucket
+    """
+
+
 def _minhash_xxh_pipeline() -> str:
     """CTE chain for the DEFAULT xxhash64-family MinHash dedup — the
     same stages as _minhash_md5_pipeline but with Spark's xxhash64
@@ -2663,6 +2697,7 @@ def oracle_sql() -> dict[str, str]:
             FROM win WHERE rn = 1
             GROUP BY doc_id ORDER BY doc_id
         """,
+        "zorder_key_lineitem": _zorder_oracle(),
         "duplicate_spans_documents": f"""
             WITH t AS (
               SELECT doc_id,

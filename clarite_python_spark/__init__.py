@@ -31,6 +31,7 @@ from clarite_python_spark.operators import (  # noqa: F401
     dedup,
     describe,
     joins,
+    layout,
     modify,
     pipeline,
     similarity,
@@ -55,6 +56,7 @@ __all__ = [
     "analyze",
     "dedup",
     "joins",
+    "layout",
     "pipeline",
     "similarity",
     "survey",
