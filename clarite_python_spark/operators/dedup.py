@@ -176,13 +176,16 @@ def duplicate_spans(
     lambdas staged like winnowing (each array materialized before the
     next lambda references it, so hashes are computed once, not
     re-evaluated per window). The explode emits (id, pos, hash) longs —
-    window TEXT never leaves the row. Corpus-wide counts ride a window
-    partitioned by the hash (ONE shuffle of 24-byte rows, map-side
-    combine-free but key-spread by the hash); interval merge of the
-    surviving positions is a lag window + groupBy on the id (second
-    shuffle), which the final per-doc join reuses. Overlapping windows
-    merge exactly: the first duplicated window in a run covers n
-    tokens, each subsequent one ``min(n, gap)`` more.
+    window TEXT never leaves the row. Corpus-wide counts are a groupBy
+    on the hash with MAP-SIDE partial aggregation (a boilerplate gram's
+    10⁸ occurrences collapse per task instead of funnelling through one
+    reducer), and the survivors — only grams that ARE duplicated, the
+    boilerplate set — semi-join back against the exploded positions
+    (AQE broadcasts it when small). Interval merge of the surviving
+    positions is a lag window + groupBy on the id, which the final
+    per-doc join reuses. Overlapping windows merge exactly: the first
+    duplicated window in a run covers n tokens, each subsequent one
+    ``min(n, gap)`` more.
 
     Counting collides on ``xxhash64`` of the window (8-byte keys, the
     same trade as ``contamination(hash_grams=True)``): two distinct
@@ -220,8 +223,18 @@ def duplicate_spans(
     ex = staged.select(
         F.col(id_col), F.posexplode("__wins").alias("__pos", "__gh")
     )
-    cnt = F.count(F.lit(1)).over(Window.partitionBy("__gh"))
-    dup = ex.withColumn("__cnt", cnt).where(F.col("__cnt") >= min_count)
+    # corpus-wide counts via groupBy, NOT a count window: partial
+    # aggregation collapses a boilerplate gram's occurrences map-side
+    # (a window keyed on the hash would funnel all of them through one
+    # reducer), and the semi-join's right side is only the grams that
+    # ARE duplicated — the boilerplate set, tiny next to the corpus
+    dup_grams = (
+        ex.groupBy("__gh")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .where(F.col("__cnt") >= min_count)
+        .select("__gh")
+    )
+    dup = ex.join(dup_grams, "__gh", "left_semi")
     lagp = F.lag("__pos").over(Window.partitionBy(id_col).orderBy("__pos"))
     contrib = F.when(lagp.isNull(), F.lit(n)).otherwise(
         F.least(F.lit(n), F.col("__pos") - lagp)

@@ -265,9 +265,16 @@ def test_duplicate_spans_two_keyed_shuffles_no_python(spark):
     plan = _formatted_plan(duplicate_spans(docs, n=16))
     assert plan.count("hashpartitioning") >= 2
     assert "EvalPython" not in plan
-    # hash lambda evaluated in exactly one plan node (the explode-branch
-    # Project) — the stats branch derives n_windows arithmetically
+    # corpus-wide counts are a groupBy (map-side partial agg absorbs
+    # boilerplate-gram skew) + semi-join of the small duplicated-gram
+    # set — NOT a count window keyed on the hash (no partial agg, heavy
+    # key funnels through one reducer)
+    assert "LeftSemi" in plan
     import re as _re
 
+    # the count and probe branches each evaluate the window hashes (a
+    # deliberate 2x: the probe side stays shuffle-free when AQE
+    # broadcasts the dup-gram set); the stats branch derives n_windows
+    # arithmetically, so exactly two plan nodes carry the hash lambda
     nodes_with_hash = sum("xxhash64" in blk for blk in _re.split(r"\n\(\d+\) ", plan))
-    assert nodes_with_hash == 1, plan[:2000]
+    assert nodes_with_hash == 2, plan[:2000]
