@@ -289,6 +289,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--apply", action="store_true",
                    help="write only kept documents instead of the decision table")
+    p = g_pipe.add_parser("duplicate-spans")
+    p.add_argument("data")
+    p.add_argument("output")
+    p.add_argument("--ngram", type=int, default=50,
+                   help="window length in tokens (Lee et al. use 50)")
+    p.add_argument("--min-count", type=int, default=2)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p = g_pipe.add_parser("zorder")
+    p.add_argument("data")
+    p.add_argument("output")
+    p.add_argument("--by", nargs="+", required=True,
+                   help="numeric columns to cluster on (Z-order curve)")
+    p.add_argument("--partitions", type=int, default=None)
+    p.add_argument("--bits", type=int, default=10)
 
     return ap
 
@@ -572,6 +587,22 @@ def main(argv: list[str] | None = None) -> int:
                 out = dedup_mod.contamination(
                     df, bench, n=args.ngram, text_col=args.text_col, id_col=args.id_col
                 )
+        elif args.command == "duplicate-spans":
+            out = dedup_mod.duplicate_spans(
+                df,
+                text_col=args.text_col,
+                id_col=args.id_col,
+                n=args.ngram,
+                min_count=args.min_count,
+            )
+        elif args.command == "zorder":
+            from clarite_python_spark.operators import layout as layout_mod
+
+            layout_mod.optimize_layout(
+                df, args.by, path=args.output, n_partitions=args.partitions,
+                bits=args.bits,
+            )
+            return 0
         elif args.command == "clean":
             verdicts = pipe_mod.clean_corpus(
                 df,

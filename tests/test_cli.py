@@ -263,3 +263,24 @@ def test_cli_pipeline_clean(spark, tmp_path):
 
     want = clean_corpus(docs, languages=("en", "es")).where("keep").count()
     assert kept.count() == want < docs.count()
+
+
+def test_cli_pipeline_duplicate_spans_and_zorder(spark, tmp_path):
+    d = str(tmp_path)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.parquet(f"{d}/docs")
+
+    assert cli.main(["pipeline", "duplicate-spans", f"{d}/docs", f"{d}/spans",
+                     "--ngram", "16"]) == 0
+    spans = spark.read.parquet(f"{d}/spans")
+    assert {"dup_windows", "dup_tokens", "dup_fraction"} <= set(spans.columns)
+    assert spans.count() == docs.count()
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    li.write.parquet(f"{d}/li")
+    assert cli.main(["pipeline", "zorder", f"{d}/li", f"{d}/li_z",
+                     "--by", "l_extendedprice", "l_quantity",
+                     "--partitions", "2"]) == 0
+    z = spark.read.parquet(f"{d}/li_z")
+    assert z.count() == li.count()
+    assert z.columns == li.columns
