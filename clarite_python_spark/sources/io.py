@@ -109,6 +109,20 @@ def from_parquet(spark: SparkSession, path: str, index_col: int | str | None = N
     return ClariteFrame(df, catalog) if catalog else ClariteFrame(df)
 
 
+def from_orc(spark: SparkSession, path: str, index_col: int | str | None = None) -> ClariteFrame:
+    """Load ORC (the other splittable columnar format Spark reads
+    natively — same pushdown/pruning properties as parquet); applies the
+    ``.dtypes`` sidecar catalog if present, like :func:`from_parquet`."""
+    df = spark.read.orc(path)
+    if index_col is not None:
+        df = _with_id(df, index_col)
+    sidecar = _sidecar_path(path)
+    if os.path.exists(sidecar):
+        with open(sidecar) as fh:
+            return ClariteFrame(df, VariableCatalog.from_json(fh.read()))
+    return ClariteFrame(df)
+
+
 def _sidecar_path(path: str) -> str:
     return path.rstrip("/") + ".dtypes"
 
@@ -128,12 +142,12 @@ def save(
     columns so later reads with a filter on them prune whole directories
     before any IO — the first lever for 100-TB datasets queried by
     date/source/split."""
-    if fmt == "parquet":
+    if fmt in ("parquet", "orc"):
         writer = cf.df.write.mode(mode)
         if partition_by is not None:
             cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
             writer = writer.partitionBy(*cols)
-        writer.parquet(path)
+        getattr(writer, fmt)(path)
     elif fmt == "tsv":
         writer = cf.df.write.mode(mode).option("header", True).option("sep", "\t")
         if partition_by is not None:

@@ -229,3 +229,18 @@ def test_jsonl_roundtrip(spark, tmp_path):
     a = {r["doc_id"]: r["text"] for r in back.collect()}
     b = {r["doc_id"]: r["text"] for r in docs.collect()}
     assert a == b
+
+
+def test_orc_roundtrip_with_catalog(spark, tmp_path, mixed_cf):
+    """ORC sink/source: same splittable-columnar contract as parquet,
+    including the semantic-type sidecar."""
+    from clarite_python_spark.operators import modify
+    from clarite_python_spark.sources.io import from_orc, save
+
+    cf = modify.categorize(mixed_cf)
+    d = f"{tmp_path}/orc_table"
+    save(cf, d, fmt="orc")
+    back = from_orc(spark, d)
+    assert back.df.count() == cf.df.count()
+    assert sorted(back.df.columns) == sorted(cf.df.columns)
+    assert back.catalog.types == cf.catalog.types

@@ -144,3 +144,64 @@ def test_paragraph_dedup_matches_reference(spark, docs_paras):
         for r in dedup.paragraph_dedup(df).collect()
     }
     assert got == want
+
+
+def _duplicate_spans_reference(docs: list[tuple[int, str]], n: int, min_count: int = 2):
+    """Pure-python reference for duplicate_spans: count every n-token
+    window (case-folded), mark windows with count >= min_count, merge
+    overlapping marked windows per doc into covered-token totals."""
+    toks = {d: [t for t in txt.lower().split() if t] for d, txt in docs}
+    counts: dict[tuple, int] = {}
+    for tk in toks.values():
+        for i in range(len(tk) - n + 1):
+            g = tuple(tk[i : i + n])
+            counts[g] = counts.get(g, 0) + 1
+    out = {}
+    for d, tk in toks.items():
+        wins = [i for i in range(len(tk) - n + 1) if counts[tuple(tk[i : i + n])] >= min_count]
+        covered = 0
+        prev = None
+        for i in wins:
+            covered += n if prev is None else min(n, i - prev)
+            prev = i
+        ntok = len(tk)
+        out[d] = (
+            ntok,
+            max(ntok - n + 1, 0),
+            len(wins),
+            covered,
+            round(covered / ntok, 6) if ntok else 0.0,
+        )
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    st.lists(
+        # 2-letter alphabet + spaces => frequent window collisions
+        st.text(alphabet="xy ", min_size=0, max_size=24),
+        min_size=1,
+        max_size=8,
+    )
+)
+@example(texts=["x y x y x y", "x y x y"])        # overlap runs
+@example(texts=["x x x x x x", "y"])              # within-doc repetition
+@example(texts=["x", ""])                         # shorter than n
+def test_duplicate_spans_matches_reference(spark, texts):
+    from clarite_python_spark.operators.dedup import duplicate_spans
+
+    docs = list(enumerate(texts))
+    want = _duplicate_spans_reference(docs, n=3)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_windows"], r["dup_windows"], r["dup_tokens"], r["dup_fraction"],
+        )
+        for r in duplicate_spans(df, n=3).collect()
+    }
+    assert got == want
