@@ -29,6 +29,7 @@ __all__ = [
     "duplicate_spans",
     "contamination",
     "fuzzy_contamination",
+    "incremental_neardup",
     "shingles",
     "minhash_signature",
     "minhash_lsh_candidates",
@@ -401,6 +402,55 @@ def fuzzy_contamination(
         )
         .where(F.col("jaccard") >= threshold)
         .select(id_col, "bench_id", "jaccard")
+    )
+
+
+def incremental_neardup(
+    new: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Daily-ingest NEAR-duplicate dedup — the fuzzy twin of
+    :func:`incremental_dedup`: drop new documents whose shingle Jaccard
+    against ANY historical document reaches ``threshold``, then
+    minhash-dedup the survivors within the batch.
+
+    The cross-set candidate generation is the same banded machinery as
+    :func:`fuzzy_contamination` (equi-join on (band, bucket), no cross
+    join; history-side banding cost is O(|seen|) per run — at scale,
+    persist the seen set's band table once and union only the day's
+    additions instead of re-banding the full corpus). Returns the kept
+    subset of ``new`` with the original columns.
+    """
+    hits = fuzzy_contamination(
+        new,
+        seen,
+        text_col=text_col,
+        id_col=id_col,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        max_bucket=max_bucket,
+        hash_family=hash_family,
+    )
+    fresh = new.join(hits.select(id_col).distinct(), id_col, "left_anti")
+    return minhash_dedup(
+        fresh,
+        text_col=text_col,
+        id_col=id_col,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        hash_family=hash_family,
     )
 
 

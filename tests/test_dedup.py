@@ -244,3 +244,26 @@ def test_duplicate_spans_case_insensitive_and_min_count(spark):
     # raising min_count above the occurrence count clears the flags
     got4 = {r["doc_id"]: r.asDict() for r in duplicate_spans(df, n=3, min_count=4).collect()}
     assert all(got4[d]["dup_windows"] == 0 for d in (1, 2, 3))
+
+
+def test_incremental_neardup_drops_history_near_copies(spark):
+    """Fuzzy daily-ingest: a new doc near-duplicating a HISTORICAL doc is
+    dropped, near-dups WITHIN the batch collapse to one representative,
+    and genuinely new text survives."""
+    from clarite_python_spark.operators.dedup import incremental_neardup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    seen = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [
+            (10, base + " lambda"),                     # near-copy of history
+            (11, "totally different words entirely here now yes"),
+            (12, "totally different words entirely here now yes indeed"),  # near-copy of 11
+            (13, "unrelated fresh content nothing shared with others at all"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"] for r in incremental_neardup(new, seen, threshold=0.5).collect()}
+    assert 10 not in kept          # matched history
+    assert 13 in kept              # fresh survives
+    assert len(kept & {11, 12}) == 1  # batch-internal near-dups collapse
