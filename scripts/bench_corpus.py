@@ -67,6 +67,7 @@ def main() -> None:
             big.where("source != 'src0'"), big.where("source = 'src0'"), n=5
         ),
     )
+    bench("duplicate_spans", lambda: dedup.duplicate_spans(big, n=16))
     bench("clean_corpus", lambda: pipeline.clean_corpus(big))
     bench("deterministic_shuffle", lambda: pipeline.deterministic_shuffle(big))
 

@@ -142,3 +142,18 @@ def test_optimize_layout_validates_args(spark):
         zorder_key({"x": (0.0, 8.0)}, bits=64)
     with pytest.raises(ValueError):
         zorder_key({"x": (8.0, 8.0)}, bits=4)
+
+
+def test_optimize_layout_keeps_null_valued_rows(spark):
+    """Rows with NULL in a clustered column get a NULL key (they sort
+    together under range partitioning) but are never dropped."""
+    import pyspark.sql.functions as SF
+
+    df = spark.createDataFrame(
+        [(1, 5.0, 2.0), (2, None, 3.0), (3, 7.0, None), (4, None, None)],
+        "id long, x double, y double",
+    )
+    out = optimize_layout(df, ["x", "y"], n_partitions=2,
+                          bounds={"x": (0.0, 8.0), "y": (0.0, 8.0)})
+    assert sorted(r["id"] for r in out.collect()) == [1, 2, 3, 4]
+    assert out.where(SF.col("x").isNull()).count() == 2
