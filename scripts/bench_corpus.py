@@ -67,7 +67,12 @@ def main() -> None:
             big.where("source != 'src0'"), big.where("source = 'src0'"), n=5
         ),
     )
-    bench("duplicate_spans", lambda: dedup.duplicate_spans(big, n=16))
+    # the filter references dup_tokens so count() cannot
+    # join-eliminate the whole counting subtree (unique-key left join)
+    bench(
+        "duplicate_spans",
+        lambda: dedup.duplicate_spans(big, n=16).where("dup_tokens >= 0"),
+    )
     bench("clean_corpus", lambda: pipeline.clean_corpus(big))
     bench("deterministic_shuffle", lambda: pipeline.deterministic_shuffle(big))
 
