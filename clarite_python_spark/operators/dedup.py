@@ -54,16 +54,28 @@ def _rebalance(df: DataFrame) -> DataFrame:
     return df
 
 
-def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep one representative (min id) per exact normalized-text match.
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    priority_col: str | None = None,
+) -> DataFrame:
+    """Keep one representative per exact normalized-text match.
 
     Single hash-groupBy keyed on the md5 fingerprint with
-    ``min_by(struct(*), id)`` — the whole winning row rides the aggregation
-    (map-side partial agg), so there is no second scan and no self-join."""
+    ``min_by(struct(*), key)`` — the whole winning row rides the
+    aggregation (map-side partial agg), so there is no second scan and
+    no self-join. Default winner is the min id; pass ``priority_col``
+    (ascending — 0 beats 1) to prefer a curated source when the same
+    text appears in several (ties still break by min id)."""
     keyed = df.withColumn("__fp", F.md5(_norm(text_col)))
+    if priority_col is None:
+        key = F.col(id_col)
+    else:
+        key = F.struct(F.col(priority_col), F.col(id_col))
     return (
         keyed.groupBy("__fp")
-        .agg(F.min_by(F.struct(*df.columns), F.col(id_col)).alias("__row"))
+        .agg(F.min_by(F.struct(*df.columns), key).alias("__row"))
         .select("__row.*")
     )
 

@@ -267,3 +267,24 @@ def test_incremental_neardup_drops_history_near_copies(spark):
     assert 10 not in kept          # matched history
     assert 13 in kept              # fresh survives
     assert len(kept & {11, 12}) == 1  # batch-internal near-dups collapse
+
+
+def test_exact_dedup_priority_col_prefers_curated_source(spark):
+    """With priority_col, the winner is the lowest (priority, id) — a
+    curated copy beats an earlier-id crawl copy; ties fall back to id."""
+    from clarite_python_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "same text here", 2),   # crawl
+            (2, "same text here", 0),   # curated -> wins despite higher id
+            (3, "same text here", 2),
+            (4, "other text", 1),
+        ],
+        "doc_id long, text string, prio int",
+    )
+    kept = {r["doc_id"] for r in exact_dedup(df, priority_col="prio").collect()}
+    assert kept == {2, 4}
+    # default stays min-id
+    kept_default = {r["doc_id"] for r in exact_dedup(df).collect()}
+    assert kept_default == {1, 4}
