@@ -289,6 +289,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--apply", action="store_true",
                    help="write only kept documents instead of the decision table")
+    p.add_argument("--max-span-dup-frac", type=float, default=None,
+                   help="opt-in Lee-et-al substring-dup stage threshold")
+    p.add_argument("--span-ngram", type=int, default=50)
     p = g_pipe.add_parser("duplicate-spans")
     p.add_argument("data")
     p.add_argument("output")
@@ -609,6 +612,8 @@ def main(argv: list[str] | None = None) -> int:
                 text_col=args.text_col,
                 id_col=args.id_col,
                 languages=tuple(args.languages),
+                max_span_dup_frac=args.max_span_dup_frac,
+                span_n=args.span_ngram,
             )
             if args.apply:
                 out = df.join(

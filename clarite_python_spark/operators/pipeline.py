@@ -230,6 +230,8 @@ def clean_corpus(
     max_dup_word_frac: float = 0.9,
     max_top2_char_frac: float = 0.9,
     gopher_kwargs: dict | None = None,
+    max_span_dup_frac: float | None = None,
+    span_n: int = 50,
 ) -> DataFrame:
     """End-to-end corpus-cleaning decision table: the standard filter
     stack (exact dedup -> Gopher quality rules -> repetition filters ->
@@ -241,6 +243,14 @@ def clean_corpus(
     a filtered corpus, because at pipeline scale you audit the
     per-stage rejection mix before materializing the cleaned output
     (``.where("keep")`` is the one-liner that follows).
+
+    ``max_span_dup_frac`` (opt-in) adds the Lee-et-al substring-
+    duplication stage (:func:`~clarite_python_spark.operators.dedup.
+    duplicate_spans` with ``span_n``-token windows): documents whose
+    duplicated-window coverage exceeds the threshold fail a
+    ``keep_spans`` verdict that joins the table and ANDs into ``keep``.
+    Off by default because it is the one stage whose cost is corpus-
+    quadratic-in-boilerplate (see BASELINE.md shape table).
 
     Plan shape: each stage is the already-audited operator (SCALE.md
     rows); the composition adds two id-keyed joins that AQE
@@ -284,13 +294,22 @@ def clean_corpus(
         .join(rep, id_col, "left")
         .fillna(False, subset=["keep_dedup"])
     )
-    return out.withColumn(
-        "keep",
+    keep = (
         F.col("keep_dedup")
         & F.col("keep_quality")
         & F.col("keep_repetition")
-        & F.col("keep_language"),
+        & F.col("keep_language")
     )
+    if max_span_dup_frac is not None:
+        from clarite_python_spark.operators.dedup import duplicate_spans
+
+        spans = duplicate_spans(df, text_col=text_col, id_col=id_col, n=span_n).select(
+            F.col(id_col),
+            (F.col("dup_fraction") <= max_span_dup_frac).alias("keep_spans"),
+        )
+        out = out.join(spans, id_col, "left").fillna(True, subset=["keep_spans"])
+        keep = keep & F.col("keep_spans")
+    return out.withColumn("keep", keep)
 
 
 def deterministic_shuffle(

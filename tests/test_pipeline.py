@@ -507,3 +507,28 @@ def test_corpus_stats_approx_mode(spark, docs):
               for r in text.corpus_stats(docs, exact=False).collect()}
     for s, n in exact.items():
         assert abs(approx[s] - n) <= max(3, 0.05 * n)  # HLL ~2% rsd
+
+
+def test_clean_corpus_optional_span_stage(spark):
+    """max_span_dup_frac adds a keep_spans verdict that ANDs into keep;
+    default (None) leaves the table unchanged."""
+    from clarite_python_spark.operators.pipeline import clean_corpus
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    df = spark.createDataFrame(
+        [
+            (1, base + "one ending here"),       # shares 32+ tokens with 2
+            (2, base + "two other close"),
+            (3, "totally unique words in this document nothing repeats anywhere at all"),
+        ],
+        "doc_id long, text string",
+    )
+    default = clean_corpus(df, languages=("en", "unknown"))
+    assert "keep_spans" not in default.columns
+
+    v = {r["doc_id"]: r.asDict() for r in
+         clean_corpus(df, languages=("en", "unknown"),
+                      max_span_dup_frac=0.5, span_n=8).collect()}
+    assert v[1]["keep_spans"] is False and v[2]["keep_spans"] is False
+    assert v[3]["keep_spans"] is True
+    assert v[1]["keep"] is False and v[2]["keep"] is False
