@@ -696,6 +696,19 @@ def minhash_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dedup(docs, threshold=0.8).select("doc_id").orderBy("doc_id")
 
 
+def minhash_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster labels (the audit view behind transitive dedup):
+    every doc in a verified near-dup component with the component's min
+    id as its label. Oracle: the recursive-CTE closure over the
+    SQL-replayed xxhash64 pipeline emits (id, label) instead of
+    survivors."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        dedup.minhash_clusters(docs, threshold=0.8)
+        .orderBy("doc_id")
+    )
+
+
 def minhash_dedup_transitive_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-components clustering variant: iterative min-label
     propagation over the verified near-dup pairs keeps exactly one doc
@@ -1269,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_md5_transitive_documents": minhash_dedup_md5_transitive_documents,
         "simhash_md5_documents": simhash_md5_documents,
         "minhash_dedup_transitive_documents": minhash_dedup_transitive_documents,
+        "minhash_clusters_documents": minhash_clusters_documents,
         "simhash_documents": simhash_documents,
         "similarity_topk_embeddings": similarity_topk_embeddings,
         "similarity_lsh_embeddings": similarity_lsh_embeddings,
@@ -2164,6 +2178,26 @@ def _minhash_xxh_transitive_oracle() -> str:
     )
 
 
+def _minhash_clusters_oracle() -> str:
+    """Cluster labels from the same recursive closure as the transitive
+    oracle: (id, min-reachable-id) for every node of a verified pair."""
+    return (
+        "WITH RECURSIVE "
+        + _minhash_xxh_pipeline()
+        + """, sym AS MATERIALIZED (
+          SELECT id_a AS src, id_b AS dst FROM dups
+          UNION SELECT id_b, id_a FROM dups
+        ), reach AS (
+          SELECT src, dst FROM sym
+          UNION
+          SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+        )
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster_label
+        FROM reach GROUP BY src ORDER BY doc_id
+    """
+    )
+
+
 def _simhash_xxh_oracle() -> str:
     """xxhash64-family SimHash (bits=64): per-token hashes (only ~31
     distinct tokens in the corpus) feed occurrence-weighted ±1 bit sums;
@@ -2570,6 +2604,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup_documents": _minhash_xxh_oracle(),
         "winnow_fingerprints_xxh_documents": _winnow_xxh_oracle(),
         "minhash_dedup_transitive_documents": _minhash_xxh_transitive_oracle(),
+        "minhash_clusters_documents": _minhash_clusters_oracle(),
         "simhash_documents": _simhash_xxh_oracle(),
         "minhash_dedup_md5_transitive_documents": _minhash_md5_transitive_oracle(),
         "similarity_ivf_probe_embeddings": _ivf_probe_oracle(),

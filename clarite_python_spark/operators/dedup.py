@@ -34,6 +34,7 @@ __all__ = [
     "minhash_signature",
     "minhash_lsh_candidates",
     "minhash_dedup",
+    "minhash_clusters",
     "simhash",
     "ngram_jaccard_pairs",
 ]
@@ -693,6 +694,34 @@ def minhash_dedup(
     else:
         losers = dups.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def minhash_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_iter: int = 20,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Near-duplicate CLUSTER LABELS instead of survivors: every document
+    that belongs to a verified near-dup connected component, labeled by
+    the component's min id — the audit view behind
+    ``minhash_dedup(transitive=True)`` (same candidates, same verify,
+    same min-label propagation). Use it to inspect dup-cluster size
+    distributions or pick cluster representatives by a custom policy
+    before deleting anything. Returns (id, cluster_label); singleton
+    documents (no near-dups) are not emitted.
+    """
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, shingle_n, hash_family=hash_family
+    )
+    dups = ngram_jaccard_pairs(df, cands, text_col, id_col, shingle_n, threshold)
+    comp = _min_label_components(dups.select("id_a", "id_b"), max_iter)
+    return comp.select(F.col("id").alias(id_col), F.col("label").alias("cluster_label"))
 
 
 def simhash(

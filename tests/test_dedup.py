@@ -288,3 +288,15 @@ def test_exact_dedup_priority_col_prefers_curated_source(spark):
     # default stays min-id
     kept_default = {r["doc_id"] for r in exact_dedup(df).collect()}
     assert kept_default == {1, 4}
+
+
+def test_minhash_clusters_labels_match_transitive_dedup(chain_docs):
+    """Cluster labels are the audit view of transitive dedup: component
+    {1,2,3} labels as 1; the unrelated doc is not emitted."""
+    from clarite_python_spark.operators.dedup import minhash_clusters
+
+    got = {
+        (r["doc_id"], r["cluster_label"])
+        for r in minhash_clusters(chain_docs, threshold=0.85).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1)}
