@@ -205,3 +205,57 @@ def test_duplicate_spans_matches_reference(spark, texts):
         for r in duplicate_spans(df, n=3).collect()
     }
     assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    run=st.lists(st.sampled_from("pqrs"), min_size=6, max_size=10),
+    pre_a=st.lists(st.sampled_from("abc"), min_size=0, max_size=6),
+    pre_b=st.lists(st.sampled_from("xyz"), min_size=0, max_size=6),
+)
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark, run, pre_a, pre_b):
+    """The SIGMOD'03 winnowing guarantee: any shared token run of length
+    >= window + k - 1 between two documents yields at least one shared
+    fingerprint. Two docs share a planted run (length >= 6 = 4 + 3 - 1)
+    embedded after unrelated prefixes from disjoint alphabets."""
+    from clarite_python_spark.operators.text import winnow_fingerprints
+
+    doc_a = " ".join(pre_a + run)
+    doc_b = " ".join(pre_b + run)
+    df = spark.createDataFrame([(1, doc_a), (2, doc_b)], "doc_id long, text string")
+    fp = winnow_fingerprints(df, k=3, window=4)
+    rows = fp.collect()
+    a = {r["fingerprint"] for r in rows if r["doc_id"] == 1}
+    b = {r["fingerprint"] for r in rows if r["doc_id"] == 2}
+    assert a & b, (doc_a, doc_b)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    st.lists(st.text(alphabet="ab \n", min_size=0, max_size=12), min_size=1, max_size=6)
+)
+def test_dedup_operators_are_idempotent(spark, texts):
+    """exact_dedup and paragraph_dedup are fixpoints: applying them to
+    their own output changes nothing."""
+    from clarite_python_spark.operators.dedup import exact_dedup, paragraph_dedup
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    once = exact_dedup(df)
+    assert sorted(r["doc_id"] for r in exact_dedup(once).collect()) == sorted(
+        r["doc_id"] for r in once.collect()
+    )
+    p_once = paragraph_dedup(df)
+    p_twice = paragraph_dedup(p_once)
+    a = {(r["doc_id"], r["text"]) for r in p_once.collect()}
+    b = {(r["doc_id"], r["text"]) for r in p_twice.collect()}
+    assert a == b
