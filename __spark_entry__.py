@@ -570,6 +570,25 @@ def paragraph_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def json_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: extract a field from the JSON
+    ``props`` column (JVM ``get_json_object`` — codegen, no UDF) and
+    aggregate it per event type. At scale the JSON parse is a row-local
+    projection that fuses into the scan stage."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.round(F.avg("k"), 6).alias("k_avg"),
+        )
+        .orderBy("event_type")
+    )
+
+
 _ZBOUNDS = {"l_extendedprice": (900.0, 105000.0), "l_quantity": (1.0, 50.0)}
 
 
@@ -1269,6 +1288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup_documents": paragraph_dedup_documents,
         "duplicate_spans_documents": duplicate_spans_documents,
         "zorder_key_lineitem": zorder_key_lineitem,
+        "json_props_events": json_props_events,
         "contamination_documents": contamination_documents,
         "fuzzy_contamination_documents": fuzzy_contamination_documents,
         "repetition_stats_documents": repetition_stats_documents,
@@ -2733,6 +2753,12 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id ORDER BY doc_id
         """,
         "zorder_key_lineitem": _zorder_oracle(),
+        "json_props_events": """
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+                   round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS k_avg
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
         "duplicate_spans_documents": f"""
             WITH t AS (
               SELECT doc_id,
