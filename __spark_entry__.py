@@ -570,6 +570,25 @@ def paragraph_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def rollup_revenue_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level OLAP aggregation: revenue rolled up over
+    (returnflag, linestatus) with subtotals and a grand total — one
+    Expand + one aggregation in Spark (`rollup`), GROUPING SETS in the
+    oracle. grouping_id disambiguates NULL data values from subtotal
+    rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(rev), 2).alias("revenue"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
 def json_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured column handling: extract a field from the JSON
     ``props`` column (JVM ``get_json_object`` — codegen, no UDF) and
@@ -1289,6 +1308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans_documents": duplicate_spans_documents,
         "zorder_key_lineitem": zorder_key_lineitem,
         "json_props_events": json_props_events,
+        "rollup_revenue_lineitem": rollup_revenue_lineitem,
         "contamination_documents": contamination_documents,
         "fuzzy_contamination_documents": fuzzy_contamination_documents,
         "repetition_stats_documents": repetition_stats_documents,
@@ -2753,6 +2773,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id ORDER BY doc_id
         """,
         "zorder_key_lineitem": _zorder_oracle(),
+        "rollup_revenue_lineitem": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY gid, l_returnflag, l_linestatus
+        """,
         "json_props_events": """
             SELECT event_type, count(*) AS n,
                    CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
