@@ -570,6 +570,38 @@ def paragraph_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def pivot_revenue_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivoted aggregation: returnflag rows x linestatus columns of
+    summed revenue. Explicit pivot values keep the plan one pass (no
+    distinct-discovery job) — the form to use at scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.withColumn("rev", rev)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("rev"), 2))
+        .orderBy("l_returnflag")
+    )
+
+
+def quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group (Spark
+    ``percentile`` == DuckDB ``quantile_cont``). The exact form buffers
+    per group — the approx_percentile sketch is the 100-TB variant
+    (same API shape, mergeable)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90"),
+            F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("qty_p25"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def rollup_revenue_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-level OLAP aggregation: revenue rolled up over
     (returnflag, linestatus) with subtotals and a grand total — one
@@ -1309,6 +1341,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key_lineitem": zorder_key_lineitem,
         "json_props_events": json_props_events,
         "rollup_revenue_lineitem": rollup_revenue_lineitem,
+        "pivot_revenue_lineitem": pivot_revenue_lineitem,
+        "quantiles_lineitem": quantiles_lineitem,
         "contamination_documents": contamination_documents,
         "fuzzy_contamination_documents": fuzzy_contamination_documents,
         "repetition_stats_documents": repetition_stats_documents,
@@ -2773,6 +2807,19 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id ORDER BY doc_id
         """,
         "zorder_key_lineitem": _zorder_oracle(),
+        "pivot_revenue_lineitem": """
+            SELECT l_returnflag,
+                   round(sum(l_extendedprice * (1 - l_discount)) FILTER (WHERE l_linestatus = 'F'), 2) AS F,
+                   round(sum(l_extendedprice * (1 - l_discount)) FILTER (WHERE l_linestatus = 'O'), 2) AS O
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "quantiles_lineitem": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+                   round(quantile_cont(l_quantity, 0.25), 6) AS qty_p25
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
         "rollup_revenue_lineitem": """
             SELECT l_returnflag, l_linestatus, count(*) AS n,
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
