@@ -570,6 +570,33 @@ def paragraph_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def event_gaps_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered-window analytics: inter-event gap statistics via
+    ``lag`` over (user, ts) — the product-analytics staple. One keyed
+    shuffle; the window sorts within each user partition only. Gap
+    stats stay exact integer microseconds (sum/max/count) so the
+    cross-engine compare has no float-ulp surface; the mean is one
+    division away for the caller."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; session TZ is pinned UTC so the cast is identity
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    return (
+        ev.withColumn("gap", gap)
+        .where(F.col("gap").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap").alias("gap_sum_us"),
+            F.max("gap").alias("gap_max_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def pivot_revenue_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivoted aggregation: returnflag rows x linestatus columns of
     summed revenue. Explicit pivot values keep the plan one pass (no
@@ -1342,6 +1369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_events": json_props_events,
         "rollup_revenue_lineitem": rollup_revenue_lineitem,
         "pivot_revenue_lineitem": pivot_revenue_lineitem,
+        "event_gaps_events": event_gaps_events,
         "quantiles_lineitem": quantiles_lineitem,
         "contamination_documents": contamination_documents,
         "fuzzy_contamination_documents": fuzzy_contamination_documents,
@@ -2807,6 +2835,19 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id ORDER BY doc_id
         """,
         "zorder_key_lineitem": _zorder_oracle(),
+        "event_gaps_events": """
+            WITH g AS (
+              SELECT user_id,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS gap
+              FROM events
+            )
+            SELECT user_id, count(*) AS n_gaps,
+                   CAST(sum(gap) AS BIGINT) AS gap_sum_us,
+                   CAST(max(gap) AS BIGINT) AS gap_max_us
+            FROM g WHERE gap IS NOT NULL
+            GROUP BY user_id ORDER BY user_id
+        """,
         "pivot_revenue_lineitem": """
             SELECT l_returnflag,
                    round(sum(l_extendedprice * (1 - l_discount)) FILTER (WHERE l_linestatus = 'F'), 2) AS F,
