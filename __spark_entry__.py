@@ -1448,10 +1448,10 @@ def _winnow_fps_cte() -> str:
               SELECT doc_id,
                      CASE WHEN len(t) >= 3 THEN
                        list_transform(range(1, len(t) - 1),
-                         i -> list_sum(list_transform(range(1, 16),
+                         i -> CAST(list_sum(list_transform(range(1, 16),
                                 k -> (CAST(strpos('0123456789abcdef',
                                        substr(md5(array_to_string(t[i:i+2], ' ')), k, 1)) AS BIGINT) - 1)
-                                     << ((15 - k) * 4))))
+                                     << ((15 - k) * 4))) AS BIGINT))
                      END AS g
               FROM toks
             ), mins AS (
@@ -1515,12 +1515,14 @@ def _winnow_xxh_oracle() -> str:
 
 def _md5_key(id_expr: str, salt: str) -> str:
     """DuckDB twin of functions.hashing.md5_60bit over ``id:salt`` (the
-    full 60-bit key, no modulus)."""
+    full 60-bit key, no modulus). CAST AS BIGINT: DuckDB's list_sum
+    promotes to HUGEINT, which the driver's type-sensitive hasher would
+    flag against Spark's long (CORRECTNESS_r05 root cause)."""
     return (
-        f"list_sum(list_transform(range(1, 16), "
+        f"CAST(list_sum(list_transform(range(1, 16), "
         f"k -> (CAST(strpos('0123456789abcdef', "
         f"substr(md5({id_expr} || ':{salt}'), k, 1)) AS BIGINT) - 1) "
-        f"<< ((15 - k) * 4)))"
+        f"<< ((15 - k) * 4))) AS BIGINT)"
     )
 
 
@@ -1529,10 +1531,10 @@ def _md5_bucket(id_expr: str, salt: str, buckets: int = 10000) -> str:
     md5 hex chars of ``id:salt``, mod buckets — same shift-parse idiom as
     the md5 MinHash oracle."""
     return (
-        f"(list_sum(list_transform(range(1, 16), "
+        f"(CAST(list_sum(list_transform(range(1, 16), "
         f"k -> (CAST(strpos('0123456789abcdef', "
         f"substr(md5({id_expr} || ':{salt}'), k, 1)) AS BIGINT) - 1) "
-        f"<< ((15 - k) * 4))) % {buckets})"
+        f"<< ((15 - k) * 4))) AS BIGINT) % {buckets})"
     )
 
 
@@ -1579,7 +1581,7 @@ def _similarity_lsh_oracle() -> str:
           FROM e2 JOIN q ON e2.bucket = q.bucket
         ), ranked AS (
           SELECT query_id, vec_id, cosine,
-                 row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+                 CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
           FROM scored
         )
         SELECT query_id, vec_id, rank, round(cosine, 6) AS cosine
@@ -1958,7 +1960,7 @@ def _ivf_probe_oracle() -> str:
           JOIN corp co ON co.lst = p.lst),
         ranked AS (
           SELECT query_id, vec_id, cosine,
-                 row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+                 CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
           FROM scored)
         SELECT query_id, vec_id, rank, round(cosine, 6) AS cosine
         FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
@@ -2409,7 +2411,7 @@ def _clean_corpus_oracle() -> str:
           SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5({norm_text})
         ), gq AS (
           SELECT doc_id, toks,
-                 len(toks) AS n_words,
+                 CAST(len(toks) AS INT) AS n_words,
                  round(list_sum(list_transform(toks, x -> length(x)))
                        / (greatest(len(toks), 1) * 1.0), 6) AS mwl,
                  round(((length(text) - length(replace(text, '#', '')))
@@ -2729,7 +2731,8 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY doc_id, r.range
             ), fp AS (
               SELECT doc_id,
-                     sum(CASE WHEN c >= 0 THEN 1::BIGINT << b ELSE 0 END) AS v
+                     CAST(sum(CASE WHEN c >= 0 THEN 1::BIGINT << b ELSE 0 END)
+                          AS BIGINT) AS v
               FROM cnts GROUP BY doc_id
             )
             SELECT d.doc_id, coalesce(f.v, (1::BIGINT << 60) - 1) AS simhash
@@ -2761,8 +2764,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_stats_documents": f"""
             SELECT doc_id,
-                   length(text) AS n_chars,
-                   len({_TOKENS}) AS n_tokens,
+                   CAST(length(text) AS INT) AS n_chars,
+                   CAST(len({_TOKENS}) AS INT) AS n_tokens,
                    round(list_sum(list_transform({_TOKENS}, x -> length(x))) * 1.0
                          / greatest(len({_TOKENS}), 1), 6) AS mean_token_len,
                    round(list_sum(list_transform({_TOKENS}, x -> CASE WHEN x IN ({_EN}) THEN 1 ELSE 0 END)) * 1.0
@@ -2950,8 +2953,8 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ), c AS (
               SELECT doc_id, source, n_tokens,
-                     sum(n_tokens) OVER (PARTITION BY source ORDER BY k
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+                     CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY k
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
               FROM t
             )
             SELECT doc_id, source, n_tokens, cum_tokens FROM c
@@ -3033,7 +3036,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ), m AS (
               SELECT doc_id,
-                     len(toks) AS n_words,
+                     CAST(len(toks) AS INT) AS n_words,
                      round(list_sum(list_transform(toks, x -> length(x)))
                            / (greatest(len(toks), 1) * 1.0), 6) AS mean_word_len,
                      round((n_hash + n_ell) / (greatest(len(toks), 1) * 1.0), 6) AS symbol_ratio,
@@ -3081,7 +3084,7 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings e CROSS JOIN q
             ), ranked AS (
               SELECT query_id, vec_id, cosine,
-                     row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+                     CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
               FROM scored
             )
             SELECT query_id, vec_id, rank, round(cosine, 6) AS cosine
@@ -3100,7 +3103,7 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings e CROSS JOIN q
             ), ranked AS (
               SELECT query_id, vec_id, cosine,
-                     row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+                     CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
               FROM scored
             )
             SELECT query_id, vec_id, rank, round(cosine, 6) AS cosine
@@ -3343,7 +3346,7 @@ def oracle_sql() -> dict[str, str]:
             FROM chunks ORDER BY doc_id, chunk_id
         """,
         "label_centroids_embeddings": """
-            SELECT label, i.range AS pos,
+            SELECT label, CAST(i.range AS INT) AS pos,
                    round(avg(embedding[i.range + 1]), 6) AS centroid,
                    count(*) AS n
             FROM embeddings
@@ -3355,16 +3358,16 @@ def oracle_sql() -> dict[str, str]:
                    list_reduce(
                      list_prepend(CAST(0 AS BIGINT),
                        list_transform({_TOKENS},
-                         t -> list_sum(list_transform(range(1, 16),
+                         t -> CAST(list_sum(list_transform(range(1, 16),
                                 k -> (CAST(strpos('0123456789abcdef',
                                        substr(md5(lower(t)), k, 1)) AS BIGINT) - 1)
-                                     << ((15 - k) * 4))) % 2147483647)),
+                                     << ((15 - k) * 4))) AS BIGINT) % 2147483647)),
                      (a, b) -> (a * 131 + b) % 2147483647) AS rolling_fp
             FROM documents ORDER BY doc_id
         """,
         "bpe_token_counts_documents": f"""
             SELECT doc_id,
-                   len({_TOKENS}) AS ws_tokens,
+                   CAST(len({_TOKENS}) AS INT) AS ws_tokens,
                    CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS INT) AS bpe_tokens
             FROM documents ORDER BY doc_id
         """,

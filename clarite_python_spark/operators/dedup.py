@@ -68,12 +68,18 @@ def exact_dedup(
     aggregation (map-side partial agg), so there is no second scan and
     no self-join. Default winner is the min id; pass ``priority_col``
     (ascending — 0 beats 1) to prefer a curated source when the same
-    text appears in several (ties still break by min id)."""
+    text appears in several (ties still break by min id). A NULL
+    priority sorts LAST (coalesced to +inf-like sentinel): struct
+    ordering would otherwise rank NULL first and let an unprioritized
+    row silently beat priority 0."""
     keyed = df.withColumn("__fp", F.md5(_norm(text_col)))
     if priority_col is None:
         key = F.col(id_col)
     else:
-        key = F.struct(F.col(priority_col), F.col(id_col))
+        pty = F.coalesce(
+            F.col(priority_col).cast("double"), F.lit(float("inf"))
+        )
+        key = F.struct(pty, F.col(id_col))
     return (
         keyed.groupBy("__fp")
         .agg(F.min_by(F.struct(*df.columns), key).alias("__row"))

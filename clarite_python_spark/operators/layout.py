@@ -87,9 +87,14 @@ def zorder_key_sql(bounds: dict[str, tuple[float, float]], bits: int = 10) -> st
     for j, c in enumerate(cols):
         lo, hi = (float(x) for x in bounds[c])
         n = 1 << bits
+        # clamp on the DOUBLE floor result BEFORE the BIGINT cast: an
+        # extreme outlier's floor() can exceed int64, and a strict
+        # engine (DuckDB) errors on the out-of-range cast where Spark
+        # saturates — clamping first keeps the twin portable
         bucket = (
-            f"least(greatest(CAST(floor((CAST({c} AS DOUBLE) - {lo!r}) / "
-            f"({hi!r} - {lo!r}) * {n}) AS BIGINT), 0), {n - 1})"
+            f"CAST(least(greatest(floor((CAST({c} AS DOUBLE) - {lo!r}) / "
+            f"({hi!r} - {lo!r}) * {n}), CAST(0 AS DOUBLE)), "
+            f"CAST({n - 1} AS DOUBLE)) AS BIGINT)"
         )
         for b in range(bits):
             parts.append(f"((({bucket} // {1 << b}) % 2) * {1 << (b * k + j)})")
@@ -152,12 +157,15 @@ def optimize_layout(
             raise ValueError(f"bounds missing for {missing}")
         bounds = {c: bounds[c] for c in cols}  # order by cols
     key = zorder_key(bounds, bits=bits)
-    clustered = df.withColumn("__zkey", key)
+    zkey = "__zkey"
+    while zkey in df.columns:  # never clobber a user column of that name
+        zkey = "_" + zkey
+    clustered = df.withColumn(zkey, key)
     if n_partitions:
-        clustered = clustered.repartitionByRange(n_partitions, "__zkey")
+        clustered = clustered.repartitionByRange(n_partitions, zkey)
     else:
-        clustered = clustered.repartitionByRange("__zkey")
-    clustered = clustered.sortWithinPartitions("__zkey").drop("__zkey")
+        clustered = clustered.repartitionByRange(zkey)
+    clustered = clustered.sortWithinPartitions(zkey).drop(zkey)
     if path is not None:
         writer = clustered.write.mode("overwrite")
         if max_records_per_file:

@@ -37,9 +37,16 @@ def overlapping_files(path: str) -> tuple[int, int]:
         names = {md.schema.column(i).name: i for i in range(md.num_columns)}
         ok = True
         for c in COLS:
-            mins = [md.row_group(g).column(names[c]).statistics.min for g in range(md.num_row_groups)]
-            maxs = [md.row_group(g).column(names[c]).statistics.max for g in range(md.num_row_groups)]
-            if min(mins) > BOX[c][1] or max(maxs) < BOX[c][0]:
+            # row groups written without statistics can't be pruned —
+            # count them as hits rather than crashing on .min of None
+            stats = [
+                md.row_group(g).column(names[c]).statistics
+                for g in range(md.num_row_groups)
+            ]
+            stats = [s for s in stats if s is not None and s.has_min_max]
+            if not stats:
+                continue
+            if min(s.min for s in stats) > BOX[c][1] or max(s.max for s in stats) < BOX[c][0]:
                 ok = False
         total += 1
         hit += ok

@@ -290,6 +290,25 @@ def test_exact_dedup_priority_col_prefers_curated_source(spark):
     assert kept_default == {1, 4}
 
 
+def test_exact_dedup_null_priority_sorts_last(spark):
+    """A NULL priority must NOT beat a real one: struct ordering puts
+    NULL first, so without the coalesce-to-sentinel a row with no
+    priority would silently win over the curated (priority 0) copy."""
+    from clarite_python_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "same text here", None),  # unprioritized crawl copy
+            (2, "same text here", 0),     # curated -> must win
+            (3, "null only text", None),  # all-NULL group: min id wins
+            (4, "null only text", None),
+        ],
+        "doc_id long, text string, prio int",
+    )
+    kept = {r["doc_id"] for r in exact_dedup(df, priority_col="prio").collect()}
+    assert kept == {2, 3}
+
+
 def test_minhash_clusters_labels_match_transitive_dedup(chain_docs):
     """Cluster labels are the audit view of transitive dedup: component
     {1,2,3} labels as 1; the unrelated doc is not emitted."""

@@ -87,8 +87,12 @@ def _file_ranges(path: str, cols: list[str]):
             mins, maxs = [], []
             for g in range(md.num_row_groups):
                 st = md.row_group(g).column(names[c]).statistics
+                if st is None or not st.has_min_max:  # stats-less group: unprunable
+                    continue
                 mins.append(st.min)
                 maxs.append(st.max)
+            if not mins:
+                continue
             rng[c] = (min(mins), max(maxs))
         out.append(rng)
     return out
