@@ -7,7 +7,6 @@ the tiny (1 x N) stats row — never one job per column.
 
 from __future__ import annotations
 
-import math
 from itertools import combinations
 
 from pyspark.sql import DataFrame
@@ -44,10 +43,12 @@ def correlations(cf: ClariteFrame, threshold: float = 0.75, _wide_limit: int = 8
     Spark plan: for up to ``_wide_limit`` numeric columns, ONE agg with
     C(p,2) ``F.corr`` expressions — a single scan, and F.corr's pairwise
     null handling matches pandas ``df.corr`` semantics. For wider frames
-    the quadratic expression count stops paying; we fall back to
-    ``pyspark.ml.stat.Correlation`` on an assembled vector (one pass,
-    driver-side p x p matrix — fine for p ≈ 10^3; note its rows must be
-    complete cases, a documented semantic difference).
+    the quadratic expression count stops paying, and we switch to the
+    blocked masked-Gram path (functions/blockcorr.py): per block-row
+    jobs whose partial sufficient statistics are summed on executors,
+    with the threshold filter applied INSIDE the worker — the same
+    pairwise-complete semantics, no p x p matrix on the driver (or
+    anywhere), so p = 5,000+ columns hold.
     """
     cols = [c for c in cf.variables if cf.catalog.get(c) == CONTINUOUS]
     pairs = list(combinations(cols, 2))
@@ -62,21 +63,11 @@ def correlations(cf: ClariteFrame, threshold: float = 0.75, _wide_limit: int = 8
             for a, b in pairs
             if row[f"{a}::{b}"] is not None and abs(row[f"{a}::{b}"]) >= threshold
         ]
-        out = spark.createDataFrame(data, "var1 string, var2 string, correlation double")
-    else:  # pragma: no cover - exercised only on very wide frames
-        from pyspark.ml.feature import VectorAssembler
-        from pyspark.ml.stat import Correlation
+    else:
+        from clarite_python_spark.functions.blockcorr import block_correlations
 
-        vec = VectorAssembler(inputCols=cols, outputCol="__v").transform(
-            cf.df.na.drop(subset=cols)
-        )
-        mat = Correlation.corr(vec, "__v").head()[0].toArray()
-        data = [
-            (cols[i], cols[j], float(mat[i, j]))
-            for i, j in ((i, j) for i in range(len(cols)) for j in range(i + 1, len(cols)))
-            if not math.isnan(mat[i, j]) and abs(mat[i, j]) >= threshold
-        ]
-        out = spark.createDataFrame(data, "var1 string, var2 string, correlation double")
+        data = block_correlations(cf.df, cols, threshold=threshold)
+    out = spark.createDataFrame(data, "var1 string, var2 string, correlation double")
     return out.orderBy(F.abs(F.col("correlation")).desc(), "var1", "var2")
 
 
