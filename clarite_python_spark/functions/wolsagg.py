@@ -12,11 +12,16 @@ v's complete-case-and-subset mask m:
     then the same stratum-centering / lonely-PSU / fpc algebra as the
     kernel (functions/wglm.py) on the tiny (#clusters x p) J matrix.
 
-So ONE mapInPandas pass over the wide table (BLAS matmuls per Arrow
-batch against a #clusters-wide one-hot) replaces the melt + per-variable
-Python groups, and the shuffle carries |vars| x |clusters| x ~20
-doubles. #clusters is bounded by the sampling frame, so this is
-scan-bound at any data size.
+So ONE mapInPandas pass over the wide table replaces the melt +
+per-variable Python groups. Per-cluster accumulation is a sort +
+``np.add.reduceat`` segment sum — O(batch x p) per statistic and
+independent of #clusters (the dense one-hot matmul this replaced was
+what capped the path at ~256 clusters) — and each batch emits rows only
+for clusters it actually contains, so the shuffle carries
+|vars| x |present clusters| x ~20 doubles. #clusters is bounded by the
+sampling frame, so this is scan-bound at any data size; the dispatch
+gate (analyze.py, 16,384) only bounds the driver-side sandwich
+assembly.
 
 Cluster designs need ONE scan (per-cluster Grams determine the
 sandwich). No-cluster designs — where every observation is its own
@@ -111,15 +116,28 @@ def _grams_reduced(
             w_ok = ~np.isnan(w_raw)
             w_norm = np.nan_to_num(w_raw) / weight_mean
 
+            # segment-sum machinery instead of a dense n_rows x nc
+            # one-hot matmul: the one-hot's memory is what capped the
+            # old path at ~256 clusters (VERDICT round 5, task 6).
+            # Rows are sorted by cluster index once per batch; every
+            # stat then reduces in O(n_rows * p), independent of nc,
+            # and only clusters PRESENT in the batch are emitted.
             if group_col is None:  # weights-only: one group for all rows
                 cl_ok = np.ones(n_rows, dtype=bool)
-                onehot = np.ones((n_rows, 1))
+                idx_all = np.zeros(n_rows, dtype=np.int64)
             else:
                 cl = pdf[group_col].map(cl_index).to_numpy(dtype=float)
                 cl_ok = ~np.isnan(cl)
-                onehot = np.zeros((n_rows, nc))
-                rows_with_cl = np.where(cl_ok)[0]
-                onehot[rows_with_cl, cl[rows_with_cl].astype(int)] = 1.0
+                idx_all = np.where(cl_ok, np.nan_to_num(cl), -1).astype(np.int64)
+            order = np.argsort(idx_all[cl_ok], kind="stable")
+            sorted_idx = idx_all[cl_ok][order]
+            uniq, starts = np.unique(sorted_idx, return_index=True)
+            nu = len(uniq)
+
+            def seg(mat: np.ndarray) -> np.ndarray:  # n x p -> p x nu
+                if nu == 0:
+                    return np.zeros((mat.shape[1], 0))
+                return np.add.reduceat(mat[cl_ok][order], starts, axis=0).T
 
             v = pdf[rvs].to_numpy(dtype=float)
             v_ok = ~np.isnan(v)
@@ -129,32 +147,45 @@ def _grams_reduced(
             mw = mf * w_norm[:, None]  # weighted mask
             uw = np.nan_to_num(v) * mw  # w * v, masked
 
-            out = {
-                "unit": np.repeat(rvs, nc),
-                "clust": np.tile(np.arange(nc), len(rvs)),
-            }
-
-            def put(name: str, mat: np.ndarray) -> None:  # mat: p x nc
-                out[name] = mat.reshape(-1)
-
-            put("n", mf.T @ onehot)
-            # missing-weight rows sit inside the design (subset true), so
-            # they always carry a cluster — the one-hot catches them all
-            nwmiss = (v_ok & subset_ok[:, None] & ~w_ok[:, None]).astype(float)
-            put("nwmiss", nwmiss.T @ onehot)
             # a row with NO design info (null subset after the left join)
             # fails EVERY variable (kernel parity: the weighted kernel
             # raises on subset.isna().any()); such rows have no cluster,
             # so park the batch count on cluster slot 0
-            ndm = np.zeros((len(rvs), nc))
-            ndm[:, 0] = float((~design_ok).sum())
-            put("ndmiss", ndm)
+            ndm_count = float((~design_ok).sum())
+            emit_u = uniq
+            pad = 0
+            if ndm_count > 0 and 0 not in uniq:
+                emit_u = np.concatenate([[0], uniq])
+                pad = 1
+            n_emit = nu + pad
+            if n_emit == 0:
+                continue
+
+            out = {
+                "unit": np.repeat(rvs, n_emit),
+                "clust": np.tile(emit_u.astype(np.int64), len(rvs)),
+            }
+
+            def put(name: str, mat: np.ndarray) -> None:  # mat: p x nu
+                if pad:
+                    mat = np.concatenate([np.zeros((mat.shape[0], 1)), mat], axis=1)
+                out[name] = mat.reshape(-1)
+
+            put("n", seg(mf))
+            # missing-weight rows sit inside the design (subset true), so
+            # they always carry a cluster — the segment sum catches them
+            nwmiss = (v_ok & subset_ok[:, None] & ~w_ok[:, None]).astype(float)
+            put("nwmiss", seg(nwmiss))
+            ndm = np.zeros((len(rvs), n_emit))
+            if ndm_count > 0:
+                ndm[:, list(emit_u).index(0)] = ndm_count
+            out["ndmiss"] = ndm.reshape(-1)
             prods = np.stack([a[:, i] * a[:, j] for i, j in tri], axis=1)
             for t, (i, j) in enumerate(tri):
-                put(f"g{i}_{j}", (mw * prods[:, t][:, None]).T @ onehot)
+                put(f"g{i}_{j}", seg(mw * prods[:, t][:, None]))
             for i in range(q):
-                put(f"u{i}", (uw * a[:, i][:, None]).T @ onehot)
-            put("uu", (uw * np.nan_to_num(v)).T @ onehot)
+                put(f"u{i}", seg(uw * a[:, i][:, None]))
+            put("uu", seg(uw * np.nan_to_num(v)))
             yield pd.DataFrame(out)
 
     need = [outcome, *covariates, *rvs, subset_col]
@@ -379,15 +410,21 @@ def _score2_reduced(
             w_ok = ~np.isnan(w_raw)
             w_norm = np.nan_to_num(w_raw) / weight_mean
 
+            # segment sums by group (see _grams_reduced: no dense
+            # one-hot, only groups present in the batch are emitted)
             if group_col is None:
                 cl_ok = np.ones(n_rows, dtype=bool)
-                onehot = np.ones((n_rows, 1))
+                idx_all = np.zeros(n_rows, dtype=np.int64)
             else:
                 cl = pdf[group_col].map(cl_index).to_numpy(dtype=float)
                 cl_ok = ~np.isnan(cl)
-                onehot = np.zeros((n_rows, nc))
-                rows_with_cl = np.where(cl_ok)[0]
-                onehot[rows_with_cl, cl[rows_with_cl].astype(int)] = 1.0
+                idx_all = np.where(cl_ok, np.nan_to_num(cl), -1).astype(np.int64)
+            order = np.argsort(idx_all[cl_ok], kind="stable")
+            sorted_idx = idx_all[cl_ok][order]
+            uniq, starts = np.unique(sorted_idx, return_index=True)
+            nu = len(uniq)
+            if nu == 0:
+                continue
 
             v = pdf[fit_rvs].to_numpy(dtype=float)
             v_ok = ~np.isnan(v)
@@ -395,17 +432,19 @@ def _score2_reduced(
             vz = np.nan_to_num(v)
 
             out = {
-                "unit": np.repeat(fit_rvs, nc),
-                "clust": np.tile(np.arange(nc), len(fit_rvs)),
+                "unit": np.repeat(fit_rvs, nu),
+                "clust": np.tile(uniq.astype(np.int64), len(fit_rvs)),
             }
-            acc = np.zeros((len(fit_rvs), nc, len(tri_z)))
+            acc = np.zeros((len(fit_rvs), nu, len(tri_z)))
             for jv in range(len(fit_rvs)):
                 b = beta_mat[jv]
                 e = y - (zb @ b[:-1] + vz[:, jv] * b[-1])
                 wgt = m[:, jv] * (w_norm**2) * np.nan_to_num(e) ** 2
                 z = np.column_stack([zb, vz[:, jv]])
-                for t, (i, jj) in enumerate(tri_z):
-                    acc[jv, :, t] = (wgt * z[:, i] * z[:, jj]) @ onehot
+                rows_sq = wgt[:, None] * np.stack(
+                    [z[:, i] * z[:, jj] for i, jj in tri_z], axis=1
+                )
+                acc[jv] = np.add.reduceat(rows_sq[cl_ok][order], starts, axis=0)
             for t, (i, jj) in enumerate(tri_z):
                 out[f"s{i}_{jj}"] = acc[:, :, t].reshape(-1)
             yield pd.DataFrame(out)

@@ -773,11 +773,11 @@ def association_study(
             and (
                 (
                     survey_design_spec.has_cluster
-                    and len(survey_design_spec.constants()["clusters"]) <= 256
+                    and len(survey_design_spec.constants()["clusters"]) <= 16384
                 )
                 or (
                     not survey_design_spec.has_cluster
-                    and len(survey_design_spec.constants()["rows_per_strat"]) <= 1024
+                    and len(survey_design_spec.constants()["rows_per_strat"]) <= 16384
                 )
             )
         ):
@@ -786,9 +786,11 @@ def association_study(
             # statistics feed both the fit and the linearized sandwich
             # (functions/wolsagg.py) — one mapInPandas scan instead of
             # melting data rows through per-variable Python groups. The
-            # one-hot-matmul accumulator is O(batch x #clusters), so gate
-            # on a bounded cluster count (sampling frames are small; a
-            # million-cluster design falls back to the grouped kernel).
+            # accumulator is a sort + segment-sum, O(batch x p) per stat
+            # and independent of #clusters; the gate only bounds the
+            # DRIVER-side (#clusters x zdim^2) sandwich assembly (16k
+            # PSUs x a dozen params ~ MBs; a million-cluster design
+            # falls back to the grouped kernel).
             # No-cluster designs (strata-only / weights-only) need
             # per-observation score outer products for the sandwich — a
             # SECOND scan computes per-stratum sums of w^2 e^2 z z'
@@ -867,11 +869,11 @@ def association_study(
             and (
                 (
                     survey_design_spec.has_cluster
-                    and len(survey_design_spec.constants()["clusters"]) <= 256
+                    and len(survey_design_spec.constants()["clusters"]) <= 16384
                 )
                 or (
                     not survey_design_spec.has_cluster
-                    and len(survey_design_spec.constants()["rows_per_strat"]) <= 1024
+                    and len(survey_design_spec.constants()["rows_per_strat"]) <= 16384
                 )
             )
             and all(covar_types[c] in (BINARY, CATEGORICAL) for c in covariates)
@@ -954,11 +956,11 @@ def association_study(
             and (
                 (
                     survey_design_spec.has_cluster
-                    and len(survey_design_spec.constants()["clusters"]) <= 256
+                    and len(survey_design_spec.constants()["clusters"]) <= 16384
                 )
                 or (
                     not survey_design_spec.has_cluster
-                    and len(survey_design_spec.constants()["rows_per_strat"]) <= 1024
+                    and len(survey_design_spec.constants()["rows_per_strat"]) <= 16384
                 )
             )
             and all(covar_types[c] in (BINARY, CATEGORICAL) for c in covariates)

@@ -726,3 +726,53 @@ def test_gaussian_nocluster_suffstats_matches_kernel(spark, design_kw):
         b = slow[col].astype(float).to_numpy()
         both = ~(np.isnan(a) & np.isnan(b))
         assert np.allclose(a[both], b[both], rtol=1e-9), (col, a, b)
+
+
+def test_weighted_suffstats_5000_psu_design_matches_kernel(spark):
+    """Scale acceptance for the segment-sum accumulator (VERDICT round 5
+    task 6): a synthetic 5,000-PSU / 50-strata design must take the
+    suffstats path (gate now 16,384) and match the grouped kernel at
+    rtol 1e-6."""
+    from clarite_python_spark.catalog import ClariteFrame, VariableCatalog
+
+    rng = np.random.RandomState(42)
+    n = 20_000
+    psu = rng.randint(0, 5000, n)
+    strat = psu % 50  # nested: each PSU sits in one stratum
+    w = rng.uniform(0.5, 3.0, n)
+    x1 = rng.normal(size=n)
+    x2 = rng.normal(size=n) + 0.05 * strat
+    cov = rng.normal(size=n)
+    y = 1.5 * x1 - 0.8 * x2 + 0.3 * cov + rng.normal(size=n)
+    x1[rng.choice(n, 300, replace=False)] = np.nan  # exercise masking
+    pdf = pd.DataFrame(
+        {"ID": np.arange(n), "y": y, "x1": x1, "x2": x2, "cov": cov,
+         "psu": psu, "strat": strat, "w": w}
+    )
+    sdf = spark.createDataFrame(pdf)
+    cf = ClariteFrame(
+        sdf.select("ID", "y", "x1", "x2", "cov"),
+        VariableCatalog(types={c: "continuous" for c in ["y", "x1", "x2", "cov"]}),
+    )
+
+    def run(use_suff):
+        design = SurveyDesignSpec(
+            sdf.select("ID", "psu", "strat", "w"),
+            weights="w", cluster="psu", strata="strat", nest=True,
+        )
+        return (
+            analyze.association_study(
+                data=cf, outcomes="y", covariates=["cov"],
+                survey_design_spec=design, min_n=50,
+                use_sufficient_stats=use_suff,
+            )
+            .toPandas().set_index("Variable").sort_index()
+        )
+
+    fast, slow = run(True), run(False)
+    assert list(fast.index) == list(slow.index) == ["x1", "x2"]
+    assert list(fast["N"]) == list(slow["N"])
+    for col in ("Beta", "SE", "pvalue"):
+        a = fast[col].astype(float).to_numpy()
+        b = slow[col].astype(float).to_numpy()
+        assert np.allclose(a, b, rtol=1e-6), (col, a, b)
