@@ -224,11 +224,20 @@ def weighted_gaussian_suffstats_rows(
     strat_col: str,
     clust_col: str,
     subset_col: str,
+    vcov_method: str = "stata",
 ) -> list[dict]:
     """Weighted association rows (RESULT_SCHEMA keys) for continuous
     variables sharing ONE weight column (multi-weight designs call once
     per weight group). ``df`` is the data frame already joined with the
-    design columns."""
+    design columns.
+
+    ``vcov_method="jackknife"``: delete-1-cluster replicates are
+    CLOSED-FORM on the per-cluster Grams — the replicate reweighting
+    (zero cluster c, scale its stratum by nh/(nh-1)) is linear in the
+    sufficient statistics, so
+    ``G_rep = G + (f-1) G_stratum - f G_c`` (same for h) and one tiny
+    solve per cluster reproduces the kernel's row-level replicate
+    refits exactly. No second scan, no rows needed."""
     assert constants["has_cluster"], "cluster designs only"
     rvs = list(rvs)
     covariates = list(covariates)
@@ -317,28 +326,55 @@ def weighted_gaussian_suffstats_rows(
         except np.linalg.LinAlgError:
             beta, *_ = np.linalg.lstsq(gk, hk, rcond=None)
 
-        # sandwich: per-cluster score sums (zero rows for absent clusters)
-        jdata = hz_c[:, keep] - np.einsum("cij,j->ci", gz_c[np.ix_(range(nc), keep, keep)], beta)
+        gz_k = gz_c[np.ix_(range(nc), keep, keep)]
+        hz_k = hz_c[:, keep]
         j_strat = np.asarray([strat_for_clust[c] for c in clusters], dtype=object)
-        if has_strata:
-            pop_mean = jdata.sum(axis=0) / n_total
-            jdata = _center_strata(jdata, j_strat, single_cluster, pop_mean)
-            if single_cluster == "average":
-                # design-level stratum count, matching wglm.sandwich_vcov
-                # (reference survey_model.py:146-148 uses design.n_strat)
-                n_single = sum(1 for vv in clust_per_strat.values() if vv == 1)
-                n_strat = len(clust_per_strat)
-                jdata = jdata * np.sqrt(n_strat / (n_strat - n_single))
-        nh = np.asarray([clust_per_strat[s] for s in j_strat], dtype=float)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            mh = np.sqrt(nh / (nh - 1.0))
-        mh[~np.isfinite(mh)] = 1.0
         fh = np.sqrt(
             1.0 - np.asarray([fpc_for_clust.get(c, 0.0) for c in clusters], dtype=float)
         )
-        jdata = jdata * (fh * mh)[:, None]
-        a_inv = np.linalg.pinv(gk)
-        vcov = a_inv @ (jdata.T @ jdata) @ a_inv.T
+        if vcov_method == "jackknife":
+            # closed-form replicates from per-cluster Grams (see docstring)
+            g_s: dict = {}
+            h_s: dict = {}
+            for ci, s in enumerate(j_strat):
+                g_s[s] = g_s.get(s, 0.0) + gz_k[ci]
+                h_s[s] = h_s.get(s, 0.0) + hz_k[ci]
+            nh_vec = np.asarray([clust_per_strat[s] for s in j_strat], dtype=float)
+            reps = np.zeros((nc, len(keep)))
+            for ci, s in enumerate(j_strat):
+                nh_c = nh_vec[ci]
+                f = nh_c / (nh_c - 1.0) if nh_c > 1.0 else 1.0
+                g_rep = gk + (f - 1.0) * g_s[s] - f * gz_k[ci]
+                h_rep = hk + (f - 1.0) * h_s[s] - f * hz_k[ci]
+                try:
+                    reps[ci] = np.linalg.solve(g_rep, h_rep)
+                except np.linalg.LinAlgError:
+                    reps[ci], *_ = np.linalg.lstsq(g_rep, h_rep, rcond=None)
+            reps = reps - beta[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                mh = np.sqrt((nh_vec - 1.0) / nh_vec)
+            mh[~np.isfinite(mh)] = 1.0
+            reps = reps * (mh * fh)[:, None]
+            vcov = reps.T @ reps
+        else:
+            # sandwich: per-cluster score sums (zero rows for absent clusters)
+            jdata = hz_k - np.einsum("cij,j->ci", gz_k, beta)
+            if has_strata:
+                pop_mean = jdata.sum(axis=0) / n_total
+                jdata = _center_strata(jdata, j_strat, single_cluster, pop_mean)
+                if single_cluster == "average":
+                    # design-level stratum count, matching wglm.sandwich_vcov
+                    # (reference survey_model.py:146-148 uses design.n_strat)
+                    n_single = sum(1 for vv in clust_per_strat.values() if vv == 1)
+                    n_strat = len(clust_per_strat)
+                    jdata = jdata * np.sqrt(n_strat / (n_strat - n_single))
+            nh = np.asarray([clust_per_strat[s] for s in j_strat], dtype=float)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                mh = np.sqrt(nh / (nh - 1.0))
+            mh[~np.isfinite(mh)] = 1.0
+            jdata = jdata * (fh * mh)[:, None]
+            a_inv = np.linalg.pinv(gk)
+            vcov = a_inv @ (jdata.T @ jdata) @ a_inv.T
         se = float(np.sqrt(max(vcov[-1, -1], 0.0)))
         b = float(beta[-1])
 

@@ -769,7 +769,12 @@ def association_study(
             use_sufficient_stats
             and survey_design_spec is not None
             and family == GAUSSIAN
-            and vcov_method == "stata"
+            and (
+                vcov_method == "stata"
+                # jackknife replicates are closed-form on per-cluster
+                # Grams (wolsagg) — cluster designs only
+                or (vcov_method == "jackknife" and survey_design_spec.has_cluster)
+            )
             and (
                 (
                     survey_design_spec.has_cluster
@@ -845,7 +850,8 @@ def association_study(
                 if survey_design_spec.has_cluster:
                     w_rows.extend(
                         weighted_gaussian_suffstats_rows(
-                            *w_args, STRAT_COL, CLUST_COL, SUBSET_COL
+                            *w_args, STRAT_COL, CLUST_COL, SUBSET_COL,
+                            vcov_method=vcov_method,
                         )
                     )
                 else:
