@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["md5_60bit"]
+__all__ = ["md5_60bit", "md5_60bit_py"]
 
 
 def md5_60bit(c: Column) -> Column:
@@ -22,3 +22,11 @@ def md5_60bit(c: Column) -> Column:
     a string). DuckDB twin: ``list_sum(list_transform(range(1,16), k ->
     (strpos('0123456789abcdef', substr(md5(x),k,1))-1) << ((15-k)*4)))``."""
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def md5_60bit_py(s: str) -> int:
+    """Driver-side/python twin of :func:`md5_60bit` (used by tests'
+    independent simulations)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
