@@ -62,11 +62,15 @@ def test_blockcorr_wide_5000_columns_matches_mlstat_subset(spark):
     mat[:, 30] = mat[:, 20] * 0.97 + rng.randn(n) * 0.05
     cols = [f"c{i}" for i in range(p)]
     pdf = pd.DataFrame(mat, columns=cols)
-    df = spark.createDataFrame(pdf).coalesce(2)
-    got = {
-        (a, b): r
-        for a, b, r in block_correlations(df, cols, threshold=0.8, block_size=256)
-    }
+    df = spark.createDataFrame(pdf).coalesce(2).cache()
+    df.count()  # materialize once: 9 block-row jobs re-scan this frame
+    try:
+        got = {
+            (a, b): r
+            for a, b, r in block_correlations(df, cols, threshold=0.8, block_size=256)
+        }
+    finally:
+        df.unpersist()
     planted = {("c0", "c4999"), ("c1", "c2500"), ("c20", "c30")}
     assert planted <= set(got)
     # ml.stat parity on the union of all variables the block path flagged
