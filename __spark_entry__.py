@@ -1319,6 +1319,48 @@ def redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.redact(docs).orderBy("doc_id")
 
 
+def domain_cap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (pipeline.domain_cap): at most 15 docs per
+    source, winners = lowest deterministic hash keys. Runs WITH the
+    scale-path key prefilter (margin 3.0) — the oracle ranks the full
+    groups, so a hash match also proves the prefilter is lossless on
+    this data (15 < 25 docs/source at sf0.01, so the cap bites)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = pipeline.domain_cap(docs, max_docs=15, salt="cap", prefilter_margin=3.0)
+    return out.select("doc_id", "source", "cap_rank").orderBy("doc_id")
+
+
+def temperature_mixture_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixing (pipeline.temperature_mixture,
+    tau=0.5, target 300 rows): small sources upweighted, rates quantized
+    to integer buckets so the accept set is engine-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    out = pipeline.temperature_mixture(docs, tau=0.5, target_rows=300, salt="tmix")
+    return out.select("doc_id", "source", "rate_buckets").orderBy("doc_id")
+
+
+def tfidf_top_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by smoothed tf-idf
+    (text.tfidf_top_terms), deterministic tie-break."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(docs, k=3).orderBy("doc_id", "rank")
+
+
+def bigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-1-smoothed corpus bigram LM bits-per-bigram per document
+    (text.bigram_logprob) — the KenLM-style quality proxy, one order up
+    from unigram_logprob."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.bigram_logprob(docs).orderBy("doc_id")
+
+
+def quality_classifier_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (fasttext-style) quality probe over the text_stats features
+    (text.quality_classifier): sigmoid score + keep flag, pure codegen."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.quality_classifier(docs).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # driver API
 # --------------------------------------------------------------------------
@@ -1419,6 +1461,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_documents": stratified_sample_documents,
         "pack_sequences_documents": pack_sequences_documents,
         "redact_documents": redact_documents,
+        "domain_cap_documents": domain_cap_documents,
+        "temperature_mixture_documents": temperature_mixture_documents,
+        "tfidf_top_terms_documents": tfidf_top_terms_documents,
+        "bigram_logprob_documents": bigram_logprob_documents,
+        "quality_classifier_documents": quality_classifier_documents,
     }
 
 
@@ -3466,5 +3513,113 @@ def oracle_sql() -> dict[str, str]:
                       + len(regexp_extract_all(text, '{_PII["ipv4"]}'))
                       + len(regexp_extract_all(text, '{_PII["phone"]}')) AS INT) AS n_redacted
             FROM documents ORDER BY doc_id
+        """,
+        "domain_cap_documents": f"""
+            WITH k AS (
+              SELECT doc_id, source, {_md5_key("doc_id", "cap")} AS key
+              FROM documents
+            ), r AS (
+              SELECT doc_id, source,
+                     CAST(row_number() OVER (PARTITION BY source
+                          ORDER BY key, doc_id) AS INT) AS cap_rank
+              FROM k
+            )
+            SELECT doc_id, source, cap_rank FROM r
+            WHERE cap_rank <= 15 ORDER BY doc_id
+        """,
+        "temperature_mixture_documents": f"""
+            WITH c AS (
+              SELECT source, count(*) AS n FROM documents GROUP BY source
+            ), t AS (
+              SELECT sum(pow(n, 0.5)) AS z FROM c
+            ), r AS (
+              SELECT source,
+                     CAST(floor(least(1.0, pow(n, 0.5) / z * 300.0 / n)
+                          * 10000 + 0.5) AS INT) AS rate_buckets
+              FROM c, t
+            )
+            SELECT d.doc_id, d.source, r.rate_buckets
+            FROM documents d JOIN r USING (source)
+            WHERE {_md5_bucket("doc_id", "tmix")} < r.rate_buckets
+            ORDER BY doc_id
+        """,
+        "tfidf_top_terms_documents": f"""
+            WITH exf AS (
+              SELECT doc_id, term FROM (
+                SELECT doc_id, lower(unnest({_TOKENS})) AS term FROM documents
+              ) WHERE length(term) >= 3
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM exf GROUP BY doc_id, term
+            ), dfreq AS (
+              SELECT term, count(*) AS df
+              FROM (SELECT DISTINCT doc_id, term FROM exf) GROUP BY term
+            ), nd AS (
+              SELECT count(DISTINCT doc_id) AS n FROM documents
+            ), scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                     round(tf.tf * (ln((nd.n + 1.0) / (dfreq.df + 1.0)) + 1.0), 6)
+                       AS tfidf
+              FROM tf JOIN dfreq USING (term), nd
+            ), ranked AS (
+              SELECT doc_id, term, tf, df, tfidf,
+                     CAST(row_number() OVER (PARTITION BY doc_id
+                          ORDER BY tfidf DESC, term ASC) AS INT) AS "rank"
+              FROM scored
+            )
+            SELECT * FROM ranked WHERE "rank" <= 3 ORDER BY doc_id, "rank"
+        """,
+        "bigram_logprob_documents": f"""
+            WITH t AS (
+              SELECT doc_id, list_transform({_TOKENS}, x -> lower(x)) AS toks
+              FROM documents
+            ), exw AS (
+              SELECT doc_id, bigram, split_part(bigram, ' ', 1) AS w1 FROM (
+                SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(toks) - 1),
+                              i -> concat_ws(' ', toks[i], toks[i+1]))) AS bigram
+                FROM t WHERE len(toks) >= 2
+              )
+            ), bi AS (
+              SELECT bigram, count(*) AS c2 FROM exw GROUP BY bigram
+            ), uni AS (
+              SELECT w1, count(*) AS c1 FROM exw GROUP BY w1
+            ), v AS (
+              SELECT count(DISTINCT x) AS vs FROM (
+                SELECT split_part(bigram, ' ', 2) AS x FROM exw
+                UNION ALL SELECT w1 FROM exw
+              )
+            )
+            SELECT doc_id, count(*) AS n_bigrams,
+                   round(avg(-ln((bi.c2 + 1.0) / (uni.c1 + 1.0 * (v.vs + 1)))
+                             / ln(2)), 4) AS bits_per_bigram
+            FROM exw JOIN bi USING (bigram) JOIN uni USING (w1), v
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        "quality_classifier_documents": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     len({_TOKENS}) AS n_tokens,
+                     list_sum(list_transform({_TOKENS}, x -> length(x))) * 1.0
+                       / greatest(len({_TOKENS}), 1) AS mean_token_len,
+                     (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')))
+                       * 1.0 / greatest(length(text), 1) AS punct_ratio,
+                     length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+                       / greatest(length(text), 1) AS digit_ratio,
+                     list_sum(list_transform({_TOKENS},
+                       x -> CASE WHEN x IN ({_EN}) THEN 1 ELSE 0 END)) * 1.0
+                       / greatest(len({_TOKENS}), 1) AS stopword_ratio
+              FROM documents
+            ), zz AS (
+              SELECT doc_id,
+                     -1.0 + 0.55 * ln(n_tokens + 1.0) + 0.18 * mean_token_len
+                          + 4.0 * stopword_ratio + (-6.0) * punct_ratio
+                          + (-4.0) * digit_ratio AS z
+              FROM s
+            )
+            SELECT doc_id,
+                   round(1.0 / (1.0 + exp(-z)), 6) AS quality_prob,
+                   round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS keep
+            FROM zz ORDER BY doc_id
         """,
     }

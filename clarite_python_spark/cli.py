@@ -307,6 +307,45 @@ def build_parser() -> argparse.ArgumentParser:
                    help="numeric columns to cluster on (Z-order curve)")
     p.add_argument("--partitions", type=int, default=None)
     p.add_argument("--bits", type=int, default=10)
+    p = g_pipe.add_parser("domain-cap")
+    p.add_argument("data")
+    p.add_argument("output")
+    p.add_argument("--max-docs", type=int, required=True)
+    p.add_argument("--by", default="source")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--salt", default="")
+    p.add_argument("--prefilter-margin", type=float, default=None,
+                   help="bound the per-group sort to ~margin*max_docs rows")
+    p = g_pipe.add_parser("mixture")
+    p.add_argument("data")
+    p.add_argument("output")
+    p.add_argument("--tau", type=float, required=True,
+                   help="temperature: <1 flattens, 1 proportional, 0 uniform")
+    p.add_argument("--target-rows", type=int, required=True)
+    p.add_argument("--by", default="source")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--salt", default="")
+    p = g_pipe.add_parser("tfidf")
+    p.add_argument("data")
+    p.add_argument("output")
+    p.add_argument("--top-k", type=int, default=3)
+    p.add_argument("--min-token-len", type=int, default=3)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p = g_pipe.add_parser("bigram-logprob")
+    p.add_argument("data")
+    p.add_argument("output")
+    p.add_argument("--alpha", type=float, default=1.0)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p = g_pipe.add_parser("classify-quality")
+    p.add_argument("data")
+    p.add_argument("output")
+    p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--weights", nargs="*", default=None,
+                   help="feature=weight overrides for the linear probe")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
 
     return ap
 
@@ -606,6 +645,44 @@ def main(argv: list[str] | None = None) -> int:
                 bits=args.bits,
             )
             return 0
+        elif args.command == "domain-cap":
+            out = pipe_mod.domain_cap(
+                df,
+                args.max_docs,
+                by=args.by,
+                id_col=args.id_col,
+                salt=args.salt,
+                prefilter_margin=args.prefilter_margin,
+            )
+        elif args.command == "mixture":
+            out = pipe_mod.temperature_mixture(
+                df,
+                args.tau,
+                args.target_rows,
+                by=args.by,
+                id_col=args.id_col,
+                salt=args.salt,
+            )
+        elif args.command == "tfidf":
+            out = text_mod.tfidf_top_terms(
+                df,
+                k=args.top_k,
+                text_col=args.text_col,
+                id_col=args.id_col,
+                min_token_len=args.min_token_len,
+            )
+        elif args.command == "bigram-logprob":
+            out = text_mod.bigram_logprob(
+                df, text_col=args.text_col, id_col=args.id_col, alpha=args.alpha
+            )
+        elif args.command == "classify-quality":
+            out = text_mod.quality_classifier(
+                df,
+                weights=_pairs(args.weights) if args.weights else None,
+                threshold=args.threshold,
+                text_col=args.text_col,
+                id_col=args.id_col,
+            )
         elif args.command == "clean":
             verdicts = pipe_mod.clean_corpus(
                 df,

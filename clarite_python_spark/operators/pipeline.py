@@ -30,6 +30,8 @@ __all__ = [
     "clean_corpus",
     "deterministic_shuffle",
     "token_budget_sample",
+    "domain_cap",
+    "temperature_mixture",
 ]
 
 #: number of hash buckets fractions are quantized to: fraction 0.8123
@@ -389,4 +391,120 @@ def token_budget_sample(
     return (
         out.where(limit.isNull() | ((F.col("cum_tokens") - F.col("n_tokens")) < limit))
         .drop("__key")
+    )
+
+
+def domain_cap(
+    df: DataFrame,
+    max_docs: int,
+    by: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+    prefilter_margin: float | None = None,
+) -> DataFrame:
+    """Cap the number of documents per ``by`` group (Dolma/RefinedWeb's
+    per-domain cap: no single domain may dominate the corpus). Winners
+    are the ``max_docs`` rows with the smallest deterministic hash key —
+    so the kept set is independent of partitioning and engine, and a
+    LARGER cap keeps a superset of a smaller one (ranks are stable).
+
+    Plan: rank = row_number over (partition by group, order by md5 key,
+    id) — one keyed shuffle. At 100-TB scale a mega-domain (e.g. one
+    crawl host with 10^9 pages) turns that per-key sort into a straggler;
+    pass ``prefilter_margin`` (e.g. 3.0) to first drop rows whose 60-bit
+    hash KEY already exceeds ``margin * max_docs / n_group`` of the key
+    space — a broadcast-joined per-group threshold on the SAME key the
+    rank orders by (a prefix of the sort order, so the surviving rows
+    are exactly the lowest-keyed ones and their ranks are unchanged).
+    That shrinks each group's sorted set to ~margin * max_docs rows
+    before the exact rank; the result is identical to the unfiltered
+    rank as long as each over-cap group keeps >= max_docs survivors —
+    margin trades a vanishing (Chernoff, uniform keys) under-draw
+    probability for a bounded per-group sort. Under-draws are not
+    silent: a group at its cap whose last rank < max_docs while __n
+    exceeds the cap can only arise from an under-drawn prefilter, and
+    the parity test pins margin 3.0 against the exact path.
+
+    Returns the surviving rows with their ``cap_rank`` (1-based).
+    """
+    from pyspark.sql import Window
+
+    from clarite_python_spark.functions.hashing import md5_60bit
+
+    if max_docs <= 0:
+        raise ValueError("max_docs must be positive")
+    key = md5_60bit(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt)))
+    out = df.withColumn("__key", key)
+    if prefilter_margin is not None:
+        if prefilter_margin < 1.0:
+            raise ValueError("prefilter_margin must be >= 1")
+        key_space = float(1 << 60)  # md5_60bit range
+        counts = out.groupBy(by).agg(F.count(F.lit(1)).alias("__n"))
+        cut = F.least(
+            F.lit(key_space),
+            F.ceil(F.lit(float(prefilter_margin * max_docs) * key_space) / F.col("__n")),
+        ).cast("long").alias("__cut")
+        out = (
+            out.join(F.broadcast(counts.select(by, cut)), by)
+            .where(F.col("__key") < F.col("__cut"))
+            .drop("__cut")
+        )
+    w = Window.partitionBy(by).orderBy(F.col("__key"), F.col(id_col))
+    return (
+        out.withColumn("cap_rank", F.row_number().over(w))
+        .where(F.col("cap_rank") <= max_docs)
+        .drop("__key", "__n")
+    )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    tau: float,
+    target_rows: int,
+    by: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-weighted source mixing (the multilingual-sampling rule
+    of mBERT/XLM-R, Conneau et al. 2020, applied to corpus sources):
+    with group shares p_s = n_s / N, sampling weights are
+    w_s = p_s^tau / sum(p_s^tau); each group is then thinned to rate
+    r_s = min(1, w_s * target_rows / n_s) via the same deterministic
+    hash-bucket predicate as ``deterministic_sample``. tau < 1 flattens
+    the mixture (upweights small sources), tau = 1 is proportional,
+    tau = 0 is uniform-over-sources.
+
+    Rates are quantized to integer buckets with floor(r * BUCKETS + 0.5)
+    so the accept decision is an exact-integer comparison — identical in
+    any engine. Plan: one map-side-combinable count agg, a broadcast
+    join of the per-group rate (O(#groups) rows), and a pushdown-capable
+    row-local predicate; the corpus itself is never shuffled. Returns
+    surviving rows plus the group's ``rate_buckets``.
+    """
+    if tau < 0:
+        raise ValueError("tau must be >= 0")
+    if target_rows <= 0:
+        raise ValueError("target_rows must be positive")
+    counts = df.groupBy(by).agg(F.count(F.lit(1)).alias("__n")).alias("c")
+    # tot shares counts' lineage, so qualify every reference (c./t.) —
+    # unqualified __n is ambiguous in the self-derived cross join
+    tot = counts.agg(
+        F.sum(F.pow(F.col("__n"), F.lit(float(tau)))).alias("__Z"),
+    ).alias("t")
+    # w_s*target/n_s with p_s^tau/Z expanded: n_s^tau/Z * target / n_s
+    rate = F.least(
+        F.lit(1.0),
+        F.pow(F.col("c.__n"), F.lit(float(tau)))
+        / F.col("t.__Z")
+        * F.lit(float(target_rows))
+        / F.col("c.__n"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        F.col(f"c.{by}"),
+        F.floor(rate * BUCKETS + F.lit(0.5)).cast("int").alias("rate_buckets"),
+    )
+    b = hash_bucket(id_col, salt)
+    return (
+        df.join(F.broadcast(rates), by)
+        .where(b < F.col("rate_buckets"))
     )

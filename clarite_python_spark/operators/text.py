@@ -28,6 +28,10 @@ __all__ = [
     "repetition_stats",
     "unigram_logprob",
     "corpus_stats",
+    "tfidf_top_terms",
+    "bigram_logprob",
+    "quality_classifier",
+    "QUALITY_CLASSIFIER_WEIGHTS",
 ]
 
 # Tiny per-language function-word lists for the n-gram/stopword language
@@ -664,4 +668,181 @@ def corpus_stats(
             "dup_rate",
             F.round(1.0 - F.col("distinct_docs") / F.col("n_docs"), 6),
         )
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_token_len: int = 3,
+) -> DataFrame:
+    """Per-document top-k characteristic terms by smoothed tf-idf — the
+    classic keyword/topic fingerprint a corpus pipeline attaches before
+    clustering or mixture balancing.
+
+    tf = within-document term count; idf = ln((N + 1) / (df_t + 1)) + 1
+    (sklearn's smoothed variant, so unseen-in-no-doc terms can't divide
+    by zero and every idf > 0). Ties break lexicographically for a fully
+    deterministic top-k.
+
+    Plan: explode tokens -> one (doc, term) count agg -> one (term)
+    count agg joined back on term -> per-doc row_number window. The
+    document-frequency table is aggregated map-side to O(|vocab|) and
+    joins on the term key (a shuffle join: at 100 TB the vocabulary is
+    far past broadcast size, and both sides are already keyed by term
+    after their aggs, so AQE plans it without an extra exchange); the
+    final window partitions by doc_id — the same key the tf agg already
+    hashed on.
+    """
+    toks = tokens(text_col)
+    ex = (
+        _rebalance(df)
+        .select(F.col(id_col), F.explode(toks).alias("__tok"))
+        .select(id_col, F.lower(F.col("__tok")).alias("term"))
+        .where(F.length("term") >= min_token_len)
+    )
+    tf = ex.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = ex.select(id_col, "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_docs = df.select(id_col).distinct().count()
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1.0)) + F.lit(1.0)
+    scored = tf.join(dfreq, "term").select(
+        id_col,
+        "term",
+        "tf",
+        "df",
+        F.round(F.col("tf") * idf, 6).alias("tfidf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Bigram language-model quality proxy: per-document mean negative
+    log2 P(w_i | w_{i-1}) under an add-alpha-smoothed bigram model built
+    from the corpus itself — one order up from ``unigram_logprob``, the
+    cheap stand-in for the KenLM-perplexity filter of CCNet when no
+    pretrained LM is shippable.
+
+    P(w2 | w1) = (c(w1,w2) + alpha) / (c(w1) + alpha * (V + 1)) with V
+    the unigram vocabulary size (+1 for the unseen event). Documents
+    with < 2 tokens have no bigrams and are absent from the output.
+
+    Plan: adjacent-pair extraction is row-local array arithmetic
+    (``slice``+``zip_with`` — no posexplode self-join); then one
+    (w1,w2) count agg, one (w1) count agg, and the corpus joined back
+    on the bigram key. Left joins keep unseen pairs at the smoothing
+    floor. All aggregations map-side combine; the heavy side shuffles
+    once on the bigram key.
+    """
+    import math
+
+    toks = F.filter(
+        F.transform(tokens(text_col), lambda x: F.lower(x)), lambda x: x != ""
+    )
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    base = _rebalance(df).select(F.col(id_col), pairs.alias("__pairs"))
+    ex = base.select(id_col, F.explode("__pairs").alias("bigram")).select(
+        id_col,
+        "bigram",
+        F.split(F.col("bigram"), " ", 2).getItem(0).alias("__w1"),
+    )
+    bi = ex.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
+    uni = ex.groupBy("__w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab_size = ex.select(F.split(F.col("bigram"), " ", 2).getItem(1)).union(
+        ex.select("__w1")
+    ).distinct().count()
+    denom_v = float(alpha) * (vocab_size + 1)
+    log2 = math.log(2.0)
+    joined = (
+        ex.join(bi, "bigram", "left")
+        .join(uni, "__w1", "left")
+        .select(
+            F.col(id_col),
+            (
+                -F.log(
+                    (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(float(alpha)))
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(denom_v))
+                )
+                / F.lit(log2)
+            ).alias("__bits"),
+        )
+    )
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("__bits"), 4).alias("bits_per_bigram"),
+    )
+
+
+#: fasttext-style linear quality probe: fixed, documented weights over
+#: the text_stats feature vector. The values are illustrative defaults
+#: (favor mid-length, stopword-bearing, low-punct/digit prose); swap in
+#: offline-trained weights per corpus. Keeping them as DATA (not code)
+#: is the point — the operator is the plumbing that scores any linear
+#: model over engineered features as pure codegen expressions.
+QUALITY_CLASSIFIER_WEIGHTS: dict[str, float] = {
+    "bias": -1.0,
+    "log_tokens": 0.55,
+    "mean_token_len": 0.18,
+    "stopword_ratio": 4.0,
+    "punct_ratio": -6.0,
+    "digit_ratio": -4.0,
+}
+
+
+def quality_classifier(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Linear quality classifier over the ``text_stats`` features — the
+    shape of a fasttext/logistic quality filter (e.g. the Wikipedia-vs-
+    CommonCrawl probes used by GPT-3/LLaMA data pipelines), evaluated as
+    vectorized column expressions: score = sigmoid(b + w.x), keep =
+    score >= threshold.
+
+    One projection over the text_stats plan (itself one projection) —
+    no shuffle, no UDF, fully codegen; at 100 TB this runs at scan
+    speed, which is exactly why production pipelines distill their
+    quality models to linear probes for the first pass.
+    """
+    w = dict(QUALITY_CLASSIFIER_WEIGHTS)
+    if weights:
+        unknown = set(weights) - set(w)
+        if unknown:
+            raise ValueError(f"unknown feature weights: {sorted(unknown)}")
+        w.update(weights)
+    stats = text_stats(df, text_col, id_col)
+    z = (
+        F.lit(w["bias"])
+        + F.lit(w["log_tokens"]) * F.log(F.col("n_tokens") + F.lit(1.0))
+        + F.lit(w["mean_token_len"]) * F.col("mean_token_len")
+        + F.lit(w["stopword_ratio"]) * F.col("stopword_ratio")
+        + F.lit(w["punct_ratio"]) * F.col("punct_ratio")
+        + F.lit(w["digit_ratio"]) * F.col("digit_ratio")
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return stats.select(
+        id_col,
+        F.round(score, 6).alias("quality_prob"),
+        (F.round(score, 6) >= F.lit(float(threshold))).alias("keep"),
     )

@@ -284,3 +284,35 @@ def test_cli_pipeline_duplicate_spans_and_zorder(spark, tmp_path):
     z = spark.read.parquet(f"{d}/li_z")
     assert z.count() == li.count()
     assert z.columns == li.columns
+
+
+def test_cli_pipeline_mixture_and_text_ops(spark, tmp_path):
+    """Round-6 additions: domain-cap / mixture / tfidf / bigram-logprob /
+    classify-quality."""
+    d = str(tmp_path)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = f"{d}/docs"
+    docs.write.parquet(src)
+
+    assert cli.main(["pipeline", "domain-cap", src, f"{d}/cap",
+                     "--max-docs", "15", "--prefilter-margin", "3.0"]) == 0
+    cap = spark.read.parquet(f"{d}/cap")
+    assert cap.count() == 300 and "cap_rank" in cap.columns
+
+    assert cli.main(["pipeline", "mixture", src, f"{d}/mix",
+                     "--tau", "0.5", "--target-rows", "300"]) == 0
+    mix = spark.read.parquet(f"{d}/mix")
+    assert 0 < mix.count() < docs.count() and "rate_buckets" in mix.columns
+
+    assert cli.main(["pipeline", "tfidf", src, f"{d}/tfidf", "--top-k", "2"]) == 0
+    tf = spark.read.parquet(f"{d}/tfidf")
+    assert {"term", "tfidf", "rank"} <= set(tf.columns)
+    assert tf.groupBy("doc_id").count().agg({"count": "max"}).collect()[0][0] <= 2
+
+    assert cli.main(["pipeline", "bigram-logprob", src, f"{d}/bg"]) == 0
+    assert "bits_per_bigram" in spark.read.parquet(f"{d}/bg").columns
+
+    assert cli.main(["pipeline", "classify-quality", src, f"{d}/qc",
+                     "--weights", "bias=10.0"]) == 0
+    qc = spark.read.parquet(f"{d}/qc")
+    assert qc.where("NOT keep").count() == 0  # bias=10 keeps everything

@@ -532,3 +532,125 @@ def test_clean_corpus_optional_span_stage(spark):
     assert v[1]["keep_spans"] is False and v[2]["keep_spans"] is False
     assert v[3]["keep_spans"] is True
     assert v[1]["keep"] is False and v[2]["keep"] is False
+
+
+# ------------------------------------------------- domain cap / mixture
+
+
+def test_domain_cap_bites_and_prefilter_is_lossless(docs):
+    exact = pipeline.domain_cap(docs, max_docs=15, salt="cap")
+    per_src = {
+        r["source"]: r["n"]
+        for r in exact.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert all(n == 15 for n in per_src.values())  # 25 docs/source at sf0.001
+    pre = pipeline.domain_cap(docs, max_docs=15, salt="cap", prefilter_margin=3.0)
+    a = sorted((r["doc_id"], r["cap_rank"]) for r in exact.collect())
+    b = sorted((r["doc_id"], r["cap_rank"]) for r in pre.collect())
+    assert a == b  # prefilter preserves both the kept set and the ranks
+
+
+def test_domain_cap_superset_nesting(docs):
+    small = {r["doc_id"] for r in pipeline.domain_cap(docs, 5, salt="cap").collect()}
+    big = {r["doc_id"] for r in pipeline.domain_cap(docs, 15, salt="cap").collect()}
+    assert small < big
+
+
+def test_domain_cap_validation(docs):
+    with pytest.raises(ValueError, match="max_docs"):
+        pipeline.domain_cap(docs, 0)
+    with pytest.raises(ValueError, match="margin"):
+        pipeline.domain_cap(docs, 5, prefilter_margin=0.5)
+
+
+def test_temperature_mixture_rates(docs):
+    # tau=1 is proportional sampling: every group gets the same rate
+    # target/N regardless of size; tau=0 is uniform over sources.
+    out1 = pipeline.temperature_mixture(docs, tau=1.0, target_rows=250, salt="t")
+    rates = {r["source"]: r["rate_buckets"] for r in out1.select("source", "rate_buckets").distinct().collect()}
+    assert set(rates.values()) == {5000}  # 250/500 -> 0.5 -> 5000 buckets
+    # skewed frame: small source should be upweighted at tau<1
+    skew = docs.withColumn(
+        "source", F.when(F.col("doc_id") % 50 == 0, "rare").otherwise("common")
+    )
+    out = pipeline.temperature_mixture(skew, tau=0.5, target_rows=100, salt="t")
+    r = {x["source"]: x["rate_buckets"] for x in out.select("source", "rate_buckets").distinct().collect()}
+    assert r["rare"] > r["common"]
+
+
+def test_temperature_mixture_partitioning_invariant(docs):
+    a = {r["doc_id"] for r in pipeline.temperature_mixture(docs, 0.5, 300, salt="tmix").collect()}
+    b = {
+        r["doc_id"]
+        for r in pipeline.temperature_mixture(docs.repartition(13), 0.5, 300, salt="tmix").collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_temperature_mixture_validation(docs):
+    with pytest.raises(ValueError, match="tau"):
+        pipeline.temperature_mixture(docs, -0.1, 10)
+    with pytest.raises(ValueError, match="target_rows"):
+        pipeline.temperature_mixture(docs, 0.5, 0)
+
+
+# ------------------------------------------------- tfidf / bigram / quality
+
+
+def test_tfidf_top_terms_planted_keyword(spark):
+    rows = [
+        (1, "zebra zebra common words here"),
+        (2, "common words common words again more"),
+        (3, "common words common words again more"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = text.tfidf_top_terms(df, k=1, min_token_len=3)
+    top = {r["doc_id"]: r["term"] for r in out.collect()}
+    # 'zebra': tf=2 and in exactly one document -> tf * idf beats the
+    # corpus-wide terms (2*(ln(4/2)+1)=3.39 vs common's 1*1.0 in doc 1)
+    assert top[1] == "zebra"
+    ranks = [r["rank"] for r in out.collect()]
+    assert all(r == 1 for r in ranks)
+
+
+def test_tfidf_rank_is_deterministic_tiebreak(spark):
+    df = spark.createDataFrame([(1, "aaa bbb")], ["doc_id", "text"])
+    out = text.tfidf_top_terms(df, k=2).collect()
+    assert [r["term"] for r in sorted(out, key=lambda r: r["rank"])] == ["aaa", "bbb"]
+
+
+def test_bigram_logprob_repetition_is_cheaper(spark):
+    rows = [
+        (1, "a b a b a b a b a b a b"),
+        (2, "q w e r t y u i o p z x"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in text.bigram_logprob(df).collect()}
+    assert out[1]["n_bigrams"] == 11 and out[2]["n_bigrams"] == 11
+    # doc 1's bigrams repeat corpus-wide -> fewer bits than all-unique doc 2
+    assert out[1]["bits_per_bigram"] < out[2]["bits_per_bigram"]
+
+
+def test_bigram_logprob_short_docs_absent(spark):
+    df = spark.createDataFrame([(1, "solo"), (2, "two tokens")], ["doc_id", "text"])
+    got = {r["doc_id"] for r in text.bigram_logprob(df).collect()}
+    assert got == {2}
+
+
+def test_quality_classifier_orders_prose_above_noise(spark):
+    rows = [
+        (1, "the cat sat on the mat and it is a fine day for walking"),
+        (2, "@@@@ ##### 12345 67890 !!!! %%%% ^^^^ 00000"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in text.quality_classifier(df).collect()}
+    assert out[1]["quality_prob"] > out[2]["quality_prob"]
+    assert out[1]["keep"] and not out[2]["keep"]
+
+
+def test_quality_classifier_weight_override_and_validation(spark):
+    df = spark.createDataFrame([(1, "some text here")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="unknown feature"):
+        text.quality_classifier(df, weights={"nope": 1.0})
+    hi = text.quality_classifier(df, weights={"bias": 10.0}).collect()[0]
+    assert hi["keep"]
