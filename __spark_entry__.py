@@ -32,6 +32,7 @@ from clarite_python_spark.operators import (
     similarity,
     text,
 )
+from clarite_python_spark.operators import events as events_ops
 from clarite_python_spark.sources.io import load_testdata
 from clarite_python_spark.streaming.events import sessionized, windowed_counts
 
@@ -1361,6 +1362,55 @@ def quality_classifier_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_classifier(docs).orderBy("doc_id")
 
 
+def remove_duplicate_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee-et-al exact-substring REMOVAL (dedup.remove_duplicate_spans,
+    n=16 like the duplicate_spans profile query): tokens under any
+    corpus-duplicated 16-gram are cut and the doc reassembled. The
+    oracle groups on window TEXT where Spark groups on xxhash64 of it —
+    count-equivalent absent a 64-bit collision (same trade as
+    duplicate_spans_documents)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.remove_duplicate_spans(docs, n=16, min_count=2)
+    return out.orderBy("doc_id")
+
+
+def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup -> view -> purchase
+    (operators/events.py:funnel): per-user furthest stage + the time it
+    was achieved. The greedy scan equals the t_k = min{ts > t_(k-1)}
+    recursion, which is exactly what the oracle's stage-wise min-joins
+    compute."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    out = events_ops.funnel(ev, ["signup", "view", "purchase"])
+    return out.select(
+        "user_id",
+        "stage",
+        F.date_format("stage_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("stage_ts"),
+    ).orderBy("user_id")
+
+
+def funnel_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel bar chart: users reaching stage >= k for every stage
+    (operators/events.py:funnel_counts)."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    return events_ops.funnel_counts(ev, ["signup", "view", "purchase"]).orderBy("stage")
+
+
+def retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle
+    (operators/events.py:retention_cohorts)."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    return events_ops.retention_cohorts(ev, period_days=7).orderBy(
+        "cohort_date", "period_offset"
+    )
+
+
 # --------------------------------------------------------------------------
 # driver API
 # --------------------------------------------------------------------------
@@ -1466,6 +1516,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms_documents": tfidf_top_terms_documents,
         "bigram_logprob_documents": bigram_logprob_documents,
         "quality_classifier_documents": quality_classifier_documents,
+        "remove_duplicate_spans_documents": remove_duplicate_spans_documents,
+        "funnel_events": funnel_events,
+        "funnel_counts_events": funnel_counts_events,
+        "retention_events": retention_events,
     }
 
 
@@ -3621,5 +3675,108 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 / (1.0 + exp(-z)), 6) AS quality_prob,
                    round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS keep
             FROM zz ORDER BY doc_id
+        """,
+        "remove_duplicate_spans_documents": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKENS} AS otk,
+                     list_transform({_TOKENS}, x -> lower(x)) AS tk
+              FROM documents
+            ), d AS (
+              SELECT doc_id, otk, len(tk) AS n_tokens, tk FROM t
+            ), wins AS (
+              SELECT doc_id, r.i::BIGINT AS pos,
+                     array_to_string(tk[r.i + 1 : r.i + 16], ' ') AS g
+              FROM d, unnest(range(greatest(n_tokens - 15, 0))) r(i)
+            ), cnt AS (
+              SELECT g FROM wins GROUP BY g HAVING count(*) >= 2
+            ), dup AS (
+              SELECT doc_id, pos FROM wins JOIN cnt USING (g)
+            ), lagd AS (
+              SELECT doc_id, pos,
+                     lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS lp
+              FROM dup
+            ), isl AS (
+              SELECT doc_id, pos,
+                     sum(CASE WHEN lp IS NULL OR pos > lp + 16 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+              FROM lagd
+            ), iv AS (
+              SELECT doc_id, grp, min(pos) AS s, max(pos) + 15 AS e
+              FROM isl GROUP BY doc_id, grp
+            ), covered AS (
+              SELECT doc_id, s + u.i AS j FROM iv, unnest(range(e - s + 1)) u(i)
+            ), posx AS (
+              SELECT doc_id, r.i::BIGINT AS j, otk[r.i + 1] AS tok
+              FROM d, unnest(range(n_tokens)) r(i)
+            ), keptx AS (
+              SELECT p.doc_id, p.j, p.tok
+              FROM posx p LEFT JOIN covered c ON p.doc_id = c.doc_id AND p.j = c.j
+              WHERE c.j IS NULL
+            ), agg AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     string_agg(tok, ' ' ORDER BY j) AS txt
+              FROM keptx GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(n_tokens AS INT) AS n_tokens,
+                   CAST(n_tokens - coalesce(agg.n_kept, 0) AS INT) AS removed_tokens,
+                   coalesce(agg.txt, '') AS text_cleaned
+            FROM d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id
+        """,
+        "funnel_events": """
+            WITH e AS (
+              SELECT user_id, event_type, ts FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ), s1 AS (
+              SELECT user_id, min(ts) AS t1 FROM e
+              WHERE event_type = 'signup' GROUP BY user_id
+            ), s2 AS (
+              SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+              WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id
+            ), s3 AS (
+              SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN s2 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+            )
+            SELECT s1.user_id,
+                   CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                             WHEN s2.t2 IS NOT NULL THEN 2 ELSE 1 END AS INT) AS stage,
+                   strftime(coalesce(s3.t3, s2.t2, s1.t1),
+                            '%Y-%m-%d %H:%M:%S.%f') AS stage_ts
+            FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+            ORDER BY s1.user_id
+        """,
+        "funnel_counts_events": """
+            WITH e AS (
+              SELECT user_id, event_type, ts FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ), s1 AS (
+              SELECT user_id, min(ts) AS t1 FROM e
+              WHERE event_type = 'signup' GROUP BY user_id
+            ), s2 AS (
+              SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+              WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id
+            ), s3 AS (
+              SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN s2 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+            )
+            SELECT CAST(1 AS INT) AS stage, count(*) AS n_users FROM s1
+            UNION ALL SELECT CAST(2 AS INT), count(*) FROM s2
+            UNION ALL SELECT CAST(3 AS INT), count(*) FROM s3
+            ORDER BY stage
+        """,
+        "retention_events": """
+            WITH d AS (
+              SELECT user_id, CAST(ts AS DATE) AS day FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ), c AS (
+              SELECT user_id, min(day) AS cohort_date FROM d GROUP BY user_id
+            )
+            SELECT c.cohort_date,
+                   CAST(floor(date_diff('day', c.cohort_date, d.day) / 7.0) AS INT)
+                     AS period_offset,
+                   count(DISTINCT d.user_id) AS n_users
+            FROM d JOIN c USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
     }

@@ -346,6 +346,32 @@ def build_parser() -> argparse.ArgumentParser:
                    help="feature=weight overrides for the linear probe")
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
+    p = g_pipe.add_parser("remove-duplicate-spans")
+    p.add_argument("data")
+    p.add_argument("output")
+    p.add_argument("--ngram", type=int, default=50,
+                   help="window length in tokens (Lee et al. use 50)")
+    p.add_argument("--min-count", type=int, default=2)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+
+    g_ev = groups.add_parser("events").add_subparsers(dest="command", required=True)
+    p = g_ev.add_parser("funnel")
+    p.add_argument("data")
+    p.add_argument("output")
+    p.add_argument("--steps", nargs="+", required=True,
+                   help="ordered event types, e.g. signup view purchase")
+    p.add_argument("--user-col", default="user_id")
+    p.add_argument("--type-col", default="event_type")
+    p.add_argument("--ts-col", default="ts")
+    p.add_argument("--counts", action="store_true",
+                   help="emit the per-stage cumulative funnel instead of per-user stages")
+    p = g_ev.add_parser("retention")
+    p.add_argument("data")
+    p.add_argument("output")
+    p.add_argument("--period-days", type=int, default=7)
+    p.add_argument("--user-col", default="user_id")
+    p.add_argument("--ts-col", default="ts")
 
     return ap
 
@@ -683,6 +709,14 @@ def main(argv: list[str] | None = None) -> int:
                 text_col=args.text_col,
                 id_col=args.id_col,
             )
+        elif args.command == "remove-duplicate-spans":
+            out = dedup_mod.remove_duplicate_spans(
+                df,
+                text_col=args.text_col,
+                id_col=args.id_col,
+                n=args.ngram,
+                min_count=args.min_count,
+            )
         elif args.command == "clean":
             verdicts = pipe_mod.clean_corpus(
                 df,
@@ -698,6 +732,29 @@ def main(argv: list[str] | None = None) -> int:
                 )
             else:
                 out = verdicts
+        _save_result(out, args.output)
+        return 0
+
+    if args.group == "events":
+        from clarite_python_spark.operators import events as events_mod
+
+        df = spark.read.parquet(args.data)
+        if args.command == "funnel":
+            fn = events_mod.funnel_counts if args.counts else events_mod.funnel
+            out = fn(
+                df,
+                args.steps,
+                user_col=args.user_col,
+                type_col=args.type_col,
+                ts_col=args.ts_col,
+            )
+        elif args.command == "retention":
+            out = events_mod.retention_cohorts(
+                df,
+                user_col=args.user_col,
+                ts_col=args.ts_col,
+                period_days=args.period_days,
+            )
         _save_result(out, args.output)
         return 0
 

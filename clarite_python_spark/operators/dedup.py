@@ -27,6 +27,7 @@ __all__ = [
     "exact_dedup",
     "paragraph_dedup",
     "duplicate_spans",
+    "remove_duplicate_spans",
     "contamination",
     "fuzzy_contamination",
     "incremental_neardup",
@@ -277,6 +278,101 @@ def duplicate_spans(
         F.when(F.col("n_tokens") > 0,
                F.round(F.coalesce(F.col("dup_tokens"), F.lit(0)) / F.col("n_tokens"), 6)
                ).otherwise(F.lit(0.0)).alias("dup_fraction"),
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact substring-duplication REMOVAL (the deletion step of Lee et
+    al., arXiv:2107.06499, where ``duplicate_spans`` is the profile):
+    every token covered by at least one n-token window whose exact
+    (lowercased) text occurs >= ``min_count`` times corpus-wide is cut,
+    and the document is reassembled from the surviving ORIGINAL tokens,
+    single-space joined (removal therefore also normalizes whitespace —
+    document that to callers diffing inputs).
+
+    Plan shape: the window-hash explode / map-side count / semi-join
+    stages are shared with ``duplicate_spans`` (window text never leaves
+    the row; only (id, pos, hash64) longs shuffle). The per-doc covered
+    set is first MERGED into disjoint intervals (gaps-and-islands on
+    the lag window the profile already uses — O(#dup windows) rows, not
+    O(#covered tokens)), collected per doc as an interval array
+    (bounded by the doc's own length), and applied row-locally: one
+    ``filter``+``exists`` pass over the token array, O(tokens x
+    intervals) with intervals few after merging. No token-level join —
+    the rebuild costs one broadcast-sized-per-row lambda, not a second
+    corpus shuffle.
+
+    Returns (id, n_tokens, removed_tokens, text_cleaned).
+    """
+    if n <= 0:
+        raise ValueError("n must be positive")
+    if min_count < 2:
+        raise ValueError("min_count must be >= 2")
+    otoks = tokens(text_col)
+    ltoks = F.transform(otoks, lambda x: F.lower(x))
+    staged = _rebalance(df).select(
+        F.col(id_col), otoks.alias("__otoks"), ltoks.alias("__toks")
+    )
+    ntok = F.coalesce(F.size("__toks"), F.lit(0))
+    wins = F.when(
+        ntok >= n,
+        F.transform(
+            F.sequence(F.lit(0), ntok - n),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, n))),
+        ),
+    )
+    staged = staged.select(
+        F.col(id_col), F.col("__otoks"), ntok.alias("n_tokens"), wins.alias("__wins")
+    )
+    ex = staged.select(F.col(id_col), F.posexplode("__wins").alias("__pos", "__gh"))
+    dup_grams = (
+        ex.groupBy("__gh")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .where(F.col("__cnt") >= min_count)
+        .select("__gh")
+    )
+    dup = ex.join(dup_grams, "__gh", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    lagp = F.lag("__pos").over(w)
+    # windows [pos, pos+n-1]: a new island starts when this window does
+    # not overlap/touch the previous one
+    new_island = F.when(lagp.isNull() | (F.col("__pos") > lagp + F.lit(n)), 1).otherwise(0)
+    islands = (
+        dup.withColumn("__grp", F.sum(new_island).over(w))
+        .groupBy(id_col, "__grp")
+        .agg(
+            F.min("__pos").alias("s"),
+            (F.max("__pos") + F.lit(n - 1)).alias("e"),
+        )
+    )
+    ivals = islands.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("__ivals")
+    )
+    joined = staged.join(ivals, id_col, "left")
+    idx = F.when(
+        F.col("n_tokens") > 0, F.sequence(F.lit(0), F.col("n_tokens") - 1)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    covered = lambda i: F.coalesce(  # noqa: E731
+        F.exists(
+            F.col("__ivals"), lambda v: (i >= v["s"]) & (i <= v["e"])
+        ),
+        F.lit(False),
+    )
+    kept = F.filter(idx, lambda i: ~covered(i))
+    cleaned = F.array_join(
+        F.transform(kept, lambda i: F.element_at(F.col("__otoks"), i + 1)), " "
+    )
+    return joined.select(
+        id_col,
+        "n_tokens",
+        (F.col("n_tokens") - F.size(kept)).alias("removed_tokens"),
+        cleaned.alias("text_cleaned"),
     )
 
 

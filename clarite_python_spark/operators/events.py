@@ -1,0 +1,142 @@
+"""Product-analytics operators over event streams: conversion funnels
+and cohort retention.
+
+Extension layer (the reference is a QC/EWAS library; these are the
+batch OLAP staples an events warehouse runs daily, included for query
+parity with analytics engines). Both operators are single-keyed-shuffle
+plans: everything per-user happens inside one hash partition of the
+user key, and the final result is O(#stages) or O(#cohorts x #periods)
+rows — nothing user-level ever reaches the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["funnel", "funnel_counts", "retention_cohorts"]
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered conversion funnel: for each user, the furthest step of
+    ``steps`` reached IN ORDER (step k+1 must occur STRICTLY after the
+    time at which step k was first achieved). Returns one row per user:
+    (user, stage) with stage in [1, len(steps)]; users with no
+    first-step event are absent.
+
+    The greedy earliest-advance scan is equivalent to the textbook
+    recursion t_k = min{ts of step-k events with ts > t_{k-1}} (advance
+    at the first eligible event == the minimum eligible timestamp), so
+    a fixed-depth SQL twin with one min-join per stage reproduces it
+    exactly — that equivalence is what the oracle checks.
+
+    Plan: filter to funnel events (pushed to the scan), one groupBy
+    user collecting that user's funnel events as a sorted array (rows
+    per user are bounded by their own event count — the same per-key
+    footprint as any sessionization), then a row-local ``aggregate``
+    scan. One shuffle on the user key; no window, no self-joins — the
+    N-stage alternative of N cascaded min-joins would shuffle N times.
+    """
+    if not steps:
+        raise ValueError("steps must name at least one event type")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct")
+    stage_of: Column = F.lit(None).cast("int")
+    for i, s in enumerate(reversed(steps)):
+        stage_of = F.when(F.col(type_col) == s, F.lit(len(steps) - i)).otherwise(stage_of)
+    ev = df.where(F.col(type_col).isin(*steps)).select(
+        F.col(user_col),
+        F.col(ts_col).cast("timestamp").alias("__ts"),
+        stage_of.alias("__stage"),
+    )
+    per_user = ev.groupBy(user_col).agg(
+        F.sort_array(F.collect_list(F.struct("__ts", "__stage"))).alias("__evs")
+    )
+    # scan state: (reached stage, time that stage was achieved)
+    init = F.struct(
+        F.lit(0).alias("stage"), F.lit(None).cast("timestamp").alias("t")
+    )
+    advance = lambda st, e: F.when(  # noqa: E731
+        (e["__stage"] == st["stage"] + 1)
+        & (st["t"].isNull() | (e["__ts"] > st["t"])),
+        F.struct(e["__stage"].alias("stage"), e["__ts"].alias("t")),
+    ).otherwise(st)
+    state = F.aggregate(F.col("__evs"), init, advance)
+    scanned = per_user.select(
+        user_col,
+        state["stage"].alias("stage"),
+        state["t"].alias("stage_ts"),
+    )
+    return scanned.where(F.col("stage") > 0)
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Funnel summary: for each stage k (one row per stage, even fully
+    converted ones), how many users reached stage k OR FURTHER — the
+    classic decreasing funnel bar chart. Derived from :func:`funnel`
+    with one tiny agg."""
+    per_user = funnel(df, steps, user_col, type_col, ts_col)
+    reached = per_user.groupBy("stage").agg(F.count(F.lit(1)).alias("n_exact"))
+    stages = df.sparkSession.range(1, len(steps) + 1).select(
+        F.col("id").cast("int").alias("stage")
+    )
+    full = stages.join(reached, "stage", "left").fillna(0, subset=["n_exact"])
+    # cumulative from the top: users at stage >= k. The unpartitioned
+    # window is over O(#stages) rows — already reduced, not event data.
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("stage")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return full.select(
+        "stage", F.sum("n_exact").over(w).alias("n_users")
+    ).orderBy("stage")
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention triangle: users are cohorted by the date of
+    their FIRST event; for every (cohort_date, period offset) the
+    number of distinct cohort users active in that period. The standard
+    growth-analytics rollup.
+
+    Plan: one groupBy(user) min to form cohorts (map-side combined),
+    joined back to the events on the user key, then one
+    (cohort, offset) distinct-count agg. The cohort table is O(#users)
+    and keyed identically to the events shuffle; at warehouse scale the
+    first agg's partitioning is reused by the join (no extra exchange
+    under AQE).
+    """
+    if period_days <= 0:
+        raise ValueError("period_days must be positive")
+    day = F.to_date(F.col(ts_col).cast("timestamp"))
+    cohorts = (
+        df.select(F.col(user_col), day.alias("__day"))
+        .groupBy(user_col)
+        .agg(F.min("__day").alias("cohort_date"))
+    )
+    joined = df.select(F.col(user_col), day.alias("__day")).join(cohorts, user_col)
+    offset = F.floor(
+        F.datediff(F.col("__day"), F.col("cohort_date")) / F.lit(period_days)
+    ).cast("int")
+    return (
+        joined.select(user_col, "cohort_date", offset.alias("period_offset"))
+        .groupBy("cohort_date", "period_offset")
+        .agg(F.countDistinct(user_col).alias("n_users"))
+    )

@@ -316,3 +316,31 @@ def test_cli_pipeline_mixture_and_text_ops(spark, tmp_path):
                      "--weights", "bias=10.0"]) == 0
     qc = spark.read.parquet(f"{d}/qc")
     assert qc.where("NOT keep").count() == 0  # bias=10 keeps everything
+
+
+def test_cli_events_group_and_span_removal(spark, tmp_path):
+    d = str(tmp_path)
+    from clarite_python_spark.sources.io import load_testdata
+    ev = load_testdata(spark, "/root/testdata/sf0.001", ["events"])["events"]
+    ev.write.parquet(f"{d}/ev")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.parquet(f"{d}/docs")
+
+    assert cli.main(["events", "funnel", f"{d}/ev", f"{d}/fun",
+                     "--steps", "signup", "view", "purchase"]) == 0
+    fun = spark.read.parquet(f"{d}/fun")
+    assert {"user_id", "stage", "stage_ts"} <= set(fun.columns)
+
+    assert cli.main(["events", "funnel", f"{d}/ev", f"{d}/func",
+                     "--steps", "signup", "view", "purchase", "--counts"]) == 0
+    assert spark.read.parquet(f"{d}/func").count() == 3
+
+    assert cli.main(["events", "retention", f"{d}/ev", f"{d}/ret"]) == 0
+    ret = spark.read.parquet(f"{d}/ret")
+    assert {"cohort_date", "period_offset", "n_users"} <= set(ret.columns)
+
+    assert cli.main(["pipeline", "remove-duplicate-spans", f"{d}/docs",
+                     f"{d}/spans", "--ngram", "16"]) == 0
+    sp = spark.read.parquet(f"{d}/spans")
+    assert {"n_tokens", "removed_tokens", "text_cleaned"} <= set(sp.columns)
+    assert sp.count() == docs.count()

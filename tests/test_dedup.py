@@ -319,3 +319,56 @@ def test_minhash_clusters_labels_match_transitive_dedup(chain_docs):
         for r in minhash_clusters(chain_docs, threshold=0.85).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1)}
+
+
+# ------------------------------------------- remove_duplicate_spans
+
+
+def test_remove_duplicate_spans_cuts_shared_windows(spark):
+    from clarite_python_spark.operators.dedup import remove_duplicate_spans
+
+    rows = [
+        (1, "alpha beta gamma delta xray one two three four"),
+        (2, "alpha beta gamma delta yankee five six seven eight"),
+        (3, "unique tokens only here nothing shared at all now"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(df, n=4, min_count=2).collect()}
+    assert out[1]["removed_tokens"] == 4
+    assert out[1]["text_cleaned"] == "xray one two three four"
+    assert out[2]["text_cleaned"] == "yankee five six seven eight"
+    assert out[3]["removed_tokens"] == 0
+    assert out[3]["text_cleaned"] == rows[2][1]
+
+
+def test_remove_duplicate_spans_merges_overlapping_runs(spark):
+    from clarite_python_spark.operators.dedup import remove_duplicate_spans
+
+    # the whole 6-token prefix is duplicated: overlapping 4-gram windows
+    # at pos 0,1,2 must merge into ONE interval [0, 5], not re-count
+    shared = "a b c d e f"
+    rows = [(1, f"{shared} tail1 x"), (2, f"{shared} tail2 y")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(df, n=4, min_count=2).collect()}
+    assert out[1]["removed_tokens"] == 6
+    assert out[1]["text_cleaned"] == "tail1 x"
+
+
+def test_remove_duplicate_spans_full_doc_removed(spark):
+    from clarite_python_spark.operators.dedup import remove_duplicate_spans
+
+    rows = [(1, "a b c d"), (2, "a b c d")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(df, n=4, min_count=2).collect()}
+    assert out[1]["text_cleaned"] == "" and out[1]["removed_tokens"] == 4
+
+
+def test_remove_duplicate_spans_case_insensitive_match_keeps_original(spark):
+    from clarite_python_spark.operators.dedup import remove_duplicate_spans
+
+    rows = [(1, "Alpha Beta Gamma Delta keepme"), (2, "alpha beta gamma delta othertail")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(df, n=4, min_count=2).collect()}
+    # matching is lowercased; surviving text preserves ORIGINAL casing
+    assert out[1]["text_cleaned"] == "keepme"
+    assert out[2]["text_cleaned"] == "othertail"

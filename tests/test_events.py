@@ -1,0 +1,100 @@
+"""Product-analytics operators: funnel (ordered conversion) and cohort
+retention."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from clarite_python_spark.operators.events import (
+    funnel,
+    funnel_counts,
+    retention_cohorts,
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, dt.datetime(2024, 1, d, h), t) for u, d, h, t in rows],
+        ["user_id", "ts", "event_type"],
+    )
+
+
+def test_funnel_requires_order(spark):
+    rows = [
+        # user 1: full ordered funnel
+        (1, 1, 0, "signup"), (1, 1, 1, "view"), (1, 1, 2, "purchase"),
+        # user 2: purchase BEFORE view -> stops at stage 1... then view
+        (2, 1, 0, "signup"), (2, 1, 1, "purchase"), (2, 1, 2, "view"),
+        # user 3: no signup -> absent even though later steps present
+        (3, 1, 0, "view"), (3, 1, 1, "purchase"),
+        # user 4: signup only
+        (4, 1, 5, "signup"),
+    ]
+    out = {r["user_id"]: r["stage"] for r in funnel(_ev(spark, rows), ["signup", "view", "purchase"]).collect()}
+    assert out == {1: 3, 2: 2, 4: 1}  # user 2 reaches view (after signup); user 3 absent
+
+
+def test_funnel_equal_timestamps_do_not_advance(spark):
+    rows = [(1, 1, 0, "signup"), (1, 1, 0, "view")]  # same instant
+    out = funnel(_ev(spark, rows), ["signup", "view"]).collect()
+    assert out[0]["stage"] == 1  # strict > : simultaneous view doesn't count
+
+
+def test_funnel_stage_ts_is_min_eligible(spark):
+    rows = [
+        (1, 1, 0, "signup"),
+        (1, 1, 3, "view"),
+        (1, 1, 2, "view"),  # earlier eligible view wins
+    ]
+    r = funnel(_ev(spark, rows), ["signup", "view"]).collect()[0]
+    assert r["stage"] == 2 and r["stage_ts"] == dt.datetime(2024, 1, 1, 2)
+
+
+def test_funnel_validation(spark):
+    df = _ev(spark, [(1, 1, 0, "signup")])
+    with pytest.raises(ValueError, match="at least one"):
+        funnel(df, [])
+    with pytest.raises(ValueError, match="distinct"):
+        funnel(df, ["a", "a"])
+
+
+def test_funnel_counts_emits_every_stage_cumulative(spark):
+    rows = [
+        (1, 1, 0, "signup"), (1, 1, 1, "view"), (1, 1, 2, "purchase"),
+        (2, 1, 0, "signup"), (2, 1, 1, "view"),
+        (3, 1, 0, "signup"),
+    ]
+    out = {r["stage"]: r["n_users"] for r in funnel_counts(_ev(spark, rows), ["signup", "view", "purchase"]).collect()}
+    assert out == {1: 3, 2: 2, 3: 1}
+
+
+def test_funnel_counts_zero_rows_for_unreached_stage(spark):
+    rows = [(1, 1, 0, "signup")]
+    out = {r["stage"]: r["n_users"] for r in funnel_counts(_ev(spark, rows), ["signup", "view"]).collect()}
+    assert out == {1: 1, 2: 0}
+
+
+def test_retention_cohorts_triangle(spark):
+    rows = [
+        # user 1 first seen Jan 1, active again Jan 9 (offset 1)
+        (1, 1, 0, "view"), (1, 9, 0, "view"),
+        # user 2 first seen Jan 8 (separate cohort), active Jan 8 only
+        (2, 8, 0, "view"),
+    ]
+    out = {
+        (str(r["cohort_date"]), r["period_offset"]): r["n_users"]
+        for r in retention_cohorts(_ev(spark, rows)).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 1): 1,
+        ("2024-01-08", 0): 1,
+    }
+
+
+def test_retention_validation(spark):
+    with pytest.raises(ValueError, match="period_days"):
+        retention_cohorts(_ev(spark, [(1, 1, 0, "view")]), period_days=0)
