@@ -704,9 +704,10 @@ def tfidf_top_terms(
         .where(F.length("term") >= min_token_len)
     )
     tf = ex.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = ex.select(id_col, "term").distinct().groupBy("term").agg(
-        F.count(F.lit(1)).alias("df")
-    )
+    # document frequency from the tf table (already one row per
+    # (doc, term)), NOT a second distinct over the explode — saves a
+    # full rescan + reshuffle of the token stream
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(id_col).distinct().count()
     idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1.0)) + F.lit(1.0)
     scored = tf.join(dfreq, "term").select(
@@ -765,10 +766,22 @@ def bigram_logprob(
         F.split(F.col("bigram"), " ", 2).getItem(0).alias("__w1"),
     )
     bi = ex.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
-    uni = ex.groupBy("__w1").agg(F.count(F.lit(1)).alias("c1"))
-    vocab_size = ex.select(F.split(F.col("bigram"), " ", 2).getItem(1)).union(
-        ex.select("__w1")
-    ).distinct().count()
+    # context counts and vocabulary derive from the (already aggregated,
+    # far smaller) bigram table, not a second pass over the explode:
+    # c(w1) = sum of c(w1,*); V = distinct tokens in either position
+    bi_w = bi.select(
+        "bigram",
+        "c2",
+        F.split(F.col("bigram"), " ", 2).getItem(0).alias("__w1"),
+        F.split(F.col("bigram"), " ", 2).getItem(1).alias("__w2"),
+    )
+    uni = bi_w.groupBy("__w1").agg(F.sum("c2").alias("c1"))
+    vocab_size = (
+        bi_w.select(F.col("__w1").alias("w"))
+        .union(bi_w.select(F.col("__w2").alias("w")))
+        .distinct()
+        .count()
+    )
     denom_v = float(alpha) * (vocab_size + 1)
     log2 = math.log(2.0)
     joined = (

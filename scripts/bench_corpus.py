@@ -75,6 +75,16 @@ def main() -> None:
     )
     bench("clean_corpus", lambda: pipeline.clean_corpus(big))
     bench("deterministic_shuffle", lambda: pipeline.deterministic_shuffle(big))
+    # round-6 stages
+    bench("quality_classifier", lambda: text.quality_classifier(big))
+    bench("domain_cap", lambda: pipeline.domain_cap(big, 20_000, prefilter_margin=3.0))
+    bench("temperature_mixture", lambda: pipeline.temperature_mixture(big, 0.7, n // 3))
+    bench("tfidf_top_terms", lambda: text.tfidf_top_terms(big, k=3))
+    bench("bigram_logprob", lambda: text.bigram_logprob(big))
+    bench(
+        "remove_duplicate_spans",
+        lambda: dedup.remove_duplicate_spans(big, n=16).where("removed_tokens >= 0"),
+    )
 
     total = sum(v for k, v in results.items() if not k.endswith("_rows"))
     print(
