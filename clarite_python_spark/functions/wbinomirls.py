@@ -117,11 +117,25 @@ def _irls_scan(
     weight_col: str | None,
     weight_mean: float,
     subset_col: str,
+    rv_cols: list | None = None,
+    rep_of: list | None = None,
+    clust_col: str | None = None,
+    strat_col: str | None = None,
 ):
-    """One IRLS scan: per-variable working Gram, rhs, deviance of the
+    """One IRLS scan: per-UNIT working Gram, rhs, deviance of the
     CURRENT coefficients, plus the complete-case / taxonomy counts.
-    ``betas`` maps rv -> full zdim coefficient vector (zeros in dropped
-    slots); None runs the kernel's start iteration."""
+    ``betas`` maps unit -> full zdim coefficient vector (zeros in dropped
+    slots); None runs the kernel's start iteration.
+
+    A unit is normally a regression variable. For jackknife replicate
+    fits, units are (rv, left-out cluster) pairs: ``rvs`` carries unique
+    unit LABELS, ``rv_cols`` the underlying value column per unit (may
+    repeat), and ``rep_of`` per unit a ``(cluster, stratum_or_None,
+    nh)`` triple — each row's weight is multiplied by the kernel's
+    replicate factor (0 in the left-out cluster, nh/(nh-1) in its
+    stratum — or everywhere when stratum is None, i.e. no-strata
+    designs — 1 elsewhere; functions/wglm.py:jackknife_vcov), so the
+    same batched scan fits every replicate of every variable at once."""
     k = sum(len(levels[cv]) - 1 if cv in levels else 1 for cv in covariates)
     zdim = k + 2
     tri_b = [(i, j) for i in range(k + 1) for j in range(i, k + 1)]
@@ -138,18 +152,40 @@ def _irls_scan(
         np.vstack([betas[rv] for rv in rvs]) if betas is not None else None
     )
     cov_list, cov_types, lvs = list(covariates), dict(covar_types), levels
+    value_cols = list(rv_cols) if rv_cols is not None else list(rvs)
+    reps = list(rep_of) if rep_of is not None else None
 
     def partials(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             st = _row_state(
-                pdf, outcome, cov_list, cov_types, lvs, rvs,
+                pdf, outcome, cov_list, cov_types, lvs, value_cols,
                 weight_col, weight_mean, subset_col,
             )
             mu, wm, z = _mu_state(st, betas_mat)
             mf = st["m"].astype(float)
-            ww = mf * st["w"][:, None] * wm  # masked w * m per var
+            if reps is None:
+                weff = st["w"][:, None]
+            else:
+                # replicate weight factors per unit (kernel's
+                # jackknife_vcov reweighting, vectorized across units)
+                clv = pdf[clust_col].to_numpy(dtype=object)
+                stv = (
+                    pdf[strat_col].to_numpy(dtype=object)
+                    if strat_col is not None
+                    else None
+                )
+                fac = np.ones((len(pdf), len(reps)))
+                for j, (c, s_, nh) in enumerate(reps):
+                    if nh > 1.0:
+                        if s_ is None or stv is None:
+                            fac[:, j] = nh / (nh - 1.0)
+                        else:
+                            fac[:, j] = np.where(stv == s_, nh / (nh - 1.0), 1.0)
+                    fac[clv == c, j] = 0.0
+                weff = st["w"][:, None] * fac
+            ww = mf * weff * wm  # masked w * m per unit
             y, zb, v = st["y"], st["zb"], st["v"]
 
             out = {"unit": np.asarray(rvs, dtype=object)}
@@ -160,7 +196,7 @@ def _irls_scan(
             out["ndmiss"] = np.full(len(rvs), float((~st["design_ok"]).sum()))
             # deviance of the CURRENT coefficients (mu already clipped)
             dev_terms = y[:, None] * np.log(mu) + (1.0 - y[:, None]) * np.log(1.0 - mu)
-            out["dev"] = (-2.0 * mf * st["w"][:, None] * dev_terms).sum(axis=0)
+            out["dev"] = (-2.0 * mf * weff * dev_terms).sum(axis=0)
 
             prods = np.stack([zb[:, i] * zb[:, j] for i, j in tri_b], axis=1)
             gb = prods.T @ ww  # (ntri_b x nvars)
@@ -176,9 +212,13 @@ def _irls_scan(
             out["hv"] = (wz * v).sum(axis=0)
             yield pd.DataFrame(out)
 
-    need = [outcome, *covariates, *rvs, subset_col]
+    need = [outcome, *covariates, *dict.fromkeys(value_cols), subset_col]
     if weight_col is not None:
         need.append(weight_col)
+    if reps is not None:
+        need.append(clust_col)
+        if strat_col is not None:
+            need.append(strat_col)
     reduced = (
         df.select(*[qcol(c).alias(c) for c in need])
         .mapInPandas(partials, out_schema)
@@ -318,11 +358,19 @@ def weighted_binomial_irls_rows(
     subset_col: str,
     max_iter: int = 100,
     tol: float = 1e-8,
+    vcov_method: str = "stata",
 ) -> list[dict]:
     """Weighted BINOMIAL association rows (RESULT_SCHEMA keys) for
     continuous variables sharing ONE weight column.  ``df`` already
     carries the design columns.  Handles cluster, strata-only and
-    weights-only designs with the linearized (stata) sandwich."""
+    weights-only designs with the linearized (stata) sandwich, or —
+    cluster designs only — ``vcov_method="jackknife"``: delete-1-cluster
+    replicate fits batched through the SAME per-iteration scans (each
+    (variable, left-out cluster) pair is one more unit with kernel-
+    identical replicate weights), so the full jackknife costs a bounded
+    number of extra scans, never a per-replicate pass over the data.  A
+    non-converged replicate falls that variable back to the linearized
+    sandwich (kernel behavior, functions/wglm.py:jackknife_vcov)."""
     rvs = list(rvs)
     covariates = list(covariates)
     has_cluster = constants["has_cluster"]
@@ -413,6 +461,111 @@ def weighted_binomial_irls_rows(
     fit_rvs = [rv for rv, s in state.items() if s["converged"]]
     if not fit_rvs:
         return rows
+
+    # ---- jackknife replicates (cluster designs) -----------------------
+    # one unit per (variable, left-out cluster): same batched IRLS loop,
+    # kernel-identical replicate weights, chunked so per-batch numpy
+    # state stays bounded at #units x rows-per-arrow-batch doubles
+    jk_vcov: dict[str, np.ndarray] = {}
+    if vcov_method == "jackknife" and has_cluster:
+        clusters_full = list(constants["clusters"])
+        sfc = constants["strat_for_clust"]
+        cps = constants["clust_per_strat"]
+        ffc = constants.get("fpc_for_clust", {})
+        units_all = [
+            (rv, c, sfc[c] if has_strata else None, float(cps[sfc[c]]))
+            for rv in fit_rvs
+            for c in clusters_full
+        ]
+        rep_state: dict[tuple, dict] = {}
+        chunk_size = 256
+        for start in range(0, len(units_all), chunk_size):
+            chunk = units_all[start : start + chunk_size]
+            labels = [str(start + j) for j in range(len(chunk))]
+            info = {
+                lab: dict(rv=u[0], cluster=u[1], stratum=u[2], nh=u[3])
+                for lab, u in zip(labels, chunk)
+            }
+
+            def _rep_scan(active_labels, betas_or_none):
+                stats_c, _, _ = _irls_scan(
+                    df, outcome, active_labels, covariates, covar_types,
+                    levels, betas_or_none, weight_col, weight_mean,
+                    subset_col,
+                    rv_cols=[info[lab]["rv"] for lab in active_labels],
+                    rep_of=[
+                        (info[lab]["cluster"], info[lab]["stratum"], info[lab]["nh"])
+                        for lab in active_labels
+                    ],
+                    clust_col=clust_col,
+                    strat_col=strat_col if has_strata else None,
+                )
+                return stats_c
+
+            stats0c = _rep_scan(labels, None)
+            cstate: dict[str, dict] = {}
+            for lab in labels:
+                rv = info[lab]["rv"]
+                st0 = stats0c[lab]
+                keep = state[rv]["keep"]
+                gk = st0["g"][np.ix_(keep, keep)]
+                hk = st0["h"][keep]
+                try:
+                    beta = np.linalg.solve(gk, hk)
+                except np.linalg.LinAlgError:
+                    beta, *_ = np.linalg.lstsq(gk, hk, rcond=None)
+                bf = np.zeros(zdim)
+                bf[keep] = beta
+                cstate[lab] = dict(beta=bf, dev_old=np.inf, converged=False)
+            for it in range(1, max_iter + 1):
+                active = [lab for lab, s2 in cstate.items() if not s2["converged"]]
+                if not active:
+                    break
+                stats_c = _rep_scan(
+                    active, {lab: cstate[lab]["beta"] for lab in active}
+                )
+                for lab in active:
+                    s2 = cstate[lab]
+                    st2 = stats_c[lab]
+                    if abs(st2["dev"] - s2["dev_old"]) < tol:
+                        s2["converged"] = True
+                        continue
+                    s2["dev_old"] = st2["dev"]
+                    if it == max_iter:
+                        continue
+                    keep = state[info[lab]["rv"]]["keep"]
+                    gk = st2["g"][np.ix_(keep, keep)]
+                    hk = st2["h"][keep]
+                    try:
+                        beta = np.linalg.solve(gk, hk)
+                    except np.linalg.LinAlgError:
+                        beta, *_ = np.linalg.lstsq(gk, hk, rcond=None)
+                    s2["beta"] = np.zeros(zdim)
+                    s2["beta"][keep] = beta
+            for lab, s2 in cstate.items():
+                rep_state[(info[lab]["rv"], info[lab]["cluster"])] = s2
+
+        nh_vec = np.asarray([float(cps[sfc[c]]) for c in clusters_full], dtype=float)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mh = np.sqrt((nh_vec - 1.0) / nh_vec)
+        mh[~np.isfinite(mh)] = 1.0
+        fh = np.sqrt(
+            1.0 - np.asarray([ffc.get(c, 0.0) for c in clusters_full], dtype=float)
+        )
+        for rv in fit_rvs:
+            keep = state[rv]["keep"]
+            reps_mat = np.zeros((len(clusters_full), len(keep)))
+            ok = True
+            for i, c in enumerate(clusters_full):
+                s2 = rep_state[(rv, c)]
+                if not s2["converged"]:
+                    ok = False  # kernel: fall back to linearized sandwich
+                    break
+                reps_mat[i] = s2["beta"][keep] - state[rv]["beta"][keep]
+            if not ok:
+                continue
+            reps_mat = reps_mat * (mh * fh)[:, None]
+            jk_vcov[rv] = reps_mat.T @ reps_mat
 
     # ---- final scan: Gram at the final mu (for A) ---------------------
     stats_f, _, _ = _irls_scan(
@@ -536,6 +689,8 @@ def weighted_binomial_irls_rows(
                 dof = n_total - p_k - 1
 
         vcov = a_inv @ v_hat @ a_inv.T
+        if rv in jk_vcov:  # replicate-based variance replaces the sandwich
+            vcov = jk_vcov[rv]
         se = float(np.sqrt(max(vcov[-1, -1], 0.0)))
         b = float(s["beta"][zdim - 1])
         if dof < 1:

@@ -958,7 +958,12 @@ def association_study(
             use_sufficient_stats
             and survey_design_spec is not None
             and family == BINOMIAL
-            and vcov_method == "stata"
+            and (
+                vcov_method == "stata"
+                # jackknife = replicate IRLS fits batched through the
+                # same scans (cluster designs only)
+                or (vcov_method == "jackknife" and survey_design_spec.has_cluster)
+            )
             and (
                 (
                     survey_design_spec.has_cluster
@@ -1029,6 +1034,7 @@ def association_study(
                         STRAT_COL,
                         CLUST_COL,
                         SUBSET_COL,
+                        vcov_method=vcov_method,
                     )
                 )
             if w_rows:

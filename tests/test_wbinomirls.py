@@ -46,7 +46,7 @@ def nhanes_cont_cf(spark):
     return out
 
 
-def _study(cf, design_kw, use_sufficient_stats):
+def _study(cf, design_kw, use_sufficient_stats, vcov_method="stata"):
     design = SurveyDesignSpec(cf.df, **design_kw)
     return (
         analyze.association_study(
@@ -57,6 +57,7 @@ def _study(cf, design_kw, use_sufficient_stats):
             covariates=["agecat", "RIAGENDR"],
             survey_design_spec=design,
             use_sufficient_stats=use_sufficient_stats,
+            vcov_method=vcov_method,
         )
         .toPandas()
         .set_index("Variable")
@@ -112,34 +113,41 @@ def test_irls_path_actually_routes(nhanes_cont_cf, monkeypatch):
     assert bool(res.loc["cont1", "Converged"])
 
 
-def test_irls_jackknife_stays_on_kernel(nhanes_cont_cf, monkeypatch):
-    """vcov_method='jackknife' needs replicate refits; continuous RVs
-    must keep the grouped kernel there."""
+@pytest.mark.parametrize(
+    "design_kw",
+    [
+        pytest.param(
+            dict(weights="WTMEC2YR", cluster="SDMVPSU", strata="SDMVSTRA", nest=True),
+            id="cluster_strata",
+        ),
+        pytest.param(dict(weights="WTMEC2YR", cluster="SDMVPSU"), id="cluster_only"),
+    ],
+)
+def test_irls_jackknife_routes_and_matches_kernel(nhanes_cont_cf, design_kw, monkeypatch):
+    """Round 6: vcov_method='jackknife' runs delete-1-cluster replicate
+    IRLS fits batched through the suffstats scans (cluster designs) and
+    must match the kernel's replicate refits — closes the last
+    kernel-only fallback in SCALE.md."""
     import clarite_python_spark.functions.wbinomirls as wi
 
-    called = []
-    monkeypatch.setattr(
-        wi,
-        "weighted_binomial_irls_rows",
-        lambda *a, **kw: called.append(True) or [],
-    )
-    design = SurveyDesignSpec(
-        nhanes_cont_cf.df,
-        weights="WTMEC2YR",
-        cluster="SDMVPSU",
-        strata="SDMVSTRA",
-        nest=True,
-    )
-    res = (
-        analyze.association_study(
-            data=modify.colfilter(nhanes_cont_cf, only=["HI_CHOL", "cont1"]),
-            outcomes="HI_CHOL",
-            survey_design_spec=design,
-            use_sufficient_stats=True,
-            vcov_method="jackknife",
-        )
-        .toPandas()
-        .set_index("Variable")
-    )
-    assert not called
-    assert bool(res.loc["cont1", "Converged"])
+    calls: list[list[str]] = []
+    orig = wi.weighted_binomial_irls_rows
+
+    def spy(df, outcome, rvs, *a, **kw):
+        calls.append(list(rvs))
+        return orig(df, outcome, rvs, *a, **kw)
+
+    monkeypatch.setattr(wi, "weighted_binomial_irls_rows", spy)
+    fast = _study(nhanes_cont_cf, design_kw, True, vcov_method="jackknife")
+    assert calls and sorted(calls[0]) == ["cont1", "cont2"]  # routed to IRLS
+    slow = _study(nhanes_cont_cf, design_kw, False, vcov_method="jackknife")
+    for rv in ("cont1", "cont2"):
+        assert bool(fast.loc[rv, "Converged"]) and bool(slow.loc[rv, "Converged"])
+        assert int(fast.loc[rv, "N"]) == int(slow.loc[rv, "N"])
+        for col in ("Beta", "SE", "pvalue"):
+            np.testing.assert_allclose(
+                float(fast.loc[rv, col]),
+                float(slow.loc[rv, col]),
+                rtol=1e-6,
+                err_msg=f"{rv}.{col}",
+            )
