@@ -1391,6 +1391,24 @@ def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def funnel_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed conversion funnel: signup -> view -> purchase must all
+    happen within 6 hours of the user's FIRST signup (fixed anchor, no
+    re-anchoring — operators/events.py:funnel max_span_seconds). The
+    oracle adds the deadline bound to each stage's min-join."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    out = events_ops.funnel(
+        ev, ["signup", "view", "purchase"], max_span_seconds=6 * 3600
+    )
+    return out.select(
+        "user_id",
+        "stage",
+        F.date_format("stage_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("stage_ts"),
+    ).orderBy("user_id")
+
+
 def funnel_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel bar chart: users reaching stage >= k for every stage
     (operators/events.py:funnel_counts)."""
@@ -1518,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_documents": quality_classifier_documents,
         "remove_duplicate_spans_documents": remove_duplicate_spans_documents,
         "funnel_events": funnel_events,
+        "funnel_window_events": funnel_window_events,
         "funnel_counts_events": funnel_counts_events,
         "retention_events": retention_events,
     }
@@ -3737,6 +3756,33 @@ def oracle_sql() -> dict[str, str]:
             ), s3 AS (
               SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN s2 USING (user_id)
               WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+            )
+            SELECT s1.user_id,
+                   CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                             WHEN s2.t2 IS NOT NULL THEN 2 ELSE 1 END AS INT) AS stage,
+                   strftime(coalesce(s3.t3, s2.t2, s1.t1),
+                            '%Y-%m-%d %H:%M:%S.%f') AS stage_ts
+            FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+            ORDER BY s1.user_id
+        """,
+        "funnel_window_events": """
+            WITH e AS (
+              SELECT user_id, event_type, ts FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ), s1 AS (
+              SELECT user_id, min(ts) AS t1 FROM e
+              WHERE event_type = 'signup' GROUP BY user_id
+            ), s2 AS (
+              SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+              WHERE e.event_type = 'view' AND e.ts > s1.t1
+                AND e.ts <= s1.t1 + INTERVAL 6 HOUR
+              GROUP BY e.user_id
+            ), s3 AS (
+              SELECT e.user_id, min(e.ts) AS t3
+              FROM e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                AND e.ts <= s1.t1 + INTERVAL 6 HOUR
+              GROUP BY e.user_id
             )
             SELECT s1.user_id,
                    CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3

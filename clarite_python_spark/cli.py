@@ -366,6 +366,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ts-col", default="ts")
     p.add_argument("--counts", action="store_true",
                    help="emit the per-stage cumulative funnel instead of per-user stages")
+    p.add_argument("--max-span-seconds", type=float, default=None,
+                   help="whole funnel must complete within this span of the first step")
     p = g_ev.add_parser("retention")
     p.add_argument("data")
     p.add_argument("output")
@@ -747,6 +749,7 @@ def main(argv: list[str] | None = None) -> int:
                 user_col=args.user_col,
                 type_col=args.type_col,
                 ts_col=args.ts_col,
+                max_span_seconds=args.max_span_seconds,
             )
         elif args.command == "retention":
             out = events_mod.retention_cohorts(

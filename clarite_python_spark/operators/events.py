@@ -23,18 +23,23 @@ def funnel(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    max_span_seconds: float | None = None,
 ) -> DataFrame:
     """Ordered conversion funnel: for each user, the furthest step of
     ``steps`` reached IN ORDER (step k+1 must occur STRICTLY after the
-    time at which step k was first achieved). Returns one row per user:
-    (user, stage) with stage in [1, len(steps)]; users with no
-    first-step event are absent.
+    time at which step k was first achieved). With ``max_span_seconds``
+    the whole funnel must complete within that span of the user's FIRST
+    step-1 event (fixed anchor — no re-anchoring on later step-1
+    events; the standard product-analytics windowed funnel). Returns
+    one row per user: (user, stage) with stage in [1, len(steps)];
+    users with no first-step event are absent.
 
     The greedy earliest-advance scan is equivalent to the textbook
-    recursion t_k = min{ts of step-k events with ts > t_{k-1}} (advance
-    at the first eligible event == the minimum eligible timestamp), so
-    a fixed-depth SQL twin with one min-join per stage reproduces it
-    exactly — that equivalence is what the oracle checks.
+    recursion t_k = min{ts of step-k events with t_{k-1} < ts
+    [<= t_1 + span]} (advance at the first eligible event == the
+    minimum eligible timestamp), so a fixed-depth SQL twin with one
+    min-join per stage reproduces it exactly — that equivalence is
+    what the oracle checks.
 
     Plan: filter to funnel events (pushed to the scan), one groupBy
     user collecting that user's funnel events as a sorted array (rows
@@ -47,6 +52,8 @@ def funnel(
         raise ValueError("steps must name at least one event type")
     if len(set(steps)) != len(steps):
         raise ValueError("funnel steps must be distinct")
+    if max_span_seconds is not None and max_span_seconds <= 0:
+        raise ValueError("max_span_seconds must be positive")
     stage_of: Column = F.lit(None).cast("int")
     for i, s in enumerate(reversed(steps)):
         stage_of = F.when(F.col(type_col) == s, F.lit(len(steps) - i)).otherwise(stage_of)
@@ -58,15 +65,31 @@ def funnel(
     per_user = ev.groupBy(user_col).agg(
         F.sort_array(F.collect_list(F.struct("__ts", "__stage"))).alias("__evs")
     )
-    # scan state: (reached stage, time that stage was achieved)
+    # scan state: (reached stage, time that stage was achieved, anchor)
     init = F.struct(
-        F.lit(0).alias("stage"), F.lit(None).cast("timestamp").alias("t")
+        F.lit(0).alias("stage"),
+        F.lit(None).cast("timestamp").alias("t"),
+        F.lit(None).cast("timestamp").alias("t1"),
     )
-    advance = lambda st, e: F.when(  # noqa: E731
-        (e["__stage"] == st["stage"] + 1)
-        & (st["t"].isNull() | (e["__ts"] > st["t"])),
-        F.struct(e["__stage"].alias("stage"), e["__ts"].alias("t")),
-    ).otherwise(st)
+
+    def advance(st, e):
+        ok = (e["__stage"] == st["stage"] + 1) & (
+            st["t"].isNull() | (e["__ts"] > st["t"])
+        )
+        if max_span_seconds is not None:
+            deadline = st["t1"] + F.expr(
+                f"INTERVAL {float(max_span_seconds)} SECOND"
+            )
+            ok = ok & (st["t1"].isNull() | (e["__ts"] <= deadline))
+        return F.when(
+            ok,
+            F.struct(
+                e["__stage"].alias("stage"),
+                e["__ts"].alias("t"),
+                F.coalesce(st["t1"], e["__ts"]).alias("t1"),
+            ),
+        ).otherwise(st)
+
     state = F.aggregate(F.col("__evs"), init, advance)
     scanned = per_user.select(
         user_col,
@@ -82,12 +105,13 @@ def funnel_counts(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    max_span_seconds: float | None = None,
 ) -> DataFrame:
     """Funnel summary: for each stage k (one row per stage, even fully
     converted ones), how many users reached stage k OR FURTHER — the
     classic decreasing funnel bar chart. Derived from :func:`funnel`
     with one tiny agg."""
-    per_user = funnel(df, steps, user_col, type_col, ts_col)
+    per_user = funnel(df, steps, user_col, type_col, ts_col, max_span_seconds)
     reached = per_user.groupBy("stage").agg(F.count(F.lit(1)).alias("n_exact"))
     stages = df.sparkSession.range(1, len(steps) + 1).select(
         F.col("id").cast("int").alias("stage")

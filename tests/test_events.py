@@ -98,3 +98,31 @@ def test_retention_cohorts_triangle(spark):
 def test_retention_validation(spark):
     with pytest.raises(ValueError, match="period_days"):
         retention_cohorts(_ev(spark, [(1, 1, 0, "view")]), period_days=0)
+
+
+def test_funnel_max_span_bounds_conversion(spark):
+    rows = [
+        # user 1: view 1h after signup -> inside a 2h window
+        (1, 1, 0, "signup"), (1, 1, 1, "view"),
+        # user 2: view 3h after signup -> outside the window, stage 1
+        (2, 1, 0, "signup"), (2, 1, 3, "view"),
+    ]
+    out = {r["user_id"]: r["stage"] for r in funnel(
+        _ev(spark, rows), ["signup", "view"], max_span_seconds=2 * 3600
+    ).collect()}
+    assert out == {1: 2, 2: 1}
+
+
+def test_funnel_max_span_anchor_is_first_step1(spark):
+    # a later signup would open a fresh window, but the anchor is FIXED
+    # at the first signup: the view at day1+5h is outside [0, 2h]
+    rows = [
+        (1, 1, 0, "signup"), (1, 1, 4, "signup"), (1, 1, 5, "view"),
+    ]
+    out = funnel(_ev(spark, rows), ["signup", "view"], max_span_seconds=2 * 3600).collect()
+    assert out[0]["stage"] == 1
+
+
+def test_funnel_max_span_validation(spark):
+    with pytest.raises(ValueError, match="max_span_seconds"):
+        funnel(_ev(spark, [(1, 1, 0, "signup")]), ["signup"], max_span_seconds=0)
