@@ -394,6 +394,16 @@ def token_budget_sample(
     )
 
 
+
+def _guard_reserved(df: DataFrame, names: tuple[str, ...], op: str) -> None:
+    """Refuse inputs whose columns collide with an operator's internal
+    temp columns — silently clobbering a user column (the layout.py
+    __zkey bug class) is worse than an explicit error."""
+    hit = [c for c in names if c in df.columns]
+    if hit:
+        raise ValueError(f"{op} uses internal column(s) {hit}; rename them in the input")
+
+
 def domain_cap(
     df: DataFrame,
     max_docs: int,
@@ -433,6 +443,7 @@ def domain_cap(
 
     if max_docs <= 0:
         raise ValueError("max_docs must be positive")
+    _guard_reserved(df, ("__key", "__n", "__cut", "cap_rank"), "domain_cap")
     key = md5_60bit(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt)))
     out = df.withColumn("__key", key)
     if prefilter_margin is not None:
@@ -485,6 +496,7 @@ def temperature_mixture(
         raise ValueError("tau must be >= 0")
     if target_rows <= 0:
         raise ValueError("target_rows must be positive")
+    _guard_reserved(df, ("__n", "__Z", "rate_buckets"), "temperature_mixture")
     counts = df.groupBy(by).agg(F.count(F.lit(1)).alias("__n")).alias("c")
     # tot shares counts' lineage, so qualify every reference (c./t.) —
     # unqualified __n is ambiguous in the self-derived cross join

@@ -654,3 +654,12 @@ def test_quality_classifier_weight_override_and_validation(spark):
         text.quality_classifier(df, weights={"nope": 1.0})
     hi = text.quality_classifier(df, weights={"bias": 10.0}).collect()[0]
     assert hi["keep"]
+
+
+def test_domain_cap_and_mixture_refuse_reserved_columns(docs):
+    clash = docs.withColumn("__key", F.lit(1))
+    with pytest.raises(ValueError, match="__key"):
+        pipeline.domain_cap(clash, 5)
+    clash2 = docs.withColumn("rate_buckets", F.lit(1))
+    with pytest.raises(ValueError, match="rate_buckets"):
+        pipeline.temperature_mixture(clash2, 0.5, 10)
