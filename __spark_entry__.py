@@ -1409,6 +1409,23 @@ def funnel_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def funnel_times_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert rows (operators/events.py:funnel_times): one row
+    per (user, stage reached) with the stage's first-achievement time
+    and the exact integer-microsecond duration since the previous stage
+    — no float surface in the compare."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    out = events_ops.funnel_times(ev, ["signup", "view", "purchase"])
+    return out.select(
+        "user_id",
+        "stage",
+        F.date_format("stage_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("stage_ts"),
+        "since_prev_us",
+    ).orderBy("user_id", "stage")
+
+
 def funnel_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel bar chart: users reaching stage >= k for every stage
     (operators/events.py:funnel_counts)."""
@@ -1537,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_duplicate_spans_documents": remove_duplicate_spans_documents,
         "funnel_events": funnel_events,
         "funnel_window_events": funnel_window_events,
+        "funnel_times_events": funnel_times_events,
         "funnel_counts_events": funnel_counts_events,
         "retention_events": retention_events,
     }
@@ -3791,6 +3809,39 @@ def oracle_sql() -> dict[str, str]:
                             '%Y-%m-%d %H:%M:%S.%f') AS stage_ts
             FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
             ORDER BY s1.user_id
+        """,
+        "funnel_times_events": """
+            WITH e AS (
+              SELECT user_id, event_type, ts FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ), s1 AS (
+              SELECT user_id, min(ts) AS t1 FROM e
+              WHERE event_type = 'signup' GROUP BY user_id
+            ), s2 AS (
+              SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+              WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id
+            ), s3 AS (
+              SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN s2 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+            ), u AS (
+              SELECT s1.user_id, s1.t1, s2.t2, s3.t3
+              FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+            )
+            SELECT user_id, CAST(1 AS INT) AS stage,
+                   strftime(t1, '%Y-%m-%d %H:%M:%S.%f') AS stage_ts,
+                   CAST(NULL AS BIGINT) AS since_prev_us
+            FROM u
+            UNION ALL
+            SELECT user_id, CAST(2 AS INT),
+                   strftime(t2, '%Y-%m-%d %H:%M:%S.%f'),
+                   epoch_us(t2) - epoch_us(t1)
+            FROM u WHERE t2 IS NOT NULL
+            UNION ALL
+            SELECT user_id, CAST(3 AS INT),
+                   strftime(t3, '%Y-%m-%d %H:%M:%S.%f'),
+                   epoch_us(t3) - epoch_us(t2)
+            FROM u WHERE t3 IS NOT NULL
+            ORDER BY user_id, stage
         """,
         "funnel_counts_events": """
             WITH e AS (

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel", "funnel_counts", "retention_cohorts"]
+__all__ = ["funnel", "funnel_counts", "funnel_times", "retention_cohorts"]
 
 
 def funnel(
@@ -62,41 +62,85 @@ def funnel(
         F.col(ts_col).cast("timestamp").alias("__ts"),
         stage_of.alias("__stage"),
     )
+    scanned = _funnel_scan(ev, user_col, max_span_seconds)
+    return scanned.select(
+        user_col,
+        F.size("stage_times").alias("stage"),
+        F.element_at("stage_times", -1).alias("stage_ts"),
+    ).where(F.col("stage") > 0)
+
+
+def _funnel_scan(ev, user_col: str, max_span_seconds: float | None):
+    """Shared greedy scan: returns (user, stage_times array) — element k
+    is the time stage k+1 was first achieved (empty = stage 0)."""
     per_user = ev.groupBy(user_col).agg(
         F.sort_array(F.collect_list(F.struct("__ts", "__stage"))).alias("__evs")
     )
-    # scan state: (reached stage, time that stage was achieved, anchor)
-    init = F.struct(
-        F.lit(0).alias("stage"),
-        F.lit(None).cast("timestamp").alias("t"),
-        F.lit(None).cast("timestamp").alias("t1"),
-    )
+    # scan state: the achieved-stage time list (its size IS the stage;
+    # first element is the fixed window anchor)
+    init = F.expr("cast(array() as array<timestamp>)")
 
     def advance(st, e):
-        ok = (e["__stage"] == st["stage"] + 1) & (
-            st["t"].isNull() | (e["__ts"] > st["t"])
+        ok = (e["__stage"] == F.size(st) + 1) & (
+            (F.size(st) == 0) | (e["__ts"] > F.element_at(st, -1))
         )
         if max_span_seconds is not None:
-            deadline = st["t1"] + F.expr(
+            deadline = F.element_at(st, 1) + F.expr(
                 f"INTERVAL {float(max_span_seconds)} SECOND"
             )
-            ok = ok & (st["t1"].isNull() | (e["__ts"] <= deadline))
-        return F.when(
-            ok,
-            F.struct(
-                e["__stage"].alias("stage"),
-                e["__ts"].alias("t"),
-                F.coalesce(st["t1"], e["__ts"]).alias("t1"),
-            ),
-        ).otherwise(st)
+            ok = ok & ((F.size(st) == 0) | (e["__ts"] <= deadline))
+        return F.when(ok, F.concat(st, F.array(e["__ts"]))).otherwise(st)
 
-    state = F.aggregate(F.col("__evs"), init, advance)
-    scanned = per_user.select(
+    return per_user.select(
         user_col,
-        state["stage"].alias("stage"),
-        state["t"].alias("stage_ts"),
+        F.aggregate(F.col("__evs"), init, advance).alias("stage_times"),
     )
-    return scanned.where(F.col("stage") > 0)
+
+
+def funnel_times(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    max_span_seconds: float | None = None,
+) -> DataFrame:
+    """Per-user per-stage achievement times: one row per (user, stage
+    reached) with the stage's first-achievement timestamp and the
+    integer-microsecond duration since the PREVIOUS stage (NULL for
+    stage 1) — the row-level input to time-to-convert analytics. Same
+    greedy scan (and oracle recursion) as :func:`funnel`; the explode
+    is row-local."""
+    if not steps:
+        raise ValueError("steps must name at least one event type")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct")
+    if max_span_seconds is not None and max_span_seconds <= 0:
+        raise ValueError("max_span_seconds must be positive")
+    stage_of: Column = F.lit(None).cast("int")
+    for i, s in enumerate(reversed(steps)):
+        stage_of = F.when(F.col(type_col) == s, F.lit(len(steps) - i)).otherwise(stage_of)
+    ev = df.where(F.col(type_col).isin(*steps)).select(
+        F.col(user_col),
+        F.col(ts_col).cast("timestamp").alias("__ts"),
+        stage_of.alias("__stage"),
+    )
+    scanned = _funnel_scan(ev, user_col, max_span_seconds)
+    ex = scanned.select(
+        user_col,
+        F.col("stage_times").alias("__times"),
+        F.posexplode("stage_times").alias("__pos", "stage_ts"),
+    ).select(
+        user_col,
+        (F.col("__pos") + 1).alias("stage"),
+        "stage_ts",
+        F.when(
+            F.col("__pos") > 0,
+            F.unix_micros(F.col("stage_ts"))
+            - F.unix_micros(F.element_at(F.col("__times"), F.col("__pos"))),
+        ).alias("since_prev_us"),
+    )
+    return ex
 
 
 def funnel_counts(

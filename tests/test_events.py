@@ -126,3 +126,18 @@ def test_funnel_max_span_anchor_is_first_step1(spark):
 def test_funnel_max_span_validation(spark):
     with pytest.raises(ValueError, match="max_span_seconds"):
         funnel(_ev(spark, [(1, 1, 0, "signup")]), ["signup"], max_span_seconds=0)
+
+
+def test_funnel_times_durations(spark):
+    from clarite_python_spark.operators.events import funnel_times
+
+    rows = [
+        (1, 1, 0, "signup"), (1, 1, 2, "view"), (1, 1, 5, "purchase"),
+        (2, 1, 0, "signup"),
+    ]
+    out = funnel_times(_ev(spark, rows), ["signup", "view", "purchase"]).collect()
+    got = {(r["user_id"], r["stage"]): r["since_prev_us"] for r in out}
+    assert got[(1, 1)] is None
+    assert got[(1, 2)] == 2 * 3600 * 1_000_000
+    assert got[(1, 3)] == 3 * 3600 * 1_000_000
+    assert got[(2, 1)] is None and (2, 2) not in got
