@@ -1374,6 +1374,18 @@ def remove_duplicate_spans_documents(spark: SparkSession, sf_dir: str) -> DataFr
     return out.orderBy("doc_id")
 
 
+def source_overlap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication overlap matrix
+    (operators/dedup.py:source_overlap, word-8-gram granularity —
+    whole-doc fingerprints find nothing on this corpus, partial
+    boilerplate sharing is the live signal): distinct shared 8-gram
+    fingerprints per unordered source pair + per-side distinct counts."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.source_overlap(docs, granularity="ngram", n=8).orderBy(
+        "source_a", "source_b"
+    )
+
+
 def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel signup -> view -> purchase
     (operators/events.py:funnel): per-user furthest stage + the time it
@@ -1552,6 +1564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob_documents": bigram_logprob_documents,
         "quality_classifier_documents": quality_classifier_documents,
         "remove_duplicate_spans_documents": remove_duplicate_spans_documents,
+        "source_overlap_documents": source_overlap_documents,
         "funnel_events": funnel_events,
         "funnel_window_events": funnel_window_events,
         "funnel_times_events": funnel_times_events,
@@ -3760,6 +3773,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_tokens - coalesce(agg.n_kept, 0) AS INT) AS removed_tokens,
                    coalesce(agg.txt, '') AS text_cleaned
             FROM d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id
+        """,
+        "source_overlap_documents": f"""
+            WITH t AS (
+              SELECT source, {_TOKENS} AS tk FROM documents
+            ), fps AS (
+              SELECT DISTINCT md5(gram) AS fp, source AS src FROM (
+                SELECT source,
+                       unnest(list_transform(generate_series(1, len(tk) - 7),
+                              i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3],
+                                             tk[i+4], tk[i+5], tk[i+6], tk[i+7]))) AS gram
+                FROM t WHERE len(tk) >= 8
+              )
+            ), sizes AS (
+              SELECT src, count(*) AS n FROM fps GROUP BY src
+            ), pairs AS (
+              SELECT a.src AS source_a, b.src AS source_b, count(*) AS n_shared
+              FROM fps a JOIN fps b USING (fp)
+              WHERE a.src < b.src
+              GROUP BY a.src, b.src
+            )
+            SELECT p.source_a, p.source_b, p.n_shared,
+                   sa.n AS n_a, sb.n AS n_b
+            FROM pairs p
+            JOIN sizes sa ON sa.src = p.source_a
+            JOIN sizes sb ON sb.src = p.source_b
+            ORDER BY p.source_a, p.source_b
         """,
         "funnel_events": """
             WITH e AS (

@@ -25,6 +25,7 @@ from clarite_python_spark.operators.text import tokens
 
 __all__ = [
     "exact_dedup",
+    "source_overlap",
     "paragraph_dedup",
     "duplicate_spans",
     "remove_duplicate_spans",
@@ -85,6 +86,67 @@ def exact_dedup(
         keyed.groupBy("__fp")
         .agg(F.min_by(F.struct(*df.columns), key).alias("__row"))
         .select("__row.*")
+    )
+
+
+def source_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    by: str = "source",
+    granularity: str = "doc",
+    n: int = 8,
+) -> DataFrame:
+    """Cross-source exact-duplicate overlap matrix — which sources copy
+    from each other. For every unordered source pair (a < b): how many
+    distinct normalized-text fingerprints appear in BOTH, plus each
+    side's distinct-fingerprint count (so the caller can turn shared
+    counts into containment/Jaccard). The corpus-forensics view that
+    decides which feeds to drop before spending near-dup compute.
+
+    ``granularity``: ``"doc"`` fingerprints whole normalized documents
+    (verbatim copies); ``"ngram"`` fingerprints distinct word n-grams
+    (``n``), catching partial/boilerplate sharing that whole-doc
+    hashing misses — on corpora with no verbatim cross-feed copies the
+    n-gram view is the one with signal.
+
+    Plan: one distinct over (fingerprint, source) — O(corpus) scan with
+    map-side combine — then a self-equi-join on the fingerprint key
+    (both sides already hash-partitioned by it) restricted to a < b,
+    and a pair-count agg. Nothing quadratic: the join fans out only
+    where a fingerprint truly spans sources.
+    """
+    if granularity == "doc":
+        fp = F.md5(_norm(text_col))
+        base = df.select(fp.alias("__fp"), F.col(by).alias("__src"))
+    elif granularity == "ngram":
+        grams = shingles(text_col, n)
+        base = df.select(
+            F.col(by).alias("__src"), F.explode(grams).alias("__g")
+        ).select(F.md5(F.col("__g")).alias("__fp"), "__src")
+    else:
+        raise ValueError("granularity must be 'doc' or 'ngram'")
+    fps = base.distinct()
+    sizes = fps.groupBy("__src").agg(F.count(F.lit(1)).alias("__n"))
+    pairs = (
+        fps.alias("a")
+        .join(fps.alias("b"), "__fp")
+        .where(F.col("a.__src") < F.col("b.__src"))
+        .groupBy(
+            F.col("a.__src").alias("source_a"), F.col("b.__src").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes.select(F.col("__src").alias("source_a"), F.col("__n").alias("n_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("__src").alias("source_b"), F.col("__n").alias("n_b"))),
+            "source_b",
+        )
+        .select("source_a", "source_b", "n_shared", "n_a", "n_b")
     )
 
 

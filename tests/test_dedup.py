@@ -372,3 +372,46 @@ def test_remove_duplicate_spans_case_insensitive_match_keeps_original(spark):
     # matching is lowercased; surviving text preserves ORIGINAL casing
     assert out[1]["text_cleaned"] == "keepme"
     assert out[2]["text_cleaned"] == "othertail"
+
+
+# ------------------------------------------------- source_overlap
+
+
+def test_source_overlap_doc_granularity(spark):
+    from clarite_python_spark.operators.dedup import source_overlap
+
+    rows = [
+        (1, "a", "shared text body here"),
+        (2, "b", "shared  TEXT body here"),  # same after normalization
+        (3, "b", "only in b"),
+        (4, "c", "only in c"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {(r["source_a"], r["source_b"]): r.asDict() for r in source_overlap(df).collect()}
+    assert set(out) == {("a", "b")}
+    r = out[("a", "b")]
+    assert r["n_shared"] == 1 and r["n_a"] == 1 and r["n_b"] == 2
+
+
+def test_source_overlap_ngram_granularity(spark):
+    from clarite_python_spark.operators.dedup import source_overlap
+
+    rows = [
+        (1, "a", "one two three four unique-a"),
+        (2, "b", "one two three four unique-b"),
+        (3, "c", "totally different words entirely here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {(r["source_a"], r["source_b"]): r["n_shared"]
+           for r in source_overlap(df, granularity="ngram", n=4).collect()}
+    # the 4-gram "one two three four" is shared by a and b only
+    assert out == {("a", "b"): 1}
+
+
+def test_source_overlap_validation(spark):
+    from clarite_python_spark.operators.dedup import source_overlap
+
+    df = spark.createDataFrame([(1, "a", "x")], ["doc_id", "source", "text"])
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="granularity"):
+        source_overlap(df, granularity="nope")
