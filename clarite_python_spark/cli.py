@@ -346,6 +346,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="feature=weight overrides for the linear probe")
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
+    p = g_pipe.add_parser("source-overlap")
+    p.add_argument("data")
+    p.add_argument("output")
+    p.add_argument("--by", default="source")
+    p.add_argument("--granularity", default="doc", choices=["doc", "ngram"])
+    p.add_argument("--ngram", type=int, default=8)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
     p = g_pipe.add_parser("remove-duplicate-spans")
     p.add_argument("data")
     p.add_argument("output")
@@ -368,6 +376,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="emit the per-stage cumulative funnel instead of per-user stages")
     p.add_argument("--max-span-seconds", type=float, default=None,
                    help="whole funnel must complete within this span of the first step")
+    p.add_argument("--times", action="store_true",
+                   help="emit per-(user, stage) times + durations instead of final stages")
     p = g_ev.add_parser("retention")
     p.add_argument("data")
     p.add_argument("output")
@@ -711,6 +721,15 @@ def main(argv: list[str] | None = None) -> int:
                 text_col=args.text_col,
                 id_col=args.id_col,
             )
+        elif args.command == "source-overlap":
+            out = dedup_mod.source_overlap(
+                df,
+                text_col=args.text_col,
+                id_col=args.id_col,
+                by=args.by,
+                granularity=args.granularity,
+                n=args.ngram,
+            )
         elif args.command == "remove-duplicate-spans":
             out = dedup_mod.remove_duplicate_spans(
                 df,
@@ -742,7 +761,11 @@ def main(argv: list[str] | None = None) -> int:
 
         df = spark.read.parquet(args.data)
         if args.command == "funnel":
-            fn = events_mod.funnel_counts if args.counts else events_mod.funnel
+            fn = events_mod.funnel
+            if args.counts:
+                fn = events_mod.funnel_counts
+            elif args.times:
+                fn = events_mod.funnel_times
             out = fn(
                 df,
                 args.steps,

@@ -344,3 +344,21 @@ def test_cli_events_group_and_span_removal(spark, tmp_path):
     sp = spark.read.parquet(f"{d}/spans")
     assert {"n_tokens", "removed_tokens", "text_cleaned"} <= set(sp.columns)
     assert sp.count() == docs.count()
+
+
+def test_cli_source_overlap_and_funnel_times(spark, tmp_path):
+    d = str(tmp_path)
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").write.parquet(f"{d}/docs")
+    from clarite_python_spark.sources.io import load_testdata
+    load_testdata(spark, "/root/testdata/sf0.001", ["events"])["events"].write.parquet(f"{d}/ev")
+
+    assert cli.main(["pipeline", "source-overlap", f"{d}/docs", f"{d}/ov",
+                     "--granularity", "ngram", "--ngram", "8"]) == 0
+    ov = spark.read.parquet(f"{d}/ov")
+    assert {"source_a", "source_b", "n_shared", "n_a", "n_b"} <= set(ov.columns)
+    assert ov.count() > 0
+
+    assert cli.main(["events", "funnel", f"{d}/ev", f"{d}/ft",
+                     "--steps", "signup", "view", "--times"]) == 0
+    ft = spark.read.parquet(f"{d}/ft")
+    assert {"stage", "stage_ts", "since_prev_us"} <= set(ft.columns)
