@@ -1374,6 +1374,30 @@ def remove_duplicate_spans_documents(spark: SparkSession, sf_dir: str) -> DataFr
     return out.orderBy("doc_id")
 
 
+def token_percentiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact token-count percentiles (p25/p50/p75/p95) — the
+    corpus length profile corpus_stats' min/mean/max misses; grouped
+    exact `percentile` == DuckDB quantile_cont (the quantiles_lineitem
+    equivalence), approx_percentile is the documented sketch variant at
+    scale."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = text.token_count("text")
+    qs = F.percentile(
+        n_tok, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95))
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(qs.getItem(0), 4).alias("p25"),
+            F.round(qs.getItem(1), 4).alias("p50"),
+            F.round(qs.getItem(2), 4).alias("p75"),
+            F.round(qs.getItem(3), 4).alias("p95"),
+        )
+        .orderBy("source")
+    )
+
+
 def source_overlap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source duplication overlap matrix
     (operators/dedup.py:source_overlap, word-8-gram granularity —
@@ -1565,6 +1589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_documents": quality_classifier_documents,
         "remove_duplicate_spans_documents": remove_duplicate_spans_documents,
         "source_overlap_documents": source_overlap_documents,
+        "token_percentiles_by_source": token_percentiles_by_source,
         "funnel_events": funnel_events,
         "funnel_window_events": funnel_window_events,
         "funnel_times_events": funnel_times_events,
@@ -3773,6 +3798,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_tokens - coalesce(agg.n_kept, 0) AS INT) AS removed_tokens,
                    coalesce(agg.txt, '') AS text_cleaned
             FROM d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id
+        """,
+        "token_percentiles_by_source": f"""
+            SELECT source, count(*) AS n_docs,
+                   round(quantile_cont(len({_TOKENS}), 0.25), 4) AS p25,
+                   round(quantile_cont(len({_TOKENS}), 0.5), 4) AS p50,
+                   round(quantile_cont(len({_TOKENS}), 0.75), 4) AS p75,
+                   round(quantile_cont(len({_TOKENS}), 0.95), 4) AS p95
+            FROM documents GROUP BY source ORDER BY source
         """,
         "source_overlap_documents": f"""
             WITH t AS (
