@@ -346,6 +346,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="feature=weight overrides for the linear probe")
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
+    p = g_pipe.add_parser("compact")
+    p.add_argument("data")
+    p.add_argument("output")
+    p.add_argument("--target-file-mb", type=int, default=128)
+    p.add_argument("--sort-by", nargs="*", default=None,
+                   help="also range-cluster the compacted files on these columns")
     p = g_pipe.add_parser("source-overlap")
     p.add_argument("data")
     p.add_argument("output")
@@ -721,6 +727,15 @@ def main(argv: list[str] | None = None) -> int:
                 text_col=args.text_col,
                 id_col=args.id_col,
             )
+        elif args.command == "compact":
+            from clarite_python_spark.operators import layout as layout_mod
+
+            res = layout_mod.compact(
+                spark, args.data, args.output,
+                target_file_mb=args.target_file_mb, sort_by=args.sort_by,
+            )
+            print(json.dumps(res))
+            return 0
         elif args.command == "source-overlap":
             out = dedup_mod.source_overlap(
                 df,

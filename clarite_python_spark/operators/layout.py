@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zorder_key", "optimize_layout"]
+__all__ = ["zorder_key", "optimize_layout", "compact", "dataset_stats"]
 
 
 def zorder_key(
@@ -172,3 +172,77 @@ def optimize_layout(
             writer = writer.option("maxRecordsPerFile", max_records_per_file)
         writer.parquet(path)
     return clustered
+
+
+def dataset_stats(path: str) -> dict:
+    """Physical health profile of a parquet dataset: file count, bytes,
+    row groups, rows — the numbers that decide whether :func:`compact`
+    is worth running. Driver-side footer reads only (O(#files) metadata,
+    no data IO)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+    n_rows = n_groups = total = 0
+    for f in files:
+        total += os.path.getsize(f)
+        md = pq.ParquetFile(f).metadata
+        n_rows += md.num_rows
+        n_groups += md.num_row_groups
+    return {
+        "n_files": len(files),
+        "total_bytes": total,
+        "n_row_groups": n_groups,
+        "n_rows": n_rows,
+        "mean_file_bytes": total // max(len(files), 1),
+    }
+
+
+def compact(
+    spark,
+    path: str,
+    out_path: str,
+    target_file_mb: int = 128,
+    sort_by: list[str] | None = None,
+) -> dict:
+    """Small-file compaction: rewrite a parquet dataset into
+    ~``target_file_mb`` files — the table-maintenance step (Delta
+    ``OPTIMIZE``, Iceberg ``rewrite_data_files``) that a streaming or
+    incremental-ingest sink needs periodically, because a reader's task
+    scheduling, footer fetches, and (on object stores) per-request
+    costs all scale with FILE COUNT, not bytes.
+
+    Target partition count = ceil(on-disk bytes / target) — sized from
+    the dataset's own footer metadata, not a guess. Without ``sort_by``
+    the rewrite is a plain ``repartition`` (one round-robin shuffle);
+    with it, a ``repartitionByRange`` + ``sortWithinPartitions`` so the
+    compacted files ALSO carry tight min/max stats on those columns
+    (compaction and clustering in the same single shuffle — pay once).
+    Writes to ``out_path`` (never in place: a failed in-place rewrite
+    would destroy the source; swap directories atomically in the
+    caller's catalog/filesystem layer).
+
+    Returns {before: stats, after: stats, target_partitions}.
+    """
+    if target_file_mb <= 0:
+        raise ValueError("target_file_mb must be positive")
+    if out_path == path:
+        raise ValueError("compact never rewrites in place; pass a different out_path")
+    before = dataset_stats(path)
+    n_parts = max(1, -(-before["total_bytes"] // (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    if sort_by:
+        out = df.repartitionByRange(n_parts, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        out = df.repartition(n_parts)
+    out.write.mode("overwrite").parquet(out_path)
+    return {
+        "before": before,
+        "after": dataset_stats(out_path),
+        "target_partitions": n_parts,
+    }

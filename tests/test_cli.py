@@ -362,3 +362,15 @@ def test_cli_source_overlap_and_funnel_times(spark, tmp_path):
                      "--steps", "signup", "view", "--times"]) == 0
     ft = spark.read.parquet(f"{d}/ft")
     assert {"stage", "stage_ts", "since_prev_us"} <= set(ft.columns)
+
+
+def test_cli_compact(spark, tmp_path):
+    d = str(tmp_path)
+    spark.range(50_000).repartition(16).write.parquet(f"{d}/frag")
+    assert cli.main(["pipeline", "compact", f"{d}/frag", f"{d}/out",
+                     "--target-file-mb", "128"]) == 0
+    out = spark.read.parquet(f"{d}/out")
+    assert out.count() == 50_000
+    import os
+    n = len([f for f in os.listdir(f"{d}/out") if f.endswith(".parquet")])
+    assert n < 16

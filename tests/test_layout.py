@@ -161,3 +161,67 @@ def test_optimize_layout_keeps_null_valued_rows(spark):
                           bounds={"x": (0.0, 8.0), "y": (0.0, 8.0)})
     assert sorted(r["id"] for r in out.collect()) == [1, 2, 3, 4]
     assert out.where(SF.col("x").isNull()).count() == 2
+
+
+# ------------------------------------------------------------ compaction
+
+
+def test_compact_reduces_file_count_and_preserves_rows(spark, tmp_path):
+    from clarite_python_spark.operators.layout import compact, dataset_stats
+
+    src = str(tmp_path / "frag")
+    # a fragmented sink: 64 tiny files
+    spark.range(100_000).withColumn("v", F.rand(7)).repartition(64).write.parquet(src)
+    assert dataset_stats(src)["n_files"] == 64
+
+    out = str(tmp_path / "compacted")
+    res = compact(spark, src, out, target_file_mb=128)
+    assert res["after"]["n_files"] < res["before"]["n_files"]
+    assert res["after"]["n_rows"] == res["before"]["n_rows"] == 100_000
+    a = spark.read.parquet(src).agg(F.sum("id"), F.round(F.sum("v"), 6)).collect()[0]
+    b = spark.read.parquet(out).agg(F.sum("id"), F.round(F.sum("v"), 6)).collect()[0]
+    assert tuple(a) == tuple(b)
+
+
+def test_compact_sorted_keeps_stats_tight(spark, tmp_path):
+    import pyarrow.parquet as pq
+    from clarite_python_spark.operators.layout import compact
+
+    src = str(tmp_path / "frag")
+    spark.range(1_000_000).withColumn(
+        "k", (F.col("id") * 7919 % 100_000).cast("long")
+    ).repartition(32).write.parquet(src)
+    out = str(tmp_path / "sorted")
+    # ~9 MB of data at 1 MB/file -> ~9 range-partitioned files
+    compact(spark, src, out, target_file_mb=1, sort_by=["k"])
+    # every compacted file's k-range must be narrow (clustered), unlike
+    # the source where each file spans ~the full domain
+    import os
+
+    spans = []
+    for f in os.listdir(out):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(out, f)).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        mins, maxs = [], []
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(names["k"]).statistics
+            if st is None or not st.has_min_max:
+                continue
+            mins.append(st.min)
+            maxs.append(st.max)
+        if mins:
+            spans.append(max(maxs) - min(mins))
+    assert spans and sum(spans) / len(spans) < 100_000 / 3
+
+
+def test_compact_validation(spark, tmp_path):
+    from clarite_python_spark.operators.layout import compact
+
+    src = str(tmp_path / "x")
+    spark.range(10).write.parquet(src)
+    with pytest.raises(ValueError, match="in place"):
+        compact(spark, src, src)
+    with pytest.raises(ValueError, match="target_file_mb"):
+        compact(spark, src, src + "2", target_file_mb=0)
