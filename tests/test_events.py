@@ -141,3 +141,60 @@ def test_funnel_times_durations(spark):
     assert got[(1, 2)] == 2 * 3600 * 1_000_000
     assert got[(1, 3)] == 3 * 3600 * 1_000_000
     assert got[(2, 1)] is None and (2, 2) not in got
+
+
+def test_funnel_matches_python_reference_on_random_events(spark):
+    """Randomized (seeded) parity vs a direct python implementation of
+    the t_k = min{ts > t_(k-1) [and <= t1+span]} recursion — exercises
+    ties, interleavings, and span deadlines the hand-written cases
+    miss."""
+    import numpy as np
+
+    from clarite_python_spark.operators.events import funnel
+
+    rng = np.random.RandomState(42)
+    steps = ["s1", "s2", "s3"]
+    rows = []
+    for u in range(60):
+        n = rng.randint(1, 15)
+        for _ in range(n):
+            # coarse integer hours force plenty of exact-tie timestamps
+            rows.append(
+                (
+                    u,
+                    dt.datetime(2024, 1, 1) + dt.timedelta(hours=int(rng.randint(0, 30))),
+                    steps[rng.randint(0, 3)],
+                )
+            )
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+
+    def py_funnel(evts, span=None):
+        out = {}
+        by_user: dict = {}
+        for u, ts, et in evts:
+            by_user.setdefault(u, []).append((ts, et))
+        for u, es in by_user.items():
+            t_prev, t1, stage = None, None, 0
+            for k, step in enumerate(steps, start=1):
+                cand = [
+                    ts
+                    for ts, et in es
+                    if et == step
+                    and (t_prev is None or ts > t_prev)
+                    and (span is None or t1 is None or ts <= t1 + dt.timedelta(seconds=span))
+                ]
+                if not cand:
+                    break
+                t_prev = min(cand)
+                t1 = t1 or t_prev
+                stage = k
+            if stage:
+                out[u] = (stage, t_prev)
+        return out
+
+    for span in (None, 5 * 3600):
+        got = {
+            r["user_id"]: (r["stage"], r["stage_ts"])
+            for r in funnel(df, steps, max_span_seconds=span).collect()
+        }
+        assert got == py_funnel(rows, span), f"span={span}"
