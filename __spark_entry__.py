@@ -1374,6 +1374,19 @@ def remove_duplicate_spans_documents(spark: SparkSession, sf_dir: str) -> DataFr
     return out.orderBy("doc_id")
 
 
+def lsh_recall_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-recall measurement of the md5 MinHash-LSH config
+    (operators/dedup.py:lsh_recall): exact all-pairs Jaccard ground
+    truth on a deterministic half-sample vs the banded candidates —
+    the measure-don't-guess harness for (num_hashes, bands) at scale.
+    The oracle replays sampling, banding, truth, and the intersection."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.lsh_recall(
+        docs, threshold=0.5, sample_fraction=0.5, salt="recall",
+        hash_family="md5",
+    )
+
+
 def token_percentiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source exact token-count percentiles (p25/p50/p75/p95) — the
     corpus length profile corpus_stats' min/mean/max misses; grouped
@@ -1590,6 +1603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_duplicate_spans_documents": remove_duplicate_spans_documents,
         "source_overlap_documents": source_overlap_documents,
         "token_percentiles_by_source": token_percentiles_by_source,
+        "lsh_recall_documents": lsh_recall_documents,
         "funnel_events": funnel_events,
         "funnel_window_events": funnel_window_events,
         "funnel_times_events": funnel_times_events,
@@ -2236,15 +2250,15 @@ def _glm_logistic_oracle() -> str:
     )
 
 
-def _minhash_md5_pipeline() -> str:
+def _minhash_md5_pipeline(source: str = "documents") -> str:
     """Shared CTE chain for the md5-family MinHash twins: word-3-gram
     shingles, 32 signature members (min over shingles of the 60-bit
     value of the first 15 md5 hex chars of ``shingle:j``, parsed with
     exact shift arithmetic), 8 x 4 banding on joined-value strings,
     bucket-size-capped candidate pairs, exact Jaccard >= 0.8 verify."""
-    return r"""toksrc AS MATERIALIZED (
+    return rf"""toksrc AS MATERIALIZED (
           SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS toks
-          FROM documents
+          FROM {source}
         ), docs AS MATERIALIZED (
           SELECT doc_id,
                  list_distinct(
@@ -3799,6 +3813,32 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(agg.txt, '') AS text_cleaned
             FROM d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id
         """,
+        "lsh_recall_documents": (
+            "WITH sample AS MATERIALIZED (SELECT * FROM documents WHERE "
+            + _md5_bucket("doc_id", "recall")
+            + " < 5000), "
+            + _minhash_md5_pipeline("sample")
+            + """, truth AS MATERIALIZED (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+                    / greatest(len(list_distinct(a.sh || b.sh)), 1) >= 0.5
+            ), hits AS (
+              SELECT t.id_a, t.id_b FROM truth t
+              JOIN pairs p ON p.id_a = t.id_a AND p.id_b = t.id_b
+            )
+            SELECT (SELECT count(*) FROM sample) AS n_sample,
+                   (SELECT count(*) FROM truth) AS n_true_pairs,
+                   (SELECT count(*) FROM pairs) AS n_candidate_pairs,
+                   (SELECT count(*) FROM hits) AS n_hits,
+                   CASE WHEN (SELECT count(*) FROM truth) > 0
+                        THEN round((SELECT count(*) FROM hits) * 1.0
+                                   / (SELECT count(*) FROM truth), 6) END AS recall,
+                   CASE WHEN (SELECT count(*) FROM pairs) > 0
+                        THEN round((SELECT count(*) FROM hits) * 1.0
+                                   / (SELECT count(*) FROM pairs), 6) END AS precision
+        """
+        ),
         "token_percentiles_by_source": f"""
             SELECT source, count(*) AS n_docs,
                    round(quantile_cont(len({_TOKENS}), 0.25), 4) AS p25,

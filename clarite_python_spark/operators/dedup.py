@@ -39,6 +39,7 @@ __all__ = [
     "minhash_clusters",
     "simhash",
     "ngram_jaccard_pairs",
+    "lsh_recall",
 ]
 
 
@@ -745,6 +746,77 @@ def minhash_lsh_candidates(
         .distinct()
     )
     return pairs
+
+
+def lsh_recall(
+    df: DataFrame,
+    threshold: float = 0.5,
+    sample_fraction: float = 0.5,
+    salt: str = "recall",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    hash_family: str = "xxhash64",
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Measure, don't guess: candidate RECALL of the banded MinHash-LSH
+    against exact ground truth on a deterministic sample. Draws a
+    hash-sample of the corpus, computes the TRUE pair set (all-pairs
+    shingle Jaccard >= threshold — quadratic, which is why it runs on
+    the sample, never the corpus), the LSH candidate set on the same
+    sample, and their intersection. One summary row: sample size, true
+    pairs, candidate pairs, hits, recall = hits/true, precision =
+    hits/candidates (how much verify work the banding wastes).
+
+    Run this before trusting a (num_hashes, bands, threshold) config at
+    100 TB — banding recall is 1-(1-t^r)^b in theory; this measures it
+    on YOUR corpus. The sample is md5-deterministic, so the number is
+    reproducible across runs and engines.
+    """
+    from clarite_python_spark.operators.pipeline import deterministic_sample
+
+    if not 0 < sample_fraction <= 1:
+        raise ValueError("sample_fraction must be in (0, 1]")
+    sample = deterministic_sample(
+        df, sample_fraction, id_col=id_col, salt=salt
+    )
+    ids = sample.select(id_col)
+    allpairs = ids.select(F.col(id_col).alias("id_a")).join(
+        ids.select(F.col(id_col).alias("id_b")), F.col("id_a") < F.col("id_b")
+    )
+    truth = ngram_jaccard_pairs(
+        sample, allpairs, text_col, id_col, shingle_n, threshold
+    ).select("id_a", "id_b")
+    cands = minhash_lsh_candidates(
+        sample, text_col, id_col, num_hashes, bands, shingle_n, max_bucket,
+        hash_family,
+    )
+    hits = truth.join(cands, ["id_a", "id_b"], "left_semi")
+    n_s = sample.agg(F.count(F.lit(1)).alias("n_sample"))
+    n_t = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    n_c = cands.agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
+    n_h = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    one = (
+        n_s.crossJoin(F.broadcast(n_t))
+        .crossJoin(F.broadcast(n_c))
+        .crossJoin(F.broadcast(n_h))
+    )
+    return one.select(
+        "n_sample",
+        "n_true_pairs",
+        "n_candidate_pairs",
+        "n_hits",
+        F.when(
+            F.col("n_true_pairs") > 0,
+            F.round(F.col("n_hits") / F.col("n_true_pairs"), 6),
+        ).alias("recall"),
+        F.when(
+            F.col("n_candidate_pairs") > 0,
+            F.round(F.col("n_hits") / F.col("n_candidate_pairs"), 6),
+        ).alias("precision"),
+    )
 
 
 def ngram_jaccard_pairs(

@@ -415,3 +415,31 @@ def test_source_overlap_validation(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="granularity"):
         source_overlap(df, granularity="nope")
+
+
+# ------------------------------------------------------------- lsh_recall
+
+
+def test_lsh_recall_on_planted_neardups(spark):
+    from clarite_python_spark.operators.dedup import lsh_recall
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(i, base + f" tail{i}") for i in range(6)]  # 6 mutual near-dups
+    rows += [(100 + i, f"totally different text number {i} with unique words {i*7}") for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    r = lsh_recall(df, threshold=0.5, sample_fraction=1.0, salt="t").collect()[0]
+    assert r["n_sample"] == 12
+    assert r["n_true_pairs"] == 15  # C(6,2) planted pairs
+    assert r["n_hits"] <= r["n_true_pairs"]
+    assert r["n_hits"] <= r["n_candidate_pairs"]
+    assert r["recall"] == 1.0  # jaccard ~0.87 pairs: banding must catch all
+    assert 0 < r["precision"] <= 1.0
+
+
+def test_lsh_recall_validation(spark):
+    from clarite_python_spark.operators.dedup import lsh_recall
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="sample_fraction"):
+        lsh_recall(df, sample_fraction=0.0)
