@@ -346,6 +346,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="feature=weight overrides for the linear probe")
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
+    p = g_pipe.add_parser("lsh-recall")
+    p.add_argument("data")
+    p.add_argument("output")
+    p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--sample-fraction", type=float, default=0.5)
+    p.add_argument("--salt", default="recall")
+    p.add_argument("--hash-family", default="xxhash64", choices=["xxhash64", "md5"])
+    p.add_argument("--num-hashes", type=int, default=32)
+    p.add_argument("--bands", type=int, default=8)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
     p = g_pipe.add_parser("compact")
     p.add_argument("data")
     p.add_argument("output")
@@ -726,6 +737,18 @@ def main(argv: list[str] | None = None) -> int:
                 threshold=args.threshold,
                 text_col=args.text_col,
                 id_col=args.id_col,
+            )
+        elif args.command == "lsh-recall":
+            out = dedup_mod.lsh_recall(
+                df,
+                threshold=args.threshold,
+                sample_fraction=args.sample_fraction,
+                salt=args.salt,
+                text_col=args.text_col,
+                id_col=args.id_col,
+                hash_family=args.hash_family,
+                num_hashes=args.num_hashes,
+                bands=args.bands,
             )
         elif args.command == "compact":
             from clarite_python_spark.operators import layout as layout_mod

@@ -374,3 +374,12 @@ def test_cli_compact(spark, tmp_path):
     import os
     n = len([f for f in os.listdir(f"{d}/out") if f.endswith(".parquet")])
     assert n < 16
+
+
+def test_cli_lsh_recall(spark, tmp_path):
+    d = str(tmp_path)
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").write.parquet(f"{d}/docs")
+    assert cli.main(["pipeline", "lsh-recall", f"{d}/docs", f"{d}/rec",
+                     "--sample-fraction", "0.5"]) == 0
+    r = spark.read.parquet(f"{d}/rec").collect()[0]
+    assert r["n_sample"] > 0 and r["n_hits"] <= r["n_candidate_pairs"]
