@@ -292,6 +292,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-span-dup-frac", type=float, default=None,
                    help="opt-in Lee-et-al substring-dup stage threshold")
     p.add_argument("--span-ngram", type=int, default=50)
+    p.add_argument("--min-quality-prob", type=float, default=None,
+                   help="opt-in linear quality-classifier stage threshold")
     p = g_pipe.add_parser("duplicate-spans")
     p.add_argument("data")
     p.add_argument("output")
@@ -784,6 +786,7 @@ def main(argv: list[str] | None = None) -> int:
                 languages=tuple(args.languages),
                 max_span_dup_frac=args.max_span_dup_frac,
                 span_n=args.span_ngram,
+                min_quality_prob=args.min_quality_prob,
             )
             if args.apply:
                 out = df.join(

@@ -234,6 +234,8 @@ def clean_corpus(
     gopher_kwargs: dict | None = None,
     max_span_dup_frac: float | None = None,
     span_n: int = 50,
+    min_quality_prob: float | None = None,
+    classifier_weights: dict | None = None,
 ) -> DataFrame:
     """End-to-end corpus-cleaning decision table: the standard filter
     stack (exact dedup -> Gopher quality rules -> repetition filters ->
@@ -253,6 +255,13 @@ def clean_corpus(
     ``keep_spans`` verdict that joins the table and ANDs into ``keep``.
     Off by default because it is the one stage whose cost is corpus-
     quadratic-in-boilerplate (see BASELINE.md shape table).
+
+    ``min_quality_prob`` (opt-in) adds the linear quality-classifier
+    stage (:func:`~clarite_python_spark.operators.text.
+    quality_classifier`, optionally with ``classifier_weights``
+    overrides): documents scoring below the threshold fail a
+    ``keep_classifier`` verdict. Costs one more id-keyed join of a
+    scan-speed projection.
 
     Plan shape: each stage is the already-audited operator (SCALE.md
     rows); the composition adds two id-keyed joins that AQE
@@ -311,6 +320,20 @@ def clean_corpus(
         )
         out = out.join(spans, id_col, "left").fillna(True, subset=["keep_spans"])
         keep = keep & F.col("keep_spans")
+    if min_quality_prob is not None:
+        from clarite_python_spark.operators.text import quality_classifier
+
+        probe = quality_classifier(
+            df,
+            weights=classifier_weights,
+            threshold=min_quality_prob,
+            text_col=text_col,
+            id_col=id_col,
+        ).select(F.col(id_col), F.col("keep").alias("keep_classifier"))
+        out = out.join(probe, id_col, "left").fillna(
+            False, subset=["keep_classifier"]
+        )
+        keep = keep & F.col("keep_classifier")
     return out.withColumn("keep", keep)
 
 

@@ -663,3 +663,19 @@ def test_domain_cap_and_mixture_refuse_reserved_columns(docs):
     clash2 = docs.withColumn("rate_buckets", F.lit(1))
     with pytest.raises(ValueError, match="rate_buckets"):
         pipeline.temperature_mixture(clash2, 0.5, 10)
+
+
+def test_clean_corpus_optional_classifier_stage(spark):
+    rows = [
+        (1, "the cat sat on the mat and it is a fine day for walking out"),
+        (2, "@@@@ ##### 12345 67890 !!!! %%%% ^^^^ 00000 still noisy 111"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    base = pipeline.clean_corpus(df)
+    assert "keep_classifier" not in base.columns  # off by default
+    out = {r["doc_id"]: r.asDict() for r in pipeline.clean_corpus(
+        df, min_quality_prob=0.5
+    ).collect()}
+    assert out[1]["keep_classifier"] is True
+    assert out[2]["keep_classifier"] is False
+    assert out[2]["keep"] is False
