@@ -278,3 +278,65 @@ def test_duplicate_spans_two_keyed_shuffles_no_python(spark):
     # arithmetically, so exactly two plan nodes carry the hash lambda
     nodes_with_hash = sum("xxhash64" in blk for blk in _re.split(r"\n\(\d+\) ", plan))
     assert nodes_with_hash == 2, plan[:2000]
+
+
+def test_round6_operators_no_cartesian_no_python(spark):
+    """Round-6 operators: every plan must stay JVM-side (no
+    BatchEvalPython/ArrowEvalPython in the data path) and contain no
+    cartesian/broadcast-nested-loop product."""
+    from pyspark.sql import functions as F
+
+    from clarite_python_spark.operators import dedup, pipeline, text
+    from clarite_python_spark.operators import events as events_ops
+    from clarite_python_spark.sources.io import load_testdata
+
+    t = load_testdata(spark, SF_DIR, ["documents", "events"])
+    docs, ev = t["documents"], t["events"]
+    plans = {
+        "domain_cap": pipeline.domain_cap(docs, 15, prefilter_margin=3.0),
+        "temperature_mixture": pipeline.temperature_mixture(docs, 0.5, 300),
+        "quality_classifier": text.quality_classifier(docs),
+        "tfidf": text.tfidf_top_terms(docs),
+        "bigram": text.bigram_logprob(docs),
+        "remove_spans": dedup.remove_duplicate_spans(docs, n=16),
+        "source_overlap": dedup.source_overlap(docs, granularity="ngram"),
+        "funnel": events_ops.funnel(ev, ["signup", "view", "purchase"]),
+        "retention": events_ops.retention_cohorts(ev),
+    }
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        if name != "temperature_mixture":
+            # temperature_mixture legitimately crossJoins a ONE-ROW
+            # broadcast (the global normalizer Z) — the scalar-broadcast
+            # idiom, not a product over data
+            assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_funnel_single_user_shuffle(spark):
+    from clarite_python_spark.operators import events as events_ops
+    from clarite_python_spark.sources.io import load_testdata
+
+    ev = load_testdata(spark, SF_DIR, ["events"])["events"]
+    plan = (
+        events_ops.funnel(ev, ["signup", "view", "purchase"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one keyed exchange (the user groupBy) — N stages must NOT become
+    # N cascaded min-join shuffles
+    assert plan.count("Exchange") == 1
+
+
+def test_quality_classifier_zero_exchange(spark):
+    from clarite_python_spark.operators import text
+    from clarite_python_spark.sources.io import load_testdata
+
+    docs = load_testdata(spark, SF_DIR, ["documents"])["documents"]
+    plan = (
+        text.quality_classifier(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 0  # pure codegen projection
