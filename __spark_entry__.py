@@ -1374,6 +1374,16 @@ def remove_duplicate_spans_documents(spark: SparkSession, sf_dir: str) -> DataFr
     return out.orderBy("doc_id")
 
 
+def ann_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the 6-plane LSH ANN vs exact brute-force cosine on
+    20 md5-deterministic query vectors (operators/similarity.py:
+    ann_recall) — the measured counterpart of the 1/2^planes candidate-
+    fraction theory; oracle replays query sampling, both pipelines, and
+    the intersection."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ann_recall(emb, k=10, n_queries=20, method="lsh", n_planes=6)
+
+
 def lsh_recall_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate-recall measurement of the md5 MinHash-LSH config
     (operators/dedup.py:lsh_recall): exact all-pairs Jaccard ground
@@ -1604,6 +1614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap_documents": source_overlap_documents,
         "token_percentiles_by_source": token_percentiles_by_source,
         "lsh_recall_documents": lsh_recall_documents,
+        "ann_recall_embeddings": ann_recall_embeddings,
         "funnel_events": funnel_events,
         "funnel_window_events": funnel_window_events,
         "funnel_times_events": funnel_times_events,
@@ -1776,6 +1787,58 @@ def _similarity_lsh_oracle() -> str:
         )
         SELECT query_id, vec_id, rank, round(cosine, 6) AS cosine
         FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+    """
+
+
+def _ann_recall_oracle() -> str:
+    """DuckDB twin of ann_recall(k=10, n_queries=20, method='lsh',
+    n_planes=6, seed=42): md5-keyed query sampling, brute-force exact
+    top-10, bucketed LSH top-10, and the intersection counts."""
+    from clarite_python_spark.operators.similarity import _hyperplanes
+
+    bucket = _lsh_bucket_sql("embedding::DOUBLE[]", _hyperplanes(64, 6, 42))
+    key = _md5_key("vec_id", "annrecall")
+    return f"""
+        WITH e2 AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v, {bucket} AS bucket FROM embeddings
+        ), q AS (
+          SELECT e2.vec_id AS query_id, e2.v AS qvec, e2.bucket AS qbucket
+          FROM e2 JOIN (SELECT vec_id, {key} AS kq FROM embeddings) kk
+            ON kk.vec_id = e2.vec_id
+          ORDER BY kk.kq, e2.vec_id LIMIT 20
+        ), exact AS (
+          SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e2.vec_id,
+                   row_number() OVER (PARTITION BY q.query_id ORDER BY
+                     list_dot_product(e2.v, q.qvec)
+                       / (sqrt(list_dot_product(e2.v, e2.v))
+                          * sqrt(list_dot_product(q.qvec, q.qvec))) DESC,
+                     e2.vec_id ASC) AS rnk
+            FROM e2 CROSS JOIN q
+          ) WHERE rnk <= 10
+        ), approx AS (
+          SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e2.vec_id,
+                   row_number() OVER (PARTITION BY q.query_id ORDER BY
+                     list_dot_product(e2.v, q.qvec)
+                       / (sqrt(list_dot_product(e2.v, e2.v))
+                          * sqrt(list_dot_product(q.qvec, q.qvec))) DESC,
+                     e2.vec_id ASC) AS rnk
+            FROM e2 JOIN q ON e2.bucket = q.qbucket
+          ) WHERE rnk <= 10
+        ), hits AS (
+          SELECT exact.query_id, exact.vec_id FROM exact
+          JOIN approx ON approx.query_id = exact.query_id
+                     AND approx.vec_id = exact.vec_id
+        )
+        SELECT (SELECT count(*) FROM q) AS n_queries,
+               CAST(10 AS INT) AS k,
+               (SELECT count(*) FROM exact) AS n_exact,
+               (SELECT count(*) FROM approx) AS n_approx,
+               (SELECT count(*) FROM hits) AS n_hits,
+               CASE WHEN (SELECT count(*) FROM exact) > 0
+                    THEN round((SELECT count(*) FROM hits) * 1.0
+                               / (SELECT count(*) FROM exact), 6) END AS recall
     """
 
 
@@ -3813,6 +3876,7 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(agg.txt, '') AS text_cleaned
             FROM d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id
         """,
+        "ann_recall_embeddings": _ann_recall_oracle(),
         "lsh_recall_documents": (
             "WITH sample AS MATERIALIZED (SELECT * FROM documents WHERE "
             + _md5_bucket("doc_id", "recall")

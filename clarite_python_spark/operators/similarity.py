@@ -30,6 +30,7 @@ __all__ = [
     "embedding_neardup",
     "semantic_dedup",
     "label_centroids",
+    "ann_recall",
 ]
 
 
@@ -452,3 +453,72 @@ def semantic_dedup(
         .distinct()
     )
     return assigned.join(removed, on=id_col, how="left_anti").select(id_col, "cluster")
+
+
+def ann_recall(
+    corpus: DataFrame,
+    k: int = 10,
+    n_queries: int = 20,
+    method: str = "lsh",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "annrecall",
+    **method_kwargs,
+) -> DataFrame:
+    """Measure, don't guess: recall@k of an approximate-nearest-neighbor
+    method against the exact brute-force top-k, on a deterministic query
+    sample (the ``n_queries`` corpus vectors with the lowest md5 keys —
+    reproducible across runs, partitionings, and engines).
+
+    recall@k = |approx hits among the true top-k| / |true top-k|, summed
+    over the query set — the number that decides whether an LSH plane
+    count or IVF probe budget is safe to ship at 100 TB, measured on
+    YOUR vectors instead of read off an idealized curve.
+
+    Plan: brute-force scoring runs on n_queries × corpus (one broadcast
+    of the tiny query set — exactly ``cosine_topk``); the approximate
+    side is the method under test; the compare is a left-semi join of
+    two O(n_queries·k) result sets. Returns one row: n_queries, k,
+    n_exact, n_approx, n_hits, recall.
+    """
+    from clarite_python_spark.functions.hashing import md5_60bit
+
+    if n_queries <= 0 or k <= 0:
+        raise ValueError("n_queries and k must be positive")
+    q = (
+        corpus.withColumn(
+            "__qkey",
+            md5_60bit(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt))),
+        )
+        .orderBy("__qkey", id_col)
+        .limit(n_queries)
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col))
+    )
+    exact = cosine_topk(corpus, q, k, id_col, vec_col).select("query_id", id_col)
+    if method == "lsh":
+        approx = lsh_topk(corpus, q, k, id_col=id_col, vec_col=vec_col, **method_kwargs)
+    elif method == "ivf":
+        approx = ivf_topk(corpus, q, k, id_col=id_col, vec_col=vec_col, **method_kwargs)
+    else:
+        raise ValueError("method must be 'lsh' or 'ivf'")
+    approx = approx.select("query_id", id_col)
+    hits = exact.join(approx, ["query_id", id_col], "left_semi")
+    n_q = q.agg(F.count(F.lit(1)).alias("n_queries"))
+    n_e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_a = approx.agg(F.count(F.lit(1)).alias("n_approx"))
+    n_h = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    one = (
+        n_q.crossJoin(F.broadcast(n_e))
+        .crossJoin(F.broadcast(n_a))
+        .crossJoin(F.broadcast(n_h))
+    )
+    return one.select(
+        "n_queries",
+        F.lit(int(k)).alias("k"),
+        "n_exact",
+        "n_approx",
+        "n_hits",
+        F.when(
+            F.col("n_exact") > 0, F.round(F.col("n_hits") / F.col("n_exact"), 6)
+        ).alias("recall"),
+    )

@@ -150,3 +150,48 @@ def test_semantic_dedup_cluster_guard(spark):
 
     with _pytest.raises(ValueError, match="max_cluster_rows"):
         semantic_dedup(df, n_clusters=1, threshold=0.99, sample_size=100, max_cluster_rows=10)
+
+
+# -------------------------------------------------------------- ann_recall
+
+
+def test_ann_recall_identical_vectors_full_recall(spark):
+    """Clustered corpus: every vector equals one of 2 prototypes, so a
+    query's true top-k all share its bucket -> recall 1.0."""
+    import numpy as np
+
+    from clarite_python_spark.operators.similarity import ann_recall
+
+    rng = np.random.RandomState(0)
+    protos = [rng.randn(8).tolist(), rng.randn(8).tolist()]
+    rows = [(i, [float(x) for x in protos[i % 2]]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    r = ann_recall(df, k=5, n_queries=4, method="lsh", n_planes=4).collect()[0]
+    assert r["n_queries"] == 4 and r["k"] == 5
+    assert r["n_exact"] == 20
+    assert r["recall"] == 1.0
+
+
+def test_ann_recall_ivf_full_probe_is_exact(spark):
+    import numpy as np
+
+    from clarite_python_spark.operators.similarity import ann_recall
+
+    rng = np.random.RandomState(1)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    r = ann_recall(
+        df, k=5, n_queries=5, method="ivf", n_lists=4, n_probe=4, sample_size=60
+    ).collect()[0]
+    assert r["recall"] == 1.0  # probing every list == brute force
+
+
+def test_ann_recall_validation(spark):
+    from clarite_python_spark.operators.similarity import ann_recall
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="method"):
+        ann_recall(df, method="nope")
+    with _pytest.raises(ValueError, match="positive"):
+        ann_recall(df, k=0)
