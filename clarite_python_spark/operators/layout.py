@@ -183,11 +183,16 @@ def dataset_stats(path: str) -> dict:
 
     import pyarrow.parquet as pq
 
-    files = sorted(
-        os.path.join(path, f)
-        for f in os.listdir(path)
-        if f.endswith(".parquet") and not f.startswith((".", "_"))
-    )
+    files = []
+    for root, dirs, names in os.walk(path):
+        # hive-partitioned datasets nest files under key=value dirs
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        files.extend(
+            os.path.join(root, f)
+            for f in names
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+    files.sort()
     n_rows = n_groups = total = 0
     for f in files:
         total += os.path.getsize(f)

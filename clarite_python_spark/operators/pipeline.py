@@ -478,10 +478,15 @@ def domain_cap(
             F.lit(key_space),
             F.ceil(F.lit(float(prefilter_margin * max_docs) * key_space) / F.col("__n")),
         ).cast("long").alias("__cut")
+        rates = counts.select(F.col(by).alias("__capgrp"), cut)
+        # null-safe join: a NULL group is a real group (groupBy made a
+        # row for it) and must not be silently dropped by null != null
         out = (
-            out.join(F.broadcast(counts.select(by, cut)), by)
+            out.join(
+                F.broadcast(rates), F.col(by).eqNullSafe(F.col("__capgrp"))
+            )
             .where(F.col("__key") < F.col("__cut"))
-            .drop("__cut")
+            .drop("__cut", "__capgrp")
         )
     w = Window.partitionBy(by).orderBy(F.col("__key"), F.col(id_col))
     return (
@@ -539,7 +544,9 @@ def temperature_mixture(
         F.floor(rate * BUCKETS + F.lit(0.5)).cast("int").alias("rate_buckets"),
     )
     b = hash_bucket(id_col, salt)
+    rates = rates.withColumnRenamed(by, "__mixgrp")
     return (
-        df.join(F.broadcast(rates), by)
+        df.join(F.broadcast(rates), F.col(by).eqNullSafe(F.col("__mixgrp")))
         .where(b < F.col("rate_buckets"))
+        .drop("__mixgrp")
     )

@@ -225,3 +225,12 @@ def test_compact_validation(spark, tmp_path):
         compact(spark, src, src)
     with pytest.raises(ValueError, match="target_file_mb"):
         compact(spark, src, src + "2", target_file_mb=0)
+
+
+def test_dataset_stats_sees_partitioned_files(spark, tmp_path):
+    from clarite_python_spark.operators.layout import dataset_stats
+
+    src = str(tmp_path / "part")
+    spark.range(1000).withColumn("p", F.col("id") % 3).write.partitionBy("p").parquet(src)
+    st = dataset_stats(src)
+    assert st["n_files"] >= 3 and st["n_rows"] == 1000

@@ -679,3 +679,15 @@ def test_clean_corpus_optional_classifier_stage(spark):
     assert out[1]["keep_classifier"] is True
     assert out[2]["keep_classifier"] is False
     assert out[2]["keep"] is False
+
+
+def test_domain_cap_and_mixture_keep_null_groups(spark):
+    rows = [(i, None if i % 2 else "s") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    capped = pipeline.domain_cap(df, 5, salt="n")
+    got = {r["source"]: 0 for r in capped.collect()}
+    assert None in got and "s" in got  # null group capped, not dropped
+    pre = pipeline.domain_cap(df, 5, salt="n", prefilter_margin=3.0)
+    assert sorted(map(tuple, pre.collect())) == sorted(map(tuple, capped.collect()))
+    mixed = pipeline.temperature_mixture(df, 0.5, 20, salt="n")
+    assert {r["source"] for r in mixed.collect()} == {None, "s"}
