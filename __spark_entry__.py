@@ -1384,6 +1384,18 @@ def ann_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_recall(emb, k=10, n_queries=20, method="lsh", n_planes=6)
 
 
+def ivf_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the partial-probe IVF configuration (n_probe=4 of
+    n_lists=8 — expected scan fraction 1/2) vs exact brute force on the
+    same 20 md5-deterministic queries as ann_recall_embeddings; the
+    oracle replays quantizer training (shared k-means CTEs), probe
+    selection, both top-k pipelines, and the intersection."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ann_recall(
+        emb, k=10, n_queries=20, method="ivf", n_lists=8, n_probe=4
+    )
+
+
 def lsh_recall_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate-recall measurement of the md5 MinHash-LSH config
     (operators/dedup.py:lsh_recall): exact all-pairs Jaccard ground
@@ -1615,6 +1627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_percentiles_by_source": token_percentiles_by_source,
         "lsh_recall_documents": lsh_recall_documents,
         "ann_recall_embeddings": ann_recall_embeddings,
+        "ivf_recall_embeddings": ivf_recall_embeddings,
         "funnel_events": funnel_events,
         "funnel_window_events": funnel_window_events,
         "funnel_times_events": funnel_times_events,
@@ -1788,6 +1801,70 @@ def _similarity_lsh_oracle() -> str:
         SELECT query_id, vec_id, rank, round(cosine, 6) AS cosine
         FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
     """
+
+
+def _ivf_recall_oracle() -> str:
+    """DuckDB twin of ann_recall(method='ivf', k=10, n_queries=20,
+    n_lists=8, n_probe=4): shared k-means training CTEs, corpus list
+    assignment, md5-keyed query sampling, exact + probed top-10, and
+    the intersection counts."""
+    ctes = _kmeans_ctes()
+    key = _md5_key("vec_id", "annrecall")
+    final = f"""
+        corp AS MATERIALIZED (
+          SELECT e.vec_id, e.embedding::DOUBLE[] AS raw,
+                 (SELECT c.j FROM c10 c
+                  ORDER BY list_dot_product(e.embedding::DOUBLE[], c.v)
+                           / sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) DESC,
+                           c.j ASC LIMIT 1) AS lst
+          FROM embeddings e),
+        q AS MATERIALIZED (
+          SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qvec
+          FROM embeddings e JOIN (SELECT vec_id, {key} AS kq FROM embeddings) kk
+            ON kk.vec_id = e.vec_id
+          ORDER BY kk.kq, e.vec_id LIMIT 20),
+        exact AS (
+          SELECT query_id, vec_id FROM (
+            SELECT q.query_id, co.vec_id,
+                   row_number() OVER (PARTITION BY q.query_id ORDER BY
+                     list_dot_product(co.raw, q.qvec)
+                       / (sqrt(list_dot_product(co.raw, co.raw))
+                          * sqrt(list_dot_product(q.qvec, q.qvec))) DESC,
+                     co.vec_id ASC) AS rnk
+            FROM corp co CROSS JOIN q
+          ) WHERE rnk <= 10),
+        probes AS MATERIALIZED (
+          SELECT q.query_id, q.qvec, c.j AS lst,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY list_dot_product(q.qvec, c.v)
+                            / sqrt(list_dot_product(q.qvec, q.qvec)) DESC,
+                            c.j DESC) AS pr
+          FROM q, c10 c),
+        approx AS (
+          SELECT query_id, vec_id FROM (
+            SELECT p.query_id, co.vec_id,
+                   row_number() OVER (PARTITION BY p.query_id ORDER BY
+                     list_dot_product(co.raw, p.qvec)
+                       / (sqrt(list_dot_product(co.raw, co.raw))
+                          * sqrt(list_dot_product(p.qvec, p.qvec))) DESC,
+                     co.vec_id ASC) AS rnk
+            FROM (SELECT * FROM probes WHERE pr <= 4) p
+            JOIN corp co ON co.lst = p.lst
+          ) WHERE rnk <= 10),
+        hits AS (
+          SELECT exact.query_id, exact.vec_id FROM exact
+          JOIN approx ON approx.query_id = exact.query_id
+                     AND approx.vec_id = exact.vec_id)
+        SELECT (SELECT count(*) FROM q) AS n_queries,
+               CAST(10 AS INT) AS k,
+               (SELECT count(*) FROM exact) AS n_exact,
+               (SELECT count(*) FROM approx) AS n_approx,
+               (SELECT count(*) FROM hits) AS n_hits,
+               CASE WHEN (SELECT count(*) FROM exact) > 0
+                    THEN round((SELECT count(*) FROM hits) * 1.0
+                               / (SELECT count(*) FROM exact), 6) END AS recall
+    """
+    return "WITH " + ",\n".join(ctes) + ",\n" + final
 
 
 def _ann_recall_oracle() -> str:
@@ -3877,6 +3954,7 @@ def oracle_sql() -> dict[str, str]:
             FROM d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id
         """,
         "ann_recall_embeddings": _ann_recall_oracle(),
+        "ivf_recall_embeddings": _ivf_recall_oracle(),
         "lsh_recall_documents": (
             "WITH sample AS MATERIALIZED (SELECT * FROM documents WHERE "
             + _md5_bucket("doc_id", "recall")
