@@ -1389,7 +1389,11 @@ def ivf_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_lists=8 — expected scan fraction 1/2) vs exact brute force on the
     same 20 md5-deterministic queries as ann_recall_embeddings; the
     oracle replays quantizer training (shared k-means CTEs), probe
-    selection, both top-k pipelines, and the intersection."""
+    selection, both top-k pipelines, and the intersection. Like
+    similarity_ivf_probe, the k-means replay inlines seeded init
+    indices for the gate corpus (n=500), so this oracle is
+    gate-corpus-specific by construction (the LSH recall twin, whose
+    planes fix only the dim, checks at any SF)."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.ann_recall(
         emb, k=10, n_queries=20, method="ivf", n_lists=8, n_probe=4
