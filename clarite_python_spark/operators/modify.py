@@ -169,13 +169,28 @@ def make_binary(cf: ClariteFrame, skip=None, only=None) -> ClariteFrame:
 
 
 def make_categorical(cf: ClariteFrame, skip=None, only=None) -> ClariteFrame:
-    """Mark columns categorical (modify.py:457-500); caches levels."""
+    """Mark columns categorical (modify.py:457-500); caches levels.
+
+    A column with <= 1 distinct non-null value stays CONSTANT even when
+    explicitly made categorical — the reference's data-derived
+    ``_get_dtype`` (internal/utilities.py, pinned by
+    tests/internal/test_dtypes.py) reports a one-category categorical
+    as "constant", and downstream analyses skip constants."""
     cols = validate_skip_only(cf.variables, skip, only)
     out = _assert_and_mark(cf, CATEGORICAL, skip, only)
     levels = cf.df.agg(*[F.collect_set(qcol(c)).alias(c) for c in cols]).collect()[0].asDict()
+    from clarite_python_spark.catalog import CONSTANT
+
+    constant_cols = []
     for c in cols:
         out.catalog.categories[c] = sorted(levels[c])
-    return _report(out, {"set_categorical": cols})
+        if len(levels[c]) <= 1:
+            out.catalog.set(c, CONSTANT)
+            constant_cols.append(c)
+    report = {"set_categorical": [c for c in cols if c not in set(constant_cols)]}
+    if constant_cols:
+        report["kept_constant"] = constant_cols
+    return _report(out, report)
 
 
 def make_genotypes(cf: ClariteFrame, alleles: Mapping[str, Sequence[str]]) -> ClariteFrame:

@@ -61,3 +61,59 @@ def test_summarize(cat_cf):
     assert s["rows"] == 400
     assert s["types"]["binary"] == 1
     assert s["types"]["continuous"] >= 2
+
+
+def test_get_types_matches_reference_dtype_contract(spark):
+    """Mirror of the reference's tests/internal/test_dtypes.py:
+    test_get_dtypes on the same NHANES frame plus genotype / unknown /
+    constant columns — including the subtle case where an explicitly
+    make_categorical'd constant column still reports 'constant'
+    (reference _get_dtype re-derives from the data)."""
+    import os
+
+    import pytest as _pytest
+
+    data = "/root/reference/tests/test_data_files/nhanes_data.csv"
+    if not os.path.exists(data):
+        _pytest.skip("reference data not available")
+    from pyspark.sql import functions as F
+
+    from clarite_python_spark.operators import modify
+    from clarite_python_spark.sources.io import from_csv
+
+    cf = from_csv(spark, data, index_col=None)
+    df = (
+        cf.df.withColumn(
+            "var1", F.when(F.col("ID") % 3 == 0, "A/A").otherwise("A/T")
+        )
+        .withColumn("var2", F.when(F.col("ID") % 5 == 0, "G/T").otherwise("G/G"))
+        .withColumn("unknown", F.lit("unknown"))
+        .withColumn("constant", F.lit(1))
+    )
+    from clarite_python_spark.catalog import ClariteFrame
+
+    out = ClariteFrame(df, catalog=cf.catalog)
+    out = modify.make_binary(out, only=["HI_CHOL", "RIAGENDR"])
+    out = modify.make_categorical(out, only=["race", "agecat", "constant"])
+    out = modify.make_genotypes(out, {"var1": ("A", "T"), "var2": ("G", "T")})
+    got = {
+        r["variable"]: r["type"]
+        for r in __import__(
+            "clarite_python_spark.operators.describe", fromlist=["describe"]
+        ).get_types(out).collect()
+    }
+    expected = {
+        "SDMVPSU": "continuous",
+        "SDMVSTRA": "continuous",
+        "WTMEC2YR": "continuous",
+        "HI_CHOL": "binary",
+        "race": "categorical",
+        "agecat": "categorical",
+        "RIAGENDR": "binary",
+        "var1": "genotypes",
+        "var2": "genotypes",
+        "unknown": "unknown",
+        "constant": "constant",
+    }
+    for k, v in expected.items():
+        assert got[k] == v, k
