@@ -793,16 +793,23 @@ def lsh_recall(
         sample, text_col, id_col, num_hashes, bands, shingle_n, max_bucket,
         hash_family,
     )
-    hits = truth.join(cands, ["id_a", "id_b"], "left_semi")
-    n_s = sample.agg(F.count(F.lit(1)).alias("n_sample"))
-    n_t = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
-    n_c = cands.agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
-    n_h = hits.agg(F.count(F.lit(1)).alias("n_hits"))
-    one = (
-        n_s.crossJoin(F.broadcast(n_t))
-        .crossJoin(F.broadcast(n_c))
-        .crossJoin(F.broadcast(n_h))
+    # ONE full-outer join carries all three pair counts, so the truth
+    # and candidate DAGs (each expensive: all-pairs Jaccard / banding)
+    # evaluate exactly once instead of once per count aggregation
+    j = truth.withColumn("__t", F.lit(1)).join(
+        cands.withColumn("__c", F.lit(1)), ["id_a", "id_b"], "full_outer"
     )
+    counts = j.agg(
+        F.sum("__t").alias("n_true_pairs"),
+        F.sum("__c").alias("n_candidate_pairs"),
+        F.sum(F.col("__t") * F.col("__c")).alias("n_hits"),
+    ).select(
+        F.coalesce("n_true_pairs", F.lit(0)).alias("n_true_pairs"),
+        F.coalesce("n_candidate_pairs", F.lit(0)).alias("n_candidate_pairs"),
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+    )
+    n_s = sample.agg(F.count(F.lit(1)).alias("n_sample"))
+    one = n_s.crossJoin(F.broadcast(counts))
     return one.select(
         "n_sample",
         "n_true_pairs",

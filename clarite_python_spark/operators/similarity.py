@@ -502,16 +502,22 @@ def ann_recall(
     else:
         raise ValueError("method must be 'lsh' or 'ivf'")
     approx = approx.select("query_id", id_col)
-    hits = exact.join(approx, ["query_id", id_col], "left_semi")
-    n_q = q.agg(F.count(F.lit(1)).alias("n_queries"))
-    n_e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    n_a = approx.agg(F.count(F.lit(1)).alias("n_approx"))
-    n_h = hits.agg(F.count(F.lit(1)).alias("n_hits"))
-    one = (
-        n_q.crossJoin(F.broadcast(n_e))
-        .crossJoin(F.broadcast(n_a))
-        .crossJoin(F.broadcast(n_h))
+    # one full-outer join carries all three counts, so the exact and
+    # approximate top-k DAGs each evaluate exactly once
+    j = exact.withColumn("__e", F.lit(1)).join(
+        approx.withColumn("__a", F.lit(1)), ["query_id", id_col], "full_outer"
     )
+    counts = j.agg(
+        F.sum("__e").alias("n_exact"),
+        F.sum("__a").alias("n_approx"),
+        F.sum(F.col("__e") * F.col("__a")).alias("n_hits"),
+    ).select(
+        F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+        F.coalesce("n_approx", F.lit(0)).alias("n_approx"),
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+    )
+    n_q = q.agg(F.count(F.lit(1)).alias("n_queries"))
+    one = n_q.crossJoin(F.broadcast(counts))
     return one.select(
         "n_queries",
         F.lit(int(k)).alias("k"),
