@@ -1533,57 +1533,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering note: the driver's correctness gate samples the FIRST 50
+    # entries of this dict (CORRECTNESS_r04/05/06 key lists are literal
+    # prefixes). Rounds 1-6 validated the original first 50; round 7
+    # rotates the other 53 (similarity / multimodal / winnowing / funnel /
+    # recall / pipeline families) to the head so the driver finally
+    # samples them, moving the already-driver-proven 50 to the tail.
+    # The local full gate (scripts/check_correctness.py) always runs all.
     return {
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_top_revenue_orders": q3_top_revenue_orders,
-        "categorize_types_customer": categorize_types_customer,
-        "percent_na_events": percent_na_events,
-        "freq_table_orders": freq_table_orders,
-        "colfilter_min_cat_n_orders": colfilter_min_cat_n_orders,
-        "colfilter_percent_zero_lineitem": colfilter_percent_zero_lineitem,
-        "rowfilter_orders": rowfilter_orders,
-        "rowfilter_incomplete_obs_events": rowfilter_incomplete_obs_events,
-        "recode_values_orders": recode_values_orders,
-        "remove_outliers_iqr_lineitem": remove_outliers_iqr_lineitem,
-        "remove_outliers_gaussian_lineitem": remove_outliers_gaussian_lineitem,
-        "transform_log_lineitem": transform_log_lineitem,
-        "join_customer_nation": join_customer_nation,
-        "merge_observations_orders": merge_observations_orders,
-        "correlations_lineitem": correlations_lineitem,
-        "skewness_lineitem": skewness_lineitem,
-        "association_study_lineitem": association_study_lineitem,
-        "association_study_columnar_lineitem": association_study_columnar_lineitem,
-        "association_study_covariates": association_study_covariates,
-        "association_study_weighted_orders": association_study_weighted_orders,
-        "glm_logistic_orders": glm_logistic_orders,
-        "interaction_study_lineitem": interaction_study_lineitem,
-        "corrected_pvalues_documents": corrected_pvalues_documents,
-        "exact_dedup_documents": exact_dedup_documents,
-        "fingerprint_documents": fingerprint_documents,
-        "text_stats_documents": text_stats_documents,
-        "token_counts_by_source": token_counts_by_source,
-        "language_id_documents": language_id_documents,
-        "quality_score_documents": quality_score_documents,
-        "gopher_rules_documents": gopher_rules_documents,
-        "paragraph_dedup_documents": paragraph_dedup_documents,
-        "duplicate_spans_documents": duplicate_spans_documents,
-        "zorder_key_lineitem": zorder_key_lineitem,
-        "json_props_events": json_props_events,
-        "rollup_revenue_lineitem": rollup_revenue_lineitem,
-        "pivot_revenue_lineitem": pivot_revenue_lineitem,
-        "event_gaps_events": event_gaps_events,
-        "quantiles_lineitem": quantiles_lineitem,
-        "contamination_documents": contamination_documents,
-        "fuzzy_contamination_documents": fuzzy_contamination_documents,
-        "repetition_stats_documents": repetition_stats_documents,
-        "clean_corpus_documents": clean_corpus_documents,
-        "unigram_logprob_documents": unigram_logprob_documents,
-        "corpus_stats_documents": corpus_stats_documents,
-        "deterministic_shuffle_documents": deterministic_shuffle_documents,
-        "token_budget_sample_documents": token_budget_sample_documents,
-        "minhash_dedup_documents": minhash_dedup_documents,
-        "minhash_dedup_md5_documents": minhash_dedup_md5_documents,
-        "minhash_dedup_md5_transitive_documents": minhash_dedup_md5_transitive_documents,
         "simhash_md5_documents": simhash_md5_documents,
         "minhash_dedup_transitive_documents": minhash_dedup_transitive_documents,
         "minhash_clusters_documents": minhash_clusters_documents,
@@ -1637,6 +1594,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_times_events": funnel_times_events,
         "funnel_counts_events": funnel_counts_events,
         "retention_events": retention_events,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_revenue_orders": q3_top_revenue_orders,
+        "categorize_types_customer": categorize_types_customer,
+        "percent_na_events": percent_na_events,
+        "freq_table_orders": freq_table_orders,
+        "colfilter_min_cat_n_orders": colfilter_min_cat_n_orders,
+        "colfilter_percent_zero_lineitem": colfilter_percent_zero_lineitem,
+        "rowfilter_orders": rowfilter_orders,
+        "rowfilter_incomplete_obs_events": rowfilter_incomplete_obs_events,
+        "recode_values_orders": recode_values_orders,
+        "remove_outliers_iqr_lineitem": remove_outliers_iqr_lineitem,
+        "remove_outliers_gaussian_lineitem": remove_outliers_gaussian_lineitem,
+        "transform_log_lineitem": transform_log_lineitem,
+        "join_customer_nation": join_customer_nation,
+        "merge_observations_orders": merge_observations_orders,
+        "correlations_lineitem": correlations_lineitem,
+        "skewness_lineitem": skewness_lineitem,
+        "association_study_lineitem": association_study_lineitem,
+        "association_study_columnar_lineitem": association_study_columnar_lineitem,
+        "association_study_covariates": association_study_covariates,
+        "association_study_weighted_orders": association_study_weighted_orders,
+        "glm_logistic_orders": glm_logistic_orders,
+        "interaction_study_lineitem": interaction_study_lineitem,
+        "corrected_pvalues_documents": corrected_pvalues_documents,
+        "exact_dedup_documents": exact_dedup_documents,
+        "fingerprint_documents": fingerprint_documents,
+        "text_stats_documents": text_stats_documents,
+        "token_counts_by_source": token_counts_by_source,
+        "language_id_documents": language_id_documents,
+        "quality_score_documents": quality_score_documents,
+        "gopher_rules_documents": gopher_rules_documents,
+        "paragraph_dedup_documents": paragraph_dedup_documents,
+        "duplicate_spans_documents": duplicate_spans_documents,
+        "zorder_key_lineitem": zorder_key_lineitem,
+        "json_props_events": json_props_events,
+        "rollup_revenue_lineitem": rollup_revenue_lineitem,
+        "pivot_revenue_lineitem": pivot_revenue_lineitem,
+        "event_gaps_events": event_gaps_events,
+        "quantiles_lineitem": quantiles_lineitem,
+        "contamination_documents": contamination_documents,
+        "fuzzy_contamination_documents": fuzzy_contamination_documents,
+        "repetition_stats_documents": repetition_stats_documents,
+        "clean_corpus_documents": clean_corpus_documents,
+        "unigram_logprob_documents": unigram_logprob_documents,
+        "corpus_stats_documents": corpus_stats_documents,
+        "deterministic_shuffle_documents": deterministic_shuffle_documents,
+        "token_budget_sample_documents": token_budget_sample_documents,
+        "minhash_dedup_documents": minhash_dedup_documents,
+        "minhash_dedup_md5_documents": minhash_dedup_md5_documents,
+        "minhash_dedup_md5_transitive_documents": minhash_dedup_md5_transitive_documents,
     }
 
 

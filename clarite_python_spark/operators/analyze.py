@@ -70,6 +70,15 @@ __all__ = [
 ]
 
 
+# Budget of (variable x left-out-cluster) replicate units the
+# jackknife-IRLS engine may batch through distributed scans. Units are
+# chunked at 256/scan and each chunk runs its own multi-iteration IRLS
+# loop, so full-table scans grow as ceil(units/256) x iterations — past
+# this budget (~16 chunks x ~8 iters ~ 130 scans) the grouped kernel's
+# in-pandas delete-1 replicates (ONE scan, per-variable numpy refits)
+# are the cheaper engine and the routing falls back to it.
+JK_IRLS_MAX_UNITS = 4096
+
 RESULT_SCHEMA = T.StructType(
     [
         T.StructField("Variable", T.StringType()),
@@ -954,6 +963,7 @@ def association_study(
                 results.append(
                     data.df.sparkSession.createDataFrame(w_rows, RESULT_SCHEMA)
                 )
+        n_wirls_cand = sum(1 for v in group if rv_types[v] == CONTINUOUS)
         if (
             use_sufficient_stats
             and survey_design_spec is not None
@@ -961,8 +971,17 @@ def association_study(
             and (
                 vcov_method == "stata"
                 # jackknife = replicate IRLS fits batched through the
-                # same scans (cluster designs only)
-                or (vcov_method == "jackknife" and survey_design_spec.has_cluster)
+                # same scans (cluster designs only), gated on the
+                # (#variables x #clusters) unit budget — see
+                # JK_IRLS_MAX_UNITS; past it the grouped kernel's
+                # one-scan in-pandas replicates win
+                or (
+                    vcov_method == "jackknife"
+                    and survey_design_spec.has_cluster
+                    and n_wirls_cand
+                    * len(survey_design_spec.constants()["clusters"])
+                    <= JK_IRLS_MAX_UNITS
+                )
             )
             and (
                 (

@@ -760,6 +760,7 @@ def lsh_recall(
     num_hashes: int = 32,
     bands: int = 8,
     max_bucket: int = 1000,
+    max_sample_rows: int | None = 10_000,
 ) -> DataFrame:
     """Measure, don't guess: candidate RECALL of the banded MinHash-LSH
     against exact ground truth on a deterministic sample. Draws a
@@ -774,6 +775,14 @@ def lsh_recall(
     100 TB — banding recall is 1-(1-t^r)^b in theory; this measures it
     on YOUR corpus. The sample is md5-deterministic, so the number is
     reproducible across runs and engines.
+
+    The quadratic truth join is guarded: the sample is pre-counted and
+    refused above ``max_sample_rows`` (called naively with the default
+    ``sample_fraction=0.5`` on a 10^9-doc corpus it would otherwise
+    attempt a ~10^17-pair nested-loop join). Shrink ``sample_fraction``
+    until the sample fits, or pass ``max_sample_rows=None`` to force the
+    all-pairs plan — the same refusal contract as
+    ``embedding_neardup(exact=True)``'s ``max_exact_rows``.
     """
     from clarite_python_spark.operators.pipeline import deterministic_sample
 
@@ -782,6 +791,16 @@ def lsh_recall(
     sample = deterministic_sample(
         df, sample_fraction, id_col=id_col, salt=salt
     )
+    if max_sample_rows is not None:
+        n = sample.count()
+        if n > max_sample_rows:
+            raise ValueError(
+                f"lsh_recall sample has {n} rows — the exact ground truth "
+                f"would score ~{n * (n - 1) // 2} pairs "
+                f"(> max_sample_rows={max_sample_rows}). Shrink "
+                "sample_fraction, or pass max_sample_rows=None to force "
+                "the quadratic truth join."
+            )
     ids = sample.select(id_col)
     allpairs = ids.select(F.col(id_col).alias("id_a")).join(
         ids.select(F.col(id_col).alias("id_b")), F.col("id_a") < F.col("id_b")

@@ -24,6 +24,7 @@ def funnel(
     type_col: str = "event_type",
     ts_col: str = "ts",
     max_span_seconds: float | None = None,
+    max_events_per_user: int | None = None,
 ) -> DataFrame:
     """Ordered conversion funnel: for each user, the furthest step of
     ``steps`` reached IN ORDER (step k+1 must occur STRICTLY after the
@@ -47,20 +48,16 @@ def funnel(
     footprint as any sessionization), then a row-local ``aggregate``
     scan. One shuffle on the user key; no window, no self-joins — the
     N-stage alternative of N cascaded min-joins would shuffle N times.
+
+    Skew guard: the per-user array is bounded by that user's (already
+    step-filtered) event count; one bot user with 10^8 funnel events is
+    a straggler task. ``max_events_per_user`` drops users whose
+    step-event count exceeds the cap BEFORE the collect (a cheap
+    map-side-combined count on the same user key — AQE reuses the
+    partitioning), the standard bot-exclusion semantics.
     """
-    if not steps:
-        raise ValueError("steps must name at least one event type")
-    if len(set(steps)) != len(steps):
-        raise ValueError("funnel steps must be distinct")
-    if max_span_seconds is not None and max_span_seconds <= 0:
-        raise ValueError("max_span_seconds must be positive")
-    stage_of: Column = F.lit(None).cast("int")
-    for i, s in enumerate(reversed(steps)):
-        stage_of = F.when(F.col(type_col) == s, F.lit(len(steps) - i)).otherwise(stage_of)
-    ev = df.where(F.col(type_col).isin(*steps)).select(
-        F.col(user_col),
-        F.col(ts_col).cast("timestamp").alias("__ts"),
-        stage_of.alias("__stage"),
+    ev = _funnel_events(
+        df, steps, user_col, type_col, ts_col, max_span_seconds, max_events_per_user
     )
     scanned = _funnel_scan(ev, user_col, max_span_seconds)
     return scanned.select(
@@ -68,6 +65,51 @@ def funnel(
         F.size("stage_times").alias("stage"),
         F.element_at("stage_times", -1).alias("stage_ts"),
     ).where(F.col("stage") > 0)
+
+
+def _funnel_events(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    max_span_seconds: float | None,
+    max_events_per_user: int | None,
+) -> DataFrame:
+    """Shared validation + event prep for the funnel family: filter to
+    the funnel steps, drop null users and events whose timestamp is null
+    or uncastable (a null __ts would sort FIRST and freeze the greedy
+    scan at a null anchor — every later comparison is null), stamp the
+    1-based stage number, and optionally drop over-cap users."""
+    if not steps:
+        raise ValueError("steps must name at least one event type")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct")
+    if max_span_seconds is not None and max_span_seconds <= 0:
+        raise ValueError("max_span_seconds must be positive")
+    if max_events_per_user is not None and max_events_per_user <= 0:
+        raise ValueError("max_events_per_user must be positive")
+    stage_of: Column = F.lit(None).cast("int")
+    for i, s in enumerate(reversed(steps)):
+        stage_of = F.when(F.col(type_col) == s, F.lit(len(steps) - i)).otherwise(stage_of)
+    ev = (
+        df.where(F.col(type_col).isin(*steps))
+        .select(
+            F.col(user_col),
+            F.col(ts_col).cast("timestamp").alias("__ts"),
+            stage_of.alias("__stage"),
+        )
+        .where(F.col(user_col).isNotNull() & F.col("__ts").isNotNull())
+    )
+    if max_events_per_user is not None:
+        keep = (
+            ev.groupBy(user_col)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") <= max_events_per_user)
+            .select(user_col)
+        )
+        ev = ev.join(keep, user_col, "left_semi")
+    return ev
 
 
 def _funnel_scan(ev, user_col: str, max_span_seconds: float | None):
@@ -104,6 +146,7 @@ def funnel_times(
     type_col: str = "event_type",
     ts_col: str = "ts",
     max_span_seconds: float | None = None,
+    max_events_per_user: int | None = None,
 ) -> DataFrame:
     """Per-user per-stage achievement times: one row per (user, stage
     reached) with the stage's first-achievement timestamp and the
@@ -111,19 +154,8 @@ def funnel_times(
     stage 1) — the row-level input to time-to-convert analytics. Same
     greedy scan (and oracle recursion) as :func:`funnel`; the explode
     is row-local."""
-    if not steps:
-        raise ValueError("steps must name at least one event type")
-    if len(set(steps)) != len(steps):
-        raise ValueError("funnel steps must be distinct")
-    if max_span_seconds is not None and max_span_seconds <= 0:
-        raise ValueError("max_span_seconds must be positive")
-    stage_of: Column = F.lit(None).cast("int")
-    for i, s in enumerate(reversed(steps)):
-        stage_of = F.when(F.col(type_col) == s, F.lit(len(steps) - i)).otherwise(stage_of)
-    ev = df.where(F.col(type_col).isin(*steps)).select(
-        F.col(user_col),
-        F.col(ts_col).cast("timestamp").alias("__ts"),
-        stage_of.alias("__stage"),
+    ev = _funnel_events(
+        df, steps, user_col, type_col, ts_col, max_span_seconds, max_events_per_user
     )
     scanned = _funnel_scan(ev, user_col, max_span_seconds)
     ex = scanned.select(
@@ -150,12 +182,15 @@ def funnel_counts(
     type_col: str = "event_type",
     ts_col: str = "ts",
     max_span_seconds: float | None = None,
+    max_events_per_user: int | None = None,
 ) -> DataFrame:
     """Funnel summary: for each stage k (one row per stage, even fully
     converted ones), how many users reached stage k OR FURTHER — the
     classic decreasing funnel bar chart. Derived from :func:`funnel`
     with one tiny agg."""
-    per_user = funnel(df, steps, user_col, type_col, ts_col, max_span_seconds)
+    per_user = funnel(
+        df, steps, user_col, type_col, ts_col, max_span_seconds, max_events_per_user
+    )
     reached = per_user.groupBy("stage").agg(F.count(F.lit(1)).alias("n_exact"))
     stages = df.sparkSession.range(1, len(steps) + 1).select(
         F.col("id").cast("int").alias("stage")

@@ -171,25 +171,35 @@ def make_binary(cf: ClariteFrame, skip=None, only=None) -> ClariteFrame:
 def make_categorical(cf: ClariteFrame, skip=None, only=None) -> ClariteFrame:
     """Mark columns categorical (modify.py:457-500); caches levels.
 
-    A column with <= 1 distinct non-null value stays CONSTANT even when
-    explicitly made categorical — the reference's data-derived
-    ``_get_dtype`` (internal/utilities.py, pinned by
-    tests/internal/test_dtypes.py) reports a one-category categorical
-    as "constant", and downstream analyses skip constants."""
+    A column with EXACTLY 1 distinct non-null value stays CONSTANT even
+    when explicitly made categorical — the reference's data-derived
+    ``_get_dtype`` (internal/utilities.py:148-151, pinned by
+    tests/internal/test_dtypes.py) maps exactly one category to
+    "constant", and downstream analyses skip constants. An all-null
+    column (0 categories — collect_set drops nulls) falls through the
+    reference's 1/2/>2 category ladder to "unknown", so it is marked
+    UNKNOWN here, not constant."""
     cols = validate_skip_only(cf.variables, skip, only)
     out = _assert_and_mark(cf, CATEGORICAL, skip, only)
     levels = cf.df.agg(*[F.collect_set(qcol(c)).alias(c) for c in cols]).collect()[0].asDict()
-    from clarite_python_spark.catalog import CONSTANT
+    from clarite_python_spark.catalog import CONSTANT, UNKNOWN
 
     constant_cols = []
+    unknown_cols = []
     for c in cols:
         out.catalog.categories[c] = sorted(levels[c])
-        if len(levels[c]) <= 1:
+        if len(levels[c]) == 1:
             out.catalog.set(c, CONSTANT)
             constant_cols.append(c)
-    report = {"set_categorical": [c for c in cols if c not in set(constant_cols)]}
+        elif len(levels[c]) == 0:
+            out.catalog.set(c, UNKNOWN)
+            unknown_cols.append(c)
+    moved = set(constant_cols) | set(unknown_cols)
+    report = {"set_categorical": [c for c in cols if c not in moved]}
     if constant_cols:
         report["kept_constant"] = constant_cols
+    if unknown_cols:
+        report["kept_unknown"] = unknown_cols
     return _report(out, report)
 
 

@@ -478,7 +478,8 @@ def domain_cap(
             F.lit(key_space),
             F.ceil(F.lit(float(prefilter_margin * max_docs) * key_space) / F.col("__n")),
         ).cast("long").alias("__cut")
-        rates = counts.select(F.col(by).alias("__capgrp"), cut)
+        # __n rides along for the under-draw check below
+        rates = counts.select(F.col(by).alias("__capgrp"), cut, F.col("__n"))
         # null-safe join: a NULL group is a real group (groupBy made a
         # row for it) and must not be silently dropped by null != null
         out = (
@@ -489,11 +490,37 @@ def domain_cap(
             .drop("__cut", "__capgrp")
         )
     w = Window.partitionBy(by).orderBy(F.col("__key"), F.col(id_col))
-    return (
-        out.withColumn("cap_rank", F.row_number().over(w))
-        .where(F.col("cap_rank") <= max_docs)
-        .drop("__key", "__n")
+    ranked = out.withColumn("cap_rank", F.row_number().over(w)).where(
+        F.col("cap_rank") <= max_docs
     )
+    if prefilter_margin is not None:
+        # Under-draw detection (not silent): a group the prefilter saw as
+        # over-cap (__n > max_docs) that ends with max(cap_rank) < max_docs
+        # can only mean the prefilter dropped winners — fail the JOB via
+        # raise_error folded into cap_rank (an output column, so Catalyst
+        # cannot prune the check; the group-max window reuses the rank's
+        # partitioning). Limitation: a group the prefilter emptied
+        # entirely has no surviving row to carry the check — margin >= 1
+        # makes that astronomically unlikely (needs 0 of __n uniform keys
+        # under a cut sized for margin*max_docs expected survivors).
+        wg = Window.partitionBy(by)
+        short = (F.col("__n") > F.lit(max_docs)) & (
+            F.max("cap_rank").over(wg) < F.lit(max_docs)
+        )
+        ranked = ranked.withColumn(
+            "cap_rank",
+            F.when(
+                short,
+                F.raise_error(
+                    F.concat(
+                        F.lit("domain_cap: prefilter under-draw in group '"),
+                        F.col(by).cast("string"),
+                        F.lit("' — raise prefilter_margin"),
+                    )
+                ),
+            ).otherwise(F.col("cap_rank")),
+        )
+    return ranked.drop("__key", "__n")
 
 
 def temperature_mixture(

@@ -57,32 +57,38 @@ def _budget_update(budgets, by: str, id_col: str):
         else:
             limit = budgets.get(grp)  # None = no budget = keep all
         (cum,) = state.get if state.exists else (0,)
+        # applyInPandasWithState splits one key's rows into MULTIPLE
+        # chunks at arrow maxRecordsPerBatch (default 10k), in arbitrary
+        # order — concat the whole group's micro-batch and sort ONCE so
+        # the greedy scan sees the same deterministic __key order as the
+        # batch op (a single availableNow backfill == token_budget_sample
+        # even past 10k docs per group).
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values("__key", kind="mergesort")
         outs = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("__key", kind="mergesort")
-            if limit is None:
-                kept = pdf
-                cums = cum + pdf["n_tokens"].cumsum()
-                cum = int(cums.iloc[-1]) if len(cums) else cum
-            else:
-                cums = cum + pdf["n_tokens"].cumsum()
-                prev = cums - pdf["n_tokens"]
-                keep = prev < limit  # crossing doc stays (batch rule)
-                kept = pdf[keep]
-                cums = cums[keep]
-                if len(cums):
-                    cum = int(cums.iloc[-1])
-            if len(kept):
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            id_col: kept[id_col],
-                            by: grp,
-                            "n_tokens": kept["n_tokens"],
-                            "cum_tokens": cums,
-                        }
-                    )
+        if limit is None:
+            kept = pdf
+            cums = cum + pdf["n_tokens"].cumsum()
+            cum = int(cums.iloc[-1]) if len(cums) else cum
+        else:
+            cums = cum + pdf["n_tokens"].cumsum()
+            prev = cums - pdf["n_tokens"]
+            keep = prev < limit  # crossing doc stays (batch rule)
+            kept = pdf[keep]
+            cums = cums[keep]
+            if len(cums):
+                cum = int(cums.iloc[-1])
+        if len(kept):
+            outs.append(
+                pd.DataFrame(
+                    {
+                        id_col: kept[id_col],
+                        by: grp,
+                        "n_tokens": kept["n_tokens"],
+                        "cum_tokens": cums,
+                    }
                 )
+            )
         state.update((cum,))
         yield from outs
 
@@ -132,23 +138,26 @@ def _pack_update(max_tokens: int, by: str, order_col: str, id_col: str):
     def update(key: tuple, pdfs: Iterator[pd.DataFrame], state: "GroupState"):
         grp, shard = key
         (offset,) = state.get if state.exists else (0,)
+        # Same multi-chunk hazard as _budget_update: concat the group's
+        # chunks, then one sort by order_col, so layout is deterministic
+        # past arrow's 10k-row chunking.
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(order_col, kind="mergesort")
         outs = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(order_col, kind="mergesort")
-            start = offset + pdf["n_tokens"].cumsum() - pdf["n_tokens"]
-            out = pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    by: grp,
-                    "shard": shard,
-                    "n_tokens": pdf["n_tokens"],
-                    "seq_id": start // max_tokens,
-                    "seq_offset": start % max_tokens,
-                }
-            )
-            if len(pdf):
-                offset = int(start.iloc[-1] + pdf["n_tokens"].iloc[-1])
-                outs.append(out)
+        start = offset + pdf["n_tokens"].cumsum() - pdf["n_tokens"]
+        out = pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                by: grp,
+                "shard": shard,
+                "n_tokens": pdf["n_tokens"],
+                "seq_id": start // max_tokens,
+                "seq_offset": start % max_tokens,
+            }
+        )
+        if len(pdf):
+            offset = int(start.iloc[-1] + pdf["n_tokens"].iloc[-1])
+            outs.append(out)
         state.update((offset,))
         yield from outs
 

@@ -443,3 +443,20 @@ def test_lsh_recall_validation(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="sample_fraction"):
         lsh_recall(df, sample_fraction=0.0)
+
+
+def test_lsh_recall_refuses_oversized_sample(spark):
+    """The quadratic truth join is guarded: a sample above
+    max_sample_rows is refused with the sizing math (the same contract
+    as embedding_neardup's max_exact_rows); None forces the plan."""
+    from clarite_python_spark.operators.dedup import lsh_recall
+
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("words for doc number "), F.col("id").cast("string")).alias("text"),
+    )
+    with pytest.raises(ValueError, match="max_sample_rows"):
+        lsh_recall(df, sample_fraction=1.0, max_sample_rows=10)
+    # override runs the quadratic plan; small corpus -> fine
+    r = lsh_recall(df, sample_fraction=1.0, max_sample_rows=None).collect()[0]
+    assert r["n_sample"] == 50

@@ -117,3 +117,23 @@ def test_get_types_matches_reference_dtype_contract(spark):
     }
     for k, v in expected.items():
         assert got[k] == v, k
+
+
+def test_make_categorical_all_null_is_unknown_not_constant(spark):
+    """Reference _get_dtype (internal/utilities.py:148-157) maps exactly
+    ONE category to 'constant'; an all-null categorical has ZERO
+    categories and falls through to 'unknown' — not constant."""
+    from pyspark.sql import functions as F
+
+    from clarite_python_spark.catalog import ClariteFrame
+    from clarite_python_spark.operators import describe, modify
+
+    df = spark.range(10).select(
+        F.col("id").alias("ID"),
+        F.lit(None).cast("string").alias("allnull"),
+        F.lit("x").alias("const"),
+    )
+    out = modify.make_categorical(ClariteFrame(df), only=["allnull", "const"])
+    got = {r["variable"]: r["type"] for r in describe.get_types(out).collect()}
+    assert got["allnull"] == "unknown"
+    assert got["const"] == "constant"

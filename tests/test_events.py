@@ -198,3 +198,48 @@ def test_funnel_matches_python_reference_on_random_events(spark):
             for r in funnel(df, steps, max_span_seconds=span).collect()
         }
         assert got == py_funnel(rows, span), f"span={span}"
+
+
+def test_funnel_null_ts_and_user_dropped(spark):
+    """A null-timestamp event must not freeze the scan at a null anchor
+    (it used to sort first and bypass the advance predicates); null
+    users are dropped entirely."""
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0), "signup"),
+        (1, None, "view"),  # null ts: ignored, NOT a stage-2 advance
+        (1, dt.datetime(2024, 1, 1, 2), "view"),
+        (None, dt.datetime(2024, 1, 1, 0), "signup"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_type string")
+    out = funnel(df, ["signup", "view"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["user_id"] == 1 and r["stage"] == 2
+    assert r["stage_ts"] == dt.datetime(2024, 1, 1, 2)
+
+
+def test_funnel_times_null_ts_dropped(spark):
+    from clarite_python_spark.operators.events import funnel_times
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0), "signup"),
+        (1, None, "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_type string")
+    out = funnel_times(df, ["signup", "view"]).collect()
+    assert [(r["stage"], r["stage_ts"]) for r in out] == [
+        (1, dt.datetime(2024, 1, 1, 0))
+    ]
+
+
+def test_funnel_max_events_per_user_drops_bots(spark):
+    rows = [(1, 1, h % 23, "signup") for h in range(10)] + [
+        (2, 1, 0, "signup"),
+        (2, 1, 1, "view"),
+    ]
+    df = _ev(spark, rows)
+    # user 1 has 10 step events -> dropped at cap 5; user 2 unaffected
+    out = {r["user_id"]: r["stage"] for r in funnel(df, ["signup", "view"], max_events_per_user=5).collect()}
+    assert out == {2: 2}
+    with pytest.raises(ValueError, match="max_events_per_user"):
+        funnel(df, ["signup"], max_events_per_user=0)

@@ -691,3 +691,24 @@ def test_domain_cap_and_mixture_keep_null_groups(spark):
     assert sorted(map(tuple, pre.collect())) == sorted(map(tuple, capped.collect()))
     mixed = pipeline.temperature_mixture(df, 0.5, 20, salt="n")
     assert {r["source"] for r in mixed.collect()} == {None, "s"}
+
+
+def test_domain_cap_prefilter_underdraw_fails_loudly(spark):
+    """A prefilter that drops winners must FAIL the job, not silently
+    return fewer than max_docs rows. salt='ud0' with ids 0..39 in one
+    group at margin=1.0 leaves only 1 survivor under the cut for
+    max_docs=2 (found by replaying md5_60bit_py offline) — the
+    raise_error folded into cap_rank fires at execution time."""
+    df = spark.range(40).select(
+        F.col("id").alias("doc_id"), F.lit("g").alias("source")
+    )
+    exact = pipeline.domain_cap(df, max_docs=2, salt="ud0")
+    assert exact.count() == 2  # exact path unaffected
+    bad = pipeline.domain_cap(df, max_docs=2, salt="ud0", prefilter_margin=1.0)
+    with pytest.raises(Exception, match="under-draw"):
+        bad.collect()
+    # a healthy margin on the same data neither raises nor under-draws
+    ok = pipeline.domain_cap(df, max_docs=2, salt="ud0", prefilter_margin=6.0)
+    got = sorted((r["doc_id"], r["cap_rank"]) for r in ok.collect())
+    want = sorted((r["doc_id"], r["cap_rank"]) for r in exact.collect())
+    assert got == want

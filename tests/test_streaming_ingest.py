@@ -61,6 +61,69 @@ def test_stream_token_budget_single_batch_equals_batch_op(spark, docs, tmp_path)
     pd.testing.assert_frame_equal(batch, got, check_dtype=False)
 
 
+def test_stream_token_budget_multichunk_group_equals_batch_op(spark, docs, tmp_path):
+    """applyInPandasWithState splits one key's rows into multiple pandas
+    chunks at arrow maxRecordsPerBatch (default 10k), in arbitrary order.
+    Force tiny chunks so every group spans many of them: the backfill
+    must STILL equal the batch op (regression for the per-chunk-sort bug
+    where each chunk was greedily scanned independently)."""
+    src = str(tmp_path / "docs_budget_chunked")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "7")
+    try:
+        _drive(stream_token_budget(spark, src, BUDGETS), "budget_chunked")
+    finally:
+        spark.conf.set(key, old)
+    batch = (
+        token_budget_sample(spark.read.parquet(src), BUDGETS)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = (
+        spark.sql("select doc_id, source, n_tokens, cum_tokens from budget_chunked")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(batch, got, check_dtype=False)
+
+
+def test_stream_pack_sequences_multichunk_group_equals_batch_op(spark, docs, tmp_path):
+    """Same arrow-chunking regression for the packing twin: tiny chunks,
+    single availableNow backfill, must match batch pack_sequences."""
+    src = str(tmp_path / "docs_pack_chunked")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "7")
+    try:
+        _drive(
+            stream_pack_sequences(spark, src, max_tokens=512), "pack_chunked"
+        )
+    finally:
+        spark.conf.set(key, old)
+    batch = (
+        pack_sequences(spark.read.parquet(src), max_tokens=512)
+        .select("doc_id", "source", "shard", "n_tokens", "seq_id", "seq_offset")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = (
+        spark.sql(
+            "select doc_id, source, shard, n_tokens, seq_id, seq_offset from pack_chunked"
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(batch, got, check_dtype=False)
+
+
 def test_stream_token_budget_state_carries_across_batches(spark, docs, tmp_path):
     """Multi-batch replay: greedy arrival-order admissions, one running
     total per group. Verified against an independent pandas simulation

@@ -151,3 +151,37 @@ def test_irls_jackknife_routes_and_matches_kernel(nhanes_cont_cf, design_kw, mon
                 rtol=1e-6,
                 err_msg=f"{rv}.{col}",
             )
+
+
+def test_jackknife_unit_budget_falls_back_to_kernel(nhanes_cont_cf, monkeypatch):
+    """Past JK_IRLS_MAX_UNITS (#rvs x #clusters replicate units), the
+    jackknife routing must NOT take the chunked-IRLS engine (its scan
+    count grows as ceil(units/256) x iterations) and instead fall back
+    to the grouped kernel's one-scan in-pandas replicates — with the
+    same numbers (the two engines are parity-tested above)."""
+    import clarite_python_spark.functions.wbinomirls as wi
+    from clarite_python_spark.operators import analyze as an
+
+    calls: list[list[str]] = []
+    orig = wi.weighted_binomial_irls_rows
+
+    def spy(df, outcome, rvs, *a, **kw):
+        calls.append(list(rvs))
+        return orig(df, outcome, rvs, *a, **kw)
+
+    monkeypatch.setattr(wi, "weighted_binomial_irls_rows", spy)
+    monkeypatch.setattr(an, "JK_IRLS_MAX_UNITS", 1)
+    design_kw = dict(weights="WTMEC2YR", cluster="SDMVPSU", strata="SDMVSTRA", nest=True)
+    capped = _study(nhanes_cont_cf, design_kw, True, vcov_method="jackknife")
+    assert not calls  # IRLS engine skipped under the budget
+    monkeypatch.setattr(an, "JK_IRLS_MAX_UNITS", 4096)
+    routed = _study(nhanes_cont_cf, design_kw, True, vcov_method="jackknife")
+    assert calls  # and taken when the budget allows
+    for rv in ("cont1", "cont2"):
+        for col in ("Beta", "SE", "pvalue"):
+            np.testing.assert_allclose(
+                float(capped.loc[rv, col]),
+                float(routed.loc[rv, col]),
+                rtol=1e-6,
+                err_msg=f"{rv}.{col}",
+            )
