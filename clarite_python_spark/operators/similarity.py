@@ -26,6 +26,7 @@ __all__ = [
     "cosine",
     "cosine_topk",
     "lsh_topk",
+    "lsh_topk_multi",
     "ivf_topk",
     "embedding_neardup",
     "semantic_dedup",
@@ -161,6 +162,88 @@ def lsh_topk(
         cosine(F.col(vec_col).cast("array<double>"), F.col("__qvec").cast("array<double>")).alias(
             "cosine"
         ),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy(query_id_col, "rank")
+    )
+
+
+def lsh_topk_multi(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 6,
+    n_bands: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """OR-amplified multi-table LSH top-k: ``n_bands`` INDEPENDENT
+    random-hyperplane tables (plane set b is seeded ``seed + b``); a
+    corpus vector is a candidate for a query iff they share a bucket in
+    at least one band, and candidates are re-ranked by exact cosine.
+
+    This closes single-table :func:`lsh_topk`'s recall gap (measured
+    0.155 recall@10 on the gate corpus at 8 planes): a neighbor at angle
+    theta collides per band with p = (1 - theta/pi)^n_planes, so the
+    OR over bands lifts candidate recall to 1 - (1 - p)^n_bands — the
+    standard banding amplification (same shape as the MinHash bands in
+    operators/dedup.py, applied to the signed-projection family).
+    Expected candidates per query ~ n_bands * |corpus| / 2^n_planes.
+
+    Plan: the corpus explodes to (band, bucket) rows — n_bands keyed
+    copies, the classic LSH space/recall trade, same as
+    ``embedding_neardup``'s banding — and equi-joins the broadcast
+    (band, bucket)-exploded query set; duplicate candidates (pairs
+    colliding in several bands) are collapsed by a (query, id) agg
+    BEFORE ranking so each candidate is scored once in the window. No
+    cross join anywhere; everything JVM-side over literal planes."""
+    if n_bands <= 0:
+        raise ValueError("n_bands must be positive")
+    head = queries.select(vec_col).first()
+    if head is None:
+        return cosine_topk(corpus, queries, k, id_col, vec_col, query_id_col)
+    dim = len(head[0])
+    band_planes = [_hyperplanes(dim, n_planes, seed + b) for b in range(n_bands)]
+
+    def banded(vec: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    _bucket(vec, planes).alias("bucket"),
+                )
+                for b, planes in enumerate(band_planes)
+            ]
+        )
+
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(banded(F.col(vec_col).cast("array<double>"))).alias("__bb"),
+    ).select(id_col, vec_col, "__bb.band", "__bb.bucket")
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(banded(F.col(vec_col).cast("array<double>"))).alias("__bb"),
+    ).select(query_id_col, "__qvec", "__bb.band", "__bb.bucket")
+    scored = (
+        c.join(F.broadcast(q), on=["band", "bucket"])
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            cosine(
+                F.col(vec_col).cast("array<double>"),
+                F.col("__qvec").cast("array<double>"),
+            ).alias("cosine"),
+        )
+        # collapse multi-band collisions: one row per candidate pair
+        .groupBy(query_id_col, id_col)
+        .agg(F.max("cosine").alias("cosine"))
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -497,10 +580,14 @@ def ann_recall(
     exact = cosine_topk(corpus, q, k, id_col, vec_col).select("query_id", id_col)
     if method == "lsh":
         approx = lsh_topk(corpus, q, k, id_col=id_col, vec_col=vec_col, **method_kwargs)
+    elif method == "lsh_multi":
+        approx = lsh_topk_multi(
+            corpus, q, k, id_col=id_col, vec_col=vec_col, **method_kwargs
+        )
     elif method == "ivf":
         approx = ivf_topk(corpus, q, k, id_col=id_col, vec_col=vec_col, **method_kwargs)
     else:
-        raise ValueError("method must be 'lsh' or 'ivf'")
+        raise ValueError("method must be 'lsh', 'lsh_multi', or 'ivf'")
     approx = approx.select("query_id", id_col)
     # one full-outer join carries all three counts, so the exact and
     # approximate top-k DAGs each evaluate exactly once

@@ -694,7 +694,11 @@ def tfidf_top_terms(
     far past broadcast size, and both sides are already keyed by term
     after their aggs, so AQE plans it without an extra exchange); the
     final window partitions by doc_id — the same key the tf agg already
-    hashed on.
+    hashed on. Fully lazy: N (the distinct doc count) rides as a 1-row
+    aggregate crossJoin-broadcast into the idf expression — constructing
+    the plan triggers NO job (the previous eager ``distinct().count()``
+    forced a full id-column scan at plan-BUILD time, once per composed
+    pipeline).
     """
     toks = tokens(text_col)
     ex = (
@@ -708,14 +712,20 @@ def tfidf_top_terms(
     # (doc, term)), NOT a second distinct over the explode — saves a
     # full rescan + reshuffle of the token stream
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = df.select(id_col).distinct().count()
-    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1.0)) + F.lit(1.0)
-    scored = tf.join(dfreq, "term").select(
-        id_col,
-        "term",
-        "tf",
-        "df",
-        F.round(F.col("tf") * idf, 6).alias("tfidf"),
+    n_docs = df.agg(
+        F.count_distinct(F.col(id_col)).cast("double").alias("__n_docs")
+    )
+    idf = F.log((F.col("__n_docs") + 1.0) / (F.col("df") + 1.0)) + F.lit(1.0)
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        )
     )
     from pyspark.sql import Window
 

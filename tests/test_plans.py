@@ -306,10 +306,11 @@ def test_round6_operators_no_cartesian_no_python(spark):
     for name, df in plans.items():
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, name
-        if name != "temperature_mixture":
-            # temperature_mixture legitimately crossJoins a ONE-ROW
-            # broadcast (the global normalizer Z) — the scalar-broadcast
-            # idiom, not a product over data
+        if name not in ("temperature_mixture", "tfidf"):
+            # temperature_mixture and tfidf legitimately crossJoin a
+            # ONE-ROW broadcast (the global normalizer Z / the lazy
+            # distinct-doc count N) — the scalar-broadcast idiom, not a
+            # product over data
             assert "BroadcastNestedLoopJoin" not in plan, name
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
@@ -340,3 +341,27 @@ def test_quality_classifier_zero_exchange(spark):
         text.quality_classifier(docs)._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") == 0  # pure codegen projection
+
+
+def test_tfidf_plan_build_triggers_no_job(spark):
+    """tfidf_top_terms must be fully lazy: N rides as a broadcast 1-row
+    count aggregate, so CONSTRUCTING (and analyzing) the plan runs zero
+    Spark jobs — the eager distinct().count() it replaces forced a full
+    id-column scan per composed pipeline at plan-build time."""
+    from pyspark.sql import functions as F
+
+    from clarite_python_spark.operators import text
+    from clarite_python_spark.sources.io import load_testdata
+
+    docs = load_testdata(spark, SF_DIR, ["documents"])["documents"]
+    docs.schema  # settle any read-side analysis first
+
+    def n_jobs() -> int:
+        return spark.sparkContext._jsc.sc().statusStore().jobsList(None).size()
+
+    before = n_jobs()
+    plan = text.tfidf_top_terms(docs)
+    plan.schema  # force full analysis of the built plan
+    assert n_jobs() == before
+    # and the idf constant is genuinely in the plan, not a driver literal
+    assert plan.where(F.col("rank") == 1).limit(1).count() == 1

@@ -77,3 +77,59 @@ def test_label_centroids_matches_numpy(spark):
             c, cn = got[(lab, pos)]
             assert cn == n
             assert abs(c - want[pos]) < 1e-6
+
+def test_lsh_multi_beats_single_table_recall(emb, queries):
+    """OR-amplification: the union of candidates across independent
+    plane sets must recover (weakly) more of the true top-k than any
+    single table, and a superset of band 0's candidates specifically
+    (band 0 IS the seed-42 single table)."""
+    from clarite_python_spark.operators.similarity import lsh_topk, lsh_topk_multi
+
+    brute = _hits(cosine_topk(emb, queries, k=10))
+    single = _hits(lsh_topk(emb, queries, k=10, n_planes=4, seed=42))
+    multi = _hits(lsh_topk_multi(emb, queries, k=10, n_planes=4, n_bands=8, seed=42))
+    r_single = len(single & brute) / len(brute)
+    r_multi = len(multi & brute) / len(brute)
+    assert r_multi >= r_single
+    assert r_multi >= 0.5, f"multi-band recall {r_multi:.2f} below floor"
+
+
+def test_lsh_multi_scores_match_brute_on_shared_hits(emb, queries):
+    from clarite_python_spark.operators.similarity import lsh_topk_multi
+
+    brute = {
+        (r["query_id"], r["vec_id"]): round(r["cosine"], 9)
+        for r in cosine_topk(emb, queries, k=10).collect()
+    }
+    multi = {
+        (r["query_id"], r["vec_id"]): round(r["cosine"], 9)
+        for r in lsh_topk_multi(emb, queries, k=10, n_planes=4, n_bands=8).collect()
+    }
+    for key, v in multi.items():
+        if key in brute:
+            assert v == brute[key]
+    # multi-band collisions must NOT duplicate a candidate in the top-k
+    ranks = {}
+    for r in lsh_topk_multi(emb, queries, k=10, n_planes=4, n_bands=8).collect():
+        assert (r["query_id"], r["vec_id"]) not in ranks
+        ranks[(r["query_id"], r["vec_id"])] = r["rank"]
+
+
+def test_lsh_multi_validation(emb, queries):
+    from clarite_python_spark.operators.similarity import lsh_topk_multi
+
+    with pytest.raises(ValueError, match="n_bands"):
+        lsh_topk_multi(emb, queries, n_bands=0)
+
+
+def test_ann_recall_lsh_multi_measures_amplification(emb):
+    """ann_recall(method='lsh_multi') must report a strictly higher
+    recall than the single-table config on the same query sample (the
+    measured case for OR-amplification; the gate-corpus numbers are
+    pinned in BASELINE.md)."""
+    from clarite_python_spark.operators.similarity import ann_recall
+
+    single = ann_recall(emb, method="lsh", n_planes=4).collect()[0]
+    multi = ann_recall(emb, method="lsh_multi", n_planes=4, n_bands=8).collect()[0]
+    assert multi["recall"] >= single["recall"]
+    assert multi["n_hits"] >= single["n_hits"]
