@@ -213,6 +213,8 @@ def retention_cohorts(
     user_col: str = "user_id",
     ts_col: str = "ts",
     period_days: int = 7,
+    approx: bool = False,
+    rsd: float = 0.05,
 ) -> DataFrame:
     """Cohort retention triangle: users are cohorted by the date of
     their FIRST event; for every (cohort_date, period offset) the
@@ -225,9 +227,17 @@ def retention_cohorts(
     and keyed identically to the events shuffle; at warehouse scale the
     first agg's partitioning is reused by the join (no extra exchange
     under AQE).
+
+    ``approx=True`` switches the per-(cohort, period) distinct-user
+    count to ``approx_count_distinct`` (HyperLogLog++, relative error
+    ``rsd``, mergeable constant-size sketches): the exact count keeps a
+    per-group user hash set through the shuffle, which at 100 TB of
+    events is the rollup's dominant cost; the sketch is O(1) per group.
     """
     if period_days <= 0:
         raise ValueError("period_days must be positive")
+    if not 0 < rsd < 1:
+        raise ValueError("rsd must be in (0, 1)")
     day = F.to_date(F.col(ts_col).cast("timestamp"))
     cohorts = (
         df.select(F.col(user_col), day.alias("__day"))
@@ -238,8 +248,13 @@ def retention_cohorts(
     offset = F.floor(
         F.datediff(F.col("__day"), F.col("cohort_date")) / F.lit(period_days)
     ).cast("int")
+    n_users = (
+        F.approx_count_distinct(user_col, rsd)
+        if approx
+        else F.countDistinct(user_col)
+    )
     return (
         joined.select(user_col, "cohort_date", offset.alias("period_offset"))
         .groupBy("cohort_date", "period_offset")
-        .agg(F.countDistinct(user_col).alias("n_users"))
+        .agg(n_users.alias("n_users"))
     )

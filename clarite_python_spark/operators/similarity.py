@@ -28,6 +28,7 @@ __all__ = [
     "lsh_topk",
     "lsh_topk_multi",
     "ivf_topk",
+    "tune_ivf_probe",
     "embedding_neardup",
     "semantic_dedup",
     "label_centroids",
@@ -310,6 +311,7 @@ def ivf_topk(
     query_id_col: str = "query_id",
     seed: int = 42,
     sample_size: int = 10_000,
+    recall_target: float | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a spherical-k-means coarse
     quantizer partitions the corpus into ``n_lists`` lists; each query
@@ -322,7 +324,23 @@ def ivf_topk(
     get an exact cosine. The trained quantizer is O(n_lists x dim)
     driver state — at 100 TB the corpus assignment rides the ingest scan
     (and would be persisted alongside the vectors, so repeated query
-    batches skip it)."""
+    batches skip it).
+
+    ``recall_target`` (opt-in) replaces ``n_probe`` with the MEASURED
+    minimal probe budget meeting that recall@k on the corpus's own
+    deterministic query sample (:func:`tune_ivf_probe` — at most
+    n_lists harness jobs, run once up front)."""
+    if recall_target is not None:
+        n_probe, _ = tune_ivf_probe(
+            corpus,
+            recall_target,
+            k=k,
+            n_lists=n_lists,
+            id_col=id_col,
+            vec_col=vec_col,
+            seed=seed,
+            sample_size=sample_size,
+        )
     dim = len(queries.select(vec_col).first()[0])
     cents = _train_centroids(corpus, vec_col, n_lists, seed, sample_size, id_col=id_col)
     assert cents.shape[1] == dim
@@ -365,6 +383,52 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .orderBy(query_id_col, "rank")
     )
+
+
+def tune_ivf_probe(
+    corpus: DataFrame,
+    recall_target: float = 0.9,
+    k: int = 10,
+    n_queries: int = 20,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "annrecall",
+    **ivf_kwargs,
+) -> tuple[int, float]:
+    """Measured-minimal IVF probe budget: the smallest ``n_probe`` whose
+    ``ann_recall`` (brute-force ground truth on the deterministic query
+    sample) meets ``recall_target``. Returns ``(n_probe, recall)``.
+
+    This turns the round-6 measurement harness into an operator feature:
+    instead of reading a probe budget off an idealized curve, a driver
+    loop evaluates recall@k at increasing budgets ON YOUR VECTORS and
+    stops at the first that clears the target (recall is monotone in
+    n_probe — each budget's probed lists are a superset of the last).
+    At most ``n_lists`` harness evaluations, each one Spark job over
+    n_queries x corpus — run it once per corpus/quantizer, then reuse
+    the returned budget for every query batch.
+    """
+    if not 0 < recall_target <= 1:
+        raise ValueError("recall_target must be in (0, 1]")
+    last = 0.0
+    for n_probe in range(1, n_lists + 1):
+        row = ann_recall(
+            corpus,
+            k=k,
+            n_queries=n_queries,
+            method="ivf",
+            id_col=id_col,
+            vec_col=vec_col,
+            salt=salt,
+            n_lists=n_lists,
+            n_probe=n_probe,
+            **ivf_kwargs,
+        ).collect()[0]
+        last = float(row["recall"] or 0.0)
+        if last >= recall_target:
+            return n_probe, last
+    return n_lists, last
 
 
 def embedding_neardup(

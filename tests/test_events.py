@@ -243,3 +243,21 @@ def test_funnel_max_events_per_user_drops_bots(spark):
     assert out == {2: 2}
     with pytest.raises(ValueError, match="max_events_per_user"):
         funnel(df, ["signup"], max_events_per_user=0)
+
+
+def test_retention_approx_matches_exact_on_small_cohorts(spark):
+    """approx=True (HyperLogLog++) must agree with the exact count on
+    gate-scale cohorts (well within the default 5% rsd — tiny
+    cardinalities are exact in HLL++'s dense-correction regime)."""
+    from clarite_python_spark.sources.io import load_testdata
+
+    ev = load_testdata(spark, "/root/testdata/sf0.001", ["events"])["events"]
+    ev = ev.where(F.col("ts").isNotNull())
+    key = lambda r: (r["cohort_date"], r["period_offset"])  # noqa: E731
+    exact = {key(r): r["n_users"] for r in retention_cohorts(ev).collect()}
+    approx = {key(r): r["n_users"] for r in retention_cohorts(ev, approx=True).collect()}
+    assert exact.keys() == approx.keys()
+    for k_, n in exact.items():
+        assert abs(approx[k_] - n) <= max(1, 0.05 * n), k_
+    with pytest.raises(ValueError, match="rsd"):
+        retention_cohorts(ev, approx=True, rsd=0.0)

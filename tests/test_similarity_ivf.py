@@ -133,3 +133,29 @@ def test_ann_recall_lsh_multi_measures_amplification(emb):
     multi = ann_recall(emb, method="lsh_multi", n_planes=4, n_bands=8).collect()[0]
     assert multi["recall"] >= single["recall"]
     assert multi["n_hits"] >= single["n_hits"]
+
+
+def test_tune_ivf_probe_finds_measured_minimum(emb):
+    """tune_ivf_probe must return the smallest probe budget whose
+    MEASURED recall@10 clears the target, and the budget below it (if
+    any) must miss the target — the 'auto-tuned probe' contract."""
+    from clarite_python_spark.operators.similarity import ann_recall, tune_ivf_probe
+
+    n_probe, recall = tune_ivf_probe(emb, recall_target=0.9, n_lists=8)
+    assert 1 <= n_probe <= 8 and recall >= 0.9
+    if n_probe > 1:
+        below = ann_recall(
+            emb, method="ivf", n_lists=8, n_probe=n_probe - 1
+        ).collect()[0]
+        assert float(below["recall"]) < 0.9
+    with pytest.raises(ValueError, match="recall_target"):
+        tune_ivf_probe(emb, recall_target=0.0)
+
+
+def test_ivf_topk_recall_target_matches_tuned_budget(emb, queries):
+    from clarite_python_spark.operators.similarity import ivf_topk, tune_ivf_probe
+
+    n_probe, _ = tune_ivf_probe(emb, recall_target=0.9, n_lists=8)
+    auto = _hits(ivf_topk(emb, queries, k=10, n_lists=8, recall_target=0.9))
+    manual = _hits(ivf_topk(emb, queries, k=10, n_lists=8, n_probe=n_probe))
+    assert auto == manual
