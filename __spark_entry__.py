@@ -1322,6 +1322,26 @@ def deterministic_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).orderBy("split")
 
 
+def epoch_repeat_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch upsampling (operators/pipeline.py:epoch_repeat):
+    2.5 epochs = 2 copies each + a deterministic md5-bucket coin for the
+    third. Oracle replays the bucket predicate and unnests a range."""
+    docs = _t(spark, sf_dir, "documents")
+    out = pipeline.epoch_repeat(docs, 2.5, salt="ep")
+    return out.select("doc_id", "source", "epoch")
+
+
+def dsir_logweights_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-n-gram importance log-weights (pipeline.py:
+    dsir_logweights, Xie et al. 2023) against a src0 target sample —
+    the quality-matched data-selection scorer. Oracle rebuilds the
+    64-bucket unigram+bigram multinomials and per-doc ratio sums in
+    SQL (md5 per DISTINCT gram, like the winnowing twin)."""
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("source") == "src0")
+    return pipeline.dsir_logweights(docs, target, n_buckets=64)
+
+
 def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic source-mixture sampling: keep all of src0, none of
     src1, 40% of everything else — the corpus-reweighting step."""
@@ -1574,6 +1594,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window next round. The local full gate
     # (scripts/check_correctness.py) always runs all.
     return {
+        "epoch_repeat_documents": epoch_repeat_documents,
+        "dsir_logweights_documents": dsir_logweights_documents,
         "simhash_md5_documents": simhash_md5_documents,
         "minhash_dedup_transitive_documents": minhash_dedup_transitive_documents,
         "minhash_clusters_documents": minhash_clusters_documents,
@@ -1854,7 +1876,7 @@ def _ivf_recall_oracle() -> str:
     n_lists=8, n_probe=4): shared k-means training CTEs, corpus list
     assignment, md5-keyed query sampling, exact + probed top-10, and
     the intersection counts."""
-    ctes = _kmeans_ctes()
+    ctes = _kmeans_ctes(n_rows=_oracle_embed_rows())
     key = _md5_key("vec_id", "annrecall")
     final = f"""
         corp AS MATERIALIZED (
@@ -1911,6 +1933,61 @@ def _ivf_recall_oracle() -> str:
                                / (SELECT count(*) FROM exact), 6) END AS recall
     """
     return "WITH " + ",\n".join(ctes) + ",\n" + final
+
+
+def _epoch_repeat_oracle() -> str:
+    """DuckDB twin of epoch_repeat(2.5, salt='ep'): 2 copies + an extra
+    when the 10k-quantized md5 bucket falls under frac(2.5)*10000."""
+    b = _md5_bucket("CAST(doc_id AS VARCHAR)", "ep")
+    return f"""
+        SELECT doc_id, source, CAST(e AS INT) AS epoch
+        FROM (SELECT doc_id, source, {b} AS bkt FROM documents) d,
+             unnest(range(2 + CASE WHEN bkt < 5000 THEN 1 ELSE 0 END)) u(e)
+    """
+
+
+def _dsir_logweights_oracle() -> str:
+    """DuckDB twin of dsir_logweights(n_buckets=64, alpha=1, salt='dsir',
+    target = src0): lowercased unigram+bigram grams, md5 bucket per
+    DISTINCT gram, add-1-smoothed 64-bucket multinomials for target and
+    corpus, per-doc sum of bucket log-ratios (round 6; docs with no
+    grams get weight 0 like Spark's empty-array aggregate)."""
+    key = _md5_key("gram", "dsir")
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, source, list_transform({_TOKENS}, x -> lower(x)) AS t
+          FROM documents
+        ), g AS (
+          SELECT doc_id, source, unnest(list_concat(
+            t,
+            CASE WHEN len(t) >= 2
+                 THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                 ELSE [] END)) AS gram
+          FROM toks
+        ), dg AS (SELECT DISTINCT gram FROM g),
+        gb AS (SELECT gram, ({key}) % 64 AS b FROM dg),
+        gg AS (SELECT doc_id, source, b FROM g JOIN gb USING (gram)),
+        raw AS (SELECT b, count(*) AS c FROM gg GROUP BY b),
+        tgt AS (SELECT b, count(*) AS c FROM gg WHERE source = 'src0' GROUP BY b),
+        tot AS (
+          SELECT (SELECT sum(c) FROM raw) AS nr, (SELECT sum(c) FROM tgt) AS nt
+        ),
+        ratio AS (
+          SELECT r.b,
+                 ln((COALESCE(t.c, 0) + 1.0) / (tot.nt + 64.0))
+                   - ln((r.c + 1.0) / (tot.nr + 64.0)) AS lr
+          FROM raw r LEFT JOIN tgt t USING (b), tot
+        ),
+        w AS (
+          SELECT doc_id, CAST(count(*) AS INT) AS n_grams,
+                 round(sum(lr), 6) AS log_weight
+          FROM gg JOIN ratio USING (b) GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(w.n_grams, 0) AS n_grams,
+               COALESCE(w.log_weight, 0.0) AS log_weight
+        FROM documents d LEFT JOIN w USING (doc_id)
+    """
 
 
 def _multi_band_cols_sql() -> tuple[str, str]:
@@ -2326,6 +2403,20 @@ def _assoc_weighted_oracle() -> str:
     """
 
 
+def _oracle_embed_rows() -> int:
+    """Row count of the embeddings table the k-means-replay oracles are
+    being generated FOR. The engine's quantizer init indices depend only
+    on (seed, sample rows) where sample rows = min(10_000, corpus), so
+    these oracles are corpus-size-specific by construction; the driver
+    always runs them at sf0.01 (n=500, the default), and
+    scripts/check_correctness.py exports CLARITE_ORACLE_EMBED_ROWS from
+    the actual parquet count so the same oracles stay exact at ANY sf
+    (e.g. the sf0.1 full-registry sweep, n=2000)."""
+    import os
+
+    return int(os.environ.get("CLARITE_ORACLE_EMBED_ROWS", "500"))
+
+
 def _kmeans_ctes(n_rows: int = 500, n_lists: int = 8, seed: int = 42, iters: int = 10) -> list[str]:
     """Shared CTE prefix reproducing the engine's spherical-k-means
     quantizer training in DuckDB (sorted-sample init + ``iters``
@@ -2369,7 +2460,7 @@ def _semantic_dedup_oracle() -> str:
     first-argmax cluster (scale-invariant, so raw dots suffice), and
     within-cluster pairs at cosine >= 0.45 greedily remove the higher
     id. Survivors keep their cluster id."""
-    ctes = _kmeans_ctes()
+    ctes = _kmeans_ctes(n_rows=_oracle_embed_rows())
     final = """
         corp AS MATERIALIZED (
           SELECT e.vec_id, e.embedding::DOUBLE[] AS raw,
@@ -2406,7 +2497,7 @@ def _ivf_probe_oracle() -> str:
     (n=500, like the LSH plane literals which fix dim=64).  Empty
     k-means clusters would diverge (the engine re-seeds from its RNG);
     none occur on this corpus — a mismatch would flag it."""
-    ctes = _kmeans_ctes()
+    ctes = _kmeans_ctes(n_rows=_oracle_embed_rows())
     final = """
         corp AS MATERIALIZED (
           SELECT e.vec_id, e.embedding::DOUBLE[] AS raw,
@@ -2969,6 +3060,8 @@ def oracle_sql() -> dict[str, str]:
     norm_text = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
     return {
         "similarity_lsh_embeddings": _similarity_lsh_oracle(),
+        "epoch_repeat_documents": _epoch_repeat_oracle(),
+        "dsir_logweights_documents": _dsir_logweights_oracle(),
         "similarity_lsh_multi_embeddings": _similarity_lsh_multi_oracle(),
         "ann_recall_multi_embeddings": _ann_recall_multi_oracle(),
         "embedding_neardup_lsh_embeddings": _neardup_lsh_oracle(),

@@ -397,12 +397,62 @@ def build_parser() -> argparse.ArgumentParser:
                    help="whole funnel must complete within this span of the first step")
     p.add_argument("--times", action="store_true",
                    help="emit per-(user, stage) times + durations instead of final stages")
+    p.add_argument("--max-events-per-user", type=int, default=None,
+                   help="drop (bot) users with more step events than this before the scan")
     p = g_ev.add_parser("retention")
     p.add_argument("data")
     p.add_argument("output")
     p.add_argument("--period-days", type=int, default=7)
     p.add_argument("--user-col", default="user_id")
     p.add_argument("--ts-col", default="ts")
+    p.add_argument("--approx", action="store_true",
+                   help="HyperLogLog++ distinct users (O(1)/group state at scale)")
+    p.add_argument("--rsd", type=float, default=0.05,
+                   help="relative error for --approx")
+
+    p = g_pipe.add_parser("epoch-repeat")
+    p.add_argument("data")
+    p.add_argument("output")
+    p.add_argument("--epochs", type=float, required=True,
+                   help="fractional pass count, e.g. 2.5")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--salt", default="")
+
+    p = g_pipe.add_parser("dsir")
+    p.add_argument("data")
+    p.add_argument("output")
+    p.add_argument("--target", required=True,
+                   help="parquet of target-domain sample documents")
+    p.add_argument("--n", type=int, default=None,
+                   help="sample size (Gumbel top-n); omit to emit weights only")
+    p.add_argument("--n-buckets", type=int, default=256)
+    p.add_argument("--alpha", type=float, default=1.0)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--salt", default="dsir")
+
+    p = g_pipe.add_parser("ann-recall")
+    p.add_argument("data", help="embeddings parquet")
+    p.add_argument("output")
+    p.add_argument("--method", choices=["lsh", "lsh_multi", "ivf"], default="lsh_multi")
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--n-queries", type=int, default=20)
+    p.add_argument("--n-planes", type=int, default=4)
+    p.add_argument("--n-bands", type=int, default=8)
+    p.add_argument("--n-lists", type=int, default=8)
+    p.add_argument("--n-probe", type=int, default=4)
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--vec-col", default="embedding")
+
+    p = g_pipe.add_parser("ivf-tune")
+    p.add_argument("data", help="embeddings parquet")
+    p.add_argument("output")
+    p.add_argument("--recall-target", type=float, default=0.9)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--n-queries", type=int, default=20)
+    p.add_argument("--n-lists", type=int, default=8)
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--vec-col", default="embedding")
 
     return ap
 
@@ -752,6 +802,54 @@ def main(argv: list[str] | None = None) -> int:
                 num_hashes=args.num_hashes,
                 bands=args.bands,
             )
+        elif args.command == "epoch-repeat":
+            out = pipe_mod.epoch_repeat(
+                df, args.epochs, id_col=args.id_col, salt=args.salt
+            )
+        elif args.command == "dsir":
+            tgt = spark.read.parquet(args.target)
+            kw = dict(
+                n_buckets=args.n_buckets, text_col=args.text_col,
+                id_col=args.id_col, alpha=args.alpha, salt=args.salt,
+            )
+            if args.n is None:
+                out = pipe_mod.dsir_logweights(df, tgt, **kw)
+            else:
+                out = pipe_mod.dsir_sample(df, tgt, args.n, **kw)
+        elif args.command == "ann-recall":
+            from clarite_python_spark.operators import similarity as sim_mod
+
+            kw = {}
+            if args.method in ("lsh", "lsh_multi"):
+                kw["n_planes"] = args.n_planes
+                if args.method == "lsh_multi":
+                    kw["n_bands"] = args.n_bands
+            else:
+                kw["n_lists"] = args.n_lists
+                kw["n_probe"] = args.n_probe
+            out = sim_mod.ann_recall(
+                df,
+                k=args.k,
+                n_queries=args.n_queries,
+                method=args.method,
+                id_col=args.id_col,
+                vec_col=args.vec_col,
+                **kw,
+            )
+        elif args.command == "ivf-tune":
+            from clarite_python_spark.operators import similarity as sim_mod
+
+            n_probe, recall = sim_mod.tune_ivf_probe(
+                df,
+                recall_target=args.recall_target,
+                k=args.k,
+                n_queries=args.n_queries,
+                n_lists=args.n_lists,
+                id_col=args.id_col,
+                vec_col=args.vec_col,
+            )
+            print(json.dumps({"n_probe": n_probe, "recall": recall}))
+            return 0
         elif args.command == "compact":
             from clarite_python_spark.operators import layout as layout_mod
 
@@ -814,6 +912,7 @@ def main(argv: list[str] | None = None) -> int:
                 type_col=args.type_col,
                 ts_col=args.ts_col,
                 max_span_seconds=args.max_span_seconds,
+                max_events_per_user=args.max_events_per_user,
             )
         elif args.command == "retention":
             out = events_mod.retention_cohorts(
@@ -821,6 +920,8 @@ def main(argv: list[str] | None = None) -> int:
                 user_col=args.user_col,
                 ts_col=args.ts_col,
                 period_days=args.period_days,
+                approx=args.approx,
+                rsd=args.rsd,
             )
         _save_result(out, args.output)
         return 0

@@ -32,6 +32,9 @@ __all__ = [
     "token_budget_sample",
     "domain_cap",
     "temperature_mixture",
+    "epoch_repeat",
+    "dsir_logweights",
+    "dsir_sample",
 ]
 
 #: number of hash buckets fractions are quantized to: fraction 0.8123
@@ -82,6 +85,200 @@ def deterministic_split(
         lo, hi = hi, hi + int(round(frac * BUCKETS))
         expr = F.when((b >= lo) & (b < hi), F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def _dsir_grams(text_col: str) -> Column:
+    """Lowercased word unigrams + bigrams as one array column (the
+    hashed feature set of DSIR; row-local)."""
+    from clarite_python_spark.operators.text import tokens
+
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    bi = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return F.concat(toks, bi)
+
+
+def dsir_logweights(
+    df: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023) —
+    per-document importance log-weight log p_target(x) / p_raw(x) under
+    hashed-n-gram bucket multinomials: lowercased word unigrams+bigrams
+    hash (md5, engine-portable) into ``n_buckets``; each distribution is
+    the add-``alpha``-smoothed bucket frequency over its corpus; a
+    document's log-weight is the sum of its grams' bucket log-ratios.
+    Select pretraining data that LOOKS LIKE the (small) ``target``
+    sample — the published recipe behind quality-matched corpus
+    selection at scale.
+
+    Plan: two explode+agg passes build the O(n_buckets) count tables
+    (map-side combined); the log-ratio table folds into ONE array
+    literal-shaped row broadcast to every executor; each document's
+    weight is then a row-local ``aggregate`` over its gram array with an
+    ``element_at`` lookup — the corpus is scanned once for counts and
+    once for weights, with no per-token shuffle or join in the weight
+    pass. Fully lazy (the ratio row rides as a crossJoin broadcast).
+    """
+    from clarite_python_spark.functions.hashing import md5_60bit
+
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    if alpha <= 0:
+        raise ValueError("alpha must be positive")
+
+    def bucket(g: Column) -> Column:
+        return md5_60bit(F.concat_ws(":", g, F.lit(salt))) % n_buckets
+
+    def bucket_counts(frame: DataFrame) -> DataFrame:
+        return (
+            frame.select(F.explode(_dsir_grams(text_col)).alias("__g"))
+            .select(bucket(F.col("__g")).alias("__b"))
+            .groupBy("__b")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+
+    denom = float(alpha) * n_buckets
+
+    def log_probs(counts: DataFrame, name: str) -> DataFrame:
+        """One row: array<double> of smoothed log bucket probabilities,
+        index b+1 (element_at is 1-based); absent buckets get alpha."""
+        full = counts.agg(
+            F.sum("__c").alias("__n"),
+            F.map_from_arrays(
+                F.collect_list("__b"), F.collect_list("__c")
+            ).alias("__m"),
+        )
+        idx = F.sequence(F.lit(0), F.lit(n_buckets - 1))
+        arr = F.transform(
+            idx,
+            lambda b: F.log(
+                (
+                    F.coalesce(
+                        F.element_at(F.col("__m"), b.cast("long")), F.lit(0)
+                    ).cast("double")
+                    + F.lit(float(alpha))
+                )
+                / (F.col("__n").cast("double") + F.lit(denom))
+            ),
+        )
+        return full.select(arr.alias(name))
+
+    ratio_row = (
+        log_probs(bucket_counts(target), "__lt")
+        .crossJoin(log_probs(bucket_counts(df), "__lr"))
+        .select(
+            F.zip_with(
+                F.col("__lt"), F.col("__lr"), lambda t, r: t - r
+            ).alias("__ratio")
+        )
+    )
+    weighted = df.select(F.col(id_col), _dsir_grams(text_col).alias("__gs")).crossJoin(
+        F.broadcast(ratio_row)
+    )
+    w = F.aggregate(
+        F.col("__gs"),
+        F.lit(0.0),
+        lambda acc, g: acc + F.element_at(F.col("__ratio"), (bucket(g) + 1).cast("int")),
+    )
+    return weighted.select(
+        id_col,
+        F.size("__gs").alias("n_grams"),
+        F.round(w, 6).alias("log_weight"),
+    )
+
+
+def dsir_sample(
+    df: DataFrame,
+    target: DataFrame,
+    n: int,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    salt: str = "dsir",
+    gumbel: bool = True,
+) -> DataFrame:
+    """DSIR selection: the ``n`` documents with the highest
+    ``log_weight + Gumbel noise`` — Gumbel-top-k IS sampling-without-
+    replacement proportional to the importance weights (the paper's
+    resampling step), and the noise here is deterministic
+    (``-ln(-ln(u))`` with u from the md5 key of the id), so the chosen
+    set is reproducible across runs, partitionings, and engines.
+    ``gumbel=False`` degrades to plain top-n by weight (mode-seeking:
+    takes only the most target-like tail). Ties and float-equal scores
+    break by id. Plan: the weight projection plus one
+    TakeOrderedAndProject — no global sort materializes.
+    """
+    from clarite_python_spark.functions.hashing import md5_60bit
+
+    if n <= 0:
+        raise ValueError("n must be positive")
+    weights = dsir_logweights(
+        df, target, n_buckets, text_col, id_col, alpha, salt
+    )
+    score = F.col("log_weight")
+    if gumbel:
+        u = (
+            md5_60bit(
+                F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt + ":g"))
+            ).cast("double")
+            + F.lit(1.0)
+        ) / F.lit(float(1 << 60))
+        score = score + (-F.log(-F.log(u)))
+    return (
+        weights.select(
+            id_col, "n_grams", "log_weight", F.round(score, 6).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(n)
+    )
+
+
+def epoch_repeat(
+    df: DataFrame,
+    epochs: float,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Fractional-epoch upsampling: replicate every row so the corpus is
+    seen ``epochs`` times in expectation — the standard move when a
+    mixture weight calls for e.g. 2.7 passes over a small high-quality
+    source (each doc appears floor(epochs) times, and a deterministic
+    md5-bucket coin gives it one extra copy with probability
+    frac(epochs), quantized to 1/10000 like ``deterministic_sample`` so
+    the decision is an exact-integer comparison in any engine). Output
+    adds an ``epoch`` column (0-based copy index); a larger ``epochs``
+    value replicates a SUPERSET of a smaller one (same bucket
+    nesting as the sampler).
+
+    Plan: pure row-local arithmetic + an explode of a
+    ``sequence(0, n_copies-1)`` literal — no shuffle, no join; the
+    explode multiplies rows by ~``epochs``, which is the point. Pair
+    with ``deterministic_shuffle`` afterwards so the copies don't
+    ride adjacent into training shards.
+    """
+    if epochs <= 0:
+        raise ValueError("epochs must be positive")
+    base = int(epochs)
+    frac_buckets = int(round((epochs - base) * BUCKETS))
+    b = hash_bucket(id_col, salt)
+    n_copies = F.lit(base) + (b < F.lit(frac_buckets)).cast("int")
+    # sequence(0, -1) would emit a DESCENDING [0, -1] — guard the
+    # zero-copy case (epochs < 1, coin says drop) with an empty array,
+    # which explode elides entirely
+    seq = F.when(n_copies > 0, F.sequence(F.lit(0), n_copies - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn("epoch", F.explode(seq))
 
 
 def deterministic_sample(

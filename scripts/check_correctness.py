@@ -153,6 +153,16 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # the k-means-replay oracles inline seeded init indices that depend
+    # on min(10_000, |embeddings|) — export the actual count BEFORE
+    # oracle_sql() builds them so the gate is exact at any sf
+    import os
+
+    n_emb = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchone()[0]
+    os.environ["CLARITE_ORACLE_EMBED_ROWS"] = str(min(10_000, int(n_emb)))
+
     import __spark_entry__ as entry_mod
     from clarite_python_spark.session import get_spark
 

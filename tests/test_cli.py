@@ -383,3 +383,55 @@ def test_cli_lsh_recall(spark, tmp_path):
                      "--sample-fraction", "0.5"]) == 0
     r = spark.read.parquet(f"{d}/rec").collect()[0]
     assert r["n_sample"] > 0 and r["n_hits"] <= r["n_candidate_pairs"]
+
+
+def test_cli_ann_recall_multi(spark, tmp_path):
+    d = str(tmp_path)
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").write.parquet(f"{d}/emb")
+    assert cli.main(["pipeline", "ann-recall", f"{d}/emb", f"{d}/rec",
+                     "--method", "lsh_multi", "--n-planes", "4", "--n-bands", "8"]) == 0
+    r = spark.read.parquet(f"{d}/rec").collect()[0]
+    assert r["n_queries"] == 20 and r["recall"] is not None
+
+
+def test_cli_ivf_tune(spark, tmp_path, capsys):
+    d = str(tmp_path)
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").write.parquet(f"{d}/emb")
+    assert cli.main(["pipeline", "ivf-tune", f"{d}/emb", f"{d}/unused",
+                     "--recall-target", "0.8", "--n-lists", "8"]) == 0
+    import json as _json
+
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 1 <= res["n_probe"] <= 8 and res["recall"] >= 0.8
+
+
+def test_cli_retention_approx_and_funnel_cap(spark, tmp_path):
+    d = str(tmp_path)
+    from pyspark.sql import functions as F
+
+    from clarite_python_spark.sources.io import load_testdata
+
+    ev = load_testdata(spark, "/root/testdata/sf0.001", ["events"])["events"]
+    ev.where(F.col("ts").isNotNull()).write.parquet(f"{d}/ev")
+    assert cli.main(["events", "retention", f"{d}/ev", f"{d}/ret", "--approx"]) == 0
+    assert spark.read.parquet(f"{d}/ret").count() > 0
+    assert cli.main(["events", "funnel", f"{d}/ev", f"{d}/fun",
+                     "--steps", "signup", "view", "purchase",
+                     "--max-events-per-user", "1000"]) == 0
+    assert spark.read.parquet(f"{d}/fun").count() > 0
+
+
+def test_cli_epoch_repeat_and_dsir(spark, tmp_path):
+    d = str(tmp_path)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.parquet(f"{d}/docs")
+    docs.where("source = 'src0'").write.parquet(f"{d}/target")
+    assert cli.main(["pipeline", "epoch-repeat", f"{d}/docs", f"{d}/rep",
+                     "--epochs", "2.0"]) == 0
+    assert spark.read.parquet(f"{d}/rep").count() == 2 * docs.count()
+    assert cli.main(["pipeline", "dsir", f"{d}/docs", f"{d}/w",
+                     "--target", f"{d}/target"]) == 0
+    assert spark.read.parquet(f"{d}/w").count() == docs.count()
+    assert cli.main(["pipeline", "dsir", f"{d}/docs", f"{d}/s",
+                     "--target", f"{d}/target", "--n", "40"]) == 0
+    assert spark.read.parquet(f"{d}/s").count() == 40

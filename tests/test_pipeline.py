@@ -712,3 +712,76 @@ def test_domain_cap_prefilter_underdraw_fails_loudly(spark):
     got = sorted((r["doc_id"], r["cap_rank"]) for r in ok.collect())
     want = sorted((r["doc_id"], r["cap_rank"]) for r in exact.collect())
     assert got == want
+
+
+# ------------------------------------------------- epoch repeat / DSIR
+
+
+def test_epoch_repeat_counts_and_nesting(docs):
+    n0 = docs.count()
+    n = pipeline.epoch_repeat(docs, 2.5, salt="e").count()
+    assert 2 * n0 <= n <= 3 * n0
+    assert abs(n / n0 - 2.5) < 0.2  # md5 coin ~ Binomial(n0, 0.5)
+    # integer epochs are exact; fractional nests (bigger ⊇ smaller)
+    assert pipeline.epoch_repeat(docs, 2.0, salt="e").count() == 2 * n0
+    a = {(r["doc_id"], r["epoch"]) for r in pipeline.epoch_repeat(docs, 1.3, salt="e").collect()}
+    b = {(r["doc_id"], r["epoch"]) for r in pipeline.epoch_repeat(docs, 1.7, salt="e").collect()}
+    assert a < b
+    with pytest.raises(ValueError, match="epochs"):
+        pipeline.epoch_repeat(docs, 0)
+
+
+def test_epoch_repeat_sub_one_drops_rows_cleanly(docs):
+    out = pipeline.epoch_repeat(docs, 0.4, salt="e")
+    n0 = docs.count()
+    kept = out.count()
+    assert 0 < kept < n0
+    # every emitted row is epoch 0 exactly once (no [0,-1] descending
+    # sequence artifact from the zero-copy branch)
+    assert out.where("epoch != 0").count() == 0
+    assert out.select("doc_id").distinct().count() == kept
+
+
+def test_dsir_logweights_favor_target_lookalikes(spark):
+    """Documents drawn from the target's vocabulary must outscore
+    documents from a disjoint vocabulary."""
+    target = spark.createDataFrame(
+        [(100 + i, f"alpha beta gamma delta token{i % 3}") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    raw = spark.createDataFrame(
+        [(i, "alpha beta gamma delta shared words") for i in range(5)]
+        + [(50 + i, "totally different unrelated noise stream") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    w = {r["doc_id"]: r["log_weight"] for r in pipeline.dsir_logweights(raw, target).collect()}
+    like = min(w[i] for i in range(5))
+    unlike = max(w[50 + i] for i in range(5))
+    assert like > unlike
+
+
+def test_dsir_logweights_empty_doc_and_validation(spark):
+    target = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    raw = spark.createDataFrame([(1, "a b"), (2, "   ")], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in pipeline.dsir_logweights(raw, target).collect()}
+    assert rows[2]["n_grams"] == 0 and rows[2]["log_weight"] == 0.0
+    with pytest.raises(ValueError, match="n_buckets"):
+        pipeline.dsir_logweights(raw, target, n_buckets=0)
+    with pytest.raises(ValueError, match="alpha"):
+        pipeline.dsir_logweights(raw, target, alpha=0)
+
+
+def test_dsir_sample_is_deterministic_and_weighted(docs):
+    from pyspark.sql import functions as F
+
+    target = docs.where(F.col("source") == "src0")
+    a = [r["doc_id"] for r in pipeline.dsir_sample(docs, target, 50).collect()]
+    b = [r["doc_id"] for r in pipeline.dsir_sample(docs, target, 50).collect()]
+    assert a == b  # gumbel noise is content-addressed, not random
+    # the target's own source must be overrepresented vs uniform
+    picked = docs.sparkSession.createDataFrame([(i,) for i in a], ["doc_id"])
+    n_src0 = picked.join(docs, "doc_id").where(F.col("source") == "src0").count()
+    n_sources = docs.select("source").distinct().count()
+    assert n_src0 > 3 * (50 / n_sources)
+    with pytest.raises(ValueError, match="n must"):
+        pipeline.dsir_sample(docs, target, 0)
