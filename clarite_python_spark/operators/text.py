@@ -611,15 +611,20 @@ def unigram_logprob(
         vocab = ex.groupBy("__tok").agg(F.count(F.lit(1)).alias("n"))
     else:
         vocab = vocab.select(F.lower(F.col("token")).alias("__tok"), F.col("n"))
+    # fully lazy: the smoothing denominator (total + |V| + 1) rides as a
+    # broadcast 1-row aggregate instead of an eager .first() at
+    # plan-build time (same idiom as tfidf_top_terms / bigram_logprob)
     totals = vocab.agg(
-        F.sum("n").alias("total"), F.count(F.lit(1)).alias("v")
-    ).first()
-    denom = float(totals["total"] + totals["v"] + 1)
+        (F.sum("n") + F.count(F.lit(1)) + F.lit(1)).cast("double").alias("__denom")
+    )
     log2 = math.log(2.0)
     bits = -F.log(
-        (F.coalesce(F.col("n"), F.lit(0)) + 1.0) / F.lit(denom)
+        (F.coalesce(F.col("n"), F.lit(0)) + 1.0) / F.col("__denom")
     ) / F.lit(log2)
-    joined = ex.join(F.broadcast(vocab), on="__tok", how="left")
+    joined = (
+        ex.join(F.broadcast(vocab), on="__tok", how="left")
+        .crossJoin(F.broadcast(totals))
+    )
     return (
         joined.groupBy(id_col)
         .agg(
@@ -786,23 +791,28 @@ def bigram_logprob(
         F.split(F.col("bigram"), " ", 2).getItem(1).alias("__w2"),
     )
     uni = bi_w.groupBy("__w1").agg(F.sum("c2").alias("c1"))
-    vocab_size = (
+    # fully lazy: V rides as a broadcast 1-row count aggregate (the same
+    # idiom as tfidf_top_terms' N) — the previous eager
+    # distinct().count() forced a vocabulary job at plan-BUILD time
+    vocab = (
         bi_w.select(F.col("__w1").alias("w"))
         .union(bi_w.select(F.col("__w2").alias("w")))
-        .distinct()
-        .count()
+        .agg(F.count_distinct("w").cast("double").alias("__v"))
     )
-    denom_v = float(alpha) * (vocab_size + 1)
     log2 = math.log(2.0)
     joined = (
         ex.join(bi, "bigram", "left")
         .join(uni, "__w1", "left")
+        .crossJoin(F.broadcast(vocab))
         .select(
             F.col(id_col),
             (
                 -F.log(
                     (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(float(alpha)))
-                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(denom_v))
+                    / (
+                        F.coalesce(F.col("c1"), F.lit(0))
+                        + F.lit(float(alpha)) * (F.col("__v") + 1.0)
+                    )
                 )
                 / F.lit(log2)
             ).alias("__bits"),

@@ -362,6 +362,11 @@ def test_tfidf_plan_build_triggers_no_job(spark):
     before = n_jobs()
     plan = text.tfidf_top_terms(docs)
     plan.schema  # force full analysis of the built plan
+    bigram = text.bigram_logprob(docs)  # same idiom: V via broadcast agg
+    bigram.schema
+    unigram = text.unigram_logprob(docs)  # denominator via broadcast agg
+    unigram.schema
     assert n_jobs() == before
     # and the idf constant is genuinely in the plan, not a driver literal
     assert plan.where(F.col("rank") == 1).limit(1).count() == 1
+    assert bigram.limit(1).count() == 1
