@@ -1342,6 +1342,16 @@ def dsir_logweights_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.dsir_logweights(docs, target, n_buckets=64)
 
 
+def dsir_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR Gumbel-top-50 selection (pipeline.py:dsir_sample): noise is
+    -ln(-ln(u)) with u from the md5 key of the id, so the chosen SET is
+    engine-reproducible — the oracle replays weights + noise + the
+    rounded-score ordering."""
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("source") == "src0")
+    return pipeline.dsir_sample(docs, target, 50, n_buckets=64)
+
+
 def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic source-mixture sampling: keep all of src0, none of
     src1, 40% of everything else — the corpus-reweighting step."""
@@ -1596,6 +1606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "epoch_repeat_documents": epoch_repeat_documents,
         "dsir_logweights_documents": dsir_logweights_documents,
+        "dsir_sample_documents": dsir_sample_documents,
         "simhash_md5_documents": simhash_md5_documents,
         "minhash_dedup_transitive_documents": minhash_dedup_transitive_documents,
         "minhash_clusters_documents": minhash_clusters_documents,
@@ -1987,6 +1998,20 @@ def _dsir_logweights_oracle() -> str:
                COALESCE(w.n_grams, 0) AS n_grams,
                COALESCE(w.log_weight, 0.0) AS log_weight
         FROM documents d LEFT JOIN w USING (doc_id)
+    """
+
+
+def _dsir_sample_oracle() -> str:
+    """DuckDB twin of dsir_sample(n=50, n_buckets=64, salt='dsir'):
+    the log-weight twin + deterministic Gumbel noise from the id's md5
+    key, ordered by the ROUNDED score (ties by id) — the same rounded
+    comparison Spark sorts on, so the chosen set is engine-exact."""
+    key = _md5_key("CAST(doc_id AS VARCHAR)", "dsir:g")
+    return f"""
+        WITH base AS ({_dsir_logweights_oracle()})
+        SELECT doc_id, n_grams, log_weight,
+               round(log_weight + (-ln(-ln((({key}) + 1.0) / 1152921504606846976.0))), 6) AS score
+        FROM base ORDER BY score DESC, doc_id ASC LIMIT 50
     """
 
 
@@ -3062,6 +3087,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_lsh_embeddings": _similarity_lsh_oracle(),
         "epoch_repeat_documents": _epoch_repeat_oracle(),
         "dsir_logweights_documents": _dsir_logweights_oracle(),
+        "dsir_sample_documents": _dsir_sample_oracle(),
         "similarity_lsh_multi_embeddings": _similarity_lsh_multi_oracle(),
         "ann_recall_multi_embeddings": _ann_recall_multi_oracle(),
         "embedding_neardup_lsh_embeddings": _neardup_lsh_oracle(),
