@@ -259,3 +259,50 @@ def test_dedup_operators_are_idempotent(spark, texts):
     a = {(r["doc_id"], r["text"]) for r in p_once.collect()}
     b = {(r["doc_id"], r["text"]) for r in p_twice.collect()}
     assert a == b
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    e1=st.floats(min_value=0.1, max_value=4.0, allow_nan=False),
+    e2=st.floats(min_value=0.1, max_value=4.0, allow_nan=False),
+)
+def test_epoch_repeat_nesting_and_expectation(spark, e1, e2):
+    """For ANY pair of epoch counts, the smaller count's (id, epoch)
+    multiset is a subset of the larger's, and the realized copy count of
+    every doc is floor(e) or ceil(e) — the fractional-coin contract."""
+    import math
+
+    from clarite_python_spark.operators.pipeline import epoch_repeat
+
+    df = spark.range(60).selectExpr("id AS doc_id")
+    lo, hi = sorted([e1, e2])
+    a = {(r["doc_id"], r["epoch"]) for r in epoch_repeat(df, lo, salt="p").collect()}
+    b = {(r["doc_id"], r["epoch"]) for r in epoch_repeat(df, hi, salt="p").collect()}
+    assert a <= b
+    from collections import Counter
+
+    per_doc = Counter(d for d, _ in b)
+    for d in range(60):
+        assert per_doc.get(d, 0) in (math.floor(hi), math.ceil(hi))
+
+
+def test_dsir_weight_shift_monotonicity(spark):
+    """Adding more target mass on a token's bucket must not DECREASE the
+    weight of documents made of that token (ratio numerator grows)."""
+    from clarite_python_spark.operators.pipeline import dsir_logweights
+
+    raw = spark.createDataFrame(
+        [(1, "zebra zebra zebra"), (2, "other words here")], ["doc_id", "text"]
+    )
+    t_small = spark.createDataFrame([(10, "zebra")], ["doc_id", "text"])
+    t_big = spark.createDataFrame(
+        [(10, "zebra"), (11, "zebra zebra zebra zebra")], ["doc_id", "text"]
+    )
+    w_small = {r["doc_id"]: r["log_weight"] for r in dsir_logweights(raw, t_small).collect()}
+    w_big = {r["doc_id"]: r["log_weight"] for r in dsir_logweights(raw, t_big).collect()}
+    assert w_big[1] >= w_small[1]
