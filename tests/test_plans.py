@@ -306,11 +306,11 @@ def test_round6_operators_no_cartesian_no_python(spark):
     for name, df in plans.items():
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, name
-        if name not in ("temperature_mixture", "tfidf"):
-            # temperature_mixture and tfidf legitimately crossJoin a
-            # ONE-ROW broadcast (the global normalizer Z / the lazy
-            # distinct-doc count N) — the scalar-broadcast idiom, not a
-            # product over data
+        if name not in ("temperature_mixture", "tfidf", "bigram"):
+            # temperature_mixture / tfidf / bigram legitimately crossJoin
+            # a ONE-ROW broadcast (the global normalizer Z / the lazy
+            # doc-count N / the lazy vocabulary size V) — the
+            # scalar-broadcast idiom, not a product over data
             assert "BroadcastNestedLoopJoin" not in plan, name
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
