@@ -1352,6 +1352,31 @@ def dsir_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.dsir_sample(docs, target, 50, n_buckets=64)
 
 
+def line_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/CCNet-style boilerplate-line removal (operators/
+    dedup.py:line_dedup): lines repeated >= 2 times within a source are
+    removed in ALL their occurrences (contrast paragraph_dedup's C4
+    first-wins rule). Line boundaries induced by splitting on the
+    frequent token 'batch', same as the paragraph query."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.line_dedup(
+        docs.select("doc_id", "source", "text"),
+        sep="batch",
+        min_repeat=2,
+        scope_col="source",
+    ).orderBy("doc_id")
+
+
+def perplexity_buckets_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity partitioning (operators/
+    pipeline.py:perplexity_buckets): unigram bits/token scored per doc,
+    then per-language ntile(3) ordered by (rounded score, id) — both
+    engines compute the identical rounded score, so the ordering and
+    bucket assignment replay exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    return pipeline.perplexity_buckets(docs).orderBy("doc_id")
+
+
 def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic source-mixture sampling: keep all of src0, none of
     src1, 40% of everything else — the corpus-reweighting step."""
@@ -1604,6 +1629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window next round. The local full gate
     # (scripts/check_correctness.py) always runs all.
     return {
+        "line_dedup_documents": line_dedup_documents,
+        "perplexity_buckets_documents": perplexity_buckets_documents,
         "epoch_repeat_documents": epoch_repeat_documents,
         "dsir_logweights_documents": dsir_logweights_documents,
         "dsir_sample_documents": dsir_sample_documents,
@@ -3428,6 +3455,33 @@ def oracle_sql() -> dict[str, str]:
             FROM win WHERE rn = 1
             GROUP BY doc_id ORDER BY doc_id
         """,
+        "line_dedup_documents": """
+            WITH p AS (
+              SELECT doc_id, source, string_split(text, 'batch') AS parts
+              FROM documents
+            ), ex AS (
+              SELECT doc_id, source, i::INT AS pos, trim(parts[i::INT + 1]) AS line
+              FROM p, unnest(range(len(parts))) t(i)
+            ), nz AS (
+              SELECT * FROM ex WHERE length(line) > 0
+            ), rep AS (
+              SELECT source, md5(lower(line)) AS k, count(*) AS n
+              FROM nz GROUP BY source, k
+            ), tot AS (
+              SELECT doc_id, count(*) AS n_lines_total FROM nz GROUP BY doc_id
+            ), kept AS (
+              SELECT nz.doc_id, nz.source, nz.pos, nz.line
+              FROM nz JOIN rep
+                ON rep.source = nz.source AND rep.k = md5(lower(nz.line))
+              WHERE rep.n < 2
+            )
+            SELECT doc_id, source,
+                   string_agg(line, chr(10) ORDER BY pos) AS text,
+                   count(*) AS n_lines_kept,
+                   max(n_lines_total) AS n_lines_total
+            FROM kept JOIN tot USING (doc_id)
+            GROUP BY doc_id, source ORDER BY doc_id
+        """,
         "zorder_key_lineitem": _zorder_oracle(),
         "event_gaps_events": """
             WITH g AS (
@@ -3530,6 +3584,31 @@ def oracle_sql() -> dict[str, str]:
                              / ln(2)), 4) AS bits_per_token
             FROM ex JOIN vocab USING (tok), tot
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        "perplexity_buckets_documents": f"""
+            WITH ex AS (
+              SELECT doc_id, lower(unnest({_TOKENS})) AS tok FROM documents
+            ), vocab AS (
+              SELECT tok, count(*) AS n FROM ex GROUP BY tok
+            ), tot AS (
+              SELECT sum(n) AS total, count(*) AS v FROM vocab
+            ), lp AS (
+              SELECT doc_id, count(*) AS n_tokens,
+                     round(avg(-ln((vocab.n + 1.0) / (tot.total + tot.v + 1))
+                               / ln(2)), 4) AS bits_per_token
+              FROM ex JOIN vocab USING (tok), tot
+              GROUP BY doc_id
+            ), b AS (
+              SELECT lp.doc_id, d.lang, lp.n_tokens, lp.bits_per_token,
+                     CAST(ntile(3) OVER (
+                       PARTITION BY d.lang
+                       ORDER BY lp.bits_per_token, lp.doc_id
+                     ) AS INT) AS bucket
+              FROM lp JOIN documents d USING (doc_id)
+            )
+            SELECT doc_id, lang, n_tokens, bits_per_token, bucket,
+                   (['head', 'middle', 'tail'])[bucket] AS bucket_label
+            FROM b ORDER BY doc_id
         """,
         "deterministic_shuffle_documents": f"""
             SELECT doc_id,

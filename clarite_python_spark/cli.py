@@ -270,6 +270,26 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sep", default=r"\n")
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
+    p = g_pipe.add_parser("line-dedup")
+    p.add_argument("data")
+    p.add_argument("output")
+    p.add_argument("--sep", default=r"\n")
+    p.add_argument("--min-repeat", type=int, default=2)
+    p.add_argument("--scope-col", default=None,
+                   help="count line repeats within this column's groups "
+                        "(e.g. source) instead of corpus-wide")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p = g_pipe.add_parser("perplexity-buckets")
+    p.add_argument("data")
+    p.add_argument("output")
+    p.add_argument("--n-buckets", type=int, default=3)
+    p.add_argument("--approx", action="store_true",
+                   help="assign buckets from approximate per-language "
+                        "cutoffs (no per-language sort — the 100-TB form)")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--lang-col", default="lang")
     p = g_pipe.add_parser("contamination")
     p.add_argument("data")
     p.add_argument("benchmark")
@@ -724,6 +744,24 @@ def main(argv: list[str] | None = None) -> int:
         elif args.command == "paragraph-dedup":
             out = dedup_mod.paragraph_dedup(
                 df, text_col=args.text_col, id_col=args.id_col, sep=args.sep
+            )
+        elif args.command == "line-dedup":
+            out = dedup_mod.line_dedup(
+                df,
+                text_col=args.text_col,
+                id_col=args.id_col,
+                sep=args.sep,
+                min_repeat=args.min_repeat,
+                scope_col=args.scope_col,
+            )
+        elif args.command == "perplexity-buckets":
+            out = pipe_mod.perplexity_buckets(
+                df,
+                n_buckets=args.n_buckets,
+                text_col=args.text_col,
+                id_col=args.id_col,
+                lang_col=args.lang_col,
+                exact=not args.approx,
             )
         elif args.command == "contamination":
             bench = spark.read.parquet(args.benchmark)

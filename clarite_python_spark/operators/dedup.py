@@ -27,6 +27,7 @@ __all__ = [
     "exact_dedup",
     "source_overlap",
     "paragraph_dedup",
+    "line_dedup",
     "duplicate_spans",
     "remove_duplicate_spans",
     "contamination",
@@ -236,6 +237,79 @@ def paragraph_dedup(
         ).alias(text_col),
         F.count(F.lit(1)).alias("n_paras_kept"),
         F.max("n_paras_total").alias("n_paras_total"),
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = r"\n",
+    join_sep: str = "\n",
+    min_repeat: int = 2,
+    scope_col: str | None = None,
+) -> DataFrame:
+    """RefinedWeb/CCNet-style boilerplate removal: split each document
+    into lines, remove EVERY occurrence of a line that appears at least
+    ``min_repeat`` times (corpus-wide, or within ``scope_col`` groups —
+    e.g. per source, the natural scope for site chrome like "Sign in"),
+    and reassemble the survivors in original order. Documents whose
+    lines were all boilerplate drop out entirely.
+
+    This is deliberately NOT :func:`paragraph_dedup` (C4's rule keeps
+    the first occurrence); boilerplate removal keeps none — a nav bar
+    repeated across a site is noise in all of its occurrences.
+
+    Plan shape: one row-local ``posexplode``; the repeat counts come
+    from a ``groupBy`` on the line's md5 (map-side combine collapses a
+    line repeated 10^9 times to at most one row per input partition
+    BEFORE the shuffle, so boilerplate skew never concentrates); the
+    boilerplate key set then removes its lines via a ``left_anti`` join
+    (AQE skew-join splittable), and per-doc totals ride a counts-only
+    aggregate joined back on the id. Line text crosses exactly one
+    shuffle (the reassembly groupBy) — the count/anti-join legs carry
+    only 16-byte keys. Contrast with a ``count() over (partition by
+    key)`` window, which would ship every copy of a mega-repeated
+    line's text into a single partition.
+
+    Returns (id, [scope], text, n_lines_kept, n_lines_total).
+    """
+    if min_repeat < 2:
+        raise ValueError("min_repeat must be >= 2 (1 would remove every line)")
+    pos, line = "__pos", "__line"
+    scope = [scope_col] if scope_col is not None else []
+    ex = (
+        df.select(
+            F.col(id_col),
+            *[F.col(c) for c in scope],
+            F.posexplode(F.split(F.col(text_col), sep)).alias(pos, line),
+        )
+        .withColumn(line, F.trim(F.col(line)))
+        .where(F.length(F.col(line)) > 0)
+        .withColumn("__k", F.md5(F.lower(F.col(line))))
+    )
+    keys = scope + ["__k"]
+    boiler = (
+        ex.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__rep"))
+        .where(F.col("__rep") >= min_repeat)
+        .select(*keys)
+    )
+    totals = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines_total"))
+    kept = ex.join(boiler, on=keys, how="left_anti")
+    return (
+        kept.groupBy(id_col, *scope)
+        .agg(
+            F.concat_ws(
+                join_sep,
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col(pos), F.col(line)))),
+                    lambda s: s[line],
+                ),
+            ).alias(text_col),
+            F.count(F.lit(1)).alias("n_lines_kept"),
+        )
+        .join(totals, on=id_col)
     )
 
 

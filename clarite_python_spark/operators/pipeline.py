@@ -35,6 +35,7 @@ __all__ = [
     "epoch_repeat",
     "dsir_logweights",
     "dsir_sample",
+    "perplexity_buckets",
 ]
 
 #: number of hash buckets fractions are quantized to: fraction 0.8123
@@ -773,4 +774,76 @@ def temperature_mixture(
         df.join(F.broadcast(rates), F.col(by).eqNullSafe(F.col("__mixgrp")))
         .where(b < F.col("rate_buckets"))
         .drop("__mixgrp")
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    n_buckets: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    vocab: DataFrame | None = None,
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    exact: bool = True,
+) -> DataFrame:
+    """CCNet-style perplexity partitioning (Wenzek et al. 2020): score
+    each document with the unigram LM proxy (``text.unigram_logprob``
+    bits/token — the stand-in for CCNet's KenLM perplexity), then split
+    each language into ``n_buckets`` equal-count buckets ordered by
+    score. Bucket 1 = lowest bits/token = most in-distribution ("head"
+    in CCNet's head/middle/tail vocabulary); training pipelines keep
+    head+middle and drop or re-sample tail.
+
+    ``exact=True`` ranks with ``ntile`` over a per-language window —
+    the pandas/R-parity form, but at 100 TB one language's rows sort in
+    a single reducer. ``exact=False`` is the scale form and what CCNet
+    itself does: compute approximate bucket cutoffs per language
+    (``percentile_approx`` — a mergeable map-side sketch), broadcast
+    the O(#langs) cutoff table, and assign buckets with a row-local
+    comparison; no global sort, boundary assignments approximate.
+
+    Returns (id, lang, n_tokens, bits_per_token, bucket, bucket_label);
+    ``bucket_label`` uses ``labels`` when it has exactly ``n_buckets``
+    entries, else the bucket number as a string. Empty documents (zero
+    tokens) have no score and drop out, as in unigram_logprob.
+    """
+    from pyspark.sql import Window
+
+    from clarite_python_spark.operators.text import unigram_logprob
+
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    scored = unigram_logprob(df, text_col=text_col, id_col=id_col, vocab=vocab)
+    scored = scored.join(df.select(F.col(id_col), F.col(lang_col)), on=id_col)
+    if exact:
+        w = Window.partitionBy(lang_col).orderBy("bits_per_token", id_col)
+        bucketed = scored.withColumn("bucket", F.ntile(n_buckets).over(w))
+    else:
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        cuts = scored.groupBy(lang_col).agg(
+            F.percentile_approx("bits_per_token", probs).alias("__cuts")
+        )
+        bucketed = scored.join(F.broadcast(cuts), on=lang_col).withColumn(
+            "bucket",
+            F.lit(1)
+            + F.aggregate(
+                F.col("__cuts"),
+                F.lit(0),
+                lambda acc, c: acc
+                + F.when(F.col("bits_per_token") > c, 1).otherwise(0),
+            ),
+        ).drop("__cuts")
+    label = (
+        F.element_at(F.array(*[F.lit(x) for x in labels]), F.col("bucket"))
+        if len(labels) == n_buckets
+        else F.col("bucket").cast("string")
+    )
+    return bucketed.select(
+        id_col,
+        lang_col,
+        "n_tokens",
+        "bits_per_token",
+        "bucket",
+        label.alias("bucket_label"),
     )

@@ -235,6 +235,17 @@ def test_cli_pipeline_quality_and_dedup_extensions(spark, tmp_path):
     assert {"n_paras_kept", "n_paras_total"} <= set(pd_out.columns)
     assert 0 < pd_out.count() <= docs.count()
 
+    assert cli.main(["pipeline", "line-dedup", src, f"{d}/ld", "--sep", "batch",
+                     "--scope-col", "source"]) == 0
+    ld_out = spark.read.parquet(f"{d}/ld")
+    assert {"n_lines_kept", "n_lines_total", "source"} <= set(ld_out.columns)
+    assert 0 < ld_out.count() <= docs.count()
+
+    assert cli.main(["pipeline", "perplexity-buckets", src, f"{d}/ppl",
+                     "--approx"]) == 0
+    ppl_out = spark.read.parquet(f"{d}/ppl")
+    assert {"bits_per_token", "bucket", "bucket_label"} <= set(ppl_out.columns)
+
     docs.where("source = 'src0'").write.parquet(f"{d}/bench")
     assert cli.main(["pipeline", "contamination", src, f"{d}/bench", f"{d}/cont",
                      "--ngram", "5"]) == 0

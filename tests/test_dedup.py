@@ -460,3 +460,51 @@ def test_lsh_recall_refuses_oversized_sample(spark):
     # override runs the quadratic plan; small corpus -> fine
     r = lsh_recall(df, sample_fraction=1.0, max_sample_rows=None).collect()[0]
     assert r["n_sample"] == 50
+
+
+def test_line_dedup_removes_every_occurrence(spark):
+    from clarite_python_spark.operators.dedup import line_dedup
+
+    rows = [
+        (1, "alpha\nfooter\nbeta"),
+        (2, "gamma\nfooter"),        # 'footer' repeats corpus-wide -> gone everywhere
+        (3, "FOOTER\n delta "),      # case/ws-insensitive repeat counting
+        (4, "footer\nfooter"),       # doc made entirely of boilerplate -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in line_dedup(df).collect()}
+
+    assert got[1]["text"] == "alpha\nbeta"
+    assert got[1]["n_lines_kept"] == 2 and got[1]["n_lines_total"] == 3
+    assert got[2]["text"] == "gamma"
+    assert got[3]["text"] == "delta"
+    assert 4 not in got  # all lines were boilerplate -> doc removed
+
+
+def test_line_dedup_scope_and_threshold(spark):
+    from clarite_python_spark.operators.dedup import line_dedup
+
+    rows = [
+        (1, "s1", "nav\nbody one"),
+        (2, "s1", "nav\nbody two"),
+        (3, "s2", "nav\nbody three"),  # 'nav' unique within s2 -> kept there
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in line_dedup(df, scope_col="source").collect()
+    }
+    assert got[1]["text"] == "body one" and got[2]["text"] == "body two"
+    assert got[3]["text"] == "nav\nbody three"
+
+    # min_repeat=3: two repeats are below the bar, everything survives
+    loose = {
+        r["doc_id"]: r.asDict()
+        for r in line_dedup(df, scope_col="source", min_repeat=3).collect()
+    }
+    assert loose[1]["text"] == "nav\nbody one"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_repeat"):
+        line_dedup(df, min_repeat=1)

@@ -785,3 +785,50 @@ def test_dsir_sample_is_deterministic_and_weighted(docs):
     assert n_src0 > 3 * (50 / n_sources)
     with pytest.raises(ValueError, match="n must"):
         pipeline.dsir_sample(docs, target, 0)
+
+
+# ------------------------------------------------- perplexity buckets
+
+
+def test_perplexity_buckets_equal_sizes_per_lang(docs):
+    out = pipeline.perplexity_buckets(docs).cache()
+    sizes = {
+        (r["lang"], r["bucket"]): r["n"]
+        for r in out.groupBy("lang", "bucket").agg(F.count("*").alias("n")).collect()
+    }
+    # ntile: within each language bucket sizes differ by at most 1
+    langs = {k[0] for k in sizes}
+    for lang in langs:
+        per = [n for (lg, _), n in sizes.items() if lg == lang]
+        assert len(per) == 3 and max(per) - min(per) <= 1
+    # bucket 1 = head = lowest bits/token: per-lang means must be ordered
+    means = {
+        (r["lang"], r["bucket"]): r["m"]
+        for r in out.groupBy("lang", "bucket")
+        .agg(F.avg("bits_per_token").alias("m"))
+        .collect()
+    }
+    for lang in langs:
+        assert means[(lang, 1)] <= means[(lang, 2)] <= means[(lang, 3)]
+    labels = {r["bucket"]: r["bucket_label"] for r in out.select("bucket", "bucket_label").distinct().collect()}
+    assert labels == {1: "head", 2: "middle", 3: "tail"}
+    out.unpersist()
+
+
+def test_perplexity_buckets_approx_agrees_off_boundary(docs):
+    exact = {
+        r["doc_id"]: r["bucket"] for r in pipeline.perplexity_buckets(docs).collect()
+    }
+    approx = {
+        r["doc_id"]: r["bucket"]
+        for r in pipeline.perplexity_buckets(docs, exact=False).collect()
+    }
+    assert set(exact) == set(approx)
+    # the sketch only misassigns within rounding distance of a cutoff:
+    # never by more than one bucket, and for the vast majority not at all
+    diffs = [abs(exact[i] - approx[i]) for i in exact]
+    assert max(diffs) <= 1
+    assert sum(1 for d in diffs if d == 0) >= 0.95 * len(diffs)
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        pipeline.perplexity_buckets(docs, n_buckets=1)
