@@ -1377,6 +1377,16 @@ def perplexity_buckets_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.perplexity_buckets(docs).orderBy("doc_id")
 
 
+def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel-top-k weighted sampling without replacement (operators/
+    pipeline.py:weighted_sample): 60 documents drawn proportional to
+    n_chars, noise content-addressed from the id's md5 key so the
+    chosen set replays exactly in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    out = pipeline.weighted_sample(docs, 60, weight_col="n_chars", salt="wsq")
+    return out.select("doc_id", "n_chars", "sample_score").orderBy("doc_id")
+
+
 def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic source-mixture sampling: keep all of src0, none of
     src1, 40% of everything else — the corpus-reweighting step."""
@@ -1631,6 +1641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "line_dedup_documents": line_dedup_documents,
         "perplexity_buckets_documents": perplexity_buckets_documents,
+        "weighted_sample_documents": weighted_sample_documents,
         "epoch_repeat_documents": epoch_repeat_documents,
         "dsir_logweights_documents": dsir_logweights_documents,
         "dsir_sample_documents": dsir_sample_documents,
@@ -3115,6 +3126,15 @@ def oracle_sql() -> dict[str, str]:
         "epoch_repeat_documents": _epoch_repeat_oracle(),
         "dsir_logweights_documents": _dsir_logweights_oracle(),
         "dsir_sample_documents": _dsir_sample_oracle(),
+        "weighted_sample_documents": f"""
+            SELECT doc_id, n_chars,
+                   round(ln(n_chars)
+                         + (-ln(-ln((({_md5_key("CAST(doc_id AS VARCHAR)", "wsq:ws")}) + 1.0)
+                                    / 1152921504606846976.0))), 6) AS sample_score
+            FROM documents
+            WHERE n_chars IS NOT NULL AND n_chars > 0
+            ORDER BY sample_score DESC, doc_id ASC LIMIT 60
+        """,
         "similarity_lsh_multi_embeddings": _similarity_lsh_multi_oracle(),
         "ann_recall_multi_embeddings": _ann_recall_multi_oracle(),
         "embedding_neardup_lsh_embeddings": _neardup_lsh_oracle(),

@@ -280,6 +280,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "(e.g. source) instead of corpus-wide")
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
+    p = g_pipe.add_parser("weighted-sample")
+    p.add_argument("data")
+    p.add_argument("output")
+    p.add_argument("--n", type=int, required=True)
+    p.add_argument("--weight-col", required=True)
+    p.add_argument("--salt", default="")
+    p.add_argument("--id-col", default="doc_id")
     p = g_pipe.add_parser("perplexity-buckets")
     p.add_argument("data")
     p.add_argument("output")
@@ -753,6 +760,11 @@ def main(argv: list[str] | None = None) -> int:
                 sep=args.sep,
                 min_repeat=args.min_repeat,
                 scope_col=args.scope_col,
+            )
+        elif args.command == "weighted-sample":
+            out = pipe_mod.weighted_sample(
+                df, args.n, weight_col=args.weight_col,
+                id_col=args.id_col, salt=args.salt,
             )
         elif args.command == "perplexity-buckets":
             out = pipe_mod.perplexity_buckets(

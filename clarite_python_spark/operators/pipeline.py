@@ -36,6 +36,7 @@ __all__ = [
     "dsir_logweights",
     "dsir_sample",
     "perplexity_buckets",
+    "weighted_sample",
 ]
 
 #: number of hash buckets fractions are quantized to: fraction 0.8123
@@ -846,4 +847,49 @@ def perplexity_buckets(
         "bits_per_token",
         "bucket",
         label.alias("bucket_label"),
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Distributed weighted sampling WITHOUT replacement via the
+    Gumbel-top-k construction (equivalently Efraimidis & Spirakis 2006
+    exponential races): score = ln(w) + Gumbel noise, take the top n.
+    The noise is deterministic — ``-ln(-ln(u))`` with u drawn from the
+    md5 key of ``(id, salt)`` — so the chosen set is reproducible
+    across runs, partitionings, and engines, and changing ``salt``
+    redraws the sample. Rows with null or non-positive weight are
+    excluded (zero-weight rows must never be drawn).
+
+    This is the generic form of :func:`dsir_sample`'s resampling step,
+    for when the caller already has importance weights (quality scores,
+    per-domain rates, inverse-propensity corrections).
+
+    Plan: a row-local score projection followed by one
+    TakeOrderedAndProject — per-partition top-n then a single merge of
+    n-row heads; no global sort materializes. Ties (after rounding to
+    6 dp, the cross-engine-stable comparison) break by id.
+    """
+    from clarite_python_spark.functions.hashing import md5_60bit
+
+    if n <= 0:
+        raise ValueError("n must be positive")
+    w = F.col(weight_col).cast("double")
+    u = (
+        md5_60bit(
+            F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt + ":ws"))
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(1 << 60))
+    score = F.log(w) + (-F.log(-F.log(u)))
+    return (
+        df.where(w.isNotNull() & (w > 0))
+        .withColumn("sample_score", F.round(score, 6))
+        .orderBy(F.desc("sample_score"), F.asc(id_col))
+        .limit(n)
     )

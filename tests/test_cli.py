@@ -241,6 +241,11 @@ def test_cli_pipeline_quality_and_dedup_extensions(spark, tmp_path):
     assert {"n_lines_kept", "n_lines_total", "source"} <= set(ld_out.columns)
     assert 0 < ld_out.count() <= docs.count()
 
+    assert cli.main(["pipeline", "weighted-sample", src, f"{d}/ws",
+                     "--n", "20", "--weight-col", "n_chars"]) == 0
+    ws_out = spark.read.parquet(f"{d}/ws")
+    assert ws_out.count() == 20 and "sample_score" in ws_out.columns
+
     assert cli.main(["pipeline", "perplexity-buckets", src, f"{d}/ppl",
                      "--approx"]) == 0
     ppl_out = spark.read.parquet(f"{d}/ppl")

@@ -508,3 +508,19 @@ def test_line_dedup_scope_and_threshold(spark):
 
     with _pytest.raises(ValueError, match="min_repeat"):
         line_dedup(df, min_repeat=1)
+
+
+def test_line_dedup_is_idempotent(spark):
+    """Removing all >=min_repeat lines leaves only lines whose corpus
+    count is below the bar; a second pass cannot change anything."""
+    from clarite_python_spark.operators.dedup import line_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    once = line_dedup(
+        docs.select("doc_id", "text"), sep="batch", join_sep="\n"
+    ).cache()
+    twice = line_dedup(once.select("doc_id", "text"), sep="\n", join_sep="\n")
+    a = {(r["doc_id"], r["text"]) for r in once.collect()}
+    b = {(r["doc_id"], r["text"]) for r in twice.collect()}
+    assert a == b
+    once.unpersist()

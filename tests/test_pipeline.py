@@ -832,3 +832,31 @@ def test_perplexity_buckets_approx_agrees_off_boundary(docs):
 
     with pytest.raises(ValueError, match="n_buckets"):
         pipeline.perplexity_buckets(docs, n_buckets=1)
+
+
+def test_weighted_sample_deterministic_and_proportional(docs):
+    big = pipeline.weighted_sample(docs, 100, weight_col="n_chars", salt="a")
+    a = sorted(r["doc_id"] for r in big.collect())
+    b = sorted(r["doc_id"] for r in pipeline.weighted_sample(
+        docs, 100, weight_col="n_chars", salt="a").collect())
+    assert a == b and len(a) == 100  # content-addressed noise, not random
+    c = sorted(r["doc_id"] for r in pipeline.weighted_sample(
+        docs, 100, weight_col="n_chars", salt="b").collect())
+    assert a != c  # a new salt redraws the sample
+    # heavier docs must be overrepresented: mean weight of the sample
+    # exceeds the corpus mean (Gumbel-top-k draws ∝ weight)
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    samp_mean = big.agg(F.avg("n_chars")).first()[0]
+    assert samp_mean > corpus_mean
+
+    with pytest.raises(ValueError, match="n must"):
+        pipeline.weighted_sample(docs, 0, weight_col="n_chars")
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, None), (4, -1.0), (5, 2.0)],
+        "doc_id long, w double",
+    )
+    got = {r["doc_id"] for r in pipeline.weighted_sample(df, 10, weight_col="w").collect()}
+    assert got == {1, 5}  # zero/null/negative weights are never drawn
