@@ -1377,6 +1377,22 @@ def perplexity_buckets_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.perplexity_buckets(docs).orderBy("doc_id")
 
 
+def shard_by_tokens_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-token training-shard assignment (operators/pipeline.py:
+    shard_by_tokens): hash-ordered cumsum per source, shard = previous
+    cumulative total / 2000 tokens — the same window replay as
+    token_budget_sample's oracle plus the shard division."""
+    docs = _t(spark, sf_dir, "documents")
+    out = pipeline.shard_by_tokens(docs, 2000, salt="shrd")
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "cum_tokens",
+        "shard",
+    ).orderBy("doc_id")
+
+
 def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gumbel-top-k weighted sampling without replacement (operators/
     pipeline.py:weighted_sample): 60 documents drawn proportional to
@@ -1642,6 +1658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_documents": line_dedup_documents,
         "perplexity_buckets_documents": perplexity_buckets_documents,
         "weighted_sample_documents": weighted_sample_documents,
+        "shard_by_tokens_documents": shard_by_tokens_documents,
         "epoch_repeat_documents": epoch_repeat_documents,
         "dsir_logweights_documents": dsir_logweights_documents,
         "dsir_sample_documents": dsir_sample_documents,
@@ -3653,6 +3670,21 @@ def oracle_sql() -> dict[str, str]:
                     WHEN 'src1' THEN (cum_tokens - n_tokens) < 0
                     ELSE true END
             ORDER BY doc_id
+        """,
+        "shard_by_tokens_documents": f"""
+            WITH t AS (
+              SELECT doc_id, source, {_md5_key("doc_id", "shrd")} AS k,
+                     CAST(len({_TOKENS}) AS BIGINT) AS n_tokens
+              FROM documents
+            )
+            SELECT doc_id, source, n_tokens,
+                   CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY k
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                     AS cum_tokens,
+                   CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY k
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+                     / 2000.0) AS BIGINT) AS shard
+            FROM t ORDER BY doc_id
         """,
         "repetition_stats_documents": f"""
             WITH t AS (

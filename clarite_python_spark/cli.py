@@ -280,6 +280,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "(e.g. source) instead of corpus-wide")
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
+    p = g_pipe.add_parser("shard-by-tokens")
+    p.add_argument("data")
+    p.add_argument("output")
+    p.add_argument("--tokens-per-shard", type=int, required=True)
+    p.add_argument("--by", default="source")
+    p.add_argument("--salt", default="")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
     p = g_pipe.add_parser("weighted-sample")
     p.add_argument("data")
     p.add_argument("output")
@@ -760,6 +768,11 @@ def main(argv: list[str] | None = None) -> int:
                 sep=args.sep,
                 min_repeat=args.min_repeat,
                 scope_col=args.scope_col,
+            )
+        elif args.command == "shard-by-tokens":
+            out = pipe_mod.shard_by_tokens(
+                df, args.tokens_per_shard, by=args.by,
+                text_col=args.text_col, id_col=args.id_col, salt=args.salt,
             )
         elif args.command == "weighted-sample":
             out = pipe_mod.weighted_sample(

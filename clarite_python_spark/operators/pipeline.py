@@ -37,6 +37,7 @@ __all__ = [
     "dsir_sample",
     "perplexity_buckets",
     "weighted_sample",
+    "shard_by_tokens",
 ]
 
 #: number of hash buckets fractions are quantized to: fraction 0.8123
@@ -892,4 +893,53 @@ def weighted_sample(
         .withColumn("sample_score", F.round(score, 6))
         .orderBy(F.desc("sample_score"), F.asc(id_col))
         .limit(n)
+    )
+
+
+def shard_by_tokens(
+    df: DataFrame,
+    tokens_per_shard: int,
+    by: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Assign every document to a training shard of ~``tokens_per_shard``
+    tokens — the shard-writing step before a training run ("make N-token
+    webdataset/arrow files"). Within each ``by`` group documents are
+    ordered by their deterministic md5 shuffle key (so shard contents
+    are reproducible across runs/engines and pre-shuffled for training)
+    and the shard id is the running token total divided by the shard
+    size: a shard closes as soon as it crosses the boundary, so every
+    shard except a group's last holds at least ``tokens_per_shard``
+    tokens and overshoots by at most one document.
+
+    Plan: ONE window cumsum per group — the same single keyed shuffle
+    as ``token_budget_sample``, and the same skew caveat: one giant
+    group serializes its cumsum in one reducer. At 100 TB shard within
+    finer groups (e.g. ``by="shard_prefix"`` = a hash of the id — LLN
+    makes per-prefix token totals near-equal) and treat (group, shard)
+    as the shard key. Returns rows plus (n_tokens, cum_tokens, shard).
+    """
+    from pyspark.sql import Window
+
+    from clarite_python_spark.functions.hashing import md5_60bit
+    from clarite_python_spark.operators.text import token_count
+
+    if tokens_per_shard <= 0:
+        raise ValueError("tokens_per_shard must be positive")
+    key = md5_60bit(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(by).orderBy("__key")
+    return (
+        df.withColumn("__key", key)
+        .withColumn("n_tokens", token_count(text_col))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        # the shard a doc STARTS in: previous cumsum / size, so the doc
+        # that crosses a boundary still belongs to the shard it closes
+        .withColumn(
+            "shard",
+            ((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(tokens_per_shard))
+            .cast("long"),
+        )
+        .drop("__key")
     )

@@ -85,6 +85,23 @@ def main() -> None:
         "remove_duplicate_spans",
         lambda: dedup.remove_duplicate_spans(big, n=16).where("removed_tokens >= 0"),
     )
+    # round-7 stages
+    bench(
+        "line_dedup",
+        lambda: dedup.line_dedup(big, sep="batch", scope_col="source"),
+    )
+    bench(
+        "perplexity_buckets_approx",
+        lambda: pipeline.perplexity_buckets(
+            big.withColumn("lang", F.lit("en")), exact=False
+        ),
+    )
+    bench(
+        "weighted_sample",
+        lambda: pipeline.weighted_sample(
+            big.withColumn("w", F.length("text")), 10_000, weight_col="w"
+        ),
+    )
 
     total = sum(v for k, v in results.items() if not k.endswith("_rows"))
     print(

@@ -860,3 +860,39 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     )
     got = {r["doc_id"] for r in pipeline.weighted_sample(df, 10, weight_col="w").collect()}
     assert got == {1, 5}  # zero/null/negative weights are never drawn
+
+
+def test_shard_by_tokens_fills_shards(docs):
+    out = pipeline.shard_by_tokens(docs, 2000).cache()
+    per = (
+        out.groupBy("source", "shard")
+        .agg(F.sum("n_tokens").alias("tok"), F.max("shard").alias("_"))
+        .collect()
+    )
+    # every shard except a group's last holds >= tokens_per_shard
+    last = {
+        r["source"]: r["m"]
+        for r in out.groupBy("source").agg(F.max("shard").alias("m")).collect()
+    }
+    for r in per:
+        if r["shard"] < last[r["source"]]:
+            assert r["tok"] >= 2000
+    # shards are contiguous from 0 within each group
+    shards = sorted(
+        (r["source"], r["shard"]) for r in out.select("source", "shard").distinct().collect()
+    )
+    by_src: dict = {}
+    for s, sh in shards:
+        by_src.setdefault(s, []).append(sh)
+    for s, got in by_src.items():
+        assert got == list(range(len(got)))
+    # deterministic: same salt -> same assignment
+    again = {
+        (r["doc_id"], r["shard"])
+        for r in pipeline.shard_by_tokens(docs, 2000).collect()
+    }
+    assert {(r["doc_id"], r["shard"]) for r in out.collect()} == again
+    out.unpersist()
+
+    with pytest.raises(ValueError, match="tokens_per_shard"):
+        pipeline.shard_by_tokens(docs, 0)
