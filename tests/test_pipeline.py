@@ -896,3 +896,37 @@ def test_shard_by_tokens_fills_shards(docs):
 
     with pytest.raises(ValueError, match="tokens_per_shard"):
         pipeline.shard_by_tokens(docs, 0)
+
+
+def test_weighted_sample_nests_in_n(docs):
+    """Scores are content-addressed and fixed, so top-n selection NESTS:
+    a bigger sample is a superset of a smaller one (the property that
+    makes budget increases append-only for a training corpus)."""
+    small = {r["doc_id"] for r in pipeline.weighted_sample(
+        docs, 40, weight_col="n_chars", salt="nest").collect()}
+    big = {r["doc_id"] for r in pipeline.weighted_sample(
+        docs, 120, weight_col="n_chars", salt="nest").collect()}
+    assert small < big
+
+
+def test_shard_by_tokens_nests_with_budget_sample(docs):
+    """shard_by_tokens and token_budget_sample share the hash order, so
+    a group's budget prefix is exactly its first shards: every doc that
+    token_budget_sample keeps lands in a shard whose id is below every
+    shard id it drops (per group)."""
+    from pyspark.sql import functions as F
+
+    sharded = pipeline.shard_by_tokens(docs, 1000)
+    kept = pipeline.token_budget_sample(docs, 1000)
+    ids_kept = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    rows = sharded.select("doc_id", "source", "shard").collect()
+    by_src_kept = {}
+    by_src_drop = {}
+    for r in rows:
+        (by_src_kept if r["doc_id"] in ids_kept else by_src_drop).setdefault(
+            r["source"], []
+        ).append(r["shard"])
+    for src, kept_shards in by_src_kept.items():
+        dropped = by_src_drop.get(src)
+        if dropped:
+            assert max(kept_shards) <= min(dropped)

@@ -370,3 +370,35 @@ def test_tfidf_plan_build_triggers_no_job(spark):
     # and the idf constant is genuinely in the plan, not a driver literal
     assert plan.where(F.col("rank") == 1).limit(1).count() == 1
     assert bigram.limit(1).count() == 1
+
+
+def test_round7_operators_no_cartesian_no_python(spark):
+    """Round-7 operators: JVM-side plans, no cartesian products; the
+    perplexity approx path additionally must not sort, and
+    weighted_sample must be a TakeOrderedAndProject (no global sort)."""
+    from clarite_python_spark.operators import dedup, pipeline
+    from clarite_python_spark.sources.io import load_testdata
+
+    docs = load_testdata(spark, SF_DIR, ["documents"])["documents"]
+    plans = {
+        "line_dedup": dedup.line_dedup(docs, sep="batch", scope_col="source"),
+        "perplexity_exact": pipeline.perplexity_buckets(docs),
+        "perplexity_approx": pipeline.perplexity_buckets(docs, exact=False),
+        "weighted_sample": pipeline.weighted_sample(docs, 50, weight_col="n_chars"),
+        "shard_by_tokens": pipeline.shard_by_tokens(docs, 2000),
+    }
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        if name not in ("perplexity_exact", "perplexity_approx"):
+            # perplexity's unigram scorer carries its smoothing
+            # denominator as the documented ONE-ROW scalar broadcast
+            assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+    approx = plans["perplexity_approx"]._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in approx  # no per-language ntile sort at scale
+    ws = plans["weighted_sample"]._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in ws
+    assert ws.count("Exchange") == 0  # top-n merges heads, never shuffles
