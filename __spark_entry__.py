@@ -776,6 +776,17 @@ def contamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.contamination(corpus, bench, n=5).orderBy("doc_id")
 
 
+def remove_contaminated_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style span-level decontamination (dedup.
+    remove_contaminated_spans): src0 plays the evaluation benchmark;
+    every 5-gram window of the rest that appears verbatim in src0 is
+    deleted and the documents are rebuilt from the survivors."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("source") == "src0")
+    corpus = docs.where(F.col("source") != "src0")
+    return dedup.remove_contaminated_spans(corpus, bench, n=5).orderBy("doc_id")
+
+
 def gopher_rules_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality-rule flags (published thresholds, min_words
     lowered to 50 — the corpus spans 10-99 words so the word-count rule
@@ -1659,6 +1670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets_documents": perplexity_buckets_documents,
         "weighted_sample_documents": weighted_sample_documents,
         "shard_by_tokens_documents": shard_by_tokens_documents,
+        "remove_contaminated_spans_documents": remove_contaminated_spans_documents,
         "epoch_repeat_documents": epoch_repeat_documents,
         "dsir_logweights_documents": dsir_logweights_documents,
         "dsir_sample_documents": dsir_sample_documents,
@@ -4324,6 +4336,57 @@ def oracle_sql() -> dict[str, str]:
               FROM lagd
             ), iv AS (
               SELECT doc_id, grp, min(pos) AS s, max(pos) + 15 AS e
+              FROM isl GROUP BY doc_id, grp
+            ), covered AS (
+              SELECT doc_id, s + u.i AS j FROM iv, unnest(range(e - s + 1)) u(i)
+            ), posx AS (
+              SELECT doc_id, r.i::BIGINT AS j, otk[r.i + 1] AS tok
+              FROM d, unnest(range(n_tokens)) r(i)
+            ), keptx AS (
+              SELECT p.doc_id, p.j, p.tok
+              FROM posx p LEFT JOIN covered c ON p.doc_id = c.doc_id AND p.j = c.j
+              WHERE c.j IS NULL
+            ), agg AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     string_agg(tok, ' ' ORDER BY j) AS txt
+              FROM keptx GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(n_tokens AS INT) AS n_tokens,
+                   CAST(n_tokens - coalesce(agg.n_kept, 0) AS INT) AS removed_tokens,
+                   coalesce(agg.txt, '') AS text_cleaned
+            FROM d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id
+        """,
+        "remove_contaminated_spans_documents": f"""
+            WITH t AS (
+              SELECT doc_id, source, {_TOKENS} AS otk,
+                     list_transform({_TOKENS}, x -> lower(x)) AS tk
+              FROM documents
+            ), d AS (
+              SELECT doc_id, otk, len(tk) AS n_tokens, tk FROM t
+              WHERE source != 'src0'
+            ), bwins AS (
+              SELECT DISTINCT array_to_string(tk[r.i + 1 : r.i + 5], ' ') AS g
+              FROM t, unnest(range(greatest(len(tk) - 4, 0))) r(i)
+              WHERE source = 'src0'
+            ), wins AS (
+              SELECT doc_id, r.i::BIGINT AS pos,
+                     array_to_string(tk[r.i + 1 : r.i + 5], ' ') AS g
+              FROM d, unnest(range(greatest(n_tokens - 4, 0))) r(i)
+            ), dup AS (
+              SELECT doc_id, pos FROM wins JOIN bwins USING (g)
+            ), lagd AS (
+              SELECT doc_id, pos,
+                     lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS lp
+              FROM dup
+            ), isl AS (
+              SELECT doc_id, pos,
+                     sum(CASE WHEN lp IS NULL OR pos > lp + 5 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+              FROM lagd
+            ), iv AS (
+              SELECT doc_id, grp, min(pos) AS s, max(pos) + 4 AS e
               FROM isl GROUP BY doc_id, grp
             ), covered AS (
               SELECT doc_id, s + u.i AS j FROM iv, unnest(range(e - s + 1)) u(i)

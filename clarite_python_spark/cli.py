@@ -316,6 +316,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Jaccard threshold for --fuzzy")
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
+    p = g_pipe.add_parser("decontaminate")
+    p.add_argument("data")
+    p.add_argument("benchmark")
+    p.add_argument("output")
+    p.add_argument("--ngram", type=int, default=13,
+                   help="window size whose benchmark collisions are cut "
+                        "(13 = the GPT-3 appendix-C published n)")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
     p = g_pipe.add_parser("clean")
     p.add_argument("data")
     p.add_argument("output")
@@ -799,6 +808,12 @@ def main(argv: list[str] | None = None) -> int:
                 out = dedup_mod.contamination(
                     df, bench, n=args.ngram, text_col=args.text_col, id_col=args.id_col
                 )
+        elif args.command == "decontaminate":
+            bench = spark.read.parquet(args.benchmark)
+            out = dedup_mod.remove_contaminated_spans(
+                df, bench, n=args.ngram,
+                text_col=args.text_col, id_col=args.id_col,
+            )
         elif args.command == "duplicate-spans":
             out = dedup_mod.duplicate_spans(
                 df,

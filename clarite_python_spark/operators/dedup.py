@@ -30,6 +30,7 @@ __all__ = [
     "line_dedup",
     "duplicate_spans",
     "remove_duplicate_spans",
+    "remove_contaminated_spans",
     "contamination",
     "fuzzy_contamination",
     "incremental_neardup",
@@ -475,6 +476,18 @@ def remove_duplicate_spans(
         .select("__gh")
     )
     dup = ex.join(dup_grams, "__gh", "left_semi")
+    return _delete_covered_windows(staged, dup, id_col, n)
+
+
+def _delete_covered_windows(
+    staged: DataFrame, dup: DataFrame, id_col: str, n: int
+) -> DataFrame:
+    """Shared deletion machinery for the span-removal family: ``staged``
+    is (id, __otoks, n_tokens, __wins), ``dup`` the (id, __pos) windows
+    to cut. Merges the covered positions into disjoint intervals
+    (gaps-and-islands on a per-doc lag window — O(#dup windows) rows),
+    collects them per doc, and rebuilds the text row-locally with one
+    filter+exists pass over the original tokens. No token-level join."""
     w = Window.partitionBy(id_col).orderBy("__pos")
     lagp = F.lag("__pos").over(w)
     # windows [pos, pos+n-1]: a new island starts when this window does
@@ -511,6 +524,67 @@ def remove_duplicate_spans(
         (F.col("n_tokens") - F.size(kept)).alias("removed_tokens"),
         cleaned.alias("text_cleaned"),
     )
+
+
+def remove_contaminated_spans(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Span-level benchmark DECONTAMINATION (the GPT-3 recipe, Brown et
+    al. 2020 appendix C: rather than dropping a contaminated training
+    document wholesale, delete exactly the spans that collide with an
+    evaluation set — default 13-gram windows, their published n): every
+    training token covered by an n-token window whose lowercased text
+    occurs anywhere in ``benchmark`` is cut, and the document is
+    reassembled from the surviving original tokens (single-space
+    joined, as in :func:`remove_duplicate_spans`).
+
+    Plan shape: the corpus side is ``remove_duplicate_spans``' staged
+    explode — (id, pos, hash64) longs only, window text never leaves
+    the row. The benchmark's distinct window hashes ride a BROADCAST
+    semi-join (eval suites are tiny next to a 100-TB corpus — the same
+    asymmetry :func:`contamination` exploits), so the corpus never
+    shuffles to find its hits; the interval merge + row-local rebuild
+    are shared with the dedup deletion. Returns
+    (id, n_tokens, removed_tokens, text_cleaned).
+    """
+    if n <= 0:
+        raise ValueError("n must be positive")
+    otoks = tokens(text_col)
+    ltoks = F.transform(otoks, lambda x: F.lower(x))
+    staged = _rebalance(df).select(
+        F.col(id_col), otoks.alias("__otoks"), ltoks.alias("__toks")
+    )
+    ntok = F.coalesce(F.size("__toks"), F.lit(0))
+    wins = F.when(
+        ntok >= n,
+        F.transform(
+            F.sequence(F.lit(0), ntok - n),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, n))),
+        ),
+    )
+    staged = staged.select(
+        F.col(id_col), F.col("__otoks"), ntok.alias("n_tokens"), wins.alias("__wins")
+    )
+    ex = staged.select(F.col(id_col), F.posexplode("__wins").alias("__pos", "__gh"))
+    btoks = F.transform(tokens(bench_text_col or text_col), lambda x: F.lower(x))
+    bn = F.coalesce(F.size(btoks), F.lit(0))
+    bwins = F.when(
+        bn >= n,
+        F.transform(
+            F.sequence(F.lit(0), bn - n),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(btoks, i + 1, n))),
+        ),
+    )
+    bench_grams = (
+        benchmark.select(F.explode(bwins).alias("__gh")).distinct()
+    )
+    dup = ex.join(F.broadcast(bench_grams), "__gh", "left_semi")
+    return _delete_covered_windows(staged, dup, id_col, n)
 
 
 def shingles(text_col: str = "text", n: int = 3) -> Column:

@@ -262,6 +262,11 @@ def test_cli_pipeline_quality_and_dedup_extensions(spark, tmp_path):
                      "--ngram", "5"]) == 0
     assert "contamination_frac" in spark.read.parquet(f"{d}/cont").columns
 
+    assert cli.main(["pipeline", "decontaminate", src, f"{d}/bench", f"{d}/dec",
+                     "--ngram", "5"]) == 0
+    dec_out = spark.read.parquet(f"{d}/dec")
+    assert {"removed_tokens", "text_cleaned"} <= set(dec_out.columns)
+
     assert cli.main(["pipeline", "contamination", src, f"{d}/bench", f"{d}/fuzzy",
                      "--fuzzy", "--threshold", "0.5"]) == 0
     assert {"bench_id", "jaccard"} <= set(spark.read.parquet(f"{d}/fuzzy").columns)

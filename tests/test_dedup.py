@@ -524,3 +524,53 @@ def test_line_dedup_is_idempotent(spark):
     b = {(r["doc_id"], r["text"]) for r in twice.collect()}
     assert a == b
     once.unpersist()
+
+
+def test_remove_contaminated_spans_cuts_benchmark_overlaps(spark):
+    from clarite_python_spark.operators.dedup import remove_contaminated_spans
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta EPSILON zeta eta theta"),
+            (2, "unrelated words only here nothing shared at all"),
+            (3, "x y alpha beta gamma delta question answer pair z"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [
+            (100, "Alpha beta GAMMA delta"),   # case-insensitive 4-gram hit
+            (101, "question answer pair"),     # 3 tokens < n -> no window
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in remove_contaminated_spans(corpus, bench, n=4).collect()
+    }
+    assert got[1]["text_cleaned"] == "EPSILON zeta eta theta"
+    assert got[1]["removed_tokens"] == 4
+    assert got[2]["removed_tokens"] == 0  # untouched doc passes through
+    # doc 3 loses only the colliding span; the sub-n benchmark doc
+    # contributes no windows, so 'question answer pair' survives
+    assert got[3]["text_cleaned"] == "x y question answer pair z"
+    assert len(got) == 3  # fully-contaminated docs would still emit ('' text)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n must"):
+        remove_contaminated_spans(corpus, bench, n=0)
+
+
+def test_remove_contaminated_spans_gate_corpus_has_hits(spark):
+    """The registered query must exercise real deletions on the
+    synthetic corpus, not vacuously pass on zero hits."""
+    from pyspark.sql import functions as F
+
+    from clarite_python_spark.operators.dedup import remove_contaminated_spans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.where(F.col("source") == "src0")
+    corpus = docs.where(F.col("source") != "src0")
+    out = remove_contaminated_spans(corpus, bench, n=5)
+    assert out.where("removed_tokens > 0").count() > 0
