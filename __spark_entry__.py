@@ -718,6 +718,24 @@ def token_budget_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("doc_id")
 
 
+def quality_budget_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-first token-budget selection (pipeline.token_budget_sample
+    with order_col): per source, keep the LONGEST documents (n_chars as
+    the quality proxy — any classifier score plugs in the same way)
+    until 400 tokens (the cap bites at every sf); hash key breaks ties."""
+    docs = _t(spark, sf_dir, "documents")
+    out = pipeline.token_budget_sample(
+        docs, 400, salt="qb", order_col="n_chars", descending=True
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "cum_tokens",
+    ).orderBy("doc_id")
+
+
 def corpus_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus profile (text.corpus_stats): counts, token
     moments, exact-dup rate on the shared md5 fingerprint."""
@@ -1671,6 +1689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_documents": weighted_sample_documents,
         "shard_by_tokens_documents": shard_by_tokens_documents,
         "remove_contaminated_spans_documents": remove_contaminated_spans_documents,
+        "quality_budget_sample_documents": quality_budget_sample_documents,
         "epoch_repeat_documents": epoch_repeat_documents,
         "dsir_logweights_documents": dsir_logweights_documents,
         "dsir_sample_documents": dsir_sample_documents,
@@ -3664,6 +3683,23 @@ def oracle_sql() -> dict[str, str]:
                    {_md5_key("doc_id", "ep0")} AS shuffle_key,
                    CAST({_md5_key("doc_id", "ep0")} % 4 AS INT) AS shard
             FROM documents ORDER BY doc_id
+        """,
+        "quality_budget_sample_documents": f"""
+            WITH t AS (
+              SELECT doc_id, source, n_chars, {_md5_key("doc_id", "qb")} AS k,
+                     CAST(len({_TOKENS}) AS BIGINT) AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, source, n_chars, n_tokens,
+                     CAST(sum(n_tokens) OVER (
+                       PARTITION BY source ORDER BY n_chars DESC, k
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS BIGINT) AS cum_tokens
+              FROM t
+            )
+            SELECT doc_id, source, n_chars, n_tokens, cum_tokens FROM c
+            WHERE (cum_tokens - n_tokens) < 400
+            ORDER BY doc_id
         """,
         "token_budget_sample_documents": f"""
             WITH t AS (

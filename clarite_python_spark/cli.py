@@ -280,6 +280,20 @@ def build_parser() -> argparse.ArgumentParser:
                         "(e.g. source) instead of corpus-wide")
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
+    p = g_pipe.add_parser("token-budget")
+    p.add_argument("data")
+    p.add_argument("output")
+    p.add_argument("--budget", type=int, required=True,
+                   help="max tokens kept per group")
+    p.add_argument("--by", default="source")
+    p.add_argument("--order-col", default=None,
+                   help="keep the best rows by this column until the "
+                        "budget is spent (default: deterministic hash order)")
+    p.add_argument("--ascending", action="store_true",
+                   help="with --order-col: prefer LOW values")
+    p.add_argument("--salt", default="")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
     p = g_pipe.add_parser("shard-by-tokens")
     p.add_argument("data")
     p.add_argument("output")
@@ -777,6 +791,12 @@ def main(argv: list[str] | None = None) -> int:
                 sep=args.sep,
                 min_repeat=args.min_repeat,
                 scope_col=args.scope_col,
+            )
+        elif args.command == "token-budget":
+            out = pipe_mod.token_budget_sample(
+                df, args.budget, by=args.by,
+                text_col=args.text_col, id_col=args.id_col, salt=args.salt,
+                order_col=args.order_col, descending=not args.ascending,
             )
         elif args.command == "shard-by-tokens":
             out = pipe_mod.shard_by_tokens(

@@ -574,6 +574,8 @@ def token_budget_sample(
     text_col: str = "text",
     id_col: str = "doc_id",
     salt: str = "",
+    order_col: str | None = None,
+    descending: bool = True,
 ) -> DataFrame:
     """Source mixing by TOKEN budget rather than document count: within
     each ``by`` group, documents are ordered by their deterministic
@@ -588,6 +590,13 @@ def token_budget_sample(
     selection reproducible and NESTED like deterministic_sample's rates
     (a bigger budget keeps a superset). Returns the rows plus
     (n_tokens, cum_tokens).
+
+    ``order_col`` switches the within-group order from the hash key to
+    that column (``descending`` by default) with the hash key as the
+    tie-break — "keep the BEST documents until the budget is spent",
+    the quality-first selection a filtered-corpus assembly runs with a
+    quality/classifier score. Selection still nests in the budget for
+    a fixed (order_col, salt).
     """
     from pyspark.sql import Window
 
@@ -595,7 +604,11 @@ def token_budget_sample(
     from clarite_python_spark.operators.text import token_count
 
     key = md5_60bit(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt)))
-    w = Window.partitionBy(by).orderBy("__key")
+    if order_col is not None:
+        lead = F.col(order_col).desc() if descending else F.col(order_col).asc()
+        w = Window.partitionBy(by).orderBy(lead, "__key")
+    else:
+        w = Window.partitionBy(by).orderBy("__key")
     out = (
         df.withColumn("__key", key)
         .withColumn("n_tokens", token_count(text_col))

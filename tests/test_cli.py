@@ -241,6 +241,11 @@ def test_cli_pipeline_quality_and_dedup_extensions(spark, tmp_path):
     assert {"n_lines_kept", "n_lines_total", "source"} <= set(ld_out.columns)
     assert 0 < ld_out.count() <= docs.count()
 
+    assert cli.main(["pipeline", "token-budget", src, f"{d}/tb",
+                     "--budget", "400", "--order-col", "n_chars"]) == 0
+    tb_out = spark.read.parquet(f"{d}/tb")
+    assert 0 < tb_out.count() < docs.count()
+
     assert cli.main(["pipeline", "shard-by-tokens", src, f"{d}/sh",
                      "--tokens-per-shard", "1500"]) == 0
     sh_out = spark.read.parquet(f"{d}/sh")

@@ -930,3 +930,41 @@ def test_shard_by_tokens_nests_with_budget_sample(docs):
         dropped = by_src_drop.get(src)
         if dropped:
             assert max(kept_shards) <= min(dropped)
+
+
+def test_token_budget_sample_order_col_keeps_best_first(docs):
+    """order_col flips the budget selection from hash order to
+    quality-first: kept docs must dominate dropped docs on the order
+    column within every group (modulo the crossing doc)."""
+    from pyspark.sql import functions as F
+
+    out = pipeline.token_budget_sample(
+        docs, 400, salt="qb", order_col="n_chars", descending=True
+    )
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    rows = docs.select("doc_id", "source", "n_chars").collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append((r["n_chars"], r["doc_id"]))
+    for src, pairs in by_src.items():
+        kept_chars = sorted(c for c, i in pairs if i in kept)
+        drop_chars = sorted(c for c, i in pairs if i not in kept)
+        if kept_chars and drop_chars:
+            # every kept doc is >= every dropped doc on n_chars
+            # (ties broken by hash may interleave equal values only)
+            assert kept_chars[0] >= drop_chars[-1] or kept_chars[0] == drop_chars[-1]
+    # selection still nests in the budget for a fixed order
+    bigger = {
+        r["doc_id"]
+        for r in pipeline.token_budget_sample(
+            docs, 800, salt="qb", order_col="n_chars", descending=True
+        ).select("doc_id").collect()
+    }
+    assert kept <= bigger
+    # ascending flips the preference
+    asc = pipeline.token_budget_sample(
+        docs, 400, salt="qb", order_col="n_chars", descending=False
+    )
+    asc_mean = asc.agg(F.avg("n_chars")).first()[0]
+    desc_mean = out.agg(F.avg("n_chars")).first()[0]
+    assert desc_mean > asc_mean
