@@ -1678,11 +1678,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rotates the other 53 (similarity / multimodal / winnowing / funnel /
     # recall / pipeline families) to the head so the driver finally
     # samples them, moving the already-driver-proven 50 to the tail.
-    # With the two round-7 additions (lsh_multi / ann_recall_multi) the
-    # head holds 55 never-driver-sampled entries; the last five (funnel
-    # family + retention) sit at positions 51-55 and rotate into the
+    # With the round-7 additions (lsh_multi / ann_recall_multi, DSIR,
+    # epoch_repeat, line_dedup, perplexity_buckets, weighted_sample,
+    # shard_by_tokens, remove_contaminated_spans, quality_budget) the
+    # head holds 64 never-driver-sampled entries; the ~14 past position
+    # 50 (funnel family, retention, some similarity) rotate into the
     # window next round. The local full gate
-    # (scripts/check_correctness.py) always runs all.
+    # (scripts/check_correctness.py) always runs all 114.
     return {
         "line_dedup_documents": line_dedup_documents,
         "perplexity_buckets_documents": perplexity_buckets_documents,

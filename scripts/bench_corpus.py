@@ -91,6 +91,12 @@ def main() -> None:
         lambda: dedup.line_dedup(big, sep="batch", scope_col="source"),
     )
     bench(
+        "remove_contaminated_spans",
+        lambda: dedup.remove_contaminated_spans(
+            big.where("source != 'src0'"), big.where("source = 'src0'"), n=16
+        ).where("removed_tokens >= 0"),
+    )
+    bench(
         "perplexity_buckets_approx",
         lambda: pipeline.perplexity_buckets(
             big.withColumn("lang", F.lit("en")), exact=False
