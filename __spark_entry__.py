@@ -718,6 +718,18 @@ def token_budget_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("doc_id")
 
 
+def split_leakage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit (pipeline.split_leakage): hash-split
+    60/20/20, then count the word 8-grams shared across split pairs —
+    the soft-leakage measure for a benchmark split of one's own corpus.
+    Oracle replays the md5-bucket split predicate + the source_overlap
+    fingerprint matrix keyed by the split."""
+    docs = _t(spark, sf_dir, "documents")
+    return pipeline.split_leakage(
+        docs, {"train": 0.6, "val": 0.2, "test": 0.2}, salt="lk"
+    ).orderBy("split_a", "split_b")
+
+
 def quality_budget_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-first token-budget selection (pipeline.token_budget_sample
     with order_col): per source, keep the LONGEST documents (n_chars as
@@ -1692,6 +1704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_by_tokens_documents": shard_by_tokens_documents,
         "remove_contaminated_spans_documents": remove_contaminated_spans_documents,
         "quality_budget_sample_documents": quality_budget_sample_documents,
+        "split_leakage_documents": split_leakage_documents,
         "epoch_repeat_documents": epoch_repeat_documents,
         "dsir_logweights_documents": dsir_logweights_documents,
         "dsir_sample_documents": dsir_sample_documents,
@@ -4481,6 +4494,38 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(len({_TOKENS}), 0.75), 4) AS p75,
                    round(quantile_cont(len({_TOKENS}), 0.95), 4) AS p95
             FROM documents GROUP BY source ORDER BY source
+        """,
+        "split_leakage_documents": f"""
+            WITH s AS (
+              SELECT text,
+                     CASE WHEN {_md5_bucket("CAST(doc_id AS VARCHAR)", "lk")} < 6000 THEN 'train'
+                          WHEN {_md5_bucket("CAST(doc_id AS VARCHAR)", "lk")} < 8000 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM documents
+            ), t AS (
+              SELECT split, {_TOKENS} AS tk FROM s
+            ), fps AS (
+              SELECT DISTINCT md5(gram) AS fp, split AS src FROM (
+                SELECT split,
+                       unnest(list_transform(generate_series(1, len(tk) - 7),
+                              i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3],
+                                             tk[i+4], tk[i+5], tk[i+6], tk[i+7]))) AS gram
+                FROM t WHERE len(tk) >= 8
+              )
+            ), sizes AS (
+              SELECT src, count(*) AS n FROM fps GROUP BY src
+            ), pairs AS (
+              SELECT a.src AS split_a, b.src AS split_b, count(*) AS n_shared
+              FROM fps a JOIN fps b USING (fp)
+              WHERE a.src < b.src
+              GROUP BY a.src, b.src
+            )
+            SELECT p.split_a, p.split_b, p.n_shared,
+                   sa.n AS n_a, sb.n AS n_b
+            FROM pairs p
+            JOIN sizes sa ON sa.src = p.split_a
+            JOIN sizes sb ON sb.src = p.split_b
+            ORDER BY p.split_a, p.split_b
         """,
         "source_overlap_documents": f"""
             WITH t AS (

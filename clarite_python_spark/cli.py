@@ -280,6 +280,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "(e.g. source) instead of corpus-wide")
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
+    p = g_pipe.add_parser("split-leakage")
+    p.add_argument("data")
+    p.add_argument("output")
+    p.add_argument("--splits", required=True,
+                   help='JSON {"train": 0.8, "test": 0.2, ...}')
+    p.add_argument("--granularity", default="ngram", choices=["doc", "ngram"])
+    p.add_argument("--ngram", type=int, default=8)
+    p.add_argument("--salt", default="")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
     p = g_pipe.add_parser("token-budget")
     p.add_argument("data")
     p.add_argument("output")
@@ -791,6 +801,12 @@ def main(argv: list[str] | None = None) -> int:
                 sep=args.sep,
                 min_repeat=args.min_repeat,
                 scope_col=args.scope_col,
+            )
+        elif args.command == "split-leakage":
+            out = pipe_mod.split_leakage(
+                df, json.loads(args.splits),
+                id_col=args.id_col, text_col=args.text_col, salt=args.salt,
+                granularity=args.granularity, n=args.ngram,
             )
         elif args.command == "token-budget":
             out = pipe_mod.token_budget_sample(

@@ -38,6 +38,7 @@ __all__ = [
     "perplexity_buckets",
     "weighted_sample",
     "shard_by_tokens",
+    "split_leakage",
 ]
 
 #: number of hash buckets fractions are quantized to: fraction 0.8123
@@ -955,4 +956,52 @@ def shard_by_tokens(
             .cast("long"),
         )
         .drop("__key")
+    )
+
+
+def split_leakage(
+    df: DataFrame,
+    splits: dict[str, float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "",
+    granularity: str = "ngram",
+    n: int = 8,
+) -> DataFrame:
+    """Train/test LEAKAGE audit: assign splits with
+    :func:`deterministic_split`, then count the exact fingerprints —
+    whole normalized documents (``granularity="doc"``) or word n-grams
+    (``"ngram"``, the default: hash-random splits rarely share verbatim
+    docs, but shared n-grams measure the soft leakage that inflates
+    eval scores) — that straddle two different splits. The audit a
+    pipeline runs BEFORE publishing a benchmark split of its own
+    corpus; run it after near-dedup too, since hash-splitting after
+    dedup is what actually prevents doc-level leakage.
+
+    Returns (split_a, split_b, n_shared, n_a, n_b) per unordered split
+    pair — containment/Jaccard are one division away. Rows left
+    unassigned by fractional splits (NULL split) are excluded.
+
+    Plan: the split is a row-local hash predicate; the overlap matrix
+    is :func:`clarite_python_spark.operators.dedup.source_overlap`
+    keyed by the split column (distinct (fingerprint, split) scan +
+    fingerprint-keyed self-join — fans out only where a fingerprint
+    truly spans splits).
+    """
+    from clarite_python_spark.operators.dedup import source_overlap
+
+    assigned = deterministic_split(df, splits, id_col, salt).where(
+        F.col("split").isNotNull()
+    )
+    out = source_overlap(
+        assigned,
+        text_col=text_col,
+        id_col=id_col,
+        by="split",
+        granularity=granularity,
+        n=n,
+    )
+    return (
+        out.withColumnRenamed("source_a", "split_a")
+        .withColumnRenamed("source_b", "split_b")
     )

@@ -241,6 +241,11 @@ def test_cli_pipeline_quality_and_dedup_extensions(spark, tmp_path):
     assert {"n_lines_kept", "n_lines_total", "source"} <= set(ld_out.columns)
     assert 0 < ld_out.count() <= docs.count()
 
+    assert cli.main(["pipeline", "split-leakage", src, f"{d}/lk",
+                     "--splits", '{"train": 0.8, "test": 0.2}']) == 0
+    lk_out = spark.read.parquet(f"{d}/lk")
+    assert {"split_a", "split_b", "n_shared"} <= set(lk_out.columns)
+
     assert cli.main(["pipeline", "token-budget", src, f"{d}/tb",
                      "--budget", "400", "--order-col", "n_chars"]) == 0
     tb_out = spark.read.parquet(f"{d}/tb")

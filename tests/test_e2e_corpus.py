@@ -73,3 +73,58 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path):
         ).cast("long"),
     )
     assert rederived.where("k2 != shuffle_key").count() == 0
+
+
+def test_round7_selection_pipeline_composes(spark):
+    """The round-7 assembly flow end-to-end: boilerplate line removal ->
+    span decontamination -> perplexity gating -> quality-first token
+    budget -> equal-token shards -> weighted subsample. Each stage
+    consumes the previous stage's actual output schema."""
+    raw = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    # 1. boilerplate lines (re-chunk on a frequent token, per source)
+    ld = dedup.line_dedup(
+        raw.select("doc_id", "source", "text"), sep="batch", scope_col="source"
+    )
+    docs = ld.select("doc_id", "source", "text").join(
+        raw.select("doc_id", "lang", "n_chars"), "doc_id"
+    )
+    assert 0 < docs.count() <= raw.count()
+
+    # 2. span-level decontamination vs the src0 "benchmark"
+    bench = raw.where("source = 'src0'")
+    dec = dedup.remove_contaminated_spans(
+        docs.where("source != 'src0'"), bench, n=5
+    )
+    docs = (
+        dec.where("text_cleaned != ''")
+        .select("doc_id", F.col("text_cleaned").alias("text"))
+        .join(raw.select("doc_id", "source", "lang", "n_chars"), "doc_id")
+    )
+    n_dec = docs.count()
+    assert n_dec > 0
+
+    # 3. perplexity gating: drop the tail bucket (approx = scale form)
+    pb = pipeline.perplexity_buckets(docs, exact=False)
+    docs = docs.join(
+        pb.where("bucket_label != 'tail'").select("doc_id"), "doc_id", "left_semi"
+    )
+    n_gated = docs.count()
+    assert 0 < n_gated < n_dec  # a tail exists and was cut
+
+    # 4. quality-first token budget per source (n_chars as the score)
+    picked = pipeline.token_budget_sample(docs, 2000, order_col="n_chars")
+    assert 0 < picked.count() <= n_gated
+
+    # 5. equal-token shards over the winners
+    sharded = pipeline.shard_by_tokens(
+        picked.drop("n_tokens", "cum_tokens"), 500
+    )
+    assert sharded.count() == picked.count()
+    assert sharded.where("shard < 0").count() == 0
+
+    # 6. deterministic weighted subsample of the sharded corpus
+    ws = pipeline.weighted_sample(
+        sharded.drop("cum_tokens"), 20, weight_col="n_tokens"
+    )
+    assert ws.count() == 20
