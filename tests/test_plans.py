@@ -386,6 +386,10 @@ def test_round7_operators_no_cartesian_no_python(spark):
         "perplexity_approx": pipeline.perplexity_buckets(docs, exact=False),
         "weighted_sample": pipeline.weighted_sample(docs, 50, weight_col="n_chars"),
         "shard_by_tokens": pipeline.shard_by_tokens(docs, 2000),
+        "split_leakage": pipeline.split_leakage(docs, {"a": 0.5, "b": 0.5}),
+        "remove_contaminated_spans": dedup.remove_contaminated_spans(
+            docs.where("source != 'src0'"), docs.where("source = 'src0'"), n=5
+        ),
     }
     for name, df in plans.items():
         plan = df._jdf.queryExecution().executedPlan().toString()
