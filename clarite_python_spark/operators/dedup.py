@@ -261,17 +261,18 @@ def line_dedup(
     the first occurrence); boilerplate removal keeps none — a nav bar
     repeated across a site is noise in all of its occurrences.
 
-    Plan shape: one row-local ``posexplode``; the repeat counts come
-    from a ``groupBy`` on the line's md5 (map-side combine collapses a
-    line repeated 10^9 times to at most one row per input partition
-    BEFORE the shuffle, so boilerplate skew never concentrates); the
-    boilerplate key set then removes its lines via a ``left_anti`` join
-    (AQE skew-join splittable), and per-doc totals ride a counts-only
-    aggregate joined back on the id. Line text crosses exactly one
-    shuffle (the reassembly groupBy) — the count/anti-join legs carry
-    only 16-byte keys. Contrast with a ``count() over (partition by
-    key)`` window, which would ship every copy of a mega-repeated
-    line's text into a single partition.
+    Plan shape: the line array and its per-doc total are computed
+    row-locally BEFORE the ``posexplode`` (no counts-only extra scan or
+    totals join — the total rides the explode as one int); the repeat
+    counts come from a ``groupBy`` on the line's md5 (map-side combine
+    collapses a line repeated 10^9 times to at most one row per input
+    partition BEFORE the shuffle, so boilerplate skew never
+    concentrates); the boilerplate key set then removes its lines via a
+    ``left_anti`` join (AQE skew-join splittable). Line text crosses
+    exactly one shuffle (the reassembly groupBy) — the count/anti-join
+    legs carry only 16-byte keys. Contrast with a ``count() over
+    (partition by key)`` window, which would ship every copy of a
+    mega-repeated line's text into a single partition.
 
     Returns (id, [scope], text, n_lines_kept, n_lines_total).
     """
@@ -279,16 +280,16 @@ def line_dedup(
         raise ValueError("min_repeat must be >= 2 (1 would remove every line)")
     pos, line = "__pos", "__line"
     scope = [scope_col] if scope_col is not None else []
-    ex = (
-        df.select(
-            F.col(id_col),
-            *[F.col(c) for c in scope],
-            F.posexplode(F.split(F.col(text_col), sep)).alias(pos, line),
-        )
-        .withColumn(line, F.trim(F.col(line)))
-        .where(F.length(F.col(line)) > 0)
-        .withColumn("__k", F.md5(F.lower(F.col(line))))
+    lines_arr = F.filter(
+        F.transform(F.split(F.col(text_col), sep), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
     )
+    ex = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in scope],
+        F.size(lines_arr).cast("long").alias("n_lines_total"),
+        F.posexplode(lines_arr).alias(pos, line),
+    ).withColumn("__k", F.md5(F.lower(F.col(line))))
     keys = scope + ["__k"]
     boiler = (
         ex.groupBy(*keys)
@@ -296,21 +297,17 @@ def line_dedup(
         .where(F.col("__rep") >= min_repeat)
         .select(*keys)
     )
-    totals = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines_total"))
     kept = ex.join(boiler, on=keys, how="left_anti")
-    return (
-        kept.groupBy(id_col, *scope)
-        .agg(
-            F.concat_ws(
-                join_sep,
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct(F.col(pos), F.col(line)))),
-                    lambda s: s[line],
-                ),
-            ).alias(text_col),
-            F.count(F.lit(1)).alias("n_lines_kept"),
-        )
-        .join(totals, on=id_col)
+    return kept.groupBy(id_col, *scope).agg(
+        F.concat_ws(
+            join_sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col(pos), F.col(line)))),
+                lambda s: s[line],
+            ),
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+        F.max("n_lines_total").alias("n_lines_total"),
     )
 
 
