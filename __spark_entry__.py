@@ -718,6 +718,30 @@ def token_budget_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("doc_id")
 
 
+def feature_hash_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing BOW embeddings (text.feature_hash_embed, 32
+    buckets, signed): registered UNNORMALIZED so every vector element
+    is an exactly-representable integer count (float-identical in any
+    engine); the L2 norm — the normalization's only other ingredient —
+    rides as a rounded scalar, so the normalized form is covered too."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = text.feature_hash_embed(docs, dim=32, normalize=False)
+    return emb.select(
+        "doc_id",
+        "embedding",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.col("embedding"),
+                    F.lit(0.0),
+                    lambda a, x: a + x.cast("double") * x.cast("double"),
+                )
+            ),
+            6,
+        ).alias("l2_norm"),
+    ).orderBy("doc_id")
+
+
 def split_leakage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test leakage audit (pipeline.split_leakage): hash-split
     60/20/20, then count the word 8-grams shared across split pairs —
@@ -1705,6 +1729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_contaminated_spans_documents": remove_contaminated_spans_documents,
         "quality_budget_sample_documents": quality_budget_sample_documents,
         "split_leakage_documents": split_leakage_documents,
+        "feature_hash_embed_documents": feature_hash_embed_documents,
         "epoch_repeat_documents": epoch_repeat_documents,
         "dsir_logweights_documents": dsir_logweights_documents,
         "dsir_sample_documents": dsir_sample_documents,
@@ -4494,6 +4519,29 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(len({_TOKENS}), 0.75), 4) AS p75,
                    round(quantile_cont(len({_TOKENS}), 0.95), 4) AS p95
             FROM documents GROUP BY source ORDER BY source
+        """,
+        "feature_hash_embed_documents": f"""
+            WITH ex AS (
+              SELECT doc_id, lower(unnest({_TOKENS})) AS tok FROM documents
+            ), sp AS (
+              SELECT doc_id,
+                     ({_md5_key("tok", "fh")}) % 32 AS b,
+                     (({_md5_key("tok", "fh#s")}) % 2) * 2 - 1 AS s
+              FROM ex
+            ), agg AS (
+              SELECT doc_id, b, CAST(sum(s) AS BIGINT) AS v
+              FROM sp GROUP BY doc_id, b
+            ), grid AS (
+              SELECT ids.doc_id, r.i AS d
+              FROM (SELECT DISTINCT doc_id FROM sp) ids CROSS JOIN range(32) r(i)
+            ), dense AS (
+              SELECT grid.doc_id, grid.d, coalesce(agg.v, 0) AS v
+              FROM grid LEFT JOIN agg ON agg.doc_id = grid.doc_id AND agg.b = grid.d
+            )
+            SELECT doc_id,
+                   CAST(list(v ORDER BY d) AS FLOAT[]) AS embedding,
+                   round(sqrt(sum(v * v)), 6) AS l2_norm
+            FROM dense GROUP BY doc_id ORDER BY doc_id
         """,
         "split_leakage_documents": f"""
             WITH s AS (

@@ -280,6 +280,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "(e.g. source) instead of corpus-wide")
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
+    p = g_pipe.add_parser("hash-embed")
+    p.add_argument("data")
+    p.add_argument("output")
+    p.add_argument("--dim", type=int, default=64)
+    p.add_argument("--no-normalize", action="store_true")
+    p.add_argument("--salt", default="fh")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
     p = g_pipe.add_parser("split-leakage")
     p.add_argument("data")
     p.add_argument("output")
@@ -801,6 +809,11 @@ def main(argv: list[str] | None = None) -> int:
                 sep=args.sep,
                 min_repeat=args.min_repeat,
                 scope_col=args.scope_col,
+            )
+        elif args.command == "hash-embed":
+            out = text_mod.feature_hash_embed(
+                df, dim=args.dim, text_col=args.text_col, id_col=args.id_col,
+                salt=args.salt, normalize=not args.no_normalize,
             )
         elif args.command == "split-leakage":
             out = pipe_mod.split_leakage(

@@ -31,6 +31,7 @@ __all__ = [
     "tfidf_top_terms",
     "bigram_logprob",
     "quality_classifier",
+    "feature_hash_embed",
     "QUALITY_CLASSIFIER_WEIGHTS",
 ]
 
@@ -878,4 +879,66 @@ def quality_classifier(
         id_col,
         F.round(score, 6).alias("quality_prob"),
         (F.round(score, 6) >= F.lit(float(threshold))).alias("keep"),
+    )
+
+
+def feature_hash_embed(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "fh",
+    normalize: bool = True,
+) -> DataFrame:
+    """Feature-hashing bag-of-words embedding (the hashing trick,
+    Weinberger et al. 2009): lowercased word unigrams hash into ``dim``
+    buckets, each contributing a +/-1 from an independent sign hash (the
+    construction that keeps inner products unbiased), optionally L2
+    normalized — a model-free ``array<float>`` document vector that
+    plugs straight into the similarity family (``cosine_topk``,
+    ``embedding_neardup``, ``semantic_dedup``) when no trained encoder
+    is available. Both hashes are the engine-portable 60-bit md5, so
+    vectors are reproducible anywhere.
+
+    Plan: explode -> (id, bucket) signed-count agg (map-side combined;
+    a corpus-dominating stopword collapses per partition before its
+    shuffle) -> per-doc sparse map -> dense vector via one row-local
+    ``transform`` over [0, dim). Two keyed shuffles, nothing
+    O(dim)-per-token. Empty documents drop out (no tokens, no vector).
+
+    Returns (id, embedding array<float>).
+    """
+    from clarite_python_spark.functions.hashing import md5_60bit
+
+    if dim <= 0:
+        raise ValueError("dim must be positive")
+    tok = F.explode(tokens(text_col)).alias("__tok")
+    ex = _rebalance(df).select(F.col(id_col), tok).select(
+        F.col(id_col), F.lower(F.col("__tok")).alias("__tok")
+    )
+    bucket = md5_60bit(F.concat_ws(":", F.col("__tok"), F.lit(salt))) % dim
+    sign = (md5_60bit(F.concat_ws(":", F.col("__tok"), F.lit(salt + "#s"))) % 2) * 2 - 1
+    sparse = (
+        ex.select(F.col(id_col), bucket.alias("__b"), sign.alias("__s"))
+        .groupBy(id_col, "__b")
+        .agg(F.sum("__s").alias("__v"))
+        .groupBy(id_col)
+        .agg(F.map_from_arrays(
+            F.collect_list("__b"), F.collect_list("__v")
+        ).alias("__m"))
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.coalesce(
+            F.element_at(F.col("__m"), d.cast("long")), F.lit(0)
+        ).cast("double"),
+    )
+    if normalize:
+        nrm = F.sqrt(F.aggregate(dense, F.lit(0.0), lambda a, x: a + x * x))
+        dense = F.when(
+            nrm > 0, F.transform(dense, lambda x: x / nrm)
+        ).otherwise(dense)
+    return sparse.select(
+        F.col(id_col),
+        F.transform(dense, lambda x: x.cast("float")).alias("embedding"),
     )

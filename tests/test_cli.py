@@ -241,6 +241,12 @@ def test_cli_pipeline_quality_and_dedup_extensions(spark, tmp_path):
     assert {"n_lines_kept", "n_lines_total", "source"} <= set(ld_out.columns)
     assert 0 < ld_out.count() <= docs.count()
 
+    assert cli.main(["pipeline", "hash-embed", src, f"{d}/he",
+                     "--dim", "16"]) == 0
+    he_out = spark.read.parquet(f"{d}/he")
+    assert "embedding" in he_out.columns
+    assert len(he_out.first()["embedding"]) == 16
+
     assert cli.main(["pipeline", "split-leakage", src, f"{d}/lk",
                      "--splits", '{"train": 0.8, "test": 0.2}']) == 0
     lk_out = spark.read.parquet(f"{d}/lk")

@@ -1015,3 +1015,49 @@ def test_split_leakage_ngram_gate_corpus(docs):
     assert len(pairs) == len(set(pairs)) <= 3
     assert all(a < b for a, b in pairs)
     assert sum(r["n_shared"] for r in out) > 0
+
+
+# ----------------------------------------------- feature-hash embed
+
+
+def test_feature_hash_embed_properties(docs, spark):
+    import math
+
+    from clarite_python_spark.operators.text import feature_hash_embed
+
+    emb = feature_hash_embed(docs, dim=32).cache()
+    rows = emb.collect()
+    assert all(len(r["embedding"]) == 32 for r in rows)
+    # normalized: every non-zero vector has unit L2 norm
+    for r in rows[:20]:
+        n = math.sqrt(sum(x * x for x in r["embedding"]))
+        assert abs(n - 1.0) < 1e-5 or n == 0.0
+    # deterministic + salt-sensitive
+    again = feature_hash_embed(docs, dim=32).orderBy("doc_id").first()
+    first = emb.orderBy("doc_id").first()
+    assert list(again["embedding"]) == list(first["embedding"])
+    other = feature_hash_embed(docs, dim=32, salt="zz").orderBy("doc_id").first()
+    assert list(other["embedding"]) != list(first["embedding"])
+    emb.unpersist()
+
+    # empty documents produce no vector; dim validated
+    empty = spark.createDataFrame([(1, "  ")], "doc_id long, text string")
+    assert feature_hash_embed(empty).count() == 0
+    with pytest.raises(ValueError, match="dim"):
+        feature_hash_embed(docs, dim=0)
+
+
+def test_feature_hash_embed_drives_similarity(docs):
+    """The hashed vectors plug into the similarity family: every doc's
+    nearest neighbor under cosine is itself (similarity 1.0)."""
+    from clarite_python_spark.operators.similarity import cosine_topk
+    from clarite_python_spark.operators.text import feature_hash_embed
+
+    emb = feature_hash_embed(docs.limit(200), dim=32).withColumnRenamed(
+        "doc_id", "vec_id"
+    ).cache()
+    q = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    top1 = cosine_topk(emb, q, k=1)
+    hits = {(r["query_id"], r["vec_id"]) for r in top1.collect()}
+    assert all(a == b for a, b in hits)
+    emb.unpersist()
