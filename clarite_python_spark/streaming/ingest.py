@@ -44,7 +44,7 @@ from pyspark.sql.types import LongType, StructField, StructType
 if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql.streaming.state import GroupState
 
-__all__ = ["stream_token_budget", "stream_pack_sequences"]
+__all__ = ["stream_token_budget", "stream_pack_sequences", "stream_shard_by_tokens"]
 
 _STATE = StructType([StructField("cum", LongType())])
 
@@ -205,6 +205,80 @@ def stream_pack_sequences(
 
     return stream.groupBy(by, "shard").applyInPandasWithState(
         _pack_update(max_tokens, by, "__ord", id_col),
+        out_schema,
+        _STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def _shard_update(tokens_per_shard: int, by: str, id_col: str):
+    def update(key: tuple, pdfs: Iterator[pd.DataFrame], state: "GroupState"):
+        (grp,) = key
+        (cum,) = state.get if state.exists else (0,)
+        # concat + one sort, as in _budget_update: a single availableNow
+        # backfill sees the batch op's deterministic __key order even
+        # when arrow chunking splits the group
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values("__key", kind="mergesort")
+        cums = cum + pdf["n_tokens"].cumsum()
+        prev = cums - pdf["n_tokens"]
+        out = pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                by: grp,
+                "n_tokens": pdf["n_tokens"],
+                "cum_tokens": cums,
+                "shard": (prev // tokens_per_shard).astype("int64"),
+            }
+        )
+        if len(cums):
+            cum = int(cums.iloc[-1])
+        state.update((cum,))
+        yield out
+
+    return update
+
+
+def stream_shard_by_tokens(
+    spark: SparkSession,
+    path: str,
+    tokens_per_shard: int,
+    by: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source incremental equal-token shard assignment — the
+    streaming twin of ``pipeline.shard_by_tokens``, same O(1)-per-group
+    state as the budget twin (one running token total). A single-batch
+    ``availableNow`` backfill reproduces the batch op exactly; across
+    micro-batches shards continue from the stored total, so arrival
+    order extends the shard sequence instead of restarting it."""
+    from clarite_python_spark.functions.hashing import md5_60bit
+    from clarite_python_spark.operators.text import token_count
+
+    if tokens_per_shard <= 0:
+        raise ValueError("tokens_per_shard must be positive")
+    reader = spark.readStream.schema(spark.read.parquet(path).schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(path).select(
+        F.col(id_col),
+        F.col(by),
+        token_count(text_col).cast("long").alias("n_tokens"),
+        md5_60bit(
+            F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt))
+        ).alias("__key"),
+    )
+    out_schema = (
+        f"{id_col} long, {by} string, n_tokens long, cum_tokens long, shard long"
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream.groupBy(by).applyInPandasWithState(
+        _shard_update(tokens_per_shard, by, id_col),
         out_schema,
         _STATE,
         "append",

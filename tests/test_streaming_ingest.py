@@ -235,3 +235,58 @@ def test_stream_pack_sequences_sharded(spark, docs, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(batch, got, check_dtype=False)
+
+
+def test_stream_shard_by_tokens_single_batch_equals_batch_op(spark, docs, tmp_path):
+    """One availableNow backfill = batch shard_by_tokens exactly
+    (ids, totals, AND shard assignments)."""
+    from clarite_python_spark.operators.pipeline import shard_by_tokens
+    from clarite_python_spark.streaming.ingest import stream_shard_by_tokens
+
+    src = str(tmp_path / "docs_shard_src")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+
+    batch = (
+        shard_by_tokens(spark.read.parquet(src), 1000)
+        .select("doc_id", "source", "n_tokens", "cum_tokens", "shard")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    _drive(stream_shard_by_tokens(spark, src, 1000), "shard_single")
+    got = (
+        spark.sql(
+            "select doc_id, source, n_tokens, cum_tokens, shard from shard_single"
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(batch, got, check_dtype=False)
+
+
+def test_stream_shard_by_tokens_state_continues_across_batches(spark, docs, tmp_path):
+    """With one file per trigger, later batches continue each group's
+    running total: shard ids never reset and cum_tokens is globally
+    monotone per group in arrival order."""
+    from clarite_python_spark.streaming.ingest import stream_shard_by_tokens
+
+    src = str(tmp_path / "docs_shard_multi")
+    docs.orderBy("doc_id").coalesce(1).write.mode("overwrite").parquet(src)
+    # append a second file so availableNow runs >= 2 triggers with
+    # maxFilesPerTrigger=1
+    docs.orderBy("doc_id").coalesce(1).write.mode("append").parquet(src)
+
+    _drive(
+        stream_shard_by_tokens(spark, src, 1000, max_files_per_trigger=1),
+        "shard_multi",
+    )
+    got = spark.sql("select * from shard_multi").toPandas()
+    assert len(got) == 2 * docs.count()
+    for _, g in got.groupby("source"):
+        g = g.sort_values("cum_tokens")
+        # totals strictly increase, shards are non-decreasing in total order
+        assert g["cum_tokens"].is_monotonic_increasing
+        assert g["shard"].is_monotonic_increasing
+        # state carried over: the second batch's totals extend the first
+        assert g["cum_tokens"].iloc[-1] >= 2 * g["n_tokens"].iloc[0]
