@@ -108,6 +108,7 @@ def main() -> None:
             big.withColumn("w", F.length("text")), 10_000, weight_col="w"
         ),
     )
+    bench("feature_hash_embed", lambda: text.feature_hash_embed(big, dim=64))
 
     total = sum(v for k, v in results.items() if not k.endswith("_rows"))
     print(
