@@ -718,6 +718,17 @@ def token_budget_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("doc_id")
 
 
+def jaccard_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text similarity search (dedup.jaccard_topk, md5
+    family): banded MinHash candidates re-ranked by exact 3-gram
+    Jaccard, top-5 neighbors per doc; scores rounded before ranking so
+    the order replays exactly in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.jaccard_topk(
+        docs.select("doc_id", "text"), k=5, hash_family="md5"
+    ).orderBy("doc_id", "rank")
+
+
 def feature_hash_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing BOW embeddings (text.feature_hash_embed, 32
     buckets, signed): registered UNNORMALIZED so every vector element
@@ -1730,6 +1741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_budget_sample_documents": quality_budget_sample_documents,
         "split_leakage_documents": split_leakage_documents,
         "feature_hash_embed_documents": feature_hash_embed_documents,
+        "jaccard_topk_documents": jaccard_topk_documents,
         "epoch_repeat_documents": epoch_repeat_documents,
         "dsir_logweights_documents": dsir_logweights_documents,
         "dsir_sample_documents": dsir_sample_documents,
@@ -4519,6 +4531,30 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(len({_TOKENS}), 0.75), 4) AS p75,
                    round(quantile_cont(len({_TOKENS}), 0.95), 4) AS p95
             FROM documents GROUP BY source ORDER BY source
+        """,
+        "jaccard_topk_documents": "WITH "
+        + _minhash_md5_pipeline()
+        + """, scored AS (
+              SELECT p.id_a, p.id_b,
+                     round(len(list_intersect(da.sh, db.sh)) * 1.0
+                           / greatest(len(list_distinct(da.sh || db.sh)), 1), 6)
+                       AS jaccard
+              FROM pairs p
+              JOIN docs da ON da.doc_id = p.id_a
+              JOIN docs db ON db.doc_id = p.id_b
+            ), sym AS (
+              SELECT id_a AS doc_id, id_b AS neighbor_id, jaccard FROM scored
+              UNION ALL
+              SELECT id_b, id_a, jaccard FROM scored
+            ), ranked AS (
+              SELECT doc_id, neighbor_id, jaccard,
+                     CAST(row_number() OVER (
+                       PARTITION BY doc_id ORDER BY jaccard DESC, neighbor_id
+                     ) AS INT) AS rank
+              FROM sym
+            )
+            SELECT doc_id, neighbor_id, jaccard, rank
+            FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank
         """,
         "feature_hash_embed_documents": f"""
             WITH ex AS (

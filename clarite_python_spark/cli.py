@@ -280,6 +280,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "(e.g. source) instead of corpus-wide")
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
+    p = g_pipe.add_parser("jaccard-topk")
+    p.add_argument("data")
+    p.add_argument("output")
+    p.add_argument("--k", type=int, default=5)
+    p.add_argument("--num-hashes", type=int, default=32)
+    p.add_argument("--bands", type=int, default=8)
+    p.add_argument("--shingle-n", type=int, default=3)
+    p.add_argument("--min-jaccard", type=float, default=0.0)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
     p = g_pipe.add_parser("hash-embed")
     p.add_argument("data")
     p.add_argument("output")
@@ -809,6 +819,12 @@ def main(argv: list[str] | None = None) -> int:
                 sep=args.sep,
                 min_repeat=args.min_repeat,
                 scope_col=args.scope_col,
+            )
+        elif args.command == "jaccard-topk":
+            out = dedup_mod.jaccard_topk(
+                df, k=args.k, text_col=args.text_col, id_col=args.id_col,
+                num_hashes=args.num_hashes, bands=args.bands,
+                shingle_n=args.shingle_n, min_jaccard=args.min_jaccard,
             )
         elif args.command == "hash-embed":
             out = text_mod.feature_hash_embed(

@@ -41,6 +41,7 @@ __all__ = [
     "minhash_clusters",
     "simhash",
     "ngram_jaccard_pairs",
+    "jaccard_topk",
     "lsh_recall",
 ]
 
@@ -1183,3 +1184,50 @@ def simhash(
     )
     fp = F.conv(bits_str, 2, 16)
     return df.select(F.col(id_col), fp.alias("simhash"))
+
+
+def jaccard_topk(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+    hash_family: str = "xxhash64",
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Per-document top-k most similar documents by EXACT n-gram
+    Jaccard, candidates from banded MinHash-LSH — the text-side analog
+    of ``similarity.cosine_topk`` ("find the documents most like this
+    one") at corpus scale: scoring touches only banded candidate pairs,
+    never all pairs, and the shingle re-rank is semi-join-first
+    (O(candidates), not O(corpus)). Like every banded method, recall is
+    bounded by the (num_hashes, bands) curve — measure it with
+    ``lsh_recall`` on your corpus before trusting a config.
+
+    Each undirected candidate pair contributes in both directions, so a
+    document's neighbor list is complete w.r.t. the candidate set.
+    Scores are rounded to 6 dp BEFORE ranking (ties then break by
+    neighbor id) so the ranking is reproducible across engines.
+
+    Returns (id, neighbor_id, jaccard, rank), rank 1 = most similar.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, shingle_n, max_bucket, hash_family
+    )
+    scored = ngram_jaccard_pairs(
+        df, cands, text_col, id_col, shingle_n, threshold=min_jaccard
+    ).withColumn("jaccard", F.round("jaccard", 6))
+    sym = scored.select(
+        F.col("id_a").alias(id_col), F.col("id_b").alias("neighbor_id"), "jaccard"
+    ).unionByName(
+        scored.select(
+            F.col("id_b").alias(id_col), F.col("id_a").alias("neighbor_id"), "jaccard"
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("jaccard"), F.asc("neighbor_id"))
+    return sym.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -241,6 +241,10 @@ def test_cli_pipeline_quality_and_dedup_extensions(spark, tmp_path):
     assert {"n_lines_kept", "n_lines_total", "source"} <= set(ld_out.columns)
     assert 0 < ld_out.count() <= docs.count()
 
+    assert cli.main(["pipeline", "jaccard-topk", src, f"{d}/jt", "--k", "3"]) == 0
+    jt_out = spark.read.parquet(f"{d}/jt")
+    assert {"neighbor_id", "jaccard", "rank"} <= set(jt_out.columns)
+
     assert cli.main(["pipeline", "hash-embed", src, f"{d}/he",
                      "--dim", "16"]) == 0
     he_out = spark.read.parquet(f"{d}/he")

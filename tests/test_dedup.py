@@ -574,3 +574,46 @@ def test_remove_contaminated_spans_gate_corpus_has_hits(spark):
     corpus = docs.where(F.col("source") != "src0")
     out = remove_contaminated_spans(corpus, bench, n=5)
     assert out.where("removed_tokens > 0").count() > 0
+
+
+def test_jaccard_topk_retrieves_planted_neighbors(spark):
+    from clarite_python_spark.operators.dedup import jaccard_topk
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows = [
+        (1, base + "one"),
+        (2, base + "two"),          # near-dup of 1
+        (3, "completely different words with no shared shingles at all here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["rank"]): r
+        for r in jaccard_topk(df, k=2, num_hashes=16, bands=8).collect()
+    }
+    # 1 and 2 retrieve each other at rank 1 with high jaccard
+    assert got[(1, 1)]["neighbor_id"] == 2 and got[(1, 1)]["jaccard"] > 0.8
+    assert got[(2, 1)]["neighbor_id"] == 1
+    # the unrelated doc has no candidates at all
+    assert not any(d == 3 for d, _ in got)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must"):
+        jaccard_topk(df, k=0)
+
+
+def test_jaccard_topk_rank_ordering_and_k(spark):
+    from clarite_python_spark.operators.dedup import jaccard_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = jaccard_topk(docs.select("doc_id", "text"), k=3).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["jaccard"]))
+    assert len(out) > 0
+    for _, lst in by_doc.items():
+        lst.sort()
+        assert [rk for rk, _ in lst] == list(range(1, len(lst) + 1))  # dense ranks
+        assert len(lst) <= 3
+        jacs = [j for _, j in lst]
+        assert jacs == sorted(jacs, reverse=True)  # descending similarity
