@@ -916,6 +916,40 @@ def similarity_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def quantize_int8_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization
+    (operators/similarity.py:quantize_embeddings): scale = max|v|/127,
+    q = clamp(floor(v/scale + 0.5), -127, 127) — floor(x+0.5) half-up so
+    DuckDB reproduces every byte; the oracle recomputes the full tinyint
+    arrays and the 9-dp scales."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.quantize_embeddings(emb).orderBy("vec_id")
+
+
+def quantized_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine over int8-quantized vectors — the 4x scan/IO
+    lever: same broadcast+window plan as cosine_topk but the corpus
+    arrays are tinyint. The oracle requantizes both sides in SQL and
+    replays the ranking."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.quantized_topk(emb, queries, k=10)
+    return out.select(
+        "query_id", "vec_id", "rank", F.round("cosine_q", 6).alias("cosine_q")
+    ).orderBy("query_id", "rank")
+
+
+def ann_recall_quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the int8-quantized ranking vs the float brute force
+    on the same 20 md5-deterministic queries as ann_recall_embeddings —
+    measures the rank damage of 4x-compressed vectors (0.995 at
+    sf0.001; measured per-corpus, not assumed)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ann_recall(emb, k=10, n_queries=20, method="quantized")
+
+
 def similarity_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN — numpy-seeded hyperplanes inlined as SQL
     literals in the oracle (hash-green)."""
@@ -1750,6 +1784,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_clusters_documents": minhash_clusters_documents,
         "simhash_documents": simhash_documents,
         "similarity_topk_embeddings": similarity_topk_embeddings,
+        "quantize_int8_embeddings": quantize_int8_embeddings,
+        "quantized_topk_embeddings": quantized_topk_embeddings,
+        "ann_recall_quantized_embeddings": ann_recall_quantized_embeddings,
         "similarity_lsh_embeddings": similarity_lsh_embeddings,
         "similarity_lsh_multi_embeddings": similarity_lsh_multi_embeddings,
         "ann_recall_multi_embeddings": ann_recall_multi_embeddings,
@@ -2230,6 +2267,75 @@ def _ann_recall_multi_oracle() -> str:
                           * sqrt(list_dot_product(q.qvec, q.qvec))) DESC,
                      e2.vec_id ASC) AS rnk
             FROM e2 JOIN q ON {orj}
+          ) WHERE rnk <= 10
+        ), hits AS (
+          SELECT exact.query_id, exact.vec_id FROM exact
+          JOIN approx ON approx.query_id = exact.query_id
+                     AND approx.vec_id = exact.vec_id
+        )
+        SELECT (SELECT count(*) FROM q) AS n_queries,
+               CAST(10 AS INT) AS k,
+               (SELECT count(*) FROM exact) AS n_exact,
+               (SELECT count(*) FROM approx) AS n_approx,
+               (SELECT count(*) FROM hits) AS n_hits,
+               CASE WHEN (SELECT count(*) FROM exact) > 0
+                    THEN round((SELECT count(*) FROM hits) * 1.0
+                               / (SELECT count(*) FROM exact), 6) END AS recall
+    """
+
+
+def _quant_cte() -> str:
+    """DuckDB twin of similarity.quantize_embeddings(bits=8): per-vector
+    symmetric int8 quantization — scale = max|v|/127 (1.0 for all-zero),
+    q = clamp(floor(v/scale + 0.5), -127, 127). floor(x+0.5) matches the
+    Spark side exactly (no banker's-rounding ties). Yields CTE ``qz``
+    with (vec_id, v DOUBLE[], qv DOUBLE[] of integral values, scale)."""
+    return """
+        base AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS amax
+          FROM embeddings
+        ), qz AS (
+          SELECT vec_id, v,
+                 list_transform(v, x -> least(greatest(floor(x / scale + 0.5), -127.0), 127.0)) AS qv,
+                 scale
+          FROM (SELECT vec_id, v,
+                       CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END AS scale
+                FROM base)
+        )
+    """
+
+
+def _ann_recall_quantized_oracle() -> str:
+    """DuckDB twin of ann_recall(k=10, n_queries=20, method='quantized'):
+    md5-keyed query sampling, float brute-force exact top-10, int8
+    requantized top-10, intersection counts."""
+    key = _md5_key("vec_id", "annrecall")
+    return f"""
+        WITH {_quant_cte()}, q AS (
+          SELECT qz.vec_id AS query_id, qz.v AS qvec, qz.qv AS qqv
+          FROM qz JOIN (SELECT vec_id, {key} AS kq FROM embeddings) kk
+            ON kk.vec_id = qz.vec_id
+          ORDER BY kk.kq, qz.vec_id LIMIT 20
+        ), exact AS (
+          SELECT query_id, vec_id FROM (
+            SELECT q.query_id, qz.vec_id,
+                   row_number() OVER (PARTITION BY q.query_id ORDER BY
+                     list_dot_product(qz.v, q.qvec)
+                       / (sqrt(list_dot_product(qz.v, qz.v))
+                          * sqrt(list_dot_product(q.qvec, q.qvec))) DESC,
+                     qz.vec_id ASC) AS rnk
+            FROM qz CROSS JOIN q
+          ) WHERE rnk <= 10
+        ), approx AS (
+          SELECT query_id, vec_id FROM (
+            SELECT q.query_id, qz.vec_id,
+                   row_number() OVER (PARTITION BY q.query_id ORDER BY
+                     list_dot_product(qz.qv, q.qqv)
+                       / (sqrt(list_dot_product(qz.qv, qz.qv))
+                          * sqrt(list_dot_product(q.qqv, q.qqv))) DESC,
+                     qz.vec_id ASC) AS rnk
+            FROM qz CROSS JOIN q
           ) WHERE rnk <= 10
         ), hits AS (
           SELECT exact.query_id, exact.vec_id FROM exact
@@ -3912,6 +4018,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, rank, round(cosine, 6) AS cosine
             FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
         """,
+        "quantize_int8_embeddings": f"""
+            WITH {_quant_cte()}
+            SELECT vec_id,
+                   list_transform(qv, x -> CAST(x AS TINYINT)) AS qvec,
+                   round(scale, 9) AS scale
+            FROM qz ORDER BY vec_id
+        """,
+        "quantized_topk_embeddings": f"""
+            WITH {_quant_cte()}, q AS (
+              SELECT vec_id AS query_id, qv AS qqv FROM qz WHERE vec_id < 5
+            ), scored AS (
+              SELECT q.query_id, qz.vec_id,
+                     list_dot_product(qz.qv, q.qqv)
+                       / (sqrt(list_dot_product(qz.qv, qz.qv))
+                          * sqrt(list_dot_product(q.qqv, q.qqv))) AS cosine_q
+              FROM qz CROSS JOIN q
+            ), ranked AS (
+              SELECT query_id, vec_id, cosine_q,
+                     CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine_q DESC, vec_id ASC) AS INT) AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, rank, round(cosine_q, 6) AS cosine_q
+            FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+        "ann_recall_quantized_embeddings": _ann_recall_quantized_oracle(),
         # IVF with n_probe == n_lists scores the full corpus per query,
         # so the exact brute-force ranking is its oracle too
         "similarity_ivf_embeddings": """

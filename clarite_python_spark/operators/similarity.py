@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "cosine",
     "cosine_topk",
+    "quantize_embeddings",
+    "quantized_topk",
     "lsh_topk",
     "lsh_topk_multi",
     "ivf_topk",
@@ -106,6 +108,94 @@ def cosine_topk(
         ),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy(query_id_col, "rank")
+    )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Per-vector symmetric scalar quantization of an ``array<float>``
+    column to ``bits``-bit integers — the standard 4x (int8) memory/IO
+    lever for embedding stores: at 100 TB of vectors, reading tinyint
+    arrays instead of floats cuts the scan and the shuffle by the same
+    factor, and cosine ranking is scale-invariant so the quantized
+    ranking needs no dequantize step (measure the rank damage with
+    ``ann_recall(method='quantized')``, don't assume it).
+
+    q[i] = clamp(round_half_up(v[i] / scale), -qmax, qmax) with
+    scale = max(|v|) / qmax (per vector; qmax = 2^(bits-1) - 1).
+    round-half-up is implemented as floor(x + 0.5) so the arithmetic is
+    engine-reproducible (DuckDB/Spark agree exactly; banker's-rounding
+    variants differ on .5 ties). An all-zero vector gets scale 1.0.
+
+    Pure codegen projection: one ``aggregate`` fold for max(|v|), one
+    ``transform`` for the cast — no shuffle, no Python, no job.
+    Returns (id_col, qvec array<tinyint|smallint>, scale double).
+    """
+    if not 2 <= bits <= 16:
+        raise ValueError("bits must be in [2, 16]")
+    qmax = (1 << (bits - 1)) - 1
+    itype = "tinyint" if bits <= 8 else "smallint"
+    v = F.col(vec_col).cast("array<double>")
+    amax = F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+    scale = F.when(amax > 0, amax / F.lit(float(qmax))).otherwise(F.lit(1.0))
+    qvec = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.least(
+            F.greatest(F.floor(x / F.col("scale") + F.lit(0.5)), F.lit(-qmax)),
+            F.lit(qmax),
+        ).cast(itype),
+    )
+    return (
+        df.select(F.col(id_col), F.col(vec_col), scale.alias("scale"))
+        .withColumn("qvec", qvec)
+        .select(id_col, "qvec", F.round("scale", 9).alias("scale"))
+    )
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine over int8/int16-quantized vectors — same
+    plan as ``cosine_topk`` (broadcast query set, one corpus scan,
+    per-query window) but the corpus-side arrays are ``bits``-bit
+    integers, so the scan reads 4x less (int8 vs float32) and the dot
+    product folds over tinyints. Cosine is scale-invariant, so the
+    per-vector quantization scales cancel and never need to be read.
+
+    Returns (query_id, id, rank, cosine_q) where cosine_q is the cosine
+    of the QUANTIZED vectors (ties broken by corpus id). Use
+    ``ann_recall(method='quantized')`` to measure how far the quantized
+    ranking drifts from the float ranking on your corpus.
+    """
+    qc = quantize_embeddings(corpus, id_col, vec_col, bits)
+    qq = quantize_embeddings(
+        queries.select(F.col(query_id_col).alias("__qid"), F.col(vec_col)),
+        "__qid",
+        vec_col,
+        bits,
+    ).select(F.col("__qid").alias(query_id_col), F.col("qvec").alias("__qvec"))
+    a = F.col("qvec").cast("array<double>")
+    b = F.col("__qvec").cast("array<double>")
+    scored = qc.crossJoin(F.broadcast(qq)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        (_dot(a, b) / (_norm(a) * _norm(b))).alias("cosine_q"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_q"), F.asc(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
@@ -650,8 +740,12 @@ def ann_recall(
         )
     elif method == "ivf":
         approx = ivf_topk(corpus, q, k, id_col=id_col, vec_col=vec_col, **method_kwargs)
+    elif method == "quantized":
+        approx = quantized_topk(
+            corpus, q, k, id_col=id_col, vec_col=vec_col, **method_kwargs
+        )
     else:
-        raise ValueError("method must be 'lsh', 'lsh_multi', or 'ivf'")
+        raise ValueError("method must be 'lsh', 'lsh_multi', 'ivf', or 'quantized'")
     approx = approx.select("query_id", id_col)
     # one full-outer join carries all three counts, so the exact and
     # approximate top-k DAGs each evaluate exactly once

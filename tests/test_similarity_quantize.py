@@ -1,0 +1,102 @@
+"""int8 embedding quantization (similarity.quantize_embeddings /
+quantized_topk): numpy parity of the quantization rule, scale-invariance
+of the quantized ranking, guards, and recall vs the float ranking."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from clarite_python_spark.operators import similarity
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _np_quantize(v: np.ndarray, qmax: int = 127):
+    amax = np.abs(v).max() if len(v) else 0.0
+    scale = amax / qmax if amax > 0 else 1.0
+    q = np.clip(np.floor(v / scale + 0.5), -qmax, qmax).astype(np.int64)
+    return q, scale
+
+
+def test_quantize_matches_numpy(spark, emb):
+    rows = (
+        similarity.quantize_embeddings(emb)
+        .join(emb, "vec_id")
+        .orderBy("vec_id")
+        .limit(50)
+        .collect()
+    )
+    assert len(rows) == 50
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        q, scale = _np_quantize(v)
+        assert np.array_equal(np.asarray(r["qvec"], dtype=np.int64), q), r["vec_id"]
+        assert abs(r["scale"] - scale) < 1e-9
+
+
+def test_quantize_output_is_tinyint(spark, emb):
+    schema = similarity.quantize_embeddings(emb).schema
+    assert schema["qvec"].dataType.simpleString() == "array<tinyint>"
+    # 16-bit variant widens the element type
+    s16 = similarity.quantize_embeddings(emb, bits=16).schema
+    assert s16["qvec"].dataType.simpleString() == "array<smallint>"
+
+
+def test_quantize_zero_vector_scale_one(spark):
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0]), (1, [1.0, -2.0, 0.5])], "vec_id long, embedding array<double>"
+    )
+    out = {r["vec_id"]: r for r in similarity.quantize_embeddings(df).collect()}
+    assert out[0]["scale"] == 1.0
+    assert list(out[0]["qvec"]) == [0, 0, 0]
+    # max |v| maps to ±127 exactly
+    assert out[1]["qvec"][1] == -127
+
+
+def test_quantize_bits_validation(spark, emb):
+    with pytest.raises(ValueError, match="bits"):
+        similarity.quantize_embeddings(emb, bits=1)
+    with pytest.raises(ValueError, match="bits"):
+        similarity.quantize_embeddings(emb, bits=17)
+
+
+def test_quantized_topk_self_hit_and_recall(spark, emb):
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.quantized_topk(emb, q, k=10).collect()
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        assert len(rows) == 10
+        top = min(rows, key=lambda r: r["rank"])
+        # a vector's own quantized copy is its nearest neighbor
+        assert top["vec_id"] == qid
+        assert top["cosine_q"] > 0.999
+    # int8 keeps the float ranking nearly intact on this corpus
+    rec = similarity.ann_recall(emb, k=10, n_queries=20, method="quantized").collect()[0]
+    assert rec["recall"] >= 0.9
+
+
+def test_quantized_ranking_is_scale_invariant(spark):
+    # scaling a corpus vector by a power of two (exact in binary fp)
+    # leaves its quantized form unchanged — the symmetric per-vector
+    # scale cancels; non-power-of-two constants can flip ties at the
+    # rounding boundary, which is why recall is measured, not assumed
+    base = [(i, [float(i + 1), float(-i), 0.5 * i]) for i in range(8)]
+    scaled = [(i, [x * 32.0 for x in v]) for i, v in base]
+    a = similarity.quantize_embeddings(
+        spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    )
+    b = similarity.quantize_embeddings(
+        spark.createDataFrame(scaled, "vec_id long, embedding array<double>")
+    )
+    qa = {r["vec_id"]: list(r["qvec"]) for r in a.collect()}
+    qb = {r["vec_id"]: list(r["qvec"]) for r in b.collect()}
+    assert qa == qb
