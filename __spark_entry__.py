@@ -916,6 +916,15 @@ def similarity_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def pmi_collocations_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 bigram collocations by PMI (operators/text.py:
+    pmi_collocations): row-local pair extraction, two map-side-combined
+    count aggs, count-floor before the term joins, broadcast totals.
+    The oracle replays counts and the log-ratio in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.pmi_collocations(docs, k=30, min_count=3).orderBy("rank")
+
+
 def quantize_int8_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector symmetric int8 quantization
     (operators/similarity.py:quantize_embeddings): scale = max|v|/127,
@@ -1784,6 +1793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_clusters_documents": minhash_clusters_documents,
         "simhash_documents": simhash_documents,
         "similarity_topk_embeddings": similarity_topk_embeddings,
+        "pmi_collocations_documents": pmi_collocations_documents,
         "quantize_int8_embeddings": quantize_int8_embeddings,
         "quantized_topk_embeddings": quantized_topk_embeddings,
         "ann_recall_quantized_embeddings": ann_recall_quantized_embeddings,
@@ -4473,6 +4483,39 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT * FROM ranked WHERE "rank" <= 3 ORDER BY doc_id, "rank"
+        """,
+        "pmi_collocations_documents": f"""
+            WITH t AS (
+              SELECT list_transform({_TOKENS}, x -> lower(x)) AS toks
+              FROM documents
+            ), uni AS (
+              SELECT w, count(*) AS c
+              FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w
+            ), bi AS (
+              SELECT split_part(bigram, ' ', 1) AS w1,
+                     split_part(bigram, ' ', 2) AS w2, c12
+              FROM (
+                SELECT bigram, count(*) AS c12 FROM (
+                  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                                i -> concat_ws(' ', toks[i], toks[i+1]))) AS bigram
+                  FROM t WHERE len(toks) >= 2
+                ) GROUP BY bigram
+              ) WHERE c12 >= 3
+            ), tot AS (
+              SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM uni) AS u,
+                     (SELECT CAST(sum(greatest(len(toks) - 1, 0)) AS DOUBLE) FROM t) AS b
+            ), scored AS (
+              SELECT bi.w1, bi.w2, bi.c12, u1.c AS c1, u2.c AS c2,
+                     round(ln((bi.c12 * tot.u * tot.u)
+                              / (tot.b * u1.c * u2.c)) / ln(2.0), 6) AS pmi
+              FROM bi JOIN uni u1 ON u1.w = bi.w1
+                      JOIN uni u2 ON u2.w = bi.w2, tot
+            ), ranked AS (
+              SELECT w1, w2, c12, c1, c2, pmi,
+                     CAST(row_number() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC) AS INT) AS "rank"
+              FROM scored
+            )
+            SELECT * FROM ranked WHERE "rank" <= 30 ORDER BY "rank"
         """,
         "bigram_logprob_documents": f"""
             WITH t AS (

@@ -29,6 +29,7 @@ __all__ = [
     "unigram_logprob",
     "corpus_stats",
     "tfidf_top_terms",
+    "pmi_collocations",
     "bigram_logprob",
     "quality_classifier",
     "feature_hash_embed",
@@ -823,6 +824,100 @@ def bigram_logprob(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("__bits"), 4).alias("bits_per_bigram"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information — the
+    classic phrase detector (Church & Hanks 1990; word2vec's phrase
+    pass uses the same count ratio): which adjacent word pairs co-occur
+    far more than their unigram frequencies predict ("new york", not
+    "of the").
+
+    PMI(w1,w2) = log2( P(w1,w2) / (P(w1)·P(w2)) )
+               = log2( (c12 · U · U) / (B · c1 · c2) )
+    with c12 the bigram count over B total bigrams and c1/c2 unigram
+    counts over U total tokens. ``min_count`` drops rare bigrams first —
+    PMI's classic pathology is that a pair seen once between two hapaxes
+    scores maximal PMI, so ranking without a count floor surfaces noise.
+
+    Plan: adjacent pairs are row-local ``slice``+``zip_with`` (no
+    posexplode self-join); ONE bigram count agg and ONE unigram count
+    agg, both map-side combined (a corpus-dominating "of the" collapses
+    per partition before the shuffle). The ``min_count`` filter shrinks
+    the bigram table BEFORE its two term-keyed joins against the unigram
+    counts (both sides already keyed by term — AQE plans them without
+    extra exchanges; at 100 TB the vocab is past broadcast size).
+    Totals U and B ride as one broadcast 1-row aggregate — fully lazy,
+    no job at plan build. Top-k compiles to TakeOrderedAndProject.
+
+    Returns (w1, w2, c12, c1, c2, pmi, rank), rank 1 = highest PMI,
+    ties broken by (w1, w2).
+    """
+    if k <= 0 or min_count < 1:
+        raise ValueError("k must be positive and min_count >= 1")
+    toks = F.filter(
+        F.transform(tokens(text_col), lambda x: F.lower(x)), lambda x: x != ""
+    )
+    base = _rebalance(df).select(toks.alias("__toks"))
+    uni = (
+        base.select(F.explode("__toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = F.zip_with(
+        F.slice(F.col("__toks"), 1, F.greatest(F.size("__toks") - 1, F.lit(0))),
+        F.slice(F.col("__toks"), 2, F.greatest(F.size("__toks") - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bi = (
+        base.select(F.explode(pairs).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .where(F.col("c12") >= min_count)
+        .select(
+            F.split(F.col("bigram"), " ", 2).getItem(0).alias("w1"),
+            F.split(F.col("bigram"), " ", 2).getItem(1).alias("w2"),
+            "c12",
+        )
+    )
+    # totals from the (tiny) aggregated tables, as one broadcast row
+    totals = uni.agg(F.sum("c").cast("double").alias("__u")).crossJoin(
+        base.select(
+            F.greatest(F.size("__toks") - 1, F.lit(0)).alias("__nb")
+        ).agg(F.sum("__nb").cast("double").alias("__b"))
+    )
+    import math
+
+    scored = (
+        bi.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "c2",
+            F.round(
+                F.log(
+                    (F.col("c12") * F.col("__u") * F.col("__u"))
+                    / (F.col("__b") * F.col("c1") * F.col("c2"))
+                )
+                / F.lit(math.log(2.0)),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    order = [F.desc("pmi"), F.asc("w1"), F.asc("w2")]
+    top = scored.orderBy(*order).limit(k)
+    from pyspark.sql import Window
+
+    return top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
 
 
 #: fasttext-style linear quality probe: fixed, documented weights over

@@ -637,6 +637,57 @@ def test_bigram_logprob_short_docs_absent(spark):
     assert got == {2}
 
 
+def test_pmi_planted_collocation_ranks_first(spark):
+    # "san francisco" always co-occurs; "the" pairs with everything
+    rows = [
+        (1, "san francisco is big the end the story"),
+        (2, "the city of san francisco the bay"),
+        (3, "san francisco the fog the hills"),
+        (4, "the the the other words entirely here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = text.pmi_collocations(df, k=5, min_count=3).collect()
+    top = min(out, key=lambda r: r["rank"])
+    assert (top["w1"], top["w2"]) == ("san", "francisco")
+    assert top["c12"] == 3 and top["c1"] == 3 and top["c2"] == 3
+
+
+def test_pmi_numpy_parity(spark):
+    import math
+
+    rows = [(i, t) for i, t in enumerate([
+        "a b c a b", "b c a b c", "c a b a b", "a b a b c c",
+    ])]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    toks = [r[1].split() for r in rows]
+    uni: dict = {}
+    bi: dict = {}
+    for t in toks:
+        for w in t:
+            uni[w] = uni.get(w, 0) + 1
+        for x, y in zip(t, t[1:]):
+            bi[(x, y)] = bi.get((x, y), 0) + 1
+    u = float(sum(uni.values()))
+    b = float(sum(max(len(t) - 1, 0) for t in toks))
+    out = text.pmi_collocations(df, k=20, min_count=2).collect()
+    assert out, "expected collocations"
+    for r in out:
+        c12 = bi[(r["w1"], r["w2"])]
+        exp = math.log((c12 * u * u) / (b * uni[r["w1"]] * uni[r["w2"]])) / math.log(2.0)
+        assert r["c12"] == c12
+        assert abs(r["pmi"] - exp) < 1e-5
+
+
+def test_pmi_min_count_floor_and_validation(spark):
+    df = spark.createDataFrame([(1, "x y x y rare pair")], ["doc_id", "text"])
+    out = text.pmi_collocations(df, k=10, min_count=2).collect()
+    assert {(r["w1"], r["w2"]) for r in out} == {("x", "y")}
+    with pytest.raises(ValueError):
+        text.pmi_collocations(df, k=0)
+    with pytest.raises(ValueError):
+        text.pmi_collocations(df, min_count=0)
+
+
 def test_quality_classifier_orders_prose_above_noise(spark):
     rows = [
         (1, "the cat sat on the mat and it is a fine day for walking"),
