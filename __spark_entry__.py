@@ -916,6 +916,32 @@ def similarity_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def clip_outliers_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (modify.clip_outliers, IQR 0.25, exact percentiles):
+    per-variable count/mean/min/max AFTER clamping — min/max expose the
+    clamp bounds themselves, so the oracle checks the exact quantile
+    arithmetic AND that the clamp bites (cutoff 0.25 clips both tails of
+    the near-uniform TPC-H columns; 1.5 would never bind)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_tax"]
+    cf = ClariteFrame(
+        li.select(F.monotonically_increasing_id().alias("ID"), *cols)
+    )
+    cf = modify.make_continuous(cf, only=cols)
+    out = modify.clip_outliers(cf, method="iqr", cutoff=0.25).df
+    v = out.unpivot(["ID"], cols, "variable", "x")
+    return (
+        v.groupBy("variable")
+        .agg(
+            F.count("x").alias("n"),
+            F.round(F.avg("x"), 6).alias("mean_c"),
+            F.round(F.min("x"), 6).alias("min_c"),
+            F.round(F.max("x"), 6).alias("max_c"),
+        )
+        .orderBy("variable")
+    )
+
+
 def pmi_collocations_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-30 bigram collocations by PMI (operators/text.py:
     pmi_collocations): row-local pair extraction, two map-side-combined
@@ -1793,6 +1819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_clusters_documents": minhash_clusters_documents,
         "simhash_documents": simhash_documents,
         "similarity_topk_embeddings": similarity_topk_embeddings,
+        "clip_outliers_lineitem": clip_outliers_lineitem,
         "pmi_collocations_documents": pmi_collocations_documents,
         "quantize_int8_embeddings": quantize_int8_embeddings,
         "quantized_topk_embeddings": quantized_topk_embeddings,
@@ -3476,6 +3503,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN x < q1 - 1.5*(q3-q1) OR x > q3 + 1.5*(q3-q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
             FROM v JOIN b ON v.variable = b.variable
             GROUP BY v.variable ORDER BY v.variable
+        """,
+        "clip_outliers_lineitem": """
+            WITH b AS (
+              SELECT 'l_quantity' AS variable,
+                     quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS q1,
+                     quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS q3 FROM lineitem
+              UNION ALL
+              SELECT 'l_extendedprice',
+                     quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25),
+                     quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) FROM lineitem
+              UNION ALL
+              SELECT 'l_tax',
+                     quantile_cont(CAST(l_tax AS DOUBLE), 0.25),
+                     quantile_cont(CAST(l_tax AS DOUBLE), 0.75) FROM lineitem
+            ), v AS (
+              SELECT 'l_quantity' AS variable, CAST(l_quantity AS DOUBLE) AS x FROM lineitem
+              UNION ALL SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+              UNION ALL SELECT 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem
+            ), c AS (
+              SELECT v.variable,
+                     greatest(least(x, q3 + 0.25*(q3-q1)), q1 - 0.25*(q3-q1)) AS xc
+              FROM v JOIN b ON v.variable = b.variable
+            )
+            SELECT variable, CAST(count(xc) AS BIGINT) AS n,
+                   round(avg(xc), 6) AS mean_c,
+                   round(min(xc), 6) AS min_c,
+                   round(max(xc), 6) AS max_c
+            FROM c GROUP BY variable ORDER BY variable
         """,
         "remove_outliers_gaussian_lineitem": """
             WITH b AS (

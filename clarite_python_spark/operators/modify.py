@@ -54,6 +54,7 @@ __all__ = [
     "move_variables",
     "recode_values",
     "remove_outliers",
+    "clip_outliers",
     "rowfilter",
     "rowfilter_incomplete_obs",
     "transform",
@@ -496,6 +497,52 @@ def outlier_counts(
     ]
     row = joined.agg(*aggs)
     return row.unpivot([], cols, "variable", "n_removed")
+
+
+def clip_outliers(
+    cf: ClariteFrame,
+    method: str = "gaussian",
+    cutoff: float = 3.0,
+    skip=None,
+    only=None,
+    exact: bool = True,
+) -> ClariteFrame:
+    """Winsorize: CLAMP continuous outliers to the cutoff bound instead
+    of nulling them — ``remove_outliers``' value-preserving sibling for
+    pipelines where sample size matters more than the tail (clipping a
+    feature keeps the row complete for a downstream regression; nulling
+    it can drop the whole observation under complete-case analysis).
+
+    Same bounds and the same plan as ``remove_outliers``
+    (modify.py:_outlier_bounds): one stats agg over all columns
+    broadcast back onto the data, the clamp a codegen
+    ``greatest(least(x, hi), lo)`` — two scans total, and
+    ``exact=False`` switches the IQR percentiles to the sketch form at
+    100 TB.
+    """
+    if cutoff <= 0:
+        raise ValueError("cutoff must be positive")
+    cols = [c for c in validate_skip_only(cf.variables, skip, only) if cf.catalog.get(c) == CONTINUOUS]
+    if not cols:
+        return _report(cf.with_df(cf.df), {"columns": []})
+    stats = _outlier_bounds(cf.df, cols, method, cutoff, exact)
+    joined = cf.df.crossJoin(F.broadcast(stats))
+    colset = set(cols)
+    new_df = joined.select(
+        *[
+            (
+                F.when(qcol(c).isNull(), F.lit(None))
+                .otherwise(
+                    F.greatest(F.least(qcol(c), F.col(f"`hi::{c}`")), F.col(f"`lo::{c}`"))
+                )
+                .alias(c)
+                if c in colset
+                else qcol(c)
+            )
+            for c in cf.df.columns
+        ]
+    )
+    return _report(cf.with_df(new_df), {"columns": cols, "method": method, "cutoff": cutoff})
 
 
 def transform(cf: ClariteFrame, transform_method, skip=None, only=None) -> ClariteFrame:

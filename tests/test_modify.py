@@ -108,6 +108,43 @@ def test_remove_outliers_iqr_matches_pandas_quantiles(spark):
     assert out.df.where(F.col("x").isNull()).count() == expected_removed
 
 
+def test_clip_outliers_winsorizes_to_pandas_bounds(spark):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(2)
+    vals = rng.lognormal(0, 1, 801)
+    pdf = pd.DataFrame({"ID": range(len(vals)), "x": vals})
+    q1, q3 = pdf["x"].quantile(0.25), pdf["x"].quantile(0.75)
+    lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+    cf = ClariteFrame(spark.createDataFrame(pdf))
+    out = modify.clip_outliers(cf, method="iqr", cutoff=1.5)
+    got = {r["ID"]: r["x"] for r in out.df.collect()}
+    # no nulls introduced, every value clamped into [lo, hi], and
+    # outliers land exactly ON the pandas-quantile bound
+    assert len(got) == len(pdf) and all(v is not None for v in got.values())
+    for i, v in pdf.set_index("ID")["x"].items():
+        exp = min(max(v, lo), hi)
+        assert got[i] == pytest.approx(exp, rel=1e-12)
+    n_hi = sum(1 for v in got.values() if v == pytest.approx(hi, rel=1e-12))
+    assert n_hi == int((pdf["x"] > hi).sum()) and n_hi > 0
+
+
+def test_clip_outliers_preserves_nulls_and_other_columns(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"ID": [0, 1, 2, 3], "x": [1.0, None, 2.0, 500.0], "label": list("abcd")}
+    )
+    cf = ClariteFrame(spark.createDataFrame(pdf))
+    out = modify.clip_outliers(cf, method="gaussian", cutoff=1.0, only=["x"])
+    rows = {r["ID"]: r for r in out.df.collect()}
+    assert rows[1]["x"] is None
+    assert [rows[i]["label"] for i in range(4)] == list("abcd")
+    with pytest.raises(ValueError):
+        modify.clip_outliers(cf, cutoff=0)
+
+
 def test_transform_log(mixed_cf):
     cf = modify.categorize(mixed_cf)
     out = modify.transform(cf, "log", only=["cont2"])
