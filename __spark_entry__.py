@@ -916,6 +916,18 @@ def similarity_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def stratified_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified split (pipeline.stratified_split): every
+    source stratum lands exactly floor(cum·n + 0.5) rows per split in
+    md5-content order — the oracle replays the rank, the stratum count,
+    and the threshold arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    out = pipeline.stratified_split(
+        docs, {"train": 0.6, "val": 0.2, "test": 0.1}, by="source", salt="s7"
+    )
+    return out.select("doc_id", "source", "split").orderBy("doc_id")
+
+
 def clip_outliers_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorization (modify.clip_outliers, IQR 0.25, exact percentiles):
     per-variable count/mean/min/max AFTER clamping — min/max expose the
@@ -1819,6 +1831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_clusters_documents": minhash_clusters_documents,
         "simhash_documents": simhash_documents,
         "similarity_topk_embeddings": similarity_topk_embeddings,
+        "stratified_split_documents": stratified_split_documents,
         "clip_outliers_lineitem": clip_outliers_lineitem,
         "pmi_collocations_documents": pmi_collocations_documents,
         "quantize_int8_embeddings": quantize_int8_embeddings,
@@ -3503,6 +3516,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN x < q1 - 1.5*(q3-q1) OR x > q3 + 1.5*(q3-q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
             FROM v JOIN b ON v.variable = b.variable
             GROUP BY v.variable ORDER BY v.variable
+        """,
+        "stratified_split_documents": f"""
+            WITH r AS (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY {_md5_key("doc_id", "s7")} ASC, doc_id ASC) AS rn,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM documents
+            )
+            SELECT doc_id, source,
+                   CASE WHEN rn <= floor(0.6 * n + 0.5) THEN 'train'
+                        WHEN rn <= floor(0.8 * n + 0.5) THEN 'val'
+                        WHEN rn <= floor(0.9 * n + 0.5) THEN 'test'
+                        ELSE NULL END AS split
+            FROM r ORDER BY doc_id
         """,
         "clip_outliers_lineitem": """
             WITH b AS (

@@ -18,12 +18,13 @@ layout and seed plumbing).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
     "hash_bucket",
     "deterministic_split",
+    "stratified_split",
     "deterministic_sample",
     "pack_sequences",
     "chunk_documents",
@@ -89,6 +90,55 @@ def deterministic_split(
         lo, hi = hi, hi + int(round(frac * BUCKETS))
         expr = F.when((b >= lo) & (b < hi), F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def stratified_split(
+    df: DataFrame,
+    splits: dict[str, float],
+    by: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Exact-quota stratified split: within EVERY ``by`` stratum,
+    exactly round(cum_frac · n_stratum) rows land in each split,
+    chosen in deterministic content-hash order — the split a benchmark
+    or eval-holdout pipeline wants when per-stratum proportions must
+    hold exactly (``deterministic_split``'s hash-threshold form is only
+    proportional in expectation; a 50-doc language can easily draw 40%
+    test at a 10% fraction).
+
+    Rows are ranked per stratum by md5(id:salt) (content-addressed —
+    stable across runs, partitionings, and engines) and split at the
+    cumulative thresholds t_i = floor(cum_i · n + 0.5); fractions
+    summing below 1 leave the tail NULL ("held out").
+
+    Plan: ONE shuffle on the stratum key; rank and stratum count are
+    two window functions over the same partitioning (no extra
+    exchange). A mega-stratum serializes its sort into one task — at
+    100 TB split within finer strata (e.g. (lang, hash-prefix)) the
+    same way shard_by_tokens documents.
+    """
+    from clarite_python_spark.functions.hashing import md5_60bit
+
+    fracs = list(splits.items())
+    if any(f < 0 for _, f in fracs):
+        raise ValueError("split fractions must be non-negative")
+    total = sum(f for _, f in fracs)
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1")
+    key = md5_60bit(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(by).orderBy(key.asc(), F.col(id_col).asc())
+    rn = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(Window.partitionBy(by))
+    expr: Column | None = None
+    cum = 0.0
+    for name, frac in fracs:
+        cum += frac
+        t = F.floor(F.lit(cum) * n + F.lit(0.5))
+        cond = rn <= t
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    out = expr.otherwise(F.lit(None).cast("string")) if expr is not None else F.lit(None).cast("string")
+    return df.withColumn("split", out)
 
 
 def _dsir_grams(text_col: str) -> Column:

@@ -637,6 +637,46 @@ def test_bigram_logprob_short_docs_absent(spark):
     assert got == {2}
 
 
+def test_stratified_split_exact_quotas(spark):
+    rows = [(i, f"s{i % 4}") for i in range(100)]  # 4 strata x 25 docs
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = pipeline.stratified_split(
+        df, {"train": 0.6, "val": 0.2, "test": 0.1}, by="source", salt="t"
+    )
+    counts = {
+        (r["source"], r["split"]): r["count"]
+        for r in out.groupBy("source", "split").count().collect()
+    }
+    for s in ["s0", "s1", "s2", "s3"]:
+        # thresholds floor(cum*25 + .5): 15 / 20 / 23 -> 15,5,3 and 2 held out
+        assert counts[(s, "train")] == 15
+        assert counts[(s, "val")] == 5
+        assert counts[(s, "test")] == 3
+        assert counts[(s, None)] == 2
+
+
+def test_stratified_split_deterministic_and_salted(spark):
+    rows = [(i, "only") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    a = {r["doc_id"]: r["split"] for r in pipeline.stratified_split(
+        df, {"train": 0.5}, salt="x").collect()}
+    b = {r["doc_id"]: r["split"] for r in pipeline.stratified_split(
+        df, {"train": 0.5}, salt="x").collect()}
+    c = {r["doc_id"]: r["split"] for r in pipeline.stratified_split(
+        df, {"train": 0.5}, salt="y").collect()}
+    assert a == b
+    assert a != c  # different salt draws a different (same-sized) half
+    assert sum(v == "train" for v in c.values()) == 20
+
+
+def test_stratified_split_validation(spark):
+    df = spark.createDataFrame([(1, "s")], ["doc_id", "source"])
+    with pytest.raises(ValueError):
+        pipeline.stratified_split(df, {"a": 0.7, "b": 0.4})
+    with pytest.raises(ValueError):
+        pipeline.stratified_split(df, {"a": -0.1})
+
+
 def test_pmi_planted_collocation_ranks_first(spark):
     # "san francisco" always co-occurs; "the" pairs with everything
     rows = [
