@@ -38,6 +38,7 @@ from clarite_python_spark.operators import (  # noqa: F401
     text,
 )
 from clarite_python_spark.sources import io as load  # noqa: F401
+from clarite_python_spark import streaming  # noqa: F401
 from clarite_python_spark import plot  # noqa: F401
 from clarite_python_spark import survey  # noqa: F401
 from clarite_python_spark.survey import SurveyDesignSpec  # noqa: F401
@@ -59,6 +60,7 @@ __all__ = [
     "layout",
     "pipeline",
     "similarity",
+    "streaming",
     "survey",
     "text",
 ]

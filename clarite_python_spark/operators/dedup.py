@@ -31,6 +31,7 @@ __all__ = [
     "duplicate_spans",
     "remove_duplicate_spans",
     "remove_contaminated_spans",
+    "benchmark_grams",
     "contamination",
     "fuzzy_contamination",
     "incremental_neardup",
@@ -599,6 +600,25 @@ def shingles(text_col: str = "text", n: int = 3) -> Column:
     )
 
 
+def benchmark_grams(
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    hash_grams: bool = True,
+) -> DataFrame:
+    """The benchmark's DISTINCT word n-gram set (one ``__gram`` column,
+    xxhash64 longs by default) — the broadcastable probe side of
+    :func:`contamination` / :func:`fuzzy_contamination`, exposed so a
+    long-lived pipeline (or the streaming twin) can derive it once,
+    persist it, and reuse it across scans/micro-batches."""
+    key = (lambda c: F.xxhash64(c)) if hash_grams else (lambda c: F.col(c))
+    return (
+        benchmark.select(F.explode(shingles(text_col, n)).alias("__raw"))
+        .select(key("__raw").alias("__gram"))
+        .distinct()
+    )
+
+
 def contamination(
     df: DataFrame,
     benchmark: DataFrame,
@@ -608,11 +628,17 @@ def contamination(
     bench_text_col: str | None = None,
     broadcast_benchmark: bool = True,
     hash_grams: bool = True,
+    bench_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark-contamination detection: flag training documents that
     share word ``n``-grams with an evaluation benchmark (the standard
     decontamination step — GPT-3 App. C / PaLM / Llama all use an
     n-gram collision test of this shape before training).
+
+    ``bench_grams``: optionally pass the pre-built distinct gram set
+    (one ``__gram`` column, as produced by :func:`benchmark_grams`) —
+    the streaming twin persists it once instead of re-deriving it every
+    micro-batch.
 
     Plan: distinct n-grams per document (row-local JVM lambdas, no
     shuffle), the benchmark's DISTINCT global n-gram set (eval suites
@@ -636,12 +662,9 @@ def contamination(
         .select(F.col(id_col), F.explode(shingles(text_col, n)).alias("__raw"))
         .select(F.col(id_col), key("__raw").alias("__gram"))
     )
-    bench = (
-        benchmark.select(F.explode(shingles(bcol, n)).alias("__raw"))
-        .select(key("__raw").alias("__gram"))
-        .distinct()
-    )
-    bench = bench.withColumn("__hit", F.lit(1))
+    if bench_grams is None:
+        bench_grams = benchmark_grams(benchmark, n, bcol, hash_grams)
+    bench = bench_grams.withColumn("__hit", F.lit(1))
     if broadcast_benchmark:
         bench = F.broadcast(bench)
     marked = grams.join(bench, "__gram", "left")

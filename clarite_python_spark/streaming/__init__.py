@@ -1,1 +1,9 @@
-from clarite_python_spark.streaming import events  # noqa: F401
+from clarite_python_spark.streaming import (  # noqa: F401
+    corpus,
+    dedup,
+    events,
+    funnel,
+    ingest,
+    retention,
+    state,
+)

@@ -28,6 +28,69 @@ from pyspark.sql import functions as F
 from clarite_python_spark.operators.dedup import _norm
 
 
+def stream_contamination(
+    spark: SparkSession,
+    path: str,
+    benchmark: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    hash_grams: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming twin of :func:`operators.dedup.contamination` — score
+    documents against a STATIC evaluation benchmark as they arrive
+    (the decontamination gate an ingest pipeline runs before a document
+    ever reaches the training mix).
+
+    Contamination is per-document given a fixed benchmark, so the
+    operator is STATELESS across batches: each micro-batch runs the
+    audited batch plan (row-local gram hashing, broadcast benchmark
+    set, one keyed count agg) inside ``foreachBatch`` — exact at any
+    batching, no watermark, no state store. The benchmark's distinct
+    gram set is derived ONCE (:func:`operators.dedup.benchmark_grams`)
+    and persisted, not recomputed per batch.
+
+    Returns the started ``StreamingQuery``; verdict rows (id, n_ngrams,
+    n_contaminated, contamination_frac, contaminated) append to
+    ``out_dir`` as parquet. Drive with ``trigger(availableNow=True)``
+    for backfills. Parity: a replay at ANY ``maxFilesPerTrigger``
+    equals batch ``contamination`` row-for-row
+    (tests/test_streaming_corpus.py)."""
+    from clarite_python_spark.operators.dedup import benchmark_grams, contamination
+
+    bcol = bench_text_col or text_col
+    bench = benchmark_grams(benchmark, n, bcol, hash_grams).persist()
+    bench.count()  # materialize once; micro-batches reuse the cache
+
+    reader = spark.readStream.schema(spark.read.parquet(path).schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(path)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        out = contamination(
+            batch_df,
+            benchmark,
+            n=n,
+            text_col=text_col,
+            id_col=id_col,
+            hash_grams=hash_grams,
+            bench_grams=bench,
+        )
+        out.write.mode("append").parquet(out_dir)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def fingerprinted(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the batch-identical dedup key (md5 of normalized text)."""
     return df.withColumn("__fp", F.md5(_norm(text_col)))

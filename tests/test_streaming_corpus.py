@@ -93,3 +93,37 @@ def test_stream_clean_corpus_cross_batch_dedup(spark, docs, tmp_path):
         assert (
             first[col].to_numpy() == second.sort_values("doc_id")[col].to_numpy()
         ).all()
+
+
+def test_stream_contamination_equals_batch_any_batching(spark, docs, tmp_path):
+    from clarite_python_spark.operators.dedup import contamination
+    from clarite_python_spark.streaming.dedup import stream_contamination
+
+    # benchmark = 5 real documents' texts -> guaranteed collisions
+    bench = docs.orderBy("doc_id").limit(5).select("text")
+    src = str(tmp_path / "csrc")
+    # three files so maxFilesPerTrigger=1 forces a multi-batch replay
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+
+    want = (
+        contamination(spark.read.parquet(src), bench, n=5)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert want["contaminated"].any() and not want["contaminated"].all()
+
+    for tag, mfpt in (("one", None), ("multi", 1)):
+        out = str(tmp_path / f"cout_{tag}")
+        ckpt = str(tmp_path / f"cckpt_{tag}")
+        q = stream_contamination(
+            spark, src, bench, out, ckpt, n=5, max_files_per_trigger=mfpt
+        )
+        q.awaitTermination(180)
+        got = (
+            spark.read.parquet(out)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)[want.columns.tolist()]
+        )
+        pd.testing.assert_frame_equal(want, got, check_dtype=False)
