@@ -916,6 +916,17 @@ def similarity_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def corpus_divergence_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram KL/JS divergence between two source groups
+    (text.corpus_divergence, alpha=0.5 over the union vocabulary) —
+    the mixture-drift monitor. The oracle replays both smoothed
+    distributions and every log term in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.where(F.col("source") < "src5")
+    b = docs.where(F.col("source") >= "src5")
+    return text.corpus_divergence(a, b)
+
+
 def stratified_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-quota stratified split (pipeline.stratified_split): every
     source stratum lands exactly floor(cum·n + 0.5) rows per split in
@@ -1831,6 +1842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_clusters_documents": minhash_clusters_documents,
         "simhash_documents": simhash_documents,
         "similarity_topk_embeddings": similarity_topk_embeddings,
+        "corpus_divergence_documents": corpus_divergence_documents,
         "stratified_split_documents": stratified_split_documents,
         "clip_outliers_lineitem": clip_outliers_lineitem,
         "pmi_collocations_documents": pmi_collocations_documents,
@@ -3516,6 +3528,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN x < q1 - 1.5*(q3-q1) OR x > q3 + 1.5*(q3-q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
             FROM v JOIN b ON v.variable = b.variable
             GROUP BY v.variable ORDER BY v.variable
+        """,
+        "corpus_divergence_documents": f"""
+            WITH ca AS (
+              SELECT w, count(*) AS ca FROM (
+                SELECT lower(unnest({_TOKENS})) AS w FROM documents WHERE source < 'src5'
+              ) GROUP BY w
+            ), cb AS (
+              SELECT w, count(*) AS cb FROM (
+                SELECT lower(unnest({_TOKENS})) AS w FROM documents WHERE source >= 'src5'
+              ) GROUP BY w
+            ), j AS (
+              SELECT coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb
+              FROM ca FULL OUTER JOIN cb ON ca.w = cb.w
+            ), tot AS (
+              SELECT CAST(count(*) AS DOUBLE) AS v,
+                     CAST(sum(ca) AS DOUBLE) AS na,
+                     CAST(sum(cb) AS DOUBLE) AS nb
+              FROM j
+            ), p AS (
+              SELECT tot.v, tot.na, tot.nb,
+                     (ca + 0.5) / (tot.na + 0.5 * tot.v) AS pa,
+                     (cb + 0.5) / (tot.nb + 0.5 * tot.v) AS pb
+              FROM j, tot
+            )
+            SELECT CAST(v AS BIGINT) AS v,
+                   CAST(na AS BIGINT) AS n_a,
+                   CAST(nb AS BIGINT) AS n_b,
+                   round(sum(pa * ln(pa / pb) / ln(2.0)), 6) AS kl_ab,
+                   round(sum(pb * ln(pb / pa) / ln(2.0)), 6) AS kl_ba,
+                   round(sum((pa * ln(pa / ((pa + pb) / 2.0))
+                              + pb * ln(pb / ((pa + pb) / 2.0))) / 2.0 / ln(2.0)), 6) AS js
+            FROM p GROUP BY v, na, nb
         """,
         "stratified_split_documents": f"""
             WITH r AS (

@@ -30,6 +30,7 @@ __all__ = [
     "corpus_stats",
     "tfidf_top_terms",
     "pmi_collocations",
+    "corpus_divergence",
     "bigram_logprob",
     "quality_classifier",
     "feature_hash_embed",
@@ -823,6 +824,84 @@ def bigram_logprob(
     return joined.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("__bits"), 4).alias("bits_per_bigram"),
+    )
+
+
+def corpus_divergence(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Unigram-distribution divergence between two corpora — the drift
+    monitor for a training mixture: how far has this week's crawl
+    drifted from last week's, or a source from the blended corpus?
+    Reports add-``alpha``-smoothed KL(A‖B), KL(B‖A) and the symmetric,
+    bounded Jensen–Shannon divergence (log2: JS ∈ [0, 1] bit).
+
+    P_a(w) = (c_a(w) + alpha) / (N_a + alpha·V) over the UNION
+    vocabulary V (so both distributions share support and every KL term
+    is finite); JS = ½KL(P_a‖M) + ½KL(P_b‖M) with M the even mixture.
+
+    Plan: one lowercased token-count agg per corpus (map-side combined
+    — the corpus-dominating stopwords collapse per partition), a
+    full-outer join on the token key (both sides already keyed by
+    token), totals as one broadcast row, and a single sum over the
+    |V|-row joined vocabulary. Nothing after the two aggs scales with
+    corpus size. Returns one row: (v, n_a, n_b, kl_ab, kl_ba, js).
+    """
+    if alpha <= 0:
+        raise ValueError("alpha must be positive (both supports must be smoothed)")
+
+    def counts(d: DataFrame) -> DataFrame:
+        toks = F.filter(
+            F.transform(tokens(text_col), lambda x: F.lower(x)), lambda x: x != ""
+        )
+        return (
+            _rebalance(d)
+            .select(F.explode(toks).alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    ca = counts(df_a).select("w", F.col("c").alias("ca"))
+    cb = counts(df_b).select("w", F.col("c").alias("cb"))
+    j = ca.join(cb, "w", "full_outer").select(
+        "w",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    totals = j.agg(
+        F.count(F.lit(1)).cast("double").alias("__v"),
+        F.sum("ca").cast("double").alias("__na"),
+        F.sum("cb").cast("double").alias("__nb"),
+    )
+    a = F.lit(float(alpha))
+    pa = (F.col("ca") + a) / (F.col("__na") + a * F.col("__v"))
+    pb = (F.col("cb") + a) / (F.col("__nb") + a * F.col("__v"))
+    m = (pa + pb) / F.lit(2.0)
+    import math
+
+    ln2 = F.lit(math.log(2.0))
+    terms = j.crossJoin(F.broadcast(totals)).select(
+        "__v",
+        "__na",
+        "__nb",
+        (pa * F.log(pa / pb) / ln2).alias("__t_ab"),
+        (pb * F.log(pb / pa) / ln2).alias("__t_ba"),
+        ((pa * F.log(pa / m) + pb * F.log(pb / m)) / F.lit(2.0) / ln2).alias("__t_js"),
+    )
+    return terms.groupBy("__v", "__na", "__nb").agg(
+        F.round(F.sum("__t_ab"), 6).alias("kl_ab"),
+        F.round(F.sum("__t_ba"), 6).alias("kl_ba"),
+        F.round(F.sum("__t_js"), 6).alias("js"),
+    ).select(
+        F.col("__v").cast("long").alias("v"),
+        F.col("__na").cast("long").alias("n_a"),
+        F.col("__nb").cast("long").alias("n_b"),
+        "kl_ab",
+        "kl_ba",
+        "js",
     )
 
 

@@ -637,6 +637,51 @@ def test_bigram_logprob_short_docs_absent(spark):
     assert got == {2}
 
 
+def test_corpus_divergence_self_is_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c a"), (2, "b c d")], ["doc_id", "text"]
+    )
+    r = text.corpus_divergence(df, df).collect()[0]
+    assert r["kl_ab"] == 0.0 and r["kl_ba"] == 0.0 and r["js"] == 0.0
+    assert r["n_a"] == r["n_b"] == 7 and r["v"] == 4
+
+
+def test_corpus_divergence_numpy_parity_and_bounds(spark):
+    import math
+
+    a_rows = [(1, "x x y z"), (2, "x y y w")]
+    b_rows = [(1, "z z q"), (2, "q w w w z")]
+    da = spark.createDataFrame(a_rows, ["doc_id", "text"])
+    db = spark.createDataFrame(b_rows, ["doc_id", "text"])
+    ca: dict = {}
+    cb: dict = {}
+    for _, t in a_rows:
+        for w in t.split():
+            ca[w] = ca.get(w, 0) + 1
+    for _, t in b_rows:
+        for w in t.split():
+            cb[w] = cb.get(w, 0) + 1
+    vocab = sorted(set(ca) | set(cb))
+    v, na, nb = len(vocab), sum(ca.values()), sum(cb.values())
+    al = 0.5
+    pa = {w: (ca.get(w, 0) + al) / (na + al * v) for w in vocab}
+    pb = {w: (cb.get(w, 0) + al) / (nb + al * v) for w in vocab}
+    kl_ab = sum(pa[w] * math.log(pa[w] / pb[w]) for w in vocab) / math.log(2)
+    js = sum(
+        (pa[w] * math.log(pa[w] / ((pa[w] + pb[w]) / 2))
+         + pb[w] * math.log(pb[w] / ((pa[w] + pb[w]) / 2))) / 2
+        for w in vocab
+    ) / math.log(2)
+    r = text.corpus_divergence(da, db).collect()[0]
+    assert r["v"] == v and r["n_a"] == na and r["n_b"] == nb
+    assert abs(r["kl_ab"] - kl_ab) < 1e-5
+    assert abs(r["js"] - js) < 1e-5
+    # JS in log2 is bounded by 1 bit and symmetric-positive here
+    assert 0 < r["js"] <= 1.0
+    with pytest.raises(ValueError):
+        text.corpus_divergence(da, db, alpha=0.0)
+
+
 def test_stratified_split_exact_quotas(spark):
     rows = [(i, f"s{i % 4}") for i in range(100)]  # 4 strata x 25 docs
     df = spark.createDataFrame(rows, ["doc_id", "source"])
