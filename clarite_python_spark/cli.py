@@ -111,6 +111,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--method", default="gaussian", choices=["gaussian", "iqr"])
     p.add_argument("--cutoff", type=float, default=3.0)
     _skip_only(p)
+    p = g_mod.add_parser("clip-outliers")
+    _add_io(p)
+    p.add_argument("--method", default="gaussian", choices=["gaussian", "iqr"])
+    p.add_argument("--cutoff", type=float, default=3.0)
+    _skip_only(p)
     p = g_mod.add_parser("transform")
     _add_io(p)
     p.add_argument("--transform-method", required=True)
@@ -218,6 +223,32 @@ def build_parser() -> argparse.ArgumentParser:
                    help="name=frac pairs")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--salt", default="")
+    p = g_pipe.add_parser("stratified-split")
+    p.add_argument("data")
+    p.add_argument("output")
+    p.add_argument("--fractions", nargs="+", default=["train=0.8", "val=0.1", "test=0.1"],
+                   help="name=frac pairs (exact per-stratum quotas)")
+    p.add_argument("--by", default="source")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--salt", default="")
+    p = g_pipe.add_parser("pmi")
+    p.add_argument("data")
+    p.add_argument("output")
+    p.add_argument("--k", type=int, default=50)
+    p.add_argument("--min-count", type=int, default=5)
+    p.add_argument("--text-col", default="text")
+    p = g_pipe.add_parser("divergence")
+    p.add_argument("data")
+    p.add_argument("other", help="second corpus (parquet) to compare against")
+    p.add_argument("output")
+    p.add_argument("--alpha", type=float, default=0.5)
+    p.add_argument("--text-col", default="text")
+    p = g_pipe.add_parser("quantize")
+    p.add_argument("data")
+    p.add_argument("output")
+    p.add_argument("--bits", type=int, default=8)
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--id-col", default="vec_id")
     p = g_pipe.add_parser("sample")
     p.add_argument("data")
     p.add_argument("output")
@@ -616,6 +647,8 @@ def main(argv: list[str] | None = None) -> int:
             out = modify.recode_values(cf, json.loads(args.mapping), **so)
         elif args.command == "remove-outliers":
             out = modify.remove_outliers(cf, method=args.method, cutoff=args.cutoff, **so)
+        elif args.command == "clip-outliers":
+            out = modify.clip_outliers(cf, method=args.method, cutoff=args.cutoff, **so)
         elif args.command == "transform":
             out = modify.transform(cf, args.transform_method, **so)
         else:  # pragma: no cover
@@ -766,6 +799,26 @@ def main(argv: list[str] | None = None) -> int:
         if args.command == "split":
             out = pipe_mod.deterministic_split(
                 df, _pairs(args.fractions), id_col=args.id_col, salt=args.salt
+            )
+        elif args.command == "stratified-split":
+            out = pipe_mod.stratified_split(
+                df, _pairs(args.fractions), by=args.by,
+                id_col=args.id_col, salt=args.salt,
+            )
+        elif args.command == "pmi":
+            out = text_mod.pmi_collocations(
+                df, k=args.k, min_count=args.min_count, text_col=args.text_col
+            )
+        elif args.command == "divergence":
+            out = text_mod.corpus_divergence(
+                df, spark.read.parquet(args.other),
+                text_col=args.text_col, alpha=args.alpha,
+            )
+        elif args.command == "quantize":
+            from clarite_python_spark.operators import similarity as sim_mod
+
+            out = sim_mod.quantize_embeddings(
+                df, id_col=args.id_col, vec_col=args.vec_col, bits=args.bits
             )
         elif args.command == "sample":
             out = pipe_mod.deterministic_sample(

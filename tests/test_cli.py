@@ -482,3 +482,49 @@ def test_cli_epoch_repeat_and_dsir(spark, tmp_path):
     assert cli.main(["pipeline", "dsir", f"{d}/docs", f"{d}/s",
                      "--target", f"{d}/target", "--n", "40"]) == 0
     assert spark.read.parquet(f"{d}/s").count() == 40
+
+
+def test_cli_round7_new_ops(spark, tmp_path):
+    """stratified-split / pmi / divergence / quantize / clip-outliers."""
+    d = str(tmp_path)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = f"{d}/docs"
+    docs.write.parquet(src)
+
+    assert cli.main(["pipeline", "stratified-split", src, f"{d}/ssplit",
+                     "--fractions", "train=0.6", "val=0.2", "--by", "source"]) == 0
+    out = spark.read.parquet(f"{d}/ssplit")
+    per = {(r["source"], r["split"]): r["count"]
+           for r in out.groupBy("source", "split").count().collect()}
+    # 25 docs/source at sf0.001 -> exactly 15 train / 5 val / 5 held out
+    assert per[("src0", "train")] == 15 and per[("src0", "val")] == 5
+
+    assert cli.main(["pipeline", "pmi", src, f"{d}/pmi",
+                     "--k", "10", "--min-count", "3"]) == 0
+    pmi = spark.read.parquet(f"{d}/pmi")
+    assert pmi.count() == 10 and {"w1", "w2", "pmi", "rank"} <= set(pmi.columns)
+
+    b = f"{d}/docs_b"
+    docs.where("source >= 'src5'").write.parquet(b)
+    assert cli.main(["pipeline", "divergence", src, b, f"{d}/div"]) == 0
+    row = spark.read.parquet(f"{d}/div").collect()[0]
+    assert row["js"] >= 0.0 and row["v"] > 0
+
+    emb = f"{d}/emb"
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").write.parquet(emb)
+    assert cli.main(["pipeline", "quantize", emb, f"{d}/q8"]) == 0
+    q = spark.read.parquet(f"{d}/q8")
+    assert q.schema["qvec"].dataType.simpleString() == "array<tinyint>"
+    assert q.count() == spark.read.parquet(emb).count()
+
+
+def test_cli_clip_outliers(spark, tmp_path, tsv_file):
+    d = str(tmp_path)
+    assert cli.main(["load", "from-tsv", tsv_file, f"{d}/pq"]) == 0
+    assert cli.main(["modify", "clip-outliers", f"{d}/pq", f"{d}/clipped",
+                     "--method", "iqr", "--cutoff", "0.5", "--only", "signal"]) == 0
+    before = from_parquet(spark, f"{d}/pq").df.selectExpr(
+        "max(signal) AS mx").collect()[0]["mx"]
+    after = from_parquet(spark, f"{d}/clipped").df.selectExpr(
+        "max(signal) AS mx", "count(signal) AS n").collect()[0]
+    assert after["mx"] <= before and after["n"] > 0
