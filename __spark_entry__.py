@@ -916,6 +916,15 @@ def similarity_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def event_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order next-event transition matrix
+    (operators/events.py:event_transitions): lead() over one user-key
+    shuffle, (from,to) count agg, conditional p normalized over the
+    O(#types²) table. Oracle replays lead/count/normalize in SQL."""
+    ev = _t(spark, sf_dir, "events")
+    return events_ops.event_transitions(ev)
+
+
 def corpus_divergence_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram KL/JS divergence between two source groups
     (text.corpus_divergence, alpha=0.5 over the union vocabulary) —
@@ -1842,6 +1851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_clusters_documents": minhash_clusters_documents,
         "simhash_documents": simhash_documents,
         "similarity_topk_embeddings": similarity_topk_embeddings,
+        "event_transitions_events": event_transitions_events,
         "corpus_divergence_documents": corpus_divergence_documents,
         "stratified_split_documents": stratified_split_documents,
         "clip_outliers_lineitem": clip_outliers_lineitem,
@@ -3528,6 +3538,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN x < q1 - 1.5*(q3-q1) OR x > q3 + 1.5*(q3-q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
             FROM v JOIN b ON v.variable = b.variable
             GROUP BY v.variable ORDER BY v.variable
+        """,
+        "event_transitions_events": """
+            WITH ev AS (
+              SELECT user_id, event_id, ts, event_type FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ), nx AS (
+              SELECT event_type AS from_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC) AS to_type
+              FROM ev
+            ), c AS (
+              SELECT from_type, to_type, count(*) AS n
+              FROM nx WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+            )
+            SELECT from_type, to_type, n,
+                   round(CAST(n AS DOUBLE)
+                         / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+            FROM c ORDER BY from_type, to_type
         """,
         "corpus_divergence_documents": f"""
             WITH ca AS (

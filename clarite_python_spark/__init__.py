@@ -30,6 +30,7 @@ from clarite_python_spark.operators import (  # noqa: F401
     analyze,
     dedup,
     describe,
+    events,
     joins,
     layout,
     modify,
@@ -55,6 +56,7 @@ __all__ = [
     "plot",
     "describe",
     "analyze",
+    "events",
     "dedup",
     "joins",
     "layout",

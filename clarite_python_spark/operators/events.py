@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel", "funnel_counts", "funnel_times", "retention_cohorts"]
+__all__ = ["funnel", "funnel_counts", "funnel_times", "retention_cohorts", "event_transitions"]
 
 
 def funnel(
@@ -257,4 +257,48 @@ def retention_cohorts(
         joined.select(user_col, "cohort_date", offset.alias("period_offset"))
         .groupBy("cohort_date", "period_offset")
         .agg(n_users.alias("n_users"))
+    )
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov structure of the event stream: for every
+    user's time-ordered events, count adjacent (from_type, to_type)
+    transitions and the conditional next-step probability
+    p = n / Σ_to n — the "what do users do next" matrix behind path
+    analysis, next-action dashboards, and funnel hypothesis mining.
+
+    Plan: ONE shuffle on the user key; the next event is a ``lead()``
+    window over (ts, id) within the user partition (row-local, ties
+    broken by the event id for engine-stable ordering); then a
+    (from, to) count agg — map-side combined, output O(#types²) rows.
+    Null users/timestamps are excluded up front (a null ``lead``
+    anchor would silently fabricate cross-user transitions after a
+    repartition). The probability normalization is a window over the
+    already-aggregated O(#types²) table — nothing user-level survives
+    the agg.
+
+    Returns (from_type, to_type, n, p), ordered by (from_type, to_type).
+    """
+    from pyspark.sql import Window
+
+    ev = df.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    pairs = (
+        ev.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    wf = Window.partitionBy("from_type")
+    return (
+        counts.withColumn("p", F.round(F.col("n") / F.sum("n").over(wf), 6))
+        .orderBy("from_type", "to_type")
     )

@@ -33,6 +33,18 @@ def get_spark(app_name: str = "clarite_python_spark", cpus: int | None = None) -
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        # start every shuffle WIDE and let AQE coalesce the small ones
+        # back down: with only #cores initial partitions, a fan-out
+        # stage (LSH candidate pairs, shingle verifies) hands each task
+        # a hash-agg map sized 1/cores of the whole stage and the
+        # unified pool thrashes (measured: jaccard_topk on a 1M-doc
+        # corpus with 200-way near-dup cliques OOMs at 32 initial
+        # partitions, completes at 8x). Small queries are unaffected —
+        # AQE merges their sub-64MB partitions back to a handful.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(max(cpus, 8) * 8),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # read INT64 TIMESTAMP(NANOS) parquet columns as long (Spark has no

@@ -261,3 +261,51 @@ def test_retention_approx_matches_exact_on_small_cohorts(spark):
         assert abs(approx[k_] - n) <= max(1, 0.05 * n), k_
     with pytest.raises(ValueError, match="rsd"):
         retention_cohorts(ev, approx=True, rsd=0.0)
+
+
+def _ev_id(spark, rows):
+    return spark.createDataFrame(
+        [(i, u, dt.datetime(2024, 1, d, h), t) for i, (u, d, h, t) in enumerate(rows)],
+        ["event_id", "user_id", "ts", "event_type"],
+    )
+
+
+def test_event_transitions_python_parity(spark):
+    from clarite_python_spark.operators.events import event_transitions
+
+    rows = [
+        (1, 1, 0, "a"), (1, 1, 1, "b"), (1, 1, 2, "a"), (1, 1, 3, "b"),
+        (2, 1, 0, "a"), (2, 1, 1, "a"), (2, 1, 2, "c"),
+        (3, 1, 5, "b"),  # single event -> no transitions
+    ]
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["p"])
+        for r in event_transitions(_ev_id(spark, rows)).collect()
+    }
+    # user 1: a->b, b->a, a->b ; user 2: a->a, a->c
+    assert got[("a", "b")][0] == 2 and got[("b", "a")][0] == 1
+    assert got[("a", "a")][0] == 1 and got[("a", "c")][0] == 1
+    # conditional rows sum to 1 per from_type
+    from collections import defaultdict
+
+    sums = defaultdict(float)
+    for (f, _), (_, p) in got.items():
+        sums[f] += p
+    for f, s in sums.items():
+        assert abs(s - 1.0) < 1e-6, f
+
+
+def test_event_transitions_excludes_null_users_and_ts(spark):
+    from clarite_python_spark.operators.events import event_transitions
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, dt.datetime(2024, 1, 1), "a"),
+            (2, 1, dt.datetime(2024, 1, 2), "b"),
+            (3, None, dt.datetime(2024, 1, 3), "c"),  # null user
+            (4, 1, None, "d"),  # null ts
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    got = {(r["from_type"], r["to_type"]) for r in event_transitions(df).collect()}
+    assert got == {("a", "b")}
