@@ -1017,6 +1017,34 @@ def ann_recall_quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFra
     return similarity.ann_recall(emb, k=10, n_queries=20, method="quantized")
 
 
+def similarity_truncated_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncated-dimension top-k
+    (operators/similarity.py:truncated_topk, first 16 of 64 dims): the
+    4x dim-cut lever. On this corpus the embeddings are random (not
+    front-loaded), so the measured recall is intentionally poor — see
+    ann_recall_truncated_embeddings for the number; the operator's
+    value is that it MEASURES instead of assuming the Matryoshka
+    property."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.truncated_topk(emb, queries, k=10, dim=16)
+    return out.select(
+        "query_id", "vec_id", "rank", F.round("cosine_t", 6).alias("cosine_t")
+    ).orderBy("query_id", "rank")
+
+
+def ann_recall_truncated_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of 16-of-64-dim truncated cosine vs full-dim brute
+    force on the 20 md5-deterministic queries — the measured
+    counter-example: random features keep only ~dim/D of the signal
+    (0.23 at sf0.001), so dimension truncation is NOT a safe compression
+    for this corpus, unlike int8 quantization (0.995)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ann_recall(emb, k=10, n_queries=20, method="truncated", dim=16)
+
+
 def similarity_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN — numpy-seeded hyperplanes inlined as SQL
     literals in the oracle (hash-green)."""
@@ -1859,6 +1887,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_int8_embeddings": quantize_int8_embeddings,
         "quantized_topk_embeddings": quantized_topk_embeddings,
         "ann_recall_quantized_embeddings": ann_recall_quantized_embeddings,
+        "similarity_truncated_embeddings": similarity_truncated_embeddings,
+        "ann_recall_truncated_embeddings": ann_recall_truncated_embeddings,
         "similarity_lsh_embeddings": similarity_lsh_embeddings,
         "similarity_lsh_multi_embeddings": similarity_lsh_multi_embeddings,
         "ann_recall_multi_embeddings": ann_recall_multi_embeddings,
@@ -2408,6 +2438,57 @@ def _ann_recall_quantized_oracle() -> str:
                           * sqrt(list_dot_product(q.qqv, q.qqv))) DESC,
                      qz.vec_id ASC) AS rnk
             FROM qz CROSS JOIN q
+          ) WHERE rnk <= 10
+        ), hits AS (
+          SELECT exact.query_id, exact.vec_id FROM exact
+          JOIN approx ON approx.query_id = exact.query_id
+                     AND approx.vec_id = exact.vec_id
+        )
+        SELECT (SELECT count(*) FROM q) AS n_queries,
+               CAST(10 AS INT) AS k,
+               (SELECT count(*) FROM exact) AS n_exact,
+               (SELECT count(*) FROM approx) AS n_approx,
+               (SELECT count(*) FROM hits) AS n_hits,
+               CASE WHEN (SELECT count(*) FROM exact) > 0
+                    THEN round((SELECT count(*) FROM hits) * 1.0
+                               / (SELECT count(*) FROM exact), 6) END AS recall
+    """
+
+
+def _ann_recall_truncated_oracle() -> str:
+    """DuckDB twin of ann_recall(k=10, n_queries=20, method='truncated',
+    dim=16): md5-keyed query sampling, full-dim exact top-10, 16-dim
+    truncated top-10, intersection counts."""
+    key = _md5_key("vec_id", "annrecall")
+    return f"""
+        WITH e2 AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 (embedding::DOUBLE[])[1:16] AS tv
+          FROM embeddings
+        ), q AS (
+          SELECT e2.vec_id AS query_id, e2.v AS qvec, e2.tv AS qtv
+          FROM e2 JOIN (SELECT vec_id, {key} AS kq FROM embeddings) kk
+            ON kk.vec_id = e2.vec_id
+          ORDER BY kk.kq, e2.vec_id LIMIT 20
+        ), exact AS (
+          SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e2.vec_id,
+                   row_number() OVER (PARTITION BY q.query_id ORDER BY
+                     list_dot_product(e2.v, q.qvec)
+                       / (sqrt(list_dot_product(e2.v, e2.v))
+                          * sqrt(list_dot_product(q.qvec, q.qvec))) DESC,
+                     e2.vec_id ASC) AS rnk
+            FROM e2 CROSS JOIN q
+          ) WHERE rnk <= 10
+        ), approx AS (
+          SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e2.vec_id,
+                   row_number() OVER (PARTITION BY q.query_id ORDER BY
+                     list_dot_product(e2.tv, q.qtv)
+                       / (sqrt(list_dot_product(e2.tv, e2.tv))
+                          * sqrt(list_dot_product(q.qtv, q.qtv))) DESC,
+                     e2.vec_id ASC) AS rnk
+            FROM e2 CROSS JOIN q
           ) WHERE rnk <= 10
         ), hits AS (
           SELECT exact.query_id, exact.vec_id FROM exact
@@ -4208,6 +4289,26 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
         """,
         "ann_recall_quantized_embeddings": _ann_recall_quantized_oracle(),
+        "similarity_truncated_embeddings": """
+            WITH t AS (
+              SELECT vec_id, (embedding::DOUBLE[])[1:16] AS tv FROM embeddings
+            ), q AS (
+              SELECT vec_id AS query_id, tv AS qv FROM t WHERE vec_id < 5
+            ), scored AS (
+              SELECT q.query_id, t.vec_id,
+                     list_dot_product(t.tv, q.qv)
+                       / (sqrt(list_dot_product(t.tv, t.tv))
+                          * sqrt(list_dot_product(q.qv, q.qv))) AS cosine_t
+              FROM t CROSS JOIN q
+            ), ranked AS (
+              SELECT query_id, vec_id, cosine_t,
+                     CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine_t DESC, vec_id ASC) AS INT) AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, rank, round(cosine_t, 6) AS cosine_t
+            FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+        "ann_recall_truncated_embeddings": _ann_recall_truncated_oracle(),
         # IVF with n_probe == n_lists scores the full corpus per query,
         # so the exact brute-force ranking is its oracle too
         "similarity_ivf_embeddings": """

@@ -100,3 +100,28 @@ def test_quantized_ranking_is_scale_invariant(spark):
     qa = {r["vec_id"]: list(r["qvec"]) for r in a.collect()}
     qb = {r["vec_id"]: list(r["qvec"]) for r in b.collect()}
     assert qa == qb
+
+
+def test_truncated_topk_full_dim_equals_exact(spark, emb):
+    from pyspark.sql import functions as F
+
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(emb, q, k=5).select("query_id", "vec_id", "rank")
+    trunc = similarity.truncated_topk(emb, q, k=5, dim=64).select(
+        "query_id", "vec_id", "rank"
+    )
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, trunc.collect()))
+
+
+def test_truncated_recall_degrades_on_random_features(spark, emb):
+    # these synthetic embeddings are NOT front-loaded: half the dims
+    # must lose most of the ranking signal (the measured case for NOT
+    # assuming the Matryoshka property), while a self-query still wins
+    r = similarity.ann_recall(emb, k=10, n_queries=20, method="truncated", dim=16)
+    rec = r.collect()[0]["recall"]
+    assert rec < 0.7
+    with pytest.raises(ValueError):
+        similarity.truncated_topk(emb, emb.limit(1).select(
+            emb.vec_id.alias("query_id"), "embedding"), dim=0)
