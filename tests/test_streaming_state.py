@@ -86,3 +86,53 @@ def test_null_values_ignored(spark, tmp_path):
     _drive(spark, src, "user_state_null")
     r = spark.sql("select * from user_state_null").collect()[-1]
     assert r["n_events"] == 2 and r["total_value"] == 6.0 and r["var_value"] == 2.0
+
+
+def test_stream_event_transitions_matches_batch(spark, tmp_path):
+    import os
+    import time
+
+    from clarite_python_spark.operators.events import event_transitions
+    from clarite_python_spark.streaming.events import stream_event_transitions
+
+    events = load_testdata(spark, SF_DIR, ["events"])["events"]
+    src = str(tmp_path / "ev_trans_src")
+    os.makedirs(src, exist_ok=True)
+    # two time-ordered files (per-user in-order arrival across batches):
+    # transitions spanning the cut MUST come from carried state
+    pdf = events.toPandas()
+    med = pdf["ts"].astype("int64").median()
+    early = pdf[pdf["ts"].astype("int64") <= med]
+    late = pdf[pdf["ts"].astype("int64") > med]
+    assert len(early) and len(late)
+    early.to_parquet(os.path.join(src, "a.parquet"))
+    late.to_parquet(os.path.join(src, "b.parquet"))
+    os.utime(os.path.join(src, "b.parquet"), (time.time() + 5, time.time() + 5))
+
+    q = (
+        stream_event_transitions(spark, src, max_files_per_trigger=1)
+        .writeStream.format("memory")
+        .queryName("ev_trans")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = (
+        spark.sql("SELECT from_type, to_type, count(*) AS n FROM ev_trans GROUP BY 1, 2")
+        .toPandas()
+        .set_index(["from_type", "to_type"])["n"]
+        .sort_index()
+    )
+    want = (
+        event_transitions(spark.read.parquet(src))
+        .select("from_type", "to_type", "n")
+        .toPandas()
+        .set_index(["from_type", "to_type"])["n"]
+        .sort_index()
+    )
+    pd.testing.assert_series_equal(want, got, check_dtype=False)
+    # cross-batch carry really happened: total transitions == rows - #users
+    n_rows = spark.read.parquet(src).count()
+    n_users = spark.read.parquet(src).select("user_id").distinct().count()
+    assert int(got.sum()) == n_rows - n_users
