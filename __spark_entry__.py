@@ -503,6 +503,20 @@ def minhash_dedup_md5_transitive_documents(spark: SparkSession, sf_dir: str) -> 
     )
 
 
+def minhash_dedup_keep_longest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-best survivor policy (operators/dedup.py:minhash_dedup
+    keep_col): per near-dup cluster keep the LONGEST member (n_chars,
+    ties to smaller id) instead of the min id — the RefinedWeb/Dolma
+    keep-the-best-copy rule. Oracle: recursive-CTE closure + a
+    row_number window over (n_chars DESC, doc_id ASC) per cluster."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        dedup.minhash_dedup(docs, hash_family="md5", transitive=True, keep_col="n_chars")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def simhash_md5_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints with the portable 60-bit md5 token hash
     (same sign-of-bit-sums algorithm as the xxhash64 default) — emitted
@@ -514,6 +528,24 @@ def simhash_md5_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.conv("simhash", 16, 10).cast("long").alias("simhash"))
         .orderBy("doc_id")
     )
+
+
+def simhash_candidates_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-banded SimHash candidate pairs (Manku et al. 2007;
+    operators/dedup.py:simhash_candidates) with the portable md5 token
+    hash: the oracle recomputes the 60-bit fingerprints, replays the
+    four 15-bit band slices (the MSB-first substring partition equals
+    the shift-mask partition — same contiguous bit slices), the
+    max_bucket cap, and the popcount-of-XOR verify, all in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_candidates(docs, hash_family="md5").orderBy("id_a", "id_b")
+
+
+def simhash_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy SimHash near-dup removal (drop any doc within hamming 3 of
+    a lower-id doc) — the token-permutation complement to minhash_dedup."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_dedup(docs, hash_family="md5").select("doc_id").orderBy("doc_id")
 
 
 def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -916,6 +948,15 @@ def similarity_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def dataset_card_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card (text.dataset_card): corpus_stats +
+    dominant language/share + mean quality — the release summary table.
+    The oracle recomputes every stage (stats agg, per-doc language CASE
+    chain, per-doc raw quality, lang-mode window, three joins)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.dataset_card(docs).orderBy("source")
+
+
 def event_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order next-event transition matrix
     (operators/events.py:event_transitions): lead() over one user-key
@@ -1043,6 +1084,37 @@ def ann_recall_truncated_embeddings(spark: SparkSession, sf_dir: str) -> DataFra
     for this corpus, unlike int8 quantization (0.995)."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.ann_recall(emb, k=10, n_queries=20, method="truncated", dim=16)
+
+
+def similarity_rp_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random-projection top-k
+    (operators/similarity.py:rp_topk, 64 -> 16 dims): the model-agnostic
+    4x dim-cut — JL preserves angles for ANY embedding distribution,
+    unlike Matryoshka truncation which needs front-loaded models. The
+    oracle replays the same seeded-numpy projection matrix as SQL
+    literals (the lsh_topk idiom)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.rp_topk(emb, queries, k=10, out_dim=16)
+    return out.select(
+        "query_id", "vec_id", "rank", F.round("cosine_p", 6).alias("cosine_p")
+    ).orderBy("query_id", "rank")
+
+
+def ann_recall_rp_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the 16-dim JL projection vs full-dim brute force on
+    the 20 md5-deterministic queries — measured head-to-head against
+    ann_recall_truncated_embeddings (same 4x compression). Honest
+    result: on ISOTROPIC random vectors the two are equivalent (~dim/D
+    of the signal; 0.22 vs 0.25 at sf0.01) because coordinate
+    truncation IS a random projection when no axis is special. JL's
+    value is the guarantee holding for ANY embedding model — including
+    back-loaded ones where truncation collapses to ~0 — not a win on
+    random data."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ann_recall(emb, k=10, n_queries=20, method="rp", out_dim=16)
 
 
 def similarity_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1856,11 +1928,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # samples them, moving the already-driver-proven 50 to the tail.
     # With the round-7 additions (lsh_multi / ann_recall_multi, DSIR,
     # epoch_repeat, line_dedup, perplexity_buckets, weighted_sample,
-    # shard_by_tokens, remove_contaminated_spans, quality_budget) the
-    # head holds 64 never-driver-sampled entries; the ~14 past position
-    # 50 (funnel family, retention, some similarity) rotate into the
-    # window next round. The local full gate
-    # (scripts/check_correctness.py) always runs all 114.
+    # shard_by_tokens, remove_contaminated_spans, quality_budget,
+    # jaccard_topk, quantize/truncate + recalls, stratified_split,
+    # clip_outliers, pmi, dataset_card, event_transitions,
+    # corpus_divergence, simhash_candidates/simhash_dedup) the head
+    # holds 60+ never-driver-sampled entries; the remainder past
+    # position 50 (funnel family, retention, some similarity) rotate
+    # into the window next round. The local full gate
+    # (scripts/check_correctness.py) always runs all 130.
     return {
         "line_dedup_documents": line_dedup_documents,
         "perplexity_buckets_documents": perplexity_buckets_documents,
@@ -1875,10 +1950,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_logweights_documents": dsir_logweights_documents,
         "dsir_sample_documents": dsir_sample_documents,
         "simhash_md5_documents": simhash_md5_documents,
+        "minhash_dedup_keep_longest_documents": minhash_dedup_keep_longest_documents,
+        "simhash_candidates_documents": simhash_candidates_documents,
+        "simhash_dedup_documents": simhash_dedup_documents,
         "minhash_dedup_transitive_documents": minhash_dedup_transitive_documents,
         "minhash_clusters_documents": minhash_clusters_documents,
         "simhash_documents": simhash_documents,
         "similarity_topk_embeddings": similarity_topk_embeddings,
+        "dataset_card_documents": dataset_card_documents,
         "event_transitions_events": event_transitions_events,
         "corpus_divergence_documents": corpus_divergence_documents,
         "stratified_split_documents": stratified_split_documents,
@@ -1889,6 +1968,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_quantized_embeddings": ann_recall_quantized_embeddings,
         "similarity_truncated_embeddings": similarity_truncated_embeddings,
         "ann_recall_truncated_embeddings": ann_recall_truncated_embeddings,
+        "similarity_rp_embeddings": similarity_rp_embeddings,
+        "ann_recall_rp_embeddings": ann_recall_rp_embeddings,
         "similarity_lsh_embeddings": similarity_lsh_embeddings,
         "similarity_lsh_multi_embeddings": similarity_lsh_multi_embeddings,
         "ann_recall_multi_embeddings": ann_recall_multi_embeddings,
@@ -2487,6 +2568,95 @@ def _ann_recall_truncated_oracle() -> str:
                      list_dot_product(e2.tv, q.qtv)
                        / (sqrt(list_dot_product(e2.tv, e2.tv))
                           * sqrt(list_dot_product(q.qtv, q.qtv))) DESC,
+                     e2.vec_id ASC) AS rnk
+            FROM e2 CROSS JOIN q
+          ) WHERE rnk <= 10
+        ), hits AS (
+          SELECT exact.query_id, exact.vec_id FROM exact
+          JOIN approx ON approx.query_id = exact.query_id
+                     AND approx.vec_id = exact.vec_id
+        )
+        SELECT (SELECT count(*) FROM q) AS n_queries,
+               CAST(10 AS INT) AS k,
+               (SELECT count(*) FROM exact) AS n_exact,
+               (SELECT count(*) FROM approx) AS n_approx,
+               (SELECT count(*) FROM hits) AS n_hits,
+               CASE WHEN (SELECT count(*) FROM exact) > 0
+                    THEN round((SELECT count(*) FROM hits) * 1.0
+                               / (SELECT count(*) FROM exact), 6) END AS recall
+    """
+
+
+def _rp_proj_sql(vec_expr: str) -> str:
+    """The rp_topk(out_dim=16, seed=42) projection as a SQL literal:
+    16 list_dot_products against the same seeded-numpy plane rows the
+    engine inlines (repr round-trips doubles exactly in both engines)."""
+    from clarite_python_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 16, 42)
+    rows = ", ".join(
+        f"list_dot_product({vec_expr}, [{', '.join(repr(float(x)) for x in p)}])"
+        for p in planes
+    )
+    return f"[{rows}]"
+
+
+def _similarity_rp_oracle() -> str:
+    """DuckDB twin of rp_topk(k=10, out_dim=16, seed=42): project both
+    sides with the literal JL matrix, exact cosine ranking."""
+    return f"""
+        WITH e2 AS (
+          SELECT vec_id, {_rp_proj_sql("embedding::DOUBLE[]")} AS pv FROM embeddings
+        ), q AS (
+          SELECT vec_id AS query_id, pv AS qpv FROM e2 WHERE vec_id < 5
+        ), scored AS (
+          SELECT q.query_id, e2.vec_id,
+                 list_dot_product(e2.pv, q.qpv)
+                   / (sqrt(list_dot_product(e2.pv, e2.pv))
+                      * sqrt(list_dot_product(q.qpv, q.qpv))) AS cosine_p
+          FROM e2 CROSS JOIN q
+        ), ranked AS (
+          SELECT query_id, vec_id, cosine_p,
+                 CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine_p DESC, vec_id ASC) AS INT) AS rank
+          FROM scored
+        )
+        SELECT query_id, vec_id, rank, round(cosine_p, 6) AS cosine_p
+        FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+    """
+
+
+def _ann_recall_rp_oracle() -> str:
+    """DuckDB twin of ann_recall(k=10, n_queries=20, method='rp',
+    out_dim=16): md5-keyed query sampling, full-dim exact top-10,
+    JL-projected top-10, intersection counts."""
+    key = _md5_key("vec_id", "annrecall")
+    return f"""
+        WITH e2 AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 {_rp_proj_sql("embedding::DOUBLE[]")} AS pv
+          FROM embeddings
+        ), q AS (
+          SELECT e2.vec_id AS query_id, e2.v AS qvec, e2.pv AS qpv
+          FROM e2 JOIN (SELECT vec_id, {key} AS kq FROM embeddings) kk
+            ON kk.vec_id = e2.vec_id
+          ORDER BY kk.kq, e2.vec_id LIMIT 20
+        ), exact AS (
+          SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e2.vec_id,
+                   row_number() OVER (PARTITION BY q.query_id ORDER BY
+                     list_dot_product(e2.v, q.qvec)
+                       / (sqrt(list_dot_product(e2.v, e2.v))
+                          * sqrt(list_dot_product(q.qvec, q.qvec))) DESC,
+                     e2.vec_id ASC) AS rnk
+            FROM e2 CROSS JOIN q
+          ) WHERE rnk <= 10
+        ), approx AS (
+          SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e2.vec_id,
+                   row_number() OVER (PARTITION BY q.query_id ORDER BY
+                     list_dot_product(e2.pv, q.qpv)
+                       / (sqrt(list_dot_product(e2.pv, e2.pv))
+                          * sqrt(list_dot_product(q.qpv, q.qpv))) DESC,
                      e2.vec_id ASC) AS rnk
             FROM e2 CROSS JOIN q
           ) WHERE rnk <= 10
@@ -3347,6 +3517,53 @@ def _simhash_xxh_oracle() -> str:
     )
 
 
+def _simhash_pairs_sql() -> str:
+    """Shared CTE body for the simhash_candidates / simhash_dedup
+    oracles: 60-bit md5 SimHash fingerprints (same algorithm as the
+    simhash_md5_documents oracle), four 15-bit contiguous band slices
+    (shift-mask — the same bit-position partition as the engine's
+    MSB-first substrings, so the bucket equivalence classes are
+    identical), the max_bucket<=1000 cap, and the popcount-of-XOR
+    hamming<=3 verify. Ends with a `ver(id_a, id_b, hamming)` CTE."""
+    return r"""toksrc AS MATERIALIZED (
+              SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS toks
+              FROM documents
+            ), th AS MATERIALIZED (
+              SELECT doc_id,
+                     list_sum(list_transform(range(1, 16),
+                        k -> (CAST(strpos('0123456789abcdef', substr(md5(t), k, 1)) AS BIGINT) - 1)
+                             << ((15 - k) * 4))) AS h
+              FROM (SELECT doc_id, unnest(toks) AS t FROM toksrc) u
+            ), cnts AS MATERIALIZED (
+              SELECT doc_id, r.range AS b,
+                     sum(CASE WHEN ((h >> r.range) & 1) = 1 THEN 1 ELSE -1 END) AS c
+              FROM th CROSS JOIN range(0, 60) r
+              GROUP BY doc_id, r.range
+            ), fp0 AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN c >= 0 THEN 1::BIGINT << b ELSE 0 END)
+                          AS BIGINT) AS v
+              FROM cnts GROUP BY doc_id
+            ), fp AS MATERIALIZED (
+              SELECT d.doc_id, coalesce(f.v, (1::BIGINT << 60) - 1) AS v
+              FROM documents d LEFT JOIN fp0 f ON f.doc_id = d.doc_id
+            ), bands AS MATERIALIZED (
+              SELECT doc_id, v, r.range AS band, (v >> (r.range * 15)) & 32767 AS bucket
+              FROM fp CROSS JOIN range(0, 4) r
+            ), good AS (
+              SELECT band, bucket FROM bands GROUP BY band, bucket
+              HAVING count(*) > 1 AND count(*) <= 1000
+            ), ver AS MATERIALIZED (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(bit_count(xor(a.v, b.v)) AS INT) AS hamming
+              FROM bands a
+              JOIN bands b USING (band, bucket)
+              JOIN good USING (band, bucket)
+              WHERE a.doc_id < b.doc_id
+                AND bit_count(xor(a.v, b.v)) <= 3
+            )"""
+
+
 def _minhash_md5_oracle() -> str:
     """Greedy variant: drop any doc with a verified lower-id near-dup."""
     return (
@@ -3379,6 +3596,34 @@ def _minhash_md5_transitive_oracle() -> str:
         )
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (SELECT id FROM labels WHERE label != id)
+        ORDER BY doc_id
+    """
+    )
+
+
+def _minhash_md5_keep_longest_oracle() -> str:
+    """keep_col='n_chars' survivor policy: transitive clusters, keep the
+    longest member per cluster (ties to smaller id)."""
+    return (
+        "WITH RECURSIVE "
+        + _minhash_md5_pipeline()
+        + """, sym AS MATERIALIZED (
+          SELECT id_a AS src, id_b AS dst FROM dups
+          UNION SELECT id_b, id_a FROM dups
+        ), reach AS (
+          SELECT src, dst FROM sym
+          UNION
+          SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+        ), labels AS (
+          SELECT src AS id, least(src, min(dst)) AS label FROM reach GROUP BY src
+        ), ranked AS (
+          SELECT l.id,
+                 row_number() OVER (PARTITION BY l.label
+                   ORDER BY d.n_chars DESC, l.id ASC) AS r
+          FROM labels l JOIN documents d ON d.doc_id = l.id
+        )
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM ranked WHERE r > 1)
         ORDER BY doc_id
     """
     )
@@ -3620,6 +3865,64 @@ def oracle_sql() -> dict[str, str]:
             FROM v JOIN b ON v.variable = b.variable
             GROUP BY v.variable ORDER BY v.variable
         """,
+        "dataset_card_documents": f"""
+            WITH stats AS (
+              SELECT source,
+                     count(*) AS n_docs,
+                     CAST(sum(len({_TOKENS})) AS BIGINT) AS total_tokens,
+                     round(avg(len({_TOKENS})), 4) AS mean_tokens,
+                     CAST(min(len({_TOKENS})) AS INT) AS min_tokens,
+                     CAST(max(len({_TOKENS})) AS INT) AS max_tokens,
+                     count(DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))) AS distinct_docs,
+                     round(1.0 - count(DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))) * 1.0 / count(*), 6)
+                       AS dup_rate
+              FROM documents GROUP BY source
+            ), lscored AS (
+              SELECT doc_id, source,
+                     regexp_matches(text, '[一-鿿]') AS is_cjk,
+                     {_lang_score(_DE)} AS s_de,
+                     {_lang_score(_EN)} AS s_en,
+                     {_lang_score(_ES)} AS s_es,
+                     {_lang_score(_FR)} AS s_fr
+              FROM documents
+            ), lang AS (
+              SELECT doc_id, source, CASE
+                WHEN is_cjk THEN 'zh'
+                WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'unknown'
+                WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred
+              FROM lscored
+            ), lc AS (
+              SELECT source, lang_pred, count(*) AS n_lang
+              FROM lang GROUP BY source, lang_pred
+            ), top AS (
+              SELECT source, lang_pred AS top_lang, n_lang FROM (
+                SELECT source, lang_pred, n_lang,
+                       row_number() OVER (PARTITION BY source
+                         ORDER BY n_lang DESC, lang_pred ASC) AS r
+                FROM lc
+              ) WHERE r = 1
+            ), qs AS (
+              SELECT doc_id, source,
+                     length(text) AS n_chars,
+                     len({_TOKENS}) AS n_tokens,
+                     length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / greatest(length(text), 1) AS digit_ratio,
+                     length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS punct_chars
+              FROM documents
+            ), q AS (
+              SELECT source,
+                     round(avg((least(n_tokens / 50.0, 1.0)
+                          + greatest(0.0, 1.0 - (punct_chars * 1.0 / greatest(n_chars, 1)) * 5.0)
+                          + greatest(0.0, 1.0 - digit_ratio * 5.0)) / 3.0), 6) AS mean_quality
+              FROM qs GROUP BY source
+            )
+            SELECT stats.*, top.top_lang, q.mean_quality,
+                   round(top.n_lang / stats.n_docs, 6) AS top_lang_share
+            FROM stats JOIN top USING (source) JOIN q USING (source)
+            ORDER BY source
+        """,
         "event_transitions_events": """
             WITH ev AS (
               SELECT user_id, event_id, ts, event_type FROM events
@@ -3801,6 +4104,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_clusters_documents": _minhash_clusters_oracle(),
         "simhash_documents": _simhash_xxh_oracle(),
         "minhash_dedup_md5_transitive_documents": _minhash_md5_transitive_oracle(),
+        "minhash_dedup_keep_longest_documents": _minhash_md5_keep_longest_oracle(),
         "similarity_ivf_probe_embeddings": _ivf_probe_oracle(),
         "semantic_dedup_embeddings": _semantic_dedup_oracle(),
         "multimodal_features_documents": _multimodal_features_oracle(),
@@ -3828,6 +4132,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, coalesce(f.v, (1::BIGINT << 60) - 1) AS simhash
             FROM documents d LEFT JOIN fp f ON f.doc_id = d.doc_id
             ORDER BY d.doc_id
+        """,
+        "simhash_candidates_documents": "WITH "
+        + _simhash_pairs_sql()
+        + """
+            SELECT id_a, id_b, hamming FROM ver ORDER BY id_a, id_b
+        """,
+        "simhash_dedup_documents": "WITH "
+        + _simhash_pairs_sql()
+        + """
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT id_b FROM ver)
+            ORDER BY doc_id
         """,
         "interaction_study_lineitem": _interaction_oracle(),
         "corrected_pvalues_documents": """
@@ -4309,6 +4625,8 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
         """,
         "ann_recall_truncated_embeddings": _ann_recall_truncated_oracle(),
+        "similarity_rp_embeddings": _similarity_rp_oracle(),
+        "ann_recall_rp_embeddings": _ann_recall_rp_oracle(),
         # IVF with n_probe == n_lists scores the full corpus per query,
         # so the exact brute-force ranking is its oracle too
         "similarity_ivf_embeddings": """
@@ -4962,26 +5280,51 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(len({_TOKENS}), 0.95), 4) AS p95
             FROM documents GROUP BY source ORDER BY source
         """,
+        # the oracle replays the max_candidates=100 per-doc cap (md5
+        # order over the pair key) exactly, so the gate proves the cap
+        # semantics, not just the uncapped path (domain_cap precedent);
+        # shingle jaccard is computed on the raw gram STRINGS while the
+        # engine folds xxhash64 longs — identical sets absent a 2^64
+        # collision, which the hash-match would catch
         "jaccard_topk_documents": "WITH "
         + _minhash_md5_pipeline()
-        + """, scored AS (
+        + f""", dsym AS MATERIALIZED (
+              SELECT id_a AS doc_id, id_b AS neighbor_id FROM pairs
+              UNION ALL
+              SELECT id_b, id_a FROM pairs
+            ), capped AS MATERIALIZED (
+              SELECT doc_id, neighbor_id FROM (
+                SELECT doc_id, neighbor_id,
+                       row_number() OVER (PARTITION BY doc_id
+                         ORDER BY {_md5_key("CAST(doc_id AS VARCHAR) || ':' || CAST(neighbor_id AS VARCHAR)", "jt")} ASC,
+                                  neighbor_id ASC) AS cr
+                FROM dsym
+              ) WHERE cr <= 100
+            ), cpairs AS MATERIALIZED (
+              SELECT DISTINCT least(doc_id, neighbor_id) AS id_a,
+                              greatest(doc_id, neighbor_id) AS id_b
+              FROM capped
+            ), scored AS (
               SELECT p.id_a, p.id_b,
                      round(len(list_intersect(da.sh, db.sh)) * 1.0
                            / greatest(len(list_distinct(da.sh || db.sh)), 1), 6)
                        AS jaccard
-              FROM pairs p
+              FROM cpairs p
               JOIN docs da ON da.doc_id = p.id_a
               JOIN docs db ON db.doc_id = p.id_b
             ), sym AS (
               SELECT id_a AS doc_id, id_b AS neighbor_id, jaccard FROM scored
               UNION ALL
               SELECT id_b, id_a, jaccard FROM scored
+            ), symc AS (
+              SELECT s.doc_id, s.neighbor_id, s.jaccard
+              FROM sym s JOIN capped c USING (doc_id, neighbor_id)
             ), ranked AS (
               SELECT doc_id, neighbor_id, jaccard,
                      CAST(row_number() OVER (
                        PARTITION BY doc_id ORDER BY jaccard DESC, neighbor_id
                      ) AS INT) AS rank
-              FROM sym
+              FROM symc
             )
             SELECT doc_id, neighbor_id, jaccard, rank
             FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank

@@ -243,6 +243,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("output")
     p.add_argument("--alpha", type=float, default=0.5)
     p.add_argument("--text-col", default="text")
+    p = g_pipe.add_parser("card")
+    p.add_argument("data")
+    p.add_argument("output")
+    p.add_argument("--by", default="source")
+    p.add_argument("--approx", action="store_true")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
     p = g_pipe.add_parser("quantize")
     p.add_argument("data")
     p.add_argument("output")
@@ -281,10 +288,11 @@ def build_parser() -> argparse.ArgumentParser:
     p = g_pipe.add_parser("dedup")
     p.add_argument("data")
     p.add_argument("output")
-    p.add_argument("--method", default="exact", choices=["exact", "minhash"])
+    p.add_argument("--method", default="exact", choices=["exact", "minhash", "simhash"])
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--threshold", type=float, default=0.8)
+    p.add_argument("--max-hamming", type=int, default=3)
     p = g_pipe.add_parser("quality")
     p.add_argument("data")
     p.add_argument("output")
@@ -551,13 +559,18 @@ def build_parser() -> argparse.ArgumentParser:
     p = g_pipe.add_parser("ann-recall")
     p.add_argument("data", help="embeddings parquet")
     p.add_argument("output")
-    p.add_argument("--method", choices=["lsh", "lsh_multi", "ivf"], default="lsh_multi")
+    p.add_argument(
+        "--method",
+        choices=["lsh", "lsh_multi", "ivf", "quantized", "truncated", "rp"],
+        default="lsh_multi",
+    )
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--n-queries", type=int, default=20)
     p.add_argument("--n-planes", type=int, default=4)
     p.add_argument("--n-bands", type=int, default=8)
     p.add_argument("--n-lists", type=int, default=8)
     p.add_argument("--n-probe", type=int, default=4)
+    p.add_argument("--dim", type=int, default=16, help="truncated/rp output dim")
     p.add_argument("--id-col", default="vec_id")
     p.add_argument("--vec-col", default="embedding")
 
@@ -814,6 +827,11 @@ def main(argv: list[str] | None = None) -> int:
                 df, spark.read.parquet(args.other),
                 text_col=args.text_col, alpha=args.alpha,
             )
+        elif args.command == "card":
+            out = text_mod.dataset_card(
+                df, by=args.by, text_col=args.text_col,
+                id_col=args.id_col, exact=not args.approx,
+            )
         elif args.command == "quantize":
             from clarite_python_spark.operators import similarity as sim_mod
 
@@ -852,6 +870,11 @@ def main(argv: list[str] | None = None) -> int:
         elif args.command == "dedup":
             if args.method == "exact":
                 out = dedup_mod.exact_dedup(df, text_col=args.text_col, id_col=args.id_col)
+            elif args.method == "simhash":
+                out = dedup_mod.simhash_dedup(
+                    df, text_col=args.text_col, id_col=args.id_col,
+                    max_hamming=args.max_hamming,
+                )
             else:
                 out = dedup_mod.minhash_dedup(
                     df, text_col=args.text_col, id_col=args.id_col, threshold=args.threshold
@@ -1020,9 +1043,13 @@ def main(argv: list[str] | None = None) -> int:
                 kw["n_planes"] = args.n_planes
                 if args.method == "lsh_multi":
                     kw["n_bands"] = args.n_bands
-            else:
+            elif args.method == "ivf":
                 kw["n_lists"] = args.n_lists
                 kw["n_probe"] = args.n_probe
+            elif args.method == "truncated":
+                kw["dim"] = args.dim
+            elif args.method == "rp":
+                kw["out_dim"] = args.dim
             out = sim_mod.ann_recall(
                 df,
                 k=args.k,

@@ -37,10 +37,13 @@ __all__ = [
     "incremental_neardup",
     "shingles",
     "minhash_signature",
+    "band_table",
     "minhash_lsh_candidates",
     "minhash_dedup",
     "minhash_clusters",
     "simhash",
+    "simhash_candidates",
+    "simhash_dedup",
     "ngram_jaccard_pairs",
     "jaccard_topk",
     "lsh_recall",
@@ -693,11 +696,18 @@ def fuzzy_contamination(
     shingle_n: int = 3,
     max_bucket: int = 1000,
     hash_family: str = "xxhash64",
+    bench_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Fuzzy decontamination: corpus documents that NEAR-duplicate a
     benchmark document — the MinHash complement to the exact n-gram
     :func:`contamination` test, catching reformatted or partially-copied
     benchmark items a verbatim n-gram collision misses.
+
+    ``bench_bands`` (optional): a precomputed :func:`band_table` for the
+    benchmark side — skips re-banding it this call (the scale form when
+    the benchmark/history side is large and stable). The benchmark
+    documents themselves are still required for the Jaccard verify of
+    matched candidates (O(candidates), not O(benchmark)).
 
     Both sets are banded with the same MinHash family; a (corpus, bench)
     pair is a candidate iff it collides in at least one band (equi-join
@@ -712,9 +722,13 @@ def fuzzy_contamination(
     a = _banded(
         _rebalance(df), text_col, id_col, num_hashes, bands, shingle_n, hash_family
     ).select(F.col(id_col).alias("__id"), "band", "bucket", F.lit("c").alias("__side"))
-    b = _banded(
-        benchmark, bcol, id_col, num_hashes, bands, shingle_n, hash_family
-    ).select(F.col(id_col).alias("__id"), "band", "bucket", F.lit("b").alias("__side"))
+    if bench_bands is None:
+        bench_bands = _banded(
+            benchmark, bcol, id_col, num_hashes, bands, shingle_n, hash_family
+        )
+    b = bench_bands.select(
+        F.col(id_col).alias("__id"), "band", "bucket", F.lit("b").alias("__side")
+    )
     buckets = (
         a.unionByName(b)
         .groupBy("band", "bucket")
@@ -763,6 +777,7 @@ def incremental_neardup(
     shingle_n: int = 3,
     max_bucket: int = 1000,
     hash_family: str = "xxhash64",
+    seen_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Daily-ingest NEAR-duplicate dedup — the fuzzy twin of
     :func:`incremental_dedup`: drop new documents whose shingle Jaccard
@@ -771,10 +786,11 @@ def incremental_neardup(
 
     The cross-set candidate generation is the same banded machinery as
     :func:`fuzzy_contamination` (equi-join on (band, bucket), no cross
-    join; history-side banding cost is O(|seen|) per run — at scale,
-    persist the seen set's band table once and union only the day's
-    additions instead of re-banding the full corpus). Returns the kept
-    subset of ``new`` with the original columns.
+    join). History-side banding cost is O(|seen|) per run — the scale
+    form persists the seen set's :func:`band_table` once, appends only
+    each day's additions, and passes it via ``seen_bands`` (must share
+    this call's num_hashes/bands/shingle_n/hash_family). Returns the
+    kept subset of ``new`` with the original columns.
     """
     hits = fuzzy_contamination(
         new,
@@ -787,6 +803,7 @@ def incremental_neardup(
         shingle_n=shingle_n,
         max_bucket=max_bucket,
         hash_family=hash_family,
+        bench_bands=seen_bands,
     )
     fresh = new.join(hits.select(id_col).distinct(), id_col, "left_anti")
     return minhash_dedup(
@@ -879,6 +896,33 @@ def _banded(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+
+
+def band_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """The persistable LSH index: (id, band, bucket) rows for every
+    document — the precomputed form of the banding pass that
+    :func:`fuzzy_contamination` / :func:`incremental_neardup` otherwise
+    re-run over the full history every call.
+
+    At 100 TB the kept corpus's band table is written once (ideally
+    bucketed on (band, bucket)) and only each batch's additions are
+    appended — re-banding history costs O(|history|) interpreted
+    signature folds per run, the single most expensive part of the
+    incremental near-dup plan. Pass the persisted table back via
+    ``seen_bands=`` / ``bench_bands=``. MUST be built with the same
+    (num_hashes, bands, shingle_n, hash_family) as the probe side —
+    bucket keys from different configs never collide correctly."""
+    return _banded(
+        _rebalance(df), text_col, id_col, num_hashes, bands, shingle_n, hash_family
+    )
 
 
 def minhash_lsh_candidates(
@@ -1021,20 +1065,31 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.8,
+    hash_shingles: bool = False,
 ) -> DataFrame:
     """Verify candidate pairs with exact n-gram Jaccard similarity.
 
     Joins each side of the pair to its (distinct) shingle set and computes
     |∩| / |∪| with JVM array ops. Shingles are computed only for documents
     that appear in a candidate pair (semi-join first — the expensive
-    interpreted shingling must be O(|candidates|), not O(|corpus|))."""
+    interpreted shingling must be O(|candidates|), not O(|corpus|)).
+
+    ``hash_shingles=True`` carries xxhash64 longs instead of n-gram
+    strings through the pair join — the set arithmetic is identical
+    unless two distinct grams collide in 2^64 (birthday odds ~|grams|²/2^65,
+    vanishing), and the per-pair shuffle payload drops ~5-10x (8-byte
+    longs vs n-token strings). Measured: the difference between a 1M-doc
+    near-dup-clique corpus spilling >50 GB and completing."""
     cand_ids = (
         candidates.select(F.col("id_a").alias(id_col))
         .unionByName(candidates.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
     sub = df.join(cand_ids, on=id_col, how="left_semi")
-    sh = sub.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
+    sh_col = shingles(text_col, shingle_n)
+    if hash_shingles:
+        sh_col = F.transform(sh_col, lambda s: F.xxhash64(s))
+    sh = sub.select(F.col(id_col), sh_col.alias("sh"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     scored = (
@@ -1103,6 +1158,8 @@ def minhash_dedup(
     transitive: bool = False,
     max_iter: int = 20,
     hash_family: str = "xxhash64",
+    keep_col: str | None = None,
+    keep_order: str = "max",
 ) -> DataFrame:
     """End-to-end near-dup removal: LSH candidates -> exact-Jaccard verify
     -> drop duplicates, keeping one representative per group.
@@ -1112,19 +1169,56 @@ def minhash_dedup(
     clustering over the verified pairs (iterative min-label propagation,
     :func:`_min_label_components`), keeping exactly the min-id doc of each
     cluster — A~B~C chains with A!~C resolve to one survivor per cluster
-    even when the greedy rule would keep disconnected-looking extras."""
+    even when the greedy rule would keep disconnected-looking extras.
+
+    ``keep_col`` picks the cluster representative by a QUALITY metric
+    instead of the arbitrary min id — the RefinedWeb/Dolma policy of
+    keeping the longest (or highest-scoring) member of each near-dup
+    cluster. It implies transitive clustering (a "best of the cluster"
+    needs the cluster), keeps the row with the ``keep_order`` extreme of
+    ``keep_col`` (``"max"`` default; ties break to the smaller id), and
+    adds only an O(#duplicate-docs) metric join + one window over
+    cluster-partitioned rows on top of the transitive plan."""
     cands = minhash_lsh_candidates(
         df, text_col, id_col, num_hashes, bands, shingle_n, hash_family=hash_family
     )
     dups = ngram_jaccard_pairs(df, cands, text_col, id_col, shingle_n, threshold)
+    losers = _dedup_losers(
+        df, dups, id_col, transitive, max_iter, keep_col, keep_order
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+def _dedup_losers(
+    df: DataFrame,
+    dups: DataFrame,
+    id_col: str,
+    transitive: bool,
+    max_iter: int,
+    keep_col: str | None,
+    keep_order: str,
+) -> DataFrame:
+    """Shared survivor policy for minhash_dedup / simhash_dedup: greedy
+    (drop id_b), transitive min-id, or cluster-best by ``keep_col``."""
+    if keep_col is not None:
+        if keep_order not in ("max", "min"):
+            raise ValueError(f"keep_order must be 'max' or 'min', got {keep_order!r}")
+        comp = _min_label_components(dups.select("id_a", "id_b"), max_iter)
+        metric = df.select(F.col(id_col).alias("id"), F.col(keep_col).alias("__keep"))
+        order = F.desc("__keep") if keep_order == "max" else F.asc("__keep")
+        w = Window.partitionBy("label").orderBy(order, F.asc("id"))
+        return (
+            comp.join(metric, "id")
+            .withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") > 1)
+            .select(F.col("id").alias(id_col))
+        )
     if transitive:
         comp = _min_label_components(dups.select("id_a", "id_b"), max_iter)
-        losers = comp.where(F.col("label") != F.col("id")).select(
+        return comp.where(F.col("label") != F.col("id")).select(
             F.col("id").alias(id_col)
         )
-    else:
-        losers = dups.select(F.col("id_b").alias(id_col)).distinct()
-    return df.join(losers, on=id_col, how="left_anti")
+    return dups.select(F.col("id_b").alias(id_col)).distinct()
 
 
 def minhash_clusters(
@@ -1169,6 +1263,15 @@ def simhash(
     pass. Returns (id, simhash hex string).  ``hash_family="md5"`` uses
     the portable 60-bit md5 member (requires ``bits <= 60``) so the
     whole fingerprint is reproducible in DuckDB for oracle checks."""
+    bits_str = _simhash_bits(text_col, bits, hash_family)
+    fp = F.conv(bits_str, 2, 16)
+    return _rebalance(df).select(F.col(id_col), fp.alias("simhash"))
+
+
+def _simhash_bits(text_col: str, bits: int, hash_family: str) -> Column:
+    """The SimHash bit-sign pass shared by :func:`simhash` (hex form) and
+    :func:`simhash_candidates` (integer form): MSB-first fixed-width
+    binary string, one character per fingerprint bit."""
     if hash_family == "md5" and bits > 60:
         raise ValueError("md5 hash family carries 60 bits")
     if hash_family not in ("xxhash64", "md5"):
@@ -1181,7 +1284,6 @@ def simhash(
 
         return md5_60bit(t)
 
-    df = _rebalance(df)
     toks = tokens(text_col)
     zero = F.array(*[F.lit(0).cast("long") for _ in range(bits)])
     counts = F.aggregate(
@@ -1198,15 +1300,124 @@ def simhash(
             lambda a, x: a + x,
         ),
     )
-    # fingerprint as a hex string: bit b of the hash = sign(counts[b]);
-    # assemble MSB-first binary then base-convert (avoids 64-bit signed
-    # overflow under ANSI mode)
-    bits_str = F.concat_ws(
+    # bit b of the hash = sign(counts[b]); assemble MSB-first binary
+    # (base-converting the string avoids 64-bit signed overflow under
+    # ANSI mode). An empty token array leaves every count at 0 => all
+    # bits set — empty docs fingerprint identically, by design.
+    return F.concat_ws(
         "",
         F.transform(F.reverse(counts), lambda c: F.when(c >= 0, F.lit("1")).otherwise(F.lit("0"))),
     )
-    fp = F.conv(bits_str, 2, 16)
-    return df.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 3,
+    hash_family: str = "xxhash64",
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance with banded
+    bucketing — the Manku-Jain-Sarma (WWW 2007) web-dedup recipe, the
+    token-permutation complement to shingle MinHash-LSH (catches
+    reworded bags-of-words MinHash scores low; misses reorderings
+    Jaccard catches — run both for belt-and-braces corpus dedup).
+
+    The fingerprint is split into ``bands`` contiguous bit slices; two
+    documents are candidates iff at least one slice matches exactly
+    (equi-join on (band, slice) — never an all-pairs product), then
+    candidates are verified with the exact popcount of the fingerprint
+    XOR. With ``bands > max_hamming`` the pigeonhole guarantees EXACT
+    recall: <= max_hamming differing bits cannot touch all bands, so
+    every qualifying pair shares an untouched band (the default 4/3 is
+    the guarantee's minimal shape). ``max_bucket`` drops degenerate
+    buckets (e.g. the all-ones empty-doc fingerprint at web scale) to
+    bound the per-bucket pair blowup, trading away the guarantee only
+    inside dropped buckets.
+
+    Plan: one narrow fingerprint pass (JVM ``aggregate`` fold), one
+    explode to ``bands`` rows/doc, one (band, slice) shuffle; the 8-byte
+    fingerprint travels WITH the bucket rows so verification needs no
+    join back to the corpus. Returns (id_a, id_b, hamming), id_a < id_b.
+    """
+    if bits % bands != 0:
+        raise ValueError("bits must be divisible by bands")
+    if bits > 62:
+        raise ValueError("bits must be <= 62 (fingerprint carried as a signed long)")
+    if max_hamming < 0:
+        raise ValueError("max_hamming must be >= 0")
+    width = bits // bands
+    bits_str = _simhash_bits(text_col, bits, hash_family)
+    fps = _rebalance(df).select(
+        F.col(id_col),
+        F.conv(bits_str, 2, 10).cast("long").alias("__fp"),
+        bits_str.alias("__bs"),
+    )
+    banded = fps.select(
+        id_col,
+        "__fp",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.struct(
+                    i.alias("band"),
+                    F.col("__bs").substr(i * width + 1, F.lit(width)).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "__fp", "bb.band", "bb.bucket")
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("__fp").alias("f"))).alias("ids"))
+        .where((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    pairs = (
+        buckets.select(F.explode("ids").alias("a"), F.col("ids"))
+        .select("a", F.explode("ids").alias("b"))
+        .where(F.col("a.i") < F.col("b.i"))
+        .select(
+            F.col("a.i").alias("id_a"),
+            F.col("b.i").alias("id_b"),
+            F.bit_count(F.col("a.f").bitwiseXOR(F.col("b.f"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs
+
+
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 3,
+    hash_family: str = "xxhash64",
+    max_bucket: int = 1000,
+    transitive: bool = False,
+    max_iter: int = 20,
+    keep_col: str | None = None,
+    keep_order: str = "max",
+) -> DataFrame:
+    """End-to-end SimHash near-dup removal: Hamming-banded candidates
+    (:func:`simhash_candidates`) -> drop duplicates keeping one
+    representative, with the same survivor policies as
+    :func:`minhash_dedup` — greedy (drop any doc within ``max_hamming``
+    of a lower-id doc), ``transitive=True`` connected components via
+    :func:`_min_label_components` (min-id survivor per cluster), or
+    ``keep_col`` cluster-best (keep the ``keep_order`` extreme of
+    ``keep_col`` per cluster — the keep-the-longest policy)."""
+    dups = simhash_candidates(
+        df, text_col, id_col, bits, bands, max_hamming, hash_family, max_bucket
+    )
+    losers = _dedup_losers(
+        df, dups, id_col, transitive, max_iter, keep_col, keep_order
+    )
+    return df.join(losers, on=id_col, how="left_anti")
 
 
 def jaccard_topk(
@@ -1220,6 +1431,8 @@ def jaccard_topk(
     max_bucket: int = 1000,
     hash_family: str = "xxhash64",
     min_jaccard: float = 0.0,
+    max_candidates: int | None = 100,
+    hash_shingles: bool = True,
 ) -> DataFrame:
     """Per-document top-k most similar documents by EXACT n-gram
     Jaccard, candidates from banded MinHash-LSH — the text-side analog
@@ -1230,6 +1443,22 @@ def jaccard_topk(
     bounded by the (num_hashes, bands) curve — measure it with
     ``lsh_recall`` on your corpus before trusting a config.
 
+    ``max_candidates`` bounds each document's candidate list BEFORE the
+    exact re-rank (deterministic md5 order over the pair key): a corpus
+    with B-way near-duplicate cliques otherwise generates O(B²) pairs
+    per clique regardless of ``max_bucket``. Measured on the adversarial
+    worst case (1M docs, EVERY doc in a 200-way clique, 8g heap): the
+    uncapped string-shingle verify spilled >50 GB and died; the default
+    cap of 100 still OOMs there (≥50M pairs each shuffling two ~600-long
+    hash arrays); ``max_candidates=20`` (4×k) completes in 850 s — on
+    heavy-dup corpora set the cap to 2-4×k. The documented bias: in a
+    clique larger than the cap, the k best neighbors are sampled from a
+    deterministic subset — in a clique everything is near-equally
+    similar, so top-k damage is small; pass ``None`` to disable.
+    ``hash_shingles`` (default) carries xxhash64 longs instead of gram
+    strings through the verify join — identical scores absent 2^64
+    collisions, ~5-10x smaller pair shuffle.
+
     Each undirected candidate pair contributes in both directions, so a
     document's neighbor list is complete w.r.t. the candidate set.
     Scores are rounded to 6 dp BEFORE ranking (ties then break by
@@ -1239,11 +1468,56 @@ def jaccard_topk(
     """
     if k <= 0:
         raise ValueError("k must be positive")
+    if max_candidates is not None and max_candidates < k:
+        raise ValueError("max_candidates must be >= k")
     cands = minhash_lsh_candidates(
         df, text_col, id_col, num_hashes, bands, shingle_n, max_bucket, hash_family
     )
+    directed = None
+    if max_candidates is not None:
+        from clarite_python_spark.functions.hashing import md5_60bit
+
+        # each undirected pair becomes both directed edges in ONE pass
+        # (an explode, not a self-union — a union re-evaluates the whole
+        # LSH DAG per branch)
+        directed = cands.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias(id_col), F.col("id_b").alias("neighbor_id")
+                    ),
+                    F.struct(
+                        F.col("id_b").alias(id_col), F.col("id_a").alias("neighbor_id")
+                    ),
+                )
+            ).alias("e")
+        ).select("e.*")
+        ckey = md5_60bit(
+            F.concat_ws(
+                ":",
+                F.col(id_col).cast("string"),
+                F.col("neighbor_id").cast("string"),
+                F.lit("jt"),
+            )
+        )
+        wc = Window.partitionBy(id_col).orderBy(ckey.asc(), F.col("neighbor_id").asc())
+        # the capped edge list is reused three times downstream (pair
+        # derivation, the verify's id semi-join, the final edge filter);
+        # a LAZY localCheckpoint materializes it at first evaluation so
+        # the 1M-doc signature/banding pass runs ONCE, not 6-10 times
+        directed = (
+            directed.withColumn("__cr", F.row_number().over(wc))
+            .where(F.col("__cr") <= max_candidates)
+            .drop("__cr")
+            .localCheckpoint(eager=False)
+        )
+        cands = directed.select(
+            F.least(id_col, "neighbor_id").alias("id_a"),
+            F.greatest(id_col, "neighbor_id").alias("id_b"),
+        ).distinct()
     scored = ngram_jaccard_pairs(
-        df, cands, text_col, id_col, shingle_n, threshold=min_jaccard
+        df, cands, text_col, id_col, shingle_n,
+        threshold=min_jaccard, hash_shingles=hash_shingles,
     ).withColumn("jaccard", F.round("jaccard", 6))
     sym = scored.select(
         F.col("id_a").alias(id_col), F.col("id_b").alias("neighbor_id"), "jaccard"
@@ -1252,5 +1526,9 @@ def jaccard_topk(
             F.col("id_b").alias(id_col), F.col("id_a").alias("neighbor_id"), "jaccard"
         )
     )
+    if directed is not None:
+        # keep only each doc's capped candidate edges (a pair scored for
+        # doc A may have been capped out of doc B's list)
+        sym = sym.join(directed, [id_col, "neighbor_id"], "left_semi")
     w = Window.partitionBy(id_col).orderBy(F.desc("jaccard"), F.asc("neighbor_id"))
     return sym.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -31,6 +31,7 @@ __all__ = [
     "tfidf_top_terms",
     "pmi_collocations",
     "corpus_divergence",
+    "dataset_card",
     "bigram_logprob",
     "quality_classifier",
     "feature_hash_embed",
@@ -676,6 +677,53 @@ def corpus_stats(
             "dup_rate",
             F.round(1.0 - F.col("distinct_docs") / F.col("n_docs"), 6),
         )
+    )
+
+
+def dataset_card(
+    df: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group dataset card — the one-table summary a training-data
+    org attaches to every corpus release (Datasheets for Datasets;
+    Dolma's per-source cards): ``corpus_stats``' counts/moments/dup-rate
+    plus the dominant language with its share and the mean heuristic
+    quality, per ``by`` group.
+
+    Plan: corpus_stats' single map-side-combined agg; one per-doc
+    language+quality projection (pure codegen — language_id joined to
+    quality_score on the id key) aggregated to (group, lang) counts and
+    per-group quality means; a top-1 window over the O(#groups×#langs)
+    count table; then joins of three O(#groups) tables (broadcast-sized
+    at any corpus scale). ``exact=False`` flips the dup-rate distinct to
+    the HyperLogLog++ sketch like corpus_stats.
+    """
+    stats = corpus_stats(df, by, text_col, exact)
+    perdoc = language_id(df, text_col, id_col, keep_cols=[by]).join(
+        quality_score(df, text_col, id_col), id_col
+    )
+    lang_counts = perdoc.groupBy(by, "lang_pred").agg(
+        F.count(F.lit(1)).alias("__n_lang")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(by).orderBy(F.desc("__n_lang"), F.asc("lang_pred"))
+    top_lang = (
+        lang_counts.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .select(by, F.col("lang_pred").alias("top_lang"), "__n_lang")
+    )
+    qual = perdoc.groupBy(by).agg(F.round(F.avg("quality"), 6).alias("mean_quality"))
+    return (
+        stats.join(top_lang, by)
+        .join(qual, by)
+        .withColumn(
+            "top_lang_share", F.round(F.col("__n_lang") / F.col("n_docs"), 6)
+        )
+        .drop("__n_lang")
     )
 
 

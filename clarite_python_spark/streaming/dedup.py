@@ -118,3 +118,95 @@ def stream_exact_dedup(
     else:
         keyed = keyed.dropDuplicates(["__fp"])
     return keyed.drop("__fp")
+
+
+def stream_neardup(
+    spark: SparkSession,
+    path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+    hash_family: str = "xxhash64",
+    max_files_per_trigger: int | None = None,
+    band_dir: str | None = None,
+):
+    """Streaming NEAR-duplicate dedup — the continuous-ingest twin of
+    :func:`operators.dedup.incremental_neardup`: each micro-batch is
+    first deduped against everything already KEPT (banded cross-set
+    candidates, exact shingle-Jaccard verify), then minhash-deduped
+    within itself; survivors append to ``out_dir``.
+
+    The kept corpus at ``out_dir`` IS the dedup state — the index a new
+    document must clear is exactly the set of documents previously let
+    through, so no second state store exists to drift from the output.
+    Without ``band_dir`` each batch re-bands the kept corpus
+    (O(|kept|) per trigger — fine for tests and small backfills). WITH
+    ``band_dir`` the kept set's :func:`operators.dedup.band_table`
+    persists there and each batch only (a) reads it and (b) appends the
+    batch survivors' bands — the banding cost per trigger drops from
+    O(|kept|) to O(|batch|), the difference between a toy and a 100 TB
+    ingest. Same verdicts either way (parity-tested).
+
+    Semantics are FIRST-SEEN-WINS against the surviving index — the
+    production ingest rule. On a single-batch ``availableNow`` backfill
+    this equals batch ``minhash_dedup`` exactly (parity-tested); across
+    batches it can differ from one-shot batch dedup on A~B~C chains
+    (batch greedy drops C because B~C; the stream KEEPS C when B was
+    already dropped and A!~C — the stream's answer is the arguably
+    more consistent one: every kept doc clears the kept index).
+
+    Returns the started ``StreamingQuery`` (``availableNow`` trigger).
+    """
+    from clarite_python_spark.operators.dedup import band_table, incremental_neardup
+
+    reader = spark.readStream.schema(spark.read.parquet(path).schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(path)
+    band_kw = dict(
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n, hash_family=hash_family
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        try:
+            seen = sess.read.parquet(out_dir)
+        except Exception:
+            seen = batch_df.limit(0)
+        seen_bands = None
+        if band_dir is not None:
+            try:
+                seen_bands = sess.read.parquet(band_dir)
+            except Exception:
+                seen_bands = band_table(
+                    seen, text_col=text_col, id_col=id_col, **band_kw
+                )
+        kept = incremental_neardup(
+            batch_df,
+            seen,
+            text_col=text_col,
+            id_col=id_col,
+            threshold=threshold,
+            max_bucket=max_bucket,
+            seen_bands=seen_bands,
+            **band_kw,
+        ).persist()
+        kept.write.mode("append").parquet(out_dir)
+        if band_dir is not None:
+            band_table(kept, text_col=text_col, id_col=id_col, **band_kw).write.mode(
+                "append"
+            ).parquet(band_dir)
+        kept.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -440,6 +440,16 @@ def test_cli_ann_recall_multi(spark, tmp_path):
     r = spark.read.parquet(f"{d}/rec").collect()[0]
     assert r["n_queries"] == 20 and r["recall"] is not None
 
+    # the compression methods route --dim to their projection
+    assert cli.main(["pipeline", "ann-recall", f"{d}/emb", f"{d}/rec_rp",
+                     "--method", "rp", "--dim", "16"]) == 0
+    rp = spark.read.parquet(f"{d}/rec_rp").collect()[0]
+    assert rp["recall"] is not None
+    assert cli.main(["pipeline", "ann-recall", f"{d}/emb", f"{d}/rec_tr",
+                     "--method", "truncated", "--dim", "16"]) == 0
+    tr = spark.read.parquet(f"{d}/rec_tr").collect()[0]
+    assert tr["recall"] is not None
+
 
 def test_cli_ivf_tune(spark, tmp_path, capsys):
     d = str(tmp_path)
@@ -509,6 +519,15 @@ def test_cli_round7_new_ops(spark, tmp_path):
     assert cli.main(["pipeline", "divergence", src, b, f"{d}/div"]) == 0
     row = spark.read.parquet(f"{d}/div").collect()[0]
     assert row["js"] >= 0.0 and row["v"] > 0
+
+    assert cli.main(["pipeline", "dedup", src, f"{d}/shd", "--method", "simhash"]) == 0
+    shd = spark.read.parquet(f"{d}/shd")
+    assert 0 < shd.count() <= spark.read.parquet(src).count()
+
+    assert cli.main(["pipeline", "card", src, f"{d}/card"]) == 0
+    card = spark.read.parquet(f"{d}/card")
+    assert {"source", "n_docs", "dup_rate", "top_lang", "mean_quality"} <= set(card.columns)
+    assert card.count() == 20  # 20 sources at sf0.001
 
     emb = f"{d}/emb"
     spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").write.parquet(emb)

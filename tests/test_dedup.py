@@ -617,3 +617,156 @@ def test_jaccard_topk_rank_ordering_and_k(spark):
         assert len(lst) <= 3
         jacs = [j for _, j in lst]
         assert jacs == sorted(jacs, reverse=True)  # descending similarity
+
+
+def test_jaccard_topk_candidate_cap_binds_on_clique(spark):
+    """A 40-way near-dup clique with max_candidates=10: every doc still
+    gets k high-jaccard neighbors, the candidate fan-out is bounded,
+    and results equal the uncapped run when the cap exceeds the clique."""
+    from clarite_python_spark.operators.dedup import jaccard_topk
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows = [(i, base + f"v{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = jaccard_topk(df, k=5, num_hashes=16, bands=8, max_candidates=10).collect()
+    by_doc: dict = {}
+    for r in capped:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc) == 40
+    for d, lst in by_doc.items():
+        assert len(lst) == 5
+        assert all(r["jaccard"] > 0.8 for r in lst)  # clique members
+
+    # below the cap, capped == uncapped exactly
+    small = spark.createDataFrame(rows[:8], "doc_id long, text string")
+    a = sorted(map(tuple, jaccard_topk(small, k=3, num_hashes=16, bands=8,
+                                       max_candidates=100).collect()))
+    b = sorted(map(tuple, jaccard_topk(small, k=3, num_hashes=16, bands=8,
+                                       max_candidates=None).collect()))
+    assert a == b
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_candidates"):
+        jaccard_topk(df, k=5, max_candidates=3)
+
+
+def test_jaccard_topk_hashed_shingles_match_strings(spark):
+    from clarite_python_spark.operators.dedup import jaccard_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(map(tuple, jaccard_topk(
+        docs.select("doc_id", "text"), k=3, hash_shingles=True).collect()))
+    b = sorted(map(tuple, jaccard_topk(
+        docs.select("doc_id", "text"), k=3, hash_shingles=False).collect()))
+    assert a == b
+
+
+def test_simhash_candidates_pigeonhole_exact_recall(spark):
+    """With bands > max_hamming and no bucket caps binding, banding must
+    find EVERY pair within the hamming threshold (Manku pigeonhole) —
+    verified against a brute-force popcount over all fingerprint pairs."""
+    from clarite_python_spark.operators.dedup import simhash, simhash_candidates
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    fps = {
+        r["doc_id"]: int(r["simhash"], 16)
+        for r in simhash(docs, bits=60, hash_family="md5").collect()
+    }
+    ids = sorted(fps)
+    truth = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_candidates(
+            docs, hash_family="md5", max_bucket=10_000
+        ).collect()
+    }
+    assert got == truth
+    assert truth  # non-vacuous: the corpus has hamming-close pairs
+
+
+def test_simhash_candidates_hamming_values_and_validation(spark):
+    from clarite_python_spark.operators.dedup import simhash_candidates
+    import pytest as _pytest
+
+    base = "alpha beta gamma delta epsilon zeta eta theta "
+    # simhash is scale-invariant: repeating the text scales every bit
+    # sum without changing its sign, so 1 and 2 are hamming-0 twins
+    rows = [(1, base * 4), (2, base * 9), (3, "wholly unrelated corpus of different words")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_candidates(df).collect()}
+    assert got.get((1, 2)) == 0
+    assert all(3 not in pair for pair in got)
+
+    with _pytest.raises(ValueError, match="divisible"):
+        simhash_candidates(df, bits=60, bands=7)
+    with _pytest.raises(ValueError, match="<= 62"):
+        simhash_candidates(df, bits=64, bands=4)
+    with _pytest.raises(ValueError, match="60 bits"):
+        simhash_candidates(df, bits=62, bands=2, hash_family="md5")
+
+
+def test_simhash_dedup_greedy_vs_transitive(spark):
+    """A hamming-0 clique (scale-invariance twins): greedy and transitive
+    both keep exactly the min-id member; unrelated docs survive."""
+    from clarite_python_spark.operators.dedup import simhash_dedup, simhash_candidates
+
+    base = "one two three four five six seven eight nine ten "
+    rows = [(i, base * (3 + i)) for i in range(4)]
+    rows += [(10, "entirely different text about other topics and words")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cand = simhash_candidates(df).collect()
+    assert cand  # the variants are hamming-close
+    greedy = {r["doc_id"] for r in simhash_dedup(df).select("doc_id").collect()}
+    trans = {r["doc_id"] for r in simhash_dedup(df, transitive=True).select("doc_id").collect()}
+    assert greedy == {0, 10} and trans == {0, 10}
+    # losers really are gone, survivors keep full rows
+    assert simhash_dedup(df).columns == df.columns
+
+
+def test_dedup_keep_longest_policy(spark):
+    """keep_col picks the cluster representative by metric, not min id —
+    and ties break to the smaller id. Exercised through both families."""
+    from clarite_python_spark.operators.dedup import minhash_dedup, simhash_dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    rows = [
+        (1, base, 10),          # cluster member, short
+        (2, base + "x y", 99),  # cluster member, LONGEST -> survivor
+        (3, base + "z", 50),
+        (9, "totally unrelated different content words here", 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+
+    kept = {r["doc_id"] for r in minhash_dedup(
+        df, keep_col="n_chars", transitive=True).select("doc_id").collect()}
+    assert kept == {2, 9}
+    # keep_order="min" flips the policy
+    kept_min = {r["doc_id"] for r in minhash_dedup(
+        df, keep_col="n_chars", keep_order="min").select("doc_id").collect()}
+    assert kept_min == {1, 9}
+    # default min-id policy differs: 1 survives
+    kept_id = {r["doc_id"] for r in minhash_dedup(
+        df, transitive=True).select("doc_id").collect()}
+    assert kept_id == {1, 9}
+
+    # tie on the metric -> smaller id wins (scale-invariant simhash twins)
+    trows = [(5, base * 2, 7), (6, base * 3, 7), (9, "unrelated other words", 1)]
+    tdf = spark.createDataFrame(trows, "doc_id long, text string, n_chars long")
+    tk = {r["doc_id"] for r in simhash_dedup(
+        tdf, keep_col="n_chars").select("doc_id").collect()}
+    assert tk == {5, 9}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="keep_order"):
+        minhash_dedup(df, keep_col="n_chars", keep_order="median")

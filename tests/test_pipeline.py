@@ -1197,3 +1197,24 @@ def test_feature_hash_embed_drives_similarity(docs):
     hits = {(r["query_id"], r["vec_id"]) for r in top1.collect()}
     assert all(a == b for a, b in hits)
     emb.unpersist()
+
+
+def test_dataset_card_composes_stats_lang_quality(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    card = {r["source"]: r for r in text.dataset_card(docs).collect()}
+    stats = {r["source"]: r for r in text.corpus_stats(docs).collect()}
+    assert set(card) == set(stats)
+    for s, row in card.items():
+        # stats columns agree with corpus_stats exactly
+        for c in ("n_docs", "total_tokens", "mean_tokens", "dup_rate"):
+            assert row[c] == stats[s][c], (s, c)
+        assert 0.0 < row["top_lang_share"] <= 1.0
+        assert 0.0 <= row["mean_quality"] <= 1.0
+    # mixed-language group: planted spanish docs flip the dominant lang
+    es = "el la de que y en un una los las " * 5
+    mixed = spark.createDataFrame(
+        [(i, es + f"v{i}", "esrc") for i in range(10)],
+        ["doc_id", "text", "source"],
+    )
+    row = text.dataset_card(mixed).collect()[0]
+    assert row["top_lang"] == "es" and row["top_lang_share"] == 1.0

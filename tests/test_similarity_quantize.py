@@ -125,3 +125,51 @@ def test_truncated_recall_degrades_on_random_features(spark, emb):
     with pytest.raises(ValueError):
         similarity.truncated_topk(emb, emb.limit(1).select(
             emb.vec_id.alias("query_id"), "embedding"), dim=0)
+
+
+def test_rp_topk_self_match_and_backloaded_advantage(spark):
+    """rp_topk ranks a query's own vector first; on a BACK-LOADED corpus
+    (signal only in the last 16 of 64 dims) the JL projection keeps the
+    ranking signal while 16-dim truncation sees only zeros — the case
+    that motivates JL over Matryoshka truncation."""
+    import numpy as np
+    from clarite_python_spark.operators.similarity import (
+        cosine_topk,
+        rp_topk,
+        truncated_topk,
+    )
+
+    rng = np.random.RandomState(7)
+    # back-loaded signal: first 48 dims are ~0 (1e-6 noise keeps the
+    # truncated norm nonzero — an exactly-zero slice is an ANSI
+    # divide-by-zero), real structure lives in the last 16
+    vecs = 1e-6 * rng.randn(40, 64)
+    vecs[:, 48:] = rng.randn(40, 16)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.where("vec_id < 3").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(corpus, queries, k=5).collect()
+    }
+    rp = rp_topk(corpus, queries, k=5, out_dim=16)
+    got = {(r["query_id"], r["vec_id"]) for r in rp.collect()}
+    # self-match: the query's own vector projects identically -> rank 1
+    own = {r["query_id"]: r["vec_id"] for r in rp.where("rank = 1").collect()}
+    assert own == {0: 0, 1: 1, 2: 2}
+    rp_recall = len(exact & got) / len(exact)
+    assert rp_recall >= 0.4  # JL keeps ranking signal (~1/sqrt(16) distortion)
+
+    # truncation to the first 16 dims sees only the 1e-6 noise floor:
+    # ranking is random, recall ~ k/n
+    tr = truncated_topk(corpus, queries, k=5, dim=16)
+    tr_hits = {(r["query_id"], r["vec_id"]) for r in tr.collect()}
+    tr_recall = len(exact & tr_hits) / len(exact)
+    assert tr_recall < rp_recall  # the separation IS the claim
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="out_dim"):
+        rp_topk(corpus, queries, k=5, out_dim=0)

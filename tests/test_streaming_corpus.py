@@ -127,3 +127,101 @@ def test_stream_contamination_equals_batch_any_batching(spark, docs, tmp_path):
             .reset_index(drop=True)[want.columns.tolist()]
         )
         pd.testing.assert_frame_equal(want, got, check_dtype=False)
+
+
+def test_stream_neardup_single_batch_equals_batch_minhash_dedup(spark, docs, tmp_path):
+    """One availableNow batch: nothing kept yet, so the stream reduces to
+    batch minhash_dedup exactly (same ids survive)."""
+    from clarite_python_spark.operators.dedup import minhash_dedup
+    from clarite_python_spark.streaming.dedup import stream_neardup
+
+    src = str(tmp_path / "nd_src")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    out, ckpt = str(tmp_path / "nd_out"), str(tmp_path / "nd_ckpt")
+    q = stream_neardup(spark, src, out, ckpt)
+    q.awaitTermination(180)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    want = sorted(
+        r["doc_id"] for r in minhash_dedup(spark.read.parquet(src)).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_stream_neardup_cross_batch_drops_rearrivals(spark, tmp_path):
+    """A doc near-duplicating a PREVIOUS batch's survivor is dropped; a
+    genuinely new doc passes. State is the kept corpus itself."""
+    from clarite_python_spark.streaming.dedup import stream_neardup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    other = "one two three four five six seven eight nine ten " * 4
+    src = str(tmp_path / "x_src")
+    out, ckpt = str(tmp_path / "x_out"), str(tmp_path / "x_ckpt")
+
+    spark.createDataFrame(
+        [(1, base)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = stream_neardup(spark, src, out, ckpt)
+    q.awaitTermination(180)
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1}
+
+    # batch 2: near-dup of kept doc 1 (dropped) + fresh doc (kept)
+    spark.createDataFrame(
+        [(10, base + "tail tweak"), (11, other)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = stream_neardup(spark, src, out, ckpt)
+    q.awaitTermination(180)
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1, 11}
+
+
+def test_stream_neardup_band_dir_same_verdicts(spark, tmp_path):
+    """The persisted band-table fast path (band_dir) makes identical
+    keep/drop decisions as the re-band-every-batch default, and the band
+    dir accumulates exactly the kept docs' band rows."""
+    from clarite_python_spark.operators.dedup import band_table
+    from clarite_python_spark.streaming.dedup import stream_neardup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    other = "one two three four five six seven eight nine ten " * 4
+    batches = [
+        [(1, base), (2, other)],
+        [(10, base + "tiny tweak"), (11, "fresh unseen words entirely new content")],
+    ]
+    src_a, src_b = str(tmp_path / "a_src"), str(tmp_path / "b_src")
+    kept = {}
+    for tag, src, extra in [("plain", src_a, {}), ("banded", src_b, {"band_dir": str(tmp_path / "bands")})]:
+        out, ckpt = str(tmp_path / f"{tag}_out"), str(tmp_path / f"{tag}_ckpt")
+        for batch in batches:
+            spark.createDataFrame(batch, "doc_id long, text string").coalesce(
+                1
+            ).write.mode("append").parquet(src)
+            q = stream_neardup(spark, src, out, ckpt, **extra)
+            q.awaitTermination(180)
+        kept[tag] = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept["plain"] == kept["banded"] == [1, 2, 11]
+
+    kept_docs = spark.read.parquet(str(tmp_path / "banded_out"))
+    band_rows = spark.read.parquet(str(tmp_path / "bands"))
+    want = band_table(kept_docs)
+    assert sorted(map(tuple, band_rows.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_incremental_neardup_seen_bands_parity(spark):
+    """incremental_neardup(seen_bands=band_table(seen)) == the re-banding
+    default, row for row."""
+    from clarite_python_spark.operators.dedup import band_table, incremental_neardup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    seen = spark.createDataFrame(
+        [(1, base), (2, "history doc with other tokens in it " * 3)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, base + "suffix"), (11, "wholly new content never seen before")],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, incremental_neardup(new, seen).collect()))
+    b = sorted(
+        map(tuple, incremental_neardup(new, seen, seen_bands=band_table(seen)).collect())
+    )
+    assert a == b
+    assert [r[0] for r in a] == [11]
