@@ -957,6 +957,16 @@ def dataset_card_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.dataset_card(docs).orderBy("source")
 
 
+def ngram_novelty_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty (operators/text.py:ngram_novelty):
+    fraction of a doc's distinct grams unique to it in the corpus. The
+    engine shuffles xxhash64 longs; the oracle counts the raw gram
+    strings — identical counts unless xxhash64 collides, which the
+    value hash would catch."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.ngram_novelty(docs).orderBy("doc_id")
+
+
 def event_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order next-event transition matrix
     (operators/events.py:event_transitions): lead() over one user-key
@@ -1958,6 +1968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_documents": simhash_documents,
         "similarity_topk_embeddings": similarity_topk_embeddings,
         "dataset_card_documents": dataset_card_documents,
+        "ngram_novelty_documents": ngram_novelty_documents,
         "event_transitions_events": event_transitions_events,
         "corpus_divergence_documents": corpus_divergence_documents,
         "stratified_split_documents": stratified_split_documents,
@@ -3922,6 +3933,28 @@ def oracle_sql() -> dict[str, str]:
                    round(top.n_lang / stats.n_docs, 6) AS top_lang_share
             FROM stats JOIN top USING (source) JOIN q USING (source)
             ORDER BY source
+        """,
+        "ngram_novelty_documents": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKENS} AS toks FROM documents
+            ), g AS (
+              SELECT doc_id, unnest(
+                       CASE WHEN len(toks) >= 3
+                            THEN list_distinct(list_transform(
+                                   generate_series(1, len(toks) - 2),
+                                   i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+                            ELSE [array_to_string(toks, ' ')] END) AS gram
+              FROM t
+            ), dfreq AS (
+              SELECT gram, count(*) AS df FROM g GROUP BY gram
+            )
+            SELECT g.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+                   round(sum(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END) * 1.0
+                         / count(*), 6) AS novelty
+            FROM g JOIN dfreq USING (gram)
+            GROUP BY g.doc_id ORDER BY g.doc_id
         """,
         "event_transitions_events": """
             WITH ev AS (

@@ -243,6 +243,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("output")
     p.add_argument("--alpha", type=float, default=0.5)
     p.add_argument("--text-col", default="text")
+    p = g_pipe.add_parser("novelty")
+    p.add_argument("data")
+    p.add_argument("output")
+    p.add_argument("--n", type=int, default=3)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
     p = g_pipe.add_parser("card")
     p.add_argument("data")
     p.add_argument("output")
@@ -826,6 +832,10 @@ def main(argv: list[str] | None = None) -> int:
             out = text_mod.corpus_divergence(
                 df, spark.read.parquet(args.other),
                 text_col=args.text_col, alpha=args.alpha,
+            )
+        elif args.command == "novelty":
+            out = text_mod.ngram_novelty(
+                df, n=args.n, text_col=args.text_col, id_col=args.id_col
             )
         elif args.command == "card":
             out = text_mod.dataset_card(

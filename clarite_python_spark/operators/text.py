@@ -31,6 +31,7 @@ __all__ = [
     "tfidf_top_terms",
     "pmi_collocations",
     "corpus_divergence",
+    "ngram_novelty",
     "dataset_card",
     "bigram_logprob",
     "quality_classifier",
@@ -676,6 +677,56 @@ def corpus_stats(
         .withColumn(
             "dup_rate",
             F.round(1.0 - F.col("distinct_docs") / F.col("n_docs"), 6),
+        )
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of the document's
+    distinct word n-grams that appear in NO other document — the
+    uniqueness complement to ``repetition_stats`` (which looks inside a
+    document) and ``contamination`` (which looks at a benchmark).
+    Boilerplate, templated, and syndicated text scores near 0; original
+    prose scores near 1 — a cheap corpus-level quality/diversity signal
+    for mixture weighting or dedup triage.
+
+    Plan: one explode to distinct grams per doc (row-local shingling),
+    a gram-keyed count agg (map-side combined — each doc contributes a
+    gram at most once, so the count IS document frequency), a gram-keyed
+    join back (co-partitioned with the agg, no extra shuffle under AQE),
+    and a doc-keyed count agg. ``hash_grams`` (default) shuffles 8-byte
+    xxhash64 longs instead of n-token strings — identical counts absent
+    2^64 collisions; the oracle counts the raw strings, so a collision
+    would surface as a gate hash-mismatch.
+
+    Returns (id, n_grams, n_novel, novelty) — n_grams counts DISTINCT
+    grams per document.
+    """
+    from clarite_python_spark.operators.dedup import shingles
+
+    key = (lambda c: F.xxhash64(c)) if hash_grams else (lambda c: F.col(c))
+    grams = df.select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("__raw")
+    ).select(F.col(id_col), key("__raw").alias("__gram"))
+    dfreq = grams.groupBy("__gram").agg(F.count(F.lit(1)).alias("__df"))
+    return (
+        grams.join(dfreq, "__gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("__df") == 1).cast("long")).alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"),
         )
     )
 

@@ -524,6 +524,11 @@ def test_cli_round7_new_ops(spark, tmp_path):
     shd = spark.read.parquet(f"{d}/shd")
     assert 0 < shd.count() <= spark.read.parquet(src).count()
 
+    assert cli.main(["pipeline", "novelty", src, f"{d}/nov"]) == 0
+    nov = spark.read.parquet(f"{d}/nov")
+    assert {"doc_id", "n_grams", "n_novel", "novelty"} <= set(nov.columns)
+    assert nov.count() == spark.read.parquet(src).count()
+
     assert cli.main(["pipeline", "card", src, f"{d}/card"]) == 0
     card = spark.read.parquet(f"{d}/card")
     assert {"source", "n_docs", "dup_rate", "top_lang", "mean_quality"} <= set(card.columns)

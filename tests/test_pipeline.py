@@ -1218,3 +1218,25 @@ def test_dataset_card_composes_stats_lang_quality(spark):
     )
     row = text.dataset_card(mixed).collect()[0]
     assert row["top_lang"] == "es" and row["top_lang_share"] == 1.0
+
+
+def test_ngram_novelty_planted(spark):
+    """Twin docs share every gram (novelty 0); a unique doc scores 1;
+    hashed and string gram keys agree exactly."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),   # exact twin of 1
+        (3, "one two three four five six seven"),     # wholly unique
+        (4, "alpha beta gamma unrelated tail words"), # shares 1 gram with 1/2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.ngram_novelty(df).collect()}
+    assert got[1]["novelty"] == 0.0 and got[2]["novelty"] == 0.0
+    assert got[3]["novelty"] == 1.0
+    # doc 4: grams = 4 distinct; 'alpha beta gamma' also in docs 1/2
+    assert got[4]["n_grams"] == 4 and got[4]["n_novel"] == 3
+    assert got[4]["novelty"] == 0.75
+
+    a = sorted(map(tuple, text.ngram_novelty(df, hash_grams=True).collect()))
+    b = sorted(map(tuple, text.ngram_novelty(df, hash_grams=False).collect()))
+    assert a == b
