@@ -109,6 +109,10 @@ def main() -> None:
         ),
     )
     bench("feature_hash_embed", lambda: text.feature_hash_embed(big, dim=64))
+    # round-7 session-3 stages
+    bench("simhash_dedup", lambda: dedup.simhash_dedup(big))
+    bench("ngram_novelty", lambda: text.ngram_novelty(big))
+    bench("dataset_card", lambda: text.dataset_card(big))
 
     total = sum(v for k, v in results.items() if not k.endswith("_rows"))
     print(

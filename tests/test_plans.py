@@ -406,3 +406,34 @@ def test_round7_operators_no_cartesian_no_python(spark):
     ws = plans["weighted_sample"]._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in ws
     assert ws.count("Exchange") == 0  # top-n merges heads, never shuffles
+
+
+def test_round7_session3_operators_plan_shapes(spark):
+    """simhash/keep-policy/novelty additions: JVM-side plans, no
+    cartesian products; simhash_candidates carries the fingerprint with
+    the bucket rows (no join back to the corpus — exactly one Exchange
+    pair for the band shuffle in the pair path)."""
+    from clarite_python_spark.operators import dedup, text
+    from clarite_python_spark.sources.io import load_testdata
+
+    docs = load_testdata(spark, SF_DIR, ["documents"])["documents"]
+    plans = {
+        "simhash_candidates": dedup.simhash_candidates(docs),
+        "simhash_dedup": dedup.simhash_dedup(docs),
+        "keep_longest": dedup.minhash_dedup(
+            docs, keep_col="n_chars", transitive=True
+        ),
+        "ngram_novelty": text.ngram_novelty(docs),
+        "dataset_card": text.dataset_card(docs),
+    }
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+    # the candidate path never joins back to the corpus for fingerprints:
+    # no SortMergeJoin/BroadcastHashJoin anywhere in its plan
+    cand = plans["simhash_candidates"]._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in cand and "BroadcastHashJoin" not in cand
