@@ -746,6 +746,9 @@ def fuzzy_contamination(
         buckets.select(F.explode("cids").alias(id_col), "bids")
         .select(id_col, F.explode("bids").alias("bench_id"))
         .distinct()
+        # consumed three times (two id semi-joins + the scoring join):
+        # lazily checkpoint so the cross-set banding pass runs once
+        .localCheckpoint(eager=False)
     )
     sub_c = df.join(pairs.select(id_col).distinct(), on=id_col, how="left_semi").select(
         F.col(id_col), shingles(text_col, shingle_n).alias("__shc")
@@ -1079,7 +1082,15 @@ def ngram_jaccard_pairs(
     unless two distinct grams collide in 2^64 (birthday odds ~|grams|²/2^65,
     vanishing), and the per-pair shuffle payload drops ~5-10x (8-byte
     longs vs n-token strings). Measured: the difference between a 1M-doc
-    near-dup-clique corpus spilling >50 GB and completing."""
+    near-dup-clique corpus spilling >50 GB and completing.
+
+    The candidate list is consumed THREE times (both sides of the id
+    union below, then the scoring join) — a lazy localCheckpoint
+    materializes it at first evaluation so the candidate-generation DAG
+    (for minhash_dedup: the whole signature+banding pass) runs once, not
+    three times; measured ~1.5x on the sf0.1 headline dedup, identical
+    survivors (BASELINE.md round-7 fourth batch)."""
+    candidates = candidates.localCheckpoint(eager=False)
     cand_ids = (
         candidates.select(F.col("id_a").alias(id_col))
         .unionByName(candidates.select(F.col("id_b").alias(id_col)))
