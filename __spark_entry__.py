@@ -517,6 +517,15 @@ def minhash_dedup_keep_longest_documents(spark: SparkSession, sf_dir: str) -> Da
     )
 
 
+def dedup_report_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source near-dup audit (operators/dedup.py:dedup_report): docs
+    in clusters, min-id drops, distinct clusters touched, largest
+    cluster — the pre-deletion report. Oracle: the md5 MinHash pipeline
+    + recursive closure + the same label/size joins in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.dedup_report(docs, hash_family="md5").orderBy("source")
+
+
 def simhash_md5_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints with the portable 60-bit md5 token hash
     (same sign-of-bit-sums algorithm as the xxhash64 default) — emitted
@@ -1961,6 +1970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample_documents": dsir_sample_documents,
         "simhash_md5_documents": simhash_md5_documents,
         "minhash_dedup_keep_longest_documents": minhash_dedup_keep_longest_documents,
+        "dedup_report_documents": dedup_report_documents,
         "simhash_candidates_documents": simhash_candidates_documents,
         "simhash_dedup_documents": simhash_dedup_documents,
         "minhash_dedup_transitive_documents": minhash_dedup_transitive_documents,
@@ -4138,6 +4148,33 @@ def oracle_sql() -> dict[str, str]:
         "simhash_documents": _simhash_xxh_oracle(),
         "minhash_dedup_md5_transitive_documents": _minhash_md5_transitive_oracle(),
         "minhash_dedup_keep_longest_documents": _minhash_md5_keep_longest_oracle(),
+        "dedup_report_documents": (
+            "WITH RECURSIVE "
+            + _minhash_md5_pipeline()
+            + """, sym AS MATERIALIZED (
+              SELECT id_a AS src, id_b AS dst FROM dups
+              UNION SELECT id_b, id_a FROM dups
+            ), reach AS (
+              SELECT src, dst FROM sym
+              UNION
+              SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+            ), labels AS (
+              SELECT src AS id, least(src, min(dst)) AS label FROM reach GROUP BY src
+            ), sizes AS (
+              SELECT label, count(*) AS csize FROM labels GROUP BY label
+            )
+            SELECT d.source,
+                   count(*) AS n_docs,
+                   CAST(count(l.label) AS BIGINT) AS n_in_clusters,
+                   CAST(coalesce(sum(CASE WHEN l.label != l.id THEN 1 END), 0) AS BIGINT) AS n_dropped,
+                   CAST(count(DISTINCT l.label) AS BIGINT) AS n_clusters,
+                   CAST(coalesce(max(s.csize), 0) AS BIGINT) AS max_cluster
+            FROM documents d
+            LEFT JOIN labels l ON l.id = d.doc_id
+            LEFT JOIN sizes s ON s.label = l.label
+            GROUP BY d.source ORDER BY d.source
+        """
+        ),
         "similarity_ivf_probe_embeddings": _ivf_probe_oracle(),
         "semantic_dedup_embeddings": _semantic_dedup_oracle(),
         "multimodal_features_documents": _multimodal_features_oracle(),

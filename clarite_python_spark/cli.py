@@ -243,6 +243,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("output")
     p.add_argument("--alpha", type=float, default=0.5)
     p.add_argument("--text-col", default="text")
+    p = g_pipe.add_parser("dedup-report")
+    p.add_argument("data")
+    p.add_argument("output")
+    p.add_argument("--by", default="source")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--threshold", type=float, default=0.8)
     p = g_pipe.add_parser("novelty")
     p.add_argument("data")
     p.add_argument("output")
@@ -832,6 +839,11 @@ def main(argv: list[str] | None = None) -> int:
             out = text_mod.corpus_divergence(
                 df, spark.read.parquet(args.other),
                 text_col=args.text_col, alpha=args.alpha,
+            )
+        elif args.command == "dedup-report":
+            out = dedup_mod.dedup_report(
+                df, by=args.by, text_col=args.text_col,
+                id_col=args.id_col, threshold=args.threshold,
             )
         elif args.command == "novelty":
             out = text_mod.ngram_novelty(

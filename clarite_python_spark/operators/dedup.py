@@ -41,6 +41,7 @@ __all__ = [
     "minhash_lsh_candidates",
     "minhash_dedup",
     "minhash_clusters",
+    "dedup_report",
     "simhash",
     "simhash_candidates",
     "simhash_dedup",
@@ -1258,6 +1259,60 @@ def minhash_clusters(
     dups = ngram_jaccard_pairs(df, cands, text_col, id_col, shingle_n, threshold)
     comp = _min_label_components(dups.select("id_a", "id_b"), max_iter)
     return comp.select(F.col("id").alias(id_col), F.col("label").alias("cluster_label"))
+
+
+def dedup_report(
+    df: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_iter: int = 20,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Per-group AUDIT of what near-dup dedup would do — the table a
+    training-data org attaches to a dedup run before deleting anything:
+    for each ``by`` group, how many documents sit in a near-dup cluster,
+    how many the min-id policy would drop, how many distinct clusters
+    touch the group, and the largest cluster seen.
+
+    Composes :func:`minhash_clusters` (same candidates, verify, and
+    min-label propagation as ``minhash_dedup(transitive=True)``) with
+    one O(#duplicate-docs) label join and a per-group aggregation —
+    the corpus-sized side contributes only (id, group) pairs. A cluster
+    can span groups; ``n_clusters`` counts distinct cluster labels
+    PRESENT in the group, so cross-group clusters count once per group
+    they touch (the per-group view a mixture owner wants).
+
+    Returns (by, n_docs, n_in_clusters, n_dropped, n_clusters,
+    max_cluster) — max_cluster is the GLOBAL size of the largest
+    cluster intersecting the group (0 when none).
+    """
+    labels = minhash_clusters(
+        df, text_col, id_col, num_hashes, bands, shingle_n, threshold,
+        max_iter, hash_family,
+    )
+    sizes = labels.groupBy("cluster_label").agg(
+        F.count(F.lit(1)).alias("__csize")
+    )
+    lab = labels.join(sizes, "cluster_label")
+    j = df.select(F.col(id_col), F.col(by)).join(lab, id_col, "left")
+    return (
+        j.groupBy(by)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("cluster_label").alias("n_in_clusters"),
+            F.coalesce(
+                F.sum((F.col("cluster_label") != F.col(id_col)).cast("long")),
+                F.lit(0),
+            ).alias("n_dropped"),
+            F.countDistinct("cluster_label").alias("n_clusters"),
+            F.coalesce(F.max("__csize"), F.lit(0)).alias("max_cluster"),
+        )
+    )
 
 
 def simhash(

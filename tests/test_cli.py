@@ -524,6 +524,12 @@ def test_cli_round7_new_ops(spark, tmp_path):
     shd = spark.read.parquet(f"{d}/shd")
     assert 0 < shd.count() <= spark.read.parquet(src).count()
 
+    assert cli.main(["pipeline", "dedup-report", src, f"{d}/dr"]) == 0
+    dr = spark.read.parquet(f"{d}/dr")
+    assert {"source", "n_docs", "n_in_clusters", "n_dropped", "n_clusters",
+            "max_cluster"} <= set(dr.columns)
+    assert dr.count() == 20
+
     assert cli.main(["pipeline", "novelty", src, f"{d}/nov"]) == 0
     nov = spark.read.parquet(f"{d}/nov")
     assert {"doc_id", "n_grams", "n_novel", "novelty"} <= set(nov.columns)

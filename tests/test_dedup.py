@@ -770,3 +770,31 @@ def test_dedup_keep_longest_policy(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="keep_order"):
         minhash_dedup(df, keep_col="n_chars", keep_order="median")
+
+
+def test_dedup_report_per_group_numbers(spark):
+    """Planted: a 3-doc near-dup cluster spanning two sources plus clean
+    docs — per-group counts, min-id drop counts, and the GLOBAL size of
+    the largest intersecting cluster."""
+    from clarite_python_spark.operators.dedup import dedup_report
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    rows = [
+        (1, base * 2, "A"),
+        (2, base * 3, "A"),   # cluster {1,2,3}: two in A, one in B
+        (3, base * 4, "B"),
+        (4, "unique words entirely different from the others here", "A"),
+        (5, "another wholly unrelated document body of text", "B"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r for r in dedup_report(df, threshold=0.5).collect()}
+
+    a, b = got["A"], got["B"]
+    assert a["n_docs"] == 3 and b["n_docs"] == 2
+    assert a["n_in_clusters"] == 2 and b["n_in_clusters"] == 1
+    # min-id policy: 1 survives, 2 (in A) and 3 (in B) drop
+    assert a["n_dropped"] == 1 and b["n_dropped"] == 1
+    # the single cluster touches both groups -> counted once per group
+    assert a["n_clusters"] == 1 and b["n_clusters"] == 1
+    # global cluster size reported in every touching group
+    assert a["max_cluster"] == 3 and b["max_cluster"] == 3
