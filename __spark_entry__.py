@@ -966,6 +966,15 @@ def dataset_card_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.dataset_card(docs).orderBy("source")
 
 
+def normalize_text_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style ingest normalization (operators/text.py:normalize_text):
+    tag strip, control-char removal, whitespace collapse, newline cap —
+    one codegen regexp_replace chain, replayed verbatim in DuckDB
+    (tested: Java regex and RE2 agree on every class used)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.normalize_text(docs).select("doc_id", "text").orderBy("doc_id")
+
+
 def ngram_novelty_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 3-gram novelty (operators/text.py:ngram_novelty):
     fraction of a doc's distinct grams unique to it in the corpus. The
@@ -1978,6 +1987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_documents": simhash_documents,
         "similarity_topk_embeddings": similarity_topk_embeddings,
         "dataset_card_documents": dataset_card_documents,
+        "normalize_text_documents": normalize_text_documents,
         "ngram_novelty_documents": ngram_novelty_documents,
         "event_transitions_events": event_transitions_events,
         "corpus_divergence_documents": corpus_divergence_documents,
@@ -3943,6 +3953,20 @@ def oracle_sql() -> dict[str, str]:
                    round(top.n_lang / stats.n_docs, 6) AS top_lang_share
             FROM stats JOIN top USING (source) JOIN q USING (source)
             ORDER BY source
+        """,
+        "normalize_text_documents": r"""
+            SELECT doc_id, trim(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(text, '<[^>\n]{0,500}>', ' ', 'g'),
+                      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                    '[^\S\n]+', ' ', 'g'),
+                  ' ?\n ?', chr(10), 'g'),
+                '\n{3,}', chr(10) || chr(10), 'g')
+            ) AS text
+            FROM documents ORDER BY doc_id
         """,
         "ngram_novelty_documents": f"""
             WITH t AS (

@@ -243,6 +243,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("output")
     p.add_argument("--alpha", type=float, default=0.5)
     p.add_argument("--text-col", default="text")
+    p = g_pipe.add_parser("normalize")
+    p.add_argument("data")
+    p.add_argument("output")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--keep-html", action="store_true")
+    p.add_argument("--lowercase", action="store_true")
+    p.add_argument("--max-newlines", type=int, default=2)
     p = g_pipe.add_parser("dedup-report")
     p.add_argument("data")
     p.add_argument("output")
@@ -839,6 +846,11 @@ def main(argv: list[str] | None = None) -> int:
             out = text_mod.corpus_divergence(
                 df, spark.read.parquet(args.other),
                 text_col=args.text_col, alpha=args.alpha,
+            )
+        elif args.command == "normalize":
+            out = text_mod.normalize_text(
+                df, text_col=args.text_col, strip_html=not args.keep_html,
+                lowercase=args.lowercase, max_newlines=args.max_newlines,
             )
         elif args.command == "dedup-report":
             out = dedup_mod.dedup_report(

@@ -31,6 +31,7 @@ __all__ = [
     "tfidf_top_terms",
     "pmi_collocations",
     "corpus_divergence",
+    "normalize_text",
     "ngram_novelty",
     "dataset_card",
     "bigram_logprob",
@@ -679,6 +680,52 @@ def corpus_stats(
             F.round(1.0 - F.col("distinct_docs") / F.col("n_docs"), 6),
         )
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    strip_html: bool = True,
+    strip_control: bool = True,
+    collapse_whitespace: bool = True,
+    max_newlines: int | None = 2,
+    lowercase: bool = False,
+) -> DataFrame:
+    """Ingest-time text normalization — the C4/CCNet-style cleaning
+    applied BEFORE fingerprinting and dedup so that markup and spacing
+    differences don't defeat exact dedup: strip HTML/XML tags, remove
+    control characters, collapse horizontal whitespace runs (newlines
+    preserved as document structure), cap consecutive newlines at
+    ``max_newlines`` (boilerplate padding), optional lowercasing.
+
+    Pure codegen ``regexp_replace`` chain in one projection — linear
+    scan, no shuffle, no UDF; the text column is replaced in place and
+    every other column passes through unchanged. Unicode normalization
+    (NFC/NFKC) is deliberately absent: Spark has no built-in and a
+    per-row Python UDF would dominate the scan cost — run ICU
+    normalization in the reader if the source needs it.
+
+    Order matters and is fixed: tags out first (so a tag's text never
+    survives as content), then control chars, then whitespace — the
+    trailing trim means output never has leading/trailing space.
+    """
+    out = F.col(text_col)
+    if strip_html:
+        # bounded tag body so a stray '<' can't swallow the document
+        out = F.regexp_replace(out, r"<[^>\n]{0,500}>", " ")
+    if strip_control:
+        out = F.regexp_replace(out, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+    if collapse_whitespace:
+        out = F.regexp_replace(out, r"[^\S\n]+", " ")
+        out = F.regexp_replace(out, r" ?\n ?", "\n")
+    if max_newlines is not None:
+        out = F.regexp_replace(
+            out, r"\n{" + str(max_newlines + 1) + r",}", "\n" * max_newlines
+        )
+    if lowercase:
+        out = F.lower(out)
+    out = F.trim(out)
+    return df.withColumn(text_col, out)
 
 
 def ngram_novelty(

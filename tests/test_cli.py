@@ -524,6 +524,11 @@ def test_cli_round7_new_ops(spark, tmp_path):
     shd = spark.read.parquet(f"{d}/shd")
     assert 0 < shd.count() <= spark.read.parquet(src).count()
 
+    assert cli.main(["pipeline", "normalize", src, f"{d}/norm"]) == 0
+    norm = spark.read.parquet(f"{d}/norm")
+    assert norm.count() == spark.read.parquet(src).count()
+    assert set(norm.columns) == set(spark.read.parquet(src).columns)
+
     assert cli.main(["pipeline", "dedup-report", src, f"{d}/dr"]) == 0
     dr = spark.read.parquet(f"{d}/dr")
     assert {"source", "n_docs", "n_in_clusters", "n_dropped", "n_clusters",

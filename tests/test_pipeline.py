@@ -1240,3 +1240,27 @@ def test_ngram_novelty_planted(spark):
     a = sorted(map(tuple, text.ngram_novelty(df, hash_grams=True).collect()))
     b = sorted(map(tuple, text.ngram_novelty(df, hash_grams=False).collect()))
     assert a == b
+
+
+def test_normalize_text_rules(spark):
+    raw = "a  <b>bold</b>\ttext\x00with\x1fjunk \n\n\n\n next  line "
+    df = spark.createDataFrame([(1, raw)], "doc_id long, text string")
+    got = text.normalize_text(df).collect()[0]["text"]
+    assert got == "a bold text\x00with\x1fjunk".replace("\x00", "").replace("\x1f", "") + "\n\nnext line"
+    # flags off -> rule skipped
+    keep_html = text.normalize_text(df, strip_html=False).collect()[0]["text"]
+    assert "<b>" in keep_html
+    lower = text.normalize_text(df, lowercase=True).collect()[0]["text"]
+    assert lower == lower.lower()
+    # unlimited newlines
+    nl = text.normalize_text(df, max_newlines=None).collect()[0]["text"]
+    assert "\n\n\n\n" in nl
+    # schema preserved, other columns untouched
+    df2 = spark.createDataFrame([(1, raw, "s")], "doc_id long, text string, source string")
+    out = text.normalize_text(df2)
+    assert out.columns == df2.columns
+    assert out.collect()[0]["source"] == "s"
+    # idempotent: normalizing twice == once
+    once = text.normalize_text(df).collect()[0]["text"]
+    twice = text.normalize_text(text.normalize_text(df)).collect()[0]["text"]
+    assert once == twice
