@@ -1114,6 +1114,17 @@ def ann_recall_truncated_embeddings(spark: SparkSession, sf_dir: str) -> DataFra
     return similarity.ann_recall(emb, k=10, n_queries=20, method="truncated", dim=16)
 
 
+def cluster_embeddings_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means assignment for every vector
+    (operators/similarity.py:cluster_embeddings, k=8): the oracle
+    unrolls the full quantizer training (sorted-sample seeded init +
+    10 assignment/update rounds) as recursive MATERIALIZED CTEs — same
+    machinery as the IVF/semantic-dedup oracles, gate-corpus-specific
+    like them (the seeded init indices depend on the row count)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cluster_embeddings(emb, k=8).orderBy("vec_id")
+
+
 def similarity_rp_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss random-projection top-k
     (operators/similarity.py:rp_topk, 64 -> 16 dims): the model-agnostic
@@ -2001,6 +2012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_truncated_embeddings": ann_recall_truncated_embeddings,
         "similarity_rp_embeddings": similarity_rp_embeddings,
         "ann_recall_rp_embeddings": ann_recall_rp_embeddings,
+        "cluster_embeddings_embeddings": cluster_embeddings_embeddings,
         "similarity_lsh_embeddings": similarity_lsh_embeddings,
         "similarity_lsh_multi_embeddings": similarity_lsh_multi_embeddings,
         "ann_recall_multi_embeddings": ann_recall_multi_embeddings,
@@ -3106,6 +3118,29 @@ def _semantic_dedup_oracle() -> str:
     return "WITH " + ",\n".join(ctes) + ",\n" + final
 
 
+def _cluster_embeddings_oracle() -> str:
+    """DuckDB twin of cluster_embeddings(k=8, seed=42): the shared
+    k-means training CTEs, then per-vector first-argmax assignment and
+    the cosine to the assigned centroid."""
+    ctes = _kmeans_ctes(n_rows=_oracle_embed_rows())
+    final = """
+        final AS (
+          SELECT e.vec_id,
+                 (SELECT c.j FROM c10 c
+                  ORDER BY list_dot_product(e.embedding::DOUBLE[], c.v)
+                           / greatest(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 1e-12) DESC,
+                           c.j ASC LIMIT 1)::INT AS cluster,
+                 (SELECT round(list_dot_product(e.embedding::DOUBLE[], c.v)
+                           / greatest(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 1e-12), 6)
+                  FROM c10 c
+                  ORDER BY list_dot_product(e.embedding::DOUBLE[], c.v) DESC,
+                           c.j ASC LIMIT 1) AS cosine
+          FROM embeddings e)
+        SELECT vec_id, cluster, cosine FROM final ORDER BY vec_id
+    """
+    return "WITH " + ",\n".join(ctes) + ",\n" + final
+
+
 def _ivf_probe_oracle() -> str:
     """DuckDB twin of similarity_ivf_probe_embeddings — the ENTIRE IVF
     path including quantizer training: spherical k-means (10 iterations,
@@ -4200,6 +4235,7 @@ def oracle_sql() -> dict[str, str]:
         """
         ),
         "similarity_ivf_probe_embeddings": _ivf_probe_oracle(),
+        "cluster_embeddings_embeddings": _cluster_embeddings_oracle(),
         "semantic_dedup_embeddings": _semantic_dedup_oracle(),
         "multimodal_features_documents": _multimodal_features_oracle(),
         "simhash_md5_documents": r"""

@@ -594,6 +594,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--id-col", default="vec_id")
     p.add_argument("--vec-col", default="embedding")
 
+    p = g_pipe.add_parser("cluster")
+    p.add_argument("data", help="embeddings parquet")
+    p.add_argument("output")
+    p.add_argument("--k", type=int, default=16)
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--vec-col", default="embedding")
     p = g_pipe.add_parser("ivf-tune")
     p.add_argument("data", help="embeddings parquet")
     p.add_argument("output")
@@ -1092,6 +1098,12 @@ def main(argv: list[str] | None = None) -> int:
                 id_col=args.id_col,
                 vec_col=args.vec_col,
                 **kw,
+            )
+        elif args.command == "cluster":
+            from clarite_python_spark.operators import similarity as sim_mod
+
+            out = sim_mod.cluster_embeddings(
+                df, k=args.k, id_col=args.id_col, vec_col=args.vec_col
             )
         elif args.command == "ivf-tune":
             from clarite_python_spark.operators import similarity as sim_mod

@@ -32,6 +32,7 @@ __all__ = [
     "lsh_topk",
     "lsh_topk_multi",
     "ivf_topk",
+    "cluster_embeddings",
     "tune_ivf_probe",
     "embedding_neardup",
     "semantic_dedup",
@@ -504,6 +505,42 @@ def _centroid_dots(vec: Column, cents: np.ndarray) -> Column:
             _dot(vec, F.array(*[F.lit(float(x)) for x in c])) / nv
             for c in cents
         ]
+    )
+
+
+def cluster_embeddings(
+    df: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_size: int = 10_000,
+    iters: int = 10,
+) -> DataFrame:
+    """Spherical k-means cluster assignment for every vector — the
+    semantic-bucketing operator behind IVF and semantic_dedup exposed
+    directly: cluster training corpora into topical groups for mixture
+    weighting, per-cluster sampling, or semantic sharding.
+
+    Same quantizer as :func:`ivf_topk`: trained on a deterministic
+    sorted driver-side sample (O(k x dim) state, the corpus never
+    leaves the executors), assignment is a first-argmax over inlined
+    centroid dots — pure codegen projection, no shuffle, trivially
+    linear at 100 TB; persist the assignment alongside the vectors and
+    every downstream per-cluster op is an equi-key groupBy.
+
+    Returns (id, cluster, cosine) — cosine is similarity to the
+    assigned centroid (a confidence/marginality signal: rows near 0
+    sit between clusters)."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    cents = _train_centroids(df, vec_col, k, seed, sample_size, iters, id_col=id_col)
+    cvec = F.col(vec_col).cast("array<double>")
+    dots = _centroid_dots(cvec, cents)
+    return df.select(
+        F.col(id_col),
+        (F.array_position(dots, F.array_max(dots)) - 1).cast("int").alias("cluster"),
+        F.round(F.array_max(dots), 6).alias("cosine"),
     )
 
 

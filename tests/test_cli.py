@@ -547,6 +547,10 @@ def test_cli_round7_new_ops(spark, tmp_path):
 
     emb = f"{d}/emb"
     spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").write.parquet(emb)
+    assert cli.main(["pipeline", "cluster", emb, f"{d}/clus", "--k", "8"]) == 0
+    clus = spark.read.parquet(f"{d}/clus")
+    assert {"vec_id", "cluster", "cosine"} <= set(clus.columns)
+    assert clus.count() == spark.read.parquet(emb).count()
     assert cli.main(["pipeline", "quantize", emb, f"{d}/q8"]) == 0
     q = spark.read.parquet(f"{d}/q8")
     assert q.schema["qvec"].dataType.simpleString() == "array<tinyint>"

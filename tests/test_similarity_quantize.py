@@ -173,3 +173,32 @@ def test_rp_topk_self_match_and_backloaded_advantage(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="out_dim"):
         rp_topk(corpus, queries, k=5, out_dim=0)
+
+
+def test_cluster_embeddings_assignment_properties(spark):
+    """Every vector gets exactly one cluster in [0,k); planted separable
+    blobs land in distinct clusters with near-1 centroid cosine; the
+    assignment is deterministic across calls."""
+    import numpy as np
+    from clarite_python_spark.operators.similarity import cluster_embeddings
+
+    rng = np.random.RandomState(3)
+    blob_a = rng.randn(30, 16) * 0.05 + np.eye(16)[0] * 5
+    blob_b = rng.randn(30, 16) * 0.05 + np.eye(16)[1] * 5
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(np.vstack([blob_a, blob_b]))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = cluster_embeddings(df, k=2).collect()
+    assert len(out) == 60
+    assert all(0 <= r["cluster"] < 2 for r in out)
+    a_clusters = {r["cluster"] for r in out if r["vec_id"] < 30}
+    b_clusters = {r["cluster"] for r in out if r["vec_id"] >= 30}
+    assert len(a_clusters) == 1 and len(b_clusters) == 1 and a_clusters != b_clusters
+    assert all(r["cosine"] > 0.9 for r in out)  # tight blobs sit on centroids
+
+    again = cluster_embeddings(df, k=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="k must be"):
+        cluster_embeddings(df, k=0)
