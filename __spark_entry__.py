@@ -1970,11 +1970,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # shard_by_tokens, remove_contaminated_spans, quality_budget,
     # jaccard_topk, quantize/truncate + recalls, stratified_split,
     # clip_outliers, pmi, dataset_card, event_transitions,
-    # corpus_divergence, simhash_candidates/simhash_dedup) the head
-    # holds 60+ never-driver-sampled entries; the remainder past
-    # position 50 (funnel family, retention, some similarity) rotate
-    # into the window next round. The local full gate
-    # (scripts/check_correctness.py) always runs all 130.
+    # corpus_divergence, simhash_candidates/simhash_dedup, keep-longest
+    # policy, dedup_report, normalize_text, ngram_novelty, dataset_card,
+    # rp_topk + its recall, cluster_embeddings) the head holds 60+
+    # never-driver-sampled entries; the remainder past position 50
+    # (funnel family, retention, some similarity) rotate into the
+    # window next round. The local full gate
+    # (scripts/check_correctness.py) always runs all 137.
     return {
         "line_dedup_documents": line_dedup_documents,
         "perplexity_buckets_documents": perplexity_buckets_documents,
