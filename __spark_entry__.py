@@ -1565,6 +1565,22 @@ def incremental_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id").orderBy("doc_id")
 
 
+def incremental_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-state incremental near-dup
+    (operators/dedup.py:incremental_simhash_dedup): the second half of
+    the corpus arrives as a batch and is Hamming-checked against the
+    first half's 8-byte fingerprints (band equi-join + popcount), then
+    simhash-deduped within itself. The oracle recomputes both halves'
+    md5 fingerprints, the band collision, the cross-set verify, and the
+    within-batch greedy pass."""
+    docs = _t(spark, sf_dir, "documents")
+    mid = 250  # sf-stable split point: doc_ids are dense from 0
+    seen = docs.where(F.col("doc_id") < mid)
+    new = docs.where(F.col("doc_id") >= mid)
+    out = dedup.incremental_simhash_dedup(new, seen, hash_family="md5")
+    return out.select("doc_id").orderBy("doc_id")
+
+
 def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/joins.py): every click gets the user's most
     recent at-or-before purchase. Oracle is DuckDB's native ASOF LEFT
@@ -1995,6 +2011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_report_documents": dedup_report_documents,
         "simhash_candidates_documents": simhash_candidates_documents,
         "simhash_dedup_documents": simhash_dedup_documents,
+        "incremental_simhash_documents": incremental_simhash_documents,
         "minhash_dedup_transitive_documents": minhash_dedup_transitive_documents,
         "minhash_clusters_documents": minhash_clusters_documents,
         "simhash_documents": simhash_documents,
@@ -3585,14 +3602,9 @@ def _simhash_xxh_oracle() -> str:
     )
 
 
-def _simhash_pairs_sql() -> str:
-    """Shared CTE body for the simhash_candidates / simhash_dedup
-    oracles: 60-bit md5 SimHash fingerprints (same algorithm as the
-    simhash_md5_documents oracle), four 15-bit contiguous band slices
-    (shift-mask — the same bit-position partition as the engine's
-    MSB-first substrings, so the bucket equivalence classes are
-    identical), the max_bucket<=1000 cap, and the popcount-of-XOR
-    hamming<=3 verify. Ends with a `ver(id_a, id_b, hamming)` CTE."""
+def _simhash_fp_sql() -> str:
+    """The 60-bit md5 SimHash fingerprint CTE prefix (same algorithm as
+    the simhash_md5_documents oracle); ends with `fp(doc_id, v)`."""
     return r"""toksrc AS MATERIALIZED (
               SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS toks
               FROM documents
@@ -3615,7 +3627,17 @@ def _simhash_pairs_sql() -> str:
             ), fp AS MATERIALIZED (
               SELECT d.doc_id, coalesce(f.v, (1::BIGINT << 60) - 1) AS v
               FROM documents d LEFT JOIN fp0 f ON f.doc_id = d.doc_id
-            ), bands AS MATERIALIZED (
+            )"""
+
+
+def _simhash_pairs_sql() -> str:
+    """Shared CTE body for the simhash_candidates / simhash_dedup
+    oracles: the fingerprint prefix, four 15-bit contiguous band slices
+    (shift-mask — the same bit-position partition as the engine's
+    MSB-first substrings, so the bucket equivalence classes are
+    identical), the max_bucket<=1000 cap, and the popcount-of-XOR
+    hamming<=3 verify. Ends with a `ver(id_a, id_b, hamming)` CTE."""
+    return _simhash_fp_sql() + r""", bands AS MATERIALIZED (
               SELECT doc_id, v, r.range AS band, (v >> (r.range * 15)) & 32767 AS bucket
               FROM fp CROSS JOIN range(0, 4) r
             ), good AS (
@@ -4275,6 +4297,40 @@ def oracle_sql() -> dict[str, str]:
         + """
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT id_b FROM ver)
+            ORDER BY doc_id
+        """,
+        "incremental_simhash_documents": "WITH "
+        + _simhash_fp_sql()
+        + """, ball AS MATERIALIZED (
+              SELECT doc_id, v, r.range AS band, (v >> (r.range * 15)) & 32767 AS bucket
+              FROM fp CROSS JOIN range(0, 4) r
+            ), sok AS (
+              SELECT band, bucket FROM ball WHERE doc_id < 250
+              GROUP BY band, bucket HAVING count(*) <= 1000
+            ), hits AS MATERIALIZED (
+              SELECT DISTINCT n.doc_id
+              FROM ball n
+              JOIN ball s ON s.band = n.band AND s.bucket = n.bucket
+              JOIN sok ON sok.band = n.band AND sok.bucket = n.bucket
+              WHERE n.doc_id >= 250 AND s.doc_id < 250
+                AND bit_count(xor(n.v, s.v)) <= 3
+            ), fbands AS MATERIALIZED (
+              SELECT * FROM ball
+              WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id FROM hits)
+            ), fgood AS (
+              SELECT band, bucket FROM fbands GROUP BY band, bucket
+              HAVING count(*) > 1 AND count(*) <= 1000
+            ), fver AS (
+              SELECT DISTINCT b.doc_id AS id_b
+              FROM fbands a
+              JOIN fbands b ON a.band = b.band AND a.bucket = b.bucket
+              JOIN fgood g ON g.band = a.band AND g.bucket = a.bucket
+              WHERE a.doc_id < b.doc_id AND bit_count(xor(a.v, b.v)) <= 3
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id >= 250
+              AND doc_id NOT IN (SELECT doc_id FROM hits)
+              AND doc_id NOT IN (SELECT id_b FROM fver)
             ORDER BY doc_id
         """,
         "interaction_study_lineitem": _interaction_oracle(),

@@ -45,6 +45,8 @@ __all__ = [
     "simhash",
     "simhash_candidates",
     "simhash_dedup",
+    "simhash_fingerprints",
+    "incremental_simhash_dedup",
     "ngram_jaccard_pairs",
     "jaccard_topk",
     "lsh_recall",
@@ -1484,6 +1486,119 @@ def simhash_dedup(
         df, dups, id_col, transitive, max_iter, keep_col, keep_order
     )
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def incremental_simhash_dedup(
+    new: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 3,
+    hash_family: str = "xxhash64",
+    max_bucket: int = 1000,
+    seen_fp_col: str | None = None,
+) -> DataFrame:
+    """Daily-ingest near-dup dedup with SIMHASH state — the cheapest
+    incremental form: the whole history is ONE 8-byte fingerprint per
+    document (vs :func:`incremental_neardup`'s text access + band
+    table), so a 10^12-doc history is an 8 TB fingerprint table a new
+    batch equi-joins in one pass. Drop new documents within
+    ``max_hamming`` of ANY historical fingerprint, then
+    :func:`simhash_dedup` the survivors within the batch.
+
+    ``seen`` is either a raw document table (fingerprinted here) or —
+    the scale form — a persisted one-column LONG fingerprint table
+    (pass its column via ``seen_fp_col``, the ``incremental_dedup``
+    convention); persist ``simhash_fingerprints(new_kept)`` after each
+    run to extend it. Cross-set candidates come from the same band-slice
+    equi-join as :func:`simhash_candidates` (bands > max_hamming keeps
+    the pigeonhole-exact recall), verified by popcount-of-XOR — the
+    8-byte payloads make the candidate shuffle ~1000x lighter than a
+    shingle-verify. Returns the kept subset of ``new``.
+    """
+    if bits % bands != 0:
+        raise ValueError("bits must be divisible by bands")
+    if bits > 62:
+        raise ValueError("bits must be <= 62 (fingerprint carried as a signed long)")
+    width = bits // bands
+    if seen_fp_col is None:
+        seen_fps = seen.select(
+            F.conv(_simhash_bits(text_col, bits, hash_family), 2, 10)
+            .cast("long")
+            .alias("__fp")
+        )
+    else:
+        seen_fps = seen.select(F.col(seen_fp_col).alias("__fp"))
+    seen_fps = seen_fps.distinct()
+
+    def banded_fp(df: DataFrame) -> DataFrame:
+        # derive the fixed-width binary form from the long (lpad of the
+        # base-2 conv) so persisted long fingerprints band identically
+        bs = F.lpad(F.conv(F.col("__fp").cast("string"), 10, 2), bits, "0")
+        return df.select(
+            "*",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda i: F.struct(
+                        i.alias("band"),
+                        bs.substr(i * width + 1, F.lit(width)).alias("bucket"),
+                    ),
+                )
+            ).alias("bb"),
+        ).select(*df.columns, "bb.band", "bb.bucket")
+
+    new_fps = new.select(
+        F.col(id_col),
+        F.conv(_simhash_bits(text_col, bits, hash_family), 2, 10)
+        .cast("long")
+        .alias("__fp"),
+    )
+    nb = banded_fp(new_fps)
+    sb = banded_fp(seen_fps).select(
+        "band", "bucket", F.col("__fp").alias("__sfp")
+    )
+    # bucket cap on the SEEN side (the degenerate all-ones empty-doc
+    # bucket at web scale), mirroring simhash_candidates' guardrail
+    scount = sb.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__n"))
+    sb = sb.join(
+        scount.where(F.col("__n") <= max_bucket).select("band", "bucket"),
+        ["band", "bucket"],
+        "left_semi",
+    )
+    hits = (
+        nb.join(sb, ["band", "bucket"])
+        .where(
+            F.bit_count(F.col("__fp").bitwiseXOR(F.col("__sfp"))) <= max_hamming
+        )
+        .select(F.col(id_col))
+        .distinct()
+    )
+    fresh = new.join(hits, id_col, "left_anti")
+    return simhash_dedup(
+        fresh, text_col, id_col, bits, bands, max_hamming, hash_family, max_bucket
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 60,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """(id, fp) LONG fingerprints — the persistable 8-byte-per-doc state
+    for :func:`incremental_simhash_dedup` (``seen_fp_col="fp"``)."""
+    if bits > 62:
+        raise ValueError("bits must be <= 62 (fingerprint carried as a signed long)")
+    return _rebalance(df).select(
+        F.col(id_col),
+        F.conv(_simhash_bits(text_col, bits, hash_family), 2, 10)
+        .cast("long")
+        .alias("fp"),
+    )
 
 
 def jaccard_topk(

@@ -798,3 +798,43 @@ def test_dedup_report_per_group_numbers(spark):
     assert a["n_clusters"] == 1 and b["n_clusters"] == 1
     # global cluster size reported in every touching group
     assert a["max_cluster"] == 3 and b["max_cluster"] == 3
+
+
+def test_incremental_simhash_dedup_history_and_fp_table(spark):
+    """New docs hamming-close to history drop; fresh docs pass; a batch-
+    internal twin collapses; the persisted LONG fingerprint table gives
+    identical verdicts to raw history docs."""
+    from clarite_python_spark.operators.dedup import (
+        incremental_simhash_dedup,
+        simhash_fingerprints,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    other = "one two three four five six seven eight nine ten " * 4
+    seen = spark.createDataFrame(
+        [(1, base), (2, "history doc with its own words " * 3)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base * 2),   # scale-invariant twin of history doc 1 -> drop
+            (11, other),      # fresh -> keep
+            (12, other * 3),  # twin of 11 within the batch -> drop (greedy)
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in incremental_simhash_dedup(new, seen).collect())
+    assert kept == [11]
+
+    fps = simhash_fingerprints(seen)
+    assert fps.schema["fp"].dataType.simpleString() == "bigint"
+    kept2 = sorted(
+        r["doc_id"]
+        for r in incremental_simhash_dedup(new, fps, seen_fp_col="fp").collect()
+    )
+    assert kept2 == kept
+
+    # empty history: reduces to within-batch simhash_dedup
+    empty = seen.limit(0)
+    kept3 = sorted(r["doc_id"] for r in incremental_simhash_dedup(new, empty).collect())
+    assert kept3 == [10, 11]
