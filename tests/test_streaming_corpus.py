@@ -225,3 +225,45 @@ def test_incremental_neardup_seen_bands_parity(spark):
     )
     assert a == b
     assert [r[0] for r in a] == [11]
+
+
+def test_stream_simhash_dedup_parity_and_state(spark, docs, tmp_path):
+    """Single-batch backfill == batch simhash_dedup exactly; cross-batch
+    re-arrivals drop against the fingerprint state; fp_dir holds exactly
+    the kept docs' fingerprints."""
+    from clarite_python_spark.operators.dedup import (
+        simhash_dedup,
+        simhash_fingerprints,
+    )
+    from clarite_python_spark.streaming.dedup import stream_simhash_dedup
+
+    src = str(tmp_path / "sh_src")
+    out, ckpt, fpd = (
+        str(tmp_path / "sh_out"), str(tmp_path / "sh_ckpt"), str(tmp_path / "sh_fp")
+    )
+    docs.coalesce(1).write.mode("append").parquet(src)
+    q = stream_simhash_dedup(spark, src, out, ckpt, fpd)
+    q.awaitTermination(180)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    want = sorted(r["doc_id"] for r in simhash_dedup(spark.read.parquet(src)).collect())
+    assert got == want and len(got) > 0
+
+    # fp state == fingerprints of exactly the kept docs
+    kept_docs = spark.read.parquet(out)
+    fps = {(r["doc_id"], r["fp"]) for r in spark.read.parquet(fpd).collect()}
+    want_fps = {(r["doc_id"], r["fp"]) for r in simhash_fingerprints(kept_docs).collect()}
+    assert fps == want_fps
+
+    # batch 2: a scale-invariant twin of a KEPT doc drops; fresh doc passes
+    base_kept = kept_docs.orderBy("doc_id").limit(1).collect()[0]
+    b2 = spark.createDataFrame(
+        [(10_000_000, base_kept["text"] + " " + base_kept["text"]),
+         (10_000_001, "wholly fresh words never seen in this corpus before now")],
+        "doc_id long, text string",
+    ).withColumns({c: F.lit(None).cast(kept_docs.schema[c].dataType)
+                   for c in kept_docs.columns if c not in ("doc_id", "text")})
+    b2.select(*kept_docs.columns).coalesce(1).write.mode("append").parquet(src)
+    q = stream_simhash_dedup(spark, src, out, ckpt, fpd)
+    q.awaitTermination(180)
+    after = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert 10_000_001 in after and 10_000_000 not in after
