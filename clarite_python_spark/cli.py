@@ -417,6 +417,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Jaccard threshold for --fuzzy")
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
+    p = g_pipe.add_parser("incremental-dedup")
+    p.add_argument("data", help="the new batch")
+    p.add_argument("seen", help="history: documents, or a fingerprint table with --seen-fp-col")
+    p.add_argument("output")
+    p.add_argument("--method", default="exact",
+                   choices=["exact", "minhash", "simhash"])
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--threshold", type=float, default=0.8)
+    p.add_argument("--max-hamming", type=int, default=3)
+    p.add_argument("--seen-fp-col", default=None,
+                   help="column name when 'seen' is a persisted fingerprint table "
+                        "(md5 strings for exact, longs for simhash)")
     p = g_pipe.add_parser("decontaminate")
     p.add_argument("data")
     p.add_argument("benchmark")
@@ -988,6 +1001,23 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 out = dedup_mod.contamination(
                     df, bench, n=args.ngram, text_col=args.text_col, id_col=args.id_col
+                )
+        elif args.command == "incremental-dedup":
+            seen = spark.read.parquet(args.seen)
+            if args.method == "exact":
+                out = dedup_mod.incremental_dedup(
+                    df, seen, text_col=args.text_col, id_col=args.id_col,
+                    seen_fp_col=args.seen_fp_col,
+                )
+            elif args.method == "simhash":
+                out = dedup_mod.incremental_simhash_dedup(
+                    df, seen, text_col=args.text_col, id_col=args.id_col,
+                    max_hamming=args.max_hamming, seen_fp_col=args.seen_fp_col,
+                )
+            else:
+                out = dedup_mod.incremental_neardup(
+                    df, seen, text_col=args.text_col, id_col=args.id_col,
+                    threshold=args.threshold,
                 )
         elif args.command == "decontaminate":
             bench = spark.read.parquet(args.benchmark)

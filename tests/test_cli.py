@@ -567,3 +567,26 @@ def test_cli_clip_outliers(spark, tmp_path, tsv_file):
     after = from_parquet(spark, f"{d}/clipped").df.selectExpr(
         "max(signal) AS mx", "count(signal) AS n").collect()[0]
     assert after["mx"] <= before and after["n"] > 0
+
+
+def test_cli_incremental_dedup_methods(spark, tmp_path):
+    d = str(tmp_path)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.where("doc_id < 25").write.parquet(f"{d}/seen")
+    docs.where("doc_id >= 25").write.parquet(f"{d}/new")
+    n_new = docs.where("doc_id >= 25").count()
+
+    for method in ("exact", "minhash", "simhash"):
+        assert cli.main(["pipeline", "incremental-dedup", f"{d}/new", f"{d}/seen",
+                         f"{d}/out_{method}", "--method", method]) == 0
+        n = spark.read.parquet(f"{d}/out_{method}").count()
+        assert 0 < n <= n_new, method
+
+    # simhash against a persisted LONG fingerprint table
+    from clarite_python_spark.operators.dedup import simhash_fingerprints
+    simhash_fingerprints(spark.read.parquet(f"{d}/seen")).write.parquet(f"{d}/fps")
+    assert cli.main(["pipeline", "incremental-dedup", f"{d}/new", f"{d}/fps",
+                     f"{d}/out_fp", "--method", "simhash", "--seen-fp-col", "fp"]) == 0
+    a = sorted(r["doc_id"] for r in spark.read.parquet(f"{d}/out_fp").collect())
+    b = sorted(r["doc_id"] for r in spark.read.parquet(f"{d}/out_simhash").collect())
+    assert a == b

@@ -420,6 +420,10 @@ def test_round7_session3_operators_plan_shapes(spark):
     plans = {
         "simhash_candidates": dedup.simhash_candidates(docs),
         "simhash_dedup": dedup.simhash_dedup(docs),
+        "incremental_simhash": dedup.incremental_simhash_dedup(
+            docs.where("doc_id >= 25"), docs.where("doc_id < 25")
+        ),
+        "normalize_text": text.normalize_text(docs),
         "keep_longest": dedup.minhash_dedup(
             docs, keep_col="n_chars", transitive=True
         ),
