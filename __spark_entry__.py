@@ -1565,6 +1565,14 @@ def incremental_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id").orderBy("doc_id")
 
 
+def simhash_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming near-dup cluster labels (simhash twin of
+    minhash_clusters): oracle = the simhash pair CTEs + recursive
+    min-label closure."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_clusters(docs, hash_family="md5").orderBy("doc_id")
+
+
 def incremental_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-state incremental near-dup
     (operators/dedup.py:incremental_simhash_dedup): the second half of
@@ -2011,6 +2019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_report_documents": dedup_report_documents,
         "simhash_candidates_documents": simhash_candidates_documents,
         "simhash_dedup_documents": simhash_dedup_documents,
+        "simhash_clusters_documents": simhash_clusters_documents,
         "incremental_simhash_documents": incremental_simhash_documents,
         "minhash_dedup_transitive_documents": minhash_dedup_transitive_documents,
         "minhash_clusters_documents": minhash_clusters_documents,
@@ -4298,6 +4307,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT id_b FROM ver)
             ORDER BY doc_id
+        """,
+        "simhash_clusters_documents": "WITH RECURSIVE "
+        + _simhash_pairs_sql()
+        + """, sym AS MATERIALIZED (
+              SELECT id_a AS src, id_b AS dst FROM ver
+              UNION SELECT id_b, id_a FROM ver
+            ), reach AS (
+              SELECT src, dst FROM sym
+              UNION
+              SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+            )
+            SELECT src AS doc_id, least(src, min(dst)) AS cluster_label
+            FROM reach GROUP BY src ORDER BY doc_id
         """,
         "incremental_simhash_documents": "WITH "
         + _simhash_fp_sql()

@@ -45,6 +45,7 @@ __all__ = [
     "simhash",
     "simhash_candidates",
     "simhash_dedup",
+    "simhash_clusters",
     "simhash_fingerprints",
     "incremental_simhash_dedup",
     "ngram_jaccard_pairs",
@@ -1486,6 +1487,30 @@ def simhash_dedup(
         df, dups, id_col, transitive, max_iter, keep_col, keep_order
     )
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def simhash_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 3,
+    hash_family: str = "xxhash64",
+    max_bucket: int = 1000,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Hamming near-dup CLUSTER LABELS instead of survivors — the
+    simhash twin of :func:`minhash_clusters` (same candidates as
+    :func:`simhash_candidates`, same min-label propagation), for
+    inspecting cluster-size distributions or picking representatives by
+    a custom policy before deleting anything. Returns
+    (id, cluster_label); singletons are not emitted."""
+    dups = simhash_candidates(
+        df, text_col, id_col, bits, bands, max_hamming, hash_family, max_bucket
+    )
+    comp = _min_label_components(dups.select("id_a", "id_b"), max_iter)
+    return comp.select(F.col("id").alias(id_col), F.col("label").alias("cluster_label"))
 
 
 def incremental_simhash_dedup(

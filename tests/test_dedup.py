@@ -838,3 +838,19 @@ def test_incremental_simhash_dedup_history_and_fp_table(spark):
     empty = seen.limit(0)
     kept3 = sorted(r["doc_id"] for r in incremental_simhash_dedup(new, empty).collect())
     assert kept3 == [10, 11]
+
+
+def test_simhash_clusters_labels_match_dedup(spark):
+    """Cluster labels are the min id of each hamming component and agree
+    with simhash_dedup(transitive=True)'s survivor choice; singletons
+    are not emitted."""
+    from clarite_python_spark.operators.dedup import simhash_clusters, simhash_dedup
+
+    base = "one two three four five six seven eight nine ten "
+    rows = [(i, base * (3 + i)) for i in range(3)]          # hamming-0 clique
+    rows += [(7, "distinct standalone text with other words entirely")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    labels = {r["doc_id"]: r["cluster_label"] for r in simhash_clusters(df).collect()}
+    assert labels == {0: 0, 1: 0, 2: 0}  # singleton 7 not emitted
+    kept = {r["doc_id"] for r in simhash_dedup(df, transitive=True).collect()}
+    assert kept == {0, 7}
