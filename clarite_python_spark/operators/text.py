@@ -746,11 +746,15 @@ def ngram_novelty(
     Plan: one explode to distinct grams per doc (row-local shingling),
     a gram-keyed count agg (map-side combined — each doc contributes a
     gram at most once, so the count IS document frequency), a gram-keyed
-    join back (co-partitioned with the agg, no extra shuffle under AQE),
-    and a doc-keyed count agg. ``hash_grams`` (default) shuffles 8-byte
-    xxhash64 longs instead of n-token strings — identical counts absent
-    2^64 collisions; the oracle counts the raw strings, so a collision
-    would surface as a gate hash-mismatch.
+    join back, and a doc-keyed count agg — three exchanges total
+    (measured). The 2-exchange window form (count() OVER (PARTITION BY
+    gram)) was rejected: it buffers each gram's full partition, so one
+    stopword gram in 10^9 docs becomes a straggler/spill cliff, while
+    the agg+join form partial-aggregates the hot gram map-side.
+    ``hash_grams`` (default) shuffles 8-byte xxhash64 longs instead of
+    n-token strings — identical counts absent 2^64 collisions; the
+    oracle counts the raw strings, so a collision would surface as a
+    gate hash-mismatch.
 
     Returns (id, n_grams, n_novel, novelty) — n_grams counts DISTINCT
     grams per document.
