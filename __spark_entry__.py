@@ -775,12 +775,20 @@ def feature_hash_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets, signed): registered UNNORMALIZED so every vector element
     is an exactly-representable integer count (float-identical in any
     engine); the L2 norm — the normalization's only other ingredient —
-    rides as a rounded scalar, so the normalized form is covered too."""
+    rides as a rounded scalar, so the normalized form is covered too.
+    The vector is serialized to a CSV string (scalar column) because the
+    driver's pandas canonicalizer cannot sort container-typed columns —
+    integer counts make the serialization bit-exact in both engines."""
     docs = _t(spark, sf_dir, "documents")
     emb = text.feature_hash_embed(docs, dim=32, normalize=False)
     return emb.select(
         "doc_id",
-        "embedding",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("embedding"), lambda x: x.cast("bigint").cast("string")
+            ),
+        ).alias("embedding_csv"),
         F.round(
             F.sqrt(
                 F.aggregate(
@@ -1057,9 +1065,20 @@ def quantize_int8_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.py:quantize_embeddings): scale = max|v|/127,
     q = clamp(floor(v/scale + 0.5), -127, 127) — floor(x+0.5) half-up so
     DuckDB reproduces every byte; the oracle recomputes the full tinyint
-    arrays and the 9-dp scales."""
+    arrays and the 9-dp scales. The quantized vector is serialized to a
+    CSV string (scalar column) because the driver's pandas canonicalizer
+    cannot sort container-typed columns — int8 values are exact, so the
+    serialization stays bit-exact in both engines."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.quantize_embeddings(emb).orderBy("vec_id")
+    out = similarity.quantize_embeddings(emb)
+    return out.select(
+        "vec_id",
+        F.concat_ws(
+            ",",
+            F.transform(F.col("qvec"), lambda x: x.cast("int").cast("string")),
+        ).alias("qvec_csv"),
+        "scale",
+    ).orderBy("vec_id")
 
 
 def quantized_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1984,24 +2003,54 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's correctness gate samples the FIRST 50
-    # entries of this dict (CORRECTNESS_r04/05/06 key lists are literal
-    # prefixes). Rounds 1-6 validated the original first 50; round 7
-    # rotates the other 53 (similarity / multimodal / winnowing / funnel /
-    # recall / pipeline families) to the head so the driver finally
-    # samples them, moving the already-driver-proven 50 to the tail.
-    # With the round-7 additions (lsh_multi / ann_recall_multi, DSIR,
-    # epoch_repeat, line_dedup, perplexity_buckets, weighted_sample,
-    # shard_by_tokens, remove_contaminated_spans, quality_budget,
-    # jaccard_topk, quantize/truncate + recalls, stratified_split,
-    # clip_outliers, pmi, dataset_card, event_transitions,
-    # corpus_divergence, simhash_candidates/simhash_dedup, keep-longest
-    # policy, dedup_report, normalize_text, ngram_novelty, dataset_card,
-    # rp_topk + its recall, cluster_embeddings) the head holds 60+
-    # never-driver-sampled entries; the remainder past position 50
-    # (funnel family, retention, some similarity) rotate into the
-    # window next round. The local full gate
-    # (scripts/check_correctness.py) always runs all 137.
+    # entries of this dict (CORRECTNESS_r04-r07 key lists are literal
+    # prefixes). Rounds 1-6 validated the original head-50; round 7
+    # validated its rotated head-50 (48 green + the two array-output
+    # harness errors). Round 8 rotates the LAST 32 never-driver-sampled
+    # entries (winnowing, chunking, asof/interval joins, pipeline
+    # splits/packing/redaction, tfidf/bigram/classifier, span removal,
+    # overlap, percentiles, the three recall harnesses, the funnel
+    # family, retention) to the head, immediately followed by the two
+    # re-projected array queries (now scalar CSV columns) so the driver
+    # proves the round-8 fix; new round-8 registrations also sit inside
+    # the window. After this round every registry family has been
+    # driver-proven at least once. The local full gate
+    # (scripts/check_correctness.py) always runs ALL entries.
     return {
+        "winnow_fingerprints_documents": winnow_fingerprints_documents,
+        "winnow_fingerprints_xxh_documents": winnow_fingerprints_xxh_documents,
+        "winnow_matches_documents": winnow_matches_documents,
+        "chunk_documents_documents": chunk_documents_documents,
+        "label_centroids_embeddings": label_centroids_embeddings,
+        "rolling_fingerprint_documents": rolling_fingerprint_documents,
+        "bpe_token_counts_documents": bpe_token_counts_documents,
+        "incremental_dedup_documents": incremental_dedup_documents,
+        "asof_join_events": asof_join_events,
+        "interval_join_events": interval_join_events,
+        "top_tokens_documents": top_tokens_documents,
+        "user_stats_events": user_stats_events,
+        "deterministic_split_documents": deterministic_split_documents,
+        "stratified_sample_documents": stratified_sample_documents,
+        "pack_sequences_documents": pack_sequences_documents,
+        "redact_documents": redact_documents,
+        "domain_cap_documents": domain_cap_documents,
+        "temperature_mixture_documents": temperature_mixture_documents,
+        "tfidf_top_terms_documents": tfidf_top_terms_documents,
+        "bigram_logprob_documents": bigram_logprob_documents,
+        "quality_classifier_documents": quality_classifier_documents,
+        "remove_duplicate_spans_documents": remove_duplicate_spans_documents,
+        "source_overlap_documents": source_overlap_documents,
+        "token_percentiles_by_source": token_percentiles_by_source,
+        "lsh_recall_documents": lsh_recall_documents,
+        "ann_recall_embeddings": ann_recall_embeddings,
+        "ivf_recall_embeddings": ivf_recall_embeddings,
+        "funnel_events": funnel_events,
+        "funnel_window_events": funnel_window_events,
+        "funnel_times_events": funnel_times_events,
+        "funnel_counts_events": funnel_counts_events,
+        "retention_events": retention_events,
+        "feature_hash_embed_documents": feature_hash_embed_documents,
+        "quantize_int8_embeddings": quantize_int8_embeddings,
         "line_dedup_documents": line_dedup_documents,
         "perplexity_buckets_documents": perplexity_buckets_documents,
         "weighted_sample_documents": weighted_sample_documents,
@@ -2059,38 +2108,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh_embeddings": embedding_neardup_lsh_embeddings,
         "colfilter_min_n_events": colfilter_min_n_events,
         "get_significant_documents": get_significant_documents,
-        "winnow_fingerprints_documents": winnow_fingerprints_documents,
-        "winnow_fingerprints_xxh_documents": winnow_fingerprints_xxh_documents,
-        "winnow_matches_documents": winnow_matches_documents,
-        "chunk_documents_documents": chunk_documents_documents,
-        "label_centroids_embeddings": label_centroids_embeddings,
-        "rolling_fingerprint_documents": rolling_fingerprint_documents,
-        "bpe_token_counts_documents": bpe_token_counts_documents,
-        "incremental_dedup_documents": incremental_dedup_documents,
-        "asof_join_events": asof_join_events,
-        "interval_join_events": interval_join_events,
-        "top_tokens_documents": top_tokens_documents,
-        "user_stats_events": user_stats_events,
-        "deterministic_split_documents": deterministic_split_documents,
-        "stratified_sample_documents": stratified_sample_documents,
-        "pack_sequences_documents": pack_sequences_documents,
-        "redact_documents": redact_documents,
-        "domain_cap_documents": domain_cap_documents,
-        "temperature_mixture_documents": temperature_mixture_documents,
-        "tfidf_top_terms_documents": tfidf_top_terms_documents,
-        "bigram_logprob_documents": bigram_logprob_documents,
-        "quality_classifier_documents": quality_classifier_documents,
-        "remove_duplicate_spans_documents": remove_duplicate_spans_documents,
-        "source_overlap_documents": source_overlap_documents,
-        "token_percentiles_by_source": token_percentiles_by_source,
-        "lsh_recall_documents": lsh_recall_documents,
-        "ann_recall_embeddings": ann_recall_embeddings,
-        "ivf_recall_embeddings": ivf_recall_embeddings,
-        "funnel_events": funnel_events,
-        "funnel_window_events": funnel_window_events,
-        "funnel_times_events": funnel_times_events,
-        "funnel_counts_events": funnel_counts_events,
-        "retention_events": retention_events,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_revenue_orders": q3_top_revenue_orders,
         "categorize_types_customer": categorize_types_customer,
@@ -4793,8 +4810,8 @@ def oracle_sql() -> dict[str, str]:
         "quantize_int8_embeddings": f"""
             WITH {_quant_cte()}
             SELECT vec_id,
-                   list_transform(qv, x -> CAST(x AS TINYINT)) AS qvec,
-                   round(scale, 9) AS scale
+                   array_to_string(list_transform(qv, x -> CAST(CAST(x AS INTEGER) AS VARCHAR)), ',') AS qvec_csv,
+                   scale
             FROM qz ORDER BY vec_id
         """,
         "quantized_topk_embeddings": f"""
@@ -5558,7 +5575,7 @@ def oracle_sql() -> dict[str, str]:
               FROM grid LEFT JOIN agg ON agg.doc_id = grid.doc_id AND agg.b = grid.d
             )
             SELECT doc_id,
-                   CAST(list(v ORDER BY d) AS FLOAT[]) AS embedding,
+                   string_agg(CAST(v AS VARCHAR), ',' ORDER BY d) AS embedding_csv,
                    round(sqrt(sum(v * v)), 6) AS l2_norm
             FROM dense GROUP BY doc_id ORDER BY doc_id
         """,
