@@ -313,6 +313,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--threshold", type=float, default=0.8)
     p.add_argument("--max-hamming", type=int, default=3)
+    p.add_argument("--keep", default=None,
+                   help="keep the group member with the extreme of this "
+                        "column (e.g. n_chars for keep-the-longest) "
+                        "instead of the min id")
+    p.add_argument("--keep-order", default="max", choices=["max", "min"])
+    p.add_argument("--transitive", action="store_true",
+                   help="connected-components clustering before choosing "
+                        "survivors (near-dup methods)")
     p = g_pipe.add_parser("quality")
     p.add_argument("data")
     p.add_argument("output")
@@ -921,17 +929,16 @@ def main(argv: list[str] | None = None) -> int:
         elif args.command == "redact":
             out = text_mod.redact(df, text_col=args.text_col, id_col=args.id_col)
         elif args.command == "dedup":
-            if args.method == "exact":
-                out = dedup_mod.exact_dedup(df, text_col=args.text_col, id_col=args.id_col)
-            elif args.method == "simhash":
-                out = dedup_mod.simhash_dedup(
-                    df, text_col=args.text_col, id_col=args.id_col,
-                    max_hamming=args.max_hamming,
-                )
-            else:
-                out = dedup_mod.minhash_dedup(
-                    df, text_col=args.text_col, id_col=args.id_col, threshold=args.threshold
-                )
+            kw = {}
+            if args.method == "simhash":
+                kw["max_hamming"] = args.max_hamming
+            elif args.method == "minhash":
+                kw["threshold"] = args.threshold
+            out = dedup_mod.dedup(
+                df, args.method, text_col=args.text_col, id_col=args.id_col,
+                keep=args.keep, keep_order=args.keep_order,
+                transitive=args.transitive, **kw,
+            )
         elif args.command == "quality":
             out = text_mod.gopher_rules(df, text_col=args.text_col, id_col=args.id_col)
         elif args.command == "repetition":

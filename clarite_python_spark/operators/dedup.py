@@ -785,6 +785,9 @@ def incremental_neardup(
     max_bucket: int = 1000,
     hash_family: str = "xxhash64",
     seen_bands: DataFrame | None = None,
+    transitive: bool = False,
+    keep_col: str | None = None,
+    keep_order: str = "max",
 ) -> DataFrame:
     """Daily-ingest NEAR-duplicate dedup — the fuzzy twin of
     :func:`incremental_dedup`: drop new documents whose shingle Jaccard
@@ -798,6 +801,12 @@ def incremental_neardup(
     each day's additions, and passes it via ``seen_bands`` (must share
     this call's num_hashes/bands/shingle_n/hash_family). Returns the
     kept subset of ``new`` with the original columns.
+
+    ``transitive`` / ``keep_col`` / ``keep_order`` apply to the
+    WITHIN-BATCH pass only (:func:`minhash_dedup` semantics) — the
+    cross-set rule is necessarily greedy (history always wins; a new
+    doc can never displace an already-persisted one), so a keep-best
+    policy can only choose among the batch's own near-dup clusters.
     """
     hits = fuzzy_contamination(
         new,
@@ -822,6 +831,9 @@ def incremental_neardup(
         bands=bands,
         shingle_n=shingle_n,
         hash_family=hash_family,
+        transitive=transitive,
+        keep_col=keep_col,
+        keep_order=keep_order,
     )
 
 
@@ -1524,6 +1536,9 @@ def incremental_simhash_dedup(
     hash_family: str = "xxhash64",
     max_bucket: int = 1000,
     seen_fp_col: str | None = None,
+    transitive: bool = False,
+    keep_col: str | None = None,
+    keep_order: str = "max",
 ) -> DataFrame:
     """Daily-ingest near-dup dedup with SIMHASH state — the cheapest
     incremental form: the whole history is ONE 8-byte fingerprint per
@@ -1542,6 +1557,10 @@ def incremental_simhash_dedup(
     the pigeonhole-exact recall), verified by popcount-of-XOR — the
     8-byte payloads make the candidate shuffle ~1000x lighter than a
     shingle-verify. Returns the kept subset of ``new``.
+
+    ``transitive`` / ``keep_col`` / ``keep_order`` apply to the
+    WITHIN-BATCH pass only (:func:`simhash_dedup` semantics) — the
+    cross-set rule is necessarily greedy (history always wins).
     """
     if bits % bands != 0:
         raise ValueError("bits must be divisible by bands")
@@ -1603,7 +1622,17 @@ def incremental_simhash_dedup(
     )
     fresh = new.join(hits, id_col, "left_anti")
     return simhash_dedup(
-        fresh, text_col, id_col, bits, bands, max_hamming, hash_family, max_bucket
+        fresh,
+        text_col,
+        id_col,
+        bits,
+        bands,
+        max_hamming,
+        hash_family,
+        max_bucket,
+        transitive=transitive,
+        keep_col=keep_col,
+        keep_order=keep_order,
     )
 
 
@@ -1738,3 +1767,129 @@ def jaccard_topk(
         sym = sym.join(directed, [id_col, "neighbor_id"], "left_semi")
     w = Window.partitionBy(id_col).orderBy(F.desc("jaccard"), F.asc("neighbor_id"))
     return sym.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def dedup(
+    df: DataFrame,
+    method: str = "exact",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: str | None = None,
+    keep_order: str = "max",
+    transitive: bool = False,
+    seen: DataFrame | None = None,
+    **kwargs,
+) -> DataFrame:
+    """One front door for the whole dedup family — dispatches on
+    ``method`` and (when ``seen`` is given) to the incremental twin,
+    with ONE survivor-policy vocabulary across all of them.
+
+    ==========  =========================================  ==================
+    method      guarantee                                  dominant cost
+    ==========  =========================================  ==================
+    exact       byte-identical normalized text collapses   1 shuffle of md5
+                (md5 fingerprint)                          keys + row payload
+    minhash     shingle-Jaccard >= threshold pairs found   signature agg +
+                w.p. 1-(1-t^r)^b (banded LSH), verified    banded equi-join +
+                by EXACT Jaccard before any drop           shingle verify
+    simhash     ALL pairs within max_hamming found         banded equi-join
+                (pigeonhole-exact when bands>max_hamming)  on 8-byte fps
+    ==========  =========================================  ==================
+
+    Survivor policy (uniform; same words mean the same thing in every
+    method): default keeps the MIN-ID member of each duplicate group;
+    ``transitive=True`` clusters via connected components first
+    (near-dup methods only — exact groups are already transitive);
+    ``keep=<col>`` keeps the ``keep_order`` extreme of that column per
+    group instead (RefinedWeb keep-the-longest; ties break to min id).
+
+    ``seen`` switches to the incremental form (drop new docs matching
+    the history, then dedup within the batch — history always wins, so
+    the keep policy applies within the batch only): ``exact`` ->
+    :func:`incremental_dedup` (pass ``seen_fp_col`` for a persisted
+    fingerprint table), ``minhash`` -> :func:`incremental_neardup`
+    (pass ``seen_bands`` for a persisted band table), ``simhash`` ->
+    :func:`incremental_simhash_dedup` (pass ``seen_fp_col`` for a
+    persisted LONG fingerprint table).
+
+    Extra ``**kwargs`` forward to the dispatched function unchanged
+    (num_hashes/bands/threshold/bits/max_hamming/max_bucket/...).
+    Returns the kept subset of ``df`` with its original columns.
+    """
+    methods = ("exact", "minhash", "simhash")
+    if method not in methods:
+        raise ValueError(f"method must be one of {methods}, got {method!r}")
+    if keep_order not in ("max", "min"):
+        raise ValueError(f"keep_order must be 'max' or 'min', got {keep_order!r}")
+    if keep is not None and keep not in df.columns:
+        raise ValueError(f"keep column {keep!r} not in df")
+
+    if method == "exact":
+        if transitive:
+            raise ValueError(
+                "transitive does not apply to exact dedup (identical-text "
+                "groups are already equivalence classes)"
+            )
+        if seen is not None:
+            if keep is None:
+                return incremental_dedup(
+                    df, seen, text_col=text_col, id_col=id_col, **kwargs
+                )
+            # cross-set anti join (history wins), then within-batch
+            # keep-best — same fingerprint key as incremental_dedup
+            seen_fp_col = kwargs.pop("seen_fp_col", None)
+            if kwargs:
+                raise TypeError(f"unexpected kwargs for exact: {sorted(kwargs)}")
+            if seen_fp_col is None:
+                seen_fps = seen.select(F.md5(_norm(text_col)).alias("__fp")).distinct()
+            else:
+                seen_fps = seen.select(F.col(seen_fp_col).alias("__fp")).distinct()
+            df = df.join(
+                df.withColumn("__fp", F.md5(_norm(text_col)))
+                .join(seen_fps, "__fp", "left_semi")
+                .select(id_col),
+                id_col,
+                "left_anti",
+            )
+            seen = None  # fall through to the batch keep-best path
+        if keep is None:
+            return exact_dedup(df, text_col, id_col, **kwargs)
+        if kwargs:
+            raise TypeError(f"unexpected kwargs for exact: {sorted(kwargs)}")
+        # keep-best per fingerprint group: one window over fp partitions
+        # (same shuffle the min_by form pays; groups are duplicate sets,
+        # so partitions stay tiny at any corpus size)
+        order = F.desc(keep) if keep_order == "max" else F.asc(keep)
+        w = Window.partitionBy("__fp").orderBy(order, F.asc(id_col))
+        return (
+            df.withColumn("__fp", F.md5(_norm(text_col)))
+            .withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") == 1)
+            .select(*df.columns)
+        )
+
+    if method == "minhash":
+        if seen is not None:
+            return incremental_neardup(
+                df, seen, text_col=text_col, id_col=id_col,
+                transitive=transitive, keep_col=keep, keep_order=keep_order,
+                **kwargs,
+            )
+        return minhash_dedup(
+            df, text_col=text_col, id_col=id_col,
+            transitive=transitive, keep_col=keep, keep_order=keep_order,
+            **kwargs,
+        )
+
+    if seen is not None:
+        return incremental_simhash_dedup(
+            df, seen, text_col=text_col, id_col=id_col,
+            transitive=transitive, keep_col=keep, keep_order=keep_order,
+            **kwargs,
+        )
+    return simhash_dedup(
+        df, text_col=text_col, id_col=id_col,
+        transitive=transitive, keep_col=keep, keep_order=keep_order,
+        **kwargs,
+    )

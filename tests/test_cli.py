@@ -590,3 +590,39 @@ def test_cli_incremental_dedup_methods(spark, tmp_path):
     a = sorted(r["doc_id"] for r in spark.read.parquet(f"{d}/out_fp").collect())
     b = sorted(r["doc_id"] for r in spark.read.parquet(f"{d}/out_simhash").collect())
     assert a == b
+
+
+def test_cli_dedup_keep_policy_flags(spark, tmp_path):
+    """pipeline dedup --keep/--keep-order/--transitive route through the
+    unified dedup() dispatcher with one survivor-policy vocabulary."""
+    d = str(tmp_path)
+    src = f"{d}/docs"
+    spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", 3),
+            (2, "alpha  beta gamma", 9),  # same normalized text, longer
+            (3, "something else entirely", 1),
+        ],
+        "doc_id: long, text: string, n_chars: int",
+    ).write.parquet(src)
+
+    assert cli.main(["pipeline", "dedup", src, f"{d}/kl",
+                     "--keep", "n_chars"]) == 0
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(f"{d}/kl").collect())
+    assert kept == [2, 3]
+
+    assert cli.main(["pipeline", "dedup", src, f"{d}/km",
+                     "--keep", "n_chars", "--keep-order", "min"]) == 0
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(f"{d}/km").collect())
+    assert kept == [1, 3]
+
+    # --transitive on a near-dup method runs end-to-end
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.parquet(f"{d}/real")
+    assert cli.main(["pipeline", "dedup", f"{d}/real", f"{d}/tr",
+                     "--method", "minhash", "--transitive"]) == 0
+    assert 0 < spark.read.parquet(f"{d}/tr").count() <= docs.count()
+
+    # --transitive on exact is a loud error, not a silent ignore
+    with pytest.raises(ValueError, match="transitive"):
+        cli.main(["pipeline", "dedup", src, f"{d}/bad", "--transitive"])
