@@ -2001,6 +2001,83 @@ def entry(spark: SparkSession) -> DataFrame:
     return association_study_covariates(spark, "/root/testdata/sf0.001")
 
 
+def leakage_safe_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val/test split (pipeline.leakage_safe_split,
+    minhash xxhash64 family, defaults shared with minhash_clusters):
+    every near-dup cluster lands in ONE split, so the leakage that
+    split_leakage measures after the fact is prevented at assignment
+    time. The oracle replays the recursive-closure cluster labels
+    (same machinery as minhash_clusters_documents), coalesces
+    singletons to their own id, and applies the md5 bucket rule to the
+    label."""
+    docs = _t(spark, sf_dir, "documents")
+    out = pipeline.leakage_safe_split(
+        docs, {"train": 0.6, "val": 0.2, "test": 0.2}, salt="ls"
+    )
+    return out.select("doc_id", "cluster_label", "split").orderBy("doc_id")
+
+
+def attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution (operators/events.py:
+    attribution): purchase conversions credited to the most recent
+    strictly-prior click/view/signup within a 7-day lookback; the
+    oracle replays the ignore-nulls running window and the lookback
+    void rule."""
+    ev = _t(spark, sf_dir, "events")
+    out = events_ops.attribution(
+        ev,
+        conversion="purchase",
+        channels=["click", "view", "signup"],
+        model="last_touch",
+        lookback_seconds=7 * 86400,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.round("value", 4).alias("value"),
+        "channel",
+        "touch_event_id",
+        F.date_format("touch_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "touch_ts"
+        ),
+    ).orderBy("event_id")
+
+
+def cramers_v_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise categorical association (describe.cramers_v) over
+    lang / source / a derived length bucket — the chi-square analogue
+    of correlations for the categorical half of a QC screen. The
+    oracle recomputes each pair's contingency closed form
+    n*(sum o^2/(ra*cb) - 1) in SQL."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .withColumn(
+            "len_bucket",
+            F.when(F.col("n_chars") < 200, "short")
+            .when(F.col("n_chars") < 400, "mid")
+            .otherwise("long"),
+        )
+        .select("doc_id", "lang", "source", "len_bucket")
+    )
+    cf = modify.make_categorical(
+        ClariteFrame(docs.withColumnRenamed("doc_id", "ID"))
+    )
+    return describe.cramers_v(cf, only=["lang", "source", "len_bucket"])
+
+
+def embedding_drift_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift between the even- and odd-id halves of the
+    embeddings table (similarity.embedding_drift): centroid cosine +
+    mean-norm shift + centroid L2 — the vector twin of
+    corpus_divergence. The oracle recomputes per-dim means via lockstep
+    unnest and the same reductions."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.where(F.col("vec_id") % 2 == 0)
+    b = emb.where(F.col("vec_id") % 2 == 1)
+    return similarity.embedding_drift(a, b)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's correctness gate samples the FIRST 50
     # entries of this dict (CORRECTNESS_r04-r07 key lists are literal
@@ -2051,6 +2128,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_events": retention_events,
         "feature_hash_embed_documents": feature_hash_embed_documents,
         "quantize_int8_embeddings": quantize_int8_embeddings,
+        "leakage_safe_split_documents": leakage_safe_split_documents,
+        "attribution_events": attribution_events,
+        "cramers_v_documents": cramers_v_documents,
+        "embedding_drift_embeddings": embedding_drift_embeddings,
         "line_dedup_documents": line_dedup_documents,
         "perplexity_buckets_documents": perplexity_buckets_documents,
         "weighted_sample_documents": weighted_sample_documents,
@@ -3839,6 +3920,118 @@ def _clean_corpus_oracle() -> str:
     """
 
 
+def _leakage_safe_split_oracle() -> str:
+    """Cluster labels from the transitive closure (same recursive CTE as
+    the minhash_clusters oracle), singletons coalesced to their own id,
+    then pipeline.hash_bucket's md5 rule applied to the LABEL."""
+    b = _md5_bucket("CAST(cluster_label AS VARCHAR)", "ls")
+    return (
+        "WITH RECURSIVE "
+        + _minhash_xxh_pipeline()
+        + f""", sym AS MATERIALIZED (
+          SELECT id_a AS src, id_b AS dst FROM dups
+          UNION SELECT id_b, id_a FROM dups
+        ), reach AS (
+          SELECT src, dst FROM sym
+          UNION
+          SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+        ), labels AS (
+          SELECT src AS doc_id, least(src, min(dst)) AS cluster_label
+          FROM reach GROUP BY src
+        ), lab AS (
+          SELECT d.doc_id,
+                 coalesce(l.cluster_label, d.doc_id) AS cluster_label
+          FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+        )
+        SELECT doc_id, cluster_label,
+               CASE WHEN {b} < 6000 THEN 'train'
+                    WHEN {b} < 8000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM lab ORDER BY doc_id
+    """
+    )
+
+
+def _cramers_v_oracle() -> str:
+    """Per-pair contingency closed form n*(sum o^2/(ra*cb) - 1) with
+    window margins; pairs mirror describe.cramers_v's combinations
+    order over (lang, source, len_bucket)."""
+    pairs = [
+        ("lang", "source"),
+        ("lang", "len_bucket"),
+        ("source", "len_bucket"),
+    ]
+    branches = []
+    for a, b in pairs:
+        branches.append(f"""
+          SELECT '{a}' AS var1, '{b}' AS var2,
+                 CAST(sum(o) AS BIGINT) AS n,
+                 round(sum(o) * (sum(o * o / (ra * cb)) - 1.0), 6) AS chi2,
+                 CASE WHEN least(count(DISTINCT va), count(DISTINCT vb)) > 1
+                      THEN round(sqrt((sum(o) * (sum(o * o / (ra * cb)) - 1.0))
+                           / (sum(o) * (least(count(DISTINCT va), count(DISTINCT vb)) - 1))), 6)
+                 END AS cramers_v
+          FROM (
+            SELECT va, vb, o,
+                   sum(o) OVER (PARTITION BY va) AS ra,
+                   sum(o) OVER (PARTITION BY vb) AS cb
+            FROM (
+              SELECT {a} AS va, {b} AS vb, CAST(count(*) AS DOUBLE) AS o
+              FROM d WHERE {a} IS NOT NULL AND {b} IS NOT NULL
+              GROUP BY 1, 2
+            )
+          )""")
+    union = " UNION ALL ".join(f"({br})" for br in branches)
+    return f"""
+        WITH d AS (
+          SELECT lang, source,
+                 CASE WHEN n_chars < 200 THEN 'short'
+                      WHEN n_chars < 400 THEN 'mid'
+                      ELSE 'long' END AS len_bucket
+          FROM documents
+        )
+        SELECT * FROM ({union})
+        ORDER BY cramers_v DESC NULLS LAST, var1, var2
+    """
+
+
+def _embedding_drift_oracle() -> str:
+    """Lockstep-unnest per-dim means for each half, then the same
+    centroid cosine / L2 / mean-norm reductions as the Spark side."""
+
+    def side(pred: str, s: str) -> str:
+        return f"""
+        h_{s} AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE {pred}),
+        c_{s} AS (
+          SELECT d, avg(x) AS c
+          FROM (SELECT unnest(v) AS x,
+                       unnest(range(1, len(v) + 1)) AS d FROM h_{s})
+          GROUP BY d
+        ),
+        s_{s} AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_{s},
+                 avg(sqrt(list_dot_product(v, v))) AS mean_norm_{s}
+          FROM h_{s}
+        )"""
+
+    return f"""
+        WITH {side("vec_id % 2 = 0", "a")}, {side("vec_id % 2 = 1", "b")},
+        red AS (
+          SELECT sum(c_a.c * c_b.c) AS dot,
+                 sum(c_a.c * c_a.c) AS na,
+                 sum(c_b.c * c_b.c) AS nb,
+                 sum((c_a.c - c_b.c) * (c_a.c - c_b.c)) AS sq
+          FROM c_a JOIN c_b USING (d)
+        )
+        SELECT n_a, n_b,
+               round(dot / (sqrt(na) * sqrt(nb)), 6) AS centroid_cosine,
+               round(mean_norm_a, 6) AS mean_norm_a,
+               round(mean_norm_b, 6) AS mean_norm_b,
+               round(sqrt(sq), 6) AS centroid_l2
+        FROM s_a, s_b, red
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     norm_text = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
     return {
@@ -4814,6 +5007,33 @@ def oracle_sql() -> dict[str, str]:
                    scale
             FROM qz ORDER BY vec_id
         """,
+        "leakage_safe_split_documents": _leakage_safe_split_oracle(),
+        "attribution_events": """
+            WITH w AS (
+              SELECT user_id, event_id, ts, event_type, value,
+                     last_value(CASE WHEN event_type IN ('click','view','signup')
+                                     THEN struct_pack(t := ts, i := event_id, c := event_type)
+                                END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+              FROM events
+            ), conv AS (
+              SELECT *,
+                     (touch IS NOT NULL
+                      AND struct_extract(touch, 't') >= ts - INTERVAL 7 DAY) AS ok
+              FROM w WHERE event_type = 'purchase'
+            )
+            SELECT event_id, user_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+                   round(value, 4) AS value,
+                   CASE WHEN ok THEN struct_extract(touch, 'c') END AS channel,
+                   CASE WHEN ok THEN struct_extract(touch, 'i') END AS touch_event_id,
+                   CASE WHEN ok THEN strftime(struct_extract(touch, 't'),
+                                              '%Y-%m-%d %H:%M:%S.%f') END AS touch_ts
+            FROM conv ORDER BY event_id
+        """,
+        "cramers_v_documents": _cramers_v_oracle(),
+        "embedding_drift_embeddings": _embedding_drift_oracle(),
         "quantized_topk_embeddings": f"""
             WITH {_quant_cte()}, q AS (
               SELECT vec_id AS query_id, qv AS qqv FROM qz WHERE vec_id < 5

@@ -26,6 +26,7 @@ from clarite_python_spark.functions.distributions import skewtest_z_p
 
 __all__ = [
     "correlations",
+    "cramers_v",
     "freq_table",
     "get_types",
     "percent_na",
@@ -176,3 +177,84 @@ def summarize(cf: ClariteFrame) -> dict:
         else:
             type_counts[t] = type_counts.get(t, 0) + 1
     return {"rows": cf.df.count(), "types": type_counts}
+
+
+def cramers_v(cf: ClariteFrame, skip=None, only=None) -> DataFrame:
+    """Pairwise association between CATEGORICAL variables — Cramér's V
+    with the same role :func:`correlations` plays for continuous ones
+    (the reference's correlations operator, describe.py:26-75, is
+    Pearson-only; redundant-covariate screening for the categorical
+    half of an EWAS needs the chi-square analogue).
+
+    V = sqrt(chi2 / (n * (min(r, c) - 1))) over the pair's
+    complete-case contingency table. chi2 uses the closed form
+    n * (sum_cells o^2 / (rowmargin * colmargin) - 1), which equals the
+    textbook sum over ALL r x c cells including empty ones (an absent
+    cell contributes its full expectation) without materializing them.
+    Pairs involving a constant (or anything with min(r,c) = 1) return
+    NULL — V is undefined there, not 0.
+
+    Plan: ONE scan — each row explodes into its C(k,2) pair-cells, one
+    map-side-combined groupBy builds every pair's contingency cells at
+    once (shuffle = |pairs| x |levels_a x levels_b| rows, not data
+    rows), then margins and the per-pair reduction are joins/aggs over
+    that tiny cell table. No per-pair jobs, no window over data rows.
+    Returns (var1, var2, n, chi2, cramers_v) sorted by V desc.
+    """
+    cols = validate_skip_only(cf.variables, skip, only)
+    cat_cols = [
+        c for c in cols if cf.catalog.get(c) in (BINARY, CATEGORICAL, CONSTANT)
+    ]
+    spark = cf.df.sparkSession
+    pairs = list(combinations(cat_cols, 2))
+    if not pairs:
+        return spark.createDataFrame(
+            [],
+            "var1 string, var2 string, n long, chi2 double, cramers_v double",
+        )
+    pair_structs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("var1"),
+                F.lit(b).alias("var2"),
+                qcol(a).cast("string").alias("va"),
+                qcol(b).cast("string").alias("vb"),
+            )
+            for a, b in pairs
+        ]
+    )
+    long = (
+        cf.df.select(F.explode(pair_structs).alias("p"))
+        .select("p.*")
+        .where(F.col("va").isNotNull() & F.col("vb").isNotNull())
+    )
+    cells = long.groupBy("var1", "var2", "va", "vb").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    ra = cells.groupBy("var1", "var2", "va").agg(F.sum("o").alias("ra"))
+    cb = cells.groupBy("var1", "var2", "vb").agg(F.sum("o").alias("cb"))
+    joined = cells.join(ra, ["var1", "var2", "va"]).join(
+        cb, ["var1", "var2", "vb"]
+    )
+    per_pair = joined.groupBy("var1", "var2").agg(
+        F.sum("o").alias("n"),
+        F.sum(
+            F.col("o").cast("double") * F.col("o") / (F.col("ra") * F.col("cb"))
+        ).alias("__s"),
+        F.countDistinct("va").alias("__r"),
+        F.countDistinct("vb").alias("__c"),
+    )
+    chi2 = F.col("n") * (F.col("__s") - F.lit(1.0))
+    denom = F.col("n") * (F.least("__r", "__c") - F.lit(1)).cast("double")
+    return (
+        per_pair.select(
+            "var1",
+            "var2",
+            "n",
+            F.round(chi2, 6).alias("chi2"),
+            F.when(denom > 0, F.round(F.sqrt(chi2 / denom), 6)).alias(
+                "cramers_v"
+            ),
+        )
+        .orderBy(F.desc_nulls_last("cramers_v"), "var1", "var2")
+    )

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel", "funnel_counts", "funnel_times", "retention_cohorts", "event_transitions"]
+__all__ = ["funnel", "funnel_counts", "funnel_times", "retention_cohorts", "event_transitions", "attribution"]
 
 
 def funnel(
@@ -301,4 +301,90 @@ def event_transitions(
     return (
         counts.withColumn("p", F.round(F.col("n") / F.sum("n").over(wf), 6))
         .orderBy("from_type", "to_type")
+    )
+
+
+def attribution(
+    df: DataFrame,
+    conversion: str = "purchase",
+    channels: list[str] | None = None,
+    model: str = "last_touch",
+    lookback_seconds: float | None = None,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Marketing-style conversion attribution: for every ``conversion``
+    event, the channel (event type) of the touch that gets credit —
+    ``last_touch`` (most recent prior channel event) or ``first_touch``
+    (user's earliest channel event), the two standard single-touch
+    models.
+
+    "Prior" is strict: a touch counts only if it sorts before the
+    conversion under (ts, event id) — a same-timestamp touch with a
+    larger id does NOT get credit, and that total order makes the
+    result engine-reproducible. ``channels=None`` counts every
+    non-conversion type as a touch. ``lookback_seconds`` voids credit
+    when the selected touch is older than the window (channel/touch
+    columns go NULL = unattributed); under ``first_touch`` the
+    candidate is still the user's FIRST touch — if that first touch
+    has aged out, the conversion is unattributed rather than credited
+    to a later touch (the usual strict first-touch reading).
+
+    Plan: ONE shuffle on the user key; both models are a single
+    ignore-nulls first/last over the running rows-frame (no self-join,
+    no per-conversion scan). The per-user window sort has the same
+    skew footprint as sessionization — cap bot users upstream the way
+    :func:`funnel` documents. Returns one row per conversion:
+    (user, event id, ts, value, channel, touch_ts, touch_event_id).
+    """
+    if model not in ("last_touch", "first_touch"):
+        raise ValueError(
+            f"model must be last_touch or first_touch, got {model!r}"
+        )
+    if channels is not None and conversion in channels:
+        raise ValueError("conversion type cannot also be a channel")
+    from pyspark.sql import Window
+
+    is_touch = (
+        F.col(type_col).isin(list(channels))
+        if channels is not None
+        else F.col(type_col) != F.lit(conversion)
+    )
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        is_touch,
+        F.struct(
+            F.col(ts_col).alias("t"),
+            F.col(id_col).alias("i"),
+            F.col(type_col).alias("c"),
+        ),
+    )
+    pick = F.last if model == "last_touch" else F.first
+    out = df.withColumn("__touch", pick(touch, ignorenulls=True).over(w)).where(
+        F.col(type_col) == F.lit(conversion)
+    )
+    ok = F.col("__touch").isNotNull()
+    if lookback_seconds is not None:
+        # interval arithmetic (not an epoch cast): works for TIMESTAMP
+        # and TIMESTAMP_NTZ alike under ANSI mode
+        ok = ok & (
+            F.col("__touch.t")
+            >= F.col(ts_col)
+            - F.make_dt_interval(secs=F.lit(float(lookback_seconds)))
+        )
+    return out.select(
+        F.col(user_col),
+        F.col(id_col),
+        F.col(ts_col),
+        F.col(value_col),
+        F.when(ok, F.col("__touch.c")).alias("channel"),
+        F.when(ok, F.col("__touch.t")).alias("touch_ts"),
+        F.when(ok, F.col("__touch.i")).alias("touch_event_id"),
     )

@@ -1055,3 +1055,61 @@ def split_leakage(
         out.withColumnRenamed("source_a", "split_a")
         .withColumnRenamed("source_b", "split_b")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    splits: dict[str, float],
+    method: str = "minhash",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "",
+    **kwargs,
+) -> DataFrame:
+    """Cluster-aware deterministic split: every member of a duplicate /
+    near-duplicate cluster lands in the SAME split, preventing
+    train-test soft leakage at assignment time (:func:`split_leakage`
+    is the after-the-fact audit of a split made without this; splitting
+    per-row first and deduping later either leaks or deletes eval
+    rows).
+
+    ``method='exact'`` groups byte-identical normalized text — label =
+    min id per md5-fingerprint group, one window over the fingerprint
+    partitions, no join. ``'minhash'`` / ``'simhash'`` take connected-
+    component labels from ``dedup.minhash_clusters`` /
+    ``dedup.simhash_clusters`` (verified near-dup pairs; extra
+    ``**kwargs`` forward — threshold/bands/max_hamming/...), joined
+    back on the id key; documents in no cluster keep their own id as
+    the label.
+
+    The assignment itself is :func:`deterministic_split`'s
+    hash-threshold rule applied to the CLUSTER LABEL — md5(label:salt)
+    bucket, so membership is decided by the cluster, not the row, and
+    it stays a pure per-row map downstream of the one cluster join (the
+    near-dup clustering is the same banded machinery those operators
+    already pay; fractions hold in expectation over clusters).
+    Fractions summing below 1 leave the remainder's split NULL ("held
+    out"). Returns ``df``'s columns + (cluster_label, split).
+    """
+    from clarite_python_spark.operators import dedup as dedup_mod
+
+    if method == "exact":
+        fp = F.md5(dedup_mod._norm(text_col))
+        w = Window.partitionBy(fp)
+        labeled = df.withColumn("cluster_label", F.min(id_col).over(w))
+    elif method in ("minhash", "simhash"):
+        fn = (
+            dedup_mod.minhash_clusters
+            if method == "minhash"
+            else dedup_mod.simhash_clusters
+        )
+        cl = fn(df, text_col=text_col, id_col=id_col, **kwargs)
+        labeled = df.join(cl, id_col, "left").withColumn(
+            "cluster_label",
+            F.coalesce(F.col("cluster_label"), F.col(id_col)),
+        )
+    else:
+        raise ValueError(
+            f"method must be exact, minhash or simhash, got {method!r}"
+        )
+    return deterministic_split(labeled, splits, id_col="cluster_label", salt=salt)

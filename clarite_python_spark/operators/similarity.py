@@ -38,6 +38,7 @@ __all__ = [
     "semantic_dedup",
     "label_centroids",
     "ann_recall",
+    "embedding_drift",
 ]
 
 
@@ -934,4 +935,72 @@ def ann_recall(
         F.when(
             F.col("n_exact") > 0, F.round(F.col("n_hits") / F.col("n_exact"), 6)
         ).alias("recall"),
+    )
+
+
+def embedding_drift(
+    a: DataFrame,
+    b: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space drift between two corpora — the vector-space
+    twin of ``text.corpus_divergence`` (which compares token
+    distributions): cosine between the two corpus CENTROIDS plus the
+    mean-norm shift, the cheap pair of numbers a training-data pipeline
+    tracks across snapshots/sources to catch encoder or distribution
+    changes before they poison retrieval or curriculum mixing.
+
+    Plan: each side is ONE posexplode + groupBy(dim) mean — the partial
+    agg collapses to d rows per task map-side, so the shuffle carries
+    O(d x partitions) doubles regardless of corpus size — then the two
+    d-row centroid tables join on dim and reduce to one row. Mean norms
+    ride the same scans as row-local ``aggregate`` folds. No UDFs, no
+    driver-side vectors.
+
+    Returns one row: (n_a, n_b, centroid_cosine, mean_norm_a,
+    mean_norm_b, centroid_l2) — centroid_l2 is the euclidean distance
+    between centroids.
+    """
+
+    def centroid(df: DataFrame, side: str) -> DataFrame:
+        v = F.col(vec_col).cast("array<double>")
+        return (
+            df.select(F.posexplode(v).alias("dim", "x"))
+            .groupBy("dim")
+            .agg(F.avg("x").alias(f"c_{side}"))
+        )
+
+    def stats(df: DataFrame, side: str) -> DataFrame:
+        v = F.col(vec_col).cast("array<double>")
+        norm = F.sqrt(
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+        return df.agg(
+            F.count(F.lit(1)).alias(f"n_{side}"),
+            F.avg(norm).alias(f"mean_norm_{side}"),
+        )
+
+    cj = centroid(a, "a").join(centroid(b, "b"), "dim")
+    red = cj.agg(
+        F.sum(F.col("c_a") * F.col("c_b")).alias("__dot"),
+        F.sum(F.col("c_a") * F.col("c_a")).alias("__na"),
+        F.sum(F.col("c_b") * F.col("c_b")).alias("__nb"),
+        F.sum(
+            (F.col("c_a") - F.col("c_b")) * (F.col("c_a") - F.col("c_b"))
+        ).alias("__sq"),
+    )
+    return (
+        stats(a, "a")
+        .crossJoin(stats(b, "b"))
+        .crossJoin(red)
+        .select(
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("__dot") / (F.sqrt("__na") * F.sqrt("__nb")), 6
+            ).alias("centroid_cosine"),
+            F.round("mean_norm_a", 6).alias("mean_norm_a"),
+            F.round("mean_norm_b", 6).alias("mean_norm_b"),
+            F.round(F.sqrt("__sq"), 6).alias("centroid_l2"),
+        )
     )

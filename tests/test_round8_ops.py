@@ -1,0 +1,188 @@
+"""Round-8 operators: attribution, cramers_v, embedding_drift,
+leakage_safe_split — planted-value semantics beyond the oracle gate."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from clarite_python_spark.catalog import ClariteFrame
+from clarite_python_spark.operators.describe import cramers_v
+from clarite_python_spark.operators.events import attribution
+from clarite_python_spark.operators.modify import make_categorical
+from clarite_python_spark.operators.pipeline import leakage_safe_split
+from clarite_python_spark.operators.similarity import embedding_drift
+
+
+def _ts(h, m=0, s=0):
+    return dt.datetime(2024, 1, 1, h, m, s)
+
+
+@pytest.fixture(scope="module")
+def journey(spark):
+    """User 1: click @1h, view @2h, purchase @3h (last=view, first=click);
+    a same-timestamp click with larger id than the purchase (no credit).
+    User 2: purchase with no prior touch. User 3: touch 10 days before
+    purchase (aged out under a 7-day lookback)."""
+    rows = [
+        (1, _ts(1), 1, "click", 1.0, None),
+        (2, _ts(2), 1, "view", 1.0, None),
+        (3, _ts(3), 1, "purchase", 9.0, None),
+        (4, _ts(3), 1, "click", 1.0, None),  # same ts as purchase, larger id
+        (5, _ts(4), 2, "purchase", 5.0, None),
+        (6, dt.datetime(2023, 12, 22, 1), 3, "click", 1.0, None),
+        (7, _ts(6), 3, "purchase", 7.0, None),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_id: long, ts: timestamp, user_id: long, event_type: string,"
+        " value: double, props: string",
+    )
+
+
+def test_attribution_last_touch(journey):
+    got = {
+        r["event_id"]: (r["channel"], r["touch_event_id"])
+        for r in attribution(journey).collect()
+    }
+    assert got == {3: ("view", 2), 5: (None, None), 7: ("click", 6)}
+
+
+def test_attribution_first_touch(journey):
+    got = {
+        r["event_id"]: (r["channel"], r["touch_event_id"])
+        for r in attribution(journey, model="first_touch").collect()
+    }
+    assert got[3] == ("click", 1)
+
+
+def test_attribution_lookback_voids_aged_touch(journey):
+    got = {
+        r["event_id"]: r["channel"]
+        for r in attribution(journey, lookback_seconds=7 * 86400).collect()
+    }
+    # user 3's only touch is 10 days old -> unattributed
+    assert got == {3: "view", 5: None, 7: None}
+
+
+def test_attribution_channel_filter_and_errors(journey):
+    got = {
+        r["event_id"]: r["channel"]
+        for r in attribution(journey, channels=["click"]).collect()
+    }
+    assert got[3] == "click"  # views no longer count as touches
+    with pytest.raises(ValueError, match="model"):
+        attribution(journey, model="linear")
+    with pytest.raises(ValueError, match="channel"):
+        attribution(journey, channels=["purchase", "click"])
+
+
+def test_cramers_v_perfect_and_independent(spark):
+    # x == y -> V = 1; z independent of both (balanced) -> V = 0
+    rows = [("a", "a", c) for c in ("u", "v")] * 10 + [
+        ("b", "b", c) for c in ("u", "v")
+    ] * 10
+    df = spark.createDataFrame(
+        [(i, *r) for i, r in enumerate(rows)],
+        "ID: long, x: string, y: string, z: string",
+    )
+    cf = make_categorical(ClariteFrame(df))
+    got = {
+        (r["var1"], r["var2"]): r["cramers_v"]
+        for r in cramers_v(cf).collect()
+    }
+    assert got[("x", "y")] == pytest.approx(1.0)
+    assert got[("x", "z")] == pytest.approx(0.0, abs=1e-9)
+    assert got[("y", "z")] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_cramers_v_matches_textbook_2x2(spark):
+    # 2x2 table [[10, 20], [30, 5]]: chi2 via closed form == textbook
+    rows = (
+        [("m", "l")] * 10 + [("m", "r")] * 20 + [("f", "l")] * 30 + [("f", "r")] * 5
+    )
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(rows)],
+        "ID: long, g: string, s: string",
+    )
+    cf = make_categorical(ClariteFrame(df))
+    row = cramers_v(cf).collect()[0]
+    n = 65.0
+    # expected counts from margins
+    chi2 = 0.0
+    obs = {("m", "l"): 10, ("m", "r"): 20, ("f", "l"): 30, ("f", "r"): 5}
+    rm = {"m": 30, "f": 35}
+    cm = {"l": 40, "r": 25}
+    for (a, b), o in obs.items():
+        e = rm[a] * cm[b] / n
+        chi2 += (o - e) ** 2 / e
+    assert row["chi2"] == pytest.approx(chi2, rel=1e-6)
+    assert row["cramers_v"] == pytest.approx(math.sqrt(chi2 / n), rel=1e-6)
+    assert row["n"] == 65
+
+
+def test_cramers_v_constant_column_is_null(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", "k") for i in range(10)],
+        "ID: long, x: string, c: string",
+    )
+    cf = make_categorical(ClariteFrame(df))
+    row = cramers_v(cf).collect()[0]
+    assert row["cramers_v"] is None  # min(r, c) = 1 -> undefined, not 0
+
+
+def test_embedding_drift_identical_and_shifted(spark):
+    a = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id: long, embedding: array<float>"
+    )
+    same = embedding_drift(a, a).collect()[0]
+    assert same["centroid_cosine"] == pytest.approx(1.0)
+    assert same["centroid_l2"] == pytest.approx(0.0)
+    assert same["n_a"] == same["n_b"] == 2
+
+    b = spark.createDataFrame(
+        [(3, [-1.0, 0.0]), (4, [0.0, -1.0])], "vec_id: long, embedding: array<float>"
+    )
+    opp = embedding_drift(a, b).collect()[0]
+    assert opp["centroid_cosine"] == pytest.approx(-1.0)
+    assert opp["centroid_l2"] == pytest.approx(math.sqrt(2.0), rel=1e-6)
+    assert opp["mean_norm_a"] == pytest.approx(1.0)
+
+
+def test_leakage_safe_split_clusters_stay_together(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = leakage_safe_split(
+        docs, {"train": 0.6, "val": 0.2, "test": 0.2}, salt="t"
+    )
+    # invariant: one split per cluster label
+    bad = (
+        out.groupBy("cluster_label")
+        .agg(F.countDistinct("split").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+    )
+    assert bad == 0
+    # every row assigned (fractions sum to 1), all rows retained
+    assert out.where(F.col("split").isNull()).count() == 0
+    assert out.count() == docs.count()
+    # near-dups exist in the corpus, so some cluster has >1 member
+    assert (
+        out.groupBy("cluster_label").count().where("count > 1").count() > 0
+    )
+
+
+def test_leakage_safe_split_exact_method(spark):
+    df = spark.createDataFrame(
+        [(1, "same text here"), (2, "same  text here"), (3, "other words")],
+        "doc_id: long, text: string",
+    )
+    out = leakage_safe_split(df, {"train": 0.5, "test": 0.5}, method="exact")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["cluster_label"] == rows[2]["cluster_label"] == 1
+    assert rows[1]["split"] == rows[2]["split"]
+    assert rows[3]["cluster_label"] == 3
+    with pytest.raises(ValueError, match="method"):
+        leakage_safe_split(df, {"train": 1.0}, method="nope")
