@@ -1144,6 +1144,42 @@ def cluster_embeddings_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame
     return similarity.cluster_embeddings(emb, k=8).orderBy("vec_id")
 
 
+def pq_codes_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes (operators/similarity.py:pq_codes,
+    m=4 subspaces x k_sub=8 centroids = 4096 possible codes, 12 bits
+    per vector): per-subspace Euclidean k-means codebooks trained on the
+    deterministic sorted sample, encoding as a pure codegen projection.
+    The oracle unrolls all four subspaces' k-means training at once (a
+    subspace COLUMN in the CTEs, not four CTE chains) and replays the
+    packed code + reconstruction cosine."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_codes(emb, m=4, k_sub=8).orderBy("vec_id")
+
+
+def pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (operators/similarity.py:pq_topk):
+    raw queries scored against 12-bit reconstructions — the 64x-at-rest
+    compression lever for billion-scale ANN. Oracle reconstructs every
+    corpus vector from the replayed codebooks and reranks."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.pq_topk(emb, queries, k=10, m=4, k_sub=8)
+    return out.select(
+        "query_id", "vec_id", "rank", F.round("cosine_pq", 6).alias("cosine_pq")
+    ).orderBy("query_id", "rank")
+
+
+def ann_recall_pq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the 12-bit PQ ranking vs float brute force on the 20
+    md5-deterministic queries — the honest rank-damage number for the
+    most aggressive compression in the family (measured per-corpus, not
+    read off the PAMI curve)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ann_recall(emb, k=10, n_queries=20, method="pq", m=4, k_sub=8)
+
+
 def similarity_rp_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss random-projection top-k
     (operators/similarity.py:rp_topk, 64 -> 16 dims): the model-agnostic
@@ -2132,6 +2168,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_events": attribution_events,
         "cramers_v_documents": cramers_v_documents,
         "embedding_drift_embeddings": embedding_drift_embeddings,
+        "pq_codes_embeddings": pq_codes_embeddings,
+        "pq_topk_embeddings": pq_topk_embeddings,
+        "ann_recall_pq_embeddings": ann_recall_pq_embeddings,
         "line_dedup_documents": line_dedup_documents,
         "perplexity_buckets_documents": perplexity_buckets_documents,
         "weighted_sample_documents": weighted_sample_documents,
@@ -2139,7 +2178,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_contaminated_spans_documents": remove_contaminated_spans_documents,
         "quality_budget_sample_documents": quality_budget_sample_documents,
         "split_leakage_documents": split_leakage_documents,
-        "feature_hash_embed_documents": feature_hash_embed_documents,
         "jaccard_topk_documents": jaccard_topk_documents,
         "epoch_repeat_documents": epoch_repeat_documents,
         "dsir_logweights_documents": dsir_logweights_documents,
@@ -2163,7 +2201,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_split_documents": stratified_split_documents,
         "clip_outliers_lineitem": clip_outliers_lineitem,
         "pmi_collocations_documents": pmi_collocations_documents,
-        "quantize_int8_embeddings": quantize_int8_embeddings,
         "quantized_topk_embeddings": quantized_topk_embeddings,
         "ann_recall_quantized_embeddings": ann_recall_quantized_embeddings,
         "similarity_truncated_embeddings": similarity_truncated_embeddings,
@@ -3263,6 +3300,173 @@ def _cluster_embeddings_oracle() -> str:
                            c.j ASC LIMIT 1) AS cosine
           FROM embeddings e)
         SELECT vec_id, cluster, cosine FROM final ORDER BY vec_id
+    """
+    return "WITH " + ",\n".join(ctes) + ",\n" + final
+
+
+def _pq_ctes(
+    n_rows: int,
+    m: int = 4,
+    k_sub: int = 8,
+    seed: int = 42,
+    iters: int = 10,
+    dim: int = 64,
+) -> list[str]:
+    """Shared CTE prefix replaying operators/similarity.py:_train_pq in
+    DuckDB: per-subspace Euclidean k-means on RAW subvectors (sorted
+    sample = whole gate corpus, seeded init per subspace seed+mi, first
+    argmin assignment, mean update, empty clusters keep the previous
+    centroid via COALESCE). All m subspaces train at once — the
+    subspace id is a COLUMN (``mi``) in every CTE, so the chain is
+    2 CTEs per iteration regardless of m, not m chains. Ends with
+    ``pqrecon`` holding each vector's packed code and concatenated-
+    centroid reconstruction. Corpus-size-specific like _kmeans_ctes
+    (the seeded init indices depend on n rows)."""
+    import numpy as np
+
+    dsub = dim // m
+    init = []
+    for mi in range(m):
+        idxs = np.random.RandomState(seed + mi).choice(
+            n_rows, size=min(k_sub, n_rows), replace=False
+        )
+        init += [f"({mi}, {j}, {int(ci)})" for j, ci in enumerate(idxs)]
+    vals = ", ".join(init)
+    ctes = [
+        f"""sub AS MATERIALIZED (
+          SELECT vec_id, idx, mi, (v)[(mi*{dsub}+1):((mi+1)*{dsub})] AS s
+          FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS idx,
+                       embedding::DOUBLE[] AS v FROM embeddings),
+               (SELECT unnest(range({m})) AS mi))""",
+        f"""pc0 AS MATERIALIZED (
+          SELECT t.mi, t.j, sub.s AS v FROM sub
+          JOIN (VALUES {vals}) t(mi, j, ci)
+            ON sub.mi = t.mi AND sub.idx = t.ci)""",
+    ]
+    for kk in range(1, iters + 1):
+        ctes.append(f"""pa{kk} AS MATERIALIZED (
+          SELECT vec_id, mi, s, j FROM (
+            SELECT sub.vec_id, sub.mi, sub.s, c.j,
+                   row_number() OVER (PARTITION BY sub.vec_id, sub.mi
+                     ORDER BY list_dot_product(c.v, c.v)
+                              - 2 * list_dot_product(sub.s, c.v) ASC,
+                              c.j ASC) AS rn
+            FROM sub JOIN pc{kk - 1} c ON c.mi = sub.mi) WHERE rn = 1)""")
+        ctes.append(f"""pc{kk} AS MATERIALIZED (
+          SELECT p.mi, p.j, COALESCE(n.v, p.v) AS v
+          FROM pc{kk - 1} p LEFT JOIN (
+            SELECT mi, j, list(mval ORDER BY d) AS v FROM (
+              SELECT mi, j, d, avg(val) AS mval FROM (
+                SELECT a.mi, a.j, unnest(a.s) AS val,
+                       unnest(range(len(a.s))) AS d FROM pa{kk} a)
+              GROUP BY mi, j, d)
+            GROUP BY mi, j) n ON n.mi = p.mi AND n.j = p.j)""")
+    ctes.append(f"""pqcode AS MATERIALIZED (
+      SELECT vec_id, mi, j AS code FROM (
+        SELECT sub.vec_id, sub.mi, c.j,
+               row_number() OVER (PARTITION BY sub.vec_id, sub.mi
+                 ORDER BY list_dot_product(sub.s, c.v)
+                          - 0.5 * list_dot_product(c.v, c.v) DESC,
+                          c.j ASC) AS rn
+        FROM sub JOIN pc{iters} c ON c.mi = sub.mi) WHERE rn = 1)""")
+    ctes.append(f"""pqrecon AS MATERIALIZED (
+      SELECT pqcode.vec_id,
+             flatten(list(c.v ORDER BY pqcode.mi)) AS r,
+             CAST(sum(pqcode.code
+                      * CAST(power({k_sub}, pqcode.mi) AS BIGINT)) AS BIGINT)
+               AS pq_code
+      FROM pqcode JOIN pc{iters} c
+        ON c.mi = pqcode.mi AND c.j = pqcode.code
+      GROUP BY pqcode.vec_id)""")
+    return ctes
+
+
+def _pq_codes_oracle() -> str:
+    """DuckDB twin of pq_codes_embeddings (m=4, k_sub=8): the shared PQ
+    training prefix, then each vector's packed base-8 code and cosine
+    to its codebook reconstruction."""
+    ctes = _pq_ctes(n_rows=_oracle_embed_rows())
+    final = """
+        SELECT e.vec_id, r.pq_code,
+               round(list_dot_product(e.embedding::DOUBLE[], r.r)
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(r.r, r.r))), 6) AS recon_cosine
+        FROM embeddings e JOIN pqrecon r ON r.vec_id = e.vec_id
+        ORDER BY e.vec_id
+    """
+    return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
+def _pq_topk_oracle() -> str:
+    """DuckDB twin of pq_topk_embeddings: raw queries (vec_id < 5)
+    cosine-ranked against every corpus vector's PQ reconstruction,
+    ties by corpus id."""
+    ctes = _pq_ctes(n_rows=_oracle_embed_rows())
+    final = """
+        q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 5),
+        scored AS (
+          SELECT q.query_id, r.vec_id,
+                 list_dot_product(r.r, q.qv)
+                   / (sqrt(list_dot_product(r.r, r.r))
+                      * sqrt(list_dot_product(q.qv, q.qv))) AS c
+          FROM pqrecon r CROSS JOIN q),
+        ranked AS (
+          SELECT query_id, vec_id, c,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY c DESC, vec_id ASC) AS INT) AS rank
+          FROM scored)
+        SELECT query_id, vec_id, rank, round(c, 6) AS cosine_pq
+        FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+    """
+    return "WITH " + ",\n".join(ctes) + ",\n" + final
+
+
+def _ann_recall_pq_oracle() -> str:
+    """DuckDB twin of ann_recall(k=10, n_queries=20, method='pq', m=4,
+    k_sub=8): md5-keyed query sampling, float brute-force exact top-10,
+    PQ-reconstruction top-10, intersection counts."""
+    ctes = _pq_ctes(n_rows=_oracle_embed_rows())
+    key = _md5_key("vec_id", "annrecall")
+    final = f"""
+        q AS (
+          SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qv
+          FROM embeddings e
+          JOIN (SELECT vec_id, {key} AS kq FROM embeddings) kk
+            ON kk.vec_id = e.vec_id
+          ORDER BY kk.kq, e.vec_id LIMIT 20),
+        exact AS (
+          SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e.vec_id,
+                   row_number() OVER (PARTITION BY q.query_id ORDER BY
+                     list_dot_product(e.embedding::DOUBLE[], q.qv)
+                       / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                     e.vec_id ASC) AS rnk
+            FROM embeddings e CROSS JOIN q
+          ) WHERE rnk <= 10),
+        approx AS (
+          SELECT query_id, vec_id FROM (
+            SELECT q.query_id, r.vec_id,
+                   row_number() OVER (PARTITION BY q.query_id ORDER BY
+                     list_dot_product(r.r, q.qv)
+                       / (sqrt(list_dot_product(r.r, r.r))
+                          * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                     r.vec_id ASC) AS rnk
+            FROM pqrecon r CROSS JOIN q
+          ) WHERE rnk <= 10),
+        hits AS (
+          SELECT exact.query_id, exact.vec_id FROM exact
+          JOIN approx ON approx.query_id = exact.query_id
+                     AND approx.vec_id = exact.vec_id)
+        SELECT (SELECT count(*) FROM q) AS n_queries,
+               CAST(10 AS INT) AS k,
+               (SELECT count(*) FROM exact) AS n_exact,
+               (SELECT count(*) FROM approx) AS n_approx,
+               (SELECT count(*) FROM hits) AS n_hits,
+               CASE WHEN (SELECT count(*) FROM exact) > 0
+                    THEN round((SELECT count(*) FROM hits) * 1.0
+                               / (SELECT count(*) FROM exact), 6) END AS recall
     """
     return "WITH " + ",\n".join(ctes) + ",\n" + final
 
@@ -4479,6 +4683,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "similarity_ivf_probe_embeddings": _ivf_probe_oracle(),
         "cluster_embeddings_embeddings": _cluster_embeddings_oracle(),
+        "pq_codes_embeddings": _pq_codes_oracle(),
+        "pq_topk_embeddings": _pq_topk_oracle(),
+        "ann_recall_pq_embeddings": _ann_recall_pq_oracle(),
         "semantic_dedup_embeddings": _semantic_dedup_oracle(),
         "multimodal_features_documents": _multimodal_features_oracle(),
         "simhash_md5_documents": r"""
