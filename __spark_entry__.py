@@ -1180,6 +1180,35 @@ def ann_recall_pq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_recall(emb, k=10, n_queries=20, method="pq", m=4, k_sub=8)
 
 
+def ivf_pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse pruning + PQ compressed scoring
+    (operators/similarity.py:ivf_pq_topk, n_lists=8/n_probe=4, m=4/
+    k_sub=8) — the IVFADC composition: probe join cuts the scanned
+    fraction, reconstructions cut bytes per row. Oracle chains BOTH
+    training replays (spherical coarse k-means + per-subspace PQ
+    k-means) and reranks probed candidates."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ivf_pq_topk(
+        emb, queries, k=10, n_lists=8, n_probe=4, m=4, k_sub=8
+    )
+    return out.select(
+        "query_id", "vec_id", "rank", F.round("cosine_pq", 6).alias("cosine_pq")
+    ).orderBy("query_id", "rank")
+
+
+def ann_recall_ivf_pq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the composed IVF+PQ ranking vs float brute force on
+    the 20 md5-deterministic queries — the number that prices the double
+    approximation (probe pruning x 12-bit codes) on THIS corpus."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ann_recall(
+        emb, k=10, n_queries=20, method="ivf_pq", n_lists=8, n_probe=4, m=4, k_sub=8
+    )
+
+
 def similarity_rp_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss random-projection top-k
     (operators/similarity.py:rp_topk, 64 -> 16 dims): the model-agnostic
@@ -2171,6 +2200,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes_embeddings": pq_codes_embeddings,
         "pq_topk_embeddings": pq_topk_embeddings,
         "ann_recall_pq_embeddings": ann_recall_pq_embeddings,
+        "ivf_pq_topk_embeddings": ivf_pq_topk_embeddings,
+        "ann_recall_ivf_pq_embeddings": ann_recall_ivf_pq_embeddings,
         "line_dedup_documents": line_dedup_documents,
         "perplexity_buckets_documents": perplexity_buckets_documents,
         "weighted_sample_documents": weighted_sample_documents,
@@ -3471,6 +3502,110 @@ def _ann_recall_pq_oracle() -> str:
     return "WITH " + ",\n".join(ctes) + ",\n" + final
 
 
+def _ivf_pq_topk_oracle() -> str:
+    """DuckDB twin of ivf_pq_topk_embeddings: the spherical-k-means
+    prefix (coarse lists, c10) AND the PQ prefix (pqrecon) chained —
+    the two CTE families share only the base table, so concatenation is
+    safe — then list assignment, per-query top-4 probes (ties: higher
+    centroid id, matching reverse(array_sort)), and cosine reranking of
+    probed candidates against reconstructions."""
+    ctes = _kmeans_ctes(n_rows=_oracle_embed_rows()) + _pq_ctes(
+        n_rows=_oracle_embed_rows()
+    )
+    final = """
+        corp AS MATERIALIZED (
+          SELECT e.vec_id, r.r AS recon,
+                 (SELECT c.j FROM c10 c
+                  ORDER BY list_dot_product(e.embedding::DOUBLE[], c.v) DESC,
+                           c.j ASC LIMIT 1) AS lst
+          FROM embeddings e JOIN pqrecon r ON r.vec_id = e.vec_id),
+        probes AS MATERIALIZED (
+          SELECT q.vec_id AS query_id, q.embedding::DOUBLE[] AS qvec, c.j AS lst,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.embedding::DOUBLE[], c.v) DESC,
+                            c.j DESC) AS pr
+          FROM embeddings q, c10 c WHERE q.vec_id < 5),
+        scored AS (
+          SELECT p.query_id, co.vec_id,
+                 list_dot_product(co.recon, p.qvec)
+                   / (sqrt(list_dot_product(co.recon, co.recon))
+                      * sqrt(list_dot_product(p.qvec, p.qvec))) AS c
+          FROM (SELECT * FROM probes WHERE pr <= 4) p
+          JOIN corp co ON co.lst = p.lst),
+        ranked AS (
+          SELECT query_id, vec_id, c,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY c DESC, vec_id ASC) AS INT) AS rank
+          FROM scored)
+        SELECT query_id, vec_id, rank, round(c, 6) AS cosine_pq
+        FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+    """
+    return "WITH " + ",\n".join(ctes) + ",\n" + final
+
+
+def _ann_recall_ivf_pq_oracle() -> str:
+    """DuckDB twin of ann_recall(k=10, n_queries=20, method='ivf_pq'):
+    md5-keyed query sampling, float brute-force exact top-10, the
+    probe-pruned PQ-reconstruction top-10, intersection counts."""
+    ctes = _kmeans_ctes(n_rows=_oracle_embed_rows()) + _pq_ctes(
+        n_rows=_oracle_embed_rows()
+    )
+    key = _md5_key("vec_id", "annrecall")
+    final = f"""
+        corp AS MATERIALIZED (
+          SELECT e.vec_id, r.r AS recon,
+                 (SELECT c.j FROM c10 c
+                  ORDER BY list_dot_product(e.embedding::DOUBLE[], c.v) DESC,
+                           c.j ASC LIMIT 1) AS lst
+          FROM embeddings e JOIN pqrecon r ON r.vec_id = e.vec_id),
+        q AS (
+          SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qv
+          FROM embeddings e
+          JOIN (SELECT vec_id, {key} AS kq FROM embeddings) kk
+            ON kk.vec_id = e.vec_id
+          ORDER BY kk.kq, e.vec_id LIMIT 20),
+        probes AS MATERIALIZED (
+          SELECT q.query_id, q.qv, c.j AS lst,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY list_dot_product(q.qv, c.v) DESC, c.j DESC) AS pr
+          FROM q, c10 c),
+        exact AS (
+          SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e.vec_id,
+                   row_number() OVER (PARTITION BY q.query_id ORDER BY
+                     list_dot_product(e.embedding::DOUBLE[], q.qv)
+                       / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                     e.vec_id ASC) AS rnk
+            FROM embeddings e CROSS JOIN q
+          ) WHERE rnk <= 10),
+        approx AS (
+          SELECT query_id, vec_id FROM (
+            SELECT p.query_id, co.vec_id,
+                   row_number() OVER (PARTITION BY p.query_id ORDER BY
+                     list_dot_product(co.recon, p.qv)
+                       / (sqrt(list_dot_product(co.recon, co.recon))
+                          * sqrt(list_dot_product(p.qv, p.qv))) DESC,
+                     co.vec_id ASC) AS rnk
+            FROM (SELECT * FROM probes WHERE pr <= 4) p
+            JOIN corp co ON co.lst = p.lst
+          ) WHERE rnk <= 10),
+        hits AS (
+          SELECT exact.query_id, exact.vec_id FROM exact
+          JOIN approx ON approx.query_id = exact.query_id
+                     AND approx.vec_id = exact.vec_id)
+        SELECT (SELECT count(*) FROM q) AS n_queries,
+               CAST(10 AS INT) AS k,
+               (SELECT count(*) FROM exact) AS n_exact,
+               (SELECT count(*) FROM approx) AS n_approx,
+               (SELECT count(*) FROM hits) AS n_hits,
+               CASE WHEN (SELECT count(*) FROM exact) > 0
+                    THEN round((SELECT count(*) FROM hits) * 1.0
+                               / (SELECT count(*) FROM exact), 6) END AS recall
+    """
+    return "WITH " + ",\n".join(ctes) + ",\n" + final
+
+
 def _ivf_probe_oracle() -> str:
     """DuckDB twin of similarity_ivf_probe_embeddings — the ENTIRE IVF
     path including quantizer training: spherical k-means (10 iterations,
@@ -4686,6 +4821,8 @@ def oracle_sql() -> dict[str, str]:
         "pq_codes_embeddings": _pq_codes_oracle(),
         "pq_topk_embeddings": _pq_topk_oracle(),
         "ann_recall_pq_embeddings": _ann_recall_pq_oracle(),
+        "ivf_pq_topk_embeddings": _ivf_pq_topk_oracle(),
+        "ann_recall_ivf_pq_embeddings": _ann_recall_ivf_pq_oracle(),
         "semantic_dedup_embeddings": _semantic_dedup_oracle(),
         "multimodal_features_documents": _multimodal_features_oracle(),
         "simhash_md5_documents": r"""

