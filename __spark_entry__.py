@@ -2148,16 +2148,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries of this dict (CORRECTNESS_r04-r07 key lists are literal
     # prefixes). Rounds 1-6 validated the original head-50; round 7
     # validated its rotated head-50 (48 green + the two array-output
-    # harness errors). Round 8 rotates the LAST 32 never-driver-sampled
-    # entries (winnowing, chunking, asof/interval joins, pipeline
-    # splits/packing/redaction, tfidf/bigram/classifier, span removal,
-    # overlap, percentiles, the three recall harnesses, the funnel
-    # family, retention) to the head, immediately followed by the two
-    # re-projected array queries (now scalar CSV columns) so the driver
-    # proves the round-8 fix; new round-8 registrations also sit inside
-    # the window. After this round every registry family has been
-    # driver-proven at least once. The local full gate
-    # (scripts/check_correctness.py) always runs ALL entries.
+    # harness errors). Round 8 rotated the last 32 never-driver-sampled
+    # entries to the head followed by the two re-projected array queries
+    # and the four round-8 registrations — but round 8 ended before a
+    # driver gate ran, so THAT window (positions 1-38) is still the
+    # must-prove set this round. Round 9 keeps it intact and appends its
+    # own new registrations (PQ / IVF-PQ and later r9 ops) at positions
+    # 39+, inside the window; the tail of the head-50 is r7-proven
+    # filler. The local full gate (scripts/check_correctness.py) always
+    # runs ALL entries.
     return {
         "winnow_fingerprints_documents": winnow_fingerprints_documents,
         "winnow_fingerprints_xxh_documents": winnow_fingerprints_xxh_documents,
