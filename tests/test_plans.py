@@ -441,3 +441,39 @@ def test_round7_session3_operators_plan_shapes(spark):
     # no SortMergeJoin/BroadcastHashJoin anywhere in its plan
     cand = plans["simhash_candidates"]._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in cand and "BroadcastHashJoin" not in cand
+
+
+def test_round9_pq_plan_shapes(spark):
+    """PQ encoding must be a zero-exchange codegen projection (codebooks
+    inline as literals — no shuffle, no Python, no join); pq_topk /
+    ivf_pq_topk must broadcast the query side and never fall back to a
+    cartesian/nested-loop product; ivf_pq_topk's pruning structure is a
+    BroadcastHashJoin on the list id."""
+    from pyspark.sql import functions as F
+
+    from clarite_python_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    codes = similarity.pq_codes(emb, m=4, k_sub=8)
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    for bad in ("Exchange", "BatchEvalPython", "ArrowEvalPython", "Join"):
+        assert bad not in plan, bad
+
+    for name, df in {
+        "pq_topk": similarity.pq_topk(emb, q, k=5, m=4, k_sub=8),
+        "ivf_pq_topk": similarity.ivf_pq_topk(
+            emb, q, k=5, n_lists=8, n_probe=2, m=4, k_sub=8
+        ),
+    }.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+    ivf_plan = (
+        similarity.ivf_pq_topk(emb, q, k=5, n_lists=8, n_probe=2, m=4, k_sub=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in ivf_plan
