@@ -1874,6 +1874,17 @@ def temperature_mixture_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.select("doc_id", "source", "rate_buckets").orderBy("doc_id")
 
 
+def mixture_report_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix planning report (pipeline.mixture_report, 1M-token
+    budget, tau=0.7, max_epochs=2): per-source token mass, temperature
+    weight, floor-allocated tokens, effective epochs, and the
+    epoch-cap's budget shortfall. The oracle replays the closed-form
+    arithmetic (power/floor/least) over the same whitespace token
+    counts."""
+    docs = _t(spark, sf_dir, "documents")
+    return pipeline.mixture_report(docs, 1_000_000, tau=0.7, max_epochs=2.0)
+
+
 def tfidf_top_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per document by smoothed tf-idf
     (text.tfidf_top_terms), deterministic tie-break."""
@@ -2201,6 +2212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_pq_embeddings": ann_recall_pq_embeddings,
         "ivf_pq_topk_embeddings": ivf_pq_topk_embeddings,
         "ann_recall_ivf_pq_embeddings": ann_recall_ivf_pq_embeddings,
+        "mixture_report_documents": mixture_report_documents,
         "line_dedup_documents": line_dedup_documents,
         "perplexity_buckets_documents": perplexity_buckets_documents,
         "weighted_sample_documents": weighted_sample_documents,
@@ -5822,6 +5834,30 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN r USING (source)
             WHERE {_md5_bucket("doc_id", "tmix")} < r.rate_buckets
             ORDER BY doc_id
+        """,
+        "mixture_report_documents": f"""
+            WITH c AS (
+              SELECT source, count(*) AS n_docs,
+                     CAST(sum(len({_TOKENS})) AS BIGINT) AS available_tokens
+              FROM documents GROUP BY source
+            ), t AS (
+              SELECT sum(pow(available_tokens, 0.7)) AS z FROM c
+            ), r AS (
+              SELECT c.source, c.n_docs, c.available_tokens,
+                     pow(c.available_tokens, 0.7) / t.z AS w,
+                     CAST(floor(pow(c.available_tokens, 0.7) / t.z
+                                * 1000000.0) AS BIGINT) AS sampled_tokens
+              FROM c, t
+            )
+            SELECT source, n_docs, available_tokens,
+                   round(w, 6) AS weight,
+                   sampled_tokens,
+                   round(sampled_tokens / available_tokens, 6) AS effective_epochs,
+                   least(sampled_tokens,
+                         CAST(floor(2.0 * available_tokens) AS BIGINT)) AS capped_tokens,
+                   sampled_tokens - least(sampled_tokens,
+                         CAST(floor(2.0 * available_tokens) AS BIGINT)) AS lost_tokens
+            FROM r ORDER BY source
         """,
         "tfidf_top_terms_documents": f"""
             WITH exf AS (

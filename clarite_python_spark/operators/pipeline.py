@@ -40,6 +40,7 @@ __all__ = [
     "weighted_sample",
     "shard_by_tokens",
     "split_leakage",
+    "mixture_report",
 ]
 
 #: number of hash buckets fractions are quantized to: fraction 0.8123
@@ -1113,3 +1114,73 @@ def leakage_safe_split(
             f"method must be exact, minhash or simhash, got {method!r}"
         )
     return deterministic_split(labeled, splits, id_col="cluster_label", salt=salt)
+
+
+def mixture_report(
+    df: DataFrame,
+    budget_tokens: int,
+    tau: float = 1.0,
+    by: str = "source",
+    text_col: str = "text",
+    token_col: str | None = None,
+    max_epochs: float | None = None,
+) -> DataFrame:
+    """Plan a training mixture BEFORE sampling it: given a token budget
+    and a temperature, report per ``by`` group the available token mass,
+    the temperature-scaled mixture weight w_s = t_s^tau / sum(t_s^tau)
+    (over token shares, not doc counts), the sampled token allocation
+    floor(w_s * budget), and the implied ``effective_epochs`` =
+    sampled/available — the number that catches "this mixture reuses
+    the small source 14 times" before any data moves. With
+    ``max_epochs`` set, also reports the epoch-capped allocation and the
+    budget shortfall (``lost_tokens``) the cap creates — the planning
+    loop's feedback value for re-tempering.
+
+    This is the read-only twin of :func:`temperature_mixture` (which
+    thins rows): report first, sample after the numbers look right.
+
+    Plan: one map-side-combined (count, sum-tokens) agg over the group
+    key, a 1-row broadcast crossJoin for the normalizer — O(#groups)
+    rows ever shuffle, the corpus is scanned once projection-only.
+    Linear at 100 TB by construction.
+    """
+    from clarite_python_spark.operators.text import token_count
+
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    if tau < 0:
+        raise ValueError("tau must be >= 0")
+    if max_epochs is not None and max_epochs <= 0:
+        raise ValueError("max_epochs must be positive")
+    toks = F.col(token_col) if token_col else token_count(text_col)
+    counts = (
+        df.groupBy(by)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(toks).cast("bigint").alias("available_tokens"),
+        )
+        .alias("c")
+    )
+    tot = counts.agg(
+        F.sum(F.pow(F.col("available_tokens"), F.lit(float(tau)))).alias("__Z")
+    ).alias("t")
+    w = F.pow(F.col("c.available_tokens"), F.lit(float(tau))) / F.col("t.__Z")
+    sampled = F.floor(w * F.lit(float(budget_tokens))).cast("bigint")
+    out = counts.crossJoin(F.broadcast(tot)).select(
+        F.col(f"c.{by}"),
+        F.col("n_docs"),
+        F.col("c.available_tokens").alias("available_tokens"),
+        F.round(w, 6).alias("weight"),
+        sampled.alias("sampled_tokens"),
+        F.round(sampled / F.col("c.available_tokens"), 6).alias("effective_epochs"),
+    )
+    if max_epochs is not None:
+        cap = F.floor(
+            F.lit(float(max_epochs)) * F.col("available_tokens")
+        ).cast("bigint")
+        out = out.withColumn(
+            "capped_tokens", F.least(F.col("sampled_tokens"), cap)
+        ).withColumn(
+            "lost_tokens", F.col("sampled_tokens") - F.col("capped_tokens")
+        )
+    return out.orderBy(by)

@@ -1264,3 +1264,73 @@ def test_normalize_text_rules(spark):
     once = text.normalize_text(df).collect()[0]["text"]
     twice = text.normalize_text(text.normalize_text(df)).collect()[0]["text"]
     assert once == twice
+
+
+# ---------------------------------------------------------------- round 9
+
+
+def test_mixture_report_numpy_parity(docs):
+    """Exact replay of the mixture math in numpy over collected counts."""
+    import numpy as np
+
+    from clarite_python_spark.operators.text import token_count
+
+    base = (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(token_count("text")).alias("tok"),
+        )
+        .collect()
+    )
+    tok = {r["source"]: r["tok"] for r in base}
+    nd = {r["source"]: r["n"] for r in base}
+    tau, budget, cap = 0.7, 1_000_000, 2.0
+    z = sum(t**tau for t in tok.values())
+    got = {
+        r["source"]: r
+        for r in pipeline.mixture_report(
+            docs, budget, tau=tau, max_epochs=cap
+        ).collect()
+    }
+    assert set(got) == set(tok)
+    for s, r in got.items():
+        w = tok[s] ** tau / z
+        sampled = int(np.floor(w * budget))
+        assert r["n_docs"] == nd[s]
+        assert r["available_tokens"] == tok[s]
+        assert abs(r["weight"] - round(w, 6)) < 2e-6
+        assert r["sampled_tokens"] == sampled
+        assert abs(r["effective_epochs"] - round(sampled / tok[s], 6)) < 2e-6
+        capped = min(sampled, int(np.floor(cap * tok[s])))
+        assert r["capped_tokens"] == capped
+        assert r["lost_tokens"] == sampled - capped
+
+
+def test_mixture_report_weights_sum_to_one(docs):
+    rows = pipeline.mixture_report(docs, 500_000, tau=1.0).collect()
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-4
+    # tau=1: weight == token share, so sampled tokens ~ budget
+    assert sum(r["sampled_tokens"] for r in rows) <= 500_000
+
+
+def test_mixture_report_tau_zero_uniform(docs):
+    rows = pipeline.mixture_report(docs, 100_000, tau=0.0).collect()
+    ws = {r["weight"] for r in rows}
+    assert len(ws) == 1  # uniform over sources regardless of size
+
+
+def test_mixture_report_no_cap_columns_without_max_epochs(docs):
+    cols = pipeline.mixture_report(docs, 100_000).columns
+    assert "capped_tokens" not in cols and "lost_tokens" not in cols
+
+
+def test_mixture_report_validation(docs):
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        pipeline.mixture_report(docs, 0)
+    with _pt.raises(ValueError):
+        pipeline.mixture_report(docs, 10, tau=-1)
+    with _pt.raises(ValueError):
+        pipeline.mixture_report(docs, 10, max_epochs=0)
