@@ -602,7 +602,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("output")
     p.add_argument(
         "--method",
-        choices=["lsh", "lsh_multi", "ivf", "quantized", "truncated", "rp"],
+        choices=[
+            "lsh", "lsh_multi", "ivf", "quantized", "truncated", "rp",
+            "pq", "ivf_pq",
+        ],
         default="lsh_multi",
     )
     p.add_argument("--k", type=int, default=10)
@@ -612,8 +615,26 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n-lists", type=int, default=8)
     p.add_argument("--n-probe", type=int, default=4)
     p.add_argument("--dim", type=int, default=16, help="truncated/rp output dim")
+    p.add_argument("--m", type=int, default=8, help="pq subspaces")
+    p.add_argument("--k-sub", type=int, default=16, help="pq centroids/subspace")
     p.add_argument("--id-col", default="vec_id")
     p.add_argument("--vec-col", default="embedding")
+
+    p = g_pipe.add_parser("pq-encode")
+    p.add_argument("data", help="embeddings parquet")
+    p.add_argument("output")
+    p.add_argument("--m", type=int, default=8)
+    p.add_argument("--k-sub", type=int, default=16)
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--vec-col", default="embedding")
+
+    p = g_pipe.add_parser("mixture-report")
+    p.add_argument("data", help="documents parquet")
+    p.add_argument("output")
+    p.add_argument("--budget-tokens", type=int, required=True)
+    p.add_argument("--tau", type=float, default=1.0)
+    p.add_argument("--by", default="source")
+    p.add_argument("--max-epochs", type=float, default=None)
 
     p = g_pipe.add_parser("cluster")
     p.add_argument("data", help="embeddings parquet")
@@ -1127,6 +1148,14 @@ def main(argv: list[str] | None = None) -> int:
                 kw["dim"] = args.dim
             elif args.method == "rp":
                 kw["out_dim"] = args.dim
+            elif args.method == "pq":
+                kw["m"] = args.m
+                kw["k_sub"] = args.k_sub
+            elif args.method == "ivf_pq":
+                kw["m"] = args.m
+                kw["k_sub"] = args.k_sub
+                kw["n_lists"] = args.n_lists
+                kw["n_probe"] = args.n_probe
             out = sim_mod.ann_recall(
                 df,
                 k=args.k,
@@ -1141,6 +1170,24 @@ def main(argv: list[str] | None = None) -> int:
 
             out = sim_mod.cluster_embeddings(
                 df, k=args.k, id_col=args.id_col, vec_col=args.vec_col
+            )
+        elif args.command == "pq-encode":
+            from clarite_python_spark.operators import similarity as sim_mod
+
+            out = sim_mod.pq_codes(
+                df,
+                m=args.m,
+                k_sub=args.k_sub,
+                id_col=args.id_col,
+                vec_col=args.vec_col,
+            )
+        elif args.command == "mixture-report":
+            out = pipe_mod.mixture_report(
+                df,
+                args.budget_tokens,
+                tau=args.tau,
+                by=args.by,
+                max_epochs=args.max_epochs,
             )
         elif args.command == "ivf-tune":
             from clarite_python_spark.operators import similarity as sim_mod

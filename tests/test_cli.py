@@ -626,3 +626,37 @@ def test_cli_dedup_keep_policy_flags(spark, tmp_path):
     # --transitive on exact is a loud error, not a silent ignore
     with pytest.raises(ValueError, match="transitive"):
         cli.main(["pipeline", "dedup", src, f"{d}/bad", "--transitive"])
+
+
+def test_cli_round9_pq_and_mixture(spark, tmp_path):
+    """pipeline pq-encode / mixture-report / ann-recall --method pq and
+    ivf_pq front ends."""
+    d = str(tmp_path)
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    docs = "/root/testdata/sf0.001/documents.parquet"
+
+    assert cli.main(
+        ["pipeline", "pq-encode", emb, f"{d}/pq", "--m", "4", "--k-sub", "8"]
+    ) == 0
+    out = spark.read.parquet(f"{d}/pq")
+    assert set(out.columns) == {"vec_id", "pq_code", "recon_cosine"}
+    assert out.count() == spark.read.parquet(emb).count()
+
+    assert cli.main(
+        [
+            "pipeline", "mixture-report", docs, f"{d}/mix",
+            "--budget-tokens", "100000", "--tau", "0.5", "--max-epochs", "2",
+        ]
+    ) == 0
+    mix = spark.read.parquet(f"{d}/mix")
+    assert "effective_epochs" in mix.columns and "lost_tokens" in mix.columns
+
+    assert cli.main(
+        [
+            "pipeline", "ann-recall", emb, f"{d}/rec",
+            "--method", "ivf_pq", "--m", "4", "--k-sub", "8",
+            "--n-lists", "8", "--n-probe", "4", "--n-queries", "5",
+        ]
+    ) == 0
+    r = spark.read.parquet(f"{d}/rec").first()
+    assert 0.0 <= r["recall"] <= 1.0
