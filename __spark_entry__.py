@@ -1503,6 +1503,32 @@ def ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def containment_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment over all (id_a < id_b) pairs at
+    threshold 0.25 (operators/dedup.py:containment_pairs) — the
+    doc-in-doc detector Jaccard misses. All-pairs candidates over the
+    first 1,000 ids make the result oracle-checkable at every sf (the
+    whole corpus at sf0.01; a 500k-pair slice at sf0.1 — the unbounded
+    12.5M-pair form is exactly what the operator's candidate-source
+    contract says not to do); at scale the verify kernel is fed by
+    rare-gram-collision candidates instead."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    ids = docs.select("doc_id")
+    cands = (
+        ids.select(F.col("doc_id").alias("id_a"))
+        .join(ids.select(F.col("doc_id").alias("id_b")), F.col("id_a") < F.col("id_b"))
+        .repartition(32)
+    )
+    out = dedup.containment_pairs(docs, cands, shingle_n=3, threshold=0.25)
+    return out.select(
+        "id_a",
+        "id_b",
+        F.round("containment_a_in_b", 6).alias("containment_a_in_b"),
+        F.round("containment_b_in_a", 6).alias("containment_b_in_a"),
+        F.round("containment", 6).alias("containment"),
+    ).orderBy("id_a", "id_b")
+
+
 def embedding_neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact all-pairs baseline at
     threshold 0.45; ``n_planes>0`` in the operator is the LSH-blocked
@@ -2213,6 +2239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_topk_embeddings": ivf_pq_topk_embeddings,
         "ann_recall_ivf_pq_embeddings": ann_recall_ivf_pq_embeddings,
         "mixture_report_documents": mixture_report_documents,
+        "containment_pairs_documents": containment_pairs_documents,
         "line_dedup_documents": line_dedup_documents,
         "perplexity_buckets_documents": perplexity_buckets_documents,
         "weighted_sample_documents": weighted_sample_documents,
@@ -5608,6 +5635,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, round(jaccard, 6) AS jaccard
             FROM scored WHERE jaccard >= 0.2 ORDER BY id_a, id_b
+        """,
+        "containment_pairs_documents": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKENS} AS toks FROM documents
+              WHERE doc_id < 1000
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 3
+                          THEN list_distinct(list_transform(
+                                 generate_series(1, len(toks) - 2),
+                                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+                          ELSE [array_to_string(toks, ' ')] END AS sh
+              FROM t
+            ), scored AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     len(list_intersect(a.sh, b.sh)) * 1.0
+                       / greatest(len(a.sh), 1) AS c_ab,
+                     len(list_intersect(a.sh, b.sh)) * 1.0
+                       / greatest(len(b.sh), 1) AS c_ba
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b,
+                   round(c_ab, 6) AS containment_a_in_b,
+                   round(c_ba, 6) AS containment_b_in_a,
+                   round(greatest(c_ab, c_ba), 6) AS containment
+            FROM scored WHERE greatest(c_ab, c_ba) >= 0.25
+            ORDER BY id_a, id_b
         """,
         "embedding_neardup_embeddings": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -49,6 +49,7 @@ __all__ = [
     "simhash_fingerprints",
     "incremental_simhash_dedup",
     "ngram_jaccard_pairs",
+    "containment_pairs",
     "jaccard_topk",
     "lsh_recall",
 ]
@@ -1129,6 +1130,71 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return scored.where(F.col("jaccard") >= threshold)
+
+
+def containment_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    hash_shingles: bool = False,
+) -> DataFrame:
+    """Verify candidate pairs with exact ASYMMETRIC n-gram containment:
+    C(A|B) = |A \u2229 B| / |A| \u2014 the doc-in-doc detector Jaccard misses. A
+    500-word quote embedded in a 50k-word page scores Jaccard ~0.01
+    (invisible to ``ngram_jaccard_pairs`` at any sane threshold) but
+    containment ~1.0 from the quote's side; this is the RefinedWeb/Lee
+    et al. motivation for substring-level dedup, expressed at document
+    granularity. Returns both directions plus the symmetric max:
+    (id_a, id_b, containment_a_in_b, containment_b_in_a, containment),
+    kept where the max clears ``threshold``.
+
+    Same verify-kernel shape as :func:`ngram_jaccard_pairs` (semi-join
+    the corpus to candidate ids first, one pair join, JVM set
+    arithmetic; ``hash_shingles`` carries 8-byte longs), and the same
+    candidate-source contract: feed it banded MinHash candidates for
+    same-size near-dups, or fingerprint/gram-collision candidates
+    (``source_overlap``'s construction) when the asymmetric case
+    matters \u2014 banding recall follows JACCARD, so a tiny-in-huge pair
+    can miss banding even though its containment is 1.0; at 100 TB
+    generate containment candidates from shared rare-gram collisions,
+    not MinHash bands.
+    """
+    candidates = candidates.localCheckpoint(eager=False)
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sub = df.join(cand_ids, on=id_col, how="left_semi")
+    sh_col = shingles(text_col, shingle_n)
+    if hash_shingles:
+        sh_col = F.transform(sh_col, lambda s: F.xxhash64(s))
+    sh = sub.select(F.col(id_col), sh_col.alias("sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    scored = (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (inter / F.greatest(F.size("sh_a"), F.lit(1))).alias(
+                "containment_a_in_b"
+            ),
+            (inter / F.greatest(F.size("sh_b"), F.lit(1))).alias(
+                "containment_b_in_a"
+            ),
+        )
+        .withColumn(
+            "containment",
+            F.greatest("containment_a_in_b", "containment_b_in_a"),
+        )
+    )
+    return scored.where(F.col("containment") >= threshold)
 
 
 def _min_label_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:

@@ -854,3 +854,76 @@ def test_simhash_clusters_labels_match_dedup(spark):
     assert labels == {0: 0, 1: 0, 2: 0}  # singleton 7 not emitted
     kept = {r["doc_id"] for r in simhash_dedup(df, transitive=True).collect()}
     assert kept == {0, 7}
+
+
+# ---------------------------------------------------------------- round 9
+
+
+def test_containment_pairs_doc_in_doc(spark):
+    """A short doc fully contained in a long doc: Jaccard tiny,
+    containment from the short side == 1.0."""
+    from clarite_python_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"tok{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote + " " + filler)],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    row = containment_pairs(df, cands, threshold=0.5).first()
+    assert row["containment_a_in_b"] == 1.0  # every quote 3-gram in doc 2
+    assert row["containment_b_in_a"] < 0.05
+    assert row["containment"] == 1.0
+    # and Jaccard misses it at the same threshold
+    assert ngram_jaccard_pairs(df, cands, threshold=0.5).count() == 0
+
+
+def test_containment_identical_docs_both_one(spark):
+    from clarite_python_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    row = containment_pairs(df, cands).first()
+    assert row["containment_a_in_b"] == 1.0
+    assert row["containment_b_in_a"] == 1.0
+
+
+def test_containment_threshold_filters(spark):
+    from clarite_python_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "x y z w v u")],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    assert containment_pairs(df, cands, threshold=0.1).count() == 0
+
+
+def test_containment_hashed_matches_plain(spark):
+    from clarite_python_spark.operators.dedup import containment_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ids = docs.select("doc_id").where("doc_id < 30")
+    from pyspark.sql import functions as F
+
+    cands = ids.select(F.col("doc_id").alias("id_a")).join(
+        ids.select(F.col("doc_id").alias("id_b")), F.col("id_a") < F.col("id_b")
+    )
+    plain = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(docs, cands, threshold=0.2).collect()
+    }
+    hashed = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(
+            docs, cands, threshold=0.2, hash_shingles=True
+        ).collect()
+    }
+    assert plain == hashed
