@@ -2168,6 +2168,27 @@ def cramers_v_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return describe.cramers_v(cf, only=["lang", "source", "len_bucket"])
 
 
+def mutual_information_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise mutual information + NMI (describe.mutual_information)
+    over the same lang / source / length-bucket triple as cramers_v —
+    the information-theoretic redundancy screen. Oracle recomputes
+    observed-cell MI and margin entropies per pair in SQL."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .withColumn(
+            "len_bucket",
+            F.when(F.col("n_chars") < 200, "short")
+            .when(F.col("n_chars") < 400, "mid")
+            .otherwise("long"),
+        )
+        .select("doc_id", "lang", "source", "len_bucket")
+    )
+    cf = modify.make_categorical(
+        ClariteFrame(docs.withColumnRenamed("doc_id", "ID"))
+    )
+    return describe.mutual_information(cf, only=["lang", "source", "len_bucket"])
+
+
 def embedding_drift_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space drift between the even- and odd-id halves of the
     embeddings table (similarity.embedding_drift): centroid cosine +
@@ -2240,6 +2261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_ivf_pq_embeddings": ann_recall_ivf_pq_embeddings,
         "mixture_report_documents": mixture_report_documents,
         "containment_pairs_documents": containment_pairs_documents,
+        "mutual_information_documents": mutual_information_documents,
         "line_dedup_documents": line_dedup_documents,
         "perplexity_buckets_documents": perplexity_buckets_documents,
         "weighted_sample_documents": weighted_sample_documents,
@@ -4372,6 +4394,59 @@ def _cramers_v_oracle() -> str:
     """
 
 
+def _mutual_information_oracle() -> str:
+    """Per-pair MI over observed cells (absent cells contribute exactly
+    0) + margin entropies for the NMI normalization; pairs mirror
+    describe.mutual_information's combinations order."""
+    pairs = [
+        ("lang", "source"),
+        ("lang", "len_bucket"),
+        ("source", "len_bucket"),
+    ]
+    branches = []
+    for a, b in pairs:
+        branches.append(f"""
+          WITH c AS (
+            SELECT {a} AS va, {b} AS vb, CAST(count(*) AS DOUBLE) AS o
+            FROM d WHERE {a} IS NOT NULL AND {b} IS NOT NULL GROUP BY 1, 2
+          ), m AS (
+            SELECT va, vb, o,
+                   sum(o) OVER (PARTITION BY va) AS ra,
+                   sum(o) OVER (PARTITION BY vb) AS cb,
+                   sum(o) OVER () AS n
+            FROM c
+          ), agg AS (
+            SELECT max(n) AS n,
+                   sum((o / n) * ln(o * n / (ra * cb))) AS mi
+            FROM m
+          ), ha AS (
+            SELECT -sum((ra / n) * ln(ra / n)) AS h
+            FROM (SELECT DISTINCT va, ra, n FROM m)
+          ), hb AS (
+            SELECT -sum((cb / n) * ln(cb / n)) AS h
+            FROM (SELECT DISTINCT vb, cb, n FROM m)
+          )
+          SELECT '{a}' AS var1, '{b}' AS var2,
+                 CAST(agg.n AS BIGINT) AS n,
+                 round(agg.mi, 6) AS mi,
+                 CASE WHEN least(ha.h, hb.h) > 1e-12
+                      THEN round(agg.mi / least(ha.h, hb.h), 6) END AS nmi
+          FROM agg, ha, hb""")
+    union = " UNION ALL ".join(f"({br})" for br in branches)
+    return """
+        WITH d AS (
+          SELECT lang, source,
+                 CASE WHEN n_chars < 200 THEN 'short'
+                      WHEN n_chars < 400 THEN 'mid'
+                      ELSE 'long' END AS len_bucket
+          FROM documents
+        )
+    """ + f"""
+        SELECT * FROM ({union})
+        ORDER BY nmi DESC NULLS LAST, var1, var2
+    """
+
+
 def _embedding_drift_oracle() -> str:
     """Lockstep-unnest per-dim means for each half, then the same
     centroid cosine / L2 / mean-norm reductions as the Spark side."""
@@ -5415,6 +5490,7 @@ def oracle_sql() -> dict[str, str]:
             FROM conv ORDER BY event_id
         """,
         "cramers_v_documents": _cramers_v_oracle(),
+        "mutual_information_documents": _mutual_information_oracle(),
         "embedding_drift_embeddings": _embedding_drift_oracle(),
         "quantized_topk_embeddings": f"""
             WITH {_quant_cte()}, q AS (

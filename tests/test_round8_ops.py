@@ -186,3 +186,65 @@ def test_leakage_safe_split_exact_method(spark):
     assert rows[3]["cluster_label"] == 3
     with pytest.raises(ValueError, match="method"):
         leakage_safe_split(df, {"train": 1.0}, method="nope")
+
+
+# ---------------------------------------------------------------- round 9
+
+
+def test_mutual_information_perfect_and_independent(spark):
+    from clarite_python_spark.operators.describe import mutual_information
+
+    rows = [("a", "a", c) for c in ("u", "v")] * 10 + [
+        ("b", "b", c) for c in ("u", "v")
+    ] * 10
+    df = spark.createDataFrame(
+        [(i, *r) for i, r in enumerate(rows)],
+        "ID: long, x: string, y: string, z: string",
+    )
+    cf = make_categorical(ClariteFrame(df))
+    got = {(r["var1"], r["var2"]): r for r in mutual_information(cf).collect()}
+    # x == y, balanced binary: MI = H = ln 2, NMI = 1
+    assert got[("x", "y")]["mi"] == pytest.approx(math.log(2), rel=1e-6)
+    assert got[("x", "y")]["nmi"] == pytest.approx(1.0)
+    # independent balanced pairs: MI = 0
+    assert got[("x", "z")]["mi"] == pytest.approx(0.0, abs=1e-9)
+    assert got[("x", "z")]["nmi"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_mutual_information_matches_scipy_style(spark):
+    import numpy as np
+
+    from clarite_python_spark.operators.describe import mutual_information
+
+    rows = [("m", "l")] * 10 + [("m", "r")] * 20 + [("f", "l")] * 30 + [("f", "r")] * 5
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(rows)],
+        "ID: long, g: string, s: string",
+    )
+    cf = make_categorical(ClariteFrame(df))
+    row = mutual_information(cf).collect()[0]
+    n = 65.0
+    obs = {("m", "l"): 10, ("m", "r"): 20, ("f", "l"): 30, ("f", "r"): 5}
+    rm = {"m": 30, "f": 35}
+    cm = {"l": 40, "r": 25}
+    mi = sum(
+        (o / n) * np.log(o * n / (rm[a] * cm[b])) for (a, b), o in obs.items()
+    )
+    ha = -sum((v / n) * np.log(v / n) for v in rm.values())
+    hb = -sum((v / n) * np.log(v / n) for v in cm.values())
+    assert row["mi"] == pytest.approx(mi, abs=1e-6)
+    assert row["nmi"] == pytest.approx(mi / min(ha, hb), abs=1e-6)
+    assert row["n"] == 65
+
+
+def test_mutual_information_constant_column_nmi_null(spark):
+    from clarite_python_spark.operators.describe import mutual_information
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", "k") for i in range(10)],
+        "ID: long, x: string, c: string",
+    )
+    cf = make_categorical(ClariteFrame(df))
+    row = mutual_information(cf).collect()[0]
+    assert row["mi"] == pytest.approx(0.0, abs=1e-9)
+    assert row["nmi"] is None  # min entropy = 0 -> normalization undefined
