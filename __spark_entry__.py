@@ -2168,6 +2168,21 @@ def cramers_v_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return describe.cramers_v(cf, only=["lang", "source", "len_bucket"])
 
 
+def incremental_embedding_neardup_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Vector daily-ingest dedup (similarity.incremental_embedding_neardup,
+    history = even ids, batch = odd ids, cosine 0.45): cross-set banded
+    drop where history wins, then the greedy within-batch pass. Output
+    projected to the kept id column (the engine returns full rows; the
+    embedding array stays out of the driver's scalar-only canonicalizer)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    hist = emb.where(F.col("vec_id") % 2 == 0)
+    batch = emb.where(F.col("vec_id") % 2 == 1)
+    out = similarity.incremental_embedding_neardup(batch, hist, threshold=0.45)
+    return out.select("vec_id").orderBy("vec_id")
+
+
 def mutual_information_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise mutual information + NMI (describe.mutual_information)
     over the same lang / source / length-bucket triple as cramers_v —
@@ -2262,6 +2277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_report_documents": mixture_report_documents,
         "containment_pairs_documents": containment_pairs_documents,
         "mutual_information_documents": mutual_information_documents,
+        "incremental_embedding_neardup_embeddings": incremental_embedding_neardup_embeddings,
         "line_dedup_documents": line_dedup_documents,
         "perplexity_buckets_documents": perplexity_buckets_documents,
         "weighted_sample_documents": weighted_sample_documents,
@@ -4447,6 +4463,49 @@ def _mutual_information_oracle() -> str:
     """
 
 
+def _incremental_embedding_neardup_oracle() -> str:
+    """DuckDB twin of incremental_embedding_neardup(threshold=0.45,
+    n_planes=6, n_bands=8, seed=42) with history = even ids, batch =
+    odd ids: banded cross-set drop (history wins), then the greedy
+    within-batch pass over the survivors."""
+    from clarite_python_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 6 * 8, 42)
+    band_cols = ",\n                 ".join(
+        f"{_lsh_bucket_sql('embedding::DOUBLE[]', planes[k * 6 : (k + 1) * 6])} AS b{k}"
+        for k in range(8)
+    )
+    any_band = " OR ".join(f"a.b{k} = b.b{k}" for k in range(8))
+    cos = (
+        "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) "
+        "* sqrt(list_dot_product(b.v, b.v)))"
+    )
+    return f"""
+        WITH e2 AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 {band_cols}
+          FROM embeddings
+        ),
+        crossdrop AS (
+          SELECT DISTINCT a.vec_id FROM e2 a JOIN e2 b
+            ON a.vec_id % 2 = 1 AND b.vec_id % 2 = 0 AND ({any_band})
+          WHERE {cos} >= 0.45
+        ),
+        kept1 AS (
+          SELECT * FROM e2 WHERE vec_id % 2 = 1
+            AND vec_id NOT IN (SELECT vec_id FROM crossdrop)
+        ),
+        within AS (
+          SELECT DISTINCT b.vec_id FROM kept1 a JOIN kept1 b
+            ON a.vec_id < b.vec_id AND ({any_band})
+          WHERE {cos} >= 0.45
+        )
+        SELECT vec_id FROM kept1
+        WHERE vec_id NOT IN (SELECT vec_id FROM within)
+        ORDER BY vec_id
+    """
+
+
 def _embedding_drift_oracle() -> str:
     """Lockstep-unnest per-dim means for each half, then the same
     centroid cosine / L2 / mean-norm reductions as the Spark side."""
@@ -5491,6 +5550,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cramers_v_documents": _cramers_v_oracle(),
         "mutual_information_documents": _mutual_information_oracle(),
+        "incremental_embedding_neardup_embeddings": _incremental_embedding_neardup_oracle(),
         "embedding_drift_embeddings": _embedding_drift_oracle(),
         "quantized_topk_embeddings": f"""
             WITH {_quant_cte()}, q AS (

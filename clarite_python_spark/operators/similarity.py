@@ -42,6 +42,7 @@ __all__ = [
     "pq_codes",
     "pq_topk",
     "ivf_pq_topk",
+    "incremental_embedding_neardup",
 ]
 
 
@@ -1264,3 +1265,81 @@ def ivf_pq_topk(
         .where(F.col("rank") <= k)
         .orderBy(query_id_col, "rank")
     )
+
+
+def incremental_embedding_neardup(
+    batch: DataFrame,
+    history: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 6,
+    n_bands: int = 8,
+    seed: int = 42,
+    within_batch: bool = True,
+) -> DataFrame:
+    """Daily-ingest embedding near-dup dedup — the vector twin of
+    dedup.incremental_neardup: drop batch vectors whose cosine against
+    ANY history vector reaches ``threshold``, then greedily dedupe the
+    survivors within the batch (drop the higher id of every surviving
+    pair, :func:`embedding_neardup` semantics). History always wins —
+    a new vector never displaces a persisted one.
+
+    Both sides band with the same seeded hyperplane family as
+    :func:`embedding_neardup`; the cross-set candidate join is an
+    equi-join on (band, bucket) — no cross join, expected cost
+    O(n_bands · |batch|·|history| / 2^n_planes) spread across buckets.
+    History-side banding is O(|history|) per run on raw vectors; at
+    100 TB persist the banded history once (id, band, bucket — or the
+    4-byte :func:`pq_codes` for the verify side) and append per batch,
+    exactly like the text family's ``band_table``/``fp_dir`` state.
+
+    Returns the kept subset of ``batch`` with its original columns.
+    """
+    head = batch.select(vec_col).first()
+    if head is None:
+        return batch
+    dim = len(head[0])
+    planes = _hyperplanes(dim, n_planes * n_bands, seed)
+
+    def _band_buckets(vec: Column) -> Column:
+        return F.array(
+            *[
+                _bucket(vec, planes[k * n_planes : (k + 1) * n_planes])
+                for k in range(n_bands)
+            ]
+        )
+
+    nb = batch.select(
+        F.col(id_col).alias("__idn"),
+        F.col(vec_col).cast("array<double>").alias("__vn"),
+        F.posexplode(_band_buckets(F.col(vec_col).cast("array<double>"))).alias(
+            "__band", "__bucket"
+        ),
+    )
+    hb = history.select(
+        F.col(vec_col).cast("array<double>").alias("__vh"),
+        F.posexplode(_band_buckets(F.col(vec_col).cast("array<double>"))).alias(
+            "__band", "__bucket"
+        ),
+    )
+    dropped = (
+        nb.join(hb, on=["__band", "__bucket"])
+        .where(cosine(F.col("__vn"), F.col("__vh")) >= F.lit(float(threshold)))
+        .select(F.col("__idn").alias(id_col))
+        .distinct()
+    )
+    kept = batch.join(dropped, on=id_col, how="left_anti")
+    if within_batch:
+        pairs = embedding_neardup(
+            kept,
+            id_col=id_col,
+            vec_col=vec_col,
+            threshold=threshold,
+            n_planes=n_planes,
+            n_bands=n_bands,
+            seed=seed,
+        )
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        kept = kept.join(losers, on=id_col, how="left_anti")
+    return kept

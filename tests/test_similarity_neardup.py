@@ -195,3 +195,97 @@ def test_ann_recall_validation(spark):
         ann_recall(df, method="nope")
     with _pytest.raises(ValueError, match="positive"):
         ann_recall(df, k=0)
+
+
+# ---------------------------------------------------------------- round 9
+
+
+def test_incremental_embedding_neardup_history_wins(spark):
+    """A batch vector near-identical to a history vector is dropped;
+    a novel one survives."""
+    from clarite_python_spark.operators.similarity import (
+        incremental_embedding_neardup,
+    )
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(64)
+    novel = rng.randn(64)
+    hist = spark.createDataFrame(
+        [(0, [float(x) for x in base])], "vec_id long, embedding array<double>"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, [float(x) for x in base * 1.001]),  # near-dup of history
+            (11, [float(x) for x in novel]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    kept = incremental_embedding_neardup(batch, hist, threshold=0.9)
+    assert sorted(r["vec_id"] for r in kept.collect()) == [11]
+
+
+def test_incremental_embedding_neardup_within_batch_greedy(spark):
+    """Two surviving batch near-dups: the higher id drops."""
+    from clarite_python_spark.operators.similarity import (
+        incremental_embedding_neardup,
+    )
+
+    import numpy as np
+
+    rng = np.random.RandomState(8)
+    a = rng.randn(64)
+    hist = spark.createDataFrame(
+        [(0, [float(x) for x in rng.randn(64)])],
+        "vec_id long, embedding array<double>",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, [float(x) for x in a]),
+            (11, [float(x) for x in a * 0.999]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    kept = incremental_embedding_neardup(batch, hist, threshold=0.9)
+    assert sorted(r["vec_id"] for r in kept.collect()) == [10]
+    # within_batch=False keeps both
+    kept2 = incremental_embedding_neardup(
+        batch, hist, threshold=0.9, within_batch=False
+    )
+    assert sorted(r["vec_id"] for r in kept2.collect()) == [10, 11]
+
+
+def test_incremental_embedding_neardup_matches_two_step(spark):
+    """On the real corpus: equals anti-join-vs-history then
+    embedding_neardup greedy within batch."""
+    from pyspark.sql import functions as F
+
+    from clarite_python_spark.operators.similarity import (
+        embedding_neardup,
+        incremental_embedding_neardup,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    hist = emb.where(F.col("vec_id") % 2 == 0)
+    batch = emb.where(F.col("vec_id") % 2 == 1)
+    got = sorted(
+        r["vec_id"]
+        for r in incremental_embedding_neardup(
+            batch, hist, threshold=0.45
+        ).collect()
+    )
+    # reference: exact two-step with the same machinery
+    both = embedding_neardup(emb, threshold=0.45)
+    cross_dropped = {
+        r["id_b"] if r["id_b"] % 2 == 1 else r["id_a"]
+        for r in both.collect()
+        if (r["id_a"] % 2 == 0) != (r["id_b"] % 2 == 0)
+    }
+    survivors = [r["vec_id"] for r in batch.collect() if r["vec_id"] not in cross_dropped]
+    within = embedding_neardup(
+        emb.where(F.col("vec_id").isin(survivors)), threshold=0.45
+    )
+    batch_losers = {r["id_b"] for r in within.collect()}
+    want = sorted(v for v in survivors if v not in batch_losers)
+    assert got == want
