@@ -2168,6 +2168,16 @@ def cramers_v_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return describe.cramers_v(cf, only=["lang", "source", "len_bucket"])
 
 
+def event_anomalies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily volume z-score anomalies per event type
+    (operators/events.py:event_anomalies, trailing-7-day baseline,
+    |z| >= 2): the stream collapses to a (type, day) count before any
+    window. Oracle replays the strictly-prior ROWS window with
+    stddev_samp in SQL."""
+    ev = _t(spark, sf_dir, "events")
+    return events_ops.event_anomalies(ev, window=7, z_threshold=2.0)
+
+
 def incremental_embedding_neardup_embeddings(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2278,6 +2288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs_documents": containment_pairs_documents,
         "mutual_information_documents": mutual_information_documents,
         "incremental_embedding_neardup_embeddings": incremental_embedding_neardup_embeddings,
+        "event_anomalies_events": event_anomalies_events,
         "line_dedup_documents": line_dedup_documents,
         "perplexity_buckets_documents": perplexity_buckets_documents,
         "weighted_sample_documents": weighted_sample_documents,
@@ -5746,6 +5757,31 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS content_sha
             FROM documents
             ORDER BY media_id
+        """,
+        "event_anomalies_events": """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS d,
+                     CAST(count(*) AS BIGINT) AS n_events
+              FROM events
+              WHERE event_type IS NOT NULL AND ts IS NOT NULL
+              GROUP BY 1, 2
+            ), w AS (
+              SELECT event_type, d, n_events,
+                     avg(n_events) OVER win AS bm,
+                     stddev_samp(n_events) OVER win AS bs,
+                     count(n_events) OVER win AS bn
+              FROM daily
+              WINDOW win AS (PARTITION BY event_type ORDER BY d
+                             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT event_type, strftime(d, '%Y-%m-%d') AS day, n_events,
+                   round(bm, 6) AS base_mean,
+                   round(bs, 6) AS base_std,
+                   CASE WHEN bn >= 3 AND bs > 0
+                        THEN round((n_events - bm) / bs, 6) END AS z,
+                   CASE WHEN bn >= 3 AND bs > 0
+                        THEN abs((n_events - bm) / bs) >= 2.0 END AS is_anomaly
+            FROM w ORDER BY event_type, day
         """,
         "windowed_events": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

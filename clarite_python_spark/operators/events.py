@@ -14,7 +14,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel", "funnel_counts", "funnel_times", "retention_cohorts", "event_transitions", "attribution"]
+__all__ = [
+    "funnel",
+    "funnel_counts",
+    "funnel_times",
+    "retention_cohorts",
+    "event_transitions",
+    "attribution",
+    "event_anomalies",
+]
 
 
 def funnel(
@@ -387,4 +395,72 @@ def attribution(
         F.when(ok, F.col("__touch.c")).alias("channel"),
         F.when(ok, F.col("__touch.t")).alias("touch_ts"),
         F.when(ok, F.col("__touch.i")).alias("touch_event_id"),
+    )
+
+
+def event_anomalies(
+    df: DataFrame,
+    window: int = 7,
+    z_threshold: float = 3.0,
+    by: str = "event_type",
+    ts_col: str = "ts",
+    min_history: int = 3,
+) -> DataFrame:
+    """Volume-anomaly detection on the event stream: per ``by`` group,
+    each day's event count is z-scored against the TRAILING ``window``
+    days (strictly prior — today never contaminates its own baseline),
+    flagged when |z| >= ``z_threshold``. The first ``min_history`` days
+    of a group have no defensible baseline and report NULL z — a
+    monitoring query must distinguish "new stream" from "quiet stream".
+
+    Baseline mean/std use the sample std (ddof=1, ``F.stddev``); a
+    constant baseline (std = 0) also reports NULL z rather than ±inf.
+
+    Plan: one map-side-combined (group, day) count agg — the raw stream
+    collapses before any window — then two window functions over the
+    tiny daily table partitioned by group. At 100 TB the expensive scan
+    is the count agg, which is the minimum any volume monitor pays; the
+    window runs over #groups × #days rows.
+
+    Returns (by, day string, n_events, base_mean, base_std, z,
+    is_anomaly) ordered by (by, day).
+    """
+    from pyspark.sql import Window
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if min_history < 1:
+        raise ValueError("min_history must be >= 1")
+    daily = (
+        df.where(F.col(by).isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(
+            F.col(by), F.date_trunc("day", F.col(ts_col)).alias("__day")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = (
+        Window.partitionBy(by)
+        .orderBy("__day")
+        .rowsBetween(-window, -1)
+    )
+    base_mean = F.avg("n_events").over(w)
+    base_std = F.stddev("n_events").over(w)
+    base_n = F.count("n_events").over(w)
+    z = F.when(
+        (base_n >= min_history) & (base_std > 0),
+        (F.col("n_events") - base_mean) / base_std,
+    )
+    return (
+        daily.select(
+            F.col(by),
+            F.date_format("__day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            F.round(base_mean, 6).alias("base_mean"),
+            F.round(base_std, 6).alias("base_std"),
+            F.round(z, 6).alias("z"),
+            F.when(z.isNotNull(), F.abs(z) >= F.lit(float(z_threshold))).alias(
+                "is_anomaly"
+            ),
+        )
+        .orderBy(by, "day")
     )

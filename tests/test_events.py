@@ -309,3 +309,61 @@ def test_event_transitions_excludes_null_users_and_ts(spark):
     )
     got = {(r["from_type"], r["to_type"]) for r in event_transitions(df).collect()}
     assert got == {("a", "b")}
+
+
+# ---------------------------------------------------------------- round 9
+
+
+def test_event_anomalies_flags_spike(spark):
+    import datetime as dt
+
+    from clarite_python_spark.operators.events import event_anomalies
+
+    rows = []
+    eid = 0
+    # 10 quiet days of ~10 events, then a 100-event spike on day 11
+    for d in range(10):
+        for _ in range(10 + (d % 2)):  # 10/11 alternating -> nonzero std
+            rows.append((eid, "click", dt.datetime(2024, 1, 1 + d, 12)))
+            eid += 1
+    for _ in range(100):
+        rows.append((eid, "click", dt.datetime(2024, 1, 11, 12)))
+        eid += 1
+    df = spark.createDataFrame(rows, "event_id long, event_type string, ts timestamp")
+    out = {r["day"]: r for r in event_anomalies(df, window=7, z_threshold=3.0).collect()}
+    assert out["2024-01-11"]["is_anomaly"] is True
+    assert out["2024-01-11"]["z"] > 3
+    assert out["2024-01-05"]["is_anomaly"] is False
+    # first day has no baseline
+    assert out["2024-01-01"]["z"] is None and out["2024-01-01"]["is_anomaly"] is None
+
+
+def test_event_anomalies_min_history_and_constant_baseline(spark):
+    import datetime as dt
+
+    from clarite_python_spark.operators.events import event_anomalies
+
+    rows = []
+    eid = 0
+    for d in range(6):
+        for _ in range(5):  # constant 5/day -> std 0
+            rows.append((eid, "view", dt.datetime(2024, 2, 1 + d, 9)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, event_type string, ts timestamp")
+    out = event_anomalies(df, window=7, min_history=3).collect()
+    # constant baseline: std = 0 -> z NULL everywhere
+    assert all(r["z"] is None for r in out)
+    # days 4+ have enough history but zero variance
+    assert out[-1]["base_std"] == 0.0
+
+
+def test_event_anomalies_validation(spark):
+    import pytest as _pt
+
+    from clarite_python_spark.operators.events import event_anomalies
+
+    df = spark.createDataFrame([], "event_type string, ts timestamp")
+    with _pt.raises(ValueError):
+        event_anomalies(df, window=0)
+    with _pt.raises(ValueError):
+        event_anomalies(df, min_history=0)
