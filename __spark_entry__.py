@@ -2168,6 +2168,15 @@ def cramers_v_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return describe.cramers_v(cf, only=["lang", "source", "len_bucket"])
 
 
+def session_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session rollup (operators/events.py:session_stats,
+    4-hour gap): session count, event totals, mean/max per session,
+    mean session span seconds, total value. Oracle extends the
+    sessionized gaps-and-islands SQL with the per-user reduction."""
+    ev = _t(spark, sf_dir, "events")
+    return events_ops.session_stats(ev, gap="4 hours")
+
+
 def event_anomalies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily volume z-score anomalies per event type
     (operators/events.py:event_anomalies, trailing-7-day baseline,
@@ -2289,6 +2298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_information_documents": mutual_information_documents,
         "incremental_embedding_neardup_embeddings": incremental_embedding_neardup_embeddings,
         "event_anomalies_events": event_anomalies_events,
+        "session_stats_events": session_stats_events,
         "line_dedup_documents": line_dedup_documents,
         "perplexity_buckets_documents": perplexity_buckets_documents,
         "weighted_sample_documents": weighted_sample_documents,
@@ -5757,6 +5767,40 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS content_sha
             FROM documents
             ORDER BY media_id
+        """,
+        "session_stats_events": """
+            WITH e AS (
+              SELECT user_id, ts, value FROM events
+              WHERE ts IS NOT NULL AND user_id IS NOT NULL
+            ), flagged AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                            OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               > INTERVAL 4 HOUR
+                          THEN 1 ELSE 0 END AS new_s
+              FROM e
+            ), sessions AS (
+              SELECT user_id, ts, value,
+                     sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS sid
+              FROM flagged
+            ), per_s AS (
+              SELECT user_id, sid,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     sum(value) AS total_value,
+                     epoch_us((max(ts) + INTERVAL 4 HOUR) - min(ts)) AS dur_us
+              FROM sessions GROUP BY user_id, sid
+            )
+            SELECT user_id,
+                   count(*) AS n_sessions,
+                   CAST(sum(n_events) AS BIGINT) AS n_events,
+                   round(avg(n_events), 6) AS mean_events,
+                   CAST(max(n_events) AS BIGINT) AS max_events,
+                   round(avg(dur_us) / 1000000.0, 6) AS mean_session_secs,
+                   round(sum(total_value), 4) AS total_value
+            FROM per_s GROUP BY user_id ORDER BY user_id
         """,
         "event_anomalies_events": """
             WITH daily AS (

@@ -22,6 +22,7 @@ __all__ = [
     "event_transitions",
     "attribution",
     "event_anomalies",
+    "session_stats",
 ]
 
 
@@ -463,4 +464,46 @@ def event_anomalies(
             ),
         )
         .orderBy(by, "day")
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    gap: str = "4 hours",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-user session rollup over :func:`streaming.events.sessionized`
+    sessions: session count, event totals, mean/max events per session,
+    mean session span in seconds (Spark session-window span: last event
+    + gap − first event), and total value — the engagement table a
+    clickstream warehouse derives right after sessionization.
+
+    Plan: sessionization's one (user, merged-window) keyed shuffle, then
+    a second agg on the user key over the O(#sessions) table — AQE
+    coalesces the already-partitioned key. Nothing event-level survives
+    the first agg.
+    """
+    from clarite_python_spark.streaming.events import sessionized
+
+    s = sessionized(
+        df, gap=gap, key_col=user_col, ts_col=ts_col, value_col=value_col
+    )
+    # cast: unix_micros rejects TIMESTAMP_NTZ (the rebuilt testdata ts
+    # type); the difference is timezone-invariant
+    dur_us = F.unix_micros(F.col("session_end").cast("timestamp")) - F.unix_micros(
+        F.col("session_start").cast("timestamp")
+    )
+    return (
+        s.groupBy(user_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.round(F.avg("n_events"), 6).alias("mean_events"),
+            F.max("n_events").alias("max_events"),
+            F.round(F.avg(dur_us) / F.lit(1e6), 6).alias("mean_session_secs"),
+            F.round(F.sum("total_value"), 4).alias("total_value"),
+        )
+        .orderBy(user_col)
     )

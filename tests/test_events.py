@@ -367,3 +367,46 @@ def test_event_anomalies_validation(spark):
         event_anomalies(df, window=0)
     with _pt.raises(ValueError):
         event_anomalies(df, min_history=0)
+
+
+def test_session_stats_hand_computed(spark):
+    import datetime as dt
+
+    from clarite_python_spark.operators.events import session_stats
+
+    t0 = dt.datetime(2024, 3, 1, 0)
+    rows = [
+        # user 1: session A = 3 events over 2h, session B (after >4h gap) = 1 event
+        (1, t0, "click", 1.0),
+        (1, t0 + dt.timedelta(hours=1), "view", 2.0),
+        (1, t0 + dt.timedelta(hours=2), "click", 3.0),
+        (1, t0 + dt.timedelta(hours=12), "click", 4.0),
+        # user 2: single session of 2 events
+        (2, t0, "view", 10.0),
+        (2, t0 + dt.timedelta(minutes=30), "view", None),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string, value double")
+    out = {r["user_id"]: r for r in session_stats(df, gap="4 hours").collect()}
+    u1 = out[1]
+    assert u1["n_sessions"] == 2 and u1["n_events"] == 4
+    assert u1["mean_events"] == 2.0 and u1["max_events"] == 3
+    # spans: (2h + 4h gap) and (0 + 4h gap) -> mean 5h = 18000 s
+    assert u1["mean_session_secs"] == 18000.0
+    assert u1["total_value"] == 10.0
+    u2 = out[2]
+    assert u2["n_sessions"] == 1 and u2["n_events"] == 2
+    # span: 30 min + 4h gap
+    assert u2["mean_session_secs"] == 16200.0
+    assert u2["total_value"] == 10.0
+
+
+def test_session_stats_consistent_with_sessionized(spark):
+    from clarite_python_spark.operators.events import session_stats
+    from clarite_python_spark.sources.io import load_testdata
+    from clarite_python_spark.streaming.events import sessionized
+
+    ev = load_testdata(spark, "/root/testdata/sf0.001", ["events"])["events"]
+    stats = session_stats(ev).collect()
+    sess = sessionized(ev).groupBy("user_id").count().collect()
+    want = {r["user_id"]: r["count"] for r in sess}
+    assert {r["user_id"]: r["n_sessions"] for r in stats} == want
