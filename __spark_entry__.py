@@ -2168,6 +2168,20 @@ def cramers_v_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return describe.cramers_v(cf, only=["lang", "source", "len_bucket"])
 
 
+def bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 retrieval (operators/text.py:bm25_topk) for
+    three fixed lexical queries — the standard relevance ranking, one
+    step up from jaccard_topk's set overlap. Scores round to 6 dp
+    BEFORE ranking so the order is engine-replayable; the oracle
+    replays postings, idf, and the saturation formula in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [(0, "hash join merge"), (1, "slow scan filter"), (2, "vector column batch")],
+        "query_id long, query string",
+    )
+    return text.bm25_topk(docs, queries, k=10)
+
+
 def session_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session rollup (operators/events.py:session_stats,
     4-hour gap): session count, event totals, mean/max per session,
@@ -2299,6 +2313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_embedding_neardup_embeddings": incremental_embedding_neardup_embeddings,
         "event_anomalies_events": event_anomalies_events,
         "session_stats_events": session_stats_events,
+        "bm25_topk_documents": bm25_topk_documents,
         "line_dedup_documents": line_dedup_documents,
         "perplexity_buckets_documents": perplexity_buckets_documents,
         "weighted_sample_documents": weighted_sample_documents,
@@ -5767,6 +5782,49 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS content_sha
             FROM documents
             ORDER BY media_id
+        """,
+        "bm25_topk_documents": f"""
+            WITH q(query_id, query) AS (
+              VALUES (0, 'hash join merge'), (1, 'slow scan filter'),
+                     (2, 'vector column batch')
+            ), b2 AS (
+              SELECT doc_id,
+                     list_transform({_TOKENS}, t -> lower(t)) AS toks,
+                     len({_TOKENS}) AS dl
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf FROM (
+                SELECT doc_id, dl, unnest(toks) AS term FROM b2
+              ) GROUP BY 1, 2, 3
+            ), dfq AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+            ), st AS (
+              SELECT count(*) AS n, avg(dl) AS avgdl FROM b2
+            ), qt AS (
+              SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
+                     unnest(list_distinct(list_filter(
+                       regexp_split_to_array(trim(lower(query)), '\\s+'),
+                       x -> x != ''))) AS term
+              FROM q
+            ), scored AS (
+              SELECT qt.query_id, tf.doc_id,
+                     round(sum(
+                       ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+                       * tf.tf * 2.2
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))
+                     ), 6) AS bm25
+              FROM tf
+              JOIN qt ON qt.term = tf.term
+              JOIN dfq ON dfq.term = tf.term, st
+              GROUP BY 1, 2
+            ), ranked AS (
+              SELECT query_id, doc_id, bm25,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY bm25 DESC, doc_id ASC) AS INT) AS rank
+              FROM scored
+            )
+            SELECT query_id, doc_id, rank, bm25
+            FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
         """,
         "session_stats_events": """
             WITH e AS (

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "tokens",
+    "bm25_topk",
     "token_count",
     "text_stats",
     "language_id",
@@ -1288,4 +1289,94 @@ def feature_hash_embed(
     return sparse.select(
         F.col(id_col),
         F.transform(dense, lambda x: x.cast("float")).alias("embedding"),
+    )
+
+
+def bm25_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+) -> DataFrame:
+    """Okapi BM25 top-k text retrieval — the standard lexical relevance
+    ranking (Robertson et al., TREC-3), the retrieval-quality step up
+    from :func:`~clarite_python_spark.operators.dedup.jaccard_topk`'s
+    set overlap: term frequency saturates at ``k1``, document length
+    normalizes at ``b``, and rare terms dominate via
+    idf = ln((N - df + 0.5)/(df + 0.5) + 1).
+
+    score(q, d) = sum over distinct query terms present in d of
+    idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
+
+    Plan: one explode+groupBy builds the (doc, term, tf) postings with
+    dl carried row-local; df folds off the postings (map-side combined);
+    N/avgdl broadcast as one row; the DISTINCT query terms broadcast
+    into the postings join, so the corpus shuffles once (the postings
+    agg) regardless of |queries|. Scores round to 6 dp BEFORE ranking
+    (ties then by doc id) so the ordering is engine-replayable. Returns
+    (query_id, id, rank, bm25) — documents sharing no query term are
+    absent, standard sparse-retrieval semantics.
+
+    At 100 TB the postings table is the persistable artifact (build
+    once, serve many query batches) and the per-batch cost is the
+    broadcast join + one (query, doc) agg — no corpus rescan if
+    postings are stored.
+    """
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if k1 < 0 or not 0 <= b <= 1:
+        raise ValueError("need k1 >= 0 and 0 <= b <= 1")
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    base = corpus.select(
+        F.col(id_col), toks.alias("__toks"), F.size(toks).alias("__dl")
+    )
+    tf = (
+        base.select(id_col, "__dl", F.explode("__toks").alias("__term"))
+        .groupBy(id_col, "__dl", "__term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    dfreq = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n"), F.avg("__dl").alias("__avgdl")
+    )
+    qterms = (
+        queries.select(
+            F.col(query_id_col),
+            F.explode(
+                F.array_distinct(
+                    F.transform(tokens(query_col), lambda t: F.lower(t))
+                )
+            ).alias("__term"),
+        )
+        .distinct()
+    )
+    idf = F.log(
+        (F.col("__n") - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tf_part = (
+        F.col("__tf") * F.lit(k1 + 1.0)
+    ) / (
+        F.col("__tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), on="__term")
+        .join(dfreq, on="__term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum(idf * tf_part), 6).alias("bm25"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("bm25"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy(query_id_col, "rank")
     )

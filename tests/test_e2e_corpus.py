@@ -128,3 +128,83 @@ def test_round7_selection_pipeline_composes(spark):
         sharded.drop("cum_tokens"), 20, weight_col="n_tokens"
     )
     assert ws.count() == 20
+
+
+# ---------------------------------------------------------------- round 9
+
+
+def test_bm25_topk_matches_numpy_reference(spark):
+    """Full BM25 replay in Python over the collected corpus."""
+    import math
+
+    from clarite_python_spark.operators.text import bm25_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    queries = spark.createDataFrame(
+        [(0, "hash join merge"), (1, "slow scan filter")],
+        "query_id long, query string",
+    )
+    got = bm25_topk(docs, queries, k=5).collect()
+
+    rows = docs.select("doc_id", "text").collect()
+    corpus = {r["doc_id"]: r["text"].lower().split() for r in rows}
+    n = len(corpus)
+    avgdl = sum(len(t) for t in corpus.values()) / n
+    df = {}
+    for toks in corpus.values():
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    k1, b = 1.2, 0.75
+
+    def score(qtoks, toks):
+        s = 0.0
+        dl = len(toks)
+        for t in set(qtoks):
+            tf = toks.count(t)
+            if tf == 0:
+                continue
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+        return round(s, 6)
+
+    for qid, qtext in [(0, "hash join merge"), (1, "slow scan filter")]:
+        want = sorted(
+            ((score(qtext.split(), toks), did) for did, toks in corpus.items()),
+            key=lambda x: (-x[0], x[1]),
+        )
+        want = [(d, s) for s, d in want if s > 0][:5]
+        rows_q = sorted(
+            [r for r in got if r["query_id"] == qid], key=lambda r: r["rank"]
+        )
+        assert [(r["doc_id"], r["bm25"]) for r in rows_q] == want, qid
+
+
+def test_bm25_topk_rare_term_outranks_common(spark):
+    from clarite_python_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common rare"),
+            (2, "common common common common"),
+            (3, "other words entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(0, "rare common")], "query_id long, query string")
+    rows = bm25_topk(docs, q, k=3).collect()
+    assert rows[0]["doc_id"] == 1  # the rare-term doc wins
+    # doc 3 shares no query term: absent
+    assert all(r["doc_id"] != 3 for r in rows)
+
+
+def test_bm25_topk_validation(spark):
+    import pytest as _pt
+
+    from clarite_python_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    q = spark.createDataFrame([(0, "x")], "query_id long, query string")
+    with _pt.raises(ValueError):
+        bm25_topk(docs, q, k=0)
+    with _pt.raises(ValueError):
+        bm25_topk(docs, q, b=1.5)
