@@ -25,6 +25,7 @@ from clarite_python_spark.operators import (
     analyze,
     dedup,
     describe,
+    joins,
     layout,
     modify,
     multimodal,
@@ -2168,6 +2169,26 @@ def cramers_v_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return describe.cramers_v(cf, only=["lang", "source", "len_bucket"])
 
 
+def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked-Levenshtein record linkage (operators/joins.py:fuzzy_join,
+    d=2) over the distinct part names — every near-miss name pair
+    without a cartesian product (length-band equi-join + thresholded
+    codegen levenshtein). The oracle replays DuckDB's own levenshtein —
+    integer distances, bit-exact."""
+    part = _t(spark, sf_dir, "part")
+    names = part.select("p_name").distinct()
+    out = joins.fuzzy_join(names, names, "p_name", "p_name", max_distance=2)
+    return (
+        out.where(F.col("p_name") < F.col("p_name_r"))
+        .select(
+            F.col("p_name").alias("name_a"),
+            F.col("p_name_r").alias("name_b"),
+            "distance",
+        )
+        .orderBy("name_a", "name_b")
+    )
+
+
 def bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-10 retrieval (operators/text.py:bm25_topk) for
     three fixed lexical queries — the standard relevance ranking, one
@@ -2314,6 +2335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_anomalies_events": event_anomalies_events,
         "session_stats_events": session_stats_events,
         "bm25_topk_documents": bm25_topk_documents,
+        "fuzzy_join_part_names": fuzzy_join_part_names,
         "line_dedup_documents": line_dedup_documents,
         "perplexity_buckets_documents": perplexity_buckets_documents,
         "weighted_sample_documents": weighted_sample_documents,
@@ -5782,6 +5804,14 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS content_sha
             FROM documents
             ORDER BY media_id
+        """,
+        "fuzzy_join_part_names": """
+            WITH n AS (SELECT DISTINCT p_name FROM part)
+            SELECT a.p_name AS name_a, b.p_name AS name_b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS INT) AS distance
+            FROM n a JOIN n b ON a.p_name < b.p_name
+            WHERE levenshtein(a.p_name, b.p_name) <= 2
+            ORDER BY name_a, name_b
         """,
         "bm25_topk_documents": f"""
             WITH q(query_id, query) AS (

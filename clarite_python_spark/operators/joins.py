@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "interval_join"]
+__all__ = ["asof_join", "interval_join", "fuzzy_join"]
 
 
 def _seconds(df: DataFrame, name: str, col: Column | None = None) -> Column:
@@ -227,4 +227,74 @@ def interval_join(
             *[F.col(f"__p.{c}") for c in points.columns],
             *[F.col(f"__i.{out_name[c]}") for c in ivl_cols],
         )
+    )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_distance: int = 2,
+    block_cols: tuple[str, str] | None = None,
+) -> DataFrame:
+    """Blocked Levenshtein join — the record-linkage / entity-resolution
+    primitive: every (left, right) pair whose ``left_col``/``right_col``
+    edit distance is <= ``max_distance``, WITHOUT a cartesian product.
+
+    Blocking: |len(a) − len(b)| <= d is a necessary condition of edit
+    distance d, so the left side explodes to the 2d+1 length bands it
+    can match and the join is an EQUI-join on the band (each true pair
+    meets in exactly one band — no post-join dedup needed). Verification
+    uses Spark's thresholded ``levenshtein(l, r, d)`` (early-exits above
+    d; returns −1 there, the distance otherwise) — pure codegen.
+
+    Length blocking alone is weak on natural text (many strings share a
+    length): pass ``block_cols`` (a column name per side — zip code,
+    first token, a phonetic key) to add an equi-key that actually
+    partitions the data; candidates then require BOTH. That composite
+    key is the 100-TB lever — the plan is an ordinary shuffled equi-join
+    on (band, block), skew-diagnosable like any other join.
+
+    Right-side columns that collide with left names return suffixed
+    ``_r``. Output adds an integer ``distance`` column.
+    """
+    if max_distance < 0:
+        raise ValueError("max_distance must be >= 0")
+    d = int(max_distance)
+    lcols = set(left.columns)
+    ren = {c: f"{c}_r" for c in right.columns if c in lcols}
+    r = right
+    for old, new in ren.items():
+        if new in lcols or new in right.columns:
+            raise ValueError(f"suffixed column {new!r} already exists")
+        r = r.withColumnRenamed(old, new)
+    rcol = ren.get(right_col, right_col)
+    rblock = None
+    if block_cols is not None:
+        lblock, rblock_orig = block_cols
+        rblock = ren.get(rblock_orig, rblock_orig)
+
+    lx = left.withColumn(
+        "__band",
+        F.explode(
+            F.sequence(
+                F.length(left_col) - F.lit(d), F.length(left_col) + F.lit(d)
+            )
+        ),
+    )
+    rx = r.withColumn("__band", F.length(rcol))
+    if rblock is None:
+        joined = lx.join(rx, on=["__band"])
+    else:
+        joined = lx.join(
+            rx,
+            (lx["__band"] == rx["__band"])
+            & (F.col(block_cols[0]) == F.col(rblock)),
+        ).drop(rx["__band"])
+    dist = F.levenshtein(F.col(left_col), F.col(rcol), d)
+    return (
+        joined.withColumn("distance", dist)
+        .where(F.col("distance") >= 0)
+        .drop("__band")
     )

@@ -330,3 +330,84 @@ def test_interval_join_property_matches_bruteforce(spark, pts, ivls, width, incl
         if pk == ik and s <= t and (t <= e if inclusive else t < e)
     }
     assert got == want
+
+
+# ---------------------------------------------------------------- round 9
+
+
+def test_fuzzy_join_finds_edit_distance_pairs(spark):
+    from clarite_python_spark.operators.joins import fuzzy_join
+
+    a = spark.createDataFrame(
+        [(1, "smith"), (2, "jones"), (3, "taylor")], "id long, name string"
+    )
+    b = spark.createDataFrame(
+        [(10, "smyth"), (11, "jonas"), (12, "completely-different")],
+        "id long, name string",
+    )
+    out = fuzzy_join(a, b, "name", "name", max_distance=1).collect()
+    pairs = {(r["name"], r["name_r"], r["distance"]) for r in out}
+    assert ("smith", "smyth", 1) in pairs
+    assert ("jones", "jonas", 1) in pairs
+    assert all(r["distance"] <= 1 for r in out)
+    assert not any(r["name_r"] == "completely-different" for r in out)
+
+
+def test_fuzzy_join_matches_bruteforce(spark):
+    """Blocked candidates must equal the all-pairs truth (length banding
+    is a NECESSARY condition — no pair may be lost)."""
+    import itertools
+
+    from clarite_python_spark.operators.joins import fuzzy_join
+
+    def lev(s, t):
+        m = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            prev, m[0] = m[0], i
+            for j, ct in enumerate(t, 1):
+                prev, m[j] = m[j], min(m[j] + 1, m[j - 1] + 1, prev + (cs != ct))
+        return m[len(t)]
+
+    names = spark.read.parquet("/root/testdata/sf0.001/part.parquet").select(
+        "p_name"
+    ).distinct()
+    got = {
+        (r["p_name"], r["p_name_r"])
+        for r in fuzzy_join(names, names, "p_name", "p_name", max_distance=2)
+        .where("p_name < p_name_r")
+        .collect()
+    }
+    vals = [r["p_name"] for r in names.collect()]
+    want = {
+        (x, y)
+        for x, y in itertools.combinations(sorted(vals), 2)
+        if lev(x, y) <= 2
+    }
+    assert got == want and len(want) > 0
+
+
+def test_fuzzy_join_block_cols_restricts(spark):
+    from pyspark.sql import functions as F
+
+    from clarite_python_spark.operators.joins import fuzzy_join
+
+    a = spark.createDataFrame(
+        [(1, "smith", "NY"), (2, "smith", "LA")], "id long, name string, region string"
+    )
+    b = spark.createDataFrame(
+        [(10, "smyth", "NY")], "id long, name string, region string"
+    )
+    out = fuzzy_join(
+        a, b, "name", "name", max_distance=1, block_cols=("region", "region")
+    ).collect()
+    assert len(out) == 1 and out[0]["id"] == 1  # only the NY pair
+
+
+def test_fuzzy_join_validation(spark):
+    import pytest as _pt
+
+    from clarite_python_spark.operators.joins import fuzzy_join
+
+    df = spark.createDataFrame([(1, "x")], "id long, name string")
+    with _pt.raises(ValueError):
+        fuzzy_join(df, df, "name", "name", max_distance=-1)
