@@ -477,3 +477,35 @@ def test_round9_pq_plan_shapes(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in ivf_plan
+
+
+def test_round9_retrieval_plan_shapes(spark):
+    """bm25_topk and fuzzy_join must never fall back to a cartesian or
+    nested-loop product (the whole point of their blocking structures),
+    and must keep Python off the hot path."""
+    from pyspark.sql import functions as F
+
+    from clarite_python_spark.operators.joins import fuzzy_join
+    from clarite_python_spark.operators.text import bm25_topk
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    q = spark.createDataFrame(
+        [(0, "hash join merge")], "query_id long, query string"
+    )
+    names = spark.read.parquet(f"{SF_DIR}/part.parquet").select("p_name").distinct()
+    plans = {
+        "bm25_topk": bm25_topk(docs, q, k=5),
+        "fuzzy_join": fuzzy_join(names, names, "p_name", "p_name", max_distance=2),
+    }
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+    # fuzzy_join's banding must be a real equi-join, never nested-loop;
+    # bm25 legitimately carries ONE BroadcastNestedLoopJoin — the 1-row
+    # N/avgdl scalar broadcast (the established crossJoin idiom)
+    fj = plans["fuzzy_join"]._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in fj
+    bm = plans["bm25_topk"]._jdf.queryExecution().executedPlan().toString()
+    assert bm.count("BroadcastNestedLoopJoin") <= 1
