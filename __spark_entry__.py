@@ -2169,6 +2169,26 @@ def cramers_v_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return describe.cramers_v(cf, only=["lang", "source", "len_bucket"])
 
 
+def idf_hash_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """idf-weighted hashing-trick embeddings
+    (operators/text.py:feature_hash_embed(idf_weight=True), dim=32,
+    unnormalized) — the stopword-suppressed retrieval form. Registered
+    as a posexplode projection (doc, pos, round(val, 6)) so the FULL
+    vector is oracle-checked without container columns or string
+    float-formatting hazards."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = text.feature_hash_embed(docs, dim=32, normalize=False, idf_weight=True)
+    return (
+        emb.select("doc_id", F.posexplode("embedding").alias("pos", "val"))
+        .select(
+            "doc_id",
+            "pos",
+            F.round(F.col("val").cast("double"), 6).alias("val"),
+        )
+        .orderBy("doc_id", "pos")
+    )
+
+
 def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked-Levenshtein record linkage (operators/joins.py:fuzzy_join,
     d=2) over the distinct part names — every near-miss name pair
@@ -2336,6 +2356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats_events": session_stats_events,
         "bm25_topk_documents": bm25_topk_documents,
         "fuzzy_join_part_names": fuzzy_join_part_names,
+        "idf_hash_embed_documents": idf_hash_embed_documents,
         "line_dedup_documents": line_dedup_documents,
         "perplexity_buckets_documents": perplexity_buckets_documents,
         "weighted_sample_documents": weighted_sample_documents,
@@ -5804,6 +5825,32 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS content_sha
             FROM documents
             ORDER BY media_id
+        """,
+        "idf_hash_embed_documents": f"""
+            WITH ex AS (
+              SELECT doc_id, lower(unnest({_TOKENS})) AS tok FROM documents
+            ), dfq AS (
+              SELECT tok, count(*) AS df
+              FROM (SELECT DISTINCT doc_id, tok FROM ex) GROUP BY tok
+            ), nn AS (
+              SELECT count(*) AS n FROM documents
+            ), sp AS (
+              SELECT e.doc_id,
+                     ({_md5_key("tok", "fh")}) % 32 AS b,
+                     ((({_md5_key("tok", "fh#s")}) % 2) * 2 - 1)
+                       * (ln((nn.n + 1.0) / (dfq.df + 1.0)) + 1.0) AS s
+              FROM ex e JOIN dfq USING (tok), nn
+            ), agg AS (
+              SELECT doc_id, b, sum(s) AS v FROM sp GROUP BY doc_id, b
+            ), grid AS (
+              SELECT ids.doc_id, r.i AS pos
+              FROM (SELECT DISTINCT doc_id FROM sp) ids CROSS JOIN range(32) r(i)
+            )
+            SELECT grid.doc_id, CAST(grid.pos AS INT) AS pos,
+                   round(CAST(CAST(coalesce(agg.v, 0) AS FLOAT) AS DOUBLE), 6) AS val
+            FROM grid LEFT JOIN agg
+              ON agg.doc_id = grid.doc_id AND agg.b = grid.pos
+            ORDER BY grid.doc_id, pos
         """,
         "fuzzy_join_part_names": """
             WITH n AS (SELECT DISTINCT p_name FROM part)

@@ -1237,6 +1237,7 @@ def feature_hash_embed(
     id_col: str = "doc_id",
     salt: str = "fh",
     normalize: bool = True,
+    idf_weight: bool = False,
 ) -> DataFrame:
     """Feature-hashing bag-of-words embedding (the hashing trick,
     Weinberger et al. 2009): lowercased word unigrams hash into ``dim``
@@ -1247,6 +1248,13 @@ def feature_hash_embed(
     ``embedding_neardup``, ``semantic_dedup``) when no trained encoder
     is available. Both hashes are the engine-portable 60-bit md5, so
     vectors are reproducible anywhere.
+
+    ``idf_weight=True`` scales every occurrence's +/-1 by the token's
+    sklearn-smoothed idf (ln((N+1)/(df+1)) + 1, N = input rows) — the
+    stopword-suppression upgrade that makes hashed vectors usable for
+    RETRIEVAL, not just dedup: without it "the"-heavy buckets dominate
+    every cosine. Costs one distinct (id, token) df agg and one
+    token-keyed join on the exploded stream.
 
     Plan: explode -> (id, bucket) signed-count agg (map-side combined;
     a corpus-dominating stopword collapses per partition before its
@@ -1266,8 +1274,20 @@ def feature_hash_embed(
     )
     bucket = md5_60bit(F.concat_ws(":", F.col("__tok"), F.lit(salt))) % dim
     sign = (md5_60bit(F.concat_ws(":", F.col("__tok"), F.lit(salt + "#s"))) % 2) * 2 - 1
+    contrib = sign.cast("double")
+    if idf_weight:
+        dfreq = (
+            ex.distinct().groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+        )
+        n_docs = df.agg(F.count(F.lit(1)).alias("__N"))
+        ex = ex.join(dfreq, "__tok").crossJoin(F.broadcast(n_docs))
+        idf = (
+            F.log((F.col("__N") + F.lit(1.0)) / (F.col("__df") + F.lit(1.0)))
+            + F.lit(1.0)
+        )
+        contrib = sign.cast("double") * idf
     sparse = (
-        ex.select(F.col(id_col), bucket.alias("__b"), sign.alias("__s"))
+        ex.select(F.col(id_col), bucket.alias("__b"), contrib.alias("__s"))
         .groupBy(id_col, "__b")
         .agg(F.sum("__s").alias("__v"))
         .groupBy(id_col)

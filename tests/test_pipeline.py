@@ -1334,3 +1334,55 @@ def test_mixture_report_validation(docs):
         pipeline.mixture_report(docs, 10, tau=-1)
     with _pt.raises(ValueError):
         pipeline.mixture_report(docs, 10, max_epochs=0)
+
+
+def test_feature_hash_embed_idf_weighting(docs, spark):
+    """idf_weight: exact numpy replay of the sklearn-smoothed idf scaling,
+    and the stopword-suppression property (a ubiquitous token's bucket
+    shrinks relative to the unweighted form)."""
+    import math
+
+    from clarite_python_spark.functions.hashing import md5_60bit
+    from clarite_python_spark.operators.text import feature_hash_embed
+
+    sub = docs.where("doc_id < 40")
+    got = {
+        r["doc_id"]: list(r["embedding"])
+        for r in feature_hash_embed(
+            sub, dim=16, normalize=False, idf_weight=True
+        ).collect()
+    }
+    rows = sub.select("doc_id", "text").collect()
+    n = len(rows)
+    corpus = {r["doc_id"]: r["text"].lower().split() for r in rows}
+    df_ = {}
+    for toks in corpus.values():
+        for t in set(toks):
+            df_[t] = df_.get(t, 0) + 1
+    # replay the md5 bucket/sign through the engine's own hash (tiny vocab)
+    vocab = sorted({t for toks in corpus.values() for t in toks})
+    hdf = spark.createDataFrame([(t,) for t in vocab], "tok string")
+    from pyspark.sql import functions as F
+
+    hrows = hdf.select(
+        "tok",
+        (md5_60bit(F.concat_ws(":", F.col("tok"), F.lit("fh"))) % 16).alias("b"),
+        ((md5_60bit(F.concat_ws(":", F.col("tok"), F.lit("fh#s"))) % 2) * 2 - 1).alias("s"),
+    ).collect()
+    hb = {r["tok"]: (r["b"], r["s"]) for r in hrows}
+    for did, toks in corpus.items():
+        want = [0.0] * 16
+        for t in toks:
+            b, s = hb[t]
+            idf = math.log((n + 1) / (df_[t] + 1)) + 1
+            want[b] += s * idf
+        assert got[did] == pytest.approx(want, abs=1e-4), did
+
+
+def test_feature_hash_embed_idf_false_unchanged(docs):
+    """The default path must stay bit-identical to the pre-idf form
+    (integer signed counts)."""
+    from clarite_python_spark.operators.text import feature_hash_embed
+
+    out = feature_hash_embed(docs, dim=32, normalize=False).first()
+    assert all(float(x) == int(x) for x in out["embedding"])
