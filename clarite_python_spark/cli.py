@@ -357,6 +357,27 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-jaccard", type=float, default=0.0)
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
+    p = g_pipe.add_parser("bm25")
+    p.add_argument("data")
+    p.add_argument("output")
+    p.add_argument("--queries", required=True,
+                   help="semicolon-separated query strings")
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--k1", type=float, default=1.2)
+    p.add_argument("--b", type=float, default=0.75)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+
+    p = g_pipe.add_parser("fuzzy-join")
+    p.add_argument("data", help="left table")
+    p.add_argument("right", help="right table")
+    p.add_argument("output")
+    p.add_argument("--left-col", required=True)
+    p.add_argument("--right-col", required=True)
+    p.add_argument("--max-distance", type=int, default=2)
+    p.add_argument("--block-left", default=None)
+    p.add_argument("--block-right", default=None)
+
     p = g_pipe.add_parser("hash-embed")
     p.add_argument("data")
     p.add_argument("output")
@@ -1047,6 +1068,30 @@ def main(argv: list[str] | None = None) -> int:
                     df, seen, text_col=args.text_col, id_col=args.id_col,
                     threshold=args.threshold,
                 )
+        elif args.command == "bm25":
+            from clarite_python_spark.operators import text as text_mod
+
+            qdf = spark.createDataFrame(
+                [(i, s) for i, s in enumerate(args.queries.split(";"))],
+                "query_id long, query string",
+            )
+            out = text_mod.bm25_topk(
+                df, qdf, k=args.k, k1=args.k1, b=args.b,
+                text_col=args.text_col, id_col=args.id_col,
+            )
+        elif args.command == "fuzzy-join":
+            from clarite_python_spark.operators import joins as joins_mod
+
+            right = spark.read.parquet(args.right)
+            block = (
+                (args.block_left, args.block_right)
+                if args.block_left and args.block_right
+                else None
+            )
+            out = joins_mod.fuzzy_join(
+                df, right, args.left_col, args.right_col,
+                max_distance=args.max_distance, block_cols=block,
+            )
         elif args.command == "decontaminate":
             bench = spark.read.parquet(args.benchmark)
             out = dedup_mod.remove_contaminated_spans(

@@ -660,3 +660,25 @@ def test_cli_round9_pq_and_mixture(spark, tmp_path):
     ) == 0
     r = spark.read.parquet(f"{d}/rec").first()
     assert 0.0 <= r["recall"] <= 1.0
+
+
+def test_cli_bm25_and_fuzzy_join(spark, tmp_path):
+    d = str(tmp_path)
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    parts = "/root/testdata/sf0.001/part.parquet"
+
+    assert cli.main(
+        ["pipeline", "bm25", docs, f"{d}/bm", "--queries",
+         "hash join merge;slow scan filter", "--k", "5"]
+    ) == 0
+    bm = spark.read.parquet(f"{d}/bm")
+    assert set(bm.columns) == {"query_id", "doc_id", "rank", "bm25"}
+    assert bm.where("rank = 1").count() == 2
+
+    assert cli.main(
+        ["pipeline", "fuzzy-join", parts, parts, f"{d}/fj",
+         "--left-col", "p_name", "--right-col", "p_name",
+         "--max-distance", "1"]
+    ) == 0
+    fj = spark.read.parquet(f"{d}/fj")
+    assert "distance" in fj.columns and fj.count() > 0
