@@ -1495,8 +1495,13 @@ def ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``minhash_dedup_documents``), which is O(corpus), not O(n^2)."""
     docs = _t(spark, sf_dir, "documents")
     ids = docs.select("doc_id")
-    cands = ids.select(F.col("doc_id").alias("id_a")).join(
-        ids.select(F.col("doc_id").alias("id_b")), F.col("id_a") < F.col("id_b")
+    # repartition: the broadcast-range join emits all pairs in the scan's
+    # 1-2 partitions; without a reshuffle every downstream stage of the
+    # 12.5M-pair sf0.1 verify runs single-task (measured in the r9 sweep)
+    cands = (
+        ids.select(F.col("doc_id").alias("id_a"))
+        .join(ids.select(F.col("doc_id").alias("id_b")), F.col("id_a") < F.col("id_b"))
+        .repartition(32)
     )
     out = dedup.ngram_jaccard_pairs(docs, cands, shingle_n=3, threshold=0.2)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")).orderBy(
