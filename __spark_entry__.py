@@ -2283,6 +2283,28 @@ def mutual_information_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return describe.mutual_information(cf, only=["lang", "source", "len_bucket"])
 
 
+def theils_u_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's uncertainty coefficient (describe.theils_u) over the same
+    lang / source / length-bucket triple — the ASYMMETRIC redundancy
+    screen (U(x|y) = MI/H(x) differs by direction where NMI averages).
+    Oracle reuses the MI cell replay with per-direction entropy
+    normalizers."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .withColumn(
+            "len_bucket",
+            F.when(F.col("n_chars") < 200, "short")
+            .when(F.col("n_chars") < 400, "mid")
+            .otherwise("long"),
+        )
+        .select("doc_id", "lang", "source", "len_bucket")
+    )
+    cf = modify.make_categorical(
+        ClariteFrame(docs.withColumnRenamed("doc_id", "ID"))
+    )
+    return describe.theils_u(cf, only=["lang", "source", "len_bucket"])
+
+
 def embedding_drift_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space drift between the even- and odd-id halves of the
     embeddings table (similarity.embedding_drift): centroid cosine +
@@ -2366,6 +2388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_documents": bm25_topk_documents,
         "fuzzy_join_part_names": fuzzy_join_part_names,
         "idf_hash_embed_documents": idf_hash_embed_documents,
+        "theils_u_documents": theils_u_documents,
         "line_dedup_documents": line_dedup_documents,
         "perplexity_buckets_documents": perplexity_buckets_documents,
         "weighted_sample_documents": weighted_sample_documents,
@@ -4594,6 +4617,59 @@ def _incremental_embedding_neardup_oracle() -> str:
     """
 
 
+def _theils_u_oracle() -> str:
+    """Per-pair observed-cell MI with per-direction entropy normalizers
+    (U(x|y) = MI / H(x)); pairs mirror describe.theils_u's combinations
+    order."""
+    pairs = [
+        ("lang", "source"),
+        ("lang", "len_bucket"),
+        ("source", "len_bucket"),
+    ]
+    branches = []
+    for a, b in pairs:
+        branches.append(f"""
+          WITH c AS (
+            SELECT {a} AS va, {b} AS vb, CAST(count(*) AS DOUBLE) AS o
+            FROM d WHERE {a} IS NOT NULL AND {b} IS NOT NULL GROUP BY 1, 2
+          ), m AS (
+            SELECT va, vb, o,
+                   sum(o) OVER (PARTITION BY va) AS ra,
+                   sum(o) OVER (PARTITION BY vb) AS cb,
+                   sum(o) OVER () AS n
+            FROM c
+          ), agg AS (
+            SELECT max(n) AS n,
+                   sum((o / n) * ln(o * n / (ra * cb))) AS mi
+            FROM m
+          ), ha AS (
+            SELECT -sum((ra / n) * ln(ra / n)) AS h
+            FROM (SELECT DISTINCT va, ra, n FROM m)
+          ), hb AS (
+            SELECT -sum((cb / n) * ln(cb / n)) AS h
+            FROM (SELECT DISTINCT vb, cb, n FROM m)
+          )
+          SELECT '{a}' AS var1, '{b}' AS var2,
+                 CAST(agg.n AS BIGINT) AS n,
+                 CASE WHEN ha.h > 1e-12
+                      THEN round(agg.mi / ha.h, 6) END AS u_var1_given_var2,
+                 CASE WHEN hb.h > 1e-12
+                      THEN round(agg.mi / hb.h, 6) END AS u_var2_given_var1
+          FROM agg, ha, hb""")
+    union = " UNION ALL ".join(f"({br})" for br in branches)
+    return f"""
+        WITH d AS (
+          SELECT lang, source,
+                 CASE WHEN n_chars < 200 THEN 'short'
+                      WHEN n_chars < 400 THEN 'mid'
+                      ELSE 'long' END AS len_bucket
+          FROM documents
+        )
+        SELECT * FROM ({union})
+        ORDER BY var1, var2
+    """
+
+
 def _embedding_drift_oracle() -> str:
     """Lockstep-unnest per-dim means for each half, then the same
     centroid cosine / L2 / mean-norm reductions as the Spark side."""
@@ -5638,6 +5714,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cramers_v_documents": _cramers_v_oracle(),
         "mutual_information_documents": _mutual_information_oracle(),
+        "theils_u_documents": _theils_u_oracle(),
         "incremental_embedding_neardup_embeddings": _incremental_embedding_neardup_oracle(),
         "embedding_drift_embeddings": _embedding_drift_oracle(),
         "quantized_topk_embeddings": f"""

@@ -28,6 +28,7 @@ __all__ = [
     "correlations",
     "cramers_v",
     "mutual_information",
+    "theils_u",
     "freq_table",
     "get_types",
     "percent_na",
@@ -261,37 +262,18 @@ def cramers_v(cf: ClariteFrame, skip=None, only=None) -> DataFrame:
     )
 
 
-def mutual_information(cf: ClariteFrame, skip=None, only=None) -> DataFrame:
-    """Pairwise mutual information between CATEGORICAL variables — the
-    information-theoretic companion to :func:`cramers_v` (V measures
-    association strength against a chi-square null; MI measures the
-    shared bits directly and is the standard redundancy screen before
-    feature selection). Reported in nats, with the normalized form
-    NMI = MI / min(H(a), H(b)) in [0, 1] for cross-pair comparability
-    (NULL when either variable is constant on the pair's complete
-    cases — normalization is undefined, not 0).
-
-    MI = sum over observed cells (o/n) * ln(o*n / (ra*cb)); absent
-    cells contribute exactly 0, so the observed-cell sum IS the full
-    sum — same trick as cramers_v's closed-form chi2, no r x c
-    materialization.
-
-    Plan: identical to cramers_v — one exploded scan builds every
-    pair's contingency cells map-side-combined; margins, entropies,
-    and the per-pair reduction are aggs over that O(|pairs| x levels²)
-    cell table. No per-pair jobs.
-    """
+def _pairwise_mi(cf: ClariteFrame, skip, only) -> "DataFrame | None":
+    """Shared engine for mutual_information / theils_u: per categorical
+    pair, (var1, var2, n, __mi, __h_ra, __h_cb) — observed-cell MI plus
+    both margin entropies, from ONE exploded scan (cramers_v's plan).
+    Returns None when no pair exists."""
     cols = validate_skip_only(cf.variables, skip, only)
     cat_cols = [
         c for c in cols if cf.catalog.get(c) in (BINARY, CATEGORICAL, CONSTANT)
     ]
-    spark = cf.df.sparkSession
     pairs = list(combinations(cat_cols, 2))
     if not pairs:
-        return spark.createDataFrame(
-            [],
-            "var1 string, var2 string, n long, mi double, nmi double",
-        )
+        return None
     pair_structs = F.array(
         *[
             F.struct(
@@ -330,18 +312,52 @@ def mutual_information(cf: ClariteFrame, skip=None, only=None) -> DataFrame:
             )
         ).alias("__mi"),
     )
-    ent = lambda tbl, margin: tbl.join(  # noqa: E731
-        F.broadcast(n_pair), ["var1", "var2"]
-    ).groupBy("var1", "var2").agg(
-        (-F.sum(
-            (F.col(margin) / F.col("n"))
-            * F.log(F.col(margin).cast("double") / F.col("n"))
-        )).alias(f"__h_{margin}")
+
+    def ent(tbl, margin):
+        return (
+            tbl.join(F.broadcast(n_pair), ["var1", "var2"])
+            .groupBy("var1", "var2")
+            .agg(
+                (
+                    -F.sum(
+                        (F.col(margin) / F.col("n"))
+                        * F.log(F.col(margin).cast("double") / F.col("n"))
+                    )
+                ).alias(f"__h_{margin}")
+            )
+        )
+
+    return mi_pair.join(ent(ra, "ra"), ["var1", "var2"]).join(
+        ent(cb, "cb"), ["var1", "var2"]
     )
-    out = (
-        mi_pair.join(ent(ra, "ra"), ["var1", "var2"])
-        .join(ent(cb, "cb"), ["var1", "var2"])
-    )
+
+
+def mutual_information(cf: ClariteFrame, skip=None, only=None) -> DataFrame:
+    """Pairwise mutual information between CATEGORICAL variables — the
+    information-theoretic companion to :func:`cramers_v` (V measures
+    association strength against a chi-square null; MI measures the
+    shared bits directly and is the standard redundancy screen before
+    feature selection). Reported in nats, with the normalized form
+    NMI = MI / min(H(a), H(b)) in [0, 1] for cross-pair comparability
+    (NULL when either variable is constant on the pair's complete
+    cases — normalization is undefined, not 0).
+
+    MI = sum over observed cells (o/n) * ln(o*n / (ra*cb)); absent
+    cells contribute exactly 0, so the observed-cell sum IS the full
+    sum — same trick as cramers_v's closed-form chi2, no r x c
+    materialization.
+
+    Plan: identical to cramers_v — one exploded scan builds every
+    pair's contingency cells map-side-combined; margins, entropies,
+    and the per-pair reduction are aggs over that O(|pairs| x levels²)
+    cell table. No per-pair jobs.
+    """
+    out = _pairwise_mi(cf, skip, only)
+    if out is None:
+        return cf.df.sparkSession.createDataFrame(
+            [],
+            "var1 string, var2 string, n long, mi double, nmi double",
+        )
     hmin = F.least("__h_ra", "__h_cb")
     return out.select(
         "var1",
@@ -350,3 +366,36 @@ def mutual_information(cf: ClariteFrame, skip=None, only=None) -> DataFrame:
         F.round("__mi", 6).alias("mi"),
         F.when(hmin > 1e-12, F.round(F.col("__mi") / hmin, 6)).alias("nmi"),
     ).orderBy(F.desc_nulls_last("nmi"), "var1", "var2")
+
+
+def theils_u(cf: ClariteFrame, skip=None, only=None) -> DataFrame:
+    """Theil's uncertainty coefficient between CATEGORICAL variables —
+    the ASYMMETRIC redundancy screen: U(x|y) = MI / H(x) is the fraction
+    of x's entropy explained by knowing y, which is NOT the same both
+    ways (a fine-grained variable can fully determine a coarse one while
+    remaining mostly unexplained by it — NMI averages that distinction
+    away). One row per unordered pair carries both directions:
+    (var1, var2, n, u_var1_given_var2, u_var2_given_var1); a direction
+    is NULL when the explained variable is constant (H = 0).
+
+    Same single-exploded-scan cell plan as :func:`mutual_information` /
+    :func:`cramers_v`.
+    """
+    out = _pairwise_mi(cf, skip, only)
+    if out is None:
+        return cf.df.sparkSession.createDataFrame(
+            [],
+            "var1 string, var2 string, n long, "
+            "u_var1_given_var2 double, u_var2_given_var1 double",
+        )
+    return out.select(
+        "var1",
+        "var2",
+        "n",
+        F.when(
+            F.col("__h_ra") > 1e-12, F.round(F.col("__mi") / F.col("__h_ra"), 6)
+        ).alias("u_var1_given_var2"),
+        F.when(
+            F.col("__h_cb") > 1e-12, F.round(F.col("__mi") / F.col("__h_cb"), 6)
+        ).alias("u_var2_given_var1"),
+    ).orderBy("var1", "var2")

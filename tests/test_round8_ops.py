@@ -248,3 +248,46 @@ def test_mutual_information_constant_column_nmi_null(spark):
     row = mutual_information(cf).collect()[0]
     assert row["mi"] == pytest.approx(0.0, abs=1e-9)
     assert row["nmi"] is None  # min entropy = 0 -> normalization undefined
+
+
+def test_theils_u_asymmetry(spark):
+    """A fine variable determines a coarse one fully, but not vice
+    versa: U(coarse|fine) = 1, U(fine|coarse) < 1."""
+    from clarite_python_spark.operators.describe import theils_u
+
+    # fine in {a,b,c,d}; coarse = fine's first half/second half
+    rows = [("a", "x"), ("b", "x"), ("c", "y"), ("d", "y")] * 10
+    df = spark.createDataFrame(
+        [(i, f, c) for i, (f, c) in enumerate(rows)],
+        "ID: long, fine: string, coarse: string",
+    )
+    cf = make_categorical(ClariteFrame(df))
+    row = theils_u(cf).collect()[0]
+    # combinations order: (coarse, fine) -> var1=coarse, var2=fine
+    assert {row["var1"], row["var2"]} == {"coarse", "fine"}
+    u_coarse, u_fine = (
+        (row["u_var1_given_var2"], row["u_var2_given_var1"])
+        if row["var1"] == "coarse"
+        else (row["u_var2_given_var1"], row["u_var1_given_var2"])
+    )
+    assert u_coarse == pytest.approx(1.0)
+    assert u_fine == pytest.approx(0.5)  # MI = ln2, H(fine) = ln4
+
+
+def test_theils_u_constant_direction_null(spark):
+    from clarite_python_spark.operators.describe import theils_u
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", "k") for i in range(10)],
+        "ID: long, x: string, c: string",
+    )
+    cf = make_categorical(ClariteFrame(df))
+    row = theils_u(cf).collect()[0]
+    const_side = (
+        "u_var1_given_var2" if row["var1"] == "c" else "u_var2_given_var1"
+    )
+    other_side = (
+        "u_var2_given_var1" if row["var1"] == "c" else "u_var1_given_var2"
+    )
+    assert row[const_side] is None  # H(constant) = 0 -> undefined
+    assert row[other_side] == pytest.approx(0.0, abs=1e-9)
