@@ -509,3 +509,18 @@ def test_round9_retrieval_plan_shapes(spark):
     assert "BroadcastNestedLoopJoin" not in fj
     bm = plans["bm25_topk"]._jdf.queryExecution().executedPlan().toString()
     assert bm.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_q5_star_join_all_hash_joins(spark):
+    """The six-table Q5 star join must resolve to hash joins only —
+    no cartesian, no nested loop, no Python. (At gate scale AQE
+    broadcasts everything incl. orders; at 100 TB the fact-fact join
+    degrades gracefully to a shuffled join, never to a product.)"""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["q5_local_supplier_volume"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 5
