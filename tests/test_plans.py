@@ -524,3 +524,10 @@ def test_q5_star_join_all_hash_joins(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 5
+    # Explicit broadcast hints only on the CONSTANT-size dims (nation=25
+    # rows, region=5). customer/supplier scale with SF — forcing them
+    # broadcast would be the exact 100-TB scale-killer this query exists
+    # to demonstrate avoiding; AQE picks broadcast for them at gate scale
+    # on its own.
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert logical.count("ResolvedHint") == 2
