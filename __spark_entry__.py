@@ -5932,7 +5932,11 @@ def oracle_sql() -> dict[str, str]:
                      -- strictly > gap: session_window MERGES an event at
                      -- exactly last+gap (window end is inclusive for the
                      -- merge test; pinned by the sessionization property
-                     -- test's ==gap example)
+                     -- test's ==gap example, and re-verified directly on
+                     -- Spark 4.1.2 in round 10: two events exactly gap
+                     -- apart yield ONE session — so the round-9 advice to
+                     -- flip this to >= was checked and is wrong; the
+                     -- session_stats oracle below shares this condition)
                      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                             OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
                                > INTERVAL 4 HOUR

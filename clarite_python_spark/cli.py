@@ -1083,6 +1083,15 @@ def main(argv: list[str] | None = None) -> int:
             from clarite_python_spark.operators import joins as joins_mod
 
             right = spark.read.parquet(args.right)
+            if bool(args.block_left) != bool(args.block_right):
+                print(
+                    "error: --block-left and --block-right must be given "
+                    "together (blocking needs a key on BOTH sides; a lone "
+                    "flag would silently fall back to the far more "
+                    "expensive length-band-only join)",
+                    file=sys.stderr,
+                )
+                raise SystemExit(2)
             block = (
                 (args.block_left, args.block_right)
                 if args.block_left and args.block_right

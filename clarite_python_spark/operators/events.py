@@ -408,11 +408,16 @@ def event_anomalies(
     min_history: int = 3,
 ) -> DataFrame:
     """Volume-anomaly detection on the event stream: per ``by`` group,
-    each day's event count is z-scored against the TRAILING ``window``
-    days (strictly prior — today never contaminates its own baseline),
-    flagged when |z| >= ``z_threshold``. The first ``min_history`` days
-    of a group have no defensible baseline and report NULL z — a
-    monitoring query must distinguish "new stream" from "quiet stream".
+    each day's event count is z-scored against the trailing ``window``
+    PRESENT days (strictly prior — today never contaminates its own
+    baseline), flagged when |z| >= ``z_threshold``. "Present days" means
+    days with at least one event: the ROWS frame skips calendar gaps, so
+    on a sparse stream the baseline may reach further back than
+    ``window`` calendar days (a zero-count day contributes no row rather
+    than a 0 to the baseline — consistent across this operator, its
+    streaming twin and the oracle). The first ``min_history`` days of a
+    group have no defensible baseline and report NULL z — a monitoring
+    query must distinguish "new stream" from "quiet stream".
 
     Baseline mean/std use the sample std (ddof=1, ``F.stddev``); a
     constant baseline (std = 0) also reports NULL z rather than ±inf.

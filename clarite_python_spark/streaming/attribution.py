@@ -55,10 +55,12 @@ _OUT = StructType(
     ]
 )
 
-# state: the credited-touch candidate — (t_us, event id, channel);
-# t_us == 0 means "no touch seen yet"
+# state: the credited-touch candidate — (has_touch, t_us, event id,
+# channel). The explicit has_touch flag (not a t_us==0 sentinel) keeps a
+# legitimate touch at or before epoch 1970-01-01 creditable.
 _STATE = StructType(
     [
+        StructField("has_touch", LongType()),
         StructField("t_us", LongType()),
         StructField("touch_id", LongType()),
         StructField("channel", StringType()),
@@ -75,7 +77,7 @@ def _make_update(
     def _update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: "GroupState"
     ) -> Iterator[pd.DataFrame]:
-        t_us, tid, ch = state.get if state.exists else (0, 0, None)
+        has, t_us, tid, ch = state.get if state.exists else (0, 0, 0, None)
         rows = pd.concat(list(pdfs), ignore_index=True)
         out: list[dict] = []
         if len(rows):
@@ -87,7 +89,7 @@ def _make_update(
             ):
                 us = int(pd.Timestamp(ts).value // 1000)
                 if etype == conversion:
-                    ok = t_us > 0
+                    ok = bool(has)
                     if ok and lookback_us is not None and t_us < us - lookback_us:
                         ok = False
                     out.append(
@@ -101,10 +103,15 @@ def _make_update(
                             "touch_event_id": int(tid) if ok else None,
                         }
                     )
-                elif channels is None or etype in channels:
-                    if model == "last_touch" or t_us == 0:
-                        t_us, tid, ch = us, int(eid), str(etype)
-        state.update((t_us, tid, ch))
+                elif etype is not None and pd.notna(etype) and (
+                    channels is None or etype in channels
+                ):
+                    # null-typed events are never touches — matches the
+                    # batch operator, whose `col(type_col) != conversion`
+                    # is NULL (ignored) for null event types
+                    if model == "last_touch" or not has:
+                        has, t_us, tid, ch = 1, us, int(eid), str(etype)
+        state.update((has, t_us, tid, ch))
         if out:
             yield pd.DataFrame(out)
 

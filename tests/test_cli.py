@@ -682,3 +682,13 @@ def test_cli_bm25_and_fuzzy_join(spark, tmp_path):
     ) == 0
     fj = spark.read.parquet(f"{d}/fj")
     assert "distance" in fj.columns and fj.count() > 0
+
+    # a lone --block-left (or --block-right) must be a parser error, not
+    # a silent fall-back to the much more expensive length-band-only join
+    for lone in (["--block-left", "p_mfgr"], ["--block-right", "p_mfgr"]):
+        with pytest.raises(SystemExit):
+            cli.main(
+                ["pipeline", "fuzzy-join", parts, parts, f"{d}/fj_lone",
+                 "--left-col", "p_name", "--right-col", "p_name",
+                 "--max-distance", "1", *lone]
+            )

@@ -131,6 +131,56 @@ def test_stream_attribution_same_ts_larger_id_not_credited(spark, tmp_path):
     assert len(rows) == 1 and rows[0]["channel"] is None
 
 
+def test_stream_attribution_null_event_type_not_a_touch(spark, tmp_path):
+    # channels=None: a NULL event_type must be skipped, not treated as a
+    # touch with channel 'None' — the batch operator's
+    # `col(type_col) != conversion` is NULL for null types and ignores
+    # them (batch parity on dirty data)
+    src = str(tmp_path / "nulltype")
+    t0 = dt.datetime(2024, 1, 1, 0)
+    cols = ["user_id", "event_id", "ts", "event_type", "value"]
+    spark.createDataFrame(
+        [
+            (1, 1, t0, None, 0.0),  # null-typed event: never a touch
+            (1, 2, t0 + dt.timedelta(hours=1), "purchase", 3.0),
+            (2, 3, t0, None, 0.0),
+            (2, 4, t0 + dt.timedelta(minutes=5), "click", 0.0),
+            (2, 5, t0 + dt.timedelta(hours=1), "purchase", 4.0),
+        ],
+        cols,
+    ).coalesce(1).write.parquet(src)
+    _drive(stream_attribution(spark, src, conversion="purchase"), "attr_null")
+    rows = {r["user_id"]: r for r in spark.sql("select * from attr_null").collect()}
+    assert rows[1]["channel"] is None  # only touch candidate was null-typed
+    assert rows[2]["channel"] == "click"  # real touch still credited
+
+
+def test_stream_attribution_epoch_zero_touch_credited(spark, tmp_path):
+    # a legitimate touch at epoch 1970-01-01 must be credited (the state
+    # carries an explicit has-touch flag, not a t_us==0 sentinel), and
+    # under first_touch it must not be overwritten by a later touch
+    src = str(tmp_path / "epoch0")
+    epoch = dt.datetime(1970, 1, 1, 0)
+    cols = ["user_id", "event_id", "ts", "event_type", "value"]
+    spark.createDataFrame(
+        [
+            (1, 1, epoch, "email", 0.0),
+            (1, 2, epoch + dt.timedelta(minutes=10), "click", 0.0),
+            (1, 3, epoch + dt.timedelta(hours=1), "purchase", 5.0),
+        ],
+        cols,
+    ).coalesce(1).write.parquet(src)
+    _drive(
+        stream_attribution(spark, src, conversion="purchase", model="first_touch"),
+        "attr_epoch0",
+    )
+    rows = spark.sql("select * from attr_epoch0").collect()
+    assert len(rows) == 1
+    assert rows[0]["channel"] == "email"
+    assert rows[0]["touch_event_id"] == 1
+    assert rows[0]["touch_ts"] == epoch
+
+
 def test_stream_attribution_validation(spark, tmp_path):
     src = str(tmp_path / "v")
     spark.createDataFrame(
