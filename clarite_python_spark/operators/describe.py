@@ -181,6 +181,59 @@ def summarize(cf: ClariteFrame) -> dict:
     return {"rows": cf.df.count(), "types": type_counts}
 
 
+def _pair_cell_table(cf: ClariteFrame, cat_cols: list) -> DataFrame:
+    """Contingency cells (var1, var2, va, vb, o) for every categorical
+    pair — the shared kernel of cramers_v / mutual_information /
+    theils_u.
+
+    Width guard (the categorical sibling of ``correlations``'
+    ``_wide_limit`` + blockcorr): a naive single explode emits C(p,2)
+    4-field structs PER DATA ROW from an O(p²)-expression generator —
+    at the reference's canonical ~970-variable width that is ~470k
+    structs/row and a plan Janino cannot even compile (measured: ~9 s
+    codegen per 500-struct Generate, heap-OOM by 40 of them). Instead
+    each row builds ONE p-element (i, var, val) array — O(p)
+    expressions — and the pairing is two nested Generates: explode the
+    array, then explode ``slice(arr, i+2, p-i-1)`` so only i<j partners
+    generate. The pair stream is pipelined straight into the map-side
+    combine of the cell groupBy, so nothing O(p²) is ever materialized
+    per row; the shuffle stays |pairs| x |levels²| cells, one scan, at
+    any width. Pair order (var1 before var2) follows ``cat_cols``
+    position exactly like ``itertools.combinations`` did.
+    """
+    p = len(cat_cols)
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.lit(c).alias("var"),
+                qcol(c).cast("string").alias("val"),
+            )
+            for i, c in enumerate(cat_cols)
+        ]
+    )
+    left = cf.df.select(arr.alias("__a")).select(
+        "__a", F.explode("__a").alias("x")
+    )
+    paired = left.select(
+        F.col("x.var").alias("var1"),
+        F.col("x.val").alias("va"),
+        F.explode(
+            F.slice(F.col("__a"), F.col("x.i") + 2, F.lit(p - 1) - F.col("x.i"))
+        ).alias("y"),
+    ).select(
+        "var1",
+        F.col("y.var").alias("var2"),
+        "va",
+        F.col("y.val").alias("vb"),
+    )
+    return (
+        paired.where(F.col("va").isNotNull() & F.col("vb").isNotNull())
+        .groupBy("var1", "var2", "va", "vb")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+
+
 def cramers_v(cf: ClariteFrame, skip=None, only=None) -> DataFrame:
     """Pairwise association between CATEGORICAL variables — Cramér's V
     with the same role :func:`correlations` plays for continuous ones
@@ -196,11 +249,13 @@ def cramers_v(cf: ClariteFrame, skip=None, only=None) -> DataFrame:
     Pairs involving a constant (or anything with min(r,c) = 1) return
     NULL — V is undefined there, not 0.
 
-    Plan: ONE scan — each row explodes into its C(k,2) pair-cells, one
-    map-side-combined groupBy builds every pair's contingency cells at
-    once (shuffle = |pairs| x |levels_a x levels_b| rows, not data
-    rows), then margins and the per-pair reduction are joins/aggs over
-    that tiny cell table. No per-pair jobs, no window over data rows.
+    Plan: ONE scan — each row builds a p-element array and two nested
+    Generates stream its i<j pairs into a map-side-combined groupBy
+    that builds every pair's contingency cells at once (shuffle =
+    |pairs| x |levels_a x levels_b| rows, not data rows; see
+    :func:`_pair_cell_table` for the any-width guarantee), then margins
+    and the per-pair reduction are joins/aggs over that tiny cell
+    table. No per-pair jobs, no window over data rows.
     Returns (var1, var2, n, chi2, cramers_v) sorted by V desc.
     """
     cols = validate_skip_only(cf.variables, skip, only)
@@ -208,31 +263,12 @@ def cramers_v(cf: ClariteFrame, skip=None, only=None) -> DataFrame:
         c for c in cols if cf.catalog.get(c) in (BINARY, CATEGORICAL, CONSTANT)
     ]
     spark = cf.df.sparkSession
-    pairs = list(combinations(cat_cols, 2))
-    if not pairs:
+    if len(cat_cols) < 2:
         return spark.createDataFrame(
             [],
             "var1 string, var2 string, n long, chi2 double, cramers_v double",
         )
-    pair_structs = F.array(
-        *[
-            F.struct(
-                F.lit(a).alias("var1"),
-                F.lit(b).alias("var2"),
-                qcol(a).cast("string").alias("va"),
-                qcol(b).cast("string").alias("vb"),
-            )
-            for a, b in pairs
-        ]
-    )
-    long = (
-        cf.df.select(F.explode(pair_structs).alias("p"))
-        .select("p.*")
-        .where(F.col("va").isNotNull() & F.col("vb").isNotNull())
-    )
-    cells = long.groupBy("var1", "var2", "va", "vb").agg(
-        F.count(F.lit(1)).alias("o")
-    )
+    cells = _pair_cell_table(cf, cat_cols)
     ra = cells.groupBy("var1", "var2", "va").agg(F.sum("o").alias("ra"))
     cb = cells.groupBy("var1", "var2", "vb").agg(F.sum("o").alias("cb"))
     joined = cells.join(ra, ["var1", "var2", "va"]).join(
@@ -265,34 +301,16 @@ def cramers_v(cf: ClariteFrame, skip=None, only=None) -> DataFrame:
 def _pairwise_mi(cf: ClariteFrame, skip, only) -> "DataFrame | None":
     """Shared engine for mutual_information / theils_u: per categorical
     pair, (var1, var2, n, __mi, __h_ra, __h_cb) — observed-cell MI plus
-    both margin entropies, from ONE exploded scan (cramers_v's plan).
+    both margin entropies, from the nested-Generate single scan of
+    :func:`_pair_cell_table` (cramers_v's plan, any-width safe).
     Returns None when no pair exists."""
     cols = validate_skip_only(cf.variables, skip, only)
     cat_cols = [
         c for c in cols if cf.catalog.get(c) in (BINARY, CATEGORICAL, CONSTANT)
     ]
-    pairs = list(combinations(cat_cols, 2))
-    if not pairs:
+    if len(cat_cols) < 2:
         return None
-    pair_structs = F.array(
-        *[
-            F.struct(
-                F.lit(a).alias("var1"),
-                F.lit(b).alias("var2"),
-                qcol(a).cast("string").alias("va"),
-                qcol(b).cast("string").alias("vb"),
-            )
-            for a, b in pairs
-        ]
-    )
-    long = (
-        cf.df.select(F.explode(pair_structs).alias("p"))
-        .select("p.*")
-        .where(F.col("va").isNotNull() & F.col("vb").isNotNull())
-    )
-    cells = long.groupBy("var1", "var2", "va", "vb").agg(
-        F.count(F.lit(1)).alias("o")
-    )
+    cells = _pair_cell_table(cf, cat_cols)
     ra = cells.groupBy("var1", "var2", "va").agg(F.sum("o").alias("ra"))
     cb = cells.groupBy("var1", "var2", "vb").agg(F.sum("o").alias("cb"))
     n_pair = cells.groupBy("var1", "var2").agg(F.sum("o").alias("n"))

@@ -291,3 +291,90 @@ def test_theils_u_constant_direction_null(spark):
     )
     assert row[const_side] is None  # H(constant) = 0 -> undefined
     assert row[other_side] == pytest.approx(0.0, abs=1e-9)
+
+
+def _pairwise_rows(df_result, keycols):
+    return {
+        (r["var1"], r["var2"]): tuple(r[k] for k in keycols)
+        for r in df_result.collect()
+    }
+
+
+def test_pairwise_categorical_matches_ground_truth_with_nulls(spark):
+    # the nested-Generate kernel must reproduce per-pair complete-case
+    # contingency statistics computed independently in Python, on a
+    # frame with random nulls (8 vars -> 28 pairs)
+    from collections import Counter
+
+    from clarite_python_spark.operators.describe import mutual_information
+
+    import random
+
+    rng = random.Random(7)
+    cols = [f"v{i}" for i in range(8)]
+    rows = [
+        (i, *[rng.choice("abc") if rng.random() > 0.1 else None for _ in cols])
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        rows, "ID: long, " + ", ".join(f"{c}: string" for c in cols)
+    )
+    cf = make_categorical(ClariteFrame(df))
+
+    got_v = _pairwise_rows(cramers_v(cf), ["n", "chi2", "cramers_v"])
+    got_mi = _pairwise_rows(mutual_information(cf), ["n", "mi", "nmi"])
+    assert len(got_v) == 28 and len(got_mi) == 28
+
+    for ia in range(len(cols)):
+        for ib in range(ia + 1, len(cols)):
+            a, b = cols[ia], cols[ib]
+            cc = [
+                (r[1 + ia], r[1 + ib])
+                for r in rows
+                if r[1 + ia] is not None and r[1 + ib] is not None
+            ]
+            n = len(cc)
+            cells = Counter(cc)
+            ra = Counter(x for x, _ in cc)
+            cb = Counter(y for _, y in cc)
+            chi2 = n * (
+                sum(o * o / (ra[x] * cb[y]) for (x, y), o in cells.items()) - 1.0
+            )
+            r_, c_ = len(ra), len(cb)
+            v = (
+                math.sqrt(chi2 / (n * (min(r_, c_) - 1)))
+                if min(r_, c_) > 1
+                else None
+            )
+            mi = sum(
+                (o / n) * math.log(o * n / (ra[x] * cb[y]))
+                for (x, y), o in cells.items()
+            )
+            h = lambda m: -sum((o / n) * math.log(o / n) for o in m.values())
+            nmi = mi / min(h(ra), h(cb)) if min(h(ra), h(cb)) > 1e-12 else None
+            gn, gchi2, gv = got_v[(a, b)]
+            assert gn == n
+            assert gchi2 == pytest.approx(chi2, abs=1e-4)
+            assert gv == pytest.approx(v, abs=1e-4)
+            _, gmi, gnmi = got_mi[(a, b)]
+            assert gmi == pytest.approx(mi, abs=1e-4)
+            assert gnmi == pytest.approx(nmi, abs=1e-4)
+
+
+def test_pairwise_categorical_wide_frame_bounded(spark):
+    # p = 500 categorical vars -> 124,750 pairs: the naive C(p,2)
+    # struct generator could not even compile at this width (O(p²)
+    # expressions); the nested-Generate kernel is O(p) expressions and
+    # streams the pairs, so this completes in bounded time
+    n_vars, n_rows = 500, 50
+    cols = [f"w{i}" for i in range(n_vars)]
+    rows = [
+        (i, *[("x" if (i * 31 + j * 7) % 3 else "y") for j in range(n_vars)])
+        for i in range(n_rows)
+    ]
+    df = spark.createDataFrame(
+        rows, "ID: long, " + ", ".join(f"{c}: string" for c in cols)
+    )
+    cf = make_categorical(ClariteFrame(df))
+    out = cramers_v(cf)
+    assert out.count() == n_vars * (n_vars - 1) // 2
