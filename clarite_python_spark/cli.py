@@ -367,6 +367,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--b", type=float, default=0.75)
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--postings-dir", default=None,
+                   help="stored postings from 'pipeline build-postings'; "
+                        "data is then ignored and the corpus is not rescanned")
+
+    p = g_pipe.add_parser("build-postings")
+    p.add_argument("data")
+    p.add_argument("output", help="postings directory for later "
+                                  "'pipeline bm25 --postings-dir'")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
 
     p = g_pipe.add_parser("fuzzy-join")
     p.add_argument("data", help="left table")
@@ -1078,7 +1088,15 @@ def main(argv: list[str] | None = None) -> int:
             out = text_mod.bm25_topk(
                 df, qdf, k=args.k, k1=args.k1, b=args.b,
                 text_col=args.text_col, id_col=args.id_col,
+                postings_dir=args.postings_dir,
             )
+        elif args.command == "build-postings":
+            from clarite_python_spark.operators import text as text_mod
+
+            text_mod.build_postings(
+                df, args.output, text_col=args.text_col, id_col=args.id_col
+            )
+            return 0
         elif args.command == "fuzzy-join":
             from clarite_python_spark.operators import joins as joins_mod
 

@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "build_postings",
     "tokens",
     "bm25_topk",
     "token_count",
@@ -1312,8 +1313,61 @@ def feature_hash_embed(
     )
 
 
-def bm25_topk(
+def _postings_frames(
+    corpus: DataFrame, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The three BM25 corpus artifacts from one tokenize pass:
+    ``tf`` (id, __dl, __term, __tf) postings, ``dfreq`` (__term, __df)
+    document frequencies, ``stats`` the 1-row (__n, __avgdl)."""
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    base = corpus.select(
+        F.col(id_col), toks.alias("__toks"), F.size(toks).alias("__dl")
+    )
+    tf = (
+        base.select(id_col, "__dl", F.explode("__toks").alias("__term"))
+        .groupBy(id_col, "__dl", "__term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    dfreq = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n"), F.avg("__dl").alias("__avgdl")
+    )
+    return tf, dfreq, stats
+
+
+def build_postings(
     corpus: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Build and persist the BM25 postings artifact — the stored-state
+    form of :func:`bm25_topk`, the same pattern as the dedup family's
+    ``band_table`` / ``simhash_fingerprints``: pay the corpus shuffle
+    ONCE, then every later query batch runs ``bm25_topk(None, queries,
+    postings_dir=path)`` at broadcast-join cost with no corpus rescan
+    or re-tokenize.
+
+    Layout under ``path``: ``postings/`` (id, __dl, __term, __tf),
+    ``df/`` (__term, __df), ``stats/`` (1 row: __n, __avgdl). Postings
+    are sorted by term within files so parquet row-group stats compress
+    and cluster the hot join column. At 100 TB this is the artifact the
+    docstring of bm25_topk prices: the 10M-doc measurement put ~99% of
+    inline cost in the postings agg, so a stored-postings re-query pays
+    seconds, not minutes (scripts/bench_bm25_postings.py).
+    """
+    tf, dfreq, stats = _postings_frames(corpus, text_col, id_col)
+    tf.sortWithinPartitions("__term").write.mode("overwrite").parquet(
+        f"{path}/postings"
+    )
+    dfreq.sortWithinPartitions("__term").write.mode("overwrite").parquet(
+        f"{path}/df"
+    )
+    stats.write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def bm25_topk(
+    corpus: DataFrame | None,
     queries: DataFrame,
     k: int = 10,
     k1: float = 1.2,
@@ -1322,6 +1376,7 @@ def bm25_topk(
     id_col: str = "doc_id",
     query_id_col: str = "query_id",
     query_col: str = "query",
+    postings_dir: str | None = None,
 ) -> DataFrame:
     """Okapi BM25 top-k text retrieval — the standard lexical relevance
     ranking (Robertson et al., TREC-3), the retrieval-quality step up
@@ -1343,9 +1398,15 @@ def bm25_topk(
     absent, standard sparse-retrieval semantics.
 
     At 100 TB the postings table is the persistable artifact (build
-    once, serve many query batches) and the per-batch cost is the
-    broadcast join + one (query, doc) agg — no corpus rescan if
-    postings are stored.
+    once with :func:`build_postings`, serve many query batches via
+    ``postings_dir=``) and the per-batch cost is the broadcast join +
+    one (query, doc) agg — no corpus rescan when postings are stored.
+
+    Pass EITHER ``corpus`` (inline single-shot: tokenize + postings agg
+    happen in this query) OR ``postings_dir`` (the directory a prior
+    :func:`build_postings` wrote with the same ``id_col``; ``corpus``
+    is ignored and may be None). Both paths score identically
+    row-for-row (parity-tested).
     """
     from pyspark.sql import Window
 
@@ -1353,19 +1414,21 @@ def bm25_topk(
         raise ValueError("k must be positive")
     if k1 < 0 or not 0 <= b <= 1:
         raise ValueError("need k1 >= 0 and 0 <= b <= 1")
-    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
-    base = corpus.select(
-        F.col(id_col), toks.alias("__toks"), F.size(toks).alias("__dl")
-    )
-    tf = (
-        base.select(id_col, "__dl", F.explode("__toks").alias("__term"))
-        .groupBy(id_col, "__dl", "__term")
-        .agg(F.count(F.lit(1)).alias("__tf"))
-    )
-    dfreq = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
-    stats = base.agg(
-        F.count(F.lit(1)).alias("__n"), F.avg("__dl").alias("__avgdl")
-    )
+    if postings_dir is not None:
+        spark = queries.sparkSession
+        tf = spark.read.parquet(f"{postings_dir}/postings")
+        if id_col not in tf.columns:
+            raise ValueError(
+                f"stored postings at {postings_dir} carry id column "
+                f"{[c for c in tf.columns if not c.startswith('__')]}, "
+                f"not {id_col!r} — pass the id_col used at build time"
+            )
+        dfreq = spark.read.parquet(f"{postings_dir}/df")
+        stats = spark.read.parquet(f"{postings_dir}/stats")
+    elif corpus is None:
+        raise ValueError("need a corpus DataFrame or postings_dir")
+    else:
+        tf, dfreq, stats = _postings_frames(corpus, text_col, id_col)
     qterms = (
         queries.select(
             F.col(query_id_col),

@@ -683,6 +683,17 @@ def test_cli_bm25_and_fuzzy_join(spark, tmp_path):
     fj = spark.read.parquet(f"{d}/fj")
     assert "distance" in fj.columns and fj.count() > 0
 
+    # stored-postings round trip: build once, query the artifact, and
+    # the result must equal the inline run exactly
+    assert cli.main(["pipeline", "build-postings", docs, f"{d}/post"]) == 0
+    assert cli.main(
+        ["pipeline", "bm25", docs, f"{d}/bm2", "--queries",
+         "hash join merge;slow scan filter", "--k", "5",
+         "--postings-dir", f"{d}/post"]
+    ) == 0
+    bm2 = spark.read.parquet(f"{d}/bm2")
+    assert sorted(map(tuple, bm2.collect())) == sorted(map(tuple, bm.collect()))
+
     # a lone --block-left (or --block-right) must be a parser error, not
     # a silent fall-back to the much more expensive length-band-only join
     for lone in (["--block-left", "p_mfgr"], ["--block-right", "p_mfgr"]):

@@ -6,6 +6,7 @@ between operators that unit tests miss."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from clarite_python_spark.operators import dedup, pipeline, text
@@ -208,3 +209,48 @@ def test_bm25_topk_validation(spark):
         bm25_topk(docs, q, k=0)
     with _pt.raises(ValueError):
         bm25_topk(docs, q, b=1.5)
+
+
+# --------------------------------------------------------------- round 10
+
+
+def test_bm25_stored_postings_row_for_row_parity(spark, tmp_path):
+    """build_postings + bm25_topk(postings_dir=...) must equal the
+    inline bm25_topk result row-for-row — the stored artifact is a pure
+    amortization, never a semantic change."""
+    from clarite_python_spark.operators.text import bm25_topk, build_postings
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    queries = spark.createDataFrame(
+        [(0, "hash join merge"), (1, "slow scan filter"), (2, "group by key")],
+        "query_id long, query string",
+    )
+    inline = bm25_topk(docs, queries, k=7).collect()
+
+    pdir = str(tmp_path / "postings")
+    build_postings(docs, pdir)
+    stored = bm25_topk(None, queries, k=7, postings_dir=pdir).collect()
+
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(map(tuple, stored), key=lambda t: (t[0], t[2])) == sorted(
+        map(tuple, inline), key=lambda t: (t[0], t[2])
+    )
+    assert len(inline) > 0
+
+    # second query batch against the SAME stored postings — no rebuild
+    q2 = spark.createDataFrame([(9, "filter scan")], "query_id long, query string")
+    again = bm25_topk(None, q2, k=3, postings_dir=pdir).collect()
+    assert {r["query_id"] for r in again} == {9}
+
+
+def test_bm25_postings_dir_validation(spark, tmp_path):
+    from clarite_python_spark.operators.text import bm25_topk, build_postings
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = spark.createDataFrame([(0, "a")], "query_id long, query string")
+    with pytest.raises(ValueError, match="corpus DataFrame or postings_dir"):
+        bm25_topk(None, q)
+    pdir = str(tmp_path / "p2")
+    build_postings(docs, pdir)  # built with id_col='doc_id'
+    with pytest.raises(ValueError, match="id column"):
+        bm25_topk(None, q, postings_dir=pdir, id_col="other_id")
