@@ -1239,6 +1239,26 @@ def ivf_pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def ivf_pq_residual_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC with RESIDUAL codes (operators/similarity.py:ivf_pq_topk
+    residual=True, n_lists=8/n_probe=4, m=4/k_sub=8): PQ trains on
+    v - coarse_centroid with one shared codebook (Jégou's classic
+    refinement); reconstruction = centroid + decoded residual. Oracle
+    chains the coarse k-means replay, the per-vector residual CTE, and
+    the SAME per-subspace PQ training machinery run on the residual
+    relation — proving the whole residual pipeline bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ivf_pq_topk(
+        emb, queries, k=10, n_lists=8, n_probe=4, m=4, k_sub=8, residual=True
+    )
+    return out.select(
+        "query_id", "vec_id", "rank", F.round("cosine_pq", 6).alias("cosine_pq")
+    ).orderBy("query_id", "rank")
+
+
 def ann_recall_ivf_pq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@10 of the composed IVF+PQ ranking vs float brute force on
     the 20 md5-deterministic queries — the number that prices the double
@@ -2396,6 +2416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theils_u_documents": theils_u_documents,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "bm25_stored_topk_documents": bm25_stored_topk_documents,
+        "ivf_pq_residual_topk_embeddings": ivf_pq_residual_topk_embeddings,
         "winnow_fingerprints_documents": winnow_fingerprints_documents,
         "winnow_fingerprints_xxh_documents": winnow_fingerprints_xxh_documents,
         "winnow_matches_documents": winnow_matches_documents,
@@ -3586,19 +3607,28 @@ def _pq_ctes(
     seed: int = 42,
     iters: int = 10,
     dim: int = 64,
+    base: str | None = None,
 ) -> list[str]:
     """Shared CTE prefix replaying operators/similarity.py:_train_pq in
-    DuckDB: per-subspace Euclidean k-means on RAW subvectors (sorted
-    sample = whole gate corpus, seeded init per subspace seed+mi, first
-    argmin assignment, mean update, empty clusters keep the previous
-    centroid via COALESCE). All m subspaces train at once — the
-    subspace id is a COLUMN (``mi``) in every CTE, so the chain is
-    2 CTEs per iteration regardless of m, not m chains. Ends with
-    ``pqrecon`` holding each vector's packed code and concatenated-
-    centroid reconstruction. Corpus-size-specific like _kmeans_ctes
-    (the seeded init indices depend on n rows)."""
+    DuckDB: per-subspace Euclidean k-means on the ``base`` relation's
+    subvectors (sorted sample = whole gate corpus, seeded init per
+    subspace seed+mi, first argmin assignment, mean update, empty
+    clusters keep the previous centroid via COALESCE). ``base`` must
+    expose (vec_id, idx, v); default is the raw embeddings table — the
+    residual oracle passes its ``resid`` CTE instead, replaying
+    _train_pq_residual with the identical machinery. All m subspaces
+    train at once — the subspace id is a COLUMN (``mi``) in every CTE,
+    so the chain is 2 CTEs per iteration regardless of m, not m chains.
+    Ends with ``pqrecon`` holding each vector's packed code and
+    concatenated-centroid reconstruction. Corpus-size-specific like
+    _kmeans_ctes (the seeded init indices depend on n rows)."""
     import numpy as np
 
+    if base is None:
+        base = (
+            "(SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS idx, "
+            "embedding::DOUBLE[] AS v FROM embeddings)"
+        )
     dsub = dim // m
     init = []
     for mi in range(m):
@@ -3609,9 +3639,8 @@ def _pq_ctes(
     vals = ", ".join(init)
     ctes = [
         f"""sub AS MATERIALIZED (
-          SELECT vec_id, idx, mi, (v)[(mi*{dsub}+1):((mi+1)*{dsub})] AS s
-          FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS idx,
-                       embedding::DOUBLE[] AS v FROM embeddings),
+          SELECT b.vec_id, b.idx, mi, (b.v)[(mi*{dsub}+1):((mi+1)*{dsub})] AS s
+          FROM {base} AS b,
                (SELECT unnest(range({m})) AS mi))""",
         f"""pc0 AS MATERIALIZED (
           SELECT t.mi, t.j, sub.s AS v FROM sub
@@ -3763,6 +3792,67 @@ def _ivf_pq_topk_oracle() -> str:
                   ORDER BY list_dot_product(e.embedding::DOUBLE[], c.v) DESC,
                            c.j ASC LIMIT 1) AS lst
           FROM embeddings e JOIN pqrecon r ON r.vec_id = e.vec_id),
+        probes AS MATERIALIZED (
+          SELECT q.vec_id AS query_id, q.embedding::DOUBLE[] AS qvec, c.j AS lst,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.embedding::DOUBLE[], c.v) DESC,
+                            c.j DESC) AS pr
+          FROM embeddings q, c10 c WHERE q.vec_id < 5),
+        scored AS (
+          SELECT p.query_id, co.vec_id,
+                 list_dot_product(co.recon, p.qvec)
+                   / (sqrt(list_dot_product(co.recon, co.recon))
+                      * sqrt(list_dot_product(p.qvec, p.qvec))) AS c
+          FROM (SELECT * FROM probes WHERE pr <= 4) p
+          JOIN corp co ON co.lst = p.lst),
+        ranked AS (
+          SELECT query_id, vec_id, c,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY c DESC, vec_id ASC) AS INT) AS rank
+          FROM scored)
+        SELECT query_id, vec_id, rank, round(c, 6) AS cosine_pq
+        FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+    """
+    return "WITH " + ",\n".join(ctes) + ",\n" + final
+
+
+def _residual_ctes(dim: int = 64) -> list[str]:
+    """CTEs chaining after _kmeans_ctes: per-vector coarse assignment
+    (first argmax of the centroid dot, ties by lower j — replaying both
+    the Spark corpus rule and _train_pq_residual's sample rule, which
+    are the same rule) and the residual vector v - centroid, shaped as
+    the (vec_id, idx, v) base relation _pq_ctes consumes."""
+    return [
+        """assign AS MATERIALIZED (
+          SELECT vec_id, ev, j AS lst, cv FROM (
+            SELECT e.vec_id, e.embedding::DOUBLE[] AS ev, c.j, c.v AS cv,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_dot_product(e.embedding::DOUBLE[], c.v) DESC,
+                              c.j ASC) AS rn
+            FROM embeddings e, c10 c) WHERE rn = 1)""",
+        f"""resid AS MATERIALIZED (
+          SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS idx,
+                 list_transform(range(1, {dim} + 1), i -> ev[i] - cv[i]) AS v
+          FROM assign)""",
+    ]
+
+
+def _ivf_pq_residual_topk_oracle() -> str:
+    """DuckDB twin of ivf_pq_residual_topk_embeddings: coarse k-means
+    prefix, per-vector residuals, the SAME PQ training machinery run on
+    the residual relation, reconstruction = centroid + decoded residual,
+    then the identical probe/rerank tail as the raw ivf_pq oracle."""
+    ctes = (
+        _kmeans_ctes(n_rows=_oracle_embed_rows())
+        + _residual_ctes()
+        + _pq_ctes(n_rows=_oracle_embed_rows(), base="resid")
+    )
+    final = """
+        corp AS MATERIALIZED (
+          SELECT a.vec_id,
+                 list_transform(range(1, 65), i -> a.cv[i] + r.r[i]) AS recon,
+                 a.lst
+          FROM assign a JOIN pqrecon r ON r.vec_id = a.vec_id),
         probes AS MATERIALIZED (
           SELECT q.vec_id AS query_id, q.embedding::DOUBLE[] AS qvec, c.j AS lst,
                  row_number() OVER (PARTITION BY q.vec_id
@@ -5229,6 +5319,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_topk_embeddings": _pq_topk_oracle(),
         "ann_recall_pq_embeddings": _ann_recall_pq_oracle(),
         "ivf_pq_topk_embeddings": _ivf_pq_topk_oracle(),
+        "ivf_pq_residual_topk_embeddings": _ivf_pq_residual_topk_oracle(),
         "ann_recall_ivf_pq_embeddings": _ann_recall_ivf_pq_oracle(),
         "semantic_dedup_embeddings": _semantic_dedup_oracle(),
         "multimodal_features_documents": _multimodal_features_oracle(),

@@ -195,3 +195,69 @@ def test_ivf_pq_results_only_from_probed_lists(spark, emb):
         n_lists=8, n_probe=2, m=M, k_sub=KSUB,
     ).first()
     assert 0.0 <= r["recall"] <= 1.0
+
+
+def test_ivf_pq_residual_topk_matches_numpy(spark, emb, mat):
+    """residual=True (classic IVFADC): PQ trains on v - coarse_centroid,
+    reconstruction is centroid + decoded residual. Full numpy replay."""
+    ids, M_ = mat
+    cents = similarity._train_centroids(emb, "embedding", 8, 42, 10_000)
+    norms = np.maximum(np.linalg.norm(M_, axis=1, keepdims=True), 1e-12)
+    assign = np.argmax((M_ / norms) @ cents.T, axis=1)
+    books = _np_train_pq(M_ - cents[assign], M, KSUB, SEED, ITERS)
+    lists = np.asarray([int((cents @ v).argmax()) for v in M_])
+    recons = np.asarray(
+        [
+            cents[lists[i]]
+            + _np_recon(_np_encode(M_[i] - cents[lists[i]], books), books)
+            for i in range(len(M_))
+        ]
+    )
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.ivf_pq_topk(
+        emb, queries, k=5, n_lists=8, n_probe=4, m=M, k_sub=KSUB,
+        seed=SEED, iters=ITERS, residual=True,
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    rn = np.linalg.norm(recons, axis=1)
+    for qi in range(3):
+        q = M_[list(ids).index(qi)]
+        d = cents @ q
+        probe = sorted(range(8), key=lambda i: (-d[i], -i))[:4]
+        mask = np.isin(lists, probe)
+        cos = recons @ q / (rn * np.linalg.norm(q))
+        cand = [i for i in range(len(ids)) if mask[i]]
+        order = sorted(cand, key=lambda i: (-cos[i], ids[i]))[:5]
+        want = [int(ids[i]) for i in order]
+        rows = sorted(by_q[qi], key=lambda r: r["rank"])
+        assert [r["vec_id"] for r in rows] == want, qi
+        for r, i in zip(rows, order):
+            assert abs(r["cosine_pq"] - cos[i]) < 1e-9
+
+
+def test_ivf_pq_residual_beats_raw_on_clustered_corpus(spark):
+    """The regime residual=True exists for: a corpus the coarse
+    quantizer explains (residual energy < 1) must see higher recall
+    from residual codes than raw codes at the same budget."""
+    rng = np.random.RandomState(0)
+    dim, n_clu, per = 64, 8, 60
+    centers = rng.randn(n_clu, dim)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    V = np.repeat(centers, per, axis=0) + 0.08 * rng.randn(n_clu * per, dim)
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    clu = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(len(V))],
+        "vec_id long, embedding array<double>",
+    )
+    recalls = {}
+    for res in (False, True):
+        r = similarity.ann_recall(
+            clu, k=10, n_queries=20, method="ivf_pq",
+            n_lists=8, n_probe=4, m=4, k_sub=16, residual=res,
+        ).first()
+        recalls[res] = float(r["recall"])
+    assert recalls[True] > recalls[False]
