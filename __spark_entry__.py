@@ -2307,6 +2307,29 @@ def bm25_stored_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bm25_topk(None, queries, k=10, postings_dir=pdir)
 
 
+def hybrid_rrf_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+dense retrieval (operators/text.py:rrf_fuse,
+    Cormack et al. SIGIR 2009): BM25 top-20 over documents fused with
+    cosine top-20 over the row-aligned embeddings table by reciprocal
+    rank, final top-10 per query. The oracle replays BOTH retrievers
+    (the bm25 postings/idf SQL and a brute-force cosine ranking) and the
+    1/(60+rank) fusion."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qtext = spark.createDataFrame(
+        [(0, "hash join merge"), (1, "slow scan filter"), (2, "vector column batch")],
+        "query_id long, query string",
+    )
+    qvec = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    lex = text.bm25_topk(docs, qtext, k=20)
+    dense = similarity.cosine_topk(emb, qvec, k=20).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    return text.rrf_fuse(lex, dense, k=10)
+
+
 def session_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session rollup (operators/events.py:session_stats,
     4-hour gap): session count, event totals, mean/max per session,
@@ -2417,6 +2440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "bm25_stored_topk_documents": bm25_stored_topk_documents,
         "ivf_pq_residual_topk_embeddings": ivf_pq_residual_topk_embeddings,
+        "hybrid_rrf_topk_documents": hybrid_rrf_topk_documents,
         "winnow_fingerprints_documents": winnow_fingerprints_documents,
         "winnow_fingerprints_xxh_documents": winnow_fingerprints_xxh_documents,
         "winnow_matches_documents": winnow_matches_documents,
@@ -6153,6 +6177,75 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT query_id, doc_id, rank, bm25
+            FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+        # both retrievers replayed (bm25 postings/idf SQL at k=20 + brute
+        # force cosine at k=20) and fused by reciprocal rank 1/(60+rank)
+        "hybrid_rrf_topk_documents": f"""
+            WITH q(query_id, query) AS (
+              VALUES (0, 'hash join merge'), (1, 'slow scan filter'),
+                     (2, 'vector column batch')
+            ), b2 AS (
+              SELECT doc_id,
+                     list_transform({_TOKENS}, t -> lower(t)) AS toks,
+                     len({_TOKENS}) AS dl
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf FROM (
+                SELECT doc_id, dl, unnest(toks) AS term FROM b2
+              ) GROUP BY 1, 2, 3
+            ), dfq AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+            ), st AS (
+              SELECT count(*) AS n, avg(dl) AS avgdl FROM b2
+            ), qt AS (
+              SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
+                     unnest(list_distinct(list_filter(
+                       regexp_split_to_array(trim(lower(query)), '\\s+'),
+                       x -> x != ''))) AS term
+              FROM q
+            ), bscored AS (
+              SELECT qt.query_id, tf.doc_id,
+                     round(sum(
+                       ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+                       * tf.tf * 2.2
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))
+                     ), 6) AS bm25
+              FROM tf
+              JOIN qt ON qt.term = tf.term
+              JOIN dfq ON dfq.term = tf.term, st
+              GROUP BY 1, 2
+            ), lex AS (
+              SELECT query_id, doc_id, rnk AS ra FROM (
+                SELECT query_id, doc_id,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY bm25 DESC, doc_id ASC) AS rnk
+                FROM bscored) WHERE rnk <= 20
+            ), qv AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+              FROM embeddings WHERE vec_id < 3
+            ), dense AS (
+              SELECT query_id, doc_id, rnk AS rb FROM (
+                SELECT qv.query_id, e.vec_id AS doc_id,
+                       row_number() OVER (PARTITION BY qv.query_id ORDER BY
+                         list_dot_product(e.embedding::DOUBLE[], qv.v)
+                           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                              * sqrt(list_dot_product(qv.v, qv.v))) DESC,
+                         e.vec_id ASC) AS rnk
+                FROM embeddings e CROSS JOIN qv) WHERE rnk <= 20
+            ), fused AS (
+              SELECT COALESCE(lex.query_id, dense.query_id) AS query_id,
+                     COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+                     round(COALESCE(1.0 / (60 + lex.ra), 0.0)
+                           + COALESCE(1.0 / (60 + dense.rb), 0.0), 6) AS rrf
+              FROM lex FULL OUTER JOIN dense
+                ON lex.query_id = dense.query_id AND lex.doc_id = dense.doc_id
+            ), ranked AS (
+              SELECT query_id, doc_id, rrf,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY rrf DESC, doc_id ASC) AS INT) AS rank
+              FROM fused)
+            SELECT query_id, doc_id, rank, rrf
             FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
         """,
         # identical replay math as bm25_topk_documents, different query

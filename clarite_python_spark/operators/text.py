@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "build_postings",
+    "rrf_fuse",
     "tokens",
     "bm25_topk",
     "token_count",
@@ -1310,6 +1311,60 @@ def feature_hash_embed(
     return sparse.select(
         F.col(id_col),
         F.transform(dense, lambda x: x.cast("float")).alias("embedding"),
+    )
+
+
+def rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 10,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) —
+    the standard hybrid-retrieval combiner: given two ranked result
+    tables (e.g. :func:`bm25_topk` lexical + ``similarity.cosine_topk``
+    dense; align the id columns first), each document scores
+    sum over the lists it appears in of 1 / (rrf_k + rank). RRF needs no
+    score calibration between the two systems — only ranks — which is
+    why it is the default fusion in every hybrid-search stack.
+
+    Plan: both inputs are already O(|queries| x k) top-k tables, so the
+    fusion is a full-outer join + window over tiny data — at 100 TB the
+    cost lives entirely in the two retrievers, never here. Scores round
+    to 6 dp BEFORE ranking (ties by id) so the order is
+    engine-replayable. Returns (query_id, id, rank, rrf); documents
+    absent from both lists are absent (they have no rank to fuse).
+    """
+    from pyspark.sql import Window
+
+    if k <= 0 or rrf_k <= 0:
+        raise ValueError("k and rrf_k must be positive")
+    fa = a.select(
+        query_id_col, id_col, F.col(rank_col).alias("__ra")
+    )
+    fb = b.select(
+        query_id_col, id_col, F.col(rank_col).alias("__rb")
+    )
+    fused = (
+        fa.join(fb, [query_id_col, id_col], "full_outer")
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                F.coalesce(1.0 / (F.lit(rrf_k) + F.col("__ra")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("__rb")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("rrf"), F.asc(id_col))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy(query_id_col, "rank")
     )
 
 

@@ -254,3 +254,36 @@ def test_bm25_postings_dir_validation(spark, tmp_path):
     build_postings(docs, pdir)  # built with id_col='doc_id'
     with pytest.raises(ValueError, match="id column"):
         bm25_topk(None, q, postings_dir=pdir, id_col="other_id")
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """RRF on two tiny ranked lists vs hand arithmetic: doc 10 is rank 1
+    lexical + rank 2 dense, doc 20 rank 2 + rank 1 (tie on score, id
+    breaks), doc 30 lexical-only, doc 40 dense-only."""
+    from clarite_python_spark.operators.text import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(0, 10, 1), (0, 20, 2), (0, 30, 3)],
+        "query_id long, doc_id long, rank int",
+    )
+    dense = spark.createDataFrame(
+        [(0, 20, 1), (0, 10, 2), (0, 40, 3)],
+        "query_id long, doc_id long, rank int",
+    )
+    rows = rrf_fuse(lex, dense, k=10).collect()
+    got = {r["doc_id"]: (r["rank"], r["rrf"]) for r in rows}
+    both = round(1 / 61 + 1 / 62, 6)
+    assert got[10] == (1, both)  # same score as 20; lower id wins rank 1
+    assert got[20] == (2, both)
+    assert got[30] == (3, round(1 / 63, 6))
+    assert got[40] == (4, round(1 / 63, 6))
+
+
+def test_rrf_fuse_validation(spark):
+    from clarite_python_spark.operators.text import rrf_fuse
+
+    df = spark.createDataFrame([(0, 1, 1)], "query_id long, doc_id long, rank int")
+    with pytest.raises(ValueError):
+        rrf_fuse(df, df, k=0)
+    with pytest.raises(ValueError):
+        rrf_fuse(df, df, rrf_k=0)
