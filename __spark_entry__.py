@@ -1556,11 +1556,13 @@ def ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = docs.select("doc_id")
     # repartition: the broadcast-range join emits all pairs in the scan's
     # 1-2 partitions; without a reshuffle every downstream stage of the
-    # 12.5M-pair sf0.1 verify runs single-task (measured in the r9 sweep)
+    # 12.5M-pair sf0.1 verify runs single-task (measured in the r9 sweep).
+    # Width follows the session's parallelism rather than a gate-box
+    # constant.
     cands = (
         ids.select(F.col("doc_id").alias("id_a"))
         .join(ids.select(F.col("doc_id").alias("id_b")), F.col("id_a") < F.col("id_b"))
-        .repartition(32)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     out = dedup.ngram_jaccard_pairs(docs, cands, shingle_n=3, threshold=0.2)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")).orderBy(
@@ -1582,7 +1584,7 @@ def containment_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = (
         ids.select(F.col("doc_id").alias("id_a"))
         .join(ids.select(F.col("doc_id").alias("id_b")), F.col("id_a") < F.col("id_b"))
-        .repartition(32)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     out = dedup.containment_pairs(docs, cands, shingle_n=3, threshold=0.25)
     return out.select(
@@ -2428,9 +2430,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # idf_hash_embed_documents, theils_u_documents and
     # q5_local_supplier_volume (r9 positions 51-54, judge-gate-green).
     # Round 10 rotates those four to positions 1-4 and appends its own
-    # new registrations right behind them, so the r10 window proves
-    # exactly the never-driver-sampled set + the r10 additions; the
-    # remainder of the head-50 is back-filled with already-proven
+    # new registrations right behind them (bm25_stored_topk,
+    # ivf_pq_residual_topk, hybrid_rrf_topk at 5-7), so the r10 window
+    # proves exactly the never-driver-sampled set + the r10 additions;
+    # the remainder of the head-50 is back-filled with already-proven
     # entries in their prior order. The local full gate
     # (scripts/check_correctness.py) always runs ALL entries.
     return {

@@ -371,6 +371,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stored postings from 'pipeline build-postings'; "
                         "data is then ignored and the corpus is not rescanned")
 
+    p = g_pipe.add_parser("rrf")
+    p.add_argument("data", help="first ranked table (query_id, id, rank)")
+    p.add_argument("right", help="second ranked table")
+    p.add_argument("output")
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--rrf-k", type=int, default=60)
+    p.add_argument("--id-col", default="doc_id")
+
     p = g_pipe.add_parser("build-postings")
     p.add_argument("data")
     p.add_argument("output", help="postings directory for later "
@@ -1097,6 +1105,13 @@ def main(argv: list[str] | None = None) -> int:
                 df, args.output, text_col=args.text_col, id_col=args.id_col
             )
             return 0
+        elif args.command == "rrf":
+            from clarite_python_spark.operators import text as text_mod
+
+            right = spark.read.parquet(args.right)
+            out = text_mod.rrf_fuse(
+                df, right, k=args.k, rrf_k=args.rrf_k, id_col=args.id_col
+            )
         elif args.command == "fuzzy-join":
             from clarite_python_spark.operators import joins as joins_mod
 

@@ -694,6 +694,20 @@ def test_cli_bm25_and_fuzzy_join(spark, tmp_path):
     bm2 = spark.read.parquet(f"{d}/bm2")
     assert sorted(map(tuple, bm2.collect())) == sorted(map(tuple, bm.collect()))
 
+    # rrf: fuse the two bm25 runs (identical rankings -> same docs,
+    # doubled reciprocal scores, same order)
+    assert cli.main(
+        ["pipeline", "rrf", f"{d}/bm", f"{d}/bm2", f"{d}/fused", "--k", "3"]
+    ) == 0
+    fused = spark.read.parquet(f"{d}/fused")
+    assert set(fused.columns) == {"query_id", "doc_id", "rank", "rrf"}
+    top = {(r["query_id"], r["rank"]): r["doc_id"] for r in fused.collect()}
+    orig = {
+        (r["query_id"], r["rank"]): r["doc_id"]
+        for r in bm.where("rank <= 3").collect()
+    }
+    assert top == orig
+
     # a lone --block-left (or --block-right) must be a parser error, not
     # a silent fall-back to the much more expensive length-band-only join
     for lone in (["--block-left", "p_mfgr"], ["--block-right", "p_mfgr"]):
