@@ -27,6 +27,13 @@ import json
 import sys
 import time
 
+
+def _stage(results: dict, key: str, val, t0: float | None = None) -> None:
+    results[key] = val
+    if t0 is not None:
+        results[key + "_s" if not key.endswith("_s") else key] = val
+    print(f"STAGE {key}={val}", file=sys.stderr, flush=True)
+
 sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F  # noqa: E402
@@ -62,24 +69,26 @@ def main() -> None:
     # single evaluation for the verify stage too, so checkpoint like the
     # operator stack does internally
     cands = cands.localCheckpoint()
-    results["candidate_pairs"] = cands.count()
-    results["candidates_s"] = round(time.time() - t0, 1)
+    _stage(results, "candidate_pairs", cands.count())
+    _stage(results, "candidates_s", round(time.time() - t0, 1))
 
     t0 = time.time()
     dups = dedup.ngram_jaccard_pairs(big, cands.repartition(128))
-    results["verified_pairs"] = dups.count()
-    results["verify_s"] = round(time.time() - t0, 1)
+    _stage(results, "verified_pairs", dups.count())
+    _stage(results, "verify_s", round(time.time() - t0, 1))
 
     t0 = time.time()
-    results["survivors_greedy"] = dedup.minhash_dedup(big).count()
-    results["dedup_greedy_s"] = round(time.time() - t0, 1)
+    _stage(results, "survivors_greedy", dedup.minhash_dedup(big).count())
+    _stage(results, "dedup_greedy_s", round(time.time() - t0, 1))
 
     if "--skip-transitive" not in sys.argv:
         t0 = time.time()
-        results["survivors_transitive"] = dedup.minhash_dedup(
-            big, transitive=True
-        ).count()
-        results["dedup_transitive_s"] = round(time.time() - t0, 1)
+        _stage(
+            results,
+            "survivors_transitive",
+            dedup.minhash_dedup(big, transitive=True).count(),
+        )
+        _stage(results, "dedup_transitive_s", round(time.time() - t0, 1))
 
     print(json.dumps(results))
 
