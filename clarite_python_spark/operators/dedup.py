@@ -961,7 +961,17 @@ def minhash_lsh_candidates(
     each band -> explode -> groupBy(band, band_hash) -> pairs from
     buckets. Returns distinct (id_a, id_b) with id_a < id_b.
 
-    ``max_bucket`` drops degenerate buckets to bound pair blowup.
+    ``max_bucket`` drops degenerate buckets to bound pair blowup — and
+    it is the quadratic lever on duplicate-HEAVY corpora: every admitted
+    bucket contributes up to C(|bucket|, 2) pairs per band, and each
+    admitted pair later costs ~2x the doc's gram count in the exact
+    verify (measured r10: 500k docs in 100-member near-dup cliques
+    admitted 27.3M pairs, whose verify exploded to ~5B (pair, gram)
+    rows and ~47 GB of shuffle — bench_minhash_scale.py). When the
+    corpus is known duplicate-dense, LOWER max_bucket below the
+    expected clique size: dropping a full-clique bucket loses no
+    recall that the other bands' sub-buckets don't recover, and the
+    verify bill falls quadratically.
     ``hash_family="md5"`` keeps the band key as the raw joined-value
     string (no xxhash64 compaction) so DuckDB reproduces it exactly."""
     banded = _banded(

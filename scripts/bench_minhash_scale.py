@@ -17,7 +17,12 @@ for):
   dedup_greedy       minhash_dedup(big).count()            (full stack)
   dedup_transitive   minhash_dedup(big, transitive=True).count()
 
-Usage: python scripts/bench_minhash_scale.py [reps] [--skip-transitive]
+Usage: python scripts/bench_minhash_scale.py [reps] [--stages LIST]
+where LIST is a comma set of {candidates,verify,greedy,transitive}
+(default: all). Run heavy stages in SEPARATE processes: at 27M admitted
+pairs the verify explodes to ~5B (pair, gram) rows and one session's
+accumulated shuffle files can exhaust local disk (measured: 47 GB and
+an ENOSPC abort when greedy re-verified on top of the first pass).
 Prints one JSON line; record results in BASELINE.md / SCALE.md.
 """
 
@@ -44,6 +49,9 @@ from clarite_python_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    stages = {"candidates", "verify", "greedy", "transitive"}
+    if "--stages" in sys.argv:
+        stages = set(sys.argv[sys.argv.index("--stages") + 1].split(","))
     spark = get_spark("bench-minhash-scale")
     base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     n_base = base.count()
@@ -64,24 +72,27 @@ def main() -> None:
     n = big.count()
     results: dict[str, object] = {"corpus_docs": n, "reps": reps}
 
-    t0 = time.time()
-    cands = dedup.minhash_lsh_candidates(big)
-    # single evaluation for the verify stage too, so checkpoint like the
-    # operator stack does internally
-    cands = cands.localCheckpoint()
-    _stage(results, "candidate_pairs", cands.count())
-    _stage(results, "candidates_s", round(time.time() - t0, 1))
+    if "candidates" in stages or "verify" in stages:
+        t0 = time.time()
+        cands = dedup.minhash_lsh_candidates(big)
+        # single evaluation for the verify stage too, so checkpoint like
+        # the operator stack does internally
+        cands = cands.localCheckpoint()
+        _stage(results, "candidate_pairs", cands.count())
+        _stage(results, "candidates_s", round(time.time() - t0, 1))
 
-    t0 = time.time()
-    dups = dedup.ngram_jaccard_pairs(big, cands.repartition(128))
-    _stage(results, "verified_pairs", dups.count())
-    _stage(results, "verify_s", round(time.time() - t0, 1))
+    if "verify" in stages:
+        t0 = time.time()
+        dups = dedup.ngram_jaccard_pairs(big, cands.repartition(128))
+        _stage(results, "verified_pairs", dups.count())
+        _stage(results, "verify_s", round(time.time() - t0, 1))
 
-    t0 = time.time()
-    _stage(results, "survivors_greedy", dedup.minhash_dedup(big).count())
-    _stage(results, "dedup_greedy_s", round(time.time() - t0, 1))
+    if "greedy" in stages:
+        t0 = time.time()
+        _stage(results, "survivors_greedy", dedup.minhash_dedup(big).count())
+        _stage(results, "dedup_greedy_s", round(time.time() - t0, 1))
 
-    if "--skip-transitive" not in sys.argv:
+    if "transitive" in stages:
         t0 = time.time()
         _stage(
             results,
