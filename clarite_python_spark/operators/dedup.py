@@ -1263,6 +1263,7 @@ def minhash_dedup(
     hash_family: str = "xxhash64",
     keep_col: str | None = None,
     keep_order: str = "max",
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """End-to-end near-dup removal: LSH candidates -> exact-Jaccard verify
     -> drop duplicates, keeping one representative per group.
@@ -1283,7 +1284,8 @@ def minhash_dedup(
     adds only an O(#duplicate-docs) metric join + one window over
     cluster-partitioned rows on top of the transitive plan."""
     cands = minhash_lsh_candidates(
-        df, text_col, id_col, num_hashes, bands, shingle_n, hash_family=hash_family
+        df, text_col, id_col, num_hashes, bands, shingle_n,
+        max_bucket=max_bucket, hash_family=hash_family,
     )
     dups = ngram_jaccard_pairs(df, cands, text_col, id_col, shingle_n, threshold)
     losers = _dedup_losers(
@@ -1334,6 +1336,7 @@ def minhash_clusters(
     threshold: float = 0.8,
     max_iter: int = 20,
     hash_family: str = "xxhash64",
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-duplicate CLUSTER LABELS instead of survivors: every document
     that belongs to a verified near-dup connected component, labeled by
@@ -1345,7 +1348,8 @@ def minhash_clusters(
     documents (no near-dups) are not emitted.
     """
     cands = minhash_lsh_candidates(
-        df, text_col, id_col, num_hashes, bands, shingle_n, hash_family=hash_family
+        df, text_col, id_col, num_hashes, bands, shingle_n,
+        max_bucket=max_bucket, hash_family=hash_family,
     )
     dups = ngram_jaccard_pairs(df, cands, text_col, id_col, shingle_n, threshold)
     comp = _min_label_components(dups.select("id_a", "id_b"), max_iter)

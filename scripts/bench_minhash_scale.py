@@ -52,6 +52,9 @@ def main() -> None:
     stages = {"candidates", "verify", "greedy", "transitive"}
     if "--stages" in sys.argv:
         stages = set(sys.argv[sys.argv.index("--stages") + 1].split(","))
+    max_bucket = 1000
+    if "--max-bucket" in sys.argv:
+        max_bucket = int(sys.argv[sys.argv.index("--max-bucket") + 1])
     spark = get_spark("bench-minhash-scale")
     base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     n_base = base.count()
@@ -70,11 +73,13 @@ def main() -> None:
         .persist()
     )
     n = big.count()
-    results: dict[str, object] = {"corpus_docs": n, "reps": reps}
+    results: dict[str, object] = {
+        "corpus_docs": n, "reps": reps, "max_bucket": max_bucket,
+    }
 
     if "candidates" in stages or "verify" in stages:
         t0 = time.time()
-        cands = dedup.minhash_lsh_candidates(big)
+        cands = dedup.minhash_lsh_candidates(big, max_bucket=max_bucket)
         # single evaluation for the verify stage too, so checkpoint like
         # the operator stack does internally
         cands = cands.localCheckpoint()
@@ -89,7 +94,11 @@ def main() -> None:
 
     if "greedy" in stages:
         t0 = time.time()
-        _stage(results, "survivors_greedy", dedup.minhash_dedup(big).count())
+        _stage(
+            results,
+            "survivors_greedy",
+            dedup.minhash_dedup(big, max_bucket=max_bucket).count(),
+        )
         _stage(results, "dedup_greedy_s", round(time.time() - t0, 1))
 
     if "transitive" in stages:
@@ -97,7 +106,9 @@ def main() -> None:
         _stage(
             results,
             "survivors_transitive",
-            dedup.minhash_dedup(big, transitive=True).count(),
+            dedup.minhash_dedup(
+                big, transitive=True, max_bucket=max_bucket
+            ).count(),
         )
         _stage(results, "dedup_transitive_s", round(time.time() - t0, 1))
 

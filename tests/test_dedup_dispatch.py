@@ -126,3 +126,25 @@ def test_dispatch_errors(spark, dup_docs):
         dedup(dup_docs, "exact", keep="q", keep_order="best")
     with pytest.raises(TypeError, match="unexpected kwargs"):
         dedup(dup_docs, "exact", keep="q", bands=8)
+
+
+def test_minhash_dedup_max_bucket_is_the_duplicate_density_lever(spark):
+    """max_bucket now reaches minhash_dedup/minhash_clusters (and the
+    dedup() front door via kwargs): a 30-member clique is admitted at
+    the default cap (collapses to 1 survivor) and dropped when the cap
+    sits below the clique size (all 30 survive) — the quadratic guard
+    for duplicate-dense corpora."""
+    from clarite_python_spark.operators.dedup import dedup as dedup_front
+    from clarite_python_spark.operators.dedup import minhash_dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the band plays on"
+    )
+    docs = spark.createDataFrame(
+        [(i, f"{base} copy {i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    assert minhash_dedup(docs, threshold=0.5).count() == 1
+    assert minhash_dedup(docs, threshold=0.5, max_bucket=5).count() == 30
+    assert dedup_front(docs, "minhash", threshold=0.5, max_bucket=5).count() == 30
