@@ -25,6 +25,8 @@ from clarite_python_spark.operators import (
     analyze,
     dedup,
     describe,
+    evaluation,
+    graph,
     joins,
     layout,
     modify,
@@ -2421,6 +2423,100 @@ def embedding_drift_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_drift(a, b)
 
 
+def mmr_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified retrieval (similarity.mmr_rerank, Carbonell &
+    Goldstein SIGIR 1998): 3 query vectors, 20 exact-cosine candidates
+    each, greedy top-5 at lambda=0.7. The oracle unrolls all five greedy
+    selection steps in SQL (argmax per step with the same round-6 +
+    min-id tie-break), so the sequential diversity penalty itself is
+    value-checked, not just the candidate ranking."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.mmr_rerank(emb, qvec, k=5, fetch_k=20, lambda_=0.7)
+
+
+def rank_eval_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality scoring (evaluation.rank_eval): cosine top-10
+    for the first 5 query vectors, judged against same-label relevance
+    (binary qrels) — per query nDCG@10 / recall / precision / MRR. This
+    is the harness that prices the ANN approximations' quality knobs.
+    Oracle replays the dense ranking and every metric in SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    qvec = q.select(F.col("vec_id").alias("query_id"), "embedding")
+    res = similarity.cosine_topk(emb, qvec, k=10)
+    qrels = (
+        q.select(F.col("vec_id").alias("query_id"), "label")
+        .join(emb.select("vec_id", "label"), "label")
+        .select("query_id", "vec_id", F.lit(1.0).alias("rel"))
+    )
+    return evaluation.rank_eval(res, qrels, k=10, doc_col="vec_id")
+
+
+def table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (evaluation.table_diff): 'old' = orders with key%3
+    != 0, 'new' = key%5 != 0 with price restated (+100.0) on key%7 == 0
+    and priority restated on key%13 == 0 — added/removed/changed rows
+    with per-column change lists. Oracle is the same FULL OUTER JOIN
+    with null-safe column compares."""
+    o = _t(spark, sf_dir, "orders")
+    old = o.where(F.col("o_orderkey") % 3 != 0)
+    new = (
+        o.where(F.col("o_orderkey") % 5 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 100.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .withColumn(
+            "o_orderpriority",
+            F.when(F.col("o_orderkey") % 13 == 0, F.lit("9-RESTATED")).otherwise(
+                F.col("o_orderpriority")
+            ),
+        )
+    )
+    return evaluation.table_diff(
+        old,
+        new,
+        keys=["o_orderkey"],
+        compare=["o_orderstatus", "o_totalprice", "o_orderpriority"],
+    )
+
+
+def _cc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic path graph over customer ids: key -> key-1 except at
+    multiples of 5, so components are 5-node chains (diameter 4 — the
+    propagation loop actually iterates) at every SF without any giant
+    component (the recursive-CTE oracle stays closure-sized-bounded)."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.where(F.col("c_custkey") % 5 != 0).select(
+        F.col("c_custkey").alias("src"),
+        (F.col("c_custkey") - 1).alias("dst"),
+    )
+
+
+def connected_components_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Public connected components (graph.connected_components, the
+    min-label kernel behind minhash/simhash clustering) over the 5-node
+    customer path graph. Oracle computes the transitive closure with a
+    recursive CTE and takes min reachable id per node."""
+    return graph.connected_components(_cc_edges(spark, sf_dir), "src", "dst").orderBy(
+        "node"
+    )
+
+
+def component_sizes_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component-size rollup (graph.component_sizes) of the same path
+    graph — every component must come out exactly 5 nodes, proven
+    value-wise by the closure oracle's own rollup."""
+    return graph.component_sizes(_cc_edges(spark, sf_dir), "src", "dst").orderBy(
+        "component"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's correctness gate samples the FIRST 50
     # entries of this dict (CORRECTNESS_r04-r09 key lists are literal
@@ -2431,10 +2527,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q5_local_supplier_volume (r9 positions 51-54, judge-gate-green).
     # Round 10 rotates those four to positions 1-4 and appends its own
     # new registrations right behind them (bm25_stored_topk,
-    # ivf_pq_residual_topk, hybrid_rrf_topk at 5-7), so the r10 window
-    # proves exactly the never-driver-sampled set + the r10 additions;
-    # the remainder of the head-50 is back-filled with already-proven
-    # entries in their prior order. The local full gate
+    # ivf_pq_residual_topk, hybrid_rrf_topk at 5-7, then the later-r10
+    # additions mmr_rerank / rank_eval / table_diff / the two graph
+    # queries at 8-12), so the r10 window proves exactly the
+    # never-driver-sampled set + the r10 additions; the remainder of the
+    # head-50 is back-filled with already-proven entries in their prior
+    # order (the five r9-proven PQ/IVF-PQ entries displaced past 50 were
+    # all green in CORRECTNESS_r09). The local full gate
     # (scripts/check_correctness.py) always runs ALL entries.
     return {
         "fuzzy_join_part_names": fuzzy_join_part_names,
@@ -2444,6 +2543,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_stored_topk_documents": bm25_stored_topk_documents,
         "ivf_pq_residual_topk_embeddings": ivf_pq_residual_topk_embeddings,
         "hybrid_rrf_topk_documents": hybrid_rrf_topk_documents,
+        "mmr_rerank_embeddings": mmr_rerank_embeddings,
+        "rank_eval_embeddings": rank_eval_embeddings,
+        "table_diff_orders": table_diff_orders,
+        "connected_components_customer": connected_components_customer,
+        "component_sizes_customer": component_sizes_customer,
         "winnow_fingerprints_documents": winnow_fingerprints_documents,
         "winnow_fingerprints_xxh_documents": winnow_fingerprints_xxh_documents,
         "winnow_matches_documents": winnow_matches_documents,
@@ -4881,9 +4985,202 @@ def _embedding_drift_oracle() -> str:
     """
 
 
+def _mmr_oracle_sql(k: int = 5, fetch_k: int = 20, lam: float = 0.7) -> str:
+    """Unrolled greedy MMR replay: candidate CTE = the cosine_topk ranking
+    (fetch_k per query), then one (cand_i, sel_i, selall_i) CTE triple per
+    selection step — each step anti-joins already-picked docs, scores
+    lambda*rel - (1-lambda)*max-sim-to-selected rounded to 6, and picks
+    the per-query argmax with min-doc-id tie-break, exactly the Spark
+    kernel's loop. Constants are emitted via repr() so the SQL multiplies
+    by the SAME doubles numpy does (1-0.7 != 0.3 in IEEE)."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"list_dot_product({a},{b})/(sqrt(list_dot_product({a},{a}))"
+            f"*sqrt(list_dot_product({b},{b})))"
+        )
+
+    l_ = repr(float(lam))
+    m_ = repr(1.0 - float(lam))
+    ev = "e.embedding::DOUBLE[]"
+    parts = [
+        f"""
+        WITH qv AS (
+          SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+          FROM embeddings WHERE vec_id < 3
+        ), cand AS (
+          SELECT query_id, doc_id, rel, v FROM (
+            SELECT qv.query_id, e.vec_id AS doc_id,
+                   {cos(ev, 'qv.v')} AS rel,
+                   e.embedding::DOUBLE[] AS v,
+                   row_number() OVER (PARTITION BY qv.query_id
+                     ORDER BY {cos(ev, 'qv.v')} DESC, e.vec_id ASC) AS rnk
+            FROM embeddings e CROSS JOIN qv
+          ) WHERE rnk <= {fetch_k}
+        ), sel1 AS (
+          SELECT query_id, doc_id, mmr, 1 AS rank, v FROM (
+            SELECT query_id, doc_id, round({l_} * rel, 6) AS mmr, v,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY round({l_} * rel, 6) DESC, doc_id ASC) AS rn
+            FROM cand) WHERE rn = 1
+        ), selall1 AS (SELECT query_id, doc_id, mmr, rank, v FROM sel1)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f""", cand{i} AS (
+          SELECT c.query_id, c.doc_id,
+                 round({l_} * c.rel - {m_} * max({cos('c.v', 's.v')}), 6) AS mmr,
+                 c.v
+          FROM cand c JOIN selall{i - 1} s USING (query_id)
+          WHERE NOT EXISTS (SELECT 1 FROM selall{i - 1} x
+                            WHERE x.query_id = c.query_id
+                              AND x.doc_id = c.doc_id)
+          GROUP BY c.query_id, c.doc_id, c.rel, c.v
+        ), sel{i} AS (
+          SELECT query_id, doc_id, mmr, {i} AS rank, v FROM (
+            SELECT query_id, doc_id, mmr, v,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY mmr DESC, doc_id ASC) AS rn
+            FROM cand{i}) WHERE rn = 1
+        ), selall{i} AS (
+          SELECT * FROM selall{i - 1} UNION ALL SELECT * FROM sel{i})"""
+        )
+    parts.append(
+        f"""
+        SELECT query_id, doc_id AS vec_id, CAST(rank AS INT) AS rank, mmr
+        FROM selall{k} ORDER BY query_id, rank"""
+    )
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     norm_text = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
     return {
+        "mmr_rerank_embeddings": _mmr_oracle_sql(k=5, fetch_k=20, lam=0.7),
+        "rank_eval_embeddings": """
+            WITH q AS (
+              SELECT vec_id AS query_id, label, embedding::DOUBLE[] AS v
+              FROM embeddings WHERE vec_id < 5
+            ), res AS (
+              SELECT query_id, doc_id, rnk AS rank FROM (
+                SELECT q.query_id, e.vec_id AS doc_id,
+                       row_number() OVER (PARTITION BY q.query_id ORDER BY
+                         list_dot_product(e.embedding::DOUBLE[], q.v)
+                           / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                    e.embedding::DOUBLE[]))
+                              * sqrt(list_dot_product(q.v, q.v))) DESC,
+                         e.vec_id ASC) AS rnk
+                FROM embeddings e CROSS JOIN q
+              ) WHERE rnk <= 10
+            ), qrels AS (
+              SELECT q.query_id, e.vec_id AS doc_id, 1.0 AS rel
+              FROM q JOIN embeddings e ON e.label = q.label
+            ), joined AS (
+              SELECT r.query_id, r.rank, COALESCE(j.rel, 0.0) AS rel
+              FROM res r LEFT JOIN qrels j
+                ON j.query_id = r.query_id AND j.doc_id = r.doc_id
+            ), hit AS (
+              SELECT query_id,
+                     CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS hits,
+                     sum((pow(2.0, rel) - 1.0) / log2(rank + 1.0)) AS dcg,
+                     COALESCE(max(CASE WHEN rel > 0 THEN 1.0 / rank END), 0.0)
+                       AS mrr
+              FROM joined GROUP BY query_id
+            ), ideal AS (
+              SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel,
+                     sum(CASE WHEN irank <= 10
+                         THEN (pow(2.0, rel) - 1.0) / log2(irank + 1.0)
+                         ELSE 0.0 END) AS idcg
+              FROM (
+                SELECT query_id, rel, doc_id,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY rel DESC, doc_id ASC) AS irank
+                FROM qrels WHERE rel > 0
+              ) GROUP BY query_id
+            )
+            SELECT COALESCE(h.query_id, i.query_id) AS query_id,
+                   COALESCE(i.n_rel, 0) AS n_rel,
+                   COALESCE(h.hits, 0) AS hits,
+                   round(COALESCE(h.hits, 0) / 10.0, 6) AS precision,
+                   round(CASE WHEN COALESCE(i.n_rel, 0) > 0
+                         THEN COALESCE(h.hits, 0) * 1.0 / i.n_rel
+                         ELSE 0.0 END, 6) AS recall,
+                   round(COALESCE(h.mrr, 0.0), 6) AS mrr,
+                   round(CASE WHEN COALESCE(i.idcg, 0.0) > 0
+                         THEN COALESCE(h.dcg, 0.0) / i.idcg
+                         ELSE 0.0 END, 6) AS ndcg
+            FROM hit h FULL OUTER JOIN ideal i ON h.query_id = i.query_id
+            ORDER BY query_id
+        """,
+        "table_diff_orders": """
+            WITH old_s AS (
+              SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+              FROM orders WHERE o_orderkey % 3 <> 0
+            ), new_s AS (
+              SELECT o_orderkey, o_orderstatus,
+                     CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100.0
+                          ELSE o_totalprice END AS o_totalprice,
+                     CASE WHEN o_orderkey % 13 = 0 THEN '9-RESTATED'
+                          ELSE o_orderpriority END AS o_orderpriority
+              FROM orders WHERE o_orderkey % 5 <> 0
+            ), j AS (
+              SELECT o.o_orderkey AS ok, n.o_orderkey AS nk,
+                     COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                     CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                          THEN 1 ELSE 0 END AS d1,
+                     CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                          THEN 1 ELSE 0 END AS d2,
+                     CASE WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                          THEN 1 ELSE 0 END AS d3
+              FROM old_s o FULL OUTER JOIN new_s n
+                ON o.o_orderkey = n.o_orderkey
+            )
+            SELECT o_orderkey,
+                   CASE WHEN nk IS NULL THEN 'removed'
+                        WHEN ok IS NULL THEN 'added'
+                        ELSE 'changed' END AS status,
+                   CAST(CASE WHEN ok IS NULL OR nk IS NULL THEN 0
+                        ELSE d1 + d2 + d3 END AS INT) AS n_changed,
+                   CASE WHEN ok IS NULL OR nk IS NULL THEN ''
+                        ELSE concat_ws(',',
+                          CASE WHEN d1 = 1 THEN 'o_orderstatus' END,
+                          CASE WHEN d2 = 1 THEN 'o_totalprice' END,
+                          CASE WHEN d3 = 1 THEN 'o_orderpriority' END)
+                   END AS changed_cols
+            FROM j
+            WHERE ok IS NULL OR nk IS NULL OR d1 + d2 + d3 > 0
+        """,
+        "connected_components_customer": """
+            WITH RECURSIVE e AS (
+              SELECT c_custkey AS a, c_custkey - 1 AS b
+              FROM customer WHERE c_custkey % 5 <> 0
+            ), sym AS (
+              SELECT a, b FROM e UNION SELECT b, a FROM e
+            ), reach(n, m) AS (
+              SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+              UNION
+              SELECT r.n, s.b FROM reach r JOIN sym s ON s.a = r.m
+            )
+            SELECT n AS node, min(m) AS component
+            FROM reach GROUP BY n ORDER BY node
+        """,
+        "component_sizes_customer": """
+            WITH RECURSIVE e AS (
+              SELECT c_custkey AS a, c_custkey - 1 AS b
+              FROM customer WHERE c_custkey % 5 <> 0
+            ), sym AS (
+              SELECT a, b FROM e UNION SELECT b, a FROM e
+            ), reach(n, m) AS (
+              SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+              UNION
+              SELECT r.n, s.b FROM reach r JOIN sym s ON s.a = r.m
+            ), comp AS (
+              SELECT n AS node, min(m) AS component FROM reach GROUP BY n
+            )
+            SELECT component, CAST(count(*) AS BIGINT) AS n_nodes
+            FROM comp GROUP BY component ORDER BY component
+        """,
         "similarity_lsh_embeddings": _similarity_lsh_oracle(),
         "epoch_repeat_documents": _epoch_repeat_oracle(),
         "dsir_logweights_documents": _dsir_logweights_oracle(),

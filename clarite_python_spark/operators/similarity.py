@@ -43,6 +43,7 @@ __all__ = [
     "pq_topk",
     "ivf_pq_topk",
     "incremental_embedding_neardup",
+    "mmr_rerank",
 ]
 
 
@@ -1430,3 +1431,105 @@ def incremental_embedding_neardup(
         losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
         kept = kept.join(losers, on=id_col, how="left_anti")
     return kept
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    fetch_k: int = 50,
+    lambda_: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein
+    SIGIR 1998): fetch ``fetch_k`` exact-cosine candidates per query,
+    then greedily select ``k`` of them maximizing
+
+        mmr(d) = lambda * cos(q, d) - (1 - lambda) * max_{s in S} cos(d, s)
+
+    where ``S`` is the already-selected set — the standard redundancy
+    penalty that keeps near-duplicate hits from filling the result list.
+
+    Determinism: each step's scores are rounded to 6 decimals and ties
+    broken by ascending candidate id, so results are reproducible and
+    oracle-checkable.
+
+    Scale shape: candidate generation is :func:`cosine_topk` (one corpus
+    scan, broadcast queries); the greedy selection is inherently
+    sequential *per query* but embarrassingly parallel *across* queries,
+    so it runs as ``applyInPandas`` over the per-query candidate groups —
+    each group is at most ``fetch_k`` rows regardless of corpus size
+    (this is the justified Pandas-UDF case: a k-step argmax loop no
+    relational operator expresses). Returns
+    (query_id, id, rank, mmr)."""
+    import pandas as pd  # noqa: F401  (applyInPandas contract)
+
+    cands = cosine_topk(
+        corpus,
+        queries,
+        k=fetch_k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+    withvec = cands.join(
+        corpus.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+        ),
+        on=id_col,
+    ).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.col("cosine").alias("__rel"),
+        F.col("__v"),
+    )
+
+    qf = [f for f in withvec.schema.fields if f.name == query_id_col][0]
+    idf = [f for f in withvec.schema.fields if f.name == id_col][0]
+    out_schema = (
+        f"{query_id_col} {qf.dataType.simpleString()}, "
+        f"{id_col} {idf.dataType.simpleString()}, "
+        "rank int, mmr double"
+    )
+    lam = float(lambda_)
+    kk = int(k)
+
+    def _greedy(pdf):
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        V = np.array(pdf["__v"].tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(V, axis=1)
+        nrm[nrm == 0.0] = 1.0
+        U = V / nrm[:, None]
+        rel = pdf["__rel"].to_numpy(dtype=np.float64)
+        n = len(pdf)
+        take = min(kk, n)
+        avail = np.ones(n, dtype=bool)
+        maxsim = np.full(n, -np.inf)
+        picked, scores = [], []
+        for step in range(take):
+            if step == 0:
+                mmr = np.round(lam * rel, 6)
+            else:
+                mmr = np.round(lam * rel - (1.0 - lam) * maxsim, 6)
+            mmr = np.where(avail, mmr, -np.inf)
+            i = int(np.argmax(mmr))  # ids sorted asc -> first max = min id
+            picked.append(i)
+            scores.append(float(mmr[i]))
+            avail[i] = False
+            maxsim = np.maximum(maxsim, U @ U[i])
+        return pd.DataFrame(
+            {
+                query_id_col: pdf[query_id_col].iloc[picked].to_numpy(),
+                id_col: pdf[id_col].iloc[picked].to_numpy(),
+                "rank": np.arange(1, take + 1, dtype=np.int32),
+                "mmr": np.asarray(scores, dtype=np.float64),
+            }
+        )
+
+    return (
+        withvec.groupBy(query_id_col)
+        .applyInPandas(_greedy, schema=out_schema)
+        .orderBy(query_id_col, "rank")
+    )
