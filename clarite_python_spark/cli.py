@@ -396,6 +396,44 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--block-left", default=None)
     p.add_argument("--block-right", default=None)
 
+    p = g_pipe.add_parser("table-diff")
+    p.add_argument("data", help="old snapshot")
+    p.add_argument("right", help="new snapshot")
+    p.add_argument("output")
+    p.add_argument("--keys", required=True, help="comma-separated key columns")
+    p.add_argument("--compare", default=None,
+                   help="comma-separated columns to compare (default: all shared non-key)")
+    p.add_argument("--include-same", action="store_true")
+
+    p = g_pipe.add_parser("cc")
+    p.add_argument("data", help="edge list")
+    p.add_argument("output")
+    p.add_argument("--src-col", default="src")
+    p.add_argument("--dst-col", default="dst")
+    p.add_argument("--sizes", action="store_true",
+                   help="emit (component, n_nodes) instead of (node, component)")
+    p.add_argument("--max-iter", type=int, default=50)
+
+    p = g_pipe.add_parser("rank-eval")
+    p.add_argument("data", help="ranked results (query_id, doc_id, rank)")
+    p.add_argument("right", help="qrels (query_id, doc_id, rel)")
+    p.add_argument("output")
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--query-col", default="query_id")
+    p.add_argument("--doc-col", default="doc_id")
+    p.add_argument("--rank-col", default="rank")
+    p.add_argument("--rel-col", default="rel")
+
+    p = g_pipe.add_parser("mmr")
+    p.add_argument("data", help="corpus with an embedding column")
+    p.add_argument("right", help="queries (query_id, embedding)")
+    p.add_argument("output")
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--fetch-k", type=int, default=50)
+    p.add_argument("--lambda", dest="lambda_", type=float, default=0.7)
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--vec-col", default="embedding")
+
     p = g_pipe.add_parser("hash-embed")
     p.add_argument("data")
     p.add_argument("output")
@@ -1133,6 +1171,45 @@ def main(argv: list[str] | None = None) -> int:
             out = joins_mod.fuzzy_join(
                 df, right, args.left_col, args.right_col,
                 max_distance=args.max_distance, block_cols=block,
+            )
+        elif args.command == "table-diff":
+            from clarite_python_spark.operators import evaluation as eval_mod
+
+            right = spark.read.parquet(args.right)
+            out = eval_mod.table_diff(
+                df, right,
+                keys=[c.strip() for c in args.keys.split(",") if c.strip()],
+                compare=(
+                    [c.strip() for c in args.compare.split(",") if c.strip()]
+                    if args.compare else None
+                ),
+                include_same=args.include_same,
+            )
+        elif args.command == "cc":
+            from clarite_python_spark.operators import graph as graph_mod
+
+            fn = (
+                graph_mod.component_sizes if args.sizes
+                else graph_mod.connected_components
+            )
+            out = fn(df, args.src_col, args.dst_col, max_iter=args.max_iter)
+        elif args.command == "rank-eval":
+            from clarite_python_spark.operators import evaluation as eval_mod
+
+            right = spark.read.parquet(args.right)
+            out = eval_mod.rank_eval(
+                df, right, k=args.k, query_col=args.query_col,
+                doc_col=args.doc_col, rank_col=args.rank_col,
+                rel_col=args.rel_col,
+            )
+        elif args.command == "mmr":
+            from clarite_python_spark.operators import similarity as sim_mod
+
+            right = spark.read.parquet(args.right)
+            out = sim_mod.mmr_rerank(
+                df, right, k=args.k, fetch_k=args.fetch_k,
+                lambda_=args.lambda_, id_col=args.id_col,
+                vec_col=args.vec_col,
             )
         elif args.command == "decontaminate":
             bench = spark.read.parquet(args.benchmark)

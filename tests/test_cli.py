@@ -717,3 +717,62 @@ def test_cli_bm25_and_fuzzy_join(spark, tmp_path):
                  "--left-col", "p_name", "--right-col", "p_name",
                  "--max-distance", "1", *lone]
             )
+
+
+def test_cli_round10_ops(spark, tmp_path):
+    d = str(tmp_path)
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    orders = "/root/testdata/sf0.001/orders.parquet"
+
+    # cc + sizes over a path graph derived from orders keys
+    spark.read.parquet(orders).selectExpr(
+        "o_orderkey AS src", "o_orderkey - 1 AS dst"
+    ).where("o_orderkey % 5 != 0").write.parquet(f"{d}/edges")
+    assert cli.main(["pipeline", "cc", f"{d}/edges", f"{d}/cc"]) == 0
+    cc = spark.read.parquet(f"{d}/cc")
+    assert set(cc.columns) == {"node", "component"}
+    assert cli.main(
+        ["pipeline", "cc", f"{d}/edges", f"{d}/ccs", "--sizes"]
+    ) == 0
+    sizes = spark.read.parquet(f"{d}/ccs")
+    assert set(sizes.columns) == {"component", "n_nodes"}
+    assert cc.count() == sizes.agg({"n_nodes": "sum"}).first()[0]
+
+    # table-diff: old vs a restated copy of itself
+    spark.read.parquet(orders).where("o_orderkey % 2 = 0").selectExpr(
+        "o_orderkey", "o_totalprice + 1.0 AS o_totalprice", "o_orderstatus"
+    ).write.parquet(f"{d}/new")
+    assert cli.main(
+        ["pipeline", "table-diff", orders, f"{d}/new", f"{d}/diff",
+         "--keys", "o_orderkey", "--compare", "o_totalprice,o_orderstatus"]
+    ) == 0
+    diff = spark.read.parquet(f"{d}/diff")
+    stats = {r["status"] for r in diff.select("status").distinct().collect()}
+    assert stats == {"removed", "changed"}
+    assert diff.where("status = 'changed'").first()["changed_cols"] == "o_totalprice"
+
+    # mmr then rank-eval of its output against self-label qrels
+    spark.read.parquet(emb).where("vec_id < 2").selectExpr(
+        "vec_id AS query_id", "embedding"
+    ).write.parquet(f"{d}/q")
+    assert cli.main(
+        ["pipeline", "mmr", emb, f"{d}/q", f"{d}/mmr",
+         "--k", "3", "--fetch-k", "8", "--lambda", "0.5"]
+    ) == 0
+    mmr = spark.read.parquet(f"{d}/mmr")
+    assert set(mmr.columns) == {"query_id", "vec_id", "rank", "mmr"}
+    assert mmr.count() == 6
+
+    spark.sql(
+        "SELECT a.vec_id AS query_id, b.vec_id AS vec_id, 1.0 AS rel "
+        f"FROM parquet.`{emb}` a JOIN parquet.`{emb}` b ON a.label = b.label "
+        "WHERE a.vec_id < 2"
+    ).write.parquet(f"{d}/qrels")
+    assert cli.main(
+        ["pipeline", "rank-eval", f"{d}/mmr", f"{d}/qrels", f"{d}/ev",
+         "--k", "3", "--doc-col", "vec_id"]
+    ) == 0
+    ev = spark.read.parquet(f"{d}/ev")
+    assert ev.count() == 2
+    row = ev.first()
+    assert 0.0 <= row["ndcg"] <= 1.0 and row["n_rel"] > 0

@@ -531,3 +531,57 @@ def test_q5_star_join_all_hash_joins(spark):
     # on its own.
     logical = df._jdf.queryExecution().analyzed().toString()
     assert logical.count("ResolvedHint") == 2
+
+
+def test_round10_operators_plan_shapes(spark):
+    """Round-10 additions: table_diff is ONE join with the compare
+    subset pruned into the scan; rank_eval is all-JVM with no cartesian;
+    mmr_rerank's only Python stage is the documented bounded
+    FlatMapGroupsInPandas over per-query candidate groups (its candidate
+    generation keeps cosine_topk's broadcast plan); connected_components
+    emits no Python stages."""
+    from clarite_python_spark.operators import evaluation, graph, similarity
+    from clarite_python_spark.sources.io import load_testdata
+
+    t = load_testdata(spark, SF_DIR, ["orders", "embeddings", "customer"])
+    orders, emb, cust = t["orders"], t["embeddings"], t["customer"]
+    from pyspark.sql import functions as F
+
+    diff = evaluation.table_diff(
+        orders.where("o_orderkey % 2 = 0"),
+        orders.where("o_orderkey % 3 = 0"),
+        keys=["o_orderkey"],
+        compare=["o_totalprice"],
+    )
+    plan = diff._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Join") <= 2  # one SMJ (name appears in operator + condition)
+    fplan = _formatted_plan(diff)
+    read_schema = [ln for ln in fplan.splitlines() if "ReadSchema" in ln]
+    for ln in read_schema:  # compare-subset pruning reaches the scan
+        assert "o_orderpriority" not in ln and "o_orderdate" not in ln
+
+    qvec = emb.where("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = similarity.cosine_topk(emb, qvec, k=5)
+    qrels = qvec.select("query_id", F.lit(3).alias("vec_id"), F.lit(1.0).alias("rel"))
+    ev = evaluation.rank_eval(res, qrels, k=5, doc_col="vec_id")
+    plan = ev._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    mmr = similarity.mmr_rerank(emb, qvec, k=3, fetch_k=8)
+    plan = mmr._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+    edges = cust.where("c_custkey % 5 != 0").select(
+        F.col("c_custkey").alias("src"), (F.col("c_custkey") - 1).alias("dst")
+    )
+    cc = graph.connected_components(edges)
+    plan = cc._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
