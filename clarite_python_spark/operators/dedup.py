@@ -1207,15 +1207,29 @@ def containment_pairs(
     return scored.where(F.col("containment") >= threshold)
 
 
-def _min_label_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def _min_label_components(
+    edges: DataFrame, max_iter: int = 20, shortcut: bool = False
+) -> DataFrame:
     """Connected components over an undirected edge list (id_a, id_b) by
     iterative min-label propagation: every vertex starts labeled with its
     own id; each round takes the min of its own and its neighbors'
     labels; fixpoint => label == min id of the component.
 
-    Converges in O(component diameter) rounds — near-dup clusters are
-    shallow, so ``max_iter`` is a safety bound, not a typical cost. Each
-    round is one shuffle join keyed on vertex id over the DUPLICATE
+    ``shortcut=False`` converges in O(component diameter) rounds —
+    near-dup clusters are shallow (stars/cliques, diameter 1-2), so for
+    the dedup callers ``max_iter`` is a safety bound, not a typical cost,
+    and the extra join a shortcut round would pay buys nothing.
+
+    ``shortcut=True`` adds pointer jumping after each neighbor step:
+    ``label(v) <- label(label(v))`` (one label-keyed self-join). Labels
+    are always vertex ids of the same component and only decrease, so the
+    jump preserves the invariant while doubling the effective propagation
+    distance — O(log diameter) rounds on deep graphs (85.7 s -> measured
+    in BASELINE.md round-10 for a diameter-19 chain at 1M nodes). The
+    public graph operator defaults to this; arbitrary user graphs are not
+    guaranteed shallow.
+
+    Each round is one shuffle join keyed on vertex id over the DUPLICATE
     vertices only (not the corpus), and ``localCheckpoint`` truncates the
     lineage so plans don't grow exponentially. Returns (id, label)."""
     sym = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
@@ -1230,16 +1244,35 @@ def _min_label_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new = (
-            labels.join(nbr, labels["id"] == nbr["src"], "left")
-            .select(
-                labels["id"],
+        stepped = labels.join(nbr, labels["id"] == nbr["src"], "left").select(
+            labels["id"],
+            F.least(
+                labels["label"], F.coalesce(nbr["nbr_label"], labels["label"])
+            ).alias("label"),
+            labels["label"].alias("__old"),
+        )
+        if shortcut:
+            # materialize once so the self-join below doesn't recompute
+            # the neighbor step on both sides
+            stepped = stepped.localCheckpoint()
+            l2 = stepped.select(
+                F.col("id").alias("__lid"), F.col("label").alias("__llabel")
+            )
+            stepped = stepped.join(
+                l2, stepped["label"] == l2["__lid"], "left"
+            ).select(
+                stepped["id"],
                 F.least(
-                    labels["label"], F.coalesce(nbr["nbr_label"], labels["label"])
+                    stepped["label"],
+                    F.coalesce(F.col("__llabel"), stepped["label"]),
                 ).alias("label"),
-                (F.coalesce(nbr["nbr_label"], labels["label"]) < labels["label"])
-                .cast("long")
-                .alias("__chg"),
+                stepped["__old"],
+            )
+        new = (
+            stepped.select(
+                "id",
+                "label",
+                (F.col("label") < F.col("__old")).cast("long").alias("__chg"),
             )
             .localCheckpoint()
         )

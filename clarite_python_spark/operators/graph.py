@@ -37,6 +37,7 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 50,
+    shortcut: bool = True,
 ) -> DataFrame:
     """Connected components of the undirected graph given as an edge list.
 
@@ -46,9 +47,14 @@ def connected_components(
         ids are compared with ``<`` so the component label is the MIN
         vertex id of the component — stable and meaningful).
     src_col, dst_col : the two endpoint columns.
-    max_iter : safety bound on propagation rounds (cost is one shuffle
-        per round, rounds ~ component diameter; the loop exits early at
-        fixpoint).
+    max_iter : safety bound on propagation rounds (the loop exits early
+        at fixpoint).
+    shortcut : pointer-jump labels (label(v) <- label(label(v))) after
+        each neighbor round — one extra label-keyed join per round for
+        O(log diameter) instead of O(diameter) rounds (default: user
+        graphs are not guaranteed shallow; measured 85.7 s -> see
+        BASELINE.md round-10 on a diameter-19 chain). Turn off for
+        known-shallow graphs (stars, near-dup cliques) to save the join.
 
     Returns (node, component) with one row per distinct vertex,
     ``component`` = min vertex id reachable from ``node``.
@@ -56,7 +62,7 @@ def connected_components(
     e = edges.select(
         F.col(src_col).alias("id_a"), F.col(dst_col).alias("id_b")
     ).where(F.col("id_a").isNotNull() & F.col("id_b").isNotNull())
-    labels = _min_label_components(e, max_iter=max_iter)
+    labels = _min_label_components(e, max_iter=max_iter, shortcut=shortcut)
     return labels.select(
         F.col("id").alias("node"), F.col("label").alias("component")
     )
@@ -67,11 +73,12 @@ def component_sizes(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 50,
+    shortcut: bool = True,
 ) -> DataFrame:
     """Size rollup of :func:`connected_components`: one row per
     component with its vertex count — the "how big are my clusters"
     question. Same single-shuffle-per-round cost plus one count agg."""
-    comp = connected_components(edges, src_col, dst_col, max_iter)
+    comp = connected_components(edges, src_col, dst_col, max_iter, shortcut)
     return comp.groupBy("component").agg(
         F.count("*").cast("long").alias("n_nodes")
     )

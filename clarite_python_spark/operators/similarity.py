@@ -1442,6 +1442,8 @@ def mmr_rerank(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    candidates: DataFrame | None = None,
+    score_col: str = "cosine",
 ) -> DataFrame:
     """Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein
     SIGIR 1998): fetch ``fetch_k`` exact-cosine candidates per query,
@@ -1463,17 +1465,32 @@ def mmr_rerank(
     each group is at most ``fetch_k`` rows regardless of corpus size
     (this is the justified Pandas-UDF case: a k-step argmax loop no
     relational operator expresses). Returns
-    (query_id, id, rank, mmr)."""
+    (query_id, id, rank, mmr).
+
+    ``candidates``: optionally pass a precomputed candidate set
+    (query_id, id, score) — e.g. ``ivf_topk`` / ``lsh_topk`` /
+    ``pq_topk`` output — and the exact-cosine fetch is skipped entirely.
+    This is the 100-TB composition: the ANN index prunes the corpus, MMR
+    diversifies the pruned list; brute-force fetch at 1M vectors costs
+    ~97 s per 100 queries (BASELINE.md round-10) while the rerank stage
+    itself is corpus-size-independent."""
     import pandas as pd  # noqa: F401  (applyInPandas contract)
 
-    cands = cosine_topk(
-        corpus,
-        queries,
-        k=fetch_k,
-        id_col=id_col,
-        vec_col=vec_col,
-        query_id_col=query_id_col,
-    )
+    if candidates is not None:
+        cands = candidates.select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.col(score_col).alias("cosine"),
+        )
+    else:
+        cands = cosine_topk(
+            corpus,
+            queries,
+            k=fetch_k,
+            id_col=id_col,
+            vec_col=vec_col,
+            query_id_col=query_id_col,
+        )
     withvec = cands.join(
         corpus.select(
             F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")

@@ -52,13 +52,17 @@ def test_connected_components_paths_and_isolates(spark):
 
 
 def test_connected_components_long_chain_iterates(spark):
-    # a 40-node path: diameter 39 forces many propagation rounds
+    # a 40-node path: diameter 39 forces many propagation rounds.
+    # shortcut=True (pointer jumping) must converge to the identical
+    # labeling in O(log d) rounds; max_iter=12 < 39 proves the jumps
+    # actually happen (the plain arm would NOT converge in 12).
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(100, 139)], "src long, dst long"
     )
-    rows = graph.connected_components(edges, max_iter=60).collect()
-    assert len(rows) == 40
-    assert {r["component"] for r in rows} == {100}
+    for kwargs in ({"max_iter": 60, "shortcut": False}, {"max_iter": 12}):
+        rows = graph.connected_components(edges, **kwargs).collect()
+        assert len(rows) == 40
+        assert {r["component"] for r in rows} == {100}
 
 
 def test_component_sizes(spark):
@@ -287,6 +291,25 @@ def test_mmr_rerank_lambda_one_is_cosine_order(spark):
     got = [(r["query_id"], r["vec_id"], r["rank"]) for r in mmr.collect()]
     want = [(r["query_id"], r["vec_id"], r["rank"]) for r in cosine.collect()]
     assert got == want
+
+
+def test_mmr_rerank_precomputed_candidates(spark):
+    # feeding cosine_topk's own output through candidates= must be
+    # identical to the default internal fetch — the ANN-composition path
+    rng = np.random.RandomState(11)
+    rows = [(i, rng.randn(6).tolist()) for i in range(40)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(0, rows[3][1]), (1, rows[9][1])], "query_id long, embedding array<double>"
+    )
+    cand = similarity.cosine_topk(corpus, queries, k=10)
+    via_cand = similarity.mmr_rerank(
+        corpus, queries, k=4, lambda_=0.5, candidates=cand
+    ).collect()
+    default = similarity.mmr_rerank(
+        corpus, queries, k=4, fetch_k=10, lambda_=0.5
+    ).collect()
+    assert [tuple(r) for r in via_cand] == [tuple(r) for r in default]
 
 
 def test_mmr_rerank_fewer_candidates_than_k(spark):
