@@ -2517,6 +2517,23 @@ def component_sizes_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mmr_ivf_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale composition: IVF partial-probe ANN (n_lists=8,
+    n_probe=4) supplies the candidates, mmr_rerank(candidates=...)
+    diversifies them — the exact-cosine fetch never runs. The oracle
+    chains the FULL IVF replay (k-means quantizer training + list
+    assignment + probe join) into the unrolled greedy MMR steps, so the
+    end-to-end ANN->MMR pipeline is value-proven, not just each stage."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cand = similarity.ivf_topk(emb, qvec, k=20, n_lists=8, n_probe=4)
+    return similarity.mmr_rerank(
+        emb, qvec, k=5, lambda_=0.7, candidates=cand
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's correctness gate samples the FIRST 50
     # entries of this dict (CORRECTNESS_r04-r09 key lists are literal
@@ -2548,6 +2565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff_orders": table_diff_orders,
         "connected_components_customer": connected_components_customer,
         "component_sizes_customer": component_sizes_customer,
+        "mmr_ivf_rerank_embeddings": mmr_ivf_rerank_embeddings,
         "winnow_fingerprints_documents": winnow_fingerprints_documents,
         "winnow_fingerprints_xxh_documents": winnow_fingerprints_xxh_documents,
         "winnow_matches_documents": winnow_matches_documents,
@@ -4985,14 +5003,26 @@ def _embedding_drift_oracle() -> str:
     """
 
 
-def _mmr_oracle_sql(k: int = 5, fetch_k: int = 20, lam: float = 0.7) -> str:
+def _mmr_oracle_sql(
+    k: int = 5,
+    fetch_k: int = 20,
+    lam: float = 0.7,
+    n_queries: int = 3,
+    ivf_candidates: bool = False,
+) -> str:
     """Unrolled greedy MMR replay: candidate CTE = the cosine_topk ranking
     (fetch_k per query), then one (cand_i, sel_i, selall_i) CTE triple per
     selection step — each step anti-joins already-picked docs, scores
     lambda*rel - (1-lambda)*max-sim-to-selected rounded to 6, and picks
     the per-query argmax with min-doc-id tie-break, exactly the Spark
     kernel's loop. Constants are emitted via repr() so the SQL multiplies
-    by the SAME doubles numpy does (1-0.7 != 0.3 in IEEE)."""
+    by the SAME doubles numpy does (1-0.7 != 0.3 in IEEE).
+
+    ``ivf_candidates=True`` swaps the brute-force candidate CTE for the
+    full IVF partial-probe replay (k-means quantizer training + list
+    assignment + n_probe=4 probe join, the _ivf_probe_oracle machinery) —
+    proving the mmr_rerank(candidates=ivf_topk(...)) composition
+    value-exactly, not just the rerank kernel."""
 
     def cos(a: str, b: str) -> str:
         return (
@@ -5003,11 +5033,39 @@ def _mmr_oracle_sql(k: int = 5, fetch_k: int = 20, lam: float = 0.7) -> str:
     l_ = repr(float(lam))
     m_ = repr(1.0 - float(lam))
     ev = "e.embedding::DOUBLE[]"
-    parts = [
-        f"""
+    if ivf_candidates:
+        head_ctes = _kmeans_ctes(n_rows=_oracle_embed_rows()) + [
+            """corp AS MATERIALIZED (
+          SELECT e.vec_id, e.embedding::DOUBLE[] AS raw,
+                 (SELECT c.j FROM c10 c
+                  ORDER BY list_dot_product(e.embedding::DOUBLE[], c.v)
+                           / sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) DESC,
+                           c.j ASC LIMIT 1) AS lst
+          FROM embeddings e)""",
+            f"""probes AS MATERIALIZED (
+          SELECT q.vec_id AS query_id, q.embedding::DOUBLE[] AS qvec, c.j AS lst,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.embedding::DOUBLE[], c.v)
+                            / sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) DESC,
+                            c.j DESC) AS pr
+          FROM embeddings q, c10 c WHERE q.vec_id < {n_queries})""",
+            f"""cand AS (
+          SELECT query_id, doc_id, rel, v FROM (
+            SELECT p.query_id, co.vec_id AS doc_id,
+                   {cos('co.raw', 'p.qvec')} AS rel,
+                   co.raw AS v,
+                   row_number() OVER (PARTITION BY p.query_id
+                     ORDER BY {cos('co.raw', 'p.qvec')} DESC, co.vec_id ASC) AS rnk
+            FROM (SELECT * FROM probes WHERE pr <= 4) p
+            JOIN corp co ON co.lst = p.lst
+          ) WHERE rnk <= {fetch_k})""",
+        ]
+        head = "\n        WITH " + ",\n".join(head_ctes)
+    else:
+        head = f"""
         WITH qv AS (
           SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
-          FROM embeddings WHERE vec_id < 3
+          FROM embeddings WHERE vec_id < {n_queries}
         ), cand AS (
           SELECT query_id, doc_id, rel, v FROM (
             SELECT qv.query_id, e.vec_id AS doc_id,
@@ -5017,7 +5075,10 @@ def _mmr_oracle_sql(k: int = 5, fetch_k: int = 20, lam: float = 0.7) -> str:
                      ORDER BY {cos(ev, 'qv.v')} DESC, e.vec_id ASC) AS rnk
             FROM embeddings e CROSS JOIN qv
           ) WHERE rnk <= {fetch_k}
-        ), sel1 AS (
+        )"""
+    parts = [
+        head,
+        f""", sel1 AS (
           SELECT query_id, doc_id, mmr, 1 AS rank, v FROM (
             SELECT query_id, doc_id, round({l_} * rel, 6) AS mmr, v,
                    row_number() OVER (PARTITION BY query_id
@@ -5057,6 +5118,9 @@ def oracle_sql() -> dict[str, str]:
     norm_text = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
     return {
         "mmr_rerank_embeddings": _mmr_oracle_sql(k=5, fetch_k=20, lam=0.7),
+        "mmr_ivf_rerank_embeddings": _mmr_oracle_sql(
+            k=5, fetch_k=20, lam=0.7, ivf_candidates=True
+        ),
         "rank_eval_embeddings": """
             WITH q AS (
               SELECT vec_id AS query_id, label, embedding::DOUBLE[] AS v
