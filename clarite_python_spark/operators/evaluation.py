@@ -41,7 +41,10 @@ def rank_eval(
     results : (query_id, doc_id, rank) — rank 1-based; rows with
         ``rank > k`` are ignored (standard @k cutoff).
     qrels : (query_id, doc_id, rel) — graded relevance, ``rel > 0``
-        means relevant. Binary judgments just use rel=1.
+        means relevant. Binary judgments just use rel=1. One row per
+        (query, doc) is the contract (the TREC qrels format): duplicate
+        judgments would fan out the join and inflate hits/DCG —
+        ``dropDuplicates(["query_id", "doc_id"])`` upstream if unsure.
     k : the cutoff for every metric.
 
     Returns one row per query id appearing in EITHER input:
