@@ -306,3 +306,159 @@ def test_dsir_weight_shift_monotonicity(spark):
     w_small = {r["doc_id"]: r["log_weight"] for r in dsir_logweights(raw, t_small).collect()}
     w_big = {r["doc_id"]: r["log_weight"] for r in dsir_logweights(raw, t_big).collect()}
     assert w_big[1] >= w_small[1]
+
+
+# ------------------------------------------------------- round-10 ops --
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),      # key
+            st.integers(min_value=-3, max_value=3),      # value
+        ),
+        min_size=0,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=-3, max_value=3),
+        ),
+        min_size=0,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_table_diff_patch_reconstructs_new(spark, old_rows, new_rows):
+    """Applying the diff to `old` must reconstruct `new` exactly:
+    drop removed keys, add added keys, overwrite changed keys."""
+    from clarite_python_spark.operators import evaluation
+
+    old = spark.createDataFrame(
+        pd.DataFrame(old_rows or [(99, 0)], columns=["k", "v"]).astype("int64")
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame(new_rows or [(98, 0)], columns=["k", "v"]).astype("int64")
+    )
+    diff = {
+        r["k"]: r["status"]
+        for r in evaluation.table_diff(old, new, keys=["k"]).collect()
+    }
+    old_d = dict(old_rows or [(99, 0)])
+    new_d = dict(new_rows or [(98, 0)])
+    patched = {
+        k: v
+        for k, v in old_d.items()
+        if diff.get(k) != "removed"
+    }
+    for k, status in diff.items():
+        if status in ("added", "changed"):
+            patched[k] = new_d[k]
+    assert patched == new_d
+    # status partition is exact
+    for k, status in diff.items():
+        if status == "added":
+            assert k in new_d and k not in old_d
+        elif status == "removed":
+            assert k in old_d and k not in new_d
+        else:
+            assert old_d[k] != new_d[k]
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_connected_components_matches_union_find(spark, edge_list):
+    """Both kernel arms (plain and pointer-jumped) must equal a plain
+    python union-find on arbitrary random graphs (self-loops included)."""
+    from clarite_python_spark.operators import graph
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for node in parent:
+        want[node] = find(node)
+
+    edges = spark.createDataFrame(
+        pd.DataFrame(edge_list, columns=["src", "dst"]).astype("int64")
+    )
+    for shortcut in (False, True):
+        got = {
+            r["node"]: r["component"]
+            for r in graph.connected_components(
+                edges, shortcut=shortcut
+            ).collect()
+        }
+        assert got == want, f"shortcut={shortcut}"
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # query
+            st.integers(min_value=0, max_value=15),  # doc
+        ),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    )
+)
+def test_rank_eval_metrics_bounded_and_perfect_on_ideal(spark, rel_pairs):
+    """All metrics live in [0,1]; scoring the IDEAL ranking of the qrels
+    themselves gives ndcg == recall == mrr == 1 (binary rels, k >= n)."""
+    from clarite_python_spark.operators import evaluation
+
+    qrels = spark.createDataFrame(
+        pd.DataFrame(rel_pairs, columns=["query_id", "doc_id"])
+        .astype("int64")
+        .assign(rel=1.0)
+    )
+    # ideal results: every query's relevant docs ranked 1..n by doc id
+    pdf = pd.DataFrame(rel_pairs, columns=["query_id", "doc_id"]).astype("int64")
+    pdf = pdf.sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+    pdf["rank"] = pdf.groupby("query_id").cumcount() + 1
+    results = spark.createDataFrame(pdf)
+    out = evaluation.rank_eval(results, qrels, k=20).collect()
+    for r in out:
+        for m in ("precision", "recall", "mrr", "ndcg"):
+            assert 0.0 <= r[m] <= 1.0
+        assert r["recall"] == pytest.approx(1.0)
+        assert r["mrr"] == pytest.approx(1.0)
+        assert r["ndcg"] == pytest.approx(1.0)
