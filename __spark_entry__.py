@@ -5147,20 +5147,24 @@ def oracle_sql() -> dict[str, str]:
               SELECT query_id,
                      CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
                        AS hits,
-                     sum((pow(2.0, rel) - 1.0) / log2(rank + 1.0)) AS dcg,
+                     sum(CASE WHEN rel > 0
+                         THEN (pow(2.0, rel) - 1.0) / log2(rank + 1.0)
+                         ELSE 0.0 END) AS dcg,
                      COALESCE(max(CASE WHEN rel > 0 THEN 1.0 / rank END), 0.0)
                        AS mrr
               FROM joined GROUP BY query_id
             ), ideal AS (
-              SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel,
-                     sum(CASE WHEN irank <= 10
+              SELECT query_id,
+                     CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_rel,
+                     sum(CASE WHEN rel > 0 AND irank <= 10
                          THEN (pow(2.0, rel) - 1.0) / log2(irank + 1.0)
                          ELSE 0.0 END) AS idcg
               FROM (
                 SELECT query_id, rel, doc_id,
                        row_number() OVER (PARTITION BY query_id
                          ORDER BY rel DESC, doc_id ASC) AS irank
-                FROM qrels WHERE rel > 0
+                FROM qrels
               ) GROUP BY query_id
             )
             SELECT COALESCE(h.query_id, i.query_id) AS query_id,

@@ -413,6 +413,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sizes", action="store_true",
                    help="emit (component, n_nodes) instead of (node, component)")
     p.add_argument("--max-iter", type=int, default=50)
+    p.add_argument("--no-shortcut", action="store_true",
+                   help="disable pointer jumping (saves one join per round "
+                        "on known-shallow graphs: stars, near-dup cliques)")
 
     p = g_pipe.add_parser("rank-eval")
     p.add_argument("data", help="ranked results (query_id, doc_id, rank)")
@@ -1192,7 +1195,10 @@ def main(argv: list[str] | None = None) -> int:
                 graph_mod.component_sizes if args.sizes
                 else graph_mod.connected_components
             )
-            out = fn(df, args.src_col, args.dst_col, max_iter=args.max_iter)
+            out = fn(
+                df, args.src_col, args.dst_col, max_iter=args.max_iter,
+                shortcut=not args.no_shortcut,
+            )
         elif args.command == "rank-eval":
             from clarite_python_spark.operators import evaluation as eval_mod
 

@@ -1280,6 +1280,17 @@ def _min_label_components(
         labels = new.drop("__chg")
         if changed == 0:
             break
+    else:
+        # the final round still improved labels, so fixpoint was never
+        # PROVEN — returning would hand back silently-wrong components
+        # (a >max_iter-hop node keeps a non-min label). Raise instead:
+        # this kernel is a public operator over arbitrary graphs now.
+        raise RuntimeError(
+            f"connected components did not converge within max_iter="
+            f"{max_iter} rounds ({changed} labels still improving); "
+            "raise max_iter or use shortcut=True (pointer jumping: "
+            "O(log diameter) rounds)"
+        )
     return labels
 
 

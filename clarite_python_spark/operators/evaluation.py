@@ -78,9 +78,14 @@ def rank_eval(
         .groupBy("query_id")
         .agg(
             F.sum((F.col("rel") > 0).cast("long")).alias("hits"),
+            # only rel>0 carries gain: an explicit negative judgment
+            # (some qrels mark spam rel=-1) must not SUBTRACT dcg
             F.sum(
-                (F.pow(F.lit(2.0), F.col("rel")) - F.lit(1.0))
-                / F.log2(F.col("rank") + F.lit(1.0))
+                F.when(
+                    F.col("rel") > 0,
+                    (F.pow(F.lit(2.0), F.col("rel")) - F.lit(1.0))
+                    / F.log2(F.col("rank") + F.lit(1.0)),
+                ).otherwise(F.lit(0.0))
             ).alias("dcg"),
             F.coalesce(
                 F.max(F.when(F.col("rel") > 0, F.lit(1.0) / F.col("rank"))),
@@ -88,18 +93,21 @@ def rank_eval(
             ).alias("mrr"),
         )
     )
+    # rank ALL judgments (rel desc) but only rel>0 rows contribute gain
+    # and count — a query judged entirely non-relevant (TREC qrels carry
+    # explicit rel=0 rows) still yields an output row with zeroed
+    # metrics instead of vanishing from the macro-average denominator
     w = Window.partitionBy("query_id").orderBy(
         F.desc("rel"), F.asc("doc_id")
     )
     ideal = (
-        j.where(F.col("rel") > 0)
-        .withColumn("irank", F.row_number().over(w))
+        j.withColumn("irank", F.row_number().over(w))
         .groupBy("query_id")
         .agg(
-            F.count("*").cast("long").alias("n_rel"),
+            F.sum((F.col("rel") > 0).cast("long")).alias("n_rel"),
             F.sum(
                 F.when(
-                    F.col("irank") <= k,
+                    (F.col("rel") > 0) & (F.col("irank") <= k),
                     (F.pow(F.lit(2.0), F.col("rel")) - F.lit(1.0))
                     / F.log2(F.col("irank") + F.lit(1.0)),
                 ).otherwise(F.lit(0.0))
@@ -163,6 +171,11 @@ def table_diff(
     can restrict ``compare`` to the columns that matter and the scan
     prunes the rest).
     """
+    if not keys:
+        raise ValueError(
+            "table_diff needs at least one key column — an empty key "
+            "list would degenerate to an unconditioned full-outer join"
+        )
     if compare is None:
         keyset = set(keys)
         newcols = set(new.columns)

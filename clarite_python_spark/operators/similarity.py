@@ -88,8 +88,13 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity between two array<numeric> columns (JVM-side)."""
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity between two array<numeric> columns (JVM-side).
+
+    A zero-norm side yields NULL (``try_divide``) rather than the ANSI
+    DIVIDE_BY_ZERO error — so a degenerate all-zeros vector sorts last
+    in every top-k (desc ordering puts nulls last) instead of killing
+    the job; identical values for every nonzero pair."""
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def cosine_topk(
@@ -1472,36 +1477,49 @@ def mmr_rerank(
     ``pq_topk`` output — and the exact-cosine fetch is skipped entirely.
     This is the 100-TB composition: the ANN index prunes the corpus, MMR
     diversifies the pruned list; brute-force fetch at 1M vectors costs
-    ~97 s per 100 queries (BASELINE.md round-10) while the rerank stage
-    itself is corpus-size-independent."""
+    ~97 s per 100 queries (BASELINE.md round-10). Candidate ids must
+    exist in ``corpus``: this path pays ONE id-keyed join against the
+    corpus to re-fetch candidate vectors (the default path carries them
+    through the scoring scan instead — exactly one corpus scan total).
+    Null/NaN relevance scores (e.g. a zero-norm vector's cosine) sort
+    last instead of poisoning the greedy argmax."""
     import pandas as pd  # noqa: F401  (applyInPandas contract)
 
     if candidates is not None:
-        cands = candidates.select(
+        withvec = candidates.select(
             F.col(query_id_col),
             F.col(id_col),
-            F.col(score_col).alias("cosine"),
-        )
+            F.col(score_col).alias("__rel"),
+        ).join(
+            corpus.select(
+                F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+            ),
+            on=id_col,
+        ).select(query_id_col, id_col, "__rel", "__v")
     else:
-        cands = cosine_topk(
-            corpus,
-            queries,
-            k=fetch_k,
-            id_col=id_col,
-            vec_col=vec_col,
-            query_id_col=query_id_col,
+        # cosine_topk's exact plan (broadcast queries, one corpus scan,
+        # per-query window) with the candidate vector CARRIED through the
+        # projection — no second corpus scan to re-fetch vectors
+        q = queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("__qvec")
         )
-    withvec = cands.join(
-        corpus.select(
-            F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
-        ),
-        on=id_col,
-    ).select(
-        F.col(query_id_col),
-        F.col(id_col),
-        F.col("cosine").alias("__rel"),
-        F.col("__v"),
-    )
+        scored = corpus.crossJoin(F.broadcast(q)).select(
+            F.col(query_id_col),
+            F.col(id_col),
+            cosine(
+                F.col(vec_col).cast("array<double>"),
+                F.col("__qvec").cast("array<double>"),
+            ).alias("__rel"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.desc("__rel"), F.asc(id_col)
+        )
+        withvec = (
+            scored.withColumn("__rank", F.row_number().over(w))
+            .where(F.col("__rank") <= fetch_k)
+            .select(query_id_col, id_col, "__rel", "__v")
+        )
 
     qf = [f for f in withvec.schema.fields if f.name == query_id_col][0]
     idf = [f for f in withvec.schema.fields if f.name == id_col][0]
@@ -1520,6 +1538,9 @@ def mmr_rerank(
         nrm[nrm == 0.0] = 1.0
         U = V / nrm[:, None]
         rel = pdf["__rel"].to_numpy(dtype=np.float64)
+        # a null/NaN relevance (zero-norm cosine, null candidate score)
+        # must sort LAST, not win every argmax the way NaN would
+        rel = np.where(np.isnan(rel), -np.inf, rel)
         n = len(pdf)
         take = min(kk, n)
         avail = np.ones(n, dtype=bool)
@@ -1530,6 +1551,8 @@ def mmr_rerank(
                 mmr = np.round(lam * rel, 6)
             else:
                 mmr = np.round(lam * rel - (1.0 - lam) * maxsim, 6)
+            # 0 * inf etc.: any residual NaN still sorts last
+            mmr = np.where(np.isnan(mmr), -np.inf, mmr)
             mmr = np.where(avail, mmr, -np.inf)
             i = int(np.argmax(mmr))  # ids sorted asc -> first max = min id
             picked.append(i)

@@ -321,3 +321,69 @@ def test_mmr_rerank_fewer_candidates_than_k(spark):
     out = similarity.mmr_rerank(corpus, queries, k=10, fetch_k=10).collect()
     assert len(out) == 3
     assert [r["rank"] for r in out] == [1, 2, 3]
+
+
+# ------------------------------------------------- review-fix regressions --
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    # diameter 14 path, plain kernel, max_iter=3: fixpoint unreachable ->
+    # must raise, never return silently-wrong labels
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.connected_components(edges, max_iter=3, shortcut=False)
+    # the pointer-jumped arm converges within the same tiny budget
+    rows = graph.connected_components(edges, max_iter=6, shortcut=True).collect()
+    assert {r["component"] for r in rows} == {0}
+
+
+def test_mmr_rerank_zero_vector_sorts_last(spark):
+    # a zero-norm corpus vector yields a null/NaN cosine; it must never
+    # win the greedy argmax (NaN would propagate as the max)
+    rows = [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(7, [1.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    out = similarity.mmr_rerank(corpus, queries, k=3, fetch_k=4, lambda_=0.5).collect()
+    assert out[0]["vec_id"] == 1  # exact match wins rank 1
+    assert all(r["vec_id"] != 0 for r in out[:2])
+
+
+def test_rank_eval_keeps_all_zero_rel_queries(spark):
+    # TREC qrels carry explicit rel=0 rows; a query judged entirely
+    # non-relevant must still appear with zeroed metrics
+    results = spark.createDataFrame(
+        [(1, 5, 1)], "query_id long, doc_id long, rank long"
+    )
+    qrels = spark.createDataFrame(
+        [(1, 5, 1.0), (2, 6, 0.0), (2, 7, 0.0)],
+        "query_id long, doc_id long, rel double",
+    )
+    rows = {r["query_id"]: r for r in evaluation.rank_eval(results, qrels, k=5).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[2]["n_rel"] == 0 and rows[2]["ndcg"] == 0.0
+
+
+def test_rank_eval_negative_rel_never_subtracts(spark):
+    # spam judgments (rel=-1) in the retrieved list must not produce
+    # negative gain (2^-1 - 1 < 0) in dcg
+    results = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2)], "query_id long, doc_id long, rank long"
+    )
+    qrels = spark.createDataFrame(
+        [(0, 1, -1.0), (0, 2, 1.0)], "query_id long, doc_id long, rel double",
+    )
+    row = evaluation.rank_eval(results, qrels, k=5).collect()[0]
+    assert row["hits"] == 1 and row["n_rel"] == 1
+    # dcg = 1/log2(3), idcg = 1/log2(2) -> ndcg strictly between 0 and 1
+    assert 0.0 < row["ndcg"] < 1.0
+    assert row["ndcg"] == pytest.approx((1 / math.log2(3)) / 1.0, abs=1e-6)
+
+
+def test_table_diff_empty_keys_raises(spark):
+    old, new = _diff_frames(spark)
+    with pytest.raises(ValueError, match="key column"):
+        evaluation.table_diff(old, new, keys=[])
