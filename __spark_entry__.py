@@ -77,13 +77,19 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-heavy query: customer ⋈ orders ⋈ lineitem, top-10 revenue.
-    customer is broadcast (small dim); lineitem⋈orders shuffles on the key."""
+    No broadcast hint on customer: it is SF-proportional (150k rows × SF,
+    BUILDING keeps ~20%), so a forced broadcast would demand a
+    driver-side build of a multi-billion-row table at the 100-TB
+    framing. AQE picks broadcast for it at gate scale on its own (the
+    filtered scan is under autoBroadcastJoinThreshold) and degrades
+    gracefully to a key-shuffled hash join at 100 TB; lineitem⋈orders
+    always shuffles on the key."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust.where(F.col("c_mktsegment") == "BUILDING"), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("o_orderkey")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))

@@ -30,10 +30,13 @@ from clarite_python_spark.operators import (  # noqa: F401
     analyze,
     dedup,
     describe,
+    evaluation,
     events,
+    graph,
     joins,
     layout,
     modify,
+    multimodal,
     pipeline,
     similarity,
     text,
@@ -56,9 +59,12 @@ __all__ = [
     "plot",
     "describe",
     "analyze",
+    "evaluation",
     "events",
     "dedup",
+    "graph",
     "joins",
+    "multimodal",
     "layout",
     "pipeline",
     "similarity",

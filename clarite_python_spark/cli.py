@@ -436,6 +436,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lambda", dest="lambda_", type=float, default=0.7)
     p.add_argument("--id-col", default="vec_id")
     p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--query-col", default="query_id",
+                   help="id column of the queries table")
 
     p = g_pipe.add_parser("hash-embed")
     p.add_argument("data")
@@ -1215,7 +1217,7 @@ def main(argv: list[str] | None = None) -> int:
             out = sim_mod.mmr_rerank(
                 df, right, k=args.k, fetch_k=args.fetch_k,
                 lambda_=args.lambda_, id_col=args.id_col,
-                vec_col=args.vec_col,
+                vec_col=args.vec_col, query_id_col=args.query_col,
             )
         elif args.command == "decontaminate":
             bench = spark.read.parquet(args.benchmark)

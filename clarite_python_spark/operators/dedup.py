@@ -1216,29 +1216,48 @@ def _min_label_components(
     labels; fixpoint => label == min id of the component.
 
     ``shortcut=False`` converges in O(component diameter) rounds —
-    near-dup clusters are shallow (stars/cliques, diameter 1-2), so for
-    the dedup callers ``max_iter`` is a safety bound, not a typical cost,
-    and the extra join a shortcut round would pay buys nothing.
+    fine for known-shallow graphs (stars/cliques, diameter 1-2), where
+    ``max_iter`` is a safety bound, not a typical cost.
 
     ``shortcut=True`` adds pointer jumping after each neighbor step:
     ``label(v) <- label(label(v))`` (one label-keyed self-join). Labels
     are always vertex ids of the same component and only decrease, so the
     jump preserves the invariant while doubling the effective propagation
     distance — O(log diameter) rounds on deep graphs (85.7 s -> measured
-    in BASELINE.md round-10 for a diameter-19 chain at 1M nodes). The
-    public graph operator defaults to this; arbitrary user graphs are not
-    guaranteed shallow.
+    in BASELINE.md round-10 for a diameter-19 chain at 1M nodes). Both
+    the public graph operator and the dedup survivor policies default to
+    this: near-dup graphs are usually shallow (where the jump is
+    measured-neutral) but a pathological duplicate chain is O(log d)
+    instead of hitting the non-convergence raise.
 
     Each round is one shuffle join keyed on vertex id over the DUPLICATE
     vertices only (not the corpus), and ``localCheckpoint`` truncates the
-    lineage so plans don't grow exponentially. Returns (id, label)."""
-    sym = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
-        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    lineage so plans don't grow exponentially. The symmetrized DISTINCT
+    edge list is checkpointed ONCE up front: ``edges`` is usually the
+    tail of an expensive pipeline (banded candidates -> exact-Jaccard
+    verify), and without the checkpoint every propagation round re-ran
+    that whole pipeline — at 10M docs / 27M verified pairs the r10
+    stress blew a 30-min budget exactly this way (BASELINE.md round-10).
+    Distinct also collapses multi-edges so each round's neighbor agg
+    sees each (src, dst) once. Runs up to ``max_iter`` improving rounds
+    plus one final proving round (fixpoint is only PROVEN by a round
+    that changes nothing, so proving costs one extra round — a graph
+    that converges exactly at round ``max_iter`` must not raise).
+    Returns (id, label)."""
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    sym = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
     )
     labels = (
         sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     )
-    for _ in range(max_iter):
+    for _ in range(max_iter + 1):
         nbr = (
             sym.join(labels.select(F.col("id").alias("dst"), "label"), "dst")
             .groupBy("src")
@@ -1281,10 +1300,11 @@ def _min_label_components(
         if changed == 0:
             break
     else:
-        # the final round still improved labels, so fixpoint was never
-        # PROVEN — returning would hand back silently-wrong components
-        # (a >max_iter-hop node keeps a non-min label). Raise instead:
-        # this kernel is a public operator over arbitrary graphs now.
+        # all max_iter improving rounds AND the proving round still
+        # improved labels, so fixpoint was never PROVEN — returning
+        # would hand back silently-wrong components (a >max_iter-hop
+        # node keeps a non-min label). Raise instead: this kernel is a
+        # public operator over arbitrary graphs now.
         raise RuntimeError(
             f"connected components did not converge within max_iter="
             f"{max_iter} rounds ({changed} labels still improving); "
@@ -1352,7 +1372,7 @@ def _dedup_losers(
     if keep_col is not None:
         if keep_order not in ("max", "min"):
             raise ValueError(f"keep_order must be 'max' or 'min', got {keep_order!r}")
-        comp = _min_label_components(dups.select("id_a", "id_b"), max_iter)
+        comp = _min_label_components(dups.select("id_a", "id_b"), max_iter, shortcut=True)
         metric = df.select(F.col(id_col).alias("id"), F.col(keep_col).alias("__keep"))
         order = F.desc("__keep") if keep_order == "max" else F.asc("__keep")
         w = Window.partitionBy("label").orderBy(order, F.asc("id"))
@@ -1363,7 +1383,7 @@ def _dedup_losers(
             .select(F.col("id").alias(id_col))
         )
     if transitive:
-        comp = _min_label_components(dups.select("id_a", "id_b"), max_iter)
+        comp = _min_label_components(dups.select("id_a", "id_b"), max_iter, shortcut=True)
         return comp.where(F.col("label") != F.col("id")).select(
             F.col("id").alias(id_col)
         )
@@ -1396,7 +1416,7 @@ def minhash_clusters(
         max_bucket=max_bucket, hash_family=hash_family,
     )
     dups = ngram_jaccard_pairs(df, cands, text_col, id_col, shingle_n, threshold)
-    comp = _min_label_components(dups.select("id_a", "id_b"), max_iter)
+    comp = _min_label_components(dups.select("id_a", "id_b"), max_iter, shortcut=True)
     return comp.select(F.col("id").alias(id_col), F.col("label").alias("cluster_label"))
 
 
@@ -1645,7 +1665,7 @@ def simhash_clusters(
     dups = simhash_candidates(
         df, text_col, id_col, bits, bands, max_hamming, hash_family, max_bucket
     )
-    comp = _min_label_components(dups.select("id_a", "id_b"), max_iter)
+    comp = _min_label_components(dups.select("id_a", "id_b"), max_iter, shortcut=True)
     return comp.select(F.col("id").alias(id_col), F.col("label").alias("cluster_label"))
 
 

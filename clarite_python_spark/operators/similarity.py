@@ -1482,7 +1482,9 @@ def mmr_rerank(
     corpus to re-fetch candidate vectors (the default path carries them
     through the scoring scan instead — exactly one corpus scan total).
     Null/NaN relevance scores (e.g. a zero-norm vector's cosine) sort
-    last instead of poisoning the greedy argmax."""
+    last instead of poisoning the greedy argmax; rows whose EMBEDDING is
+    NULL are dropped before the greedy stage (no meaningful similarity,
+    and a None inside the numpy batch would be a ragged-array crash)."""
     import pandas as pd  # noqa: F401  (applyInPandas contract)
 
     if candidates is not None:
@@ -1520,6 +1522,12 @@ def mmr_rerank(
             .where(F.col("__rank") <= fetch_k)
             .select(query_id_col, id_col, "__rel", "__v")
         )
+
+    # a NULL candidate vector (missing corpus embedding) would reach the
+    # pandas stage as None inside np.array -> ragged-array ValueError;
+    # null SCORES are handled below but a null vector has no meaningful
+    # similarity to anything — drop the row in both paths
+    withvec = withvec.where(F.col("__v").isNotNull())
 
     qf = [f for f in withvec.schema.fields if f.name == query_id_col][0]
     idf = [f for f in withvec.schema.fields if f.name == id_col][0]

@@ -776,3 +776,19 @@ def test_cli_round10_ops(spark, tmp_path):
     assert ev.count() == 2
     row = ev.first()
     assert 0.0 <= row["ndcg"] <= 1.0 and row["n_rel"] > 0
+
+
+def test_cli_mmr_query_col(spark, tmp_path):
+    """--query-col: a queries table whose id column is not 'query_id'."""
+    d = str(tmp_path)
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    spark.read.parquet(emb).where("vec_id < 2").selectExpr(
+        "vec_id AS qid", "embedding"
+    ).write.parquet(f"{d}/q")
+    assert cli.main(
+        ["pipeline", "mmr", emb, f"{d}/q", f"{d}/mmr",
+         "--k", "3", "--fetch-k", "8", "--query-col", "qid"]
+    ) == 0
+    out = spark.read.parquet(f"{d}/mmr")
+    assert set(out.columns) == {"qid", "vec_id", "rank", "mmr"}
+    assert out.count() == 6

@@ -927,3 +927,36 @@ def test_containment_hashed_matches_plain(spark):
         ).collect()
     }
     assert plain == hashed
+
+
+def test_min_label_components_validates_max_iter(spark):
+    edges = spark.createDataFrame([(1, 2)], "id_a: long, id_b: long")
+    with pytest.raises(ValueError, match="max_iter"):
+        _min_label_components(edges, max_iter=0)
+
+
+def test_min_label_components_fixpoint_on_last_round_does_not_raise(spark):
+    # path 0-1-2-3-4: diameter 4 -> exactly 4 improving rounds without
+    # shortcut; the 5th round only PROVES fixpoint. max_iter=4 must
+    # succeed (the proving round is free), max_iter=3 must raise.
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "id_a: long, id_b: long"
+    )
+    labels = {
+        r["id"]: r["label"]
+        for r in _min_label_components(edges, max_iter=4).collect()
+    }
+    assert set(labels.values()) == {0}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _min_label_components(edges, max_iter=3).collect()
+
+
+def test_min_label_components_multi_edges_collapse(spark):
+    # duplicate and reversed duplicate edges must not change the result
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 2), (2, 1), (3, 4)], "id_a: long, id_b: long"
+    )
+    got = {
+        (r["id"], r["label"]) for r in _min_label_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 3), (4, 3)}

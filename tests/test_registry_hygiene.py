@@ -62,3 +62,52 @@ def test_round7_offenders_are_scalarized(spark, name):
     assert len(parts) >= 2 and all(
         p.lstrip("-").isdigit() for p in parts
     ), f"{csv_col} should be a comma-joined integer vector: {row[csv_col]!r}"
+
+
+# --- 100-TB broadcast-hint lint (round 11) ---------------------------------
+#
+# r9 removed q5's forced broadcasts of SF-proportional customer/supplier;
+# r10's verdict found the same class had survived in q3 (a forced broadcast
+# of the BUILDING-filtered customer table — 150k rows x SF, so the hint
+# demands a driver-side build of a multi-billion-row table at the 100-TB
+# framing).  This lint makes the class structurally impossible to
+# reintroduce: every explicit F.broadcast(...) in the query registry source
+# must wrap a CONSTANT-SIZE dimension (TPC-H nation = 25 rows, region = 5
+# rows, independent of SF).  Everything else must be left to AQE, which
+# picks broadcast at gate scale and degrades to shuffle-hash at 100 TB.
+
+_CONSTANT_DIMS = ("nation", "region")
+_SCALING_TABLES = (
+    "customer", "supplier", "part", "orders", "lineitem",
+    "events", "documents", "embeddings", "cust", "supp", "li",
+)
+
+
+def test_no_broadcast_hint_on_scaling_tables():
+    import ast
+    import inspect
+
+    src = inspect.getsource(entry_mod)
+    tree = ast.parse(src)
+    offenders = []
+    for node in ast.walk(tree):
+        if not isinstance(node, ast.Call):
+            continue
+        fn = node.func
+        is_bc = (
+            isinstance(fn, ast.Attribute) and fn.attr == "broadcast"
+        ) or (isinstance(fn, ast.Name) and fn.id == "broadcast")
+        if not is_bc or not node.args:
+            continue
+        arg_src = ast.unparse(node.args[0])
+        low = arg_src.lower()
+        ok = any(d in low for d in _CONSTANT_DIMS) and not any(
+            t in low.replace("nation", "").replace("region", "")
+            for t in _SCALING_TABLES
+        )
+        if not ok:
+            offenders.append(f"line {node.lineno}: F.broadcast({arg_src})")
+    assert not offenders, (
+        "explicit broadcast hints on SF-proportional tables (leave these "
+        f"to AQE — see q3/q5 docstrings): {offenders}"
+    )

@@ -387,3 +387,24 @@ def test_table_diff_empty_keys_raises(spark):
     old, new = _diff_frames(spark)
     with pytest.raises(ValueError, match="key column"):
         evaluation.table_diff(old, new, keys=[])
+
+
+def test_mmr_rerank_null_embedding_rows_are_dropped(spark):
+    # a NULL corpus embedding must not crash the pandas greedy stage
+    # (np.array on a ragged/None list) — in either path
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, None), (3, [0.0, 1.0])]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    got = similarity.mmr_rerank(corpus, queries, k=4, fetch_k=4).collect()
+    assert [r["vec_id"] for r in got] and 2 not in {r["vec_id"] for r in got}
+    # candidates path: a candidate id whose corpus vector is NULL
+    cand = spark.createDataFrame(
+        [(0, 0, 0.9), (0, 2, 0.8), (0, 3, 0.1)],
+        "query_id long, vec_id long, cosine double",
+    )
+    via = similarity.mmr_rerank(
+        corpus, queries, k=3, candidates=cand
+    ).collect()
+    assert {r["vec_id"] for r in via} == {0, 3}
