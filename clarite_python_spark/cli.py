@@ -397,13 +397,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--block-right", default=None)
 
     p = g_pipe.add_parser("table-diff")
-    p.add_argument("data", help="old snapshot")
-    p.add_argument("right", help="new snapshot")
+    p.add_argument("data", help="old table (or the NEW table with --snapshot-dir)")
+    p.add_argument("right", nargs="?", default=None,
+                   help="new table (omit when using --snapshot-dir)")
     p.add_argument("output")
     p.add_argument("--keys", required=True, help="comma-separated key columns")
     p.add_argument("--compare", default=None,
                    help="comma-separated columns to compare (default: all shared non-key)")
     p.add_argument("--include-same", action="store_true")
+    p.add_argument("--snapshot-dir", default=None,
+                   help="diff DATA (as the new side) against the snapshot "
+                        "a prior 'pipeline save-snapshot' wrote here")
+
+    p = g_pipe.add_parser("save-snapshot")
+    p.add_argument("data")
+    p.add_argument("output", help="snapshot directory for later "
+                                  "'pipeline table-diff --snapshot-dir'")
 
     p = g_pipe.add_parser("cc")
     p.add_argument("data", help="edge list")
@@ -1180,16 +1189,33 @@ def main(argv: list[str] | None = None) -> int:
         elif args.command == "table-diff":
             from clarite_python_spark.operators import evaluation as eval_mod
 
-            right = spark.read.parquet(args.right)
-            out = eval_mod.table_diff(
-                df, right,
-                keys=[c.strip() for c in args.keys.split(",") if c.strip()],
-                compare=(
-                    [c.strip() for c in args.compare.split(",") if c.strip()]
-                    if args.compare else None
-                ),
-                include_same=args.include_same,
+            keys = [c.strip() for c in args.keys.split(",") if c.strip()]
+            compare = (
+                [c.strip() for c in args.compare.split(",") if c.strip()]
+                if args.compare else None
             )
+            if args.snapshot_dir is not None:
+                out = eval_mod.table_diff(
+                    df, keys=keys, compare=compare,
+                    include_same=args.include_same,
+                    snapshot_dir=args.snapshot_dir,
+                )
+            else:
+                if args.right is None:
+                    print("table-diff needs a RIGHT table or --snapshot-dir",
+                          file=sys.stderr)
+                    return 2
+                right = spark.read.parquet(args.right)
+                out = eval_mod.table_diff(
+                    df, right, keys=keys, compare=compare,
+                    include_same=args.include_same,
+                )
+        elif args.command == "save-snapshot":
+            from clarite_python_spark.operators import evaluation as eval_mod
+
+            eval_mod.save_snapshot(df, args.output)
+            print(f"wrote {args.output}")
+            return 0
         elif args.command == "cc":
             from clarite_python_spark.operators import graph as graph_mod
 

@@ -1233,17 +1233,24 @@ def _min_label_components(
     Each round is one shuffle join keyed on vertex id over the DUPLICATE
     vertices only (not the corpus), and ``localCheckpoint`` truncates the
     lineage so plans don't grow exponentially. The symmetrized DISTINCT
-    edge list is checkpointed ONCE up front: ``edges`` is usually the
+    edge list is materialized ONCE up front: ``edges`` is usually the
     tail of an expensive pipeline (banded candidates -> exact-Jaccard
-    verify), and without the checkpoint every propagation round re-ran
-    that whole pipeline — at 10M docs / 27M verified pairs the r10
-    stress blew a 30-min budget exactly this way (BASELINE.md round-10).
+    verify), and without the materialization every propagation round
+    re-ran that whole pipeline — at 10M docs / 27M verified pairs the
+    r10 stress blew a 30-min budget exactly this way (BASELINE.md
+    round-10). DISK_ONLY persist, not localCheckpoint: checkpoint
+    unrolls DESERIALIZED blocks through the heap, and at tens of
+    millions of edges that unroll OOMs a default-sized executor while
+    the verify's own hash aggregates are still live (measured r11);
+    serialized-to-disk blocks cost one read per round and zero heap.
     Distinct also collapses multi-edges so each round's neighbor agg
     sees each (src, dst) once. Runs up to ``max_iter`` improving rounds
     plus one final proving round (fixpoint is only PROVEN by a round
     that changes nothing, so proving costs one extra round — a graph
     that converges exactly at round ``max_iter`` must not raise).
     Returns (id, label)."""
+    from pyspark import StorageLevel
+
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     sym = (
@@ -1252,11 +1259,24 @@ def _min_label_components(
             edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
         .distinct()
-        .localCheckpoint()
+        .persist(StorageLevel.DISK_ONLY)
     )
     labels = (
         sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     )
+    try:
+        return _propagate_min_labels(sym, labels, max_iter, shortcut)
+    finally:
+        sym.unpersist()
+
+
+def _propagate_min_labels(
+    sym: DataFrame, labels: DataFrame, max_iter: int, shortcut: bool
+) -> DataFrame:
+    """The propagation loop of :func:`_min_label_components` (split out
+    so the caller can unpersist the materialized edge list on every exit
+    path; the returned labels are localCheckpointed, so they survive the
+    unpersist)."""
     for _ in range(max_iter + 1):
         nbr = (
             sym.join(labels.select(F.col("id").alias("dst"), "label"), "dst")

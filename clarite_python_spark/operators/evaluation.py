@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["rank_eval", "table_diff"]
+__all__ = ["rank_eval", "save_snapshot", "table_diff"]
 
 
 def rank_eval(
@@ -141,12 +141,28 @@ def rank_eval(
     return out.orderBy("query_id")
 
 
+def save_snapshot(df: DataFrame, path: str) -> None:
+    """Persist a table snapshot for a later :func:`table_diff`
+    (``snapshot_dir=path``) — the stored-state twin of the dedup
+    family's ``band_table`` and the text family's ``build_postings``:
+    the daily-ingest QA loop saves today's table once, and tomorrow's
+    run diffs the fresh frame against it without recomputing or
+    re-reading the producing pipeline.
+
+    Layout under ``path``: ``data/`` (the rows, parquet). Plain parquet
+    on purpose — the snapshot is readable by anything, and
+    ``table_diff`` needs nothing beyond the rows (keys/compare are the
+    DIFF's parameters, not the snapshot's)."""
+    df.write.mode("overwrite").parquet(f"{path}/data")
+
+
 def table_diff(
     old: DataFrame,
-    new: DataFrame,
-    keys: list[str],
+    new: DataFrame | None = None,
+    keys: list[str] | None = None,
     compare: list[str] | None = None,
     include_same: bool = False,
+    snapshot_dir: str | None = None,
 ) -> DataFrame:
     """Row-level diff of two snapshots of the same table.
 
@@ -159,6 +175,12 @@ def table_diff(
     compare : value columns to check for changes; default = every
         shared non-key column, in ``old``'s column order.
     include_same : also emit unchanged matched rows (status 'same').
+    snapshot_dir : stored-state form — ``table_diff(df, keys=...,
+        snapshot_dir=path)`` diffs ``df`` (as the NEW side) against the
+        snapshot :func:`save_snapshot` wrote at ``path`` (as the OLD
+        side). Mutually exclusive with ``new``; reading the snapshot is
+        one parquet scan, so the daily QA loop pays exactly the same
+        single full-outer key shuffle as the two-frame form.
 
     Returns ``keys… , status, n_changed, changed_cols`` where status in
     {'added','removed','changed'[,'same']}, ``n_changed`` counts
@@ -171,6 +193,14 @@ def table_diff(
     can restrict ``compare`` to the columns that matter and the scan
     prunes the rest).
     """
+    if (new is None) == (snapshot_dir is None):
+        raise ValueError(
+            "table_diff takes exactly one of new= (two-frame form) or "
+            "snapshot_dir= (stored-snapshot form)"
+        )
+    if snapshot_dir is not None:
+        new = old
+        old = new.sparkSession.read.parquet(f"{snapshot_dir}/data")
     if not keys:
         raise ValueError(
             "table_diff needs at least one key column — an empty key "

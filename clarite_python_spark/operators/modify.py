@@ -54,6 +54,7 @@ __all__ = [
     "move_variables",
     "recode_values",
     "remove_outliers",
+    "outlier_bounds_check",
     "clip_outliers",
     "rowfilter",
     "rowfilter_incomplete_obs",
@@ -497,6 +498,68 @@ def outlier_counts(
     ]
     row = joined.agg(*aggs)
     return row.unpivot([], cols, "variable", "n_removed")
+
+
+def outlier_bounds_check(
+    cf: ClariteFrame,
+    method: str = "iqr",
+    cutoff: float = 1.5,
+    skip=None,
+    only=None,
+    tol: float = 0.01,
+) -> DataFrame:
+    """Tolerance contract for the APPROX outlier path (round 11).
+
+    ``remove_outliers(exact=False)`` is the documented 100-TB switch
+    (``approx_percentile`` sketch instead of exact per-column percentile
+    buffering), but a sketch is only trustworthy if its error is
+    bounded and CHECKED. This operator computes both bound sets in one
+    job and returns, per continuous variable,
+
+        (variable, lo_exact, hi_exact, approx_within_tol)
+
+    where ``approx_within_tol`` is true iff BOTH approx bounds sit
+    within ``tol`` of their exact counterparts, measured relative to
+    the exact keep-range width ``hi_exact - lo_exact`` (for IQR at
+    cutoff 1.5 that is 4x the IQR — a scale-free yardstick; a
+    zero-width degenerate range demands exact equality, which a
+    constant column's sketch satisfies). ``approx_percentile`` at the
+    default accuracy 10000 has rank error <= N/10000, so 1% of the
+    keep-range is generous at any SF — a false verdict means the
+    sketch, not the data, changed.
+
+    Cost: two single-pass aggs over the same scan (exact + approx) and
+    a 1-row cross join — strictly cheaper than the remove it guards.
+    Exact and approx bounds are identical for ``gaussian`` (no
+    percentile in that formula), so ``iqr`` is the meaningful method.
+    """
+    if not 0 <= tol < 1:
+        raise ValueError("tol must be in [0, 1)")
+    cols = [c for c in validate_skip_only(cf.variables, skip, only) if cf.catalog.get(c) == CONTINUOUS]
+    if not cols:
+        raise ValueError("no continuous variables to check")
+    exact = _outlier_bounds(cf.df, cols, method, cutoff, exact=True)
+    approx = _outlier_bounds(cf.df, cols, method, cutoff, exact=False).select(
+        *[F.col(f"`lo::{c}`").alias(f"alo::{c}") for c in cols],
+        *[F.col(f"`hi::{c}`").alias(f"ahi::{c}") for c in cols],
+    )
+    row = exact.crossJoin(approx)
+    structs = []
+    for c in cols:
+        lo, hi = F.col(f"`lo::{c}`"), F.col(f"`hi::{c}`")
+        alo, ahi = F.col(f"`alo::{c}`"), F.col(f"`ahi::{c}`")
+        slack = F.lit(float(tol)) * (hi - lo)
+        structs.append(
+            F.struct(
+                F.lit(c).alias("variable"),
+                F.round(lo, 4).alias("lo_exact"),
+                F.round(hi, 4).alias("hi_exact"),
+                (
+                    (F.abs(alo - lo) <= slack) & (F.abs(ahi - hi) <= slack)
+                ).alias("approx_within_tol"),
+            )
+        )
+    return row.select(F.inline(F.array(*structs)))
 
 
 def clip_outliers(

@@ -1,0 +1,126 @@
+"""Round-11 additions: stored-snapshot table_diff, approx outlier gate,
+retrieval-eval CLI composition."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clarite_python_spark.operators import evaluation
+
+
+# ------------------------------------------------ table_diff snapshots --
+
+
+@pytest.fixture()
+def orders_pair(spark):
+    old = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    new = (
+        old.where("o_orderkey % 3 != 0")
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.0)
+            .otherwise(F.col("o_totalprice")),
+        )
+    )
+    return old, new
+
+
+def test_table_diff_snapshot_dir_matches_frame_form(spark, tmp_path, orders_pair):
+    old, new = orders_pair
+    snap = str(tmp_path / "snap")
+    evaluation.save_snapshot(old, snap)
+    via_frames = evaluation.table_diff(
+        old, new, keys=["o_orderkey"], compare=["o_totalprice", "o_orderstatus"]
+    )
+    via_dir = evaluation.table_diff(
+        new, keys=["o_orderkey"], compare=["o_totalprice", "o_orderstatus"],
+        snapshot_dir=snap,
+    )
+    a = sorted(tuple(r) for r in via_frames.collect())
+    b = sorted(tuple(r) for r in via_dir.collect())
+    assert a == b and len(a) > 0
+
+
+def test_table_diff_rejects_ambiguous_forms(spark, tmp_path, orders_pair):
+    old, new = orders_pair
+    with pytest.raises(ValueError, match="exactly one"):
+        evaluation.table_diff(old, new, keys=["o_orderkey"], snapshot_dir="x")
+    with pytest.raises(ValueError, match="exactly one"):
+        evaluation.table_diff(old, keys=["o_orderkey"])
+
+
+def test_cli_save_snapshot_round_trip(spark, tmp_path):
+    from clarite_python_spark import cli
+
+    d = str(tmp_path)
+    orders = "/root/testdata/sf0.001/orders.parquet"
+    assert cli.main(["pipeline", "save-snapshot", orders, f"{d}/snap"]) == 0
+    spark.read.parquet(orders).where("o_orderkey % 2 = 0").selectExpr(
+        "o_orderkey", "o_totalprice + 1.0 AS o_totalprice", "o_orderstatus"
+    ).write.parquet(f"{d}/new")
+    assert cli.main(
+        ["pipeline", "table-diff", f"{d}/new", f"{d}/diff",
+         "--keys", "o_orderkey", "--compare", "o_totalprice,o_orderstatus",
+         "--snapshot-dir", f"{d}/snap"]
+    ) == 0
+    diff = spark.read.parquet(f"{d}/diff")
+    stats = {r["status"] for r in diff.select("status").distinct().collect()}
+    # odd keys are only in the snapshot (removed); surviving even keys
+    # changed o_totalprice
+    assert stats == {"removed", "changed"}
+    assert (
+        diff.where("status = 'changed'").first()["changed_cols"]
+        == "o_totalprice"
+    )
+    # two-frame positional form still works unchanged
+    assert cli.main(
+        ["pipeline", "table-diff", f"{d}/snap/data", f"{d}/new", f"{d}/diff2",
+         "--keys", "o_orderkey", "--compare", "o_totalprice"]
+    ) == 0
+    assert (
+        spark.read.parquet(f"{d}/diff2").where("status='changed'").count()
+        == diff.where("status='changed'").count()
+    )
+
+
+# ------------------------------------------- outlier_bounds_check (approx) --
+
+
+def test_outlier_bounds_check_verdict_and_exact_bounds(spark):
+    import numpy as np
+
+    from clarite_python_spark.catalog import ClariteFrame
+    from clarite_python_spark.operators import modify
+
+    rng = np.random.RandomState(7)
+    vals = rng.lognormal(3.0, 1.0, size=2000)
+    rows = [(i, float(v)) for i, v in enumerate(vals)]
+    cf = ClariteFrame(spark.createDataFrame(rows, "ID long, x double"))
+    cf = modify.make_continuous(cf, only=["x"])
+    out = modify.outlier_bounds_check(cf, method="iqr", cutoff=1.5).collect()
+    assert len(out) == 1
+    r = out[0]
+    q1, q3 = np.percentile(vals, [25, 75])  # linear interpolation = exact
+    assert r["lo_exact"] == pytest.approx(q1 - 1.5 * (q3 - q1), abs=1e-3)
+    assert r["hi_exact"] == pytest.approx(q3 + 1.5 * (q3 - q1), abs=1e-3)
+    assert r["approx_within_tol"] is True
+
+
+def test_outlier_bounds_check_constant_column_and_validation(spark):
+    from clarite_python_spark.catalog import ClariteFrame
+    from clarite_python_spark.operators import modify
+
+    cf = ClariteFrame(
+        spark.createDataFrame(
+            [(i, 5.0, float(i)) for i in range(100)], "ID long, c double, x double"
+        )
+    )
+    cf = modify.make_continuous(cf, only=["c", "x"])
+    rows = {r["variable"]: r for r in modify.outlier_bounds_check(cf).collect()}
+    # zero-width keep-range: sketch returns the constant too -> exact match
+    assert rows["c"]["approx_within_tol"] is True
+    assert rows["c"]["lo_exact"] == rows["c"]["hi_exact"] == 5.0
+    assert rows["x"]["approx_within_tol"] is True
+    with pytest.raises(ValueError, match="tol"):
+        modify.outlier_bounds_check(cf, tol=1.5)
