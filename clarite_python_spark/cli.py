@@ -448,6 +448,29 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--query-col", default="query_id",
                    help="id column of the queries table")
 
+    p = g_pipe.add_parser("evaluate-retrieval")
+    p.add_argument("data", help="corpus with an embedding column")
+    p.add_argument("right", help="queries (query_id, embedding)")
+    p.add_argument("qrels", help="relevance judgments "
+                                 "(query_id, <id-col>, rel)")
+    p.add_argument("output", help="rank_eval metrics table")
+    p.add_argument("--retriever", default="cosine",
+                   choices=["cosine", "ivf", "lsh"],
+                   help="candidate generator (cosine = exact brute force)")
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--fetch-k", type=int, default=0,
+                   help="candidate depth fed to --mmr (default 5*k)")
+    p.add_argument("--mmr", action="store_true",
+                   help="MMR-diversify the candidates before scoring")
+    p.add_argument("--lambda", dest="lambda_", type=float, default=0.7)
+    p.add_argument("--n-lists", type=int, default=16)
+    p.add_argument("--n-probe", type=int, default=4)
+    p.add_argument("--n-planes", type=int, default=8)
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--query-col", default="query_id")
+    p.add_argument("--rel-col", default="rel")
+
     p = g_pipe.add_parser("hash-embed")
     p.add_argument("data")
     p.add_argument("output")
@@ -1244,6 +1267,45 @@ def main(argv: list[str] | None = None) -> int:
                 df, right, k=args.k, fetch_k=args.fetch_k,
                 lambda_=args.lambda_, id_col=args.id_col,
                 vec_col=args.vec_col, query_id_col=args.query_col,
+            )
+        elif args.command == "evaluate-retrieval":
+            # the end-to-end retrieval-quality loop: retriever ->
+            # (optional MMR diversification) -> rank_eval vs qrels —
+            # the composition every piece (ann, mmr, rank-eval) exists
+            # for, in one command
+            from pyspark.sql import functions as F
+
+            from clarite_python_spark.operators import evaluation as eval_mod
+            from clarite_python_spark.operators import similarity as sim_mod
+
+            queries_df = spark.read.parquet(args.right)
+            qrels = spark.read.parquet(args.qrels)
+            fetch = args.fetch_k or (5 * args.k if args.mmr else args.k)
+            common = dict(
+                id_col=args.id_col, vec_col=args.vec_col,
+                query_id_col=args.query_col,
+            )
+            if args.retriever == "cosine":
+                cand = sim_mod.cosine_topk(df, queries_df, k=fetch, **common)
+            elif args.retriever == "ivf":
+                cand = sim_mod.ivf_topk(
+                    df, queries_df, k=fetch,
+                    n_lists=args.n_lists, n_probe=args.n_probe, **common,
+                )
+            else:
+                cand = sim_mod.lsh_topk(
+                    df, queries_df, k=fetch, n_planes=args.n_planes, **common
+                )
+            if args.mmr:
+                ranked = sim_mod.mmr_rerank(
+                    df, queries_df, k=args.k, lambda_=args.lambda_,
+                    candidates=cand, score_col="cosine", **common,
+                )
+            else:
+                ranked = cand.where(F.col("rank") <= args.k)
+            out = eval_mod.rank_eval(
+                ranked, qrels, k=args.k, query_col=args.query_col,
+                doc_col=args.id_col, rank_col="rank", rel_col=args.rel_col,
             )
         elif args.command == "decontaminate":
             bench = spark.read.parquet(args.benchmark)

@@ -124,3 +124,60 @@ def test_outlier_bounds_check_constant_column_and_validation(spark):
     assert rows["x"]["approx_within_tol"] is True
     with pytest.raises(ValueError, match="tol"):
         modify.outlier_bounds_check(cf, tol=1.5)
+
+
+# --------------------------------------- evaluate-retrieval composition --
+
+
+def test_cli_evaluate_retrieval_round_trip(spark, tmp_path):
+    """Retriever -> MMR -> rank_eval in one command, against label-match
+    qrels; verify against composing the operators directly."""
+    from clarite_python_spark import cli
+    from clarite_python_spark.operators import evaluation, similarity
+
+    d = str(tmp_path)
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    spark.read.parquet(emb).where("vec_id < 3").selectExpr(
+        "vec_id AS query_id", "embedding"
+    ).write.parquet(f"{d}/q")
+    spark.sql(
+        "SELECT a.vec_id AS query_id, b.vec_id AS vec_id, 1.0 AS rel "
+        f"FROM parquet.`{emb}` a JOIN parquet.`{emb}` b ON a.label = b.label "
+        "WHERE a.vec_id < 3"
+    ).write.parquet(f"{d}/qrels")
+
+    # plain exact retrieval
+    assert cli.main(
+        ["pipeline", "evaluate-retrieval", emb, f"{d}/q", f"{d}/qrels",
+         f"{d}/ev", "--k", "5"]
+    ) == 0
+    ev = spark.read.parquet(f"{d}/ev")
+    assert ev.count() == 3
+    assert set(ev.columns) == {
+        "query_id", "n_rel", "hits", "precision", "recall", "mrr", "ndcg"
+    }
+    # each query is its own top hit -> mrr 1.0 everywhere
+    assert all(r["mrr"] == 1.0 for r in ev.collect())
+
+    # ivf + mmr chain
+    assert cli.main(
+        ["pipeline", "evaluate-retrieval", emb, f"{d}/q", f"{d}/qrels",
+         f"{d}/ev2", "--k", "5", "--retriever", "ivf", "--n-lists", "4",
+         "--n-probe", "4", "--mmr", "--fetch-k", "20", "--lambda", "0.5"]
+    ) == 0
+    ev2 = spark.read.parquet(f"{d}/ev2")
+    assert ev2.count() == 3
+
+    # parity with the direct operator composition
+    corpus = spark.read.parquet(emb)
+    q = spark.read.parquet(f"{d}/q")
+    cand = similarity.ivf_topk(corpus, q, k=20, n_lists=4, n_probe=4)
+    ranked = similarity.mmr_rerank(
+        corpus, q, k=5, lambda_=0.5, candidates=cand, score_col="cosine"
+    )
+    want = evaluation.rank_eval(
+        ranked, spark.read.parquet(f"{d}/qrels"), k=5, doc_col="vec_id"
+    )
+    assert sorted(tuple(r) for r in ev2.collect()) == sorted(
+        tuple(r) for r in want.collect()
+    )
