@@ -1159,6 +1159,66 @@ def quantize_int8_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def quantize_binary_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit binarization packed into 32-bit words
+    (operators/similarity.py:quantize_binary) — the 32x compression
+    lever for binary ANN. bit j of word w set iff v[32w+j] > 0; 32-bit
+    words because 1<<63 overflows ANSI signed-64 in both engines, so
+    the oracle replays the packing EXACTLY (nested list_transform +
+    shifted powers of two). Words serialized to a CSV string (driver
+    canonicalizer cannot sort containers); integers, so bit-exact."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.quantize_binary(emb, dim=64)
+    return out.select(
+        "vec_id",
+        F.concat_ws(
+            ",", F.transform(F.col("bvec"), lambda x: x.cast("string"))
+        ).alias("bvec_csv"),
+    ).orderBy("vec_id")
+
+
+def hamming_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary first-pass retriever (operators/similarity.py:
+    hamming_topk): XOR+popcount over the 32x-compressed sign-bit pack,
+    per-query top-10, integer distances with id tiebreak (Hamming ties
+    are common — determinism is load-bearing). Oracle replays packing,
+    xor/bit_count fold, and the window."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.hamming_topk(emb, queries, k=10, dim=64).orderBy(
+        "query_id", "rank"
+    )
+
+
+def binary_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage binary retrieval (operators/similarity.py:
+    binary_rerank): Hamming shortlist of 50 over the bit pack, then
+    exact cosine rerank of only the shortlist — the production shape
+    for binary indexes (scan bits, rerank floats). Oracle replays both
+    stages."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.binary_rerank(emb, queries, k=10, shortlist_k=50, dim=64)
+    return out.select(
+        "query_id", "vec_id", "rank", F.round("cosine", 6).alias("cosine")
+    ).orderBy("query_id", "rank")
+
+
+def ann_recall_binary_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the binary shortlist-then-rerank configuration
+    (shortlist_k=100) vs float brute force on the same 20
+    md5-deterministic queries as ann_recall_embeddings — prices the
+    32x compression's rank damage per-corpus instead of assuming it."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ann_recall(
+        emb, k=10, n_queries=20, method="binary", shortlist_k=100, dim=64
+    )
+
+
 def quantized_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k cosine over int8-quantized vectors — the 4x scan/IO
     lever: same broadcast+window plan as cosine_topk but the corpus
@@ -2634,6 +2694,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "table_diff_snapshot_orders": table_diff_snapshot_orders,
         "remove_outliers_approx_lineitem": remove_outliers_approx_lineitem,
+        "quantize_binary_embeddings": quantize_binary_embeddings,
+        "hamming_topk_embeddings": hamming_topk_embeddings,
+        "binary_rerank_embeddings": binary_rerank_embeddings,
+        "ann_recall_binary_embeddings": ann_recall_binary_embeddings,
         "association_study_lineitem": association_study_lineitem,
         "association_study_columnar_lineitem": association_study_columnar_lineitem,
         "association_study_covariates": association_study_covariates,
@@ -3391,6 +3455,82 @@ def _ann_recall_rp_oracle() -> str:
                           * sqrt(list_dot_product(q.qpv, q.qpv))) DESC,
                      e2.vec_id ASC) AS rnk
             FROM e2 CROSS JOIN q
+          ) WHERE rnk <= 10
+        ), hits AS (
+          SELECT exact.query_id, exact.vec_id FROM exact
+          JOIN approx ON approx.query_id = exact.query_id
+                     AND approx.vec_id = exact.vec_id
+        )
+        SELECT (SELECT count(*) FROM q) AS n_queries,
+               CAST(10 AS INT) AS k,
+               (SELECT count(*) FROM exact) AS n_exact,
+               (SELECT count(*) FROM approx) AS n_approx,
+               (SELECT count(*) FROM hits) AS n_hits,
+               CASE WHEN (SELECT count(*) FROM exact) > 0
+                    THEN round((SELECT count(*) FROM hits) * 1.0
+                               / (SELECT count(*) FROM exact), 6) END AS recall
+    """
+
+
+def _binary_cte() -> str:
+    """Shared sign-bit packing CTE (quantize_binary twin): (vec_id,
+    v double[64], bv bigint[2]) — bit j of word w set iff v[32w+j] > 0,
+    32-bit words because 1<<63 overflows ANSI signed-64 in both engines."""
+    return """bz AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 list_transform(range(0, 2), w ->
+                   list_sum(list_transform(range(1, 33), j ->
+                     CASE WHEN embedding[w*32 + j] > 0
+                          THEN (1::BIGINT << (j-1)) ELSE 0::BIGINT END))) AS bv
+          FROM embeddings
+        )"""
+
+
+_HAMMING_SQL = (
+    "CAST(list_sum(list_transform(range(1, 3), "
+    "i -> bit_count(xor(b.bv[i], q.qbv[i])))) AS INT)"
+)
+
+
+def _ann_recall_binary_oracle() -> str:
+    """DuckDB twin of ann_recall(k=10, n_queries=20, method='binary',
+    shortlist_k=100): md5-keyed query sampling, float brute-force top-10,
+    Hamming-shortlist-100 -> exact-cosine-rerank top-10, intersection."""
+    key = _md5_key("vec_id", "annrecall")
+    return f"""
+        WITH {_binary_cte()}, q AS (
+          SELECT bz.vec_id AS query_id, bz.v AS qvec, bz.bv AS qbv
+          FROM bz JOIN (SELECT vec_id, {key} AS kq FROM embeddings) kk
+            ON kk.vec_id = bz.vec_id
+          ORDER BY kk.kq, bz.vec_id LIMIT 20
+        ), exact AS (
+          SELECT query_id, vec_id FROM (
+            SELECT q.query_id, b.vec_id,
+                   row_number() OVER (PARTITION BY q.query_id ORDER BY
+                     list_dot_product(b.v, q.qvec)
+                       / (sqrt(list_dot_product(b.v, b.v))
+                          * sqrt(list_dot_product(q.qvec, q.qvec))) DESC,
+                     b.vec_id ASC) AS rnk
+            FROM bz b CROSS JOIN q
+          ) WHERE rnk <= 10
+        ), short AS (
+          SELECT query_id, vec_id FROM (
+            SELECT q.query_id, b.vec_id,
+                   row_number() OVER (PARTITION BY q.query_id ORDER BY
+                     {_HAMMING_SQL} ASC, b.vec_id ASC) AS rnk
+            FROM bz b CROSS JOIN q
+          ) WHERE rnk <= 100
+        ), approx AS (
+          SELECT query_id, vec_id FROM (
+            SELECT s.query_id, s.vec_id,
+                   row_number() OVER (PARTITION BY s.query_id ORDER BY
+                     list_dot_product(b.v, q.qvec)
+                       / (sqrt(list_dot_product(b.v, b.v))
+                          * sqrt(list_dot_product(q.qvec, q.qvec))) DESC,
+                     s.vec_id ASC) AS rnk
+            FROM short s
+            JOIN bz b ON b.vec_id = s.vec_id
+            JOIN q ON q.query_id = s.query_id
           ) WHERE rnk <= 10
         ), hits AS (
           SELECT exact.query_id, exact.vec_id FROM exact
@@ -6341,6 +6481,56 @@ def oracle_sql() -> dict[str, str]:
                    scale
             FROM qz ORDER BY vec_id
         """,
+        "quantize_binary_embeddings": f"""
+            WITH {_binary_cte()}
+            SELECT vec_id,
+                   array_to_string(list_transform(bv, x -> CAST(x AS VARCHAR)), ',') AS bvec_csv
+            FROM bz ORDER BY vec_id
+        """,
+        "hamming_topk_embeddings": f"""
+            WITH {_binary_cte()}, q AS (
+              SELECT vec_id AS query_id, bv AS qbv FROM bz WHERE vec_id < 5
+            ), scored AS (
+              SELECT q.query_id, b.vec_id, {_HAMMING_SQL} AS hamming
+              FROM bz b CROSS JOIN q
+            ), ranked AS (
+              SELECT query_id, vec_id, hamming,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY hamming ASC, vec_id ASC) AS INT) AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, hamming, rank
+            FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+        "binary_rerank_embeddings": f"""
+            WITH {_binary_cte()}, q AS (
+              SELECT vec_id AS query_id, bv AS qbv, v AS qvec
+              FROM bz WHERE vec_id < 5
+            ), short AS (
+              SELECT query_id, vec_id FROM (
+                SELECT q.query_id, b.vec_id,
+                       row_number() OVER (PARTITION BY q.query_id ORDER BY
+                         {_HAMMING_SQL} ASC, b.vec_id ASC) AS rnk
+                FROM bz b CROSS JOIN q
+              ) WHERE rnk <= 50
+            ), rer AS (
+              SELECT s.query_id, s.vec_id,
+                     list_dot_product(b.v, q.qvec)
+                       / (sqrt(list_dot_product(b.v, b.v))
+                          * sqrt(list_dot_product(q.qvec, q.qvec))) AS cosine
+              FROM short s
+              JOIN bz b ON b.vec_id = s.vec_id
+              JOIN q ON q.query_id = s.query_id
+            ), ranked AS (
+              SELECT query_id, vec_id, cosine,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+              FROM rer
+            )
+            SELECT query_id, vec_id, rank, round(cosine, 6) AS cosine
+            FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+        "ann_recall_binary_embeddings": _ann_recall_binary_oracle(),
         "leakage_safe_split_documents": _leakage_safe_split_oracle(),
         "attribution_events": """
             WITH w AS (

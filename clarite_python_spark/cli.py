@@ -455,8 +455,9 @@ def build_parser() -> argparse.ArgumentParser:
                                  "(query_id, <id-col>, rel)")
     p.add_argument("output", help="rank_eval metrics table")
     p.add_argument("--retriever", default="cosine",
-                   choices=["cosine", "ivf", "lsh"],
-                   help="candidate generator (cosine = exact brute force)")
+                   choices=["cosine", "ivf", "lsh", "binary"],
+                   help="candidate generator (cosine = exact brute force; "
+                        "binary = Hamming shortlist + exact rerank)")
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--fetch-k", type=int, default=0,
                    help="candidate depth fed to --mmr (default 5*k)")
@@ -718,12 +719,14 @@ def build_parser() -> argparse.ArgumentParser:
         "--method",
         choices=[
             "lsh", "lsh_multi", "ivf", "quantized", "truncated", "rp",
-            "pq", "ivf_pq",
+            "pq", "ivf_pq", "binary", "hamming",
         ],
         default="lsh_multi",
     )
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--n-queries", type=int, default=20)
+    p.add_argument("--shortlist-k", type=int, default=100,
+                   help="binary: Hamming shortlist depth before rerank")
     p.add_argument("--n-planes", type=int, default=4)
     p.add_argument("--n-bands", type=int, default=8)
     p.add_argument("--n-lists", type=int, default=8)
@@ -1292,6 +1295,10 @@ def main(argv: list[str] | None = None) -> int:
                     df, queries_df, k=fetch,
                     n_lists=args.n_lists, n_probe=args.n_probe, **common,
                 )
+            elif args.retriever == "binary":
+                cand = sim_mod.binary_rerank(
+                    df, queries_df, k=fetch, shortlist_k=4 * fetch, **common
+                )
             else:
                 cand = sim_mod.lsh_topk(
                     df, queries_df, k=fetch, n_planes=args.n_planes, **common
@@ -1416,6 +1423,8 @@ def main(argv: list[str] | None = None) -> int:
                 kw["k_sub"] = args.k_sub
                 kw["n_lists"] = args.n_lists
                 kw["n_probe"] = args.n_probe
+            elif args.method == "binary":
+                kw["shortlist_k"] = args.shortlist_k
             out = sim_mod.ann_recall(
                 df,
                 k=args.k,

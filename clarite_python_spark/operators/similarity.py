@@ -217,6 +217,153 @@ def quantized_topk(
     )
 
 
+def quantize_binary(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "bvec",
+    dim: int | None = None,
+) -> DataFrame:
+    """Sign-bit binarization of an ``array<float>`` column, packed into
+    32-bit words carried as ``array<bigint>`` — the 32x compression
+    lever for embedding stores (one BIT per float32 dimension): at
+    100 TB of vectors the Hamming first-pass scans 1/32 of the bytes,
+    and XOR+popcount replaces the float dot product entirely.
+
+    bit j of word w is set iff ``v[32*w + j] > 0`` — the standard
+    sign-bit sketch (Charikar 2002 SimHash with axis-aligned planes;
+    for zero-centered embeddings Hamming distance on the sketch tracks
+    angular distance). 32-bit words on purpose: ``1 << 63`` overflows
+    signed-64 ANSI arithmetic in both engines, while 32 distinct powers
+    of two SUM safely into a BIGINT, so the packing replays exactly in
+    SQL (the gate oracle does).
+
+    Pure codegen projection — O(dim) WHEN terms across all words, no
+    shuffle, no Python, no job. ``dim`` is read from the first row when
+    not given (one tiny action at plan-build time; pass it explicitly
+    in latency-sensitive pipelines). Returns (id_col, out_col).
+    """
+    if dim is None:
+        row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = int(row["d"]) if row and row["d"] is not None else 0
+    if dim <= 0:
+        raise ValueError(f"vector dim must be positive, got {dim}")
+    words = (dim + 31) // 32
+    v = F.col(vec_col)
+    wordcols = []
+    for w in range(words):
+        lo, hi = w * 32, min((w + 1) * 32, dim)
+        terms = [
+            F.when(
+                F.element_at(v, i + 1) > 0, F.lit(1 << (i - lo)).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            for i in range(lo, hi)
+        ]
+        word = terms[0]
+        for t in terms[1:]:
+            word = word + t
+        wordcols.append(word)
+    return df.select(F.col(id_col), F.array(*wordcols).alias(out_col))
+
+
+def _hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between two equal-length array<bigint> bit-packs
+    (JVM-side: zip_with XOR -> bit_count -> fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Top-k by Hamming distance over sign-bit binarized vectors — the
+    binary first-pass retriever. Same plan as ``cosine_topk`` (broadcast
+    query set, one corpus scan, per-query window) but the scan carries
+    dim/32 BIGINT words per vector instead of dim floats and the scoring
+    is XOR+popcount. Ties broken by ascending corpus id (Hamming is
+    integer-valued, so ties are common — determinism matters here more
+    than in float ranking). Returns (query_id, id, hamming, rank).
+
+    This ranks by the SKETCH, not the true cosine — compose with
+    :func:`binary_rerank` (Hamming shortlist -> exact rerank) and price
+    the recall with ``ann_recall(method='binary')``.
+    """
+    bc = quantize_binary(corpus, id_col, vec_col, dim=dim)
+    bq = quantize_binary(
+        queries.select(F.col(query_id_col).alias("__qid"), F.col(vec_col)),
+        "__qid",
+        vec_col,
+        dim=dim,
+    ).select(F.col("__qid").alias(query_id_col), F.col("bvec").alias("__qbvec"))
+    scored = bc.crossJoin(F.broadcast(bq)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        _hamming(F.col("bvec"), F.col("__qbvec")).alias("hamming"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.asc("hamming"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy(query_id_col, "rank")
+    )
+
+
+def binary_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist_k: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Two-stage binary retrieval: Hamming-distance shortlist of
+    ``shortlist_k`` candidates over the 32x-compressed sign-bit pack,
+    then EXACT cosine rerank of only those candidates — the standard
+    production shape for binary embedding indexes (scan the bits,
+    rerank the shortlist from the float store).
+
+    At 100 TB: stage 1 reads dim/32 words per vector (1/32 of the
+    bytes) and never touches the floats; stage 2 re-fetches floats for
+    O(queries x shortlist_k) rows via one id-keyed join against the
+    corpus — the same justified re-fetch as ``mmr_rerank(candidates=)``.
+    Recall is decided by ``shortlist_k``; measure it with
+    ``ann_recall(method='binary', shortlist_k=...)`` instead of
+    guessing. Returns (query_id, id, cosine, rank).
+    """
+    short = hamming_topk(
+        corpus, queries, shortlist_k, id_col, vec_col, query_id_col, dim=dim
+    ).select(query_id_col, id_col)
+    withvec = short.join(
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")),
+        on=id_col,
+    )
+    qv = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("__qvec")
+    )
+    scored = withvec.join(F.broadcast(qv), on=query_id_col).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col("__v"), F.col("__qvec")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy(query_id_col, "rank")
+    )
+
+
 def truncated_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -921,10 +1068,18 @@ def ann_recall(
         approx = ivf_pq_topk(
             corpus, q, k, id_col=id_col, vec_col=vec_col, **method_kwargs
         )
+    elif method == "binary":
+        approx = binary_rerank(
+            corpus, q, k, id_col=id_col, vec_col=vec_col, **method_kwargs
+        )
+    elif method == "hamming":
+        approx = hamming_topk(
+            corpus, q, k, id_col=id_col, vec_col=vec_col, **method_kwargs
+        )
     else:
         raise ValueError(
             "method must be 'lsh', 'lsh_multi', 'ivf', 'quantized', 'truncated', "
-            "'rp', 'pq', or 'ivf_pq'"
+            "'rp', 'pq', 'ivf_pq', 'binary', or 'hamming'"
         )
     approx = approx.select("query_id", id_col)
     # one full-outer join carries all three counts, so the exact and

@@ -181,3 +181,92 @@ def test_cli_evaluate_retrieval_round_trip(spark, tmp_path):
     assert sorted(tuple(r) for r in ev2.collect()) == sorted(
         tuple(r) for r in want.collect()
     )
+
+
+# ---------------------------------------------- binary embedding family --
+
+
+def test_quantize_binary_matches_numpy(spark):
+    import numpy as np
+
+    from clarite_python_spark.operators import similarity
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(50, 64)
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["bvec"]
+        for r in similarity.quantize_binary(df).collect()
+    }
+    for i, v in enumerate(vecs):
+        bits = (v > 0).astype(np.int64)
+        want = [
+            int(sum(bits[32 * w + j] << j for j in range(32)))
+            for w in range(2)
+        ]
+        assert got[i] == want
+
+
+def test_hamming_topk_matches_numpy(spark):
+    import numpy as np
+
+    from clarite_python_spark.operators import similarity
+
+    rng = np.random.RandomState(9)
+    vecs = rng.randn(80, 64)
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where("vec_id < 2").selectExpr("vec_id AS query_id", "embedding")
+    got = [
+        (r["query_id"], r["vec_id"], r["hamming"], r["rank"])
+        for r in similarity.hamming_topk(df, q, k=5).collect()
+    ]
+    signs = vecs > 0
+    for qid in (0, 1):
+        dists = sorted(
+            ((int((signs[i] != signs[qid]).sum()), i) for i in range(80))
+        )[:5]
+        want = [(qid, i, d, rk + 1) for rk, (d, i) in enumerate(dists)]
+        assert [g for g in got if g[0] == qid] == want
+
+
+def test_binary_rerank_full_shortlist_is_exact(spark):
+    # shortlist_k >= corpus size -> rerank degenerates to exact cosine
+    import numpy as np
+
+    from clarite_python_spark.operators import similarity
+
+    rng = np.random.RandomState(13)
+    rows = [(i, rng.randn(64).tolist()) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where("vec_id < 2").selectExpr("vec_id AS query_id", "embedding")
+    got = similarity.binary_rerank(df, q, k=5, shortlist_k=60).collect()
+    want = similarity.cosine_topk(df, q, k=5).collect()
+    assert [(r["query_id"], r["vec_id"], r["rank"]) for r in got] == [
+        (r["query_id"], r["vec_id"], r["rank"]) for r in want
+    ]
+    for g, w in zip(got, want):
+        assert g["cosine"] == pytest.approx(w["cosine"], abs=1e-12)
+
+
+def test_ann_recall_binary_dispatch(spark):
+    from clarite_python_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    row = similarity.ann_recall(
+        emb, k=10, n_queries=5, method="binary", shortlist_k=200
+    ).first()
+    assert row["n_exact"] == 50
+    # 200-deep shortlist on 500 vectors: recall should be high
+    assert row["recall"] >= 0.8
+    with pytest.raises(ValueError, match="method"):
+        similarity.ann_recall(emb, method="nope").first()
+
+
+def test_quantize_binary_validates_dim(spark):
+    from clarite_python_spark.operators import similarity
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="dim"):
+        similarity.quantize_binary(empty)
