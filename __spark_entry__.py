@@ -1192,6 +1192,31 @@ def hamming_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hamming_stored_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored-index twin of hamming_topk_embeddings (round 11):
+    similarity.build_binary_index persists the bit pack once (the
+    build_postings pattern), then hamming_topk(None, queries,
+    index_dir=...) serves the batch scanning ONLY the bit-pack parquet
+    (1/32 of the float bytes, no re-packing). Oracle is IDENTICAL to
+    hamming_topk_embeddings — the stored path is contract-equal to the
+    inline path (parity-tested row-for-row)."""
+    import os
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = os.path.join(
+        "/tmp/clarite_r11_snapshots",
+        os.path.basename(os.path.normpath(sf_dir)),
+        "binary_index",
+    )
+    similarity.build_binary_index(emb, idx, dim=64)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.hamming_topk(
+        None, queries, k=10, index_dir=idx
+    ).orderBy("query_id", "rank")
+
+
 def binary_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage binary retrieval (operators/similarity.py:
     binary_rerank): Hamming shortlist of 50 over the bit pack, then
@@ -2696,6 +2721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_outliers_approx_lineitem": remove_outliers_approx_lineitem,
         "quantize_binary_embeddings": quantize_binary_embeddings,
         "hamming_topk_embeddings": hamming_topk_embeddings,
+        "hamming_stored_topk_embeddings": hamming_stored_topk_embeddings,
         "binary_rerank_embeddings": binary_rerank_embeddings,
         "ann_recall_binary_embeddings": ann_recall_binary_embeddings,
         "association_study_lineitem": association_study_lineitem,
@@ -7809,4 +7835,7 @@ def oracle_sql() -> dict[str, str]:
     # the stored-snapshot form is contract-equal to the two-frame form
     # (tests/test_round11_ops.py pins row-for-row parity) — same oracle
     out["table_diff_snapshot_orders"] = out["table_diff_orders"]
+    # the stored binary index is contract-equal to inline packing
+    # (tests/test_round11_ops.py pins row-for-row parity) — same oracle
+    out["hamming_stored_topk_embeddings"] = out["hamming_topk_embeddings"]
     return out

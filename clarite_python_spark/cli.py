@@ -448,6 +448,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--query-col", default="query_id",
                    help="id column of the queries table")
 
+    p = g_pipe.add_parser("build-binary-index")
+    p.add_argument("data", help="embeddings parquet")
+    p.add_argument("output", help="index directory for later "
+                                  "'evaluate-retrieval --index-dir'")
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--vec-col", default="embedding")
+
     p = g_pipe.add_parser("evaluate-retrieval")
     p.add_argument("data", help="corpus with an embedding column")
     p.add_argument("right", help="queries (query_id, embedding)")
@@ -471,6 +478,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vec-col", default="embedding")
     p.add_argument("--query-col", default="query_id")
     p.add_argument("--rel-col", default="rel")
+    p.add_argument("--index-dir", default=None,
+                   help="with --retriever binary: serve the Hamming "
+                        "stage from a stored 'build-binary-index' dir")
 
     p = g_pipe.add_parser("hash-embed")
     p.add_argument("data")
@@ -1236,6 +1246,14 @@ def main(argv: list[str] | None = None) -> int:
                     df, right, keys=keys, compare=compare,
                     include_same=args.include_same,
                 )
+        elif args.command == "build-binary-index":
+            from clarite_python_spark.operators import similarity as sim_mod
+
+            sim_mod.build_binary_index(
+                df, args.output, id_col=args.id_col, vec_col=args.vec_col
+            )
+            print(f"wrote {args.output}")
+            return 0
         elif args.command == "save-snapshot":
             from clarite_python_spark.operators import evaluation as eval_mod
 
@@ -1297,7 +1315,8 @@ def main(argv: list[str] | None = None) -> int:
                 )
             elif args.retriever == "binary":
                 cand = sim_mod.binary_rerank(
-                    df, queries_df, k=fetch, shortlist_k=4 * fetch, **common
+                    df, queries_df, k=fetch, shortlist_k=4 * fetch,
+                    index_dir=args.index_dir, **common,
                 )
             else:
                 cand = sim_mod.lsh_topk(

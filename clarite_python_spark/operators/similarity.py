@@ -266,6 +266,38 @@ def quantize_binary(
     return df.select(F.col(id_col), F.array(*wordcols).alias(out_col))
 
 
+def build_binary_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> None:
+    """Build and persist the sign-bit pack — the stored-state form of
+    :func:`hamming_topk`, the same pattern as the text family's
+    ``build_postings``: pay the corpus scan + packing ONCE, then every
+    later query batch runs ``hamming_topk(None, queries,
+    index_dir=path)`` scanning only the bit-pack parquet (dim/32 BIGINT
+    words per vector — 1/32 of the float bytes, and zero re-packing).
+
+    Layout under ``path``: ``bvec/`` (id, bvec) and ``stats/`` (1 row:
+    __dim) — the stored dim re-packs query batches identically at serve
+    time, so a dim mismatch is impossible by construction.
+    :func:`binary_rerank` takes the same ``index_dir`` for its stage 1
+    and re-fetches floats from the live corpus for stage 2 only."""
+    if dim is None:
+        row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = int(row["d"]) if row and row["d"] is not None else 0
+    if dim <= 0:
+        raise ValueError(f"vector dim must be positive, got {dim}")
+    quantize_binary(corpus, id_col, vec_col, dim=dim).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/bvec")
+    corpus.sparkSession.createDataFrame(
+        [(dim,)], "__dim int"
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
 def _hamming(a: Column, b: Column) -> Column:
     """Hamming distance between two equal-length array<bigint> bit-packs
     (JVM-side: zip_with XOR -> bit_count -> fold)."""
@@ -277,13 +309,14 @@ def _hamming(a: Column, b: Column) -> Column:
 
 
 def hamming_topk(
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     queries: DataFrame,
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     dim: int | None = None,
+    index_dir: str | None = None,
 ) -> DataFrame:
     """Top-k by Hamming distance over sign-bit binarized vectors — the
     binary first-pass retriever. Same plan as ``cosine_topk`` (broadcast
@@ -296,8 +329,30 @@ def hamming_topk(
     This ranks by the SKETCH, not the true cosine — compose with
     :func:`binary_rerank` (Hamming shortlist -> exact rerank) and price
     the recall with ``ann_recall(method='binary')``.
+
+    Pass EITHER ``corpus`` (inline single-shot: packing happens in this
+    query) OR ``index_dir`` (the directory a prior
+    :func:`build_binary_index` wrote with the same ``id_col``;
+    ``corpus`` is ignored and may be None — the scan reads only the
+    bit-pack parquet, and the stored dim re-packs the query batch
+    identically). Both paths score identically row-for-row.
     """
-    bc = quantize_binary(corpus, id_col, vec_col, dim=dim)
+    if index_dir is not None:
+        spark = queries.sparkSession
+        bc = spark.read.parquet(f"{index_dir}/bvec")
+        if id_col not in bc.columns:
+            raise ValueError(
+                f"stored binary index at {index_dir} carries id column "
+                f"{[c for c in bc.columns if c != 'bvec']}, not "
+                f"{id_col!r} — pass the id_col used at build time"
+            )
+        dim = int(
+            spark.read.parquet(f"{index_dir}/stats").first()["__dim"]
+        )
+    elif corpus is None:
+        raise ValueError("need a corpus DataFrame or index_dir")
+    else:
+        bc = quantize_binary(corpus, id_col, vec_col, dim=dim)
     bq = quantize_binary(
         queries.select(F.col(query_id_col).alias("__qid"), F.col(vec_col)),
         "__qid",
@@ -326,6 +381,7 @@ def binary_rerank(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     dim: int | None = None,
+    index_dir: str | None = None,
 ) -> DataFrame:
     """Two-stage binary retrieval: Hamming-distance shortlist of
     ``shortlist_k`` candidates over the 32x-compressed sign-bit pack,
@@ -339,10 +395,14 @@ def binary_rerank(
     corpus — the same justified re-fetch as ``mmr_rerank(candidates=)``.
     Recall is decided by ``shortlist_k``; measure it with
     ``ann_recall(method='binary', shortlist_k=...)`` instead of
-    guessing. Returns (query_id, id, cosine, rank).
+    guessing. ``index_dir``: serve stage 1 from a stored
+    :func:`build_binary_index` instead of packing inline (the corpus is
+    still required — stage 2 re-fetches floats from it). Returns
+    (query_id, id, cosine, rank).
     """
     short = hamming_topk(
-        corpus, queries, shortlist_k, id_col, vec_col, query_id_col, dim=dim
+        corpus, queries, shortlist_k, id_col, vec_col, query_id_col,
+        dim=dim, index_dir=index_dir,
     ).select(query_id_col, id_col)
     withvec = short.join(
         corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")),

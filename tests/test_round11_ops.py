@@ -270,3 +270,49 @@ def test_quantize_binary_validates_dim(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="dim"):
         similarity.quantize_binary(empty)
+
+
+def test_binary_index_stored_matches_inline(spark, tmp_path):
+    from clarite_python_spark.operators import similarity
+
+    d = str(tmp_path / "bidx")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where("vec_id < 3").selectExpr("vec_id AS query_id", "embedding")
+    similarity.build_binary_index(emb, d)
+    inline = similarity.hamming_topk(emb, q, k=7).collect()
+    stored = similarity.hamming_topk(None, q, k=7, index_dir=d).collect()
+    assert [tuple(r) for r in stored] == [tuple(r) for r in inline]
+    # rerank through the stored index too
+    ri = similarity.binary_rerank(emb, q, k=5, shortlist_k=40).collect()
+    rs = similarity.binary_rerank(
+        emb, q, k=5, shortlist_k=40, index_dir=d
+    ).collect()
+    assert [tuple(r) for r in rs] == [tuple(r) for r in ri]
+    # contract errors
+    with pytest.raises(ValueError, match="id column"):
+        similarity.hamming_topk(None, q, k=3, id_col="nope", index_dir=d)
+    with pytest.raises(ValueError, match="corpus"):
+        similarity.hamming_topk(None, q, k=3)
+
+
+def test_cli_build_binary_index_round_trip(spark, tmp_path):
+    from clarite_python_spark import cli
+
+    d = str(tmp_path)
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    assert cli.main(["pipeline", "build-binary-index", emb, f"{d}/idx"]) == 0
+    spark.read.parquet(emb).where("vec_id < 2").selectExpr(
+        "vec_id AS query_id", "embedding"
+    ).write.parquet(f"{d}/q")
+    spark.sql(
+        "SELECT a.vec_id AS query_id, b.vec_id AS vec_id, 1.0 AS rel "
+        f"FROM parquet.`{emb}` a JOIN parquet.`{emb}` b ON a.label = b.label "
+        "WHERE a.vec_id < 2"
+    ).write.parquet(f"{d}/qrels")
+    assert cli.main(
+        ["pipeline", "evaluate-retrieval", emb, f"{d}/q", f"{d}/qrels",
+         f"{d}/ev", "--k", "5", "--retriever", "binary",
+         "--index-dir", f"{d}/idx"]
+    ) == 0
+    ev = spark.read.parquet(f"{d}/ev")
+    assert ev.count() == 2 and all(r["mrr"] == 1.0 for r in ev.collect())
