@@ -2576,6 +2576,23 @@ def rank_eval_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return evaluation.rank_eval(res, qrels, k=10, doc_col="vec_id")
 
 
+def rank_eval_macro_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Macro-averaged retrieval summary (evaluation.rank_eval_macro):
+    the single-row unweighted mean of rank_eval_embeddings' per-query
+    metrics — the TREC-macro leaderboard number. Oracle wraps the
+    rank_eval replay in one AVG."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    qvec = q.select(F.col("vec_id").alias("query_id"), "embedding")
+    res = similarity.cosine_topk(emb, qvec, k=10)
+    qrels = (
+        q.select(F.col("vec_id").alias("query_id"), "label")
+        .join(emb.select("vec_id", "label"), "label")
+        .select("query_id", "vec_id", F.lit(1.0).alias("rel"))
+    )
+    return evaluation.rank_eval_macro(res, qrels, k=10, doc_col="vec_id")
+
+
 def table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff (evaluation.table_diff): 'old' = orders with key%3
     != 0, 'new' = key%5 != 0 with price restated (+100.0) on key%7 == 0
@@ -2724,6 +2741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_stored_topk_embeddings": hamming_stored_topk_embeddings,
         "binary_rerank_embeddings": binary_rerank_embeddings,
         "ann_recall_binary_embeddings": ann_recall_binary_embeddings,
+        "rank_eval_macro_embeddings": rank_eval_macro_embeddings,
         "association_study_lineitem": association_study_lineitem,
         "association_study_columnar_lineitem": association_study_columnar_lineitem,
         "association_study_covariates": association_study_covariates,
@@ -7838,4 +7856,14 @@ def oracle_sql() -> dict[str, str]:
     # the stored binary index is contract-equal to inline packing
     # (tests/test_round11_ops.py pins row-for-row parity) — same oracle
     out["hamming_stored_topk_embeddings"] = out["hamming_topk_embeddings"]
+    # macro average = one AVG over the per-query rank_eval replay
+    out["rank_eval_macro_embeddings"] = f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               CAST(10 AS INT) AS k,
+               round(avg(precision), 6) AS precision,
+               round(avg(recall), 6) AS recall,
+               round(avg(mrr), 6) AS mrr,
+               round(avg(ndcg), 6) AS ndcg
+        FROM ({out["rank_eval_embeddings"]})
+    """
     return out

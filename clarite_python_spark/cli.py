@@ -435,6 +435,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--doc-col", default="doc_id")
     p.add_argument("--rank-col", default="rank")
     p.add_argument("--rel-col", default="rel")
+    p.add_argument("--macro", action="store_true",
+                   help="emit the single-row macro average instead of "
+                        "per-query metrics")
 
     p = g_pipe.add_parser("mmr")
     p.add_argument("data", help="corpus with an embedding column")
@@ -1275,7 +1278,8 @@ def main(argv: list[str] | None = None) -> int:
             from clarite_python_spark.operators import evaluation as eval_mod
 
             right = spark.read.parquet(args.right)
-            out = eval_mod.rank_eval(
+            fn = eval_mod.rank_eval_macro if args.macro else eval_mod.rank_eval
+            out = fn(
                 df, right, k=args.k, query_col=args.query_col,
                 doc_col=args.doc_col, rank_col=args.rank_col,
                 rel_col=args.rel_col,

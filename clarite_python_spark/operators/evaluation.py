@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["rank_eval", "save_snapshot", "table_diff"]
+__all__ = ["rank_eval", "rank_eval_macro", "save_snapshot", "table_diff"]
 
 
 def rank_eval(
@@ -139,6 +139,37 @@ def rank_eval(
         ).alias("ndcg"),
     )
     return out.orderBy("query_id")
+
+
+def rank_eval_macro(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Macro-averaged retrieval metrics — the single-row summary a tuning
+    loop or leaderboard actually reports: the unweighted mean of every
+    per-query :func:`rank_eval` metric (each query counts once, the TREC
+    macro convention; queries with zero judged-relevant docs contribute
+    their zeroed metrics rather than being dropped — rank_eval already
+    guarantees that).
+
+    Returns one row: (n_queries, k, precision, recall, mrr, ndcg), means
+    rounded to 6 decimals. Cost: rank_eval's single keyed shuffle plus
+    one global agg over O(#queries) rows.
+    """
+    per_q = rank_eval(results, qrels, k, query_col, doc_col, rank_col, rel_col)
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.lit(int(k)).cast("int").alias("k"),
+        F.round(F.avg("precision"), 6).alias("precision"),
+        F.round(F.avg("recall"), 6).alias("recall"),
+        F.round(F.avg("mrr"), 6).alias("mrr"),
+        F.round(F.avg("ndcg"), 6).alias("ndcg"),
+    )
 
 
 def save_snapshot(df: DataFrame, path: str) -> None:

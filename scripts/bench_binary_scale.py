@@ -1,0 +1,105 @@
+"""Binary embedding family at 100-TB-rehearsal scale (round 11).
+
+1M synthetic 64-dim vectors (seeded per-row hash mix, no RNG), 100
+queries. Measures:
+
+- ``cosine_float``  : exact brute-force cosine_topk (the r10-measured
+  ~97 s baseline this family exists to beat),
+- ``hamming``       : inline hamming_topk (pack both sides + XOR scan),
+- ``build_index``   : build_binary_index one-time cost,
+- ``hamming_stored``: hamming_topk from the stored pack (the per-batch
+  serve cost the build amortizes),
+- ``binary_rerank`` : stored-index shortlist-400 -> exact rerank top-10,
+- ``recall``        : ann_recall(method='binary', shortlist_k=400) on
+  20 queries — the quality number that licenses the speedup.
+
+Usage: python scripts/bench_binary_scale.py [n_vectors] [n_queries]
+Prints one JSON line; record results in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from clarite_python_spark.operators import similarity  # noqa: E402
+from clarite_python_spark.session import get_spark  # noqa: E402
+
+DIM = 64
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    nq = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    spark = get_spark("bench-binary-scale")
+    results: dict[str, object] = {"n_vectors": n, "n_queries": nq, "dim": DIM}
+
+    # deterministic pseudo-gaussian-ish vectors: sum of three hash
+    # uniforms, centered — cheap, seedless, reproducible
+    def vec_expr() -> str:
+        return (
+            "transform(sequence(0, {d}), j -> "
+            "(pmod(xxhash64(id, j), 1000) + pmod(xxhash64(id, j + 7919), 1000)"
+            " + pmod(xxhash64(id, j + 104729), 1000)) / 1500.0 - 1.0)"
+        ).format(d=DIM - 1)
+
+    corpus = (
+        spark.range(n)
+        .select(F.col("id").alias("vec_id"), F.expr(vec_expr()).alias("embedding"))
+        .repartition(64)
+        .persist()
+    )
+    corpus.count()
+    queries = (
+        corpus.where(F.col("vec_id") % (n // nq) == 0)
+        .limit(nq)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .persist()
+    )
+    queries.count()
+
+    def bench(name: str, fn) -> None:
+        t = time.time()
+        out = fn()
+        cnt = out.count() if hasattr(out, "count") else 0
+        results[name] = round(time.time() - t, 2)
+        results[f"{name}_rows"] = cnt
+        print(f"STAGE {name}: {results[name]}s rows={cnt}", file=sys.stderr, flush=True)
+
+    bench("cosine_float", lambda: similarity.cosine_topk(corpus, queries, k=10))
+    bench("hamming", lambda: similarity.hamming_topk(corpus, queries, k=10, dim=DIM))
+
+    idx = "/tmp/clarite_r11_binary_index_bench"
+    t = time.time()
+    similarity.build_binary_index(corpus, idx, dim=DIM)
+    results["build_index"] = round(time.time() - t, 2)
+    print(f"STAGE build_index: {results['build_index']}s", file=sys.stderr, flush=True)
+
+    bench(
+        "hamming_stored",
+        lambda: similarity.hamming_topk(None, queries, k=10, index_dir=idx),
+    )
+    bench(
+        "binary_rerank",
+        lambda: similarity.binary_rerank(
+            corpus, queries, k=10, shortlist_k=400, dim=DIM, index_dir=idx
+        ),
+    )
+    t = time.time()
+    row = similarity.ann_recall(
+        corpus, k=10, n_queries=20, method="binary", shortlist_k=400, dim=DIM
+    ).first()
+    results["recall_s"] = round(time.time() - t, 2)
+    results["recall"] = row["recall"]
+    print(f"STAGE recall: {row['recall']} in {results['recall_s']}s", file=sys.stderr, flush=True)
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

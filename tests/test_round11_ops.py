@@ -316,3 +316,21 @@ def test_cli_build_binary_index_round_trip(spark, tmp_path):
     ) == 0
     ev = spark.read.parquet(f"{d}/ev")
     assert ev.count() == 2 and all(r["mrr"] == 1.0 for r in ev.collect())
+
+
+def test_rank_eval_macro_is_mean_of_per_query(spark):
+    results = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (1, 20, 1), (1, 21, 2)],
+        "query_id long, doc_id long, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [(0, 10, 1.0), (0, 99, 1.0), (1, 21, 2.0), (2, 30, 1.0)],
+        "query_id long, doc_id long, rel double",
+    )
+    per_q = evaluation.rank_eval(results, qrels, k=2).collect()
+    macro = evaluation.rank_eval_macro(results, qrels, k=2).first()
+    assert macro["n_queries"] == len(per_q) == 3  # query 2 has no results
+    for m in ("precision", "recall", "mrr", "ndcg"):
+        mean = sum(r[m] for r in per_q) / len(per_q)
+        assert macro[m] == pytest.approx(mean, abs=1e-6)
+    assert macro["k"] == 2
