@@ -1230,19 +1230,30 @@ def _min_label_components(
     measured-neutral) but a pathological duplicate chain is O(log d)
     instead of hitting the non-convergence raise.
 
-    Each round is one shuffle join keyed on vertex id over the DUPLICATE
-    vertices only (not the corpus), and ``localCheckpoint`` truncates the
-    lineage so plans don't grow exponentially. The symmetrized DISTINCT
-    edge list is materialized ONCE up front: ``edges`` is usually the
-    tail of an expensive pipeline (banded candidates -> exact-Jaccard
-    verify), and without the materialization every propagation round
-    re-ran that whole pipeline — at 10M docs / 27M verified pairs the
-    r10 stress blew a 30-min budget exactly this way (BASELINE.md
-    round-10). DISK_ONLY persist, not localCheckpoint: checkpoint
-    unrolls DESERIALIZED blocks through the heap, and at tens of
-    millions of edges that unroll OOMs a default-sized executor while
-    the verify's own hash aggregates are still live (measured r11);
-    serialized-to-disk blocks cost one read per round and zero heap.
+    Storage discipline (the 100M-edge lesson, r11):
+
+    * the symmetrized DISTINCT edge list is ``localCheckpoint``-ed ONCE
+      up front — ``edges`` is usually the tail of an expensive pipeline
+      (banded candidates -> exact-Jaccard verify), and without the
+      materialization every propagation round re-ran that whole
+      pipeline (at 10M docs / 27M verified pairs the r10 stress blew a
+      30-min budget exactly this way);
+    * every checkpoint in this kernel uses ``StorageLevel.DISK_ONLY``:
+      the default MEMORY_AND_DISK level unrolls DESERIALIZED blocks
+      through the heap, which OOMed the shipped 8g executor at 54M-row
+      edge lists and again at 100M-row label frames (both measured
+      r11); DISK_ONLY serializes straight to the executor's disk store
+      — one read per round, zero heap unroll;
+    * per-round label frames NEED real lineage truncation, not just
+      caching: ``labels`` is referenced twice per round (neighbor agg +
+      the join back), so the logical plan DOUBLES per round without
+      truncation — an 11-round chain OOMed the driver just RENDERING
+      the plan tree (measured r11). ``localCheckpoint(storageLevel=
+      DISK_ONLY)`` (Spark 4.0+) gives truncation and disk-only blocks
+      in one call. Old rounds' blocks are freed by the ContextCleaner
+      as references drop; peak disk is O(rounds x vertices) rows in the
+      worst case — size executor local storage accordingly (SCALE.md).
+
     Distinct also collapses multi-edges so each round's neighbor agg
     sees each (src, dst) once. Runs up to ``max_iter`` improving rounds
     plus one final proving round (fixpoint is only PROVEN by a round
@@ -1253,30 +1264,18 @@ def _min_label_components(
 
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    disk = StorageLevel.DISK_ONLY
     sym = (
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
             edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
         .distinct()
-        .persist(StorageLevel.DISK_ONLY)
+        .localCheckpoint(eager=True, storageLevel=disk)
     )
     labels = (
         sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     )
-    try:
-        return _propagate_min_labels(sym, labels, max_iter, shortcut)
-    finally:
-        sym.unpersist()
-
-
-def _propagate_min_labels(
-    sym: DataFrame, labels: DataFrame, max_iter: int, shortcut: bool
-) -> DataFrame:
-    """The propagation loop of :func:`_min_label_components` (split out
-    so the caller can unpersist the materialized edge list on every exit
-    path; the returned labels are localCheckpointed, so they survive the
-    unpersist)."""
     for _ in range(max_iter + 1):
         nbr = (
             sym.join(labels.select(F.col("id").alias("dst"), "label"), "dst")
@@ -1293,7 +1292,7 @@ def _propagate_min_labels(
         if shortcut:
             # materialize once so the self-join below doesn't recompute
             # the neighbor step on both sides
-            stepped = stepped.localCheckpoint()
+            stepped = stepped.localCheckpoint(eager=False, storageLevel=disk)
             l2 = stepped.select(
                 F.col("id").alias("__lid"), F.col("label").alias("__llabel")
             )
@@ -1307,14 +1306,11 @@ def _propagate_min_labels(
                 ).alias("label"),
                 stepped["__old"],
             )
-        new = (
-            stepped.select(
-                "id",
-                "label",
-                (F.col("label") < F.col("__old")).cast("long").alias("__chg"),
-            )
-            .localCheckpoint()
-        )
+        new = stepped.select(
+            "id",
+            "label",
+            (F.col("label") < F.col("__old")).cast("long").alias("__chg"),
+        ).localCheckpoint(eager=True, storageLevel=disk)
         changed = new.agg(F.sum("__chg")).collect()[0][0] or 0
         labels = new.drop("__chg")
         if changed == 0:
