@@ -585,3 +585,33 @@ def test_round10_operators_plan_shapes(spark):
     plan = cc._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round11_binary_family_plan_shapes(spark):
+    """Round-11 binary family: quantize_binary is a pure projection (no
+    exchange, no Python); hamming_topk keeps cosine_topk's broadcast
+    plan (the ONE BroadcastNestedLoopJoin is the tiny-query-set
+    broadcast, never a corpus cartesian); binary_rerank adds only the
+    id-keyed shortlist re-fetch join; nothing drops to Python."""
+    from pyspark.sql import functions as F
+
+    from clarite_python_spark.operators import similarity
+    from clarite_python_spark.sources.io import load_testdata
+
+    emb = load_testdata(spark, SF_DIR, ["embeddings"])["embeddings"]
+    q = emb.where("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    bplan = similarity.quantize_binary(emb, dim=64)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in bplan and "Join" not in bplan
+    assert "BatchEvalPython" not in bplan and "ArrowEvalPython" not in bplan
+
+    hplan = similarity.hamming_topk(emb, q, k=5, dim=64)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in hplan
+    assert hplan.count("BroadcastNestedLoopJoin") == 1  # broadcast query set
+    assert "BatchEvalPython" not in hplan and "ArrowEvalPython" not in hplan
+
+    rplan = similarity.binary_rerank(emb, q, k=3, shortlist_k=20, dim=64)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in rplan
+    assert "BatchEvalPython" not in rplan and "ArrowEvalPython" not in rplan
