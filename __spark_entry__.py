@@ -2721,8 +2721,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries of this dict. Every registered query has at least one
     # driver-green CORRECTNESS row (union r1-r10; the r10 verdict
     # verified zero never-sampled, zero last-known-fail). Round 11
-    # rotates the HEAD-50 to: (1) the two r11 registrations
-    # (table_diff_snapshot_orders, remove_outliers_approx_lineitem);
+    # rotates the HEAD-50 to: (1) the eight r11 registrations
+    # (table_diff_snapshot_orders, remove_outliers_approx_lineitem, the
+    # five binary-embedding entries, rank_eval_macro_embeddings);
     # (2) the SS2 statistical core (association/weighted/logistic/
     # interaction/corrected-pvalues), whose last driver rows date to
     # r4-r7 -- driver-green is the scoreboard currency and these are the
