@@ -352,7 +352,17 @@ def hamming_topk(
     elif corpus is None:
         raise ValueError("need a corpus DataFrame or index_dir")
     else:
-        bc = quantize_binary(corpus, id_col, vec_col, dim=dim)
+        from pyspark import StorageLevel
+
+        # materialization barrier: without it CollapseProject inlines
+        # the O(dim)-WHEN packing into the join's output projection and
+        # recomputes the pack PER (corpus x query) PAIR — measured 260 s
+        # vs 10.2 s from a stored pack at 1M vectors x 100 queries
+        # (BASELINE.md round-11). DISK_ONLY: the pack is 1/32 of the
+        # float bytes and streams back without touching the heap.
+        bc = quantize_binary(corpus, id_col, vec_col, dim=dim).localCheckpoint(
+            eager=False, storageLevel=StorageLevel.DISK_ONLY
+        )
     bq = quantize_binary(
         queries.select(F.col(query_id_col).alias("__qid"), F.col(vec_col)),
         "__qid",
