@@ -410,6 +410,12 @@ def binary_rerank(
     still required — stage 2 re-fetches floats from it). Returns
     (query_id, id, cosine, rank).
     """
+    if corpus is None:
+        raise ValueError(
+            "binary_rerank always needs the corpus DataFrame — index_dir "
+            "only serves the Hamming stage; the exact rerank re-fetches "
+            "float vectors from the corpus"
+        )
     short = hamming_topk(
         corpus, queries, shortlist_k, id_col, vec_col, query_id_col,
         dim=dim, index_dir=index_dir,

@@ -334,3 +334,14 @@ def test_rank_eval_macro_is_mean_of_per_query(spark):
         mean = sum(r[m] for r in per_q) / len(per_q)
         assert macro[m] == pytest.approx(mean, abs=1e-6)
     assert macro["k"] == 2
+
+
+def test_binary_rerank_requires_corpus(spark, tmp_path):
+    from clarite_python_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where("vec_id < 2").selectExpr("vec_id AS query_id", "embedding")
+    d = str(tmp_path / "idx")
+    similarity.build_binary_index(emb, d)
+    with pytest.raises(ValueError, match="corpus"):
+        similarity.binary_rerank(None, q, k=3, index_dir=d)
