@@ -52,6 +52,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_testdata(spark, sf_dir, [name])[name]
 
 
+def _scratch(sf_dir: str, name: str) -> str:
+    """Gate-scratch directory keyed on a hash of the FULL sf_dir path —
+    two sf dirs sharing a basename (or concurrent gate runs over
+    different roots) must not race on overwrite-while-read."""
+    import hashlib
+    import os
+
+    key = hashlib.md5(
+        os.path.abspath(os.path.normpath(sf_dir)).encode()
+    ).hexdigest()[:12]
+    return os.path.join("/tmp/clarite_gate_scratch", key, name)
+
+
 # --------------------------------------------------------------------------
 # relational / QC queries over the TPC-H-ish tables
 # --------------------------------------------------------------------------
@@ -1200,14 +1213,8 @@ def hamming_stored_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
     (1/32 of the float bytes, no re-packing). Oracle is IDENTICAL to
     hamming_topk_embeddings — the stored path is contract-equal to the
     inline path (parity-tested row-for-row)."""
-    import os
-
     emb = _t(spark, sf_dir, "embeddings")
-    idx = os.path.join(
-        "/tmp/clarite_r11_snapshots",
-        os.path.basename(os.path.normpath(sf_dir)),
-        "binary_index",
-    )
+    idx = _scratch(sf_dir, "binary_index")
     similarity.build_binary_index(emb, idx, dim=64)
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -2632,8 +2639,6 @@ def table_diff_snapshot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     not a live frame. Oracle is IDENTICAL to table_diff_orders (the dir
     form is contract-equal to the frame form; tests/test_round11_ops.py
     pins row-for-row parity)."""
-    import os
-
     o = _t(spark, sf_dir, "orders")
     old = o.where(F.col("o_orderkey") % 3 != 0)
     new = (
@@ -2651,11 +2656,7 @@ def table_diff_snapshot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    snap = os.path.join(
-        "/tmp/clarite_r11_snapshots",
-        os.path.basename(os.path.normpath(sf_dir)),
-        "table_diff_orders",
-    )
+    snap = _scratch(sf_dir, "table_diff_orders")
     evaluation.save_snapshot(
         old.select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"),
         snap,

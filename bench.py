@@ -71,6 +71,12 @@ def main() -> None:
         sf = float(sf_dir.rstrip("/").split("sf")[-1])
     except ValueError:
         pass
+    # box-drift calibration (BASELINE.md "calibration" §): q1's plan has
+    # been frozen since round 4, so its time moves ONLY with the machine.
+    # headline/q1 is the box-normalized headline — compare THAT
+    # round-over-round to separate code regressions from box drift
+    # (r10->r11 moved every query +8..32% on identical code).
+    calibration = times["q1_pricing_summary"]
     print(
         json.dumps(
             {
@@ -79,6 +85,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "calibration_q1_sec": calibration,
+                "headline_per_q1": round(total / calibration, 2)
+                if calibration > 0
+                else None,
             }
         )
     )

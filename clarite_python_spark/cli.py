@@ -484,6 +484,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--index-dir", default=None,
                    help="with --retriever binary: serve the Hamming "
                         "stage from a stored 'build-binary-index' dir")
+    p.add_argument("--shortlist-k", type=int, default=0,
+                   help="binary: Hamming shortlist depth before the exact "
+                        "rerank (default 4x the candidate depth) — the "
+                        "recall/cost knob; price it with 'pipeline "
+                        "ann-recall --method binary'")
 
     p = g_pipe.add_parser("hash-embed")
     p.add_argument("data")
@@ -1233,6 +1238,16 @@ def main(argv: list[str] | None = None) -> int:
                 [c.strip() for c in args.compare.split(",") if c.strip()]
                 if args.compare else None
             )
+            if args.snapshot_dir is not None and args.right is not None:
+                # refuse the ambiguous form instead of silently ignoring
+                # RIGHT (the operator itself raises on frame+snapshot_dir;
+                # forward that contract to the CLI surface)
+                print(
+                    "table-diff takes a RIGHT table OR --snapshot-dir, not "
+                    "both — drop one",
+                    file=sys.stderr,
+                )
+                return 2
             if args.snapshot_dir is not None:
                 out = eval_mod.table_diff(
                     df, keys=keys, compare=compare,
@@ -1319,7 +1334,8 @@ def main(argv: list[str] | None = None) -> int:
                 )
             elif args.retriever == "binary":
                 cand = sim_mod.binary_rerank(
-                    df, queries_df, k=fetch, shortlist_k=4 * fetch,
+                    df, queries_df, k=fetch,
+                    shortlist_k=args.shortlist_k or 4 * fetch,
                     index_dir=args.index_dir, **common,
                 )
             else:

@@ -1291,8 +1291,11 @@ def _min_label_components(
         )
         if shortcut:
             # materialize once so the self-join below doesn't recompute
-            # the neighbor step on both sides
-            stepped = stepped.localCheckpoint(eager=False, storageLevel=disk)
+            # the neighbor step on both sides — eager, because a lazy
+            # checkpoint only guarantees dedup AFTER first evaluation;
+            # the self-join's two stages could otherwise race to compute
+            # the neighbor step twice before either writes the blocks
+            stepped = stepped.localCheckpoint(eager=True, storageLevel=disk)
             l2 = stepped.select(
                 F.col("id").alias("__lid"), F.col("label").alias("__llabel")
             )

@@ -354,6 +354,15 @@ def hamming_topk(
     else:
         from pyspark import StorageLevel
 
+        if dim is None:
+            # infer ONCE, from the corpus, and reuse for the query pack:
+            # two independent first-row probes could disagree (ragged
+            # data), and zip_with pads the shorter pack with NULLs —
+            # every Hamming distance silently NULL instead of an error.
+            row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+            dim = int(row["d"]) if row and row["d"] is not None else 0
+            if dim <= 0:
+                raise ValueError(f"corpus vector dim must be positive, got {dim}")
         # materialization barrier: without it CollapseProject inlines
         # the O(dim)-WHEN packing into the join's output projection and
         # recomputes the pack PER (corpus x query) PAIR — measured 260 s
