@@ -1251,6 +1251,35 @@ def ann_recall_binary_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_graph_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus×corpus kNN graph (operators/similarity.py:knn_graph,
+    round 12): top-5 cosine neighbors for EVERY vector via the IVF
+    cell-local shuffle equi-join — NO broadcast of either corpus side
+    (every other *_topk broadcasts the query set; this is the SemDeDup/
+    graph-curation input shape where that plan is structurally wrong).
+    Oracle replays the whole path: k-means training CTEs, argmax cell
+    assignment, per-vector top-2 probes, same-cell pair scoring with
+    self excluded, two-stage top-k (per-cell then global — the global
+    is what the oracle checks; the per-cell stage is a superset
+    refinement, invisible in the result)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.knn_graph(emb, k=5, n_lists=8, n_probe=2)
+    return out.select(
+        "vec_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    ).orderBy("vec_id", "rank")
+
+
+def knn_graph_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the kNN graph (n_lists=8, n_probe=4) vs exact
+    brute-force neighbors (self excluded both sides) on the 20
+    md5-deterministic sample queries — prices the probe budget of the
+    graph plan the same way ann_recall prices the retrievers."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.knn_graph_recall(
+        emb, k=10, n_queries=20, n_lists=8, n_probe=4
+    )
+
+
 def quantized_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k cosine over int8-quantized vectors — the 4x scan/IO
     lever: same broadcast+window plan as cosine_topk but the corpus
@@ -2736,6 +2765,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (CORRECTNESS_r10: 50/50). The local full gate
     # (scripts/check_correctness.py) always runs ALL entries.
     return {
+        "knn_graph_embeddings": knn_graph_embeddings,
+        "knn_graph_recall_embeddings": knn_graph_recall_embeddings,
         "table_diff_snapshot_orders": table_diff_snapshot_orders,
         "remove_outliers_approx_lineitem": remove_outliers_approx_lineitem,
         "quantize_binary_embeddings": quantize_binary_embeddings,
@@ -3136,6 +3167,105 @@ def _ivf_recall_oracle() -> str:
                      AND approx.vec_id = exact.vec_id)
         SELECT (SELECT count(*) FROM q) AS n_queries,
                CAST(10 AS INT) AS k,
+               (SELECT count(*) FROM exact) AS n_exact,
+               (SELECT count(*) FROM approx) AS n_approx,
+               (SELECT count(*) FROM hits) AS n_hits,
+               CASE WHEN (SELECT count(*) FROM exact) > 0
+                    THEN round((SELECT count(*) FROM hits) * 1.0
+                               / (SELECT count(*) FROM exact), 6) END AS recall
+    """
+    return "WITH " + ",\n".join(ctes) + ",\n" + final
+
+
+def _knn_graph_corp_cte() -> str:
+    """Shared corpus CTE for the knn_graph oracles (chains after
+    _kmeans_ctes' c10): every vector with its raw doubles, norm, and
+    first-argmax cell — the same assignment idiom as _ivf_probe_oracle."""
+    return """
+        corp AS MATERIALIZED (
+          SELECT e.vec_id, e.embedding::DOUBLE[] AS raw,
+                 sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) AS nrm,
+                 (SELECT c.j FROM c10 c
+                  ORDER BY list_dot_product(e.embedding::DOUBLE[], c.v)
+                           / sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) DESC,
+                           c.j ASC LIMIT 1) AS lst
+          FROM embeddings e)"""
+
+
+def _knn_graph_oracle(k: int = 5, n_probe: int = 2) -> str:
+    """DuckDB twin of knn_graph_embeddings: k-means training replay,
+    argmax cell assignment, per-vector top-n_probe probes (ties: higher
+    cell id first, the reverse(array_sort(struct(d,i))) convention),
+    same-cell pair scoring with self excluded, global per-vector top-k.
+    The engine's per-cell pre-rank (stage 1) keeps a superset of the
+    global top-k, so the oracle only needs the global rank."""
+    ctes = _kmeans_ctes(n_rows=_oracle_embed_rows())
+    final = f"""
+        {_knn_graph_corp_cte().strip()},
+        probes AS MATERIALIZED (
+          SELECT q.vec_id, q.raw AS qvec, q.nrm AS qnrm, c.j AS lst,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.raw, c.v) / q.nrm DESC,
+                            c.j DESC) AS pr
+          FROM corp q, c10 c),
+        scored AS (
+          SELECT p.vec_id, co.vec_id AS neighbor_id,
+                 list_dot_product(co.raw, p.qvec) / (co.nrm * p.qnrm) AS cosine
+          FROM (SELECT * FROM probes WHERE pr <= {n_probe}) p
+          JOIN corp co ON co.lst = p.lst AND co.vec_id <> p.vec_id),
+        ranked AS (
+          SELECT vec_id, neighbor_id, cosine,
+                 CAST(row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+          FROM scored)
+        SELECT vec_id, neighbor_id, rank, round(cosine, 6) AS cosine
+        FROM ranked WHERE rank <= {k} ORDER BY vec_id, rank
+    """
+    return "WITH " + ",\n".join(ctes) + ",\n" + final
+
+
+def _knn_graph_recall_oracle(k: int = 10, n_queries: int = 20, n_probe: int = 4) -> str:
+    """DuckDB twin of knn_graph_recall_embeddings: the knn_graph replay
+    (probe budget n_probe) filtered to the md5-sampled query ids vs the
+    exact self-excluded brute-force top-k, intersect-counted."""
+    ctes = _kmeans_ctes(n_rows=_oracle_embed_rows())
+    key = _md5_key("CAST(vec_id AS VARCHAR)", "annrecall")
+    final = f"""
+        {_knn_graph_corp_cte().strip()},
+        q AS MATERIALIZED (
+          SELECT vec_id AS query_id FROM
+            (SELECT vec_id, {key} AS kq FROM embeddings)
+          ORDER BY kq, vec_id LIMIT {n_queries}),
+        exact AS (
+          SELECT query_id, vec_id FROM (
+            SELECT q.query_id, co.vec_id,
+                   row_number() OVER (PARTITION BY q.query_id ORDER BY
+                     list_dot_product(co.raw, qq.raw) / (co.nrm * qq.nrm) DESC,
+                     co.vec_id ASC) AS rnk
+            FROM q JOIN corp qq ON qq.vec_id = q.query_id
+            JOIN corp co ON co.vec_id <> q.query_id
+          ) WHERE rnk <= {k}),
+        probes AS MATERIALIZED (
+          SELECT g.vec_id, g.raw AS qvec, g.nrm AS qnrm, c.j AS lst,
+                 row_number() OVER (PARTITION BY g.vec_id
+                   ORDER BY list_dot_product(g.raw, c.v) / g.nrm DESC,
+                            c.j DESC) AS pr
+          FROM corp g, c10 c),
+        approx AS (
+          SELECT vec_id AS query_id, neighbor_id AS vec_id FROM (
+            SELECT p.vec_id, co.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                     list_dot_product(co.raw, p.qvec) / (co.nrm * p.qnrm) DESC,
+                     co.vec_id ASC) AS rnk
+            FROM (SELECT * FROM probes WHERE pr <= {n_probe}) p
+            JOIN corp co ON co.lst = p.lst AND co.vec_id <> p.vec_id
+          ) v WHERE rnk <= {k} AND vec_id IN (SELECT query_id FROM q)),
+        hits AS (
+          SELECT exact.query_id, exact.vec_id FROM exact
+          JOIN approx ON approx.query_id = exact.query_id
+                     AND approx.vec_id = exact.vec_id)
+        SELECT (SELECT count(*) FROM q) AS n_queries,
+               CAST({k} AS INT) AS k,
                (SELECT count(*) FROM exact) AS n_exact,
                (SELECT count(*) FROM approx) AS n_approx,
                (SELECT count(*) FROM hits) AS n_hits,
@@ -5992,6 +6122,8 @@ def oracle_sql() -> dict[str, str]:
         """
         ),
         "similarity_ivf_probe_embeddings": _ivf_probe_oracle(),
+        "knn_graph_embeddings": _knn_graph_oracle(),
+        "knn_graph_recall_embeddings": _knn_graph_recall_oracle(),
         "cluster_embeddings_embeddings": _cluster_embeddings_oracle(),
         "pq_codes_embeddings": _pq_codes_oracle(),
         "pq_topk_embeddings": _pq_topk_oracle(),

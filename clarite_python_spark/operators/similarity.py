@@ -34,6 +34,8 @@ __all__ = [
     "ivf_topk",
     "cluster_embeddings",
     "tune_ivf_probe",
+    "knn_graph",
+    "knn_graph_recall",
     "embedding_neardup",
     "semantic_dedup",
     "label_centroids",
@@ -916,6 +918,174 @@ def tune_ivf_probe(
         if last >= recall_target:
             return n_probe, last
     return n_lists, last
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_size: int = 10_000,
+) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH: top-k cosine neighbors for
+    EVERY vector in the corpus — the corpus×corpus form that SemDeDup-
+    style clustering and graph-based curation consume, where the
+    ``*_topk`` retrievers' broadcast-the-queries plan is structurally
+    wrong (the "query" side IS the corpus).
+
+    Plan (no broadcast of either side): the spherical-k-means coarse
+    quantizer from :func:`ivf_topk` assigns every vector to its argmax
+    cell once; each vector additionally probes its ``n_probe`` nearest
+    cells. Left (probe-exploded) and right (cell-assigned) sides meet in
+    a plain shuffle EQUI-JOIN on the cell id, so only same-cell pairs
+    are ever scored — expected pair count Σ_cells |cell|² × n_probe,
+    against N² for brute force. Per-pair work is one JVM cosine fold.
+
+    Top-k is two-stage so the big pair frame shuffles exactly once (the
+    cell join): stage 1 ranks per (cell, vector) — the join output is
+    already hash-partitioned by cell id, so Catalyst inserts NO exchange,
+    only a partition-local sort — and keeps k per cell; stage 2 ranks
+    the surviving ≤ n_probe·k candidates per vector globally. The final
+    exchange moves O(N·n_probe·k) rows, not O(pairs).
+
+    At 100 TB: size ``n_lists`` so the average cell holds a few thousand
+    vectors (pair cost per cell is quadratic — n_lists should grow
+    linearly with N); hot cells are split by AQE skew-join. Ties broken
+    by ascending neighbor id. Self-pairs excluded. Price the probe
+    budget with :func:`knn_graph_recall` instead of guessing. Returns
+    (id_col, neighbor_id, cosine, rank).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if n_lists <= 0 or n_probe <= 0:
+        raise ValueError("n_lists and n_probe must be positive")
+    cents = _train_centroids(df, vec_col, n_lists, seed, sample_size, id_col=id_col)
+    cvec = F.col(vec_col).cast("array<double>")
+    dots = _centroid_dots(cvec, cents)
+    right = df.select(
+        F.col(id_col).alias("__nid"),
+        cvec.alias("__nvec"),
+        (F.array_position(dots, F.array_max(dots)) - 1).cast("int").alias("__list"),
+    )
+    # per-vector top-n_probe cells: same (d, i)-struct sort as ivf_topk
+    # (ties: higher cell id first — reverse of ascending array_sort)
+    probe_ids = F.slice(
+        F.reverse(
+            F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+                    lambda i: F.struct(F.get(dots, i).alias("d"), i.alias("i")),
+                )
+            )
+        ),
+        1,
+        min(n_probe, len(cents)),
+    )
+    left = df.select(
+        F.col(id_col),
+        cvec.alias("__qvec"),
+        F.explode(F.transform(probe_ids, lambda s: s["i"])).alias("__list"),
+    )
+    scored = (
+        left.join(right, on="__list")
+        .where(F.col(id_col) != F.col("__nid"))
+        .select(
+            "__list",
+            F.col(id_col),
+            F.col("__nid"),
+            cosine(F.col("__qvec"), F.col("__nvec")).alias("cosine"),
+        )
+    )
+    w1 = Window.partitionBy("__list", id_col).orderBy(F.desc("cosine"), F.asc("__nid"))
+    cand = (
+        scored.withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= k)
+        .select(id_col, F.col("__nid").alias("neighbor_id"), "cosine")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy(id_col, "rank")
+    )
+
+
+def knn_graph_recall(
+    df: DataFrame,
+    k: int = 10,
+    n_queries: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "annrecall",
+    **knn_kwargs,
+) -> DataFrame:
+    """Recall@k of :func:`knn_graph` against exact brute-force neighbors
+    (self excluded on BOTH sides), on the same deterministic md5-keyed
+    query sample as :func:`ann_recall` — the harness that prices an
+    (n_lists, n_probe) budget for the kNN-graph before a 100-TB run.
+
+    The graph side runs the full corpus×corpus operator (that IS its
+    cost — the harness prices the real plan, not a query-subset
+    simulation) and is then filtered to the sampled ids; the exact side
+    scores only n_queries × corpus via the broadcast-queries path.
+    Returns one row: n_queries, k, n_exact, n_approx, n_hits, recall.
+    """
+    from clarite_python_spark.functions.hashing import md5_60bit
+
+    if n_queries <= 0 or k <= 0:
+        raise ValueError("n_queries and k must be positive")
+    q = (
+        df.withColumn(
+            "__qkey",
+            md5_60bit(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt))),
+        )
+        .orderBy("__qkey", id_col)
+        .limit(n_queries)
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col))
+    )
+    # exact top-k excluding self: fetch k+1, drop the self row, re-rank
+    ex = (
+        cosine_topk(df, q, k + 1, id_col, vec_col)
+        .where(F.col("query_id") != F.col(id_col))
+    )
+    we = Window.partitionBy("query_id").orderBy(F.asc("rank"))
+    exact = (
+        ex.withColumn("__r", F.row_number().over(we))
+        .where(F.col("__r") <= k)
+        .select("query_id", id_col)
+    )
+    approx = (
+        knn_graph(df, k, id_col=id_col, vec_col=vec_col, **knn_kwargs)
+        .join(F.broadcast(q.select(F.col("query_id"))), F.col(id_col) == F.col("query_id"))
+        .select("query_id", F.col("neighbor_id").alias(id_col))
+    )
+    j = exact.withColumn("__e", F.lit(1)).join(
+        approx.withColumn("__a", F.lit(1)), ["query_id", id_col], "full_outer"
+    )
+    counts = j.agg(
+        F.sum("__e").alias("n_exact"),
+        F.sum("__a").alias("n_approx"),
+        F.sum(F.col("__e") * F.col("__a")).alias("n_hits"),
+    ).select(
+        F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+        F.coalesce("n_approx", F.lit(0)).alias("n_approx"),
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+    )
+    n_q = q.agg(F.count(F.lit(1)).alias("n_queries"))
+    one = n_q.crossJoin(F.broadcast(counts))
+    return one.select(
+        "n_queries",
+        F.lit(int(k)).alias("k"),
+        "n_exact",
+        "n_approx",
+        "n_hits",
+        F.when(
+            F.col("n_exact") > 0, F.round(F.col("n_hits") / F.col("n_exact"), 6)
+        ).alias("recall"),
+    )
 
 
 def embedding_neardup(

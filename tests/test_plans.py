@@ -615,3 +615,36 @@ def test_round11_binary_family_plan_shapes(spark):
     rplan = similarity.binary_rerank(emb, q, k=3, shortlist_k=20, dim=64)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in rplan
     assert "BatchEvalPython" not in rplan and "ArrowEvalPython" not in rplan
+
+
+def test_round12_knn_graph_no_broadcast_no_python(spark):
+    """knn_graph is the corpus×corpus path: NEITHER side may be
+    broadcast (both are SF-proportional) — the cell equi-join must be a
+    shuffle join — and the stage-1 per-(cell, vector) window must reuse
+    the join's hash partitioning (no exchange between the join and the
+    first window; only the stage-2 global top-k re-shuffles, moving
+    O(N·k) candidate rows, not O(pairs))."""
+    from clarite_python_spark.operators import similarity
+    from clarite_python_spark.sources.io import load_testdata
+
+    emb = load_testdata(spark, SF_DIR, ["embeddings"])["embeddings"]
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        g = similarity.knn_graph(emb, k=3, n_lists=4, n_probe=2, sample_size=100)
+        plan = g._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert "BroadcastExchange" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    # between the cell join and the stage-1 window: sort only, no exchange
+    lines = plan.splitlines()
+    w1 = max(
+        i for i, ln in enumerate(lines)
+        if "Window" in ln and "__list" in ln
+    )
+    join = min(i for i, ln in enumerate(lines) if "Join" in ln)
+    assert all("Exchange" not in ln for ln in lines[w1:join])

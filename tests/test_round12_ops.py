@@ -1,0 +1,146 @@
+"""Round-12 operators: knn_graph (corpus×corpus kNN, no broadcast),
+its recall harness, and the CLI contract fixes."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from clarite_python_spark.operators import similarity
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    rng = np.random.RandomState(11)
+    M = rng.randn(60, 8)
+    rows = [(i, [float(x) for x in M[i]]) for i in range(60)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>"), M
+
+
+# ------------------------------------------------------------- knn_graph --
+
+
+def test_knn_graph_full_probe_matches_numpy_exact(vec_df):
+    """With n_probe == n_lists every cell is probed, so every non-self
+    pair is scored — the graph must equal exact brute-force kNN."""
+    df, M = vec_df
+    out = similarity.knn_graph(df, k=3, n_lists=4, n_probe=4, sample_size=60)
+    got = {
+        (r["vec_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in out.collect()
+    }
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    for i in range(60):
+        order = sorted(
+            (j for j in range(60) if j != i), key=lambda j: (-S[i, j], j)
+        )
+        for r, j in enumerate(order[:3], start=1):
+            nid, cos = got[(i, r)]
+            assert nid == j
+            assert abs(cos - S[i, j]) < 1e-9
+    assert len(got) == 60 * 3
+
+
+def test_knn_graph_partial_probe_is_subset_ranked(vec_df):
+    """Partial probes return ≤ k neighbors per vector, each scored with
+    the TRUE cosine (approximation only prunes candidates, never scores
+    approximately), ranks contiguous from 1."""
+    df, M = vec_df
+    out = similarity.knn_graph(df, k=5, n_lists=4, n_probe=1, sample_size=60)
+    rows = out.collect()
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    per = {}
+    for r in rows:
+        assert r["vec_id"] != r["neighbor_id"]
+        assert abs(r["cosine"] - S[r["vec_id"], r["neighbor_id"]]) < 1e-9
+        per.setdefault(r["vec_id"], []).append(r["rank"])
+    for ranks in per.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5
+
+
+def test_knn_graph_recall_full_probe_is_one(vec_df):
+    df, _ = vec_df
+    row = similarity.knn_graph_recall(
+        df, k=5, n_queries=8, n_lists=4, n_probe=4, sample_size=60
+    ).collect()[0]
+    assert row["n_exact"] == 40
+    assert row["n_approx"] == 40
+    assert row["recall"] == 1.0
+
+
+def test_knn_graph_recall_partial_probe_bounded(vec_df):
+    df, _ = vec_df
+    row = similarity.knn_graph_recall(
+        df, k=5, n_queries=8, n_lists=4, n_probe=1, sample_size=60
+    ).collect()[0]
+    assert 0.0 <= row["recall"] <= 1.0
+    assert row["n_hits"] <= row["n_exact"]
+
+
+def test_knn_graph_validates_args(vec_df):
+    df, _ = vec_df
+    with pytest.raises(ValueError):
+        similarity.knn_graph(df, k=0)
+    with pytest.raises(ValueError):
+        similarity.knn_graph(df, k=3, n_probe=0)
+
+
+# ------------------------------------------------------------ CLI fixes --
+
+
+def _write(df, path):
+    df.write.mode("overwrite").parquet(path)
+
+
+def test_cli_table_diff_rejects_right_plus_snapshot(spark, tmp_path, capsys):
+    from clarite_python_spark.cli import main as cli_main
+    from clarite_python_spark.operators import evaluation
+
+    d = str(tmp_path)
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").limit(50)
+    _write(orders, f"{d}/old")
+    _write(orders, f"{d}/new")
+    evaluation.save_snapshot(orders, f"{d}/snap")
+    rc = cli_main(
+        ["pipeline", "table-diff", f"{d}/old", f"{d}/new", f"{d}/out",
+         "--keys", "o_orderkey", "--snapshot-dir", f"{d}/snap"]
+    )
+    assert rc == 2
+    assert "not both" in capsys.readouterr().err
+
+
+def test_cli_evaluate_retrieval_shortlist_k(spark, tmp_path):
+    """--shortlist-k reaches binary_rerank: a shortlist of 1 can only
+    ever surface one candidate per query, so metrics differ from the
+    default depth."""
+    from clarite_python_spark.cli import main as cli_main
+
+    d = str(tmp_path)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    _write(emb.where("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"), f"{d}/q")
+    qrels = emb.where("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec_id").alias("vec_id2"),
+    ).selectExpr("query_id", "query_id as vec_id", "1 as rel")
+    _write(qrels, f"{d}/qrels")
+    rc = cli_main(
+        ["pipeline", "evaluate-retrieval",
+         f"{SF_DIR}/embeddings.parquet", f"{d}/q", f"{d}/qrels", f"{d}/m1",
+         "--retriever", "binary", "--k", "5", "--shortlist-k", "1"]
+    )
+    assert rc == 0
+    m1 = spark.read.parquet(f"{d}/m1")
+    rows = m1.collect()
+    assert len(rows) == 3
+    # shortlist 1 returns exactly one candidate per query -> the self
+    # vector (Hamming 0, rerank cosine 1.0), so precision@5 is 1/5
+    for r in rows:
+        assert abs(r["precision"] - 0.2) < 1e-9
+        assert r["hits"] == 1
