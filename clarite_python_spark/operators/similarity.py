@@ -219,6 +219,11 @@ def quantized_topk(
     )
 
 
+# the 32 in-word bit values as one constant array literal — indexed by
+# the fold below instead of unrolling a WHEN term per dimension
+_BIT_POWS = [1 << b for b in range(32)]
+
+
 def quantize_binary(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -240,10 +245,19 @@ def quantize_binary(
     of two SUM safely into a BIGINT, so the packing replays exactly in
     SQL (the gate oracle does).
 
-    Pure codegen projection — O(dim) WHEN terms across all words, no
-    shuffle, no Python, no job. ``dim`` is read from the first row when
-    not given (one tiny action at plan-build time; pass it explicitly
-    in latency-sensitive pipelines). Returns (id_col, out_col).
+    Pure projection, CONSTANT-size expression tree regardless of dim:
+    ``transform`` over the word indices with an ``aggregate`` fold over
+    each word's 32 bit positions (the powers as one literal array). The
+    obvious alternative — unrolling one WHEN term per dimension — emits
+    O(dim) codegen terms and hits Janino's 64 KB method limit at
+    production dims: measured round 12 at 50k vectors, unrolled is 6x
+    slower at dim=768/1536 and FAILS to compile at dim=4096
+    (InternalCompilerException), while this fold is flat (identical
+    checksums at every dim, faster even at dim=64 — see BASELINE.md
+    round-12 binary-dims table). No shuffle, no Python, no job. ``dim``
+    is read from the first row when not given (one tiny action at
+    plan-build time; pass it explicitly in latency-sensitive
+    pipelines). Returns (id_col, out_col).
     """
     if dim is None:
         row = df.select(F.size(F.col(vec_col)).alias("d")).first()
@@ -252,20 +266,23 @@ def quantize_binary(
         raise ValueError(f"vector dim must be positive, got {dim}")
     words = (dim + 31) // 32
     v = F.col(vec_col)
-    wordcols = []
-    for w in range(words):
-        lo, hi = w * 32, min((w + 1) * 32, dim)
-        terms = [
-            F.when(
-                F.element_at(v, i + 1) > 0, F.lit(1 << (i - lo)).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-            for i in range(lo, hi)
-        ]
-        word = terms[0]
-        for t in terms[1:]:
-            word = word + t
-        wordcols.append(word)
-    return df.select(F.col(id_col), F.array(*wordcols).alias(out_col))
+    pows = F.array(*[F.lit(p).cast("long") for p in _BIT_POWS])
+
+    def _word(w: Column) -> Column:
+        return F.aggregate(
+            F.sequence(w * 32, F.least(w * 32 + 31, F.lit(dim - 1))),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + F.when(
+                F.element_at(v, (i + 1).cast("int")) > 0,
+                F.element_at(pows, (i - w * 32 + 1).cast("int")),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+
+    return df.select(
+        F.col(id_col),
+        F.transform(F.sequence(F.lit(0), F.lit(words - 1)), _word).alias(out_col),
+    )
 
 
 def build_binary_index(
