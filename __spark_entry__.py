@@ -1240,6 +1240,29 @@ def binary_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def binary_rerank_stored_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully INDEX-RESIDENT two-stage binary retrieval (round 12):
+    build_binary_index(store_vectors=True) persists bit pack + float
+    sidecar once, then binary_rerank(corpus=None, index_dir=...) serves
+    the whole batch from the stored index — Hamming stage 1 scans only
+    bvec/ (1/32 of the float bytes), exact stage 2 id-fetches the
+    vectors/ sidecar. No live corpus is mounted at serve time. Oracle
+    IDENTICAL to binary_rerank_embeddings (stored path is contract-equal
+    to live; tests/test_round12_ops.py pins row-for-row parity)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = _scratch(sf_dir, "binary_index_vec")
+    similarity.build_binary_index(emb, idx, dim=64, store_vectors=True)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.binary_rerank(
+        None, queries, k=10, shortlist_k=50, index_dir=idx
+    )
+    return out.select(
+        "query_id", "vec_id", "rank", F.round("cosine", 6).alias("cosine")
+    ).orderBy("query_id", "rank")
+
+
 def ann_recall_binary_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@10 of the binary shortlist-then-rerank configuration
     (shortlist_k=100) vs float brute force on the same 20
@@ -2767,6 +2790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_graph_embeddings": knn_graph_embeddings,
         "knn_graph_recall_embeddings": knn_graph_recall_embeddings,
+        "binary_rerank_stored_embeddings": binary_rerank_stored_embeddings,
         "table_diff_snapshot_orders": table_diff_snapshot_orders,
         "remove_outliers_approx_lineitem": remove_outliers_approx_lineitem,
         "quantize_binary_embeddings": quantize_binary_embeddings,
@@ -7990,6 +8014,10 @@ def oracle_sql() -> dict[str, str]:
     # the stored binary index is contract-equal to inline packing
     # (tests/test_round11_ops.py pins row-for-row parity) — same oracle
     out["hamming_stored_topk_embeddings"] = out["hamming_topk_embeddings"]
+    # the fully index-resident rerank (stage 1 bvec/ + stage 2 vectors/
+    # sidecar, round 12) is contract-equal to the live-corpus form
+    # (tests/test_round12_ops.py pins row-for-row parity) — same oracle
+    out["binary_rerank_stored_embeddings"] = out["binary_rerank_embeddings"]
     # macro average = one AVG over the per-query rank_eval replay
     out["rank_eval_macro_embeddings"] = f"""
         SELECT CAST(count(*) AS BIGINT) AS n_queries,

@@ -457,9 +457,15 @@ def build_parser() -> argparse.ArgumentParser:
                                   "'evaluate-retrieval --index-dir'")
     p.add_argument("--id-col", default="vec_id")
     p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--no-store-vectors", action="store_true",
+                   help="skip the exact-rerank vectors/ sidecar (index "
+                        "stays 1/32 of corpus bytes, but binary_rerank "
+                        "then needs the live corpus for stage 2)")
 
     p = g_pipe.add_parser("evaluate-retrieval")
-    p.add_argument("data", help="corpus with an embedding column")
+    p.add_argument("data", help="corpus with an embedding column, or '-' "
+                                "to serve fully from --index-dir "
+                                "(binary retriever only)")
     p.add_argument("right", help="queries (query_id, embedding)")
     p.add_argument("qrels", help="relevance judgments "
                                  "(query_id, <id-col>, rel)")
@@ -1003,7 +1009,22 @@ def main(argv: list[str] | None = None) -> int:
         from clarite_python_spark.operators import pipeline as pipe_mod
         from clarite_python_spark.operators import text as text_mod
 
-        df = spark.read.parquet(args.data)
+        # 'evaluate-retrieval - ... --index-dir IDX' runs fully
+        # index-resident: no live corpus is mounted; binary stage 1
+        # reads the stored bit pack, stage 2 the vectors/ sidecar
+        if args.data == "-":
+            if getattr(args, "index_dir", None) is None or getattr(
+                args, "retriever", None
+            ) != "binary":
+                print(
+                    "DATA '-' (no live corpus) needs --retriever binary "
+                    "with --index-dir",
+                    file=sys.stderr,
+                )
+                return 2
+            df = None
+        else:
+            df = spark.read.parquet(args.data)
 
         def _pairs(items):
             out = {}
@@ -1268,7 +1289,8 @@ def main(argv: list[str] | None = None) -> int:
             from clarite_python_spark.operators import similarity as sim_mod
 
             sim_mod.build_binary_index(
-                df, args.output, id_col=args.id_col, vec_col=args.vec_col
+                df, args.output, id_col=args.id_col, vec_col=args.vec_col,
+                store_vectors=not args.no_store_vectors,
             )
             print(f"wrote {args.output}")
             return 0
@@ -1343,8 +1365,15 @@ def main(argv: list[str] | None = None) -> int:
                     df, queries_df, k=fetch, n_planes=args.n_planes, **common
                 )
             if args.mmr:
+                # index-resident run: MMR's diversity re-fetch reads the
+                # stored vectors/ sidecar instead of a live corpus
+                mmr_corpus = (
+                    df
+                    if df is not None
+                    else spark.read.parquet(f"{args.index_dir}/vectors")
+                )
                 ranked = sim_mod.mmr_rerank(
-                    df, queries_df, k=args.k, lambda_=args.lambda_,
+                    mmr_corpus, queries_df, k=args.k, lambda_=args.lambda_,
                     candidates=cand, score_col="cosine", **common,
                 )
             else:

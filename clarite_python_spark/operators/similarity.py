@@ -291,6 +291,7 @@ def build_binary_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    store_vectors: bool = True,
 ) -> None:
     """Build and persist the sign-bit pack — the stored-state form of
     :func:`hamming_topk`, the same pattern as the text family's
@@ -299,11 +300,16 @@ def build_binary_index(
     index_dir=path)`` scanning only the bit-pack parquet (dim/32 BIGINT
     words per vector — 1/32 of the float bytes, and zero re-packing).
 
-    Layout under ``path``: ``bvec/`` (id, bvec) and ``stats/`` (1 row:
+    Layout under ``path``: ``bvec/`` (id, bvec), ``stats/`` (1 row:
     __dim) — the stored dim re-packs query batches identically at serve
-    time, so a dim mismatch is impossible by construction.
-    :func:`binary_rerank` takes the same ``index_dir`` for its stage 1
-    and re-fetches floats from the live corpus for stage 2 only."""
+    time, so a dim mismatch is impossible by construction — and, with
+    ``store_vectors`` (default), ``vectors/`` (id, float vec): the
+    exact-rerank sidecar that makes ``binary_rerank(None, queries,
+    index_dir=path)`` fully index-resident — the serving path needs no
+    live corpus mounted at all. Stage 1 still scans ONLY ``bvec/``; the
+    sidecar is touched for O(queries × shortlist_k) id-keyed fetches.
+    ``store_vectors=False`` keeps the index at 1/32 of the corpus bytes
+    when rerank will always run against the live table."""
     if dim is None:
         row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
         dim = int(row["d"]) if row and row["d"] is not None else 0
@@ -312,6 +318,10 @@ def build_binary_index(
     quantize_binary(corpus, id_col, vec_col, dim=dim).write.mode(
         "overwrite"
     ).parquet(f"{path}/bvec")
+    if store_vectors:
+        corpus.select(F.col(id_col), F.col(vec_col)).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/vectors")
     corpus.sparkSession.createDataFrame(
         [(dim,)], "__dim int"
     ).write.mode("overwrite").parquet(f"{path}/stats")
@@ -411,7 +421,7 @@ def hamming_topk(
 
 
 def binary_rerank(
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     queries: DataFrame,
     k: int = 10,
     shortlist_k: int = 100,
@@ -430,20 +440,42 @@ def binary_rerank(
     At 100 TB: stage 1 reads dim/32 words per vector (1/32 of the
     bytes) and never touches the floats; stage 2 re-fetches floats for
     O(queries x shortlist_k) rows via one id-keyed join against the
-    corpus — the same justified re-fetch as ``mmr_rerank(candidates=)``.
-    Recall is decided by ``shortlist_k``; measure it with
-    ``ann_recall(method='binary', shortlist_k=...)`` instead of
-    guessing. ``index_dir``: serve stage 1 from a stored
-    :func:`build_binary_index` instead of packing inline (the corpus is
-    still required — stage 2 re-fetches floats from it). Returns
-    (query_id, id, cosine, rank).
+    float store — the same justified re-fetch as
+    ``mmr_rerank(candidates=)``. Recall is decided by ``shortlist_k``;
+    measure it with ``ann_recall(method='binary', shortlist_k=...)``
+    instead of guessing.
+
+    ``index_dir``: serve from a stored :func:`build_binary_index` —
+    stage 1 always reads its ``bvec/`` pack, and when ``corpus`` is
+    None stage 2 reads the ``vectors/`` sidecar too, so the whole query
+    batch is INDEX-RESIDENT (no live corpus mounted; the sidecar must
+    have been written with ``store_vectors=True`` and the same id/vec
+    column names). Passing both serves stage 1 from the index and
+    stage 2 from the live corpus. Stored and live paths score
+    identically row-for-row. Returns (query_id, id, cosine, rank).
     """
     if corpus is None:
-        raise ValueError(
-            "binary_rerank always needs the corpus DataFrame — index_dir "
-            "only serves the Hamming stage; the exact rerank re-fetches "
-            "float vectors from the corpus"
-        )
+        if index_dir is None:
+            raise ValueError(
+                "binary_rerank needs a corpus DataFrame or an index_dir "
+                "built with store_vectors=True"
+            )
+        spark = queries.sparkSession
+        try:
+            corpus = spark.read.parquet(f"{index_dir}/vectors")
+        except Exception as e:
+            raise ValueError(
+                f"stored binary index at {index_dir} has no vectors/ "
+                "sidecar — rebuild with build_binary_index(..., "
+                "store_vectors=True) or pass the live corpus for stage 2"
+            ) from e
+        missing = {id_col, vec_col} - set(corpus.columns)
+        if missing:
+            raise ValueError(
+                f"vectors/ sidecar at {index_dir} lacks column(s) "
+                f"{sorted(missing)} — it carries {corpus.columns}; pass "
+                "the id_col/vec_col used at build time"
+            )
     short = hamming_topk(
         corpus, queries, shortlist_k, id_col, vec_col, query_id_col,
         dim=dim, index_dir=index_dir,

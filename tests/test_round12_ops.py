@@ -128,6 +128,76 @@ def test_quantize_binary_compiles_at_dim_4096(spark):
     assert len(out) == 4 and len(out[0]["bvec"]) == 128
 
 
+# ------------------------------------- index-resident binary_rerank --
+
+
+def test_binary_rerank_stored_equals_live(spark, tmp_path):
+    """binary_rerank(corpus=None, index_dir=...) against the vectors/
+    sidecar must match the live-corpus form row-for-row."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where("vec_id < 4").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = str(tmp_path / "bidx")
+    similarity.build_binary_index(emb, idx, dim=64, store_vectors=True)
+    live = similarity.binary_rerank(emb, q, k=6, shortlist_k=30, dim=64).collect()
+    stored = similarity.binary_rerank(
+        None, q, k=6, shortlist_k=30, index_dir=idx
+    ).collect()
+    assert [tuple(r) for r in live] == [tuple(r) for r in stored]
+
+
+def test_binary_rerank_no_sidecar_raises(spark, tmp_path):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = str(tmp_path / "bidx_novec")
+    similarity.build_binary_index(emb, idx, dim=64, store_vectors=False)
+    with pytest.raises(ValueError, match="vectors/ sidecar"):
+        similarity.binary_rerank(None, q, k=3, index_dir=idx)
+    with pytest.raises(ValueError, match="corpus DataFrame or an index_dir"):
+        similarity.binary_rerank(None, q, k=3)
+
+
+def test_cli_evaluate_retrieval_index_resident(spark, tmp_path):
+    """'-' corpus + --index-dir: the whole retrieval-quality loop runs
+    from the stored index with no live corpus mounted."""
+    from clarite_python_spark.cli import main as cli_main
+
+    d = str(tmp_path)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rc = cli_main(
+        ["pipeline", "build-binary-index",
+         f"{SF_DIR}/embeddings.parquet", f"{d}/idx"]
+    )
+    assert rc == 0
+    _write(emb.where("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"), f"{d}/q")
+    _write(
+        emb.where("vec_id < 3").selectExpr(
+            "vec_id as query_id", "vec_id", "1 as rel"
+        ),
+        f"{d}/qrels",
+    )
+    rc = cli_main(
+        ["pipeline", "evaluate-retrieval", "-",
+         f"{d}/q", f"{d}/qrels", f"{d}/metrics",
+         "--retriever", "binary", "--k", "5", "--index-dir", f"{d}/idx"]
+    )
+    assert rc == 0
+    rows = spark.read.parquet(f"{d}/metrics").collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["hits"] == 1  # each query's sole judged doc is itself
+
+    # '-' without --index-dir (or non-binary retriever) is refused
+    assert cli_main(
+        ["pipeline", "evaluate-retrieval", "-",
+         f"{d}/q", f"{d}/qrels", f"{d}/m2", "--retriever", "cosine"]
+    ) == 2
+
+
 # ------------------------------------------------------------ CLI fixes --
 
 
