@@ -1274,6 +1274,19 @@ def ann_recall_binary_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def train_bpe_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary trainer (operators/text.py:train_bpe,
+    round 12): 12 merge rounds over the documents corpus — each round
+    one distinct-word pair-count aggregation + a row-local greedy fold,
+    the bounded-iteration discipline of the IRLS/CC kernels. Oracle
+    replays all 12 rounds as chained CTEs (window-based greedy merge,
+    proven equivalent to the fold on the overlap edge cases); also
+    pinned against an independent pure-Python BPE in
+    tests/test_round12_ops.py."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.train_bpe(docs, n_merges=12).orderBy("rank")
+
+
 def knn_graph_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus×corpus kNN graph (operators/similarity.py:knn_graph,
     round 12): top-5 cosine neighbors for EVERY vector via the IVF
@@ -2790,6 +2803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_graph_embeddings": knn_graph_embeddings,
         "knn_graph_recall_embeddings": knn_graph_recall_embeddings,
+        "train_bpe_documents": train_bpe_documents,
         "binary_rerank_stored_embeddings": binary_rerank_stored_embeddings,
         "table_diff_snapshot_orders": table_diff_snapshot_orders,
         "remove_outliers_approx_lineitem": remove_outliers_approx_lineitem,
@@ -3298,6 +3312,75 @@ def _knn_graph_recall_oracle(k: int = 10, n_queries: int = 20, n_probe: int = 4)
                                / (SELECT count(*) FROM exact), 6) END AS recall
     """
     return "WITH " + ",\n".join(ctes) + ",\n" + final
+
+
+def _train_bpe_oracle(n_merges: int = 12) -> str:
+    """DuckDB twin of train_bpe(n_merges) on documents: the base
+    word-count table (lowercased whitespace tokens split into chars),
+    then ``n_merges`` chained CTE rounds each replaying one BPE step —
+    adjacent-pair count (lead() over zipped unnest), top-1 by
+    (count DESC, lhs, rhs), and the greedy left-to-right merge
+    application expressed relationally: candidate positions grouped
+    into consecutive runs (runs longer than 1 only occur when lhs==rhs)
+    keep odd run offsets, kept positions fuse with their successor,
+    successor positions are consumed — verified equivalent to the
+    engine's aggregate-fold on the aaa/aaaa/abab overlap cases. The
+    gate corpus never triggers the engine's min_pair_count early stop
+    at these params (every merge count >> 2), so the fixed-round replay
+    is exact. MATERIALIZED is load-bearing, as in the IRLS/k-means
+    chains."""
+    toks = (
+        "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+        "x -> x != '')"
+    )
+    ctes = [
+        f"""w0 AS MATERIALIZED (
+          SELECT word, string_split(word, '') AS syms, cnt FROM (
+            SELECT w AS word, count(*) AS cnt FROM (
+              SELECT unnest({toks}) AS w FROM documents) GROUP BY w))"""
+    ]
+    sel = []
+    for r in range(1, n_merges + 1):
+        ctes.append(f"""pos{r} AS MATERIALIZED (
+          SELECT word, cnt, i, s,
+                 lead(s) OVER (PARTITION BY word ORDER BY i) AS nxt
+          FROM (SELECT word, cnt, unnest(range(len(syms))) AS i,
+                       unnest(syms) AS s FROM w{r - 1}))""")
+        ctes.append(f"""b{r} AS MATERIALIZED (
+          SELECT s AS s1, nxt AS s2, sum(cnt) AS c FROM pos{r}
+          WHERE nxt IS NOT NULL GROUP BY s, nxt
+          ORDER BY c DESC, s1, s2 LIMIT 1)""")
+        sel.append(
+            f"SELECT CAST({r} AS INT) AS rank, s1 AS lhs, s2 AS rhs, "
+            f"CAST(c AS BIGINT) AS freq FROM b{r}"
+        )
+        if r == n_merges:
+            break
+        ctes.append(f"""keep{r} AS MATERIALIZED (
+          SELECT word, i FROM (
+            SELECT word, i,
+                   row_number() OVER (PARTITION BY word, grp ORDER BY i) AS rr
+            FROM (
+              SELECT p.word, p.i,
+                     p.i - row_number() OVER (PARTITION BY p.word
+                                              ORDER BY p.i) AS grp
+              FROM pos{r} p, b{r}
+              WHERE p.s = b{r}.s1 AND p.nxt = b{r}.s2))
+          WHERE rr % 2 = 1)""")
+        ctes.append(f"""w{r} AS MATERIALIZED (
+          SELECT word, cnt, list(tok ORDER BY i) AS syms FROM (
+            SELECT p.word, p.cnt, p.i,
+                   CASE WHEN k1.i IS NOT NULL THEN p.s || p.nxt
+                        WHEN k2.i IS NOT NULL THEN NULL
+                        ELSE p.s END AS tok
+            FROM pos{r} p
+            LEFT JOIN keep{r} k1 ON k1.word = p.word AND k1.i = p.i
+            LEFT JOIN keep{r} k2 ON k2.word = p.word AND k2.i = p.i - 1)
+          WHERE tok IS NOT NULL GROUP BY word, cnt)""")
+    body = " UNION ALL ".join(sel)
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM ({body}) ORDER BY rank"
+    )
 
 
 def _epoch_repeat_oracle() -> str:
@@ -6148,6 +6231,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_ivf_probe_embeddings": _ivf_probe_oracle(),
         "knn_graph_embeddings": _knn_graph_oracle(),
         "knn_graph_recall_embeddings": _knn_graph_recall_oracle(),
+        "train_bpe_documents": _train_bpe_oracle(),
         "cluster_embeddings_embeddings": _cluster_embeddings_oracle(),
         "pq_codes_embeddings": _pq_codes_oracle(),
         "pq_topk_embeddings": _pq_topk_oracle(),

@@ -41,6 +41,7 @@ __all__ = [
     "quality_classifier",
     "feature_hash_embed",
     "QUALITY_CLASSIFIER_WEIGHTS",
+    "train_bpe",
 ]
 
 # Tiny per-language function-word lists for the n-gram/stopword language
@@ -1517,4 +1518,106 @@ def bm25_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .orderBy(query_id_col, "rank")
+    )
+
+
+def train_bpe(
+    df: DataFrame,
+    n_merges: int = 100,
+    text_col: str = "text",
+    lowercase: bool = True,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Distributed byte-pair-encoding vocabulary trainer (Sennrich et
+    al. 2016): ``n_merges`` rounds of (adjacent-pair count → pick the
+    most frequent pair → merge it everywhere), producing the merge
+    table a tokenizer ships with. Returns (rank, lhs, rhs, freq) —
+    merge #rank fuses adjacent symbols lhs+rhs, freq is the pair's
+    weighted count at merge time. Ties broken by (lhs, rhs) ascending;
+    fully deterministic. Stops early when no pair reaches
+    ``min_pair_count``.
+
+    Conventions: whitespace pretokenization (:func:`tokens`,
+    lowercased by default), symbols start as single characters, merges
+    never cross word boundaries, no end-of-word marker (the GPT-style
+    variant of the algorithm; add a marker by appending it to the text
+    upstream if the Sennrich form is wanted).
+
+    Scale shape — the same bounded-iteration discipline as the IRLS and
+    connected-components kernels: the corpus is touched ONCE (word-count
+    aggregation); every round then runs over the DISTINCT-WORD table
+    (|vocab| rows — orders of magnitude smaller than the corpus, and
+    the only state that exists between rounds), as one map-side-combined
+    pair-count aggregation shuffling #distinct-pairs partial sums, one
+    driver-side top-1 scalar (the same single-row collect per round as
+    the CC convergence check), and one row-local ``aggregate`` fold that
+    applies the merge greedily left-to-right with NO shuffle. The word
+    table is eagerly DISK_ONLY-checkpointed each round so plan depth
+    stays O(1) instead of nesting n_merges fold expressions into one
+    Janino-killing tree. Driver state is one (lhs, rhs, freq) triple
+    per round — never data.
+    """
+    from pyspark import StorageLevel
+
+    if n_merges <= 0:
+        raise ValueError("n_merges must be positive")
+    if min_pair_count < 1:
+        raise ValueError("min_pair_count must be >= 1")
+    spark = df.sparkSession
+    txt = F.col(text_col)
+    if lowercase:
+        txt = F.lower(txt)
+    words = (
+        df.select(F.explode(tokens(txt)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.split("w", "").alias("syms"), "cnt")
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, n_merges + 1):
+        n = F.size("syms")
+        pairs = words.select(
+            F.explode(
+                F.when(
+                    n > 1,
+                    F.transform(
+                        F.sequence(F.lit(1), n - 1),
+                        lambda i: F.struct(
+                            F.element_at("syms", i).alias("lhs"),
+                            F.element_at("syms", (i + 1).cast("int")).alias("rhs"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<lhs:string,rhs:string>>"))
+            ).alias("p"),
+            F.col("cnt"),
+        )
+        best = (
+            pairs.groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), F.asc("lhs"), F.asc("rhs"))
+            .first()
+        )
+        if best is None or best["c"] < min_pair_count:
+            break
+        lhs, rhs, freq = best["lhs"], best["rhs"], int(best["c"])
+        merges.append((r, lhs, rhs, freq))
+        merged = F.lit(lhs + rhs)
+        # greedy left-to-right merge: fold symbols into a new array,
+        # fusing when the accumulator tail is lhs and the next is rhs
+        # (try_element_at: NULL on the empty accumulator, so the WHEN
+        # falls through instead of raising under ANSI)
+        apply_merge = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.try_element_at(acc, F.lit(-1)) == F.lit(lhs)) & (s == F.lit(rhs)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        words = words.select(apply_merge.alias("syms"), "cnt").localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
+        )
+    return spark.createDataFrame(
+        merges, "rank int, lhs string, rhs string, freq long"
     )

@@ -128,6 +128,79 @@ def test_quantize_binary_compiles_at_dim_4096(spark):
     assert len(out) == 4 and len(out[0]["bvec"]) == 128
 
 
+# ------------------------------------------------------------ train_bpe --
+
+
+def _py_bpe(texts, n_merges, min_pair_count=2):
+    """Independent reference BPE (Sennrich 2016, greedy left-to-right
+    merge, (count desc, pair asc) tie-break, no end-of-word marker)."""
+    from collections import Counter
+
+    wc = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            wc[w] += 1
+    words = {w: list(w) for w in wc}
+    merges = []
+    for r in range(1, n_merges + 1):
+        pc = Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wc[w]
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_pair_count:
+            break
+        merges.append((r, a, b, cnt))
+        for w, syms in words.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            words[w] = out
+    return merges
+
+
+def test_train_bpe_matches_reference_python_bpe(spark):
+    from clarite_python_spark.operators import text as text_mod
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(150)
+    texts = [r["text"] for r in docs.select("text").collect()]
+    expected = _py_bpe(texts, 10)
+    got = [
+        (r["rank"], r["lhs"], r["rhs"], r["freq"])
+        for r in text_mod.train_bpe(docs, n_merges=10).orderBy("rank").collect()
+    ]
+    assert got == expected
+
+
+def test_train_bpe_overlap_and_early_stop(spark):
+    """Greedy left-to-right on runs (aaa -> [aa, a]) and the
+    min_pair_count early stop."""
+    from clarite_python_spark.operators import text as text_mod
+
+    df = spark.createDataFrame(
+        [("aaa aaa aab",), ("aaa b",)], "text string"
+    )
+    got = [
+        (r["rank"], r["lhs"], r["rhs"], r["freq"])
+        for r in text_mod.train_bpe(df, n_merges=50).orderBy("rank").collect()
+    ]
+    expected = _py_bpe(["aaa aaa aab", "aaa b"], 50)
+    assert got == expected
+    assert len(got) < 50  # pairs dry up -> early stop fired
+    # rank 1 merges (a,a): 3 'aaa' words contribute 2 each, 'aab' 1 -> 7
+    assert got[0] == (1, "a", "a", 7)
+
+    with pytest.raises(ValueError):
+        text_mod.train_bpe(df, n_merges=0)
+    with pytest.raises(ValueError):
+        text_mod.train_bpe(df, n_merges=5, min_pair_count=0)
+
+
 # ------------------------------------- index-resident binary_rerank --
 
 
