@@ -1207,6 +1207,69 @@ def containment_pairs(
     return scored.where(F.col("containment") >= threshold)
 
 
+# measured round 11 (SCALE.md): ~1 GB executor heap per this many
+# undirected edges per 32-core executor
+_EDGES_PER_GB = 7_000_000
+
+
+def _parse_jvm_mem_gb(s: str) -> float | None:
+    """Parse a JVM memory string ('8g', '512m', '16384k', '1t') to GB."""
+    s = s.strip().lower()
+    mult = {"k": 1 / 1024**2, "m": 1 / 1024, "g": 1.0, "t": 1024.0}
+    try:
+        if s and s[-1] in mult:
+            return float(s[:-1]) * mult[s[-1]]
+        return float(s) / 1024**3  # bare bytes
+    except ValueError:
+        return None
+
+
+def _session_heap_gb(spark) -> float | None:
+    """Executor heap of the session in GB, from spark.executor.memory
+    (cluster) falling back to spark.driver.memory (local mode, where
+    executors live in the driver JVM). None when neither conf is set
+    (a bare session — the guard then stays silent rather than guess)."""
+    for key in ("spark.executor.memory", "spark.driver.memory"):
+        try:
+            gb = _parse_jvm_mem_gb(spark.conf.get(key))
+        except Exception:
+            gb = None
+        if gb is not None:
+            return gb
+    return None
+
+
+def _warn_if_heap_short(sym: DataFrame) -> None:
+    """Pre-flight check for the CC kernel against the measured sizing
+    rule (SCALE.md round 11: ~1 GB executor heap per 7M undirected
+    edges per 32-core executor — at 100M edges an 8g session aborts
+    with UNABLE_TO_ACQUIRE_MEMORY in the first distinct/join stages,
+    AFTER burning the edge-materialization cost twice). ``sym`` is the
+    already-checkpointed symmetrized edge list, so the count is one
+    cheap scan of stored blocks. Warns — never changes behavior — so an
+    over-provisioned cluster (where heap-per-executor is what matters,
+    not the session total) is not blocked by a local heuristic."""
+    import warnings
+
+    heap = _session_heap_gb(sym.sparkSession)
+    if heap is None:
+        return
+    n_edges = sym.count() // 2
+    need = n_edges / _EDGES_PER_GB
+    if need > heap:
+        warnings.warn(
+            f"connected components over ~{n_edges:,} edges wants "
+            f"~{need:.1f} GB executor heap (measured sizing rule: ~1 GB "
+            f"per 7M edges per 32-core executor, SCALE.md round 11) but "
+            f"this session has {heap:.1f} GB — expect "
+            f"UNABLE_TO_ACQUIRE_MEMORY in the first distinct/join "
+            f"stages; raise spark.executor.memory/spark.driver.memory "
+            f"or shard the edge list",
+            ResourceWarning,
+            stacklevel=4,
+        )
+
+
 def _min_label_components(
     edges: DataFrame, max_iter: int = 20, shortcut: bool = False
 ) -> DataFrame:
@@ -1273,6 +1336,7 @@ def _min_label_components(
         .distinct()
         .localCheckpoint(eager=True, storageLevel=disk)
     )
+    _warn_if_heap_short(sym)
     labels = (
         sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     )

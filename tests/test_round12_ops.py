@@ -271,6 +271,59 @@ def test_cli_evaluate_retrieval_index_resident(spark, tmp_path):
     ) == 2
 
 
+# ----------------------------------------------------- CC sizing guard --
+
+
+def test_cc_heap_guard_warns_and_still_runs(spark, monkeypatch):
+    """Under-provisioned heap for the edge count -> ResourceWarning with
+    the sizing rule; the kernel still runs to the correct answer (guard,
+    not gate)."""
+    import warnings
+
+    from clarite_python_spark.operators import dedup as dedup_mod
+    from clarite_python_spark.operators import graph as graph_mod
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src long, dst long"
+    )
+    monkeypatch.setattr(dedup_mod, "_EDGES_PER_GB", 1)  # 3 edges > 1 GB heap
+    monkeypatch.setattr(dedup_mod, "_session_heap_gb", lambda s: 1.0)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = graph_mod.connected_components(edges).collect()
+    msgs = [str(x.message) for x in w if x.category is ResourceWarning]
+    assert any("sizing rule" in m for m in msgs)
+    labels = {r["node"]: r["component"] for r in out}
+    assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_cc_heap_guard_silent_when_provisioned(spark):
+    import warnings
+
+    from clarite_python_spark.operators import graph as graph_mod
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        graph_mod.connected_components(edges).collect()
+    # filter to the guard's own message — py4j leaks unrelated
+    # unclosed-socket ResourceWarnings in-process
+    assert not [
+        x for x in w
+        if x.category is ResourceWarning and "sizing rule" in str(x.message)
+    ]
+
+
+def test_parse_jvm_mem_gb():
+    from clarite_python_spark.operators.dedup import _parse_jvm_mem_gb
+
+    assert _parse_jvm_mem_gb("8g") == 8.0
+    assert _parse_jvm_mem_gb("512m") == 0.5
+    assert _parse_jvm_mem_gb("1t") == 1024.0
+    assert abs(_parse_jvm_mem_gb("1048576k") - 1.0) < 1e-9
+    assert _parse_jvm_mem_gb("weird") is None
+
+
 # ------------------------------------------------------------ CLI fixes --
 
 
