@@ -802,6 +802,29 @@ def _centroid_dots(vec: Column, cents: np.ndarray) -> Column:
     )
 
 
+def _probe_ids(dots: Column, n_lists: int, n_probe: int) -> Column:
+    """Top-``n_probe`` centroid ids by dot, desc, ties to the HIGHER id
+    (the reverse(array_sort) convention every IVF oracle replays as
+    ``ORDER BY dot DESC, j DESC``).
+
+    arrays_zip is load-bearing: the obvious per-index construction —
+    ``transform(sequence(0, L-1), i -> struct(get(dots, i), i))`` —
+    textually duplicates the O(n_lists·dim) ``dots`` expression into
+    every element, so each ROW evaluates n_lists COPIES of the full
+    centroid-dot array: O(n_lists²·dim) work. Measured round 12 on the
+    knn_graph corpus side (20k rows): n_lists=128 ran 2.2x SLOWER than
+    n_lists=64 despite scoring half the pairs. Zipping evaluates
+    ``dots`` once per row."""
+    zipped = F.arrays_zip(
+        dots.alias("d"),
+        F.sequence(F.lit(0), F.lit(n_lists - 1)).alias("i"),
+    )
+    return F.transform(
+        F.slice(F.reverse(F.array_sort(zipped)), 1, min(n_probe, n_lists)),
+        lambda s: s["i"],
+    )
+
+
 def cluster_embeddings(
     df: DataFrame,
     k: int = 16,
@@ -891,22 +914,10 @@ def ivf_topk(
     )
     # per-query top-n_probe centroid ids: sort (dot, idx) structs desc
     qdots = _centroid_dots(cvec, cents)
-    probe_ids = F.slice(
-        F.reverse(
-            F.array_sort(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(len(cents) - 1)),
-                    lambda i: F.struct(F.get(qdots, i).alias("d"), i.alias("i")),
-                )
-            )
-        ),
-        1,
-        min(n_probe, len(cents)),
-    )
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
-        F.explode(F.transform(probe_ids, lambda s: s["i"])).alias("__list"),
+        F.explode(_probe_ids(qdots, len(cents), n_probe)).alias("__list"),
     )
     scored = corpus_l.join(F.broadcast(q), on="__list").select(
         F.col(query_id_col),
@@ -1020,23 +1031,13 @@ def knn_graph(
         (F.array_position(dots, F.array_max(dots)) - 1).cast("int").alias("__list"),
     )
     # per-vector top-n_probe cells: same (d, i)-struct sort as ivf_topk
-    # (ties: higher cell id first — reverse of ascending array_sort)
-    probe_ids = F.slice(
-        F.reverse(
-            F.array_sort(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(len(cents) - 1)),
-                    lambda i: F.struct(F.get(dots, i).alias("d"), i.alias("i")),
-                )
-            )
-        ),
-        1,
-        min(n_probe, len(cents)),
-    )
+    # (ties: higher cell id first — reverse of ascending array_sort);
+    # _probe_ids zips instead of indexing, which matters HERE most of
+    # all — this expression runs per CORPUS row, not per query
     left = df.select(
         F.col(id_col),
         cvec.alias("__qvec"),
-        F.explode(F.transform(probe_ids, lambda s: s["i"])).alias("__list"),
+        F.explode(_probe_ids(dots, len(cents), n_probe)).alias("__list"),
     )
     scored = (
         left.join(right, on="__list")
@@ -1787,22 +1788,10 @@ def ivf_pq_topk(
             recon.alias("__recon"),
         )
     qdots = _centroid_dots(cvec, cents)
-    probe_ids = F.slice(
-        F.reverse(
-            F.array_sort(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(len(cents) - 1)),
-                    lambda i: F.struct(F.get(qdots, i).alias("d"), i.alias("i")),
-                )
-            )
-        ),
-        1,
-        min(n_probe, len(cents)),
-    )
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
-        F.explode(F.transform(probe_ids, lambda s: s["i"])).alias("__list"),
+        F.explode(_probe_ids(qdots, len(cents), n_probe)).alias("__list"),
     )
     scored = enc.join(F.broadcast(q), on="__list").select(
         F.col(query_id_col),
