@@ -1287,6 +1287,18 @@ def train_bpe_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.train_bpe(docs, n_merges=12).orderBy("rank")
 
 
+def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving half of the BPE loop (operators/text.py:bpe_encode,
+    round 12): train 12 merges on documents, then segment every doc
+    with the trained table — the rules replay over the distinct-word
+    vocab (row-local folds), docs reassemble via one positional join.
+    Oracle replays training AND encoding (the train CTE chain extended
+    with the final vocab rebuild + doc join)."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = text.train_bpe(docs, n_merges=12)
+    return text.bpe_encode(docs, merges).orderBy("doc_id")
+
+
 def knn_graph_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus×corpus kNN graph (operators/similarity.py:knn_graph,
     round 12): top-5 cosine neighbors for EVERY vector via the IVF
@@ -2804,6 +2816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph_embeddings": knn_graph_embeddings,
         "knn_graph_recall_embeddings": knn_graph_recall_embeddings,
         "train_bpe_documents": train_bpe_documents,
+        "bpe_encode_documents": bpe_encode_documents,
         "binary_rerank_stored_embeddings": binary_rerank_stored_embeddings,
         "table_diff_snapshot_orders": table_diff_snapshot_orders,
         "remove_outliers_approx_lineitem": remove_outliers_approx_lineitem,
@@ -3314,7 +3327,7 @@ def _knn_graph_recall_oracle(k: int = 10, n_queries: int = 20, n_probe: int = 4)
     return "WITH " + ",\n".join(ctes) + ",\n" + final
 
 
-def _train_bpe_oracle(n_merges: int = 12) -> str:
+def _train_bpe_oracle(n_merges: int = 12, emit: str = "merges") -> str:
     """DuckDB twin of train_bpe(n_merges) on documents: the base
     word-count table (lowercased whitespace tokens split into chars),
     then ``n_merges`` chained CTE rounds each replaying one BPE step —
@@ -3354,7 +3367,7 @@ def _train_bpe_oracle(n_merges: int = 12) -> str:
             f"SELECT CAST({r} AS INT) AS rank, s1 AS lhs, s2 AS rhs, "
             f"CAST(c AS BIGINT) AS freq FROM b{r}"
         )
-        if r == n_merges:
+        if r == n_merges and emit == "merges":
             break
         ctes.append(f"""keep{r} AS MATERIALIZED (
           SELECT word, i FROM (
@@ -3377,6 +3390,26 @@ def _train_bpe_oracle(n_merges: int = 12) -> str:
             LEFT JOIN keep{r} k1 ON k1.word = p.word AND k1.i = p.i
             LEFT JOIN keep{r} k2 ON k2.word = p.word AND k2.i = p.i - 1)
           WHERE tok IS NOT NULL GROUP BY word, cnt)""")
+    if emit == "encode":
+        # replay complete: w{n_merges} is the fully merged vocab; join
+        # each doc's positional words against it and reassemble
+        toks_final = f"""
+        docw AS MATERIALIZED (
+          SELECT doc_id, i AS pos, w FROM (
+            SELECT doc_id, unnest(range(len(ws))) AS i, unnest(ws) AS w
+            FROM (SELECT doc_id, {toks} AS ws FROM documents))),
+        enc AS (
+          SELECT d.doc_id, d.pos, v.syms
+          FROM docw d JOIN w{n_merges} v ON v.word = d.w),
+        agg AS (
+          SELECT doc_id, flatten(list(syms ORDER BY pos)) AS tokens
+          FROM enc GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(a.tokens, CAST([] AS VARCHAR[])) AS tokens,
+               CAST(COALESCE(len(a.tokens), 0) AS INT) AS n_tokens
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"""
+        return "WITH " + ",\n".join(ctes) + "," + toks_final
     body = " UNION ALL ".join(sel)
     return (
         "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM ({body}) ORDER BY rank"
@@ -6232,6 +6265,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph_embeddings": _knn_graph_oracle(),
         "knn_graph_recall_embeddings": _knn_graph_recall_oracle(),
         "train_bpe_documents": _train_bpe_oracle(),
+        "bpe_encode_documents": _train_bpe_oracle(emit="encode"),
         "cluster_embeddings_embeddings": _cluster_embeddings_oracle(),
         "pq_codes_embeddings": _pq_codes_oracle(),
         "pq_topk_embeddings": _pq_topk_oracle(),

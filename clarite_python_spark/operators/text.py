@@ -42,6 +42,7 @@ __all__ = [
     "feature_hash_embed",
     "QUALITY_CLASSIFIER_WEIGHTS",
     "train_bpe",
+    "bpe_encode",
 ]
 
 # Tiny per-language function-word lists for the n-gram/stopword language
@@ -1620,4 +1621,81 @@ def train_bpe(
         )
     return spark.createDataFrame(
         merges, "rank int, lhs string, rhs string, freq long"
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: DataFrame | list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Tokenize text with a trained BPE merge table (the serving half of
+    :func:`train_bpe`): whitespace pretokenization, then each word is
+    segmented by replaying the merges in rank order. Returns
+    (id_col, tokens array<string>, n_tokens) — docs with no words get an
+    empty array.
+
+    Scale shape: the merges replay runs over the corpus's DISTINCT-WORD
+    table (|vocab| rows), NOT the corpus — one row-local greedy fold per
+    merge rule, folds chained as projections and DISK_ONLY-checkpointed
+    every ``checkpoint_every`` rules so the expression tree never nests
+    past codegen limits. The corpus itself is touched twice: once to
+    collect per-doc word lists, once for the final word->tokens
+    broadcast-or-shuffle equi-join and positional reassembly. Merge
+    rules are O(n_merges) driver state (the merge TABLE is tiny; the
+    vocab never leaves the executors)."""
+    from pyspark import StorageLevel
+
+    if isinstance(merges, DataFrame):
+        rules = [
+            (r["lhs"], r["rhs"]) for r in merges.orderBy("rank").collect()
+        ]
+    else:
+        rules = list(merges)
+    txt = F.col(text_col)
+    if lowercase:
+        txt = F.lower(txt)
+    words_per_doc = df.select(F.col(id_col), tokens(txt).alias("__words"))
+    vocab = (
+        words_per_doc.select(F.explode("__words").alias("w"))
+        .distinct()
+        .select("w", F.split("w", "").alias("syms"))
+    )
+    for j, (lhs, rhs) in enumerate(rules, start=1):
+        merged = F.lit(lhs + rhs)
+        apply_merge = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.try_element_at(acc, F.lit(-1)) == F.lit(lhs)) & (s == F.lit(rhs)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        vocab = vocab.select("w", apply_merge.alias("syms"))
+        if j % checkpoint_every == 0 and j < len(rules):
+            vocab = vocab.localCheckpoint(
+                eager=True, storageLevel=StorageLevel.DISK_ONLY
+            )
+    ex = words_per_doc.select(
+        F.col(id_col), F.posexplode("__words").alias("__pos", "w")
+    )
+    joined = ex.join(vocab, on="w").groupBy(id_col).agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "syms"))),
+                lambda s: s["syms"],
+            )
+        ).alias("tokens")
+    )
+    return (
+        words_per_doc.select(id_col)
+        .join(joined, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce("tokens", F.array().cast("array<string>")).alias("tokens"),
+            F.coalesce(F.size("tokens"), F.lit(0)).cast("int").alias("n_tokens"),
+        )
     )

@@ -201,6 +201,43 @@ def test_train_bpe_overlap_and_early_stop(spark):
         text_mod.train_bpe(df, n_merges=5, min_pair_count=0)
 
 
+def test_bpe_encode_matches_reference_and_preserves_text(spark):
+    from clarite_python_spark.operators import text as text_mod
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(80)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    n_merges = 8
+    merges = text_mod.train_bpe(docs, n_merges=n_merges)
+    rules = [(r["lhs"], r["rhs"]) for r in merges.orderBy("rank").collect()]
+    got = {r["doc_id"]: (r["tokens"], r["n_tokens"])
+           for r in text_mod.bpe_encode(docs, merges).collect()}
+
+    def seg(word):
+        syms = list(word)
+        for a, b in rules:
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            syms = out
+        return syms
+
+    for did, text in texts.items():
+        expect = [t for w in text.lower().split() for t in seg(w)]
+        toks, n = got[did]
+        assert toks == expect, did
+        assert n == len(expect)
+        # lossless: concatenated tokens reproduce the words
+        assert "".join(toks) == "".join(text.lower().split())
+
+    # list-of-pairs form matches the DataFrame form
+    alt = {r["doc_id"]: r["tokens"]
+           for r in text_mod.bpe_encode(docs, rules).collect()}
+    assert alt == {d: t for d, (t, _) in got.items()}
+
+
 # ------------------------------------- index-resident binary_rerank --
 
 
