@@ -783,6 +783,36 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--k", type=int, default=16)
     p.add_argument("--id-col", default="vec_id")
     p.add_argument("--vec-col", default="embedding")
+
+    p = g_pipe.add_parser("knn-graph")
+    p.add_argument("data", help="embeddings parquet")
+    p.add_argument("output", help="(id, neighbor_id, cosine, rank) parquet")
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--n-lists", type=int, default=16)
+    p.add_argument("--n-probe", type=int, default=4)
+    p.add_argument("--recall", action="store_true",
+                   help="write the recall@k harness row instead of the "
+                        "graph (prices the n_lists/n_probe budget vs "
+                        "exact brute force)")
+    p.add_argument("--n-queries", type=int, default=20)
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--vec-col", default="embedding")
+
+    p = g_pipe.add_parser("train-bpe")
+    p.add_argument("data", help="documents parquet")
+    p.add_argument("output", help="(rank, lhs, rhs, freq) merge table")
+    p.add_argument("--n-merges", type=int, default=100)
+    p.add_argument("--min-pair-count", type=int, default=2)
+    p.add_argument("--no-lowercase", action="store_true")
+    p.add_argument("--text-col", default="text")
+
+    p = g_pipe.add_parser("bpe-encode")
+    p.add_argument("data", help="documents parquet")
+    p.add_argument("merges", help="merge table from 'pipeline train-bpe'")
+    p.add_argument("output", help="(id, tokens, n_tokens) parquet")
+    p.add_argument("--no-lowercase", action="store_true")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
     p = g_pipe.add_parser("ivf-tune")
     p.add_argument("data", help="embeddings parquet")
     p.add_argument("output")
@@ -1507,6 +1537,32 @@ def main(argv: list[str] | None = None) -> int:
 
             out = sim_mod.cluster_embeddings(
                 df, k=args.k, id_col=args.id_col, vec_col=args.vec_col
+            )
+        elif args.command == "knn-graph":
+            from clarite_python_spark.operators import similarity as sim_mod
+
+            if args.recall:
+                out = sim_mod.knn_graph_recall(
+                    df, k=args.k, n_queries=args.n_queries,
+                    n_lists=args.n_lists, n_probe=args.n_probe,
+                    id_col=args.id_col, vec_col=args.vec_col,
+                )
+            else:
+                out = sim_mod.knn_graph(
+                    df, k=args.k, n_lists=args.n_lists, n_probe=args.n_probe,
+                    id_col=args.id_col, vec_col=args.vec_col,
+                )
+        elif args.command == "train-bpe":
+            out = text_mod.train_bpe(
+                df, n_merges=args.n_merges, text_col=args.text_col,
+                lowercase=not args.no_lowercase,
+                min_pair_count=args.min_pair_count,
+            )
+        elif args.command == "bpe-encode":
+            out = text_mod.bpe_encode(
+                df, spark.read.parquet(args.merges),
+                text_col=args.text_col, id_col=args.id_col,
+                lowercase=not args.no_lowercase,
             )
         elif args.command == "pq-encode":
             from clarite_python_spark.operators import similarity as sim_mod

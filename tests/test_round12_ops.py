@@ -308,6 +308,37 @@ def test_cli_evaluate_retrieval_index_resident(spark, tmp_path):
     ) == 2
 
 
+def test_cli_bpe_and_knn_graph_round_trip(spark, tmp_path):
+    from clarite_python_spark.cli import main as cli_main
+    from clarite_python_spark.operators import similarity, text as text_mod
+
+    d = str(tmp_path)
+    docs = f"{SF_DIR}/documents.parquet"
+    assert cli_main(["pipeline", "train-bpe", docs, f"{d}/merges",
+                     "--n-merges", "6"]) == 0
+    merges = spark.read.parquet(f"{d}/merges")
+    assert merges.count() == 6
+    assert cli_main(["pipeline", "bpe-encode", docs, f"{d}/merges",
+                     f"{d}/enc"]) == 0
+    enc = spark.read.parquet(f"{d}/enc")
+    direct = text_mod.bpe_encode(spark.read.parquet(docs), merges)
+    assert enc.orderBy("doc_id").collect() == direct.orderBy("doc_id").collect()
+
+    emb = f"{SF_DIR}/embeddings.parquet"
+    assert cli_main(["pipeline", "knn-graph", emb, f"{d}/g",
+                     "--k", "3", "--n-lists", "4", "--n-probe", "4"]) == 0
+    g = spark.read.parquet(f"{d}/g")
+    direct_g = similarity.knn_graph(
+        spark.read.parquet(emb), k=3, n_lists=4, n_probe=4
+    )
+    assert sorted(map(tuple, g.collect())) == sorted(map(tuple, direct_g.collect()))
+    assert cli_main(["pipeline", "knn-graph", emb, f"{d}/r", "--recall",
+                     "--k", "5", "--n-lists", "4", "--n-probe", "4",
+                     "--n-queries", "6"]) == 0
+    row = spark.read.parquet(f"{d}/r").collect()[0]
+    assert row["recall"] == 1.0  # full probe -> exact
+
+
 # ----------------------------------------------------- CC sizing guard --
 
 
