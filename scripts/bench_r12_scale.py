@@ -173,10 +173,8 @@ def retrieval(argv: list[str]) -> None:
         else:
             ranked = cand.where(F.col("rank") <= k)
         ev = evaluation.rank_eval_macro(
-            evaluation.rank_eval(
-                ranked, qrels, k=k, query_col="query_id",
-                doc_col="vec_id", rank_col="rank", rel_col="rel",
-            )
+            ranked, qrels, k=k, query_col="query_id",
+            doc_col="vec_id", rank_col="rank", rel_col="rel",
         ).first()
         results["arms"][name] = {
             "wall_s": round(time.time() - t0, 2),
