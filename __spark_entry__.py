@@ -1293,10 +1293,18 @@ def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the trained table — the rules replay over the distinct-word
     vocab (row-local folds), docs reassemble via one positional join.
     Oracle replays training AND encoding (the train CTE chain extended
-    with the final vocab rebuild + doc join)."""
+    with the final vocab rebuild + doc join). Tokens are emitted
+    space-joined (tokens never contain whitespace — they are substrings
+    of whitespace-split words), because the driver's canonicalizer
+    hashes scalar columns only."""
     docs = _t(spark, sf_dir, "documents")
     merges = text.train_bpe(docs, n_merges=12)
-    return text.bpe_encode(docs, merges).orderBy("doc_id")
+    out = text.bpe_encode(docs, merges)
+    return out.select(
+        "doc_id",
+        F.concat_ws(" ", "tokens").alias("toks"),
+        "n_tokens",
+    ).orderBy("doc_id")
 
 
 def knn_graph_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3405,7 +3413,7 @@ def _train_bpe_oracle(n_merges: int = 12, emit: str = "merges") -> str:
           SELECT doc_id, flatten(list(syms ORDER BY pos)) AS tokens
           FROM enc GROUP BY doc_id)
         SELECT d.doc_id,
-               COALESCE(a.tokens, CAST([] AS VARCHAR[])) AS tokens,
+               COALESCE(array_to_string(a.tokens, ' '), '') AS toks,
                CAST(COALESCE(len(a.tokens), 0) AS INT) AS n_tokens
         FROM (SELECT DISTINCT doc_id FROM documents) d
         LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"""

@@ -629,12 +629,19 @@ def test_round12_knn_graph_no_broadcast_no_python(spark):
 
     emb = load_testdata(spark, SF_DIR, ["embeddings"])["embeddings"]
     prev = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # AQE off for a stable initial plan; auto-broadcast off because the
+    # assertion is about the CODE adding no broadcast hint — the
+    # planner's size-threshold pick at sf0.001 is legitimate and
+    # degrades to shuffle at scale, a hint would not
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         g = similarity.knn_graph(emb, k=3, n_lists=4, n_probe=2, sample_size=100)
         plan = g._jdf.queryExecution().executedPlan().toString()
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
     assert "BroadcastExchange" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan

@@ -336,12 +336,18 @@ def test_rank_eval_macro_is_mean_of_per_query(spark):
     assert macro["k"] == 2
 
 
-def test_binary_rerank_requires_corpus(spark, tmp_path):
+def test_binary_rerank_requires_corpus_or_sidecar(spark, tmp_path):
+    """Round-12 contract update: an index built with store_vectors=True
+    (the default) serves rerank WITHOUT a live corpus; the raise is
+    reserved for no-corpus-and-no-usable-sidecar (covered further in
+    tests/test_round12_ops.py)."""
     from clarite_python_spark.operators import similarity
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     q = emb.where("vec_id < 2").selectExpr("vec_id AS query_id", "embedding")
     d = str(tmp_path / "idx")
     similarity.build_binary_index(emb, d)
+    out = similarity.binary_rerank(None, q, k=3, index_dir=d)
+    assert out.count() == 6  # 2 queries x top-3, fully index-resident
     with pytest.raises(ValueError, match="corpus"):
-        similarity.binary_rerank(None, q, k=3, index_dir=d)
+        similarity.binary_rerank(None, q, k=3)
