@@ -980,6 +980,65 @@ def tune_ivf_probe(
     return n_lists, last
 
 
+def _assign_cells_pandas(
+    df: DataFrame,
+    cents: "np.ndarray",
+    id_col: str,
+    vec_col: str,
+    n_probe: int,
+) -> DataFrame:
+    """Vectorized (Arrow-batched numpy matmul) cell assignment + probe
+    lists — the scale path past the inlined-centroid ceiling: the
+    codegen assignment evaluates O(n_lists·dim) expression work PER ROW
+    and its plan build grows with n_lists (measured: at 100k vectors
+    n_lists=512 REGRESSES vs 256, BASELINE.md round-12), while one
+    batched ``M @ C.T`` is flat. Same selection conventions as the
+    codegen path: assignment = first argmax (ties to the LOWEST cell),
+    probes = dots desc with ties to the HIGHEST cell. Cosine argmax is
+    scale-invariant, so row norms are skipped; numpy's summation order
+    differs from the JVM fold's, so a dot sitting within one ULP of a
+    tie can pick a different (equally near) cell — acceptable for an
+    approximate quantizer, and why this stays opt-in rather than
+    replacing the oracle-pinned codegen path. Returns
+    (id, vec, __list int, __probes array<int>)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    C = np.ascontiguousarray(cents, dtype=np.float64)
+    L = len(C)
+    in_schema = df.select(F.col(id_col), F.col(vec_col)).schema
+    out_schema = StructType(
+        list(in_schema.fields)
+        + [
+            StructField("__list", IntegerType()),
+            StructField("__probes", ArrayType(IntegerType())),
+        ]
+    )
+    n_p = min(n_probe, L)
+
+    def assign(batches):
+        for pdf in batches:
+            M = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            D = M @ C.T
+            out = pdf.copy()
+            out["__list"] = np.argmax(D, axis=1).astype("int32")
+            # top-n_probe desc, ties -> higher cell id: argsort the
+            # REVERSED columns (stable ties keep lower reversed index =
+            # higher original id), then map back
+            order_r = np.argsort(-D[:, ::-1], axis=1, kind="stable")[:, :n_p]
+            probes = (L - 1 - order_r).astype("int32")
+            out["__probes"] = list(probes)
+            yield out
+
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        assign, schema=out_schema
+    )
+
+
 def knn_graph(
     df: DataFrame,
     k: int = 10,
@@ -989,6 +1048,7 @@ def knn_graph(
     vec_col: str = "embedding",
     seed: int = 42,
     sample_size: int = 10_000,
+    assign_impl: str = "codegen",
 ) -> DataFrame:
     """Approximate k-nearest-neighbor GRAPH: top-k cosine neighbors for
     EVERY vector in the corpus — the corpus×corpus form that SemDeDup-
@@ -1015,30 +1075,55 @@ def knn_graph(
     vectors (pair cost per cell is quadratic — n_lists should grow
     linearly with N); hot cells are split by AQE skew-join. Ties broken
     by ascending neighbor id. Self-pairs excluded. Price the probe
-    budget with :func:`knn_graph_recall` instead of guessing. Returns
+    budget with :func:`knn_graph_recall` instead of guessing.
+
+    ``assign_impl``: ``"codegen"`` (default, oracle-pinned) inlines the
+    centroids as literal expressions — pure JVM, but per-row assignment
+    work is O(n_lists·dim) and plan build grows with n_lists, so past
+    a few hundred lists it dominates (measured regression at 512,
+    BASELINE.md round-12); ``"pandas"`` computes assignment + probes as
+    one Arrow-batched numpy matmul per batch (flat in n_lists — the
+    path to the thousands-of-cells regime larger corpora need), with
+    identical selection conventions up to ULP ties. Returns
     (id_col, neighbor_id, cosine, rank).
     """
     if k <= 0:
         raise ValueError("k must be positive")
     if n_lists <= 0 or n_probe <= 0:
         raise ValueError("n_lists and n_probe must be positive")
+    if assign_impl not in ("codegen", "pandas"):
+        raise ValueError("assign_impl must be 'codegen' or 'pandas'")
     cents = _train_centroids(df, vec_col, n_lists, seed, sample_size, id_col=id_col)
     cvec = F.col(vec_col).cast("array<double>")
-    dots = _centroid_dots(cvec, cents)
-    right = df.select(
-        F.col(id_col).alias("__nid"),
-        cvec.alias("__nvec"),
-        (F.array_position(dots, F.array_max(dots)) - 1).cast("int").alias("__list"),
-    )
-    # per-vector top-n_probe cells: same (d, i)-struct sort as ivf_topk
-    # (ties: higher cell id first — reverse of ascending array_sort);
-    # _probe_ids zips instead of indexing, which matters HERE most of
-    # all — this expression runs per CORPUS row, not per query
-    left = df.select(
-        F.col(id_col),
-        cvec.alias("__qvec"),
-        F.explode(_probe_ids(dots, len(cents), n_probe)).alias("__list"),
-    )
+    if assign_impl == "pandas":
+        assigned = _assign_cells_pandas(df, cents, id_col, vec_col, n_probe)
+        right = assigned.select(
+            F.col(id_col).alias("__nid"),
+            F.col(vec_col).cast("array<double>").alias("__nvec"),
+            "__list",
+        )
+        left = assigned.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("__qvec"),
+            F.explode("__probes").alias("__list"),
+        )
+    else:
+        dots = _centroid_dots(cvec, cents)
+        right = df.select(
+            F.col(id_col).alias("__nid"),
+            cvec.alias("__nvec"),
+            (F.array_position(dots, F.array_max(dots)) - 1).cast("int").alias("__list"),
+        )
+        # per-vector top-n_probe cells: same (d, i)-struct sort as
+        # ivf_topk (ties: higher cell id first — reverse of ascending
+        # array_sort); _probe_ids zips instead of indexing, which
+        # matters HERE most of all — this expression runs per CORPUS
+        # row, not per query
+        left = df.select(
+            F.col(id_col),
+            cvec.alias("__qvec"),
+            F.explode(_probe_ids(dots, len(cents), n_probe)).alias("__list"),
+        )
     scored = (
         left.join(right, on="__list")
         .where(F.col(id_col) != F.col("__nid"))

@@ -91,6 +91,28 @@ def test_knn_graph_validates_args(vec_df):
         similarity.knn_graph(df, k=3, n_probe=0)
 
 
+def test_knn_graph_pandas_assignment_matches_codegen(spark, vec_df):
+    """assign_impl='pandas' (Arrow-batched numpy matmul — the path past
+    the inlined-centroid ceiling) must produce the same graph as the
+    oracle-pinned codegen assignment on the same corpus/quantizer."""
+    df, _ = vec_df
+    a = similarity.knn_graph(
+        df, k=4, n_lists=4, n_probe=2, sample_size=60
+    ).collect()
+    b = similarity.knn_graph(
+        df, k=4, n_lists=4, n_probe=2, sample_size=60, assign_impl="pandas"
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a = similarity.knn_graph(emb, k=3, n_lists=8, n_probe=3).collect()
+    b = similarity.knn_graph(
+        emb, k=3, n_lists=8, n_probe=3, assign_impl="pandas"
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    with pytest.raises(ValueError, match="assign_impl"):
+        similarity.knn_graph(emb, k=3, assign_impl="numpy")
+
+
 # --------------------------------------------- fold pack at high dims --
 
 
