@@ -794,6 +794,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write the recall@k harness row instead of the "
                         "graph (prices the n_lists/n_probe budget vs "
                         "exact brute force)")
+    p.add_argument("--assign-impl", default="codegen",
+                   choices=["codegen", "pandas"],
+                   help="cell assignment: codegen (default, pure JVM) or "
+                        "pandas (Arrow-batched matmul — use past ~256 "
+                        "lists; see BASELINE.md round 12)")
     p.add_argument("--n-queries", type=int, default=20)
     p.add_argument("--id-col", default="vec_id")
     p.add_argument("--vec-col", default="embedding")
@@ -1546,11 +1551,13 @@ def main(argv: list[str] | None = None) -> int:
                     df, k=args.k, n_queries=args.n_queries,
                     n_lists=args.n_lists, n_probe=args.n_probe,
                     id_col=args.id_col, vec_col=args.vec_col,
+                    assign_impl=args.assign_impl,
                 )
             else:
                 out = sim_mod.knn_graph(
                     df, k=args.k, n_lists=args.n_lists, n_probe=args.n_probe,
                     id_col=args.id_col, vec_col=args.vec_col,
+                    assign_impl=args.assign_impl,
                 )
         elif args.command == "train-bpe":
             out = text_mod.train_bpe(

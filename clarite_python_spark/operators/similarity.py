@@ -771,9 +771,27 @@ def _train_centroids(
     sample: ``orderBy(id).limit(n)`` compiles to TakeOrderedAndProject
     (O(n log sample) per partition, no full sort), unlike a bare
     ``limit`` whose row order follows partition scheduling — the trained
-    quantizer must not depend on which executor reported first."""
-    rows = df.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
-    rows = [(r[1],) for r in rows]
+    quantizer must not depend on which executor reported first.
+
+    The ``repartition(1)`` barrier before collect is load-bearing at
+    large sample_size: collect() directly on a TakeOrderedAndProject
+    merges PER-PARTITION partial top-n task results on the driver —
+    #partitions × n rows of vectors — which blew
+    spark.driver.maxResultSize at sample_size=40k × 64 partitions
+    (measured round 12). The barrier merges to the final n rows on an
+    executor first, so exactly one n-row task result reaches the
+    driver. The exchange does NOT preserve order, so the collected rows
+    are re-sorted by id driver-side — the seeded init indexes the sample
+    POSITIONALLY and the oracles replay ``row_number() OVER (ORDER BY
+    id)``, so sample order is part of the contract."""
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_size)
+        .repartition(1)
+        .collect()
+    )
+    rows = [(r[1],) for r in sorted(rows, key=lambda r: r[0])]
     M = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
     M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
