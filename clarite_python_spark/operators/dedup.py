@@ -1213,13 +1213,18 @@ _EDGES_PER_GB = 7_000_000
 
 
 def _parse_jvm_mem_gb(s: str) -> float | None:
-    """Parse a JVM memory string ('8g', '512m', '16384k', '1t') to GB."""
+    """Parse a JVM memory string ('8g', '512m', '16384k', '1t') to GB.
+    A bare number is MiB — Spark's byteStringAsMb semantics for
+    spark.executor.memory / spark.driver.memory — so '4096' means 4 GB,
+    not 4096 bytes."""
     s = s.strip().lower()
+    if s.endswith("b") and len(s) > 1 and s[-2] in "kmgt":
+        s = s[:-1]  # '512mb' -> '512m'
     mult = {"k": 1 / 1024**2, "m": 1 / 1024, "g": 1.0, "t": 1024.0}
     try:
         if s and s[-1] in mult:
             return float(s[:-1]) * mult[s[-1]]
-        return float(s) / 1024**3  # bare bytes
+        return float(s) / 1024  # bare number = MiB
     except ValueError:
         return None
 

@@ -786,11 +786,16 @@ def _train_centroids(
     id)``, so sample order is part of the contract."""
     rows = (
         df.select(id_col, vec_col)
+        .where(F.col(id_col).isNotNull())
         .orderBy(id_col)
         .limit(sample_size)
         .repartition(1)
         .collect()
     )
+    # null ids are filtered above: the driver-side re-sort (required
+    # because the repartition exchange drops order) would raise
+    # TypeError on None, and the oracles' row_number() replay assumes
+    # non-null sample ids anyway.
     rows = [(r[1],) for r in sorted(rows, key=lambda r: r[0])]
     M = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
     M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
@@ -851,6 +856,7 @@ def cluster_embeddings(
     seed: int = 42,
     sample_size: int = 10_000,
     iters: int = 10,
+    assign_impl: str = "codegen",
 ) -> DataFrame:
     """Spherical k-means cluster assignment for every vector — the
     semantic-bucketing operator behind IVF and semantic_dedup exposed
@@ -866,10 +872,28 @@ def cluster_embeddings(
 
     Returns (id, cluster, cosine) — cosine is similarity to the
     assigned centroid (a confidence/marginality signal: rows near 0
-    sit between clusters)."""
+    sit between clusters).
+
+    ``assign_impl='pandas'`` swaps the inlined-centroid codegen
+    assignment (O(k·dim) expression work per row, plan build grows with
+    k — the measured ~512-list ceiling, BASELINE.md round-12) for one
+    Arrow-batched numpy matmul per batch (:func:`_assign_cells_pandas`)
+    — the thousands-of-clusters path. Identical selection up to ULP
+    ties; codegen stays the oracle-pinned default."""
     if k <= 0:
         raise ValueError("k must be positive")
+    if assign_impl not in ("codegen", "pandas"):
+        raise ValueError("assign_impl must be 'codegen' or 'pandas'")
     cents = _train_centroids(df, vec_col, k, seed, sample_size, iters, id_col=id_col)
+    if assign_impl == "pandas":
+        assigned = _assign_cells_pandas(
+            df, cents, id_col, vec_col, n_probe=1, with_cosine=True
+        )
+        return assigned.select(
+            F.col(id_col),
+            F.col("__list").alias("cluster"),
+            F.round(F.col("__cos"), 6).alias("cosine"),
+        )
     cvec = F.col(vec_col).cast("array<double>")
     dots = _centroid_dots(cvec, cents)
     return df.select(
@@ -891,6 +915,7 @@ def ivf_topk(
     seed: int = 42,
     sample_size: int = 10_000,
     recall_target: float | None = None,
+    assign_impl: str = "codegen",
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a spherical-k-means coarse
     quantizer partitions the corpus into ``n_lists`` lists; each query
@@ -908,7 +933,17 @@ def ivf_topk(
     ``recall_target`` (opt-in) replaces ``n_probe`` with the MEASURED
     minimal probe budget meeting that recall@k on the corpus's own
     deterministic query sample (:func:`tune_ivf_probe` — at most
-    n_lists harness jobs, run once up front)."""
+    n_lists harness jobs, run once up front).
+
+    ``assign_impl='pandas'``: both the corpus list assignment and the
+    query probe lists come from the Arrow-batched numpy matmul
+    (:func:`_assign_cells_pandas`) instead of inlined-centroid codegen
+    — the path past the measured ~512-list ceiling where per-row
+    assignment work is O(n_lists·dim) and the literal plan grows with
+    n_lists·dim. Identical selection up to ULP ties; codegen stays the
+    oracle-pinned default."""
+    if assign_impl not in ("codegen", "pandas"):
+        raise ValueError("assign_impl must be 'codegen' or 'pandas'")
     if recall_target is not None:
         n_probe, _ = tune_ivf_probe(
             corpus,
@@ -919,24 +954,37 @@ def ivf_topk(
             vec_col=vec_col,
             seed=seed,
             sample_size=sample_size,
+            assign_impl=assign_impl,
         )
     dim = len(queries.select(vec_col).first()[0])
     cents = _train_centroids(corpus, vec_col, n_lists, seed, sample_size, id_col=id_col)
     assert cents.shape[1] == dim
 
     cvec = F.col(vec_col).cast("array<double>")
-    dots = _centroid_dots(cvec, cents)
-    corpus_l = corpus.withColumn(
-        "__list",
-        (F.array_position(dots, F.array_max(dots)) - 1).cast("int"),
-    )
-    # per-query top-n_probe centroid ids: sort (dot, idx) structs desc
-    qdots = _centroid_dots(cvec, cents)
-    q = queries.select(
-        F.col(query_id_col),
-        F.col(vec_col).alias("__qvec"),
-        F.explode(_probe_ids(qdots, len(cents), n_probe)).alias("__list"),
-    )
+    if assign_impl == "pandas":
+        corpus_l = _assign_cells_pandas(
+            corpus, cents, id_col, vec_col, n_probe=1
+        ).select(F.col(id_col), F.col(vec_col), F.col("__list"))
+        q = _assign_cells_pandas(
+            queries, cents, query_id_col, vec_col, n_probe
+        ).select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            F.explode("__probes").alias("__list"),
+        )
+    else:
+        dots = _centroid_dots(cvec, cents)
+        corpus_l = corpus.withColumn(
+            "__list",
+            (F.array_position(dots, F.array_max(dots)) - 1).cast("int"),
+        )
+        # per-query top-n_probe centroid ids: sort (dot, idx) structs desc
+        qdots = _centroid_dots(cvec, cents)
+        q = queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            F.explode(_probe_ids(qdots, len(cents), n_probe)).alias("__list"),
+        )
     scored = corpus_l.join(F.broadcast(q), on="__list").select(
         F.col(query_id_col),
         F.col(id_col),
@@ -1004,6 +1052,7 @@ def _assign_cells_pandas(
     id_col: str,
     vec_col: str,
     n_probe: int,
+    with_cosine: bool = False,
 ) -> DataFrame:
     """Vectorized (Arrow-batched numpy matmul) cell assignment + probe
     lists — the scale path past the inlined-centroid ceiling: the
@@ -1018,9 +1067,12 @@ def _assign_cells_pandas(
     tie can pick a different (equally near) cell — acceptable for an
     approximate quantizer, and why this stays opt-in rather than
     replacing the oracle-pinned codegen path. Returns
-    (id, vec, __list int, __probes array<int>)."""
+    (id, vec, __list int, __probes array<int>), plus ``__cos`` (double,
+    cosine to the ASSIGNED centroid — centroids are unit vectors, so
+    this is top-dot / row-norm) when ``with_cosine``."""
     from pyspark.sql.types import (
         ArrayType,
+        DoubleType,
         IntegerType,
         StructField,
         StructType,
@@ -1029,17 +1081,21 @@ def _assign_cells_pandas(
     C = np.ascontiguousarray(cents, dtype=np.float64)
     L = len(C)
     in_schema = df.select(F.col(id_col), F.col(vec_col)).schema
-    out_schema = StructType(
-        list(in_schema.fields)
-        + [
-            StructField("__list", IntegerType()),
-            StructField("__probes", ArrayType(IntegerType())),
-        ]
-    )
+    extra = [
+        StructField("__list", IntegerType()),
+        StructField("__probes", ArrayType(IntegerType())),
+    ]
+    if with_cosine:
+        extra.append(StructField("__cos", DoubleType()))
+    out_schema = StructType(list(in_schema.fields) + extra)
     n_p = min(n_probe, L)
 
     def assign(batches):
         for pdf in batches:
+            if len(pdf) == 0:
+                # np.asarray of an empty column is 1-D and the matmul
+                # against C.T would raise instead of yielding 0 rows
+                continue
             M = np.asarray(list(pdf[vec_col]), dtype=np.float64)
             D = M @ C.T
             out = pdf.copy()
@@ -1050,6 +1106,10 @@ def _assign_cells_pandas(
             order_r = np.argsort(-D[:, ::-1], axis=1, kind="stable")[:, :n_p]
             probes = (L - 1 - order_r).astype("int32")
             out["__probes"] = list(probes)
+            if with_cosine:
+                norms = np.linalg.norm(M, axis=1)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    out["__cos"] = np.max(D, axis=1) / norms
             yield out
 
     return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
@@ -1114,7 +1174,16 @@ def knn_graph(
     cents = _train_centroids(df, vec_col, n_lists, seed, sample_size, id_col=id_col)
     cvec = F.col(vec_col).cast("array<double>")
     if assign_impl == "pandas":
-        assigned = _assign_cells_pandas(df, cents, id_col, vec_col, n_probe)
+        from pyspark import StorageLevel
+
+        # materialization barrier: the mapInPandas result feeds BOTH
+        # join sides, so without it the Arrow/numpy assignment stage
+        # runs twice per job — doubling the Python cost exactly in the
+        # large-n_lists regime this path exists for. DISK_ONLY for the
+        # same reason as the hamming bit pack: stream back, skip heap.
+        assigned = _assign_cells_pandas(
+            df, cents, id_col, vec_col, n_probe
+        ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
         right = assigned.select(
             F.col(id_col).alias("__nid"),
             F.col(vec_col).cast("array<double>").alias("__nvec"),
@@ -1338,6 +1407,7 @@ def semantic_dedup(
     seed: int = 42,
     sample_size: int = 10_000,
     max_cluster_rows: int | None = 100_000,
+    assign_impl: str = "codegen",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embeddings with the spherical-k-means coarse quantizer (the same one
@@ -1356,20 +1426,46 @@ def semantic_dedup(
     cluster bound can't hold. Greedy-by-id removal matches
     ``minhash_dedup``'s chain semantics (a removed doc can still knock
     out a later one), so the two near-dup families agree on semantics.
+
+    ``assign_impl='pandas'`` swaps the inlined-centroid assignment for
+    the Arrow-batched numpy matmul (:func:`_assign_cells_pandas`) —
+    required past the measured ~512-cluster codegen ceiling, i.e.
+    exactly the SemDeDup-published regime of tens of thousands of
+    clusters. Identical up to ULP ties; codegen stays oracle-pinned.
     """
+    if assign_impl not in ("codegen", "pandas"):
+        raise ValueError("assign_impl must be 'codegen' or 'pandas'")
     cents = _train_centroids(df, vec_col, n_clusters, seed, sample_size, id_col=id_col)
     cvec = F.col(vec_col).cast("array<double>")
-    dots = _centroid_dots(cvec, cents)
     # carry the norm as a scalar column computed ONCE per row; the pair
     # predicate is then `dot >= t * na * nb` — a pure codegen expression
     # (normalizing the arrays instead would put a CodegenFallback lambda
     # in the pair stage and disable whole-stage codegen there)
-    assigned = df.select(
-        F.col(id_col),
-        cvec.alias("__v"),
-        _norm(cvec).alias("__n"),
-        (F.array_position(dots, F.array_max(dots)) - 1).cast("int").alias("cluster"),
-    )
+    if assign_impl == "pandas":
+        from pyspark import StorageLevel
+
+        # Arrow-batched numpy assignment (the >512-cluster path, same
+        # rationale as knn_graph). The assigned frame feeds FOUR
+        # consumers (guard count, both pair-join sides, the final
+        # anti-join) — checkpoint so the Python stage runs once.
+        assigned = (
+            _assign_cells_pandas(df, cents, id_col, vec_col, n_probe=1)
+            .select(
+                F.col(id_col),
+                cvec.alias("__v"),
+                _norm(cvec).alias("__n"),
+                F.col("__list").alias("cluster"),
+            )
+            .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+        )
+    else:
+        dots = _centroid_dots(cvec, cents)
+        assigned = df.select(
+            F.col(id_col),
+            cvec.alias("__v"),
+            _norm(cvec).alias("__n"),
+            (F.array_position(dots, F.array_max(dots)) - 1).cast("int").alias("cluster"),
+        )
     if max_cluster_rows is not None:
         biggest = (
             assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).agg(F.max("n")).first()[0]
@@ -1814,6 +1910,7 @@ def ivf_pq_topk(
     sample_size: int = 10_000,
     iters: int = 10,
     residual: bool = False,
+    assign_impl: str = "codegen",
 ) -> DataFrame:
     """IVF coarse pruning composed with PQ compressed scoring — the
     billion-scale ANN architecture (Jégou et al.'s IVFADC): the spherical
@@ -1848,11 +1945,26 @@ def ivf_pq_topk(
     oracles pin); switch it on when the coarse quantizer explains your
     vectors.
 
-    Ties break by corpus id; deterministic and engine-replayable."""
+    Ties break by corpus id; deterministic and engine-replayable.
+
+    ``assign_impl='pandas'``: coarse list assignment (corpus side) and
+    query probe lists via the Arrow-batched numpy matmul instead of
+    inlined-centroid codegen — the past-~512-lists path; the PQ
+    codebook lookup stays codegen either way (its per-row work is
+    O(k_sub·dim), independent of n_lists). Identical up to ULP ties;
+    codegen stays the oracle-pinned default."""
+    if assign_impl not in ("codegen", "pandas"):
+        raise ValueError("assign_impl must be 'codegen' or 'pandas'")
     cents = _train_centroids(corpus, vec_col, n_lists, seed, sample_size, id_col=id_col)
     cvec = F.col(vec_col).cast("array<double>")
-    dots = _centroid_dots(cvec, cents)
-    list_col = (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+    if assign_impl == "pandas":
+        corpus_a = _assign_cells_pandas(
+            corpus, cents, id_col, vec_col, n_probe=1
+        ).select(F.col(id_col), F.col(vec_col), F.col("__list"))
+    else:
+        dots = _centroid_dots(cvec, cents)
+        list_col = (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+        corpus_a = corpus.select(F.col(id_col), F.col(vec_col), list_col.alias("__list"))
     if residual:
         books = _train_pq_residual(
             corpus, vec_col, cents, m, k_sub, seed, sample_size, iters, id_col
@@ -1867,7 +1979,7 @@ def ivf_pq_topk(
         # binaries, executor heap OOM). CollapseProject keeps these
         # projections apart because the refs are non-cheap + multi-used.
         staged = (
-            corpus.select(F.col(id_col), cvec.alias("__v"), list_col.alias("__list"))
+            corpus_a.select(F.col(id_col), cvec.alias("__v"), F.col("__list"))
             .withColumn("__cent", F.element_at(cent_lut, F.col("__list") + 1))
             .withColumn(
                 "__res", F.zip_with("__v", "__cent", lambda a, b: a - b)
@@ -1885,17 +1997,26 @@ def ivf_pq_topk(
     else:
         books = _train_pq(corpus, vec_col, m, k_sub, seed, sample_size, iters, id_col)
         recon = _pq_reconstruct(_pq_code_cols(cvec, books), books)
-        enc = corpus.select(
+        enc = corpus_a.select(
             F.col(id_col),
-            list_col.alias("__list"),
+            F.col("__list"),
             recon.alias("__recon"),
         )
-    qdots = _centroid_dots(cvec, cents)
-    q = queries.select(
-        F.col(query_id_col),
-        F.col(vec_col).alias("__qvec"),
-        F.explode(_probe_ids(qdots, len(cents), n_probe)).alias("__list"),
-    )
+    if assign_impl == "pandas":
+        q = _assign_cells_pandas(
+            queries, cents, query_id_col, vec_col, n_probe
+        ).select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            F.explode("__probes").alias("__list"),
+        )
+    else:
+        qdots = _centroid_dots(cvec, cents)
+        q = queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            F.explode(_probe_ids(qdots, len(cents), n_probe)).alias("__list"),
+        )
     scored = enc.join(F.broadcast(q), on="__list").select(
         F.col(query_id_col),
         F.col(id_col),

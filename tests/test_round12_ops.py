@@ -412,6 +412,10 @@ def test_parse_jvm_mem_gb():
     assert _parse_jvm_mem_gb("1t") == 1024.0
     assert abs(_parse_jvm_mem_gb("1048576k") - 1.0) < 1e-9
     assert _parse_jvm_mem_gb("weird") is None
+    # bare number = MiB (Spark byteStringAsMb semantics), not bytes
+    assert _parse_jvm_mem_gb("4096") == 4.0
+    assert _parse_jvm_mem_gb("512mb") == 0.5
+    assert _parse_jvm_mem_gb("8gb") == 8.0
 
 
 # ------------------------------------------------------------ CLI fixes --
