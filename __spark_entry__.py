@@ -1336,6 +1336,33 @@ def knn_graph_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_graph_pandas_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME kNN graph as knn_graph_embeddings but through
+    ``assign_impl='pandas'`` (operators/similarity.py:_assign_cells_pandas
+    — one Arrow-batched numpy matmul per batch instead of inlined-
+    centroid codegen): the documented scale path past the ~512-list
+    codegen ceiling gets its OWN hash-green gate row (round-13 punch
+    list #4) instead of inheriting trust from the codegen parity pin.
+    Oracle: identical replay to knn_graph_embeddings — the two impls
+    agree bit-for-bit on this corpus (ULP ties don't materialize)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.knn_graph(emb, k=5, n_lists=8, n_probe=2, assign_impl="pandas")
+    return out.select(
+        "vec_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    ).orderBy("vec_id", "rank")
+
+
+def cluster_embeddings_pandas_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cluster_embeddings through the Arrow-batched assignment
+    (round 13: assign_impl plumbed through the whole quantizer family);
+    cosine comes from the SAME numpy batch (top-dot / row norm) and is
+    rounded to 6dp like the codegen row, so the oracle is shared."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cluster_embeddings(emb, k=8, assign_impl="pandas").orderBy(
+        "vec_id"
+    )
+
+
 def quantized_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k cosine over int8-quantized vectors — the 4x scan/IO
     lever: same broadcast+window plan as cosine_topk but the corpus
@@ -2821,6 +2848,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (CORRECTNESS_r10: 50/50). The local full gate
     # (scripts/check_correctness.py) always runs ALL entries.
     return {
+        "knn_graph_pandas_embeddings": knn_graph_pandas_embeddings,
+        "cluster_embeddings_pandas_embeddings": cluster_embeddings_pandas_embeddings,
         "knn_graph_embeddings": knn_graph_embeddings,
         "knn_graph_recall_embeddings": knn_graph_recall_embeddings,
         "train_bpe_documents": train_bpe_documents,
@@ -6271,6 +6300,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "similarity_ivf_probe_embeddings": _ivf_probe_oracle(),
         "knn_graph_embeddings": _knn_graph_oracle(),
+        # the pandas-assignment twins replay the SAME oracle: the two
+        # impls are bit-identical on this corpus (parity tests +
+        # round-13 sweeps at sf0.01 and sf0.1)
+        "knn_graph_pandas_embeddings": _knn_graph_oracle(),
+        "cluster_embeddings_pandas_embeddings": _cluster_embeddings_oracle(),
         "knn_graph_recall_embeddings": _knn_graph_recall_oracle(),
         "train_bpe_documents": _train_bpe_oracle(),
         "bpe_encode_documents": _train_bpe_oracle(emit="encode"),
