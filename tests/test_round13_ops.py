@@ -107,6 +107,141 @@ def test_assign_cells_pandas_empty_partition(spark):
     assert all(0 <= r["__list"] < 3 and len(r["__probes"]) == 2 for r in out)
 
 
+# ------------------------------------------------ BPE scale paths --
+
+
+def _py_bpe_marker(texts, n_merges, marker=None, min_pair_count=2):
+    """Sequential reference BPE (the r12 oracle model) with the
+    Sennrich end-of-word-marker option."""
+    from collections import Counter
+
+    wc = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            wc[w] += 1
+    words = {w: list(w) + ([marker] if marker else []) for w in wc}
+    merges = []
+    for r in range(1, n_merges + 1):
+        pc = Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wc[w]
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_pair_count:
+            break
+        merges.append((r, a, b, cnt))
+        for w, syms in words.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            words[w] = out
+    return merges
+
+
+def test_train_bpe_driver_matches_distributed_and_reference(spark):
+    from clarite_python_spark.operators import text as text_mod
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(120)
+    texts = [r["text"] for r in docs.select("text").collect()]
+    dist = [
+        tuple(r)
+        for r in text_mod.train_bpe(docs, n_merges=12).orderBy("rank").collect()
+    ]
+    drv = [
+        tuple(r)
+        for r in text_mod.train_bpe(docs, n_merges=12, strategy="driver")
+        .orderBy("rank")
+        .collect()
+    ]
+    assert drv == dist == _py_bpe_marker(texts, 12)
+    with pytest.raises(ValueError, match="strategy"):
+        text_mod.train_bpe(docs, n_merges=5, strategy="local")
+    with pytest.raises(ValueError, match="max_vocab_rows"):
+        text_mod.train_bpe(docs, n_merges=5, strategy="driver", max_vocab_rows=3)
+
+
+def test_train_bpe_word_end_marker(spark):
+    from clarite_python_spark.operators import text as text_mod
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(100)
+    texts = [r["text"] for r in docs.select("text").collect()]
+    expected = _py_bpe_marker(texts, 10, marker="</w>")
+    for strategy in ("distributed", "driver"):
+        got = [
+            tuple(r)
+            for r in text_mod.train_bpe(
+                docs, n_merges=10, word_end_marker="</w>", strategy=strategy
+            )
+            .orderBy("rank")
+            .collect()
+        ]
+        assert got == expected, strategy
+    # the marker actually participates in merges on natural text
+    assert any("</w>" in (l + r) for _, l, r, _ in expected)
+    with pytest.raises(ValueError, match="word_end_marker"):
+        text_mod.train_bpe(docs, n_merges=5, word_end_marker="")
+
+
+def test_bpe_encode_pandas_matches_fold(spark):
+    from clarite_python_spark.operators import text as text_mod
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(100)
+    merges = text_mod.train_bpe(docs, n_merges=12, strategy="driver")
+    fold = {
+        r["doc_id"]: (r["tokens"], r["n_tokens"])
+        for r in text_mod.bpe_encode(docs, merges, encode_impl="fold").collect()
+    }
+    pand = {
+        r["doc_id"]: (r["tokens"], r["n_tokens"])
+        for r in text_mod.bpe_encode(docs, merges, encode_impl="pandas").collect()
+    }
+    assert fold == pand
+    # marker round-trip: tokens concat == words + one marker per word
+    mm = text_mod.train_bpe(
+        docs, n_merges=10, word_end_marker="</w>", strategy="driver"
+    )
+    for impl in ("fold", "pandas"):
+        got = {
+            r["doc_id"]: r["tokens"]
+            for r in text_mod.bpe_encode(
+                docs, mm, word_end_marker="</w>", encode_impl=impl
+            ).collect()
+        }
+        texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+        for did, toks in got.items():
+            words = texts[did].lower().split()
+            assert "".join(toks) == "".join(w + "</w>" for w in words)
+    with pytest.raises(ValueError, match="encode_impl"):
+        text_mod.bpe_encode(docs, merges, encode_impl="jvm")
+
+
+def test_bpe_encode_auto_threshold(spark):
+    """auto = fold at <=64 rules (the oracle-pinned path), pandas past
+    that — checked via the executed plan (ArrowEvalPython/MapInPandas
+    present only for the pandas segmenter)."""
+    from clarite_python_spark.operators import text as text_mod
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(60)
+    rules = [(r["lhs"], r["rhs"]) for r in
+             text_mod.train_bpe(docs, n_merges=80, strategy="driver",
+                                min_pair_count=1).orderBy("rank").collect()]
+    assert len(rules) > 64
+    small = text_mod.bpe_encode(docs, rules[:10])
+    big = text_mod.bpe_encode(docs, rules)
+    small_plan = small._jdf.queryExecution().executedPlan().toString()
+    big_plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in small_plan and "ArrowEvalPython" not in small_plan
+    assert ("MapInPandas" in big_plan) or ("ArrowEvalPython" in big_plan)
+    # and the two impls agree on the big table too
+    alt = text_mod.bpe_encode(docs, rules, encode_impl="fold", checkpoint_every=16)
+    assert sorted(map(tuple, big.collect())) == sorted(map(tuple, alt.collect()))
+
+
 def test_train_centroids_skips_null_ids(spark):
     """ADVICE r13: a NULL id in the sample window must not crash the
     driver-side re-sort; null-id rows are excluded from the sample."""
