@@ -1307,6 +1307,37 @@ def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def train_bpe_driver_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME 12-merge training as train_bpe_documents but through
+    strategy='driver' (operators/text.py:_train_bpe_driver, round 13):
+    the exact incremental pair-delta trainer — heap-ordered merge
+    selection over the collected (word, count) table, only words
+    containing the merged pair touched per round. Bit-identical to the
+    distributed loop (measured 10k merges in ~34 s at 1M docs vs
+    ~0.9 s/merge distributed, BASELINE.md round 13), so the oracle is
+    shared with the distributed row — the production-vocabulary path
+    gets its own hash-green gate row."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.train_bpe(docs, n_merges=12, strategy="driver").orderBy("rank")
+
+
+def bpe_encode_pandas_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bpe_encode through the Arrow-batched rank-priority segmenter
+    (operators/text.py:_bpe_segment_pandas, round 13 — one vocab pass
+    instead of n_rules chained fold projections, the 30k-rule serving
+    path): same 12-rule table as bpe_encode_documents, provably the
+    same segmentation (rule operands are only producible by lower
+    ranks in trained tables), so the oracle is shared."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = text.train_bpe(docs, n_merges=12)
+    out = text.bpe_encode(docs, merges, encode_impl="pandas")
+    return out.select(
+        "doc_id",
+        F.concat_ws(" ", "tokens").alias("toks"),
+        "n_tokens",
+    ).orderBy("doc_id")
+
+
 def knn_graph_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus×corpus kNN graph (operators/similarity.py:knn_graph,
     round 12): top-5 cosine neighbors for EVERY vector via the IVF
@@ -2850,10 +2881,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_graph_pandas_embeddings": knn_graph_pandas_embeddings,
         "cluster_embeddings_pandas_embeddings": cluster_embeddings_pandas_embeddings,
+        "train_bpe_driver_documents": train_bpe_driver_documents,
+        "bpe_encode_pandas_documents": bpe_encode_pandas_documents,
         "knn_graph_embeddings": knn_graph_embeddings,
         "knn_graph_recall_embeddings": knn_graph_recall_embeddings,
         "train_bpe_documents": train_bpe_documents,
         "bpe_encode_documents": bpe_encode_documents,
+        # r13 rotation: the quantizer-family rows whose code the
+        # assign_impl plumb-through touched this round
+        "similarity_ivf_embeddings": similarity_ivf_embeddings,
+        "similarity_ivf_probe_embeddings": similarity_ivf_probe_embeddings,
+        "cluster_embeddings_embeddings": cluster_embeddings_embeddings,
+        "semantic_dedup_embeddings": semantic_dedup_embeddings,
+        "ivf_pq_topk_embeddings": ivf_pq_topk_embeddings,
+        "ivf_pq_residual_topk_embeddings": ivf_pq_residual_topk_embeddings,
+        "ivf_recall_embeddings": ivf_recall_embeddings,
         "binary_rerank_stored_embeddings": binary_rerank_stored_embeddings,
         "table_diff_snapshot_orders": table_diff_snapshot_orders,
         "remove_outliers_approx_lineitem": remove_outliers_approx_lineitem,
@@ -2915,7 +2957,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idf_hash_embed_documents": idf_hash_embed_documents,
         "theils_u_documents": theils_u_documents,
         "bm25_stored_topk_documents": bm25_stored_topk_documents,
-        "ivf_pq_residual_topk_embeddings": ivf_pq_residual_topk_embeddings,
         "hybrid_rrf_topk_documents": hybrid_rrf_topk_documents,
         "winnow_fingerprints_documents": winnow_fingerprints_documents,
         "winnow_fingerprints_xxh_documents": winnow_fingerprints_xxh_documents,
@@ -2943,7 +2984,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_percentiles_by_source": token_percentiles_by_source,
         "lsh_recall_documents": lsh_recall_documents,
         "ann_recall_embeddings": ann_recall_embeddings,
-        "ivf_recall_embeddings": ivf_recall_embeddings,
         "funnel_events": funnel_events,
         "funnel_window_events": funnel_window_events,
         "funnel_times_events": funnel_times_events,
@@ -2958,7 +2998,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes_embeddings": pq_codes_embeddings,
         "pq_topk_embeddings": pq_topk_embeddings,
         "ann_recall_pq_embeddings": ann_recall_pq_embeddings,
-        "ivf_pq_topk_embeddings": ivf_pq_topk_embeddings,
         "ann_recall_ivf_pq_embeddings": ann_recall_ivf_pq_embeddings,
         "mixture_report_documents": mixture_report_documents,
         "containment_pairs_documents": containment_pairs_documents,
@@ -2996,13 +3035,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_truncated_embeddings": ann_recall_truncated_embeddings,
         "similarity_rp_embeddings": similarity_rp_embeddings,
         "ann_recall_rp_embeddings": ann_recall_rp_embeddings,
-        "cluster_embeddings_embeddings": cluster_embeddings_embeddings,
         "similarity_lsh_embeddings": similarity_lsh_embeddings,
         "similarity_lsh_multi_embeddings": similarity_lsh_multi_embeddings,
         "ann_recall_multi_embeddings": ann_recall_multi_embeddings,
-        "similarity_ivf_embeddings": similarity_ivf_embeddings,
-        "similarity_ivf_probe_embeddings": similarity_ivf_probe_embeddings,
-        "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "multimodal_features_documents": multimodal_features_documents,
         "multimodal_metadata_documents": multimodal_metadata_documents,
         "multimodal_pixels_documents": multimodal_pixels_documents,
@@ -6308,6 +6343,11 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph_recall_embeddings": _knn_graph_recall_oracle(),
         "train_bpe_documents": _train_bpe_oracle(),
         "bpe_encode_documents": _train_bpe_oracle(emit="encode"),
+        # the r13 scale-path twins share the oracles: driver strategy is
+        # bit-identical to the distributed loop, the pandas segmenter is
+        # provably the same segmentation for trained tables
+        "train_bpe_driver_documents": _train_bpe_oracle(),
+        "bpe_encode_pandas_documents": _train_bpe_oracle(emit="encode"),
         "cluster_embeddings_embeddings": _cluster_embeddings_oracle(),
         "pq_codes_embeddings": _pq_codes_oracle(),
         "pq_topk_embeddings": _pq_topk_oracle(),

@@ -482,6 +482,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lambda", dest="lambda_", type=float, default=0.7)
     p.add_argument("--n-lists", type=int, default=16)
     p.add_argument("--n-probe", type=int, default=4)
+    p.add_argument("--assign-impl", default="codegen",
+                   choices=["codegen", "pandas"],
+                   help="ivf: cell assignment impl (pandas = Arrow-batched "
+                        "matmul, for large --n-lists)")
     p.add_argument("--n-planes", type=int, default=8)
     p.add_argument("--id-col", default="vec_id")
     p.add_argument("--vec-col", default="embedding")
@@ -783,6 +787,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--k", type=int, default=16)
     p.add_argument("--id-col", default="vec_id")
     p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--assign-impl", default="codegen",
+                   choices=["codegen", "pandas"],
+                   help="cluster assignment: codegen (default, pure JVM) "
+                        "or pandas (Arrow-batched matmul — use past ~256 "
+                        "clusters)")
 
     p = g_pipe.add_parser("knn-graph")
     p.add_argument("data", help="embeddings parquet")
@@ -810,6 +819,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-pair-count", type=int, default=2)
     p.add_argument("--no-lowercase", action="store_true")
     p.add_argument("--text-col", default="text")
+    p.add_argument("--word-end-marker", default=None)
+    p.add_argument(
+        "--strategy", choices=["distributed", "driver"], default="distributed",
+        help="'driver' = exact incremental pair-delta trainer "
+        "(production vocabularies; ~460x less wall per merge)",
+    )
 
     p = g_pipe.add_parser("bpe-encode")
     p.add_argument("data", help="documents parquet")
@@ -818,6 +833,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-lowercase", action="store_true")
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--word-end-marker", default=None)
+    p.add_argument(
+        "--encode-impl", choices=["auto", "fold", "pandas"], default="auto"
+    )
     p = g_pipe.add_parser("ivf-tune")
     p.add_argument("data", help="embeddings parquet")
     p.add_argument("output")
@@ -1387,7 +1406,8 @@ def main(argv: list[str] | None = None) -> int:
             elif args.retriever == "ivf":
                 cand = sim_mod.ivf_topk(
                     df, queries_df, k=fetch,
-                    n_lists=args.n_lists, n_probe=args.n_probe, **common,
+                    n_lists=args.n_lists, n_probe=args.n_probe,
+                    assign_impl=args.assign_impl, **common,
                 )
             elif args.retriever == "binary":
                 cand = sim_mod.binary_rerank(
@@ -1541,7 +1561,8 @@ def main(argv: list[str] | None = None) -> int:
             from clarite_python_spark.operators import similarity as sim_mod
 
             out = sim_mod.cluster_embeddings(
-                df, k=args.k, id_col=args.id_col, vec_col=args.vec_col
+                df, k=args.k, id_col=args.id_col, vec_col=args.vec_col,
+                assign_impl=args.assign_impl,
             )
         elif args.command == "knn-graph":
             from clarite_python_spark.operators import similarity as sim_mod
@@ -1564,12 +1585,16 @@ def main(argv: list[str] | None = None) -> int:
                 df, n_merges=args.n_merges, text_col=args.text_col,
                 lowercase=not args.no_lowercase,
                 min_pair_count=args.min_pair_count,
+                word_end_marker=args.word_end_marker,
+                strategy=args.strategy,
             )
         elif args.command == "bpe-encode":
             out = text_mod.bpe_encode(
                 df, spark.read.parquet(args.merges),
                 text_col=args.text_col, id_col=args.id_col,
                 lowercase=not args.no_lowercase,
+                word_end_marker=args.word_end_marker,
+                encode_impl=args.encode_impl,
             )
         elif args.command == "pq-encode":
             from clarite_python_spark.operators import similarity as sim_mod

@@ -242,6 +242,47 @@ def test_bpe_encode_auto_threshold(spark):
     assert sorted(map(tuple, big.collect())) == sorted(map(tuple, alt.collect()))
 
 
+def test_cli_r13_flags_round_trip(spark, tmp_path):
+    """CLI exposure of the r13 scale paths: train-bpe --strategy driver
+    --word-end-marker, bpe-encode --encode-impl pandas, cluster
+    --assign-impl pandas — each must equal the library call."""
+    from clarite_python_spark.cli import main as cli_main
+    from clarite_python_spark.operators import similarity, text as text_mod
+
+    d = str(tmp_path)
+    docs = f"{SF_DIR}/documents.parquet"
+    assert cli_main(["pipeline", "train-bpe", docs, f"{d}/merges",
+                     "--n-merges", "6", "--strategy", "driver",
+                     "--word-end-marker", "</w>"]) == 0
+    merges = spark.read.parquet(f"{d}/merges")
+    direct_m = text_mod.train_bpe(
+        spark.read.parquet(docs), n_merges=6, strategy="driver",
+        word_end_marker="</w>",
+    )
+    assert (merges.orderBy("rank").collect()
+            == direct_m.orderBy("rank").collect())
+    assert cli_main(["pipeline", "bpe-encode", docs, f"{d}/merges",
+                     f"{d}/enc", "--word-end-marker", "</w>",
+                     "--encode-impl", "pandas"]) == 0
+    enc = spark.read.parquet(f"{d}/enc")
+    direct = text_mod.bpe_encode(
+        spark.read.parquet(docs), merges, word_end_marker="</w>",
+        encode_impl="pandas",
+    )
+    assert (enc.orderBy("doc_id").collect()
+            == direct.orderBy("doc_id").collect())
+
+    emb = f"{SF_DIR}/embeddings.parquet"
+    assert cli_main(["pipeline", "cluster", emb, f"{d}/cl",
+                     "--k", "8", "--assign-impl", "pandas"]) == 0
+    cl = spark.read.parquet(f"{d}/cl")
+    direct_c = similarity.cluster_embeddings(
+        spark.read.parquet(emb), k=8, assign_impl="pandas"
+    )
+    assert (cl.orderBy("vec_id").collect()
+            == direct_c.orderBy("vec_id").collect())
+
+
 def test_train_centroids_skips_null_ids(spark):
     """ADVICE r13: a NULL id in the sample window must not crash the
     driver-side re-sort; null-id rows are excluded from the sample."""
