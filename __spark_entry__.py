@@ -1307,6 +1307,29 @@ def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def pack_token_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-length sequence packing (operators/text.py:
+    pack_token_sequences, round 13 — the MATERIALIZING twin of
+    pipeline.pack_sequences' doc-level layout) — the concat-and-chunk step after
+    tokenization in a pretraining pipeline: all documents' whitespace
+    tokens concatenated in doc_id order, cut into 64-token sequences,
+    final partial dropped. Distributed prefix-sum (repartitionByRange +
+    partition-local window + broadcast partition offsets — NO
+    single-task global window; plan-pinned in
+    tests/test_round13_ops.py). Oracle replays the stream with a window
+    cumsum + lateral unnest + gp//64 grouping; tokens space-joined for
+    the scalar-hash canonicalizer."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", text.tokens(F.col("text")).alias("tokens"))
+    out = text.pack_token_sequences(toks, seq_len=64)
+    return out.select(
+        "seq_id",
+        F.concat_ws(" ", "tokens").alias("toks"),
+        "n_tokens",
+        "n_docs",
+    ).orderBy("seq_id")
+
+
 def train_bpe_driver_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME 12-merge training as train_bpe_documents but through
     strategy='driver' (operators/text.py:_train_bpe_driver, round 13):
@@ -2879,6 +2902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (CORRECTNESS_r10: 50/50). The local full gate
     # (scripts/check_correctness.py) always runs ALL entries.
     return {
+        "pack_token_sequences_documents": pack_token_sequences_documents,
         "knn_graph_pandas_embeddings": knn_graph_pandas_embeddings,
         "cluster_embeddings_pandas_embeddings": cluster_embeddings_pandas_embeddings,
         "train_bpe_driver_documents": train_bpe_driver_documents,
@@ -6348,6 +6372,29 @@ def oracle_sql() -> dict[str, str]:
         # provably the same segmentation for trained tables
         "train_bpe_driver_documents": _train_bpe_oracle(),
         "bpe_encode_pandas_documents": _train_bpe_oracle(emit="encode"),
+        "pack_token_sequences_documents": f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKENS} AS toks FROM documents),
+        n AS (
+          SELECT doc_id, toks,
+                 COALESCE(SUM(len(toks)) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+          FROM t),
+        pos AS (
+          SELECT doc_id, off + u.i - 1 AS gp, toks[u.i] AS tok
+          FROM n, unnest(range(1, len(toks) + 1)) u(i)),
+        ch AS (
+          SELECT gp // 64 AS seq_id,
+                 string_agg(tok, ' ' ORDER BY gp) AS toks,
+                 COUNT(*) AS n_tokens,
+                 COUNT(DISTINCT doc_id) AS n_docs
+          FROM pos GROUP BY 1),
+        tot AS (SELECT COUNT(*) AS n FROM pos)
+        SELECT CAST(seq_id AS BIGINT) AS seq_id, toks,
+               CAST(n_tokens AS INT) AS n_tokens,
+               CAST(n_docs AS INT) AS n_docs
+        FROM ch, tot WHERE (seq_id + 1) * 64 <= tot.n ORDER BY seq_id
+        """,
         "cluster_embeddings_embeddings": _cluster_embeddings_oracle(),
         "pq_codes_embeddings": _pq_codes_oracle(),
         "pq_topk_embeddings": _pq_topk_oracle(),

@@ -43,6 +43,7 @@ __all__ = [
     "QUALITY_CLASSIFIER_WEIGHTS",
     "train_bpe",
     "bpe_encode",
+    "pack_token_sequences",
 ]
 
 # Tiny per-language function-word lists for the n-gram/stopword language
@@ -1913,3 +1914,113 @@ def bpe_encode(
             F.coalesce(F.size("tokens"), F.lit(0)).cast("int").alias("n_tokens"),
         )
     )
+
+
+def pack_token_sequences(
+    df: DataFrame,
+    seq_len: int,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    drop_remainder: bool = True,
+) -> DataFrame:
+    """Exact fixed-length sequence packing — the concat-and-chunk step a
+    pretraining pipeline runs after tokenization: all documents' tokens
+    are concatenated in ``id_col`` order into one global stream and cut
+    into consecutive ``seq_len``-token sequences (documents crossing a
+    boundary are split, nothing is padded). Returns (seq_id, tokens
+    array<string>, n_tokens, n_docs) with seq_id = 0-based chunk index
+    and n_docs = documents contributing at least one token to the
+    chunk; ``drop_remainder`` drops the final partial chunk (the
+    standard training convention). Deterministic: the stream order is
+    (id, token position), no ties possible.
+
+    Scale shape — the classic distributed prefix-sum instead of a
+    global window (``Window.orderBy(id)`` with no partitionBy compiles
+    to a SINGLE-task sort — the exact anti-pattern at 100 TB):
+    ``repartitionByRange(id)`` gives ordered partition ranges, a
+    partition-LOCAL window computes the within-partition running token
+    count, and the per-partition totals (one row per partition) are
+    collected and broadcast back as absolute offsets. The token-level
+    explode then shuffles once on the chunk id — #tokens tiny rows, the
+    irreducible cost of exact packing (every token's global position
+    determines its chunk); chunks are perfectly balanced by
+    construction (exactly seq_len tokens each). Documents with zero
+    tokens contribute nothing and are not counted in n_docs."""
+    from pyspark.sql import Window
+
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    spark = df.sparkSession
+    base = df.select(
+        F.col(id_col), F.col(tokens_col).alias("__toks")
+    ).withColumn("__n", F.coalesce(F.size("__toks"), F.lit(0)))
+    n_part = max(
+        1, min(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 2048)
+    )
+    from pyspark import StorageLevel
+
+    # eager checkpoint BEFORE anything reads __pid: repartitionByRange
+    # picks its bounds by sampling and spark_partition_id is evaluated
+    # per job, so the totals collect below and the final chunk job
+    # would otherwise re-execute the exchange independently and can
+    # disagree on which partition a row landed in (measured: 4086 vs
+    # 4229 chunks at sf0.1) — the checkpoint freezes one materialized
+    # partitioning that every downstream job reads.
+    ranged = (
+        base.repartitionByRange(n_part, F.col(id_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    w_loc = (
+        Window.partitionBy("__pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn(
+        "__loc", F.coalesce(F.sum("__n").over(w_loc), F.lit(0))
+    )
+    # per-partition totals: one row per partition, driver-tiny; range
+    # partitioning orders partitions by id, so the absolute offset of
+    # partition p is the sum of totals of partitions < p
+    totals = {
+        r["__pid"]: r["t"]
+        for r in local.groupBy("__pid").agg(F.sum("__n").alias("t")).collect()
+    }
+    prefix, acc = {}, 0
+    for p in sorted(totals):
+        prefix[p] = acc
+        acc += totals[p] or 0
+    total_tokens = acc
+    pre = spark.createDataFrame(
+        [(p, off) for p, off in prefix.items()] or [(0, 0)],
+        "__pid int, __pre long",
+    )
+    offs = local.join(F.broadcast(pre), on="__pid").withColumn(
+        "__off", F.col("__pre") + F.col("__loc")
+    )
+    ex = offs.select(
+        F.col(id_col),
+        F.col("__off"),
+        F.posexplode("__toks").alias("__pos", "__tok"),
+    ).withColumn("__gp", F.col("__off") + F.col("__pos"))
+    chunks = (
+        ex.withColumn("seq_id", F.floor(F.col("__gp") / seq_len))
+        .groupBy("seq_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__gp"), F.col("__tok")))
+                ),
+                lambda s: s["__tok"],
+            ).alias("tokens"),
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.countDistinct(F.col(id_col)).cast("int").alias("n_docs"),
+        )
+    )
+    if drop_remainder:
+        # equivalent to n_tokens == seq_len except when the stream ends
+        # exactly on a boundary (then the last chunk is complete)
+        chunks = chunks.where(
+            (F.col("seq_id") + 1) * seq_len <= F.lit(total_tokens)
+        )
+    return chunks.orderBy("seq_id")

@@ -184,11 +184,21 @@ def dims(argv: list[str]) -> None:
         corpus = _corpus(spark, n, dim)
         entry: dict[str, object] = {}
         for impl, nl in (("codegen", 256), ("pandas", 1024)):
-            arm: dict[str, object] = {"n_lists": nl}
+            # the dim=768 codegen arm measured 2010 s at 100k (33 min);
+            # at 1536/4096 the codegen arm runs on a 10k subsample —
+            # per-row assignment cost is what's being priced, and the
+            # arm's n is recorded so nothing is silently extrapolated
+            arm_corpus = corpus
+            arm_n = n
+            if impl == "codegen" and dim >= 1536 and n > 10_000:
+                arm_n = 10_000
+                arm_corpus = corpus.where(F.col("vec_id") < arm_n)
+            arm: dict[str, object] = {"n_lists": nl, "n": arm_n}
             try:
                 t0 = time.time()
                 g = similarity.knn_graph(
-                    corpus, k=10, n_lists=nl, n_probe=n_probe, assign_impl=impl
+                    arm_corpus, k=10, n_lists=nl, n_probe=n_probe,
+                    assign_impl=impl,
                 )
                 plan = g._jdf.queryExecution().executedPlan().toString()
                 arm["python_in_plan"] = ("ArrowEvalPython" in plan) or (

@@ -242,6 +242,66 @@ def test_bpe_encode_auto_threshold(spark):
     assert sorted(map(tuple, big.collect())) == sorted(map(tuple, alt.collect()))
 
 
+# ------------------------------------------------- sequence packing --
+
+
+def test_pack_token_sequences_matches_python(spark):
+    from clarite_python_spark.operators import text as text_mod
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(100)
+    rows = sorted((r["doc_id"], r["text"]) for r in docs.collect())
+    stream = []
+    for did, txt in rows:
+        stream += [(did, t) for t in txt.split()]
+    seq_len = 50
+    n_full = len(stream) // seq_len
+    expected = []
+    for c in range(n_full):
+        seg = stream[c * seq_len:(c + 1) * seq_len]
+        expected.append(
+            (c, [t for _, t in seg], seq_len, len({d for d, _ in seg}))
+        )
+    toks = docs.select(
+        "doc_id", text_mod.tokens(F.col("text")).alias("tokens")
+    )
+    got = [
+        (r["seq_id"], list(r["tokens"]), r["n_tokens"], r["n_docs"])
+        for r in text_mod.pack_token_sequences(toks, seq_len=seq_len).collect()
+    ]
+    assert got == expected
+    # keep_remainder keeps the final partial chunk with the leftover
+    rem = len(stream) % seq_len
+    all_chunks = text_mod.pack_token_sequences(
+        toks, seq_len=seq_len, drop_remainder=False
+    ).collect()
+    assert len(all_chunks) == n_full + (1 if rem else 0)
+    if rem:
+        last = all_chunks[-1]
+        assert last["n_tokens"] == rem
+        assert list(last["tokens"]) == [t for _, t in stream[n_full * seq_len:]]
+    with pytest.raises(ValueError):
+        text_mod.pack_token_sequences(toks, seq_len=0)
+
+
+def test_pack_token_sequences_no_global_single_task_sort(spark):
+    """The prefix-sum must NOT compile to a global no-partition window
+    (a single-task sort of the corpus): the plan's window sorts are all
+    preceded by a range/hash repartitioning on the partition id."""
+    from clarite_python_spark.operators import text as text_mod
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    toks = docs.select(
+        "doc_id", text_mod.tokens(F.col("text")).alias("tokens")
+    )
+    plan = (
+        text_mod.pack_token_sequences(toks, seq_len=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan
+
+
 def test_cli_r13_flags_round_trip(spark, tmp_path):
     """CLI exposure of the r13 scale paths: train-bpe --strategy driver
     --word-end-marker, bpe-encode --encode-impl pandas, cluster
