@@ -1849,18 +1849,16 @@ def ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     path is the same verify kernel fed by MinHash-LSH candidates
     (``minhash_dedup_documents``), which is O(corpus), not O(n^2)."""
     docs = _t(spark, sf_dir, "documents")
-    ids = docs.select("doc_id")
-    # repartition: the broadcast-range join emits all pairs in the scan's
-    # 1-2 partitions; without a reshuffle every downstream stage of the
-    # 12.5M-pair sf0.1 verify runs single-task (measured in the r9 sweep).
-    # Width follows the session's parallelism rather than a gate-box
-    # constant.
-    cands = (
-        ids.select(F.col("doc_id").alias("id_a"))
-        .join(ids.select(F.col("doc_id").alias("id_b")), F.col("id_a") < F.col("id_b"))
-        .repartition(spark.sparkContext.defaultParallelism)
+    # strategy='index', candidates=None (r13): the all-pairs result is
+    # exactly the colliding-pairs set the inverted index materializes —
+    # the pair exchange carries 8-byte rows for the Σ df(g)² colliding
+    # pairs (1.27M at sf0.1) instead of two whole shingle arrays for
+    # each of the 12.5M explicit candidates, and the O(n²) candidate
+    # frame is never built; identical jaccard values (exact integer
+    # ratios both ways)
+    out = dedup.ngram_jaccard_pairs(
+        docs, None, shingle_n=3, threshold=0.2, strategy="index"
     )
-    out = dedup.ngram_jaccard_pairs(docs, cands, shingle_n=3, threshold=0.2)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")).orderBy(
         "id_a", "id_b"
     )

@@ -578,34 +578,45 @@ def remove_contaminated_spans(
         F.col(id_col), F.col("__otoks"), ntok.alias("n_tokens"), wins.alias("__wins")
     )
     ex = staged.select(F.col(id_col), F.posexplode("__wins").alias("__pos", "__gh"))
+    # stage the benchmark tokens as a real column first — inlining the
+    # split inside the per-window lambda re-tokenizes per gram position
+    # (the same O(len²) trap the __toks staging above avoids)
     btoks = F.transform(tokens(bench_text_col or text_col), lambda x: F.lower(x))
-    bn = F.coalesce(F.size(btoks), F.lit(0))
+    bstaged = benchmark.select(btoks.alias("__btoks"))
+    bn = F.coalesce(F.size("__btoks"), F.lit(0))
     bwins = F.when(
         bn >= n,
         F.transform(
             F.sequence(F.lit(0), bn - n),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(btoks, i + 1, n))),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("__btoks"), i + 1, n))),
         ),
     )
     bench_grams = (
-        benchmark.select(F.explode(bwins).alias("__gh")).distinct()
+        bstaged.select(F.explode(bwins).alias("__gh")).distinct()
     )
     dup = ex.join(F.broadcast(bench_grams), "__gh", "left_semi")
     return _delete_covered_windows(staged, dup, id_col, n)
 
 
 def shingles(text_col: str = "text", n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array column (JVM lambdas)."""
+    """Distinct word n-gram shingles as an array column (JVM lambdas).
+
+    The token array is BOUND as a lambda variable (the 1-element-array
+    ``transform`` wrapper) before the per-position gram loop: lambda
+    bodies get no common-subexpression elimination, so referencing the
+    ``tokens()`` split expression directly inside the per-gram lambda
+    re-tokenizes the whole document for every gram position — O(len²)
+    work per document (measured sf0.1: the shingle projection alone
+    5.24 s -> 0.77 s with the binding; identical gram lists)."""
     toks = tokens(text_col)
-    return F.array_distinct(
-        F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", toks)))
-    )
+    per_tk = lambda tk: F.when(  # noqa: E731
+        F.size(tk) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tk) - n),
+            lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", tk)))
+    return F.array_distinct(F.get(F.transform(F.array(toks), per_tk), 0))
 
 
 def benchmark_grams(
@@ -1044,13 +1055,24 @@ def lsh_recall(
                 "sample_fraction, or pass max_sample_rows=None to force "
                 "the quadratic truth join."
             )
-    ids = sample.select(id_col)
-    allpairs = ids.select(F.col(id_col).alias("id_a")).join(
-        ids.select(F.col(id_col).alias("id_b")), F.col("id_a") < F.col("id_b")
-    )
-    truth = ngram_jaccard_pairs(
-        sample, allpairs, text_col, id_col, shingle_n, threshold
-    ).select("id_a", "id_b")
+    # the truth side is all-pairs by construction — exactly the regime
+    # the inverted-index strategy exists for, and with candidates=None
+    # the O(sample²) pair frame is never even built (measured sf0.1:
+    # lsh_recall_documents 109.2 s -> 12.4 s); a non-positive threshold
+    # (degenerate: every pair is "true") keeps the explicit-pairs plan
+    if threshold > 0:
+        truth = ngram_jaccard_pairs(
+            sample, None, text_col, id_col, shingle_n, threshold,
+            strategy="index",
+        ).select("id_a", "id_b")
+    else:
+        ids = sample.select(id_col)
+        allpairs = ids.select(F.col(id_col).alias("id_a")).join(
+            ids.select(F.col(id_col).alias("id_b")), F.col("id_a") < F.col("id_b")
+        )
+        truth = ngram_jaccard_pairs(
+            sample, allpairs, text_col, id_col, shingle_n, threshold
+        ).select("id_a", "id_b")
     cands = minhash_lsh_candidates(
         sample, text_col, id_col, num_hashes, bands, shingle_n, max_bucket,
         hash_family,
@@ -1090,12 +1112,13 @@ def lsh_recall(
 
 def ngram_jaccard_pairs(
     df: DataFrame,
-    candidates: DataFrame,
+    candidates: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.8,
     hash_shingles: bool = False,
+    strategy: str = "join",
 ) -> DataFrame:
     """Verify candidate pairs with exact n-gram Jaccard similarity.
 
@@ -1116,17 +1139,115 @@ def ngram_jaccard_pairs(
     materializes it at first evaluation so the candidate-generation DAG
     (for minhash_dedup: the whole signature+banding pass) runs once, not
     three times; measured ~1.5x on the sf0.1 headline dedup, identical
-    survivors (BASELINE.md round-7 fourth batch)."""
-    candidates = candidates.localCheckpoint(eager=False)
-    cand_ids = (
-        candidates.select(F.col("id_a").alias(id_col))
-        .unionByName(candidates.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    sub = df.join(cand_ids, on=id_col, how="left_semi")
+    survivors (BASELINE.md round-7 fourth batch).
+
+    ``strategy`` picks the scoring plan — identical jaccard values:
+
+    - ``'join'`` (default): attach each side's full shingle array to
+      every candidate pair and compare with ``array_intersect`` /
+      ``array_union``. Cost is O(|candidates| · gram-count) pair rows
+      each carrying two whole shingle arrays through a shuffle — right
+      when candidates are few (the banded-LSH verify).
+    - ``'index'``: the classic inverted index. Explode candidate docs
+      to distinct (id, gram) rows, self-join on the gram to count
+      |A∩B| per colliding pair, and finish with |A∪B| = |A|+|B|−|A∩B|
+      from a per-doc gram-count table. Nothing heavier than an 8-byte
+      pair row crosses the exchange, and only pairs sharing ≥ 1 gram
+      are ever materialized — which loses nobody: a pair with an empty
+      intersection has jaccard 0 and cannot clear a positive
+      ``threshold``. This is the all-pairs/dense-candidates shape
+      (measured sf0.1: the 12.5M-pair ``ngram_jaccard_documents``
+      47.7 s -> 4.1 s; its pair budget is the Σ_g df(g)² collision
+      count — 1.27M — instead of |candidates|). Requires
+      ``threshold > 0`` (a zero threshold would have to emit
+      non-intersecting pairs) and ``id_a != id_b`` candidate rows (the
+      all-pairs and banded generators both emit strict ``<`` pairs);
+      candidate orientation may be arbitrary — scores attach through a
+      (least, greatest) normalization.
+
+    ``candidates=None`` (index strategy only) scores EVERY ``id_a <
+    id_b`` pair of ``df`` — the all-pairs truth computation — without
+    ever materializing the O(n²) candidate frame: the colliding pairs
+    the inverted index finds ARE the result set (everything else has
+    jaccard 0). The explicit all-pairs frame costs a full nested-loop
+    materialization + an O(n²)-row checkpoint + an O(n²)-row join that
+    the collision count makes irrelevant (measured sf0.1: 40.6 s with
+    the frame vs 4 s without, on 1.27M colliding of 12.5M pairs).
+    """
+    if strategy not in ("join", "index"):
+        raise ValueError("strategy must be 'join' or 'index'")
+    if candidates is None and strategy != "index":
+        raise ValueError(
+            "candidates=None (score all pairs) requires strategy='index'"
+        )
+    if candidates is not None:
+        candidates = candidates.localCheckpoint(eager=False)
     sh_col = shingles(text_col, shingle_n)
     if hash_shingles:
         sh_col = F.transform(sh_col, lambda s: F.xxhash64(s))
+    if candidates is None:
+        sub = df
+    else:
+        cand_ids = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        sub = df.join(cand_ids, on=id_col, how="left_semi")
+    if strategy == "index":
+        if threshold <= 0:
+            raise ValueError(
+                "strategy='index' needs threshold > 0: it only materializes "
+                "pairs with a nonzero gram intersection"
+            )
+        # the gram table feeds three consumers (sizes + both self-join
+        # sides); materialize the tokenize+shingle pass once
+        from pyspark import StorageLevel
+
+        grams = (
+            sub.select(F.col(id_col), F.explode(sh_col).alias("__g"))
+            .distinct()
+            .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+        )
+        sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+        inter = (
+            grams.select(F.col(id_col).alias("__pa"), "__g")
+            .join(grams.select(F.col(id_col).alias("__pb"), "__g"), "__g")
+            .where(F.col("__pa") < F.col("__pb"))
+            .groupBy("__pa", "__pb")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        if candidates is None:
+            restricted = inter.select(
+                F.col("__pa"), F.col("__pb"),
+                F.col("__pa").alias("id_a"), F.col("__pb").alias("id_b"),
+                "__c",
+            )
+        else:
+            restricted = candidates.select(
+                "id_a",
+                "id_b",
+                F.least("id_a", "id_b").alias("__pa"),
+                F.greatest("id_a", "id_b").alias("__pb"),
+            ).join(inter, ["__pa", "__pb"])
+        scored = (
+            restricted.join(
+                sizes.select(F.col(id_col).alias("__pa"), F.col("__n").alias("__na")),
+                "__pa",
+            )
+            .join(
+                sizes.select(F.col(id_col).alias("__pb"), F.col("__n").alias("__nb")),
+                "__pb",
+            )
+            # same long/long -> double division as size()/size() below:
+            # both ratios are exact-integer quotients, bit-identical
+            .withColumn(
+                "jaccard",
+                F.col("__c") / (F.col("__na") + F.col("__nb") - F.col("__c")),
+            )
+            .select("id_a", "id_b", "jaccard")
+        )
+        return scored.where(F.col("jaccard") >= threshold)
     sh = sub.select(F.col(id_col), sh_col.alias("sh"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
@@ -1597,16 +1718,24 @@ def _simhash_bits(text_col: str, bits: int, hash_family: str) -> Column:
 
         return md5_60bit(t)
 
-    toks = tokens(text_col)
+    # hash each token ONCE, then fold the per-bit ±1 over the hashed
+    # longs: higher-order-function lambdas evaluate with no common-
+    # subexpression elimination, so `getbit(token_hash(t), b)` inside
+    # the per-bit transform recomputes the token hash for every one of
+    # the ``bits`` lambda calls — 60 md5 chains per token for the md5
+    # family (measured: incremental_simhash_documents sf0.1 66.3 s ->
+    # 11.2 s with the hoist; identical fingerprints, the hash values and
+    # the ±1 sums are unchanged). ``getbit`` on a ready long is trivial.
+    hashed = F.transform(tokens(text_col), lambda t: token_hash(t))
     zero = F.array(*[F.lit(0).cast("long") for _ in range(bits)])
     counts = F.aggregate(
-        toks,
+        hashed,
         zero,
-        lambda acc, t: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.transform(
                 F.sequence(F.lit(0), F.lit(bits - 1)),
-                lambda b: F.when(F.getbit(token_hash(t), b) == 1, F.lit(1))
+                lambda b: F.when(F.getbit(h, b) == 1, F.lit(1))
                 .otherwise(F.lit(-1))
                 .cast("long"),
             ),

@@ -99,6 +99,20 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
+def cosine_prenorm(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """:func:`cosine` with the two norms PRECOMPUTED per row.
+
+    Bit-identical to ``cosine(a, b)`` when ``na``/``nb`` carry
+    ``_norm(a)``/``_norm(b)`` computed over the same array values (the
+    product is IEEE-commutative, the division unchanged) — but the norm
+    folds run once per ROW on each join side instead of once per PAIR.
+    In every pair-scoring plan (n_pairs >> n_rows) this cuts the
+    per-pair work from three interpreted array folds (dot + two norms;
+    higher-order functions don't codegen) to one. Same idiom
+    ``semantic_dedup`` has always used for its pair predicate."""
+    return F.try_divide(_dot(a, b), na * nb)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -114,14 +128,24 @@ def cosine_topk(
     |queries|), JVM-side cosine, then per-query top-k via window. Ties
     broken by corpus id for determinism."""
     q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("__qn"),
     )
-    scored = corpus.crossJoin(F.broadcast(q)).select(
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _norm(F.col(vec_col).cast("array<double>")).alias("__cn"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine(F.col(vec_col).cast("array<double>"), F.col("__qvec").cast("array<double>")).alias(
-            "cosine"
-        ),
+        cosine_prenorm(
+            F.col(vec_col).cast("array<double>"),
+            F.col("__qvec").cast("array<double>"),
+            F.col("__cn"),
+            F.col("__qn"),
+        ).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -481,16 +505,24 @@ def binary_rerank(
         dim=dim, index_dir=index_dir,
     ).select(query_id_col, id_col)
     withvec = short.join(
-        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")),
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+            _norm(F.col(vec_col).cast("array<double>")).alias("__vn"),
+        ),
         on=id_col,
     )
     qv = queries.select(
-        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("__qvec")
+        F.col(query_id_col),
+        F.col(vec_col).cast("array<double>").alias("__qvec"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("__qn"),
     )
     scored = withvec.join(F.broadcast(qv), on=query_id_col).select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine(F.col("__v"), F.col("__qvec")).alias("cosine"),
+        cosine_prenorm(
+            F.col("__v"), F.col("__qvec"), F.col("__vn"), F.col("__qn")
+        ).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -527,17 +559,21 @@ def truncated_topk(
     if dim <= 0:
         raise ValueError("dim must be positive")
     tc = corpus.select(
-        F.col(id_col), F.slice(F.col(vec_col), 1, dim).alias("__tvec")
+        F.col(id_col),
+        F.slice(F.col(vec_col), 1, dim).alias("__tvec"),
+        _norm(F.slice(F.col(vec_col), 1, dim).cast("array<double>")).alias("__tn"),
     )
     tq = queries.select(
-        F.col(query_id_col), F.slice(F.col(vec_col), 1, dim).alias("__tqvec")
+        F.col(query_id_col),
+        F.slice(F.col(vec_col), 1, dim).alias("__tqvec"),
+        _norm(F.slice(F.col(vec_col), 1, dim).cast("array<double>")).alias("__tqn"),
     )
     a = F.col("__tvec").cast("array<double>")
     b = F.col("__tqvec").cast("array<double>")
     scored = tc.crossJoin(F.broadcast(tq)).select(
         F.col(query_id_col),
         F.col(id_col),
-        (_dot(a, b) / (_norm(a) * _norm(b))).alias("cosine_t"),
+        (_dot(a, b) / (F.col("__tn") * F.col("__tqn"))).alias("cosine_t"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_t"), F.asc(id_col))
     return (
@@ -601,16 +637,16 @@ def rp_topk(
 
     pc = corpus.select(
         F.col(id_col), proj(F.col(vec_col).cast("array<double>")).alias("__pvec")
-    )
+    ).withColumn("__pn", _norm(F.col("__pvec")))
     pq = queries.select(
         F.col(query_id_col), proj(F.col(vec_col).cast("array<double>")).alias("__pqvec")
-    )
+    ).withColumn("__pqn", _norm(F.col("__pqvec")))
     a = F.col("__pvec")
     b = F.col("__pqvec")
     scored = pc.crossJoin(F.broadcast(pq)).select(
         F.col(query_id_col),
         F.col(id_col),
-        (_dot(a, b) / (_norm(a) * _norm(b))).alias("cosine_p"),
+        (_dot(a, b) / (F.col("__pn") * F.col("__pqn"))).alias("cosine_p"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_p"), F.asc(id_col))
     return (
@@ -653,18 +689,24 @@ def lsh_topk(
     a small int — broadcastable when queries are few)."""
     dim = len(queries.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes, seed)
-    c = corpus.withColumn("__bucket", _bucket(F.col(vec_col).cast("array<double>"), planes))
+    c = corpus.withColumn(
+        "__bucket", _bucket(F.col(vec_col).cast("array<double>"), planes)
+    ).withColumn("__cn", _norm(F.col(vec_col).cast("array<double>")))
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
         _bucket(F.col(vec_col).cast("array<double>"), planes).alias("__bucket"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("__qn"),
     )
     scored = c.join(F.broadcast(q), on="__bucket").select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine(F.col(vec_col).cast("array<double>"), F.col("__qvec").cast("array<double>")).alias(
-            "cosine"
-        ),
+        cosine_prenorm(
+            F.col(vec_col).cast("array<double>"),
+            F.col("__qvec").cast("array<double>"),
+            F.col("__cn"),
+            F.col("__qn"),
+        ).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -728,20 +770,34 @@ def lsh_topk_multi(
         F.col(id_col),
         F.col(vec_col),
         F.explode(banded(F.col(vec_col).cast("array<double>"))).alias("__bb"),
-    ).select(id_col, vec_col, "__bb.band", "__bb.bucket")
+    ).select(
+        id_col,
+        vec_col,
+        "__bb.band",
+        "__bb.bucket",
+        _norm(F.col(vec_col).cast("array<double>")).alias("__cn"),
+    )
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
         F.explode(banded(F.col(vec_col).cast("array<double>"))).alias("__bb"),
-    ).select(query_id_col, "__qvec", "__bb.band", "__bb.bucket")
+    ).select(
+        query_id_col,
+        "__qvec",
+        "__bb.band",
+        "__bb.bucket",
+        _norm(F.col("__qvec").cast("array<double>")).alias("__qn"),
+    )
     scored = (
         c.join(F.broadcast(q), on=["band", "bucket"])
         .select(
             F.col(query_id_col),
             F.col(id_col),
-            cosine(
+            cosine_prenorm(
                 F.col(vec_col).cast("array<double>"),
                 F.col("__qvec").cast("array<double>"),
+                F.col("__cn"),
+                F.col("__qn"),
             ).alias("cosine"),
         )
         # collapse multi-band collisions: one row per candidate pair
@@ -964,32 +1020,39 @@ def ivf_topk(
     if assign_impl == "pandas":
         corpus_l = _assign_cells_pandas(
             corpus, cents, id_col, vec_col, n_probe=1
-        ).select(F.col(id_col), F.col(vec_col), F.col("__list"))
+        ).select(
+            F.col(id_col), F.col(vec_col), F.col("__list"), _norm(cvec).alias("__cn")
+        )
         q = _assign_cells_pandas(
             queries, cents, query_id_col, vec_col, n_probe
         ).select(
             F.col(query_id_col),
             F.col(vec_col).alias("__qvec"),
             F.explode("__probes").alias("__list"),
+            _norm(cvec).alias("__qn"),
         )
     else:
         dots = _centroid_dots(cvec, cents)
         corpus_l = corpus.withColumn(
             "__list",
             (F.array_position(dots, F.array_max(dots)) - 1).cast("int"),
-        )
+        ).withColumn("__cn", _norm(cvec))
         # per-query top-n_probe centroid ids: sort (dot, idx) structs desc
         qdots = _centroid_dots(cvec, cents)
         q = queries.select(
             F.col(query_id_col),
             F.col(vec_col).alias("__qvec"),
             F.explode(_probe_ids(qdots, len(cents), n_probe)).alias("__list"),
+            _norm(cvec).alias("__qn"),
         )
     scored = corpus_l.join(F.broadcast(q), on="__list").select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine(
-            F.col(vec_col).cast("array<double>"), F.col("__qvec").cast("array<double>")
+        cosine_prenorm(
+            F.col(vec_col).cast("array<double>"),
+            F.col("__qvec").cast("array<double>"),
+            F.col("__cn"),
+            F.col("__qn"),
         ).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
@@ -1188,11 +1251,13 @@ def knn_graph(
             F.col(id_col).alias("__nid"),
             F.col(vec_col).cast("array<double>").alias("__nvec"),
             "__list",
+            _norm(F.col(vec_col).cast("array<double>")).alias("__nn"),
         )
         left = assigned.select(
             F.col(id_col),
             F.col(vec_col).cast("array<double>").alias("__qvec"),
             F.explode("__probes").alias("__list"),
+            _norm(F.col(vec_col).cast("array<double>")).alias("__qn"),
         )
     else:
         dots = _centroid_dots(cvec, cents)
@@ -1200,6 +1265,7 @@ def knn_graph(
             F.col(id_col).alias("__nid"),
             cvec.alias("__nvec"),
             (F.array_position(dots, F.array_max(dots)) - 1).cast("int").alias("__list"),
+            _norm(cvec).alias("__nn"),
         )
         # per-vector top-n_probe cells: same (d, i)-struct sort as
         # ivf_topk (ties: higher cell id first — reverse of ascending
@@ -1210,6 +1276,7 @@ def knn_graph(
             F.col(id_col),
             cvec.alias("__qvec"),
             F.explode(_probe_ids(dots, len(cents), n_probe)).alias("__list"),
+            _norm(cvec).alias("__qn"),
         )
     scored = (
         left.join(right, on="__list")
@@ -1218,7 +1285,9 @@ def knn_graph(
             "__list",
             F.col(id_col),
             F.col("__nid"),
-            cosine(F.col("__qvec"), F.col("__nvec")).alias("cosine"),
+            cosine_prenorm(
+                F.col("__qvec"), F.col("__nvec"), F.col("__qn"), F.col("__nn")
+            ).alias("cosine"),
         )
     )
     w1 = Window.partitionBy("__list", id_col).orderBy(F.desc("cosine"), F.asc("__nid"))
@@ -1339,10 +1408,14 @@ def embedding_neardup(
     all-pairs theta-join is a scale-killer, the exact path refuses
     corpora above ``max_exact_rows`` (pass ``None`` to override)."""
     a = df.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("__va")
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("__va"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("__na"),
     )
     b = df.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("__vb")
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("__vb"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("__nb"),
     )
     if exact or n_planes <= 0:
         if max_exact_rows is not None:
@@ -1377,11 +1450,13 @@ def embedding_neardup(
         ab = a.select(
             "id_a",
             "__va",
+            "__na",
             F.posexplode(_band_buckets(F.col("__va"))).alias("__band", "__bucket"),
         )
         bb = b.select(
             "id_b",
             "__vb",
+            "__nb",
             F.posexplode(_band_buckets(F.col("__vb"))).alias("__band", "__bucket"),
         )
         # A pair colliding in several bands appears once per collision;
@@ -1392,7 +1467,12 @@ def embedding_neardup(
             .dropDuplicates(["id_a", "id_b"])
         )
     return (
-        pairs.withColumn("cosine", cosine(F.col("__va"), F.col("__vb")))
+        pairs.withColumn(
+            "cosine",
+            cosine_prenorm(
+                F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+            ),
+        )
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -1876,14 +1956,23 @@ def pq_topk(
     )
     v = F.col(vec_col).cast("array<double>")
     recon = _pq_reconstruct(_pq_code_cols(v, books), books)
-    enc = corpus.select(F.col(id_col), recon.alias("__recon"))
-    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    enc = corpus.select(F.col(id_col), recon.alias("__recon")).withColumn(
+        "__rn", _norm(F.col("__recon"))
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("__qn"),
+    )
     scored = enc.crossJoin(F.broadcast(q)).select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine(F.col("__recon"), F.col("__qvec").cast("array<double>")).alias(
-            "cosine_pq"
-        ),
+        cosine_prenorm(
+            F.col("__recon"),
+            F.col("__qvec").cast("array<double>"),
+            F.col("__rn"),
+            F.col("__qn"),
+        ).alias("cosine_pq"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine_pq"), F.asc(id_col)
@@ -2002,6 +2091,7 @@ def ivf_pq_topk(
             F.col("__list"),
             recon.alias("__recon"),
         )
+    enc = enc.withColumn("__rn", _norm(F.col("__recon")))
     if assign_impl == "pandas":
         q = _assign_cells_pandas(
             queries, cents, query_id_col, vec_col, n_probe
@@ -2009,6 +2099,7 @@ def ivf_pq_topk(
             F.col(query_id_col),
             F.col(vec_col).alias("__qvec"),
             F.explode("__probes").alias("__list"),
+            _norm(cvec).alias("__qn"),
         )
     else:
         qdots = _centroid_dots(cvec, cents)
@@ -2016,13 +2107,17 @@ def ivf_pq_topk(
             F.col(query_id_col),
             F.col(vec_col).alias("__qvec"),
             F.explode(_probe_ids(qdots, len(cents), n_probe)).alias("__list"),
+            _norm(cvec).alias("__qn"),
         )
     scored = enc.join(F.broadcast(q), on="__list").select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine(F.col("__recon"), F.col("__qvec").cast("array<double>")).alias(
-            "cosine_pq"
-        ),
+        cosine_prenorm(
+            F.col("__recon"),
+            F.col("__qvec").cast("array<double>"),
+            F.col("__rn"),
+            F.col("__qn"),
+        ).alias("cosine_pq"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_pq"), F.asc(id_col))
     return (
@@ -2078,19 +2173,26 @@ def incremental_embedding_neardup(
     nb = batch.select(
         F.col(id_col).alias("__idn"),
         F.col(vec_col).cast("array<double>").alias("__vn"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("__nn"),
         F.posexplode(_band_buckets(F.col(vec_col).cast("array<double>"))).alias(
             "__band", "__bucket"
         ),
     )
     hb = history.select(
         F.col(vec_col).cast("array<double>").alias("__vh"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("__nh"),
         F.posexplode(_band_buckets(F.col(vec_col).cast("array<double>"))).alias(
             "__band", "__bucket"
         ),
     )
     dropped = (
         nb.join(hb, on=["__band", "__bucket"])
-        .where(cosine(F.col("__vn"), F.col("__vh")) >= F.lit(float(threshold)))
+        .where(
+            cosine_prenorm(
+                F.col("__vn"), F.col("__vh"), F.col("__nn"), F.col("__nh")
+            )
+            >= F.lit(float(threshold))
+        )
         .select(F.col("__idn").alias(id_col))
         .distinct()
     )
@@ -2175,14 +2277,20 @@ def mmr_rerank(
         # per-query window) with the candidate vector CARRIED through the
         # projection — no second corpus scan to re-fetch vectors
         q = queries.select(
-            F.col(query_id_col), F.col(vec_col).alias("__qvec")
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            _norm(F.col(vec_col).cast("array<double>")).alias("__qn"),
         )
-        scored = corpus.crossJoin(F.broadcast(q)).select(
+        scored = corpus.withColumn(
+            "__cn", _norm(F.col(vec_col).cast("array<double>"))
+        ).crossJoin(F.broadcast(q)).select(
             F.col(query_id_col),
             F.col(id_col),
-            cosine(
+            cosine_prenorm(
                 F.col(vec_col).cast("array<double>"),
                 F.col("__qvec").cast("array<double>"),
+                F.col("__cn"),
+                F.col("__qn"),
             ).alias("__rel"),
             F.col(vec_col).cast("array<double>").alias("__v"),
         )
