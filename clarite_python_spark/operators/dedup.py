@@ -1793,10 +1793,17 @@ def simhash_candidates(
         raise ValueError("max_hamming must be >= 0")
     width = bits // bands
     bits_str = _simhash_bits(text_col, bits, hash_family)
-    fps = _rebalance(df).select(
+    # stage the binary string ONCE, derive the long from the staged
+    # column: putting both conv(bits_str) and bits_str in one projection
+    # evaluated the whole fingerprint fold (token hashes + ±1 bit sums)
+    # twice per row (no CSE across expressions); CollapseProject keeps
+    # the staging projection apart (non-cheap, multi-used ref).
+    # Identical __fp/__bs values.
+    staged = _rebalance(df).select(F.col(id_col), bits_str.alias("__bs"))
+    fps = staged.select(
         F.col(id_col),
-        F.conv(bits_str, 2, 10).cast("long").alias("__fp"),
-        bits_str.alias("__bs"),
+        F.conv(F.col("__bs"), 2, 10).cast("long").alias("__fp"),
+        F.col("__bs"),
     )
     banded = fps.select(
         id_col,
@@ -1973,6 +1980,13 @@ def incremental_simhash_dedup(
         ["band", "bucket"],
         "left_semi",
     )
+    from pyspark import StorageLevel
+
+    # materialization barrier (guide §1.3): ``fresh`` is consumed
+    # multiple times inside the within-batch simhash_dedup (fingerprint
+    # pass + final anti-join), so without it the whole cross-set
+    # pipeline (both sides' fingerprints, the band join, the popcount
+    # verify) re-executes per consumer; the checkpoint is ids-only.
     hits = (
         nb.join(sb, ["band", "bucket"])
         .where(
@@ -1980,6 +1994,7 @@ def incremental_simhash_dedup(
         )
         .select(F.col(id_col))
         .distinct()
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     fresh = new.join(hits, id_col, "left_anti")
     return simhash_dedup(

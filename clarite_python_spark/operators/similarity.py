@@ -670,6 +670,61 @@ def _bucket(vec: Column, planes: np.ndarray) -> Column:
     return out.cast("long")
 
 
+def _planes_row(df: DataFrame, planes: "np.ndarray") -> DataFrame:
+    """Attach the hyperplane matrix to ``df`` as DATA — one
+    ``array<array<double>>`` value on a broadcast 1-row frame (the
+    repo's scalar-broadcast crossJoin idiom) — instead of inlining
+    every coefficient as a ``F.lit`` expression node.
+
+    Why (guide §1.2, measured r13): the inlined form builds
+    n_planes·dim Literal+CreateArray nodes PER CALL SITE, and the
+    banded neardup paths instantiate it on both join sides plus again
+    in the within-batch pass — Catalyst analysis/optimization of that
+    forest cost 16-56 s per query CONSTRUCTION at
+    incremental_embedding_neardup while the actual execution took
+    under 1 s. The higher-order-function dot folds are interpreted
+    either way, so a single data value evaluates identically (same
+    doubles, same fold order) with a constant-size plan."""
+    spark = df.sparkSession
+    payload = [[float(x) for x in p] for p in np.asarray(planes)]
+    pf = spark.createDataFrame([(payload,)], "__planes: array<array<double>>")
+    return df.crossJoin(F.broadcast(pf))
+
+
+def _bucket_from(vec: Column, planes_col: Column) -> Column:
+    """:func:`_bucket` with the planes taken from a DATA column.
+
+    Bit-identical bucket ids: the per-plane dot is the same
+    :func:`_dot` fold over the same double values, and the bit pack
+    folds ``acc*2 + bit`` over the REVERSED bit list — exact integer
+    arithmetic equal to the Σ bit_b·2^b sum of the literal form."""
+    bits = F.transform(
+        planes_col,
+        lambda p: F.when(_dot(vec, p) >= 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    return F.aggregate(
+        F.reverse(bits),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc * F.lit(2).cast("long") + b,
+    )
+
+
+def _band_buckets_from(
+    vec: Column, planes_col: Column, n_planes: int, n_bands: int
+) -> Column:
+    """array of per-band bucket ids (band k uses planes
+    [k·n_planes, (k+1)·n_planes)) — the data-column twin of the
+    banded ``_bucket`` comprehension."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda kk: _bucket_from(
+            vec, F.slice(planes_col, kk * n_planes + 1, F.lit(n_planes))
+        ),
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -689,13 +744,23 @@ def lsh_topk(
     a small int — broadcastable when queries are few)."""
     dim = len(queries.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes, seed)
-    c = corpus.withColumn(
-        "__bucket", _bucket(F.col(vec_col).cast("array<double>"), planes)
-    ).withColumn("__cn", _norm(F.col(vec_col).cast("array<double>")))
-    q = queries.select(
+    # planes as data (_planes_row): identical buckets, constant-size
+    # plan — see incremental_embedding_neardup
+    c = (
+        _planes_row(corpus, planes)
+        .withColumn(
+            "__bucket",
+            _bucket_from(F.col(vec_col).cast("array<double>"), F.col("__planes")),
+        )
+        .withColumn("__cn", _norm(F.col(vec_col).cast("array<double>")))
+        .drop("__planes")
+    )
+    q = _planes_row(queries, planes).select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
-        _bucket(F.col(vec_col).cast("array<double>"), planes).alias("__bucket"),
+        _bucket_from(F.col(vec_col).cast("array<double>"), F.col("__planes")).alias(
+            "__bucket"
+        ),
         _norm(F.col(vec_col).cast("array<double>")).alias("__qn"),
     )
     scored = c.join(F.broadcast(q), on="__bucket").select(
@@ -754,19 +819,24 @@ def lsh_topk_multi(
         return cosine_topk(corpus, queries, k, id_col, vec_col, query_id_col)
     dim = len(head[0])
     band_planes = [_hyperplanes(dim, n_planes, seed + b) for b in range(n_bands)]
+    # per-band plane sets concatenated into ONE data matrix riding the
+    # scalar-broadcast row (_planes_row): identical buckets per band,
+    # constant-size plan — see incremental_embedding_neardup. banded()
+    # emits struct(band int, bucket long) exactly like the literal form.
+    allp = np.concatenate(band_planes, axis=0)
 
     def banded(vec: Column) -> Column:
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    _bucket(vec, planes).alias("bucket"),
-                )
-                for b, planes in enumerate(band_planes)
-            ]
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(n_bands - 1)),
+            lambda kk: F.struct(
+                kk.cast("int").alias("band"),
+                _bucket_from(
+                    vec, F.slice(F.col("__planes"), kk * n_planes + 1, F.lit(n_planes))
+                ).alias("bucket"),
+            ),
         )
 
-    c = corpus.select(
+    c = _planes_row(corpus, allp).select(
         F.col(id_col),
         F.col(vec_col),
         F.explode(banded(F.col(vec_col).cast("array<double>"))).alias("__bb"),
@@ -777,7 +847,7 @@ def lsh_topk_multi(
         "__bb.bucket",
         _norm(F.col(vec_col).cast("array<double>")).alias("__cn"),
     )
-    q = queries.select(
+    q = _planes_row(queries, allp).select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
         F.explode(banded(F.col(vec_col).cast("array<double>"))).alias("__bb"),
@@ -1379,6 +1449,114 @@ def knn_graph_recall(
     )
 
 
+def _seq_self_norms(M: "np.ndarray") -> "np.ndarray":
+    """Row norms with the JVM fold's summation order (see _seq_dots)."""
+    acc = np.zeros(M.shape[0])
+    for k in range(M.shape[1]):
+        acc += M[:, k] * M[:, k]
+    return np.sqrt(acc)
+
+
+def _seq_dots(A: "np.ndarray", B: "np.ndarray") -> "np.ndarray":
+    """All-pairs dot products accumulated in INDEX ORDER over the
+    dimension axis — ``((0.0 + p0) + p1) + ...`` — exactly the
+    evaluation order of :func:`_dot`'s ``aggregate`` fold, so every
+    resulting double is bit-identical to the JVM expression (IEEE
+    multiply per term, IEEE add in the same sequence). A BLAS matmul
+    would be faster still but sums in an arbitrary order; this keeps
+    the vectorized exact path hash-compatible with the join plan by
+    construction, not by luck."""
+    acc = np.zeros((A.shape[0], B.shape[0]))
+    for k in range(A.shape[1]):
+        acc += A[:, k, None] * B[None, :, k]
+    return acc
+
+
+def _exact_neardup_pandas(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame | None:
+    """Vectorized all-pairs exact near-dup scoring (guide §4: the
+    per-pair interpreted array fold was the entire cost of the exact
+    baseline — 2M pairs × ~23 µs/fold = 46 s at sf0.1; numpy blocks
+    are ~100×). The corpus (bounded by the caller's ``max_exact_rows``
+    guard — same class of bounded driver materialization as the
+    k-means training sample) is broadcast once; each Arrow batch of
+    the row-spread corpus scores an m×n block with :func:`_seq_dots`,
+    keeps ``id_a < id_b`` survivors of ``cosine >= threshold``, and
+    emits only those. Semantics parity with the join plan: zero-norm
+    rows yield NULL cosine there (``try_divide``) and are dropped —
+    here the zero-denominator entries are masked out; a NaN cosine
+    passes the filter there (Spark orders NaN above all doubles) — so
+    NaN passes here too. Returns None when vectors are ragged (mixed
+    dims) so the caller can fall back to the join plan, whose
+    ``zip_with`` semantics define the mixed-dim behavior."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    spark = df.sparkSession
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).where(F.col("__v").isNotNull())
+    id_type = base.schema["__id"].dataType
+    out_schema = StructType(
+        [
+            StructField("id_a", id_type),
+            StructField("id_b", id_type),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+    rows = base.collect()
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    if len({len(r["__v"]) for r in rows}) != 1:
+        return None
+    bid = np.asarray([r["__id"] for r in rows])
+    Bm = np.ascontiguousarray([r["__v"] for r in rows], dtype=np.float64)
+    bn = _seq_self_norms(Bm)
+    bc = spark.sparkContext.broadcast((bid, Bm, bn))
+    n_b = len(bid)
+
+    def score(batches):
+        b_id, b_m, b_n = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.asarray(list(pdf["__v"]), dtype=np.float64)
+            aid = pdf["__id"].to_numpy()
+            an = _seq_self_norms(A)
+            m = len(aid)
+            # cap the m×blk accumulator around 64 MB
+            blk = max(256, 8_000_000 // max(1, m))
+            outs = []
+            for s in range(0, n_b, blk):
+                d = _seq_dots(A, b_m[s : s + blk])
+                denom = an[:, None] * b_n[None, s : s + blk]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    c = d / denom
+                keep = (
+                    (denom != 0)
+                    & (aid[:, None] < b_id[None, s : s + blk])
+                    & ((c >= threshold) | np.isnan(c))
+                )
+                ii, jj = np.nonzero(keep)
+                if len(ii):
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "id_a": aid[ii],
+                                "id_b": b_id[s : s + blk][jj],
+                                "cosine": c[ii, jj],
+                            }
+                        )
+                    )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    spread = base.repartition(spark.sparkContext.defaultParallelism)
+    return spread.mapInPandas(score, schema=out_schema)
+
+
 def embedding_neardup(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -1427,6 +1605,13 @@ def embedding_neardup(
                     "Use the default LSH-blocked mode, or pass max_exact_rows=None "
                     "to force the all-pairs plan."
                 )
+            # bounded corpus proven: vectorized blocked scoring
+            # (guide §4) — bit-identical doubles via the fold-order
+            # numpy kernel; ragged-dim corpora fall through to the
+            # join plan (None return)
+            out = _exact_neardup_pandas(df, id_col, vec_col, threshold)
+            if out is not None:
+                return out
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
         head = df.select(vec_col).first()
@@ -1438,26 +1623,27 @@ def embedding_neardup(
             )
         dim = len(head[0])
         planes = _hyperplanes(dim, n_planes * n_bands, seed)
-
-        def _band_buckets(vec: Column) -> Column:
-            return F.array(
-                *[
-                    _bucket(vec, planes[k * n_planes : (k + 1) * n_planes])
-                    for k in range(n_bands)
-                ]
-            )
-
-        ab = a.select(
+        # planes as data (_planes_row): identical buckets, constant-size
+        # plan — see incremental_embedding_neardup
+        ab = _planes_row(a, planes).select(
             "id_a",
             "__va",
             "__na",
-            F.posexplode(_band_buckets(F.col("__va"))).alias("__band", "__bucket"),
+            F.posexplode(
+                _band_buckets_from(
+                    F.col("__va"), F.col("__planes"), n_planes, n_bands
+                )
+            ).alias("__band", "__bucket"),
         )
-        bb = b.select(
+        bb = _planes_row(b, planes).select(
             "id_b",
             "__vb",
             "__nb",
-            F.posexplode(_band_buckets(F.col("__vb"))).alias("__band", "__bucket"),
+            F.posexplode(
+                _band_buckets_from(
+                    F.col("__vb"), F.col("__planes"), n_planes, n_bands
+                )
+            ).alias("__band", "__bucket"),
         )
         # A pair colliding in several bands appears once per collision;
         # dedup on the id pair before scoring so each pair is scored once.
@@ -1883,6 +2069,41 @@ def _pq_reconstruct(codes: list[Column], books: np.ndarray) -> Column:
     return F.flatten(F.array(*parts))
 
 
+def _with_pq_scores(
+    df: DataFrame, vec: Column, books: "np.ndarray", prefix: str = "__pqs"
+) -> tuple[DataFrame, list[Column]]:
+    """Stage the per-subspace PQ score arrays as REAL columns and return
+    first-argmax code expressions over the staged attributes.
+
+    Why (guide §4.1, measured r13): every consumer of
+    :func:`_pq_code_cols` referenced each code at least twice (the
+    argmax's array_position + array_max pair already evaluates the
+    scores array twice, and pq_codes uses the codes in both the packed
+    bigint AND the reconstruction), so the m × k_sub interpreted dot
+    folds ran up to 4× per row — pq_codes spent ~7 s of its sf0.1 time
+    re-evaluating folds. Staging makes the folds run ONCE per row;
+    CollapseProject keeps the projection apart because the refs are
+    non-cheap and multi-used (same discipline as ivf_pq's __res
+    staging). Identical scores, identical argmax, identical codes."""
+    m, k_sub, dsub = books.shape
+    cols = {}
+    names = [f"{prefix}{mi}" for mi in range(m)]
+    for mi in range(m):
+        sub = F.slice(vec, mi * dsub + 1, dsub)
+        cols[names[mi]] = F.array(
+            *[
+                _dot(sub, F.array(*[F.lit(float(x)) for x in c]))
+                - F.lit(0.5 * float(np.dot(c, c)))
+                for c in books[mi]
+            ]
+        )
+    codes = [
+        (F.array_position(F.col(n), F.array_max(F.col(n))) - 1).cast("int")
+        for n in names
+    ]
+    return df.withColumns(cols), codes
+
+
 def pq_codes(
     df: DataFrame,
     m: int = 8,
@@ -1914,14 +2135,16 @@ def pq_codes(
         raise ValueError("need k_sub >= 2 and m >= 1")
     books = _train_pq(df, vec_col, m, k_sub, seed, sample_size, iters, id_col)
     v = F.col(vec_col).cast("array<double>")
-    codes = _pq_code_cols(v, books)
+    # staged scores (guide §4.1): codes feed BOTH the packed bigint and
+    # the reconstruction — without staging the m×k_sub folds ran ~4×/row
+    staged, codes = _with_pq_scores(df, v, books)
     packed = codes[0].cast("bigint")
     mult = 1
     for mi in range(1, m):
         mult *= k_sub
         packed = packed + codes[mi].cast("bigint") * F.lit(mult)
     recon = _pq_reconstruct(codes, books)
-    return df.select(
+    return staged.select(
         F.col(id_col),
         packed.alias("pq_code"),
         F.round(cosine(v, recon), 6).alias("recon_cosine"),
@@ -1955,8 +2178,10 @@ def pq_topk(
         corpus, vec_col, m, k_sub, seed, sample_size, iters, id_col
     )
     v = F.col(vec_col).cast("array<double>")
-    recon = _pq_reconstruct(_pq_code_cols(v, books), books)
-    enc = corpus.select(F.col(id_col), recon.alias("__recon")).withColumn(
+    # staged scores (guide §4.1) — see _with_pq_scores
+    staged, codes = _with_pq_scores(corpus, v, books)
+    recon = _pq_reconstruct(codes, books)
+    enc = staged.select(F.col(id_col), recon.alias("__recon")).withColumn(
         "__rn", _norm(F.col("__recon"))
     )
     q = queries.select(
@@ -2074,22 +2299,25 @@ def ivf_pq_topk(
                 "__res", F.zip_with("__v", "__cent", lambda a, b: a - b)
             )
         )
+        # staged scores (guide §4.1) — see _with_pq_scores
+        staged, codes = _with_pq_scores(staged, F.col("__res"), books)
         enc = staged.select(
             F.col(id_col),
             F.col("__list"),
             F.zip_with(
                 F.col("__cent"),
-                _pq_reconstruct(_pq_code_cols(F.col("__res"), books), books),
+                _pq_reconstruct(codes, books),
                 lambda a, b: a + b,
             ).alias("__recon"),
         )
     else:
         books = _train_pq(corpus, vec_col, m, k_sub, seed, sample_size, iters, id_col)
-        recon = _pq_reconstruct(_pq_code_cols(cvec, books), books)
-        enc = corpus_a.select(
+        # staged scores (guide §4.1) — see _with_pq_scores
+        staged, codes = _with_pq_scores(corpus_a, cvec, books)
+        enc = staged.select(
             F.col(id_col),
             F.col("__list"),
-            recon.alias("__recon"),
+            _pq_reconstruct(codes, books).alias("__recon"),
         )
     enc = enc.withColumn("__rn", _norm(F.col("__recon")))
     if assign_impl == "pandas":
@@ -2161,30 +2389,42 @@ def incremental_embedding_neardup(
         return batch
     dim = len(head[0])
     planes = _hyperplanes(dim, n_planes * n_bands, seed)
-
-    def _band_buckets(vec: Column) -> Column:
-        return F.array(
-            *[
-                _bucket(vec, planes[k * n_planes : (k + 1) * n_planes])
-                for k in range(n_bands)
-            ]
-        )
-
-    nb = batch.select(
+    # planes ride a broadcast 1-row frame (_planes_row): identical
+    # buckets, constant-size plan — the inlined-literal form cost more
+    # in Catalyst construction than the whole job's execution
+    nb = _planes_row(batch, planes).select(
         F.col(id_col).alias("__idn"),
         F.col(vec_col).cast("array<double>").alias("__vn"),
         _norm(F.col(vec_col).cast("array<double>")).alias("__nn"),
-        F.posexplode(_band_buckets(F.col(vec_col).cast("array<double>"))).alias(
-            "__band", "__bucket"
-        ),
+        F.posexplode(
+            _band_buckets_from(
+                F.col(vec_col).cast("array<double>"),
+                F.col("__planes"),
+                n_planes,
+                n_bands,
+            )
+        ).alias("__band", "__bucket"),
     )
-    hb = history.select(
+    hb = _planes_row(history, planes).select(
         F.col(vec_col).cast("array<double>").alias("__vh"),
         _norm(F.col(vec_col).cast("array<double>")).alias("__nh"),
-        F.posexplode(_band_buckets(F.col(vec_col).cast("array<double>"))).alias(
-            "__band", "__bucket"
-        ),
+        F.posexplode(
+            _band_buckets_from(
+                F.col(vec_col).cast("array<double>"),
+                F.col("__planes"),
+                n_planes,
+                n_bands,
+            )
+        ).alias("__band", "__bucket"),
     )
+    from pyspark import StorageLevel
+
+    # materialization barrier (guide §1.3/§5): ``kept`` feeds the
+    # within-batch neardup on BOTH of its join sides AND the final
+    # anti-join, so without it the whole cross-set pipeline (banding of
+    # both sides + the collision join + the distinct) re-executes once
+    # per consumer — measured 21.6 s -> 7.4 s at sf0.1 with the
+    # dropped/losers id-frames (tiny: ids only) checkpointed once.
     dropped = (
         nb.join(hb, on=["__band", "__bucket"])
         .where(
@@ -2195,6 +2435,7 @@ def incremental_embedding_neardup(
         )
         .select(F.col("__idn").alias(id_col))
         .distinct()
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     kept = batch.join(dropped, on=id_col, how="left_anti")
     if within_batch:
@@ -2207,7 +2448,11 @@ def incremental_embedding_neardup(
             n_bands=n_bands,
             seed=seed,
         )
-        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        losers = (
+            pairs.select(F.col("id_b").alias(id_col))
+            .distinct()
+            .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+        )
         kept = kept.join(losers, on=id_col, how="left_anti")
     return kept
 

@@ -1940,12 +1940,16 @@ def pack_token_sequences(
     ``repartitionByRange(id)`` gives ordered partition ranges, a
     partition-LOCAL window computes the within-partition running token
     count, and the per-partition totals (one row per partition) are
-    collected and broadcast back as absolute offsets. The token-level
-    explode then shuffles once on the chunk id — #tokens tiny rows, the
-    irreducible cost of exact packing (every token's global position
-    determines its chunk); chunks are perfectly balanced by
-    construction (exactly seq_len tokens each). Documents with zero
-    tokens contribute nothing and are not counted in n_docs."""
+    collected and broadcast back as absolute offsets. The chunk
+    exchange then carries one CONTIGUOUS-SLICE row per (doc, chunk)
+    intersection — ~seq_len/doc_len× fewer rows than a per-token
+    explode, with the same total token payload (measured r13: the
+    per-token explode shuffled 1 row/token and paid a seq_len-element
+    struct sort per chunk; the slice plan is identical output, fewer
+    exchange rows and ~docs-per-chunk comparator calls); chunks are
+    perfectly balanced by construction (exactly seq_len tokens each).
+    Documents with zero tokens contribute nothing and are not counted
+    in n_docs."""
     from pyspark.sql import Window
 
     if seq_len <= 0:
@@ -1998,24 +2002,62 @@ def pack_token_sequences(
     offs = local.join(F.broadcast(pre), on="__pid").withColumn(
         "__off", F.col("__pre") + F.col("__loc")
     )
-    ex = offs.select(
-        F.col(id_col),
-        F.col("__off"),
-        F.posexplode("__toks").alias("__pos", "__tok"),
-    ).withColumn("__gp", F.col("__off") + F.col("__pos"))
-    chunks = (
-        ex.withColumn("seq_id", F.floor(F.col("__gp") / seq_len))
-        .groupBy("seq_id")
-        .agg(
+    # one shuffle row per (doc, chunk) INTERSECTION, not per token: a
+    # doc at offset off spanning n tokens touches chunks
+    # floor(off/L)..floor((off+n-1)/L); emit the doc's contiguous token
+    # slice for each touched chunk, keyed by the slice's starting global
+    # position. Chunk reassembly sorts the (start, slice) structs and
+    # flattens — slices are non-overlapping and contiguous, so this is
+    # exactly the per-token (__gp, __tok) sort of the old plan with
+    # ~chunk_len/doc_len× fewer exchange rows and ~doc-count
+    # sort-comparator calls per chunk instead of seq_len (measured
+    # sf0.1, seq_len=64: 6.35 s -> see OPTIMIZATION_r13.md; identical
+    # rows — same tokens, same counts).
+    ex = (
+        offs.where(F.col("__n") > 0)
+        .select(
+            F.col(id_col),
+            F.col("__toks"),
+            F.col("__off"),
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("__off") / seq_len),
+                    F.floor((F.col("__off") + F.col("__n") - 1) / seq_len),
+                )
+            ).alias("seq_id"),
+        )
+        .withColumn(
+            "__start", F.greatest(F.col("__off"), F.col("seq_id") * seq_len)
+        )
+        .withColumn(
+            "__end",
+            F.least(
+                F.col("__off") + F.size("__toks"),
+                (F.col("seq_id") + 1) * seq_len,
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.col("seq_id"),
+            F.col("__start"),
+            F.slice(
+                F.col("__toks"),
+                (F.col("__start") - F.col("__off") + 1).cast("int"),
+                (F.col("__end") - F.col("__start")).cast("int"),
+            ).alias("__slice"),
+        )
+    )
+    chunks = ex.groupBy("seq_id").agg(
+        F.flatten(
             F.transform(
                 F.array_sort(
-                    F.collect_list(F.struct(F.col("__gp"), F.col("__tok")))
+                    F.collect_list(F.struct(F.col("__start"), F.col("__slice")))
                 ),
-                lambda s: s["__tok"],
-            ).alias("tokens"),
-            F.count(F.lit(1)).cast("int").alias("n_tokens"),
-            F.countDistinct(F.col(id_col)).cast("int").alias("n_docs"),
-        )
+                lambda s: s["__slice"],
+            )
+        ).alias("tokens"),
+        F.sum(F.size("__slice")).cast("int").alias("n_tokens"),
+        F.countDistinct(F.col(id_col)).cast("int").alias("n_docs"),
     )
     if drop_remainder:
         # equivalent to n_tokens == seq_len except when the stream ends

@@ -289,3 +289,43 @@ def test_incremental_embedding_neardup_matches_two_step(spark):
     batch_losers = {r["id_b"] for r in within.collect()}
     want = sorted(v for v in survivors if v not in batch_losers)
     assert got == want
+
+
+def test_exact_vectorized_bit_identical_to_join_plan(spark, emb):
+    """The bounded exact path runs the fold-order numpy kernel
+    (_exact_neardup_pandas); max_exact_rows=None keeps the legacy
+    all-pairs join plan. Every (pair, cosine) double must be EXACTLY
+    equal — the kernel accumulates in the JVM fold's index order by
+    construction, so this is bit-identity, not tolerance."""
+    vec = embedding_neardup(emb, threshold=0.4, exact=True)
+    join = embedding_neardup(emb, threshold=0.4, exact=True, max_exact_rows=None)
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in vec.collect()}
+    want = {(r["id_a"], r["id_b"]): r["cosine"] for r in join.collect()}
+    assert got == want  # exact float equality, no rounding
+
+
+def test_exact_vectorized_ragged_dims_falls_back(spark):
+    """Mixed-dim corpora return None from the vectorized kernel and
+    fall back to the join plan (zip_with semantics: mismatched pair ->
+    NULL cosine -> dropped; same-dim pairs still score)."""
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.0]),
+            (3, [1.0, 0.0, 0.0]),
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    out = embedding_neardup(df, threshold=0.5, exact=True).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 2)}
+
+
+def test_exact_vectorized_zero_norm_dropped(spark):
+    """A zero vector's cosine is NULL under try_divide in the join plan
+    and masked in the kernel — dropped either way."""
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0, 0.0])],
+        "vec_id int, embedding array<double>",
+    )
+    out = embedding_neardup(df, threshold=0.0, exact=True).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(2, 3)}
