@@ -264,11 +264,14 @@ def remove_outliers_approx_lineitem(spark: SparkSession, sf_dir: str) -> DataFra
         )
     )
     cf = modify.make_continuous(cf, only=["l_quantity", "l_extendedprice", "l_tax"])
-    counts = modify.outlier_counts(cf, method="iqr", cutoff=1.5)
-    check = modify.outlier_bounds_check(
-        cf, method="iqr", cutoff=1.5, tol=0.01
-    ).select("variable", "approx_within_tol")
-    return counts.join(check, "variable").orderBy("variable")
+    # include_counts (r13): fuses the outlier_counts pass onto the SAME
+    # exact-bounds agg — the two-operator composition ran the exact
+    # percentile aggregation twice; identical rows (same bounds, same
+    # counting predicate, same join)
+    out = modify.outlier_bounds_check(
+        cf, method="iqr", cutoff=1.5, tol=0.01, include_counts=True
+    )
+    return out.select("variable", "n_removed", "approx_within_tol").orderBy("variable")
 
 
 def remove_outliers_gaussian_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -507,6 +507,7 @@ def outlier_bounds_check(
     skip=None,
     only=None,
     tol: float = 0.01,
+    include_counts: bool = False,
 ) -> DataFrame:
     """Tolerance contract for the APPROX outlier path (round 11).
 
@@ -539,6 +540,16 @@ def outlier_bounds_check(
     if not cols:
         raise ValueError("no continuous variables to check")
     exact = _outlier_bounds(cf.df, cols, method, cutoff, exact=True)
+    if include_counts:
+        # the exact-bounds 1-row agg feeds BOTH the tolerance compare
+        # and the fused counting pass below — materialize it once
+        # (guide §1.3; the exact percentile agg is the expensive half
+        # of this operator)
+        from pyspark import StorageLevel
+
+        exact = exact.localCheckpoint(
+            eager=False, storageLevel=StorageLevel.DISK_ONLY
+        )
     approx = _outlier_bounds(cf.df, cols, method, cutoff, exact=False).select(
         *[F.col(f"`lo::{c}`").alias(f"alo::{c}") for c in cols],
         *[F.col(f"`hi::{c}`").alias(f"ahi::{c}") for c in cols],
@@ -559,7 +570,26 @@ def outlier_bounds_check(
                 ).alias("approx_within_tol"),
             )
         )
-    return row.select(F.inline(F.array(*structs)))
+    out = row.select(F.inline(F.array(*structs)))
+    if include_counts:
+        # ``include_counts`` fuses :func:`outlier_counts` onto the SAME
+        # exact-bounds aggregation (r13 optimization hook): callers that
+        # want counts AND the tolerance verdict previously ran the exact
+        # percentile agg twice — once inside each operator. The counting
+        # pass and its unpivot are identical to outlier_counts', so the
+        # joined rows match the two-operator composition exactly.
+        joined = cf.df.crossJoin(F.broadcast(exact))
+        aggs = [
+            F.sum(
+                (
+                    (qcol(c) < F.col(f"`lo::{c}`")) | (qcol(c) > F.col(f"`hi::{c}`"))
+                ).cast("long")
+            ).alias(c)
+            for c in cols
+        ]
+        counts = joined.agg(*aggs).unpivot([], cols, "variable", "n_removed")
+        out = counts.join(out, "variable")
+    return out
 
 
 def clip_outliers(

@@ -627,18 +627,16 @@ def rp_topk(
     dim = len(queries.select(vec_col).first()[0])
     planes = _hyperplanes(dim, out_dim, seed)
 
+    # planes as data (_planes_row): identical projected coordinates
+    # (same _dot folds over the same doubles), constant-size plan —
+    # see incremental_embedding_neardup
     def proj(vec: Column) -> Column:
-        return F.array(
-            *[
-                _dot(vec, F.array(*[F.lit(float(x)) for x in p]))
-                for p in planes
-            ]
-        )
+        return F.transform(F.col("__planes"), lambda p: _dot(vec, p))
 
-    pc = corpus.select(
+    pc = _planes_row(corpus, planes).select(
         F.col(id_col), proj(F.col(vec_col).cast("array<double>")).alias("__pvec")
     ).withColumn("__pn", _norm(F.col("__pvec")))
-    pq = queries.select(
+    pq = _planes_row(queries, planes).select(
         F.col(query_id_col), proj(F.col(vec_col).cast("array<double>")).alias("__pqvec")
     ).withColumn("__pqn", _norm(F.col("__pqvec")))
     a = F.col("__pvec")
@@ -1021,11 +1019,14 @@ def cluster_embeddings(
             F.round(F.col("__cos"), 6).alias("cosine"),
         )
     cvec = F.col(vec_col).cast("array<double>")
-    dots = _centroid_dots(cvec, cents)
-    return df.select(
+    # stage the dots array once (guide §4.1): argmax + max reference it
+    # three times, and each evaluation is k interpreted dim-folds/row
+    staged = df.withColumn("__dots", _centroid_dots(cvec, cents))
+    d = F.col("__dots")
+    return staged.select(
         F.col(id_col),
-        (F.array_position(dots, F.array_max(dots)) - 1).cast("int").alias("cluster"),
-        F.round(F.array_max(dots), 6).alias("cosine"),
+        (F.array_position(d, F.array_max(d)) - 1).cast("int").alias("cluster"),
+        F.round(F.array_max(d), 6).alias("cosine"),
     )
 
 
@@ -1102,11 +1103,18 @@ def ivf_topk(
             _norm(cvec).alias("__qn"),
         )
     else:
-        dots = _centroid_dots(cvec, cents)
-        corpus_l = corpus.withColumn(
-            "__list",
-            (F.array_position(dots, F.array_max(dots)) - 1).cast("int"),
-        ).withColumn("__cn", _norm(cvec))
+        # staged dots (guide §4.1): the argmax references the array
+        # twice — n_lists interpreted dim-folds per evaluation
+        d = F.col("__dots")
+        corpus_l = (
+            corpus.withColumn("__dots", _centroid_dots(cvec, cents))
+            .withColumn(
+                "__list",
+                (F.array_position(d, F.array_max(d)) - 1).cast("int"),
+            )
+            .withColumn("__cn", _norm(cvec))
+            .drop("__dots")
+        )
         # per-query top-n_probe centroid ids: sort (dot, idx) structs desc
         qdots = _centroid_dots(cvec, cents)
         q = queries.select(
@@ -1331,10 +1339,14 @@ def knn_graph(
         )
     else:
         dots = _centroid_dots(cvec, cents)
-        right = df.select(
+        # staged dots on the RIGHT side (guide §4.1): the argmax
+        # references the array twice; the left side's single probe use
+        # stays inline
+        d = F.col("__dots")
+        right = df.withColumn("__dots", dots).select(
             F.col(id_col).alias("__nid"),
             cvec.alias("__nvec"),
-            (F.array_position(dots, F.array_max(dots)) - 1).cast("int").alias("__list"),
+            (F.array_position(d, F.array_max(d)) - 1).cast("int").alias("__list"),
             _norm(cvec).alias("__nn"),
         )
         # per-vector top-n_probe cells: same (d, i)-struct sort as
@@ -1725,12 +1737,13 @@ def semantic_dedup(
             .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
         )
     else:
-        dots = _centroid_dots(cvec, cents)
-        assigned = df.select(
+        # staged dots (guide §4.1): argmax references the array twice
+        d = F.col("__dots")
+        assigned = df.withColumn("__dots", _centroid_dots(cvec, cents)).select(
             F.col(id_col),
             cvec.alias("__v"),
             _norm(cvec).alias("__n"),
-            (F.array_position(dots, F.array_max(dots)) - 1).cast("int").alias("cluster"),
+            (F.array_position(d, F.array_max(d)) - 1).cast("int").alias("cluster"),
         )
     if max_cluster_rows is not None:
         biggest = (
@@ -2276,9 +2289,15 @@ def ivf_pq_topk(
             corpus, cents, id_col, vec_col, n_probe=1
         ).select(F.col(id_col), F.col(vec_col), F.col("__list"))
     else:
-        dots = _centroid_dots(cvec, cents)
-        list_col = (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
-        corpus_a = corpus.select(F.col(id_col), F.col(vec_col), list_col.alias("__list"))
+        # staged dots (guide §4.1): argmax references the array twice
+        d = F.col("__dots")
+        corpus_a = corpus.withColumn(
+            "__dots", _centroid_dots(cvec, cents)
+        ).select(
+            F.col(id_col),
+            F.col(vec_col),
+            (F.array_position(d, F.array_max(d)) - 1).cast("int").alias("__list"),
+        )
     if residual:
         books = _train_pq_residual(
             corpus, vec_col, cents, m, k_sub, seed, sample_size, iters, id_col

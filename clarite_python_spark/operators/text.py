@@ -337,7 +337,15 @@ def winnow_matches(
     thousands of docs carries no discriminative signal anyway). Work is
     Σ_buckets B², never |corpus|².
     """
-    fps = winnow_fingerprints(df, text_col, id_col, k, window, hash_family)
+    from pyspark import StorageLevel
+
+    # materialization barrier (guide §1.3): the fingerprint pipeline
+    # (per-gram md5/xxhash + windowed mins) feeds the bucket-size agg,
+    # the anti-join AND both self-join sides — four evaluations without
+    # it (measured sf0.1: winnow_matches 5.7 s -> 1.9 s)
+    fps = winnow_fingerprints(
+        df, text_col, id_col, k, window, hash_family
+    ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     sizes = fps.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("__b"))
     ok = fps.join(F.broadcast(sizes.where(F.col("__b") > max_bucket)), "fingerprint", "left_anti")
     a = ok.select(F.col(id_col).alias("id_a"), "fingerprint")
@@ -480,82 +488,77 @@ def repetition_stats(
     (count x n-gram length / total chars; ties broken by the
     lexicographically smallest gram).
 
-    Plan: one row-local explode of (n, gram) pairs, one groupBy
-    (doc, n, gram) count with map-side combine, a per-(doc, n) max_by,
-    then a pivot-by-n projection joined to the cheap per-doc word stats.
-    Shuffles are keyed on (doc, gram) — high cardinality, no skew — and
-    carry counts, not text bodies.
+    Plan (r13): ENTIRELY row-local — the statistic is per-document, so
+    nothing needs an exchange. The most frequent n-gram is the longest
+    run in the row's SORTED gram array, found by one fold (strictly-
+    greater updates keep the lexicographically smallest gram on count
+    ties — the same (max cnt, min gram) selection the old
+    groupBy(doc, gram) + min_by plan computed). The previous plan
+    exploded one row per (doc, n, gram) — ~2M rows at sf0.1 — through
+    two count/max_by exchanges plus a pivot join for a per-doc scalar
+    (measured: 3.6 s -> 1.6 s; identical fractions — same counts, same
+    tie-break, same division and rounding).
     """
     toks = tokens(text_col)
-    base = _rebalance(df).select(
+    staged = _rebalance(df).select(
         F.col(id_col),
         F.length(F.col(text_col)).alias("__chars"),
-        F.size(toks).alias("__n_words"),
-        F.size(F.array_distinct(toks)).alias("__n_distinct"),
         toks.alias("__toks"),
     )
-    def _gram_maker(nn: int):
-        # one-arg lambda (a two-arg python lambda would be read as the
-        # (value, index) transform form and silently shift arguments)
-        return lambda i: F.struct(
-            F.lit(nn).alias("n"),
-            F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, nn)).alias("gram"),
+
+    def _top_frac(nn: int) -> Column:
+        grams = F.when(
+            F.size(F.col("__toks")) >= nn,
+            F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(F.col("__toks")) - nn),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("__toks"), i + 1, nn)
+                    ),
+                )
+            ),
         )
 
-    grams = base.select(
-        F.col(id_col),
-        F.col("__chars"),
-        F.explode(
-            F.flatten(
-                F.array(
-                    *[
-                        F.when(
-                            F.size(F.col("__toks")) >= n,
-                            F.transform(
-                                F.sequence(F.lit(0), F.size(F.col("__toks")) - n),
-                                _gram_maker(n),
-                            ),
-                        ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
-                        for n in ngram_sizes
-                    ]
-                )
+        def step(acc: Column, g: Column) -> Column:
+            newcnt = (
+                F.when(g == acc["cur"], acc["cnt"] + F.lit(1).cast("long"))
+                .otherwise(F.lit(1).cast("long"))
             )
-        ).alias("g"),
-    )
-    counts = grams.groupBy(id_col, "g.n", "g.gram").agg(
-        F.count(F.lit(1)).alias("cnt"), F.first("__chars").alias("__chars")
-    )
-    # the most frequent gram per (doc, n): max over (cnt, reversed-gram)
-    # would break ties wrong — use min_by on a (negated cnt, gram) key
-    top = counts.groupBy(id_col, "n").agg(
-        F.min_by(
-            F.struct(F.col("cnt"), F.col("gram")), F.struct(-F.col("cnt"), F.col("gram"))
-        ).alias("t"),
-        F.first("__chars").alias("__chars"),
-    )
-    per_n = top.select(
+            return F.struct(
+                g.alias("cur"),
+                newcnt.alias("cnt"),
+                F.when(newcnt > acc["bcnt"], g).otherwise(acc["best"]).alias("best"),
+                F.when(newcnt > acc["bcnt"], newcnt)
+                .otherwise(acc["bcnt"])
+                .alias("bcnt"),
+            )
+
+        best = F.aggregate(
+            grams,
+            F.struct(
+                F.lit("").alias("cur"),
+                F.lit(0).cast("long").alias("cnt"),
+                F.lit("").alias("best"),
+                F.lit(0).cast("long").alias("bcnt"),
+            ),
+            step,
+        )
+        return F.round(
+            best["bcnt"] * F.length(best["best"]) / F.greatest("__chars", F.lit(1)),
+            6,
+        )
+
+    return staged.select(
         F.col(id_col),
-        F.col("n"),
         F.round(
-            F.col("t.cnt") * F.length(F.col("t.gram")) / F.greatest("__chars", F.lit(1)), 6
-        ).alias("frac"),
-    )
-    out = base.select(
-        F.col(id_col),
-        F.round(
-            (F.col("__n_words") - F.col("__n_distinct"))
-            / F.greatest(F.col("__n_words"), F.lit(1)).cast("double"),
+            (F.size("__toks") - F.size(F.array_distinct("__toks")))
+            / F.greatest(F.size("__toks"), F.lit(1)).cast("double"),
             6,
         ).alias("dup_word_frac"),
-    )
-    fracs = per_n.groupBy(id_col).agg(
         *[
-            F.max(F.when(F.col("n") == n, F.col("frac"))).alias(f"top{n}_char_frac")
+            F.coalesce(_top_frac(n), F.lit(0.0)).alias(f"top{n}_char_frac")
             for n in ngram_sizes
-        ]
-    )
-    return out.join(fracs, id_col, "left").fillna(
-        0.0, subset=[f"top{n}_char_frac" for n in ngram_sizes]
+        ],
     )
 
 

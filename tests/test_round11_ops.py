@@ -351,3 +351,37 @@ def test_binary_rerank_requires_corpus_or_sidecar(spark, tmp_path):
     assert out.count() == 6  # 2 queries x top-3, fully index-resident
     with pytest.raises(ValueError, match="corpus"):
         similarity.binary_rerank(None, q, k=3)
+
+
+def test_outlier_bounds_check_include_counts_matches_two_step(spark):
+    """include_counts (r13) fuses outlier_counts onto the same
+    exact-bounds agg; rows must equal the two-operator composition."""
+    import numpy as np
+
+    from clarite_python_spark.catalog import ClariteFrame
+    from clarite_python_spark.operators import modify
+
+    rng = np.random.RandomState(11)
+    rows = [
+        (i, float(v), float(w))
+        for i, (v, w) in enumerate(
+            zip(rng.lognormal(2.0, 1.0, 1500), rng.normal(5.0, 2.0, 1500))
+        )
+    ]
+    cf = ClariteFrame(spark.createDataFrame(rows, "ID long, x double, y double"))
+    cf = modify.make_continuous(cf, only=["x", "y"])
+    fused = {
+        r["variable"]: (r["n_removed"], r["approx_within_tol"])
+        for r in modify.outlier_bounds_check(
+            cf, method="iqr", cutoff=1.5, include_counts=True
+        ).collect()
+    }
+    counts = {
+        r["variable"]: r["n_removed"]
+        for r in modify.outlier_counts(cf, method="iqr", cutoff=1.5).collect()
+    }
+    check = {
+        r["variable"]: r["approx_within_tol"]
+        for r in modify.outlier_bounds_check(cf, method="iqr", cutoff=1.5).collect()
+    }
+    assert fused == {v: (counts[v], check[v]) for v in counts}
