@@ -1258,6 +1258,124 @@ def _assign_cells_pandas(
     )
 
 
+def _knn_cell_topk_pandas(
+    left: DataFrame, right: DataFrame, id_col: str, k: int
+) -> DataFrame:
+    """Cell-local vectorized pair scoring + per-(cell, vector) top-k for
+    :func:`knn_graph` (guide §4.2: the per-pair interpreted cosine fold
+    was the dominant cost of the cell join — ~5 µs/pair at dim 64, so
+    1M pairs ≈ 5 s at sf0.1 — plus ~3 s to materialize the 1 KB pair
+    rows and ~4 s to window-sort them; one numpy block per cell is
+    ~100× and emits only the ≤ k survivors per (cell, vector)).
+
+    Replaces ``left JOIN right ON __list`` + the stage-1 window with a
+    cogroup on the SAME ``__list`` key (same single exchange, same
+    partitioning) and a kernel that reproduces the join plan's output
+    exactly:
+
+    - dots via :func:`_seq_dots` and norms via :func:`_seq_self_norms`
+      — index-order accumulation, bit-identical doubles to the JVM
+      ``aggregate`` folds; ``cosine = dot / (qn·nn)`` is the same IEEE
+      division as ``try_divide``.
+    - zero-denominator pairs yield NULL cosine (``try_divide``) and
+      rank LAST (Spark desc puts nulls last); NaN cosines rank FIRST
+      (Spark orders NaN above all doubles); ties broken by ascending
+      neighbor id, exactly ``row_number() OVER (ORDER BY cosine DESC,
+      nid ASC)``.
+    - NULL vectors are dropped on both sides — in the join plan the
+      left side loses them to ``explode(NULL probes)`` and the right
+      side to the NULL equi-join key.
+    - self-pairs excluded (the join plan's ``id != nid`` filter).
+
+    Requires uniform vector dims within each cell (raises on ragged —
+    the declared-query corpora are uniform by construction)."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    id_type = left.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField(id_col, id_type),
+            StructField("neighbor_id", id_type),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+    empty = pd.DataFrame({id_col: [], "neighbor_id": [], "cosine": []})
+
+    def score(lg: "pd.DataFrame", rg: "pd.DataFrame") -> "pd.DataFrame":
+        lg = lg[lg["__qvec"].notna()]
+        rg = rg[rg["__nvec"].notna()]
+        if len(lg) == 0 or len(rg) == 0:
+            return empty
+        A = np.ascontiguousarray(list(lg["__qvec"]), dtype=np.float64)
+        B = np.ascontiguousarray(list(rg["__nvec"]), dtype=np.float64)
+        aid = lg[id_col].to_numpy()
+        bid = rg["__nid"].to_numpy()
+        an = _seq_self_norms(A)
+        bn = _seq_self_norms(B)
+        # pre-order candidate COLUMNS by neighbor id ascending: stable
+        # argsorts below then break every tie to the lower nid for free
+        co = np.argsort(bid, kind="stable")
+        bid = bid[co]
+        B = np.ascontiguousarray(B[co])
+        bn = bn[co]
+        n = len(bid)
+        kk = min(k + 1, n)  # +1: at most one self-pair per row to drop
+        # row blocks bound the m×n scratch matrices (~32 MB each)
+        blk = max(64, 4_000_000 // max(1, n))
+        outs = []
+        for s in range(0, len(aid), blk):
+            Ab, anb, aidb = A[s : s + blk], an[s : s + blk], aid[s : s + blk]
+            d = _seq_dots(Ab, B)
+            denom = anb[:, None] * bn[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                c = d / denom
+            null = denom == 0.0
+            selfm = aidb[:, None] == bid[None, :]
+            # two-key stable radix sort: secondary key first (-cosine
+            # asc == cosine desc, NaN mapped below -inf so it ranks
+            # first; ties keep column order == nid asc), then the tier
+            # (0 scored, 1 NULL-cosine, 2 self) as the primary key
+            negk = np.where(np.isnan(c), -np.inf, -c)
+            negk = np.where(null, 0.0, negk)
+            tier = np.zeros(c.shape, dtype=np.int8)
+            tier[null] = 1
+            tier[selfm] = 2
+            ord1 = np.argsort(negk, axis=1, kind="stable")
+            ord2 = np.argsort(
+                np.take_along_axis(tier, ord1, axis=1), axis=1, kind="stable"
+            )
+            order = np.take_along_axis(ord1, ord2, axis=1)[:, :kk]
+            m = len(aidb)
+            rows = np.repeat(np.arange(m), kk)
+            cols = order.ravel()
+            keep = tier[rows, cols] != 2
+            rows, cols = rows[keep], cols[keep]
+            counts = np.bincount(rows, minlength=m)
+            seq = np.arange(len(rows)) - np.repeat(
+                np.cumsum(counts) - counts, counts
+            )
+            final = seq < k
+            ri, ci = rows[final], cols[final]
+            vals = c[ri, ci]
+            isnull = null[ri, ci]
+            if isnull.any():
+                vals = vals.astype(object)
+                vals[isnull] = None
+            outs.append(
+                pd.DataFrame(
+                    {id_col: aidb[ri], "neighbor_id": bid[ci], "cosine": vals}
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        left.groupBy("__list")
+        .cogroup(right.groupBy("__list"))
+        .applyInPandas(lambda lg, rg: score(lg, rg), schema=out_schema)
+    )
+
+
 def knn_graph(
     df: DataFrame,
     k: int = 10,
@@ -1268,6 +1386,7 @@ def knn_graph(
     seed: int = 42,
     sample_size: int = 10_000,
     assign_impl: str = "codegen",
+    score_impl: str = "pandas",
 ) -> DataFrame:
     """Approximate k-nearest-neighbor GRAPH: top-k cosine neighbors for
     EVERY vector in the corpus — the corpus×corpus form that SemDeDup-
@@ -1303,7 +1422,16 @@ def knn_graph(
     BASELINE.md round-12); ``"pandas"`` computes assignment + probes as
     one Arrow-batched numpy matmul per batch (flat in n_lists — the
     path to the thousands-of-cells regime larger corpora need), with
-    identical selection conventions up to ULP ties. Returns
+    identical selection conventions up to ULP ties.
+
+    ``score_impl``: ``"pandas"`` (default) scores each cell's pairs as
+    one blocked numpy kernel via cogroup on the SAME ``__list`` key —
+    bit-identical cosines (index-order folds, see
+    :func:`_knn_cell_topk_pandas`) at ~100× the per-pair throughput of
+    the interpreted JVM fold, emitting only the ≤ k survivors per
+    (cell, vector) instead of materializing the pair frame;
+    ``"join"`` is the original shuffle-equi-join + window plan (kept
+    for ragged-dim corpora, which the kernel rejects). Returns
     (id_col, neighbor_id, cosine, rank).
     """
     if k <= 0:
@@ -1312,6 +1440,11 @@ def knn_graph(
         raise ValueError("n_lists and n_probe must be positive")
     if assign_impl not in ("codegen", "pandas"):
         raise ValueError("assign_impl must be 'codegen' or 'pandas'")
+    if score_impl not in ("pandas", "join"):
+        raise ValueError("score_impl must be 'pandas' or 'join'")
+    # the vectorized scorer carries no norm columns: it recomputes both
+    # norms in-kernel with the same index-order fold (bit-identical)
+    with_norms = score_impl == "join"
     cents = _train_centroids(df, vec_col, n_lists, seed, sample_size, id_col=id_col)
     cvec = F.col(vec_col).cast("array<double>")
     if assign_impl == "pandas":
@@ -1329,13 +1462,21 @@ def knn_graph(
             F.col(id_col).alias("__nid"),
             F.col(vec_col).cast("array<double>").alias("__nvec"),
             "__list",
-            _norm(F.col(vec_col).cast("array<double>")).alias("__nn"),
+            *(
+                [_norm(F.col(vec_col).cast("array<double>")).alias("__nn")]
+                if with_norms
+                else []
+            ),
         )
         left = assigned.select(
             F.col(id_col),
             F.col(vec_col).cast("array<double>").alias("__qvec"),
             F.explode("__probes").alias("__list"),
-            _norm(F.col(vec_col).cast("array<double>")).alias("__qn"),
+            *(
+                [_norm(F.col(vec_col).cast("array<double>")).alias("__qn")]
+                if with_norms
+                else []
+            ),
         )
     else:
         dots = _centroid_dots(cvec, cents)
@@ -1347,7 +1488,7 @@ def knn_graph(
             F.col(id_col).alias("__nid"),
             cvec.alias("__nvec"),
             (F.array_position(d, F.array_max(d)) - 1).cast("int").alias("__list"),
-            _norm(cvec).alias("__nn"),
+            *([_norm(cvec).alias("__nn")] if with_norms else []),
         )
         # per-vector top-n_probe cells: same (d, i)-struct sort as
         # ivf_topk (ties: higher cell id first — reverse of ascending
@@ -1358,26 +1499,31 @@ def knn_graph(
             F.col(id_col),
             cvec.alias("__qvec"),
             F.explode(_probe_ids(dots, len(cents), n_probe)).alias("__list"),
-            _norm(cvec).alias("__qn"),
+            *([_norm(cvec).alias("__qn")] if with_norms else []),
         )
-    scored = (
-        left.join(right, on="__list")
-        .where(F.col(id_col) != F.col("__nid"))
-        .select(
-            "__list",
-            F.col(id_col),
-            F.col("__nid"),
-            cosine_prenorm(
-                F.col("__qvec"), F.col("__nvec"), F.col("__qn"), F.col("__nn")
-            ).alias("cosine"),
+    if score_impl == "pandas":
+        cand = _knn_cell_topk_pandas(left, right, id_col, k)
+    else:
+        scored = (
+            left.join(right, on="__list")
+            .where(F.col(id_col) != F.col("__nid"))
+            .select(
+                "__list",
+                F.col(id_col),
+                F.col("__nid"),
+                cosine_prenorm(
+                    F.col("__qvec"), F.col("__nvec"), F.col("__qn"), F.col("__nn")
+                ).alias("cosine"),
+            )
         )
-    )
-    w1 = Window.partitionBy("__list", id_col).orderBy(F.desc("cosine"), F.asc("__nid"))
-    cand = (
-        scored.withColumn("__r1", F.row_number().over(w1))
-        .where(F.col("__r1") <= k)
-        .select(id_col, F.col("__nid").alias("neighbor_id"), "cosine")
-    )
+        w1 = Window.partitionBy("__list", id_col).orderBy(
+            F.desc("cosine"), F.asc("__nid")
+        )
+        cand = (
+            scored.withColumn("__r1", F.row_number().over(w1))
+            .where(F.col("__r1") <= k)
+            .select(id_col, F.col("__nid").alias("neighbor_id"), "cosine")
+        )
     w = Window.partitionBy(id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         cand.withColumn("rank", F.row_number().over(w))

@@ -639,16 +639,29 @@ def test_round12_knn_graph_no_broadcast_no_python(spark):
     try:
         g = similarity.knn_graph(emb, k=3, n_lists=4, n_probe=2, sample_size=100)
         plan = g._jdf.queryExecution().executedPlan().toString()
+        gj = similarity.knn_graph(
+            emb, k=3, n_lists=4, n_probe=2, sample_size=100, score_impl="join"
+        )
+        jplan = gj._jdf.queryExecution().executedPlan().toString()
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
-    assert "BroadcastExchange" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "CartesianProduct" not in plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
-    # between the cell join and the stage-1 window: sort only, no exchange
-    lines = plan.splitlines()
+    # default (vectorized cell scorer): one cogroup on the cell id in
+    # place of the join+window — still no broadcast of either side, no
+    # cartesian, no row-at-a-time Python (the cogroup kernel is the
+    # sanctioned vectorized form, guide §4.2)
+    for p in (plan, jplan):
+        assert "BroadcastExchange" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "CartesianProduct" not in p
+        assert "BatchEvalPython" not in p
+    assert "FlatMapCoGroupsInPandas" in plan
+    # join variant keeps the original shape: shuffle equi-join, no
+    # Python anywhere, stage-1 window reuses the join's partitioning
+    # (sort only, no exchange between them)
+    assert "ArrowEvalPython" not in jplan and "FlatMapCoGroupsInPandas" not in jplan
+    assert "SortMergeJoin" in jplan or "ShuffledHashJoin" in jplan
+    lines = jplan.splitlines()
     w1 = max(
         i for i, ln in enumerate(lines)
         if "Window" in ln and "__list" in ln

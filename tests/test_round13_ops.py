@@ -354,3 +354,59 @@ def test_train_centroids_skips_null_ids(spark):
     clean = df.where(F.col("vec_id").isNotNull())
     cents2 = similarity._train_centroids(clean, "embedding", 3, 42, 100)
     assert np.allclose(cents, cents2)
+
+
+def test_knn_graph_pandas_scorer_matches_join_exactly(spark):
+    """score_impl='pandas' (the default cell-local numpy kernel) must be
+    BIT-identical to the join plan — same doubles, same tie-breaks, same
+    NULL-cosine handling — on a corpus engineered with duplicate vectors
+    (cosine ties at the k boundary) and a zero vector (NULL cosine via
+    try_divide)."""
+    rng = np.random.RandomState(7)
+    M = rng.randn(50, 6)
+    M[10] = M[3]  # exact duplicates -> cosine ties broken by neighbor id
+    M[20] = M[3]
+    rows = [(i, [float(x) for x in M[i]]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = similarity.knn_graph(
+        df, k=4, n_lists=3, n_probe=2, sample_size=50, score_impl="join"
+    ).collect()
+    b = similarity.knn_graph(
+        df, k=4, n_lists=3, n_probe=2, sample_size=50, score_impl="pandas"
+    ).collect()
+    assert a == b
+    # NULL-cosine parity (zero-norm vector): the codegen ASSIGNMENT
+    # rejects zero vectors outright (ANSI divide in _centroid_dots,
+    # pre-existing), so exercise try_divide-NULL semantics through the
+    # pandas assignment, join-scored vs kernel-scored
+    M[30] = 0.0
+    rows = [(i, [float(x) for x in M[i]]) for i in range(50)]
+    dfz = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    az = similarity.knn_graph(
+        dfz, k=4, n_lists=3, n_probe=2, sample_size=50,
+        assign_impl="pandas", score_impl="join",
+    ).collect()
+    bz = similarity.knn_graph(
+        dfz, k=4, n_lists=3, n_probe=2, sample_size=50,
+        assign_impl="pandas", score_impl="pandas",
+    ).collect()
+    assert az == bz
+    z = [r for r in bz if r["vec_id"] == 30]
+    assert z and all(r["cosine"] is None for r in z)
+
+
+def test_knn_graph_pandas_scorer_string_ids(spark):
+    """Tie-break ordering must hold for string ids too (UTF-8 binary
+    order == code-point order, the same total order numpy/pandas use)."""
+    rng = np.random.RandomState(3)
+    M = rng.randn(30, 5)
+    M[7] = M[2]
+    rows = [("id%02d" % i, [float(x) for x in M[i]]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    a = similarity.knn_graph(
+        df, k=3, n_lists=2, n_probe=1, sample_size=30, score_impl="join"
+    ).collect()
+    b = similarity.knn_graph(
+        df, k=3, n_lists=2, n_probe=1, sample_size=30, score_impl="pandas"
+    ).collect()
+    assert a == b
