@@ -1299,9 +1299,12 @@ def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the final vocab rebuild + doc join). Tokens are emitted
     space-joined (tokens never contain whitespace — they are substrings
     of whitespace-split words), because the driver's canonicalizer
-    hashes scalar columns only."""
+    hashes scalar columns only. r13: the 12-rule table comes from the
+    bit-identical strategy='driver' trainer (parity-pinned, own gate
+    row train_bpe_driver_documents) — this row gates the ENCODER; the
+    distributed trainer keeps its own row (train_bpe_documents)."""
     docs = _t(spark, sf_dir, "documents")
-    merges = text.train_bpe(docs, n_merges=12)
+    merges = text.train_bpe(docs, n_merges=12, strategy="driver")
     out = text.bpe_encode(docs, merges)
     return out.select(
         "doc_id",
@@ -1351,11 +1354,12 @@ def bpe_encode_pandas_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """bpe_encode through the Arrow-batched rank-priority segmenter
     (operators/text.py:_bpe_segment_pandas, round 13 — one vocab pass
     instead of n_rules chained fold projections, the 30k-rule serving
-    path): same 12-rule table as bpe_encode_documents, provably the
-    same segmentation (rule operands are only producible by lower
-    ranks in trained tables), so the oracle is shared."""
+    path): same 12-rule table as bpe_encode_documents (same
+    strategy='driver' trainer, r13), provably the same segmentation
+    (rule operands are only producible by lower ranks in trained
+    tables), so the oracle is shared."""
     docs = _t(spark, sf_dir, "documents")
-    merges = text.train_bpe(docs, n_merges=12)
+    merges = text.train_bpe(docs, n_merges=12, strategy="driver")
     out = text.bpe_encode(docs, merges, encode_impl="pandas")
     return out.select(
         "doc_id",

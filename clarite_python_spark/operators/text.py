@@ -1667,10 +1667,12 @@ def train_bpe(
     driver-side top-1 scalar (the same single-row collect per round as
     the CC convergence check), and one row-local ``aggregate`` fold that
     applies the merge greedily left-to-right with NO shuffle. The word
-    table is eagerly DISK_ONLY-checkpointed each round so plan depth
-    stays O(1) instead of nesting n_merges fold expressions into one
-    Janino-killing tree. Driver state is one (lhs, rhs, freq) triple
-    per round — never data.
+    table is eagerly DISK_ONLY-checkpointed every 4th round so plan
+    depth stays O(1) instead of nesting n_merges fold expressions into
+    one Janino-killing tree (between checkpoints a round re-evaluates
+    <= 3 chained folds — cheaper than a materialization job each
+    round). Driver state is one (lhs, rhs, freq) triple per round —
+    never data.
     """
     from pyspark import StorageLevel
 
@@ -1757,9 +1759,17 @@ def train_bpe(
                 F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
             ).otherwise(F.concat(acc, F.array(s))),
         )
-        words = words.select(apply_merge.alias("syms"), "cnt").localCheckpoint(
-            eager=True, storageLevel=StorageLevel.DISK_ONLY
-        )
+        words = words.select(apply_merge.alias("syms"), "cnt")
+        # checkpoint every 4th round, not every round (r13): between
+        # checkpoints the next round's pair agg re-evaluates <= 3
+        # chained row-local folds over the |vocab|-row table — far
+        # cheaper than the eager materialization job it replaces
+        # (halves the per-round job count; plan depth stays bounded,
+        # results are checkpoint-invariant)
+        if r % 4 == 0:
+            words = words.localCheckpoint(
+                eager=True, storageLevel=StorageLevel.DISK_ONLY
+            )
     return spark.createDataFrame(
         merges, "rank int, lhs string, rhs string, freq long"
     )
