@@ -1396,8 +1396,54 @@ def _warn_if_heap_short(sym: DataFrame) -> None:
         )
 
 
+def _driver_components(sym: DataFrame) -> DataFrame:
+    """Union-find over a driver-collected (bounded — see caller guard)
+    symmetrized edge list. Produces EXACTLY the distributed loop's
+    output: one (id, label) row per vertex appearing in an edge, label
+    = the component's minimum id (python ``<`` agrees with Spark's
+    ordering for the long and UTF-8-string ids these graphs use).
+    The same bounded-driver-materialization pattern as the k-means
+    training sample and ``train_bpe(strategy='driver')``."""
+    rows = sym.select("src", "dst").collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        a, b = row[0], row[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    mins: dict = {}
+    for v in parent:
+        r = find(v)
+        m = mins.get(r)
+        if m is None or v < m:
+            mins[r] = v
+    id_type = sym.schema["src"].dataType
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [StructField("id", id_type), StructField("label", id_type)]
+    )
+    return sym.sparkSession.createDataFrame(
+        [(v, mins[find(v)]) for v in parent], schema
+    )
+
+
 def _min_label_components(
-    edges: DataFrame, max_iter: int = 20, shortcut: bool = False
+    edges: DataFrame,
+    max_iter: int = 20,
+    shortcut: bool = False,
+    driver_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over an undirected edge list (id_a, id_b) by
     iterative min-label propagation: every vertex starts labeled with its
@@ -1454,14 +1500,39 @@ def _min_label_components(
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     disk = StorageLevel.DISK_ONLY
+    # symmetrize by EXPLODING both directions from each edge row instead
+    # of a two-branch union: the union's two selects each re-evaluated
+    # the caller's whole edge pipeline (banded candidates -> verify)
+    # inside the checkpoint job — the explode reads it once (r13;
+    # identical (src, dst) set, same distinct)
     sym = (
-        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(
-            edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+                    ),
+                )
+            ).alias("__e")
         )
+        .select("__e.src", "__e.dst")
         .distinct()
         .localCheckpoint(eager=True, storageLevel=disk)
     )
+    # size-guarded driver shortcut (r13): min-label propagation costs
+    # O(log diameter) ROUNDS of fixed multi-job latency — measured 12
+    # rounds/~11 s on the sf0.1 simhash near-dup graph (496 edges) —
+    # while a driver union-find on a small edge list is milliseconds
+    # and produces the identical (id, min-id label) rows. The count is
+    # a cheap scan of the just-written checkpoint blocks; above the
+    # bound the distributed loop below is unchanged (at 100M edges the
+    # collect would be the mistake — same guard philosophy as
+    # train_bpe's max_vocab_rows).
+    if sym.count() <= 2 * driver_max_edges:  # sym carries both directions
+        return _driver_components(sym)
     _warn_if_heap_short(sym)
     labels = (
         sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
@@ -1499,11 +1570,19 @@ def _min_label_components(
                 ).alias("label"),
                 stepped["__old"],
             )
+        # LAZY checkpoint fused with the convergence collect (r13): the
+        # agg below is the sole consumer at materialization time — one
+        # job writes the round's label blocks AND returns the change
+        # count, instead of an eager-checkpoint job plus a separate
+        # collect job. (The shortcut's ``stepped`` checkpoint above must
+        # stay EAGER — its self-join has two concurrently-scheduled
+        # consumer stages that would race a lazy one; here there is
+        # exactly one.) Same blocks, same lineage truncation.
         new = stepped.select(
             "id",
             "label",
             (F.col("label") < F.col("__old")).cast("long").alias("__chg"),
-        ).localCheckpoint(eager=True, storageLevel=disk)
+        ).localCheckpoint(eager=False, storageLevel=disk)
         changed = new.agg(F.sum("__chg")).collect()[0][0] or 0
         labels = new.drop("__chg")
         if changed == 0:

@@ -38,6 +38,7 @@ def connected_components(
     dst_col: str = "dst",
     max_iter: int = 50,
     shortcut: bool = True,
+    driver_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """Connected components of the undirected graph given as an edge list.
 
@@ -55,6 +56,11 @@ def connected_components(
         graphs are not guaranteed shallow; measured 85.7 s -> see
         BASELINE.md round-10 on a diameter-19 chain). Turn off for
         known-shallow graphs (stars, near-dup cliques) to save the join.
+    driver_max_edges : edge lists at or below this bound are solved by
+        a driver-side union-find instead of the propagation loop —
+        identical (min-id) labels, milliseconds instead of O(log
+        diameter) rounds of multi-job latency (r13). Set 0 to force the
+        distributed loop.
 
     Returns (node, component) with one row per distinct vertex,
     ``component`` = min vertex id reachable from ``node``.
@@ -62,7 +68,10 @@ def connected_components(
     e = edges.select(
         F.col(src_col).alias("id_a"), F.col(dst_col).alias("id_b")
     ).where(F.col("id_a").isNotNull() & F.col("id_b").isNotNull())
-    labels = _min_label_components(e, max_iter=max_iter, shortcut=shortcut)
+    labels = _min_label_components(
+        e, max_iter=max_iter, shortcut=shortcut,
+        driver_max_edges=driver_max_edges,
+    )
     return labels.select(
         F.col("id").alias("node"), F.col("label").alias("component")
     )

@@ -939,16 +939,21 @@ def test_min_label_components_fixpoint_on_last_round_does_not_raise(spark):
     # path 0-1-2-3-4: diameter 4 -> exactly 4 improving rounds without
     # shortcut; the 5th round only PROVES fixpoint. max_iter=4 must
     # succeed (the proving round is free), max_iter=3 must raise.
+    # driver_max_edges=0 forces the distributed loop — the convergence
+    # proof under test lives there (small graphs take the r13 driver
+    # union-find shortcut, which has no rounds to bound)
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(4)], "id_a: long, id_b: long"
     )
     labels = {
         r["id"]: r["label"]
-        for r in _min_label_components(edges, max_iter=4).collect()
+        for r in _min_label_components(
+            edges, max_iter=4, driver_max_edges=0
+        ).collect()
     }
     assert set(labels.values()) == {0}
     with pytest.raises(RuntimeError, match="did not converge"):
-        _min_label_components(edges, max_iter=3).collect()
+        _min_label_components(edges, max_iter=3, driver_max_edges=0).collect()
 
 
 def test_min_label_components_multi_edges_collapse(spark):

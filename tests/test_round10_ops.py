@@ -329,13 +329,20 @@ def test_mmr_rerank_fewer_candidates_than_k(spark):
 def test_connected_components_raises_when_unconverged(spark):
     # diameter 14 path, plain kernel, max_iter=3: fixpoint unreachable ->
     # must raise, never return silently-wrong labels
+    # driver_max_edges=0 forces the distributed loop whose convergence
+    # proof is under test (small graphs otherwise take the r13 driver
+    # union-find shortcut, which has no rounds to bound)
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(15)], "src long, dst long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        graph.connected_components(edges, max_iter=3, shortcut=False)
+        graph.connected_components(
+            edges, max_iter=3, shortcut=False, driver_max_edges=0
+        )
     # the pointer-jumped arm converges within the same tiny budget
-    rows = graph.connected_components(edges, max_iter=6, shortcut=True).collect()
+    rows = graph.connected_components(
+        edges, max_iter=6, shortcut=True, driver_max_edges=0
+    ).collect()
     assert {r["component"] for r in rows} == {0}
 
 

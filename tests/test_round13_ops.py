@@ -410,3 +410,45 @@ def test_knn_graph_pandas_scorer_string_ids(spark):
         df, k=3, n_lists=2, n_probe=1, sample_size=30, score_impl="pandas"
     ).collect()
     assert a == b
+
+
+def test_cc_driver_shortcut_matches_distributed(spark):
+    """The size-guarded driver union-find must produce the identical
+    (id, min-label) rows as the distributed propagation loop — deep
+    chain + star + singleton-edge shapes, long and string ids."""
+    from clarite_python_spark.operators import dedup
+
+    # chain 0-1-...-19 (diameter 19), star 100-(101..110), pair (200, 201)
+    edges = (
+        [(i, i + 1) for i in range(19)]
+        + [(100, j) for j in range(101, 111)]
+        + [(200, 201)]
+    )
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    a = sorted(
+        (r["id"], r["label"])
+        for r in dedup._min_label_components(df, 40, shortcut=True).collect()
+    )
+    b = sorted(
+        (r["id"], r["label"])
+        for r in dedup._min_label_components(
+            df, 40, shortcut=True, driver_max_edges=0
+        ).collect()
+    )
+    assert a == b
+    assert all(lbl == 0 for i, lbl in a if i < 20)
+    s = spark.createDataFrame(
+        [("w%02d" % i, "w%02d" % (i + 1)) for i in range(9)],
+        "id_a string, id_b string",
+    )
+    sa = sorted(
+        (r["id"], r["label"])
+        for r in dedup._min_label_components(s, 40, shortcut=True).collect()
+    )
+    sb = sorted(
+        (r["id"], r["label"])
+        for r in dedup._min_label_components(
+            s, 40, shortcut=True, driver_max_edges=0
+        ).collect()
+    )
+    assert sa == sb and all(lbl == "w00" for _, lbl in sa)
