@@ -1365,7 +1365,7 @@ def _session_heap_gb(spark) -> float | None:
     return None
 
 
-def _warn_if_heap_short(sym: DataFrame) -> None:
+def _warn_if_heap_short(sym: DataFrame, n_sym: int | None = None) -> None:
     """Pre-flight check for the CC kernel against the measured sizing
     rule (SCALE.md round 11: ~1 GB executor heap per 7M undirected
     edges per 32-core executor — at 100M edges an 8g session aborts
@@ -1380,7 +1380,7 @@ def _warn_if_heap_short(sym: DataFrame) -> None:
     heap = _session_heap_gb(sym.sparkSession)
     if heap is None:
         return
-    n_edges = sym.count() // 2
+    n_edges = (sym.count() if n_sym is None else n_sym) // 2
     need = n_edges / _EDGES_PER_GB
     if need > heap:
         warnings.warn(
@@ -1531,9 +1531,14 @@ def _min_label_components(
     # bound the distributed loop below is unchanged (at 100M edges the
     # collect would be the mistake — same guard philosophy as
     # train_bpe's max_vocab_rows).
-    if sym.count() <= 2 * driver_max_edges:  # sym carries both directions
+    n_sym = sym.count()
+    # warn BEFORE the path choice: the guard is a pure function of edge
+    # count vs session heap (driver-path graphs are <= driver_max_edges,
+    # ~0.3 GB by the sizing rule, so a correctly-provisioned session
+    # never warns spuriously here)
+    _warn_if_heap_short(sym, n_sym)
+    if n_sym <= 2 * driver_max_edges:  # sym carries both directions
         return _driver_components(sym)
-    _warn_if_heap_short(sym)
     labels = (
         sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     )
