@@ -515,47 +515,64 @@ def clean_corpus(
     ``keep_classifier`` verdict. Costs one more id-keyed join of a
     scan-speed projection.
 
-    Plan shape: each stage is the already-audited operator (SCALE.md
-    rows); the composition adds two id-keyed joins that AQE
-    broadcast-or-co-partitions. Nothing here re-tokenizes — each stage
-    reads the raw text once.
+    Plan shape (r13): ALL four default stages are computed in ONE scan.
+    The quality / language / repetition verdicts are row-local
+    projections, chained through each operator's ``keep_cols`` so they
+    share a single pass over the text; the exact-dedup verdict
+    (``id == min(id) over the normalized-text fingerprint group`` —
+    exactly :func:`~clarite_python_spark.operators.dedup.exact_dedup`'s
+    default min-id winner) rides a window over the SAME partitioning the
+    scan was rebalanced to (hash on the fingerprint), so the whole
+    decision table is one scan + one keyed exchange — the previous
+    composition paid three scans, a groupBy exchange and two id-keyed
+    joins for identical rows, and ran the heavy quality folds on the
+    scan's raw (often single-file) split layout instead of the
+    rebalanced one.
     """
-    from clarite_python_spark.operators.dedup import exact_dedup
+    from clarite_python_spark.operators.dedup import _norm
     from clarite_python_spark.operators.text import (
         gopher_rules,
         language_id,
         repetition_stats,
     )
 
-    kept_ids = exact_dedup(df, text_col=text_col, id_col=id_col).select(
-        F.col(id_col), F.lit(True).alias("keep_dedup")
-    )
-    # quality + language are both row-local projections: chain them via
-    # keep_cols so they run in ONE scan with no self-join (gopher carries
-    # the text forward, language carries gopher_pass)
-    quality_lang = language_id(
+    staged = df.withColumn("__fp", F.md5(_norm(text_col)))
+    # rebalance ONCE, keyed on the fingerprint: the dedup window below
+    # reuses this partitioning (no second exchange), and the heavy
+    # quality folds run across all cores even when the scan arrives in
+    # one split (same local/small-file rationale as text._rebalance)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if staged.rdd.getNumPartitions() < target:
+        staged = staged.repartition(target, F.col("__fp"))
+    verdicts = language_id(
         gopher_rules(
-            df, text_col=text_col, id_col=id_col, keep_cols=[text_col], **(gopher_kwargs or {})
+            repetition_stats(
+                staged,
+                text_col=text_col,
+                id_col=id_col,
+                keep_cols=[text_col, "__fp"],
+            ),
+            text_col=text_col,
+            id_col=id_col,
+            keep_cols=["dup_word_frac", "top2_char_frac", text_col, "__fp"],
+            **(gopher_kwargs or {}),
         ),
         text_col=text_col,
         id_col=id_col,
-        keep_cols=["gopher_pass"],
-    ).select(
+        keep_cols=["gopher_pass", "dup_word_frac", "top2_char_frac", "__fp"],
+    )
+    out = verdicts.select(
         F.col(id_col),
         F.col("gopher_pass").alias("keep_quality"),
         F.col("lang_pred").isin(*languages).alias("keep_language"),
-    )
-    rep = repetition_stats(df, text_col=text_col, id_col=id_col).select(
-        F.col(id_col),
+        (
+            F.col(id_col)
+            == F.min(id_col).over(Window.partitionBy("__fp"))
+        ).alias("keep_dedup"),
         (
             (F.col("dup_word_frac") <= max_dup_word_frac)
             & (F.col("top2_char_frac") <= max_top2_char_frac)
         ).alias("keep_repetition"),
-    )
-    out = (
-        quality_lang.join(kept_ids, id_col, "left")
-        .join(rep, id_col, "left")
-        .fillna(False, subset=["keep_dedup"])
     )
     keep = (
         F.col("keep_dedup")

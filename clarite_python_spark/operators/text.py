@@ -479,6 +479,7 @@ def repetition_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     ngram_sizes: tuple[int, ...] = (2, 3),
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Gopher-style intra-document repetition statistics: the repetition
     filters from Rae et al. 2021 App. A applied per document —
@@ -504,6 +505,7 @@ def repetition_stats(
         F.col(id_col),
         F.length(F.col(text_col)).alias("__chars"),
         toks.alias("__toks"),
+        *[F.col(c) for c in (keep_cols or [])],
     )
 
     def _top_frac(nn: int) -> Column:
@@ -559,6 +561,7 @@ def repetition_stats(
             F.coalesce(_top_frac(n), F.lit(0.0)).alias(f"top{n}_char_frac")
             for n in ngram_sizes
         ],
+        *[F.col(c) for c in (keep_cols or [])],
     )
 
 
