@@ -1889,6 +1889,22 @@ def simhash_candidates(
         F.conv(F.col("__bs"), 2, 10).cast("long").alias("__fp"),
         F.col("__bs"),
     )
+    return _simhash_pairs_from_fps(fps, bits, bands, max_hamming, max_bucket, id_col)
+
+
+def _simhash_pairs_from_fps(
+    fps: DataFrame,
+    bits: int,
+    bands: int,
+    max_hamming: int,
+    max_bucket: int,
+    id_col: str,
+) -> DataFrame:
+    """The band/bucket/verify tail of :func:`simhash_candidates` over an
+    already-fingerprinted (id, __fp long, __bs binary-string) frame —
+    shared with :func:`incremental_simhash_dedup`'s within-batch pass so
+    fingerprints are computed (and planned) exactly once per document."""
+    width = bits // bands
     banded = fps.select(
         id_col,
         "__fp",
@@ -2018,16 +2034,30 @@ def incremental_simhash_dedup(
         raise ValueError("bits must be divisible by bands")
     if bits > 62:
         raise ValueError("bits must be <= 62 (fingerprint carried as a signed long)")
+    from pyspark import StorageLevel
+
     width = bits // bands
+    # the fingerprint expression is built ONCE and reused on both sides
+    # (and, via the checkpointed frame, by the within-batch pass): py4j
+    # expression construction is a dominant cost of this operator's
+    # plan build — measured ~2.4 s per _simhash_bits build at r13
+    fp_long = (
+        F.conv(_simhash_bits(text_col, bits, hash_family), 2, 10).cast("long")
+    )
     if seen_fp_col is None:
-        seen_fps = seen.select(
-            F.conv(_simhash_bits(text_col, bits, hash_family), 2, 10)
-            .cast("long")
-            .alias("__fp")
-        )
+        seen_fps = _rebalance(seen).select(fp_long.alias("__fp"))
     else:
         seen_fps = seen.select(F.col(seen_fp_col).alias("__fp"))
-    seen_fps = seen_fps.distinct()
+    # stage both sides' fingerprints behind lazy DISK_ONLY checkpoints:
+    # CollapseProject would otherwise inline the fingerprint fold into
+    # every band substring (and the bucket-cap groupBy + band-join
+    # consumers), multiplying the expression tree Catalyst must plan —
+    # planning the big hits subtree alone measured 7.2 s at r13. The
+    # checkpoint leaf keeps every downstream plan small and computes
+    # each fingerprint exactly once at runtime.
+    seen_fps = seen_fps.distinct().localCheckpoint(
+        eager=False, storageLevel=StorageLevel.DISK_ONLY
+    )
 
     def banded_fp(df: DataFrame) -> DataFrame:
         # derive the fixed-width binary form from the long (lpad of the
@@ -2046,11 +2076,10 @@ def incremental_simhash_dedup(
             ).alias("bb"),
         ).select(*df.columns, "bb.band", "bb.bucket")
 
-    new_fps = new.select(
-        F.col(id_col),
-        F.conv(_simhash_bits(text_col, bits, hash_family), 2, 10)
-        .cast("long")
-        .alias("__fp"),
+    new_fps = (
+        _rebalance(new)
+        .select(F.col(id_col), fp_long.alias("__fp"))
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     nb = banded_fp(new_fps)
     sb = banded_fp(seen_fps).select(
@@ -2064,13 +2093,10 @@ def incremental_simhash_dedup(
         ["band", "bucket"],
         "left_semi",
     )
-    from pyspark import StorageLevel
-
     # materialization barrier (guide §1.3): ``fresh`` is consumed
-    # multiple times inside the within-batch simhash_dedup (fingerprint
-    # pass + final anti-join), so without it the whole cross-set
-    # pipeline (both sides' fingerprints, the band join, the popcount
-    # verify) re-executes per consumer; the checkpoint is ids-only.
+    # multiple times in the within-batch pass (candidates + final
+    # anti-join), so without it the band join + popcount verify
+    # re-executes per consumer; the checkpoint is ids-only.
     hits = (
         nb.join(sb, ["band", "bucket"])
         .where(
@@ -2081,19 +2107,26 @@ def incremental_simhash_dedup(
         .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     fresh = new.join(hits, id_col, "left_anti")
-    return simhash_dedup(
-        fresh,
-        text_col,
-        id_col,
-        bits,
-        bands,
-        max_hamming,
-        hash_family,
-        max_bucket,
-        transitive=transitive,
-        keep_col=keep_col,
-        keep_order=keep_order,
+    # within-batch pass over the ALREADY-COMPUTED fingerprints: derive
+    # the binary-string form from the long exactly as ``banded_fp``
+    # does, then reuse simhash_candidates' band/bucket/verify tail and
+    # the shared survivor policies — identical pairs and losers to
+    # ``simhash_dedup(fresh, ...)``, without a third fingerprint pass
+    # over the text (r13).
+    fresh_fps = new_fps.join(hits, id_col, "left_anti").select(
+        F.col(id_col),
+        "__fp",
+        F.lpad(F.conv(F.col("__fp").cast("string"), 10, 2), bits, "0").alias(
+            "__bs"
+        ),
     )
+    cands = _simhash_pairs_from_fps(
+        fresh_fps, bits, bands, max_hamming, max_bucket, id_col
+    )
+    losers = _dedup_losers(
+        fresh, cands, id_col, transitive, 20, keep_col, keep_order
+    )
+    return fresh.join(losers, on=id_col, how="left_anti")
 
 
 def simhash_fingerprints(
