@@ -77,6 +77,38 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+# --- SQL-text expression builders (r13) ---------------------------------
+# Building literal-centroid expression forests through the Column API
+# costs one py4j round trip per node (~14.6k round trips / 6.3 s of
+# WARM driver time for one ivf_pq_topk construction, measured with
+# cProfile). Rendering the identical expression as ONE SQL string and
+# parsing it JVM-side is a single round trip. The parsed trees are the
+# trees the Column API built — same fold, same literal doubles (repr()
+# round-trips exactly through Double.parseDouble), same lambda
+# structure — so every quantizer oracle stays bit-identical.
+
+
+def _dlit(x: float) -> str:
+    """Exact SQL double literal (repr round-trips the IEEE value)."""
+    return repr(float(x)) + "D"
+
+
+def _arr_sql(vals) -> str:
+    return "array(" + ",".join(_dlit(v) for v in vals) + ")"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """SQL twin of :func:`_dot` — identical aggregate/zip_with tree."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+        "(acc, v) -> acc + v)"
+    )
+
+
+def _cast_vec_sql(vec_col: str) -> str:
+    return f"cast(`{vec_col}` as array<double>)"
+
+
 # NOTE (measured, sf0.1 pair join): unrolling the dot product into dim
 # explicit GetArrayItem+multiply terms is ~3x SLOWER than the
 # zip_with/aggregate fold above — per-element array access pays repeated
@@ -937,16 +969,20 @@ def _train_centroids(
     return cents
 
 
-def _centroid_dots(vec: Column, cents: np.ndarray) -> Column:
+def _centroid_dots(vec_sql: str, cents: np.ndarray) -> Column:
     """array<double> of cosine(vec, centroid_j) — centroids are unit
-    vectors inlined as literals, so one normalized dot each (pure JVM)."""
-    nv = _norm(vec)
-    return F.array(
-        *[
-            _dot(vec, F.array(*[F.lit(float(x)) for x in c])) / nv
-            for c in cents
-        ]
+    vectors inlined as literals, so one normalized dot each (pure JVM).
+
+    ``vec_sql`` is a SQL snippet for the vector (usually
+    :func:`_cast_vec_sql`); the whole array is rendered as one SQL
+    string and parsed in a single py4j call — the tree (dot fold /
+    sqrt-of-self-dot norm per element) is identical to the Column-built
+    form this replaced (r13)."""
+    nv = f"sqrt({_dot_sql(vec_sql, vec_sql)})"
+    elems = ",".join(
+        f"{_dot_sql(vec_sql, _arr_sql(c))} / {nv}" for c in cents
     )
+    return F.expr(f"array({elems})")
 
 
 def _probe_ids(dots: Column, n_lists: int, n_probe: int) -> Column:
@@ -1021,7 +1057,7 @@ def cluster_embeddings(
     cvec = F.col(vec_col).cast("array<double>")
     # stage the dots array once (guide §4.1): argmax + max reference it
     # three times, and each evaluation is k interpreted dim-folds/row
-    staged = df.withColumn("__dots", _centroid_dots(cvec, cents))
+    staged = df.withColumn("__dots", _centroid_dots(_cast_vec_sql(vec_col), cents))
     d = F.col("__dots")
     return staged.select(
         F.col(id_col),
@@ -1107,7 +1143,7 @@ def ivf_topk(
         # twice — n_lists interpreted dim-folds per evaluation
         d = F.col("__dots")
         corpus_l = (
-            corpus.withColumn("__dots", _centroid_dots(cvec, cents))
+            corpus.withColumn("__dots", _centroid_dots(_cast_vec_sql(vec_col), cents))
             .withColumn(
                 "__list",
                 (F.array_position(d, F.array_max(d)) - 1).cast("int"),
@@ -1116,7 +1152,7 @@ def ivf_topk(
             .drop("__dots")
         )
         # per-query top-n_probe centroid ids: sort (dot, idx) structs desc
-        qdots = _centroid_dots(cvec, cents)
+        qdots = _centroid_dots(_cast_vec_sql(vec_col), cents)
         q = queries.select(
             F.col(query_id_col),
             F.col(vec_col).alias("__qvec"),
@@ -1479,7 +1515,7 @@ def knn_graph(
             ),
         )
     else:
-        dots = _centroid_dots(cvec, cents)
+        dots = _centroid_dots(_cast_vec_sql(vec_col), cents)
         # staged dots on the RIGHT side (guide §4.1): the argmax
         # references the array twice; the left side's single probe use
         # stays inline
@@ -1885,7 +1921,7 @@ def semantic_dedup(
     else:
         # staged dots (guide §4.1): argmax references the array twice
         d = F.col("__dots")
-        assigned = df.withColumn("__dots", _centroid_dots(cvec, cents)).select(
+        assigned = df.withColumn("__dots", _centroid_dots(_cast_vec_sql(vec_col), cents)).select(
             F.col(id_col),
             cvec.alias("__v"),
             _norm(cvec).alias("__n"),
@@ -2218,18 +2254,17 @@ def _pq_reconstruct(codes: list[Column], books: np.ndarray) -> Column:
     m = books.shape[0]
     parts = []
     for mi in range(m):
-        lut = F.array(
-            *[
-                F.array(*[F.lit(float(x)) for x in c])
-                for c in books[mi]
-            ]
+        # one SQL parse per codebook LUT instead of k_sub x dsub py4j
+        # literal calls (r13) — identical nested-array literal
+        lut = F.expr(
+            "array(" + ",".join(_arr_sql(c) for c in books[mi]) + ")"
         )
         parts.append(F.element_at(lut, codes[mi] + 1))
     return F.flatten(F.array(*parts))
 
 
 def _with_pq_scores(
-    df: DataFrame, vec: Column, books: "np.ndarray", prefix: str = "__pqs"
+    df: DataFrame, vec_sql: str, books: "np.ndarray", prefix: str = "__pqs"
 ) -> tuple[DataFrame, list[Column]]:
     """Stage the per-subspace PQ score arrays as REAL columns and return
     first-argmax code expressions over the staged attributes.
@@ -2248,14 +2283,15 @@ def _with_pq_scores(
     cols = {}
     names = [f"{prefix}{mi}" for mi in range(m)]
     for mi in range(m):
-        sub = F.slice(vec, mi * dsub + 1, dsub)
-        cols[names[mi]] = F.array(
-            *[
-                _dot(sub, F.array(*[F.lit(float(x)) for x in c]))
-                - F.lit(0.5 * float(np.dot(c, c)))
-                for c in books[mi]
-            ]
+        # one SQL parse per subspace score array (r13) — the identical
+        # slice/dot-fold/bias tree the Column API built, minus ~k_sub ×
+        # dsub py4j round trips per subspace
+        sub = f"slice({vec_sql}, {mi * dsub + 1}, {dsub})"
+        elems = ",".join(
+            f"{_dot_sql(sub, _arr_sql(c))} - {_dlit(0.5 * float(np.dot(c, c)))}"
+            for c in books[mi]
         )
+        cols[names[mi]] = F.expr(f"array({elems})")
     codes = [
         (F.array_position(F.col(n), F.array_max(F.col(n))) - 1).cast("int")
         for n in names
@@ -2296,7 +2332,7 @@ def pq_codes(
     v = F.col(vec_col).cast("array<double>")
     # staged scores (guide §4.1): codes feed BOTH the packed bigint and
     # the reconstruction — without staging the m×k_sub folds ran ~4×/row
-    staged, codes = _with_pq_scores(df, v, books)
+    staged, codes = _with_pq_scores(df, _cast_vec_sql(vec_col), books)
     packed = codes[0].cast("bigint")
     mult = 1
     for mi in range(1, m):
@@ -2338,7 +2374,7 @@ def pq_topk(
     )
     v = F.col(vec_col).cast("array<double>")
     # staged scores (guide §4.1) — see _with_pq_scores
-    staged, codes = _with_pq_scores(corpus, v, books)
+    staged, codes = _with_pq_scores(corpus, _cast_vec_sql(vec_col), books)
     recon = _pq_reconstruct(codes, books)
     enc = staged.select(F.col(id_col), recon.alias("__recon")).withColumn(
         "__rn", _norm(F.col("__recon"))
@@ -2438,7 +2474,7 @@ def ivf_pq_topk(
         # staged dots (guide §4.1): argmax references the array twice
         d = F.col("__dots")
         corpus_a = corpus.withColumn(
-            "__dots", _centroid_dots(cvec, cents)
+            "__dots", _centroid_dots(_cast_vec_sql(vec_col), cents)
         ).select(
             F.col(id_col),
             F.col(vec_col),
@@ -2448,8 +2484,9 @@ def ivf_pq_topk(
         books = _train_pq_residual(
             corpus, vec_col, cents, m, k_sub, seed, sample_size, iters, id_col
         )
-        cent_lut = F.array(
-            *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+        # one SQL parse for the centroid LUT (r13) — identical literal
+        cent_lut = F.expr(
+            "array(" + ",".join(_arr_sql(c) for c in cents) + ")"
         )
         # stage __cent and __res as real columns: inlining them would
         # duplicate the (dots + centroid LUT) literal trees into every
@@ -2465,7 +2502,7 @@ def ivf_pq_topk(
             )
         )
         # staged scores (guide §4.1) — see _with_pq_scores
-        staged, codes = _with_pq_scores(staged, F.col("__res"), books)
+        staged, codes = _with_pq_scores(staged, "`__res`", books)
         enc = staged.select(
             F.col(id_col),
             F.col("__list"),
@@ -2478,7 +2515,7 @@ def ivf_pq_topk(
     else:
         books = _train_pq(corpus, vec_col, m, k_sub, seed, sample_size, iters, id_col)
         # staged scores (guide §4.1) — see _with_pq_scores
-        staged, codes = _with_pq_scores(corpus_a, cvec, books)
+        staged, codes = _with_pq_scores(corpus_a, _cast_vec_sql(vec_col), books)
         enc = staged.select(
             F.col(id_col),
             F.col("__list"),
@@ -2495,7 +2532,7 @@ def ivf_pq_topk(
             _norm(cvec).alias("__qn"),
         )
     else:
-        qdots = _centroid_dots(cvec, cents)
+        qdots = _centroid_dots(_cast_vec_sql(vec_col), cents)
         q = queries.select(
             F.col(query_id_col),
             F.col(vec_col).alias("__qvec"),
