@@ -157,14 +157,15 @@ def _assert_and_mark(cf: ClariteFrame, vtype: str, skip, only) -> ClariteFrame:
 def make_binary(cf: ClariteFrame, skip=None, only=None) -> ClariteFrame:
     """Assert exactly 2 distinct values then mark binary (modify.py:397-453).
 
-    One agg scan validates all target columns together."""
+    One agg scan validates all target columns together — the level SETS
+    double as the distinct counts, so validation and level caching share
+    a single job (r13; previously count_distinct ran its own agg)."""
     cols = validate_skip_only(cf.variables, skip, only)
-    stats = cf.df.agg(*[F.count_distinct(qcol(c)).alias(c) for c in cols]).collect()[0].asDict()
-    bad = {c: d for c, d in stats.items() if d != 2}
+    levels = cf.df.agg(*[F.collect_set(qcol(c)).alias(c) for c in cols]).collect()[0].asDict()
+    bad = {c: len(levels[c]) for c in cols if len(levels[c]) != 2}
     if bad:
         raise ValueError(f"{len(bad)} variable(s) did not have 2 distinct values: {sorted(bad)}")
     out = _assert_and_mark(cf, BINARY, skip, only)
-    levels = cf.df.agg(*[F.collect_set(qcol(c)).alias(c) for c in cols]).collect()[0].asDict()
     for c in cols:
         out.catalog.categories[c] = sorted(levels[c])
     return _report(out, {"set_binary": cols})
