@@ -1722,23 +1722,31 @@ def train_bpe(
         .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     merges: list[tuple[int, str, str, int]] = []
+    # round-INVARIANT pair expression, built once; the round-varying
+    # merge fold is rendered as ONE SQL parse per round (r13):
+    # rebuilding both through the Column API cost ~2.6 s of py4j round
+    # trips across 12 rounds (cProfile). Identical trees — the SQL CASE
+    # WHEN / aggregate fold is what the Column form compiled to, with
+    # the round's lhs/rhs/fused as escaped string literals.
+    n = F.size("syms")
+    pairs_col = F.explode(
+        F.when(
+            n > 1,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.struct(
+                    F.element_at("syms", i).alias("lhs"),
+                    F.element_at("syms", (i + 1).cast("int")).alias("rhs"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<lhs:string,rhs:string>>"))
+    ).alias("p")
+
+    def _sstr(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
     for r in range(1, n_merges + 1):
-        n = F.size("syms")
-        pairs = words.select(
-            F.explode(
-                F.when(
-                    n > 1,
-                    F.transform(
-                        F.sequence(F.lit(1), n - 1),
-                        lambda i: F.struct(
-                            F.element_at("syms", i).alias("lhs"),
-                            F.element_at("syms", (i + 1).cast("int")).alias("rhs"),
-                        ),
-                    ),
-                ).otherwise(F.array().cast("array<struct<lhs:string,rhs:string>>"))
-            ).alias("p"),
-            F.col("cnt"),
-        )
+        pairs = words.select(pairs_col, F.col("cnt"))
         best = (
             pairs.groupBy("p.lhs", "p.rhs")
             .agg(F.sum("cnt").alias("c"))
@@ -1749,18 +1757,17 @@ def train_bpe(
             break
         lhs, rhs, freq = best["lhs"], best["rhs"], int(best["c"])
         merges.append((r, lhs, rhs, freq))
-        merged = F.lit(lhs + rhs)
         # greedy left-to-right merge: fold symbols into a new array,
         # fusing when the accumulator tail is lhs and the next is rhs
         # (try_element_at: NULL on the empty accumulator, so the WHEN
         # falls through instead of raising under ANSI)
-        apply_merge = F.aggregate(
-            F.col("syms"),
-            F.array().cast("array<string>"),
-            lambda acc, s: F.when(
-                (F.try_element_at(acc, F.lit(-1)) == F.lit(lhs)) & (s == F.lit(rhs)),
-                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
-            ).otherwise(F.concat(acc, F.array(s))),
+        apply_merge = F.expr(
+            "aggregate(syms, cast(array() as array<string>), (acc, s) -> "
+            f"CASE WHEN try_element_at(acc, -1) = {_sstr(lhs)} "
+            f"AND s = {_sstr(rhs)} "
+            "THEN concat(slice(acc, 1, size(acc) - 1), "
+            f"array({_sstr(lhs + rhs)})) "
+            "ELSE concat(acc, array(s)) END)"
         )
         words = words.select(apply_merge.alias("syms"), "cnt")
         # checkpoint every 4th round, not every round (r13): between
@@ -1895,15 +1902,20 @@ def bpe_encode(
     if encode_impl == "pandas":
         vocab = _bpe_segment_pandas(vocab, rules)
     else:
+        def _sstr(s: str) -> str:
+            return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
         for j, (lhs, rhs) in enumerate(rules, start=1):
-            merged = F.lit(lhs + rhs)
-            apply_merge = F.aggregate(
-                F.col("syms"),
-                F.array().cast("array<string>"),
-                lambda acc, s: F.when(
-                    (F.try_element_at(acc, F.lit(-1)) == F.lit(lhs)) & (s == F.lit(rhs)),
-                    F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
-                ).otherwise(F.concat(acc, F.array(s))),
+            # one SQL parse per rule instead of a Column-API fold build
+            # (r13, same tree + py4j saving as the train_bpe loop)
+            apply_merge = F.expr(
+                "aggregate(syms, cast(array() as array<string>), "
+                "(acc, s) -> "
+                f"CASE WHEN try_element_at(acc, -1) = {_sstr(lhs)} "
+                f"AND s = {_sstr(rhs)} "
+                "THEN concat(slice(acc, 1, size(acc) - 1), "
+                f"array({_sstr(lhs + rhs)})) "
+                "ELSE concat(acc, array(s)) END)"
             )
             vocab = vocab.select("w", apply_merge.alias("syms"))
             if j % checkpoint_every == 0 and j < len(rules):
