@@ -92,7 +92,12 @@ def _stopword_hits(toks: Column, words: list[str]) -> Column:
     )
 
 
-def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def text_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
     """Per-document quality statistics: chars, tokens, mean token length,
     punctuation ratio, digit ratio, stopword ratio, uppercase ratio."""
     toks = tokens(text_col)
@@ -117,20 +122,27 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         (
             _stopword_hits(toks, _LANG_STOPWORDS["en"]) / F.greatest(n_tokens, F.lit(1))
         ).alias("stopword_ratio"),
+        *[F.col(c) for c in (keep_cols or [])],
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
     """Composite heuristic quality score in [0, 1]: favors mid-length
     documents with low punctuation/digit density — the standard cheap
     pre-filter before expensive pipeline stages."""
-    stats = text_stats(df, text_col, id_col)
+    stats = text_stats(df, text_col, id_col, keep_cols=keep_cols)
     length_score = F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0))
     punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("punct_ratio") * 5.0)
     digit_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("digit_ratio") * 5.0)
     return stats.select(
         id_col,
         ((length_score + punct_penalty + digit_penalty) / 3.0).alias("quality"),
+        *[F.col(c) for c in (keep_cols or [])],
     )
 
 
@@ -839,8 +851,14 @@ def dataset_card(
     the HyperLogLog++ sketch like corpus_stats.
     """
     stats = corpus_stats(df, by, text_col, exact)
-    perdoc = language_id(df, text_col, id_col, keep_cols=[by]).join(
-        quality_score(df, text_col, id_col), id_col
+    # quality chained onto the language projection via keep_cols (r13):
+    # the id-keyed self-join of two row-local projections over the same
+    # corpus cost a second scan + an exchange for identical rows
+    perdoc = quality_score(
+        language_id(df, text_col, id_col, keep_cols=[by, text_col]),
+        text_col,
+        id_col,
+        keep_cols=[by, "lang_pred"],
     )
     lang_counts = perdoc.groupBy(by, "lang_pred").agg(
         F.count(F.lit(1)).alias("__n_lang")
