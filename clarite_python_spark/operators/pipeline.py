@@ -184,6 +184,7 @@ def dsir_logweights(
     pass. Fully lazy (the ratio row rides as a crossJoin broadcast).
     """
     from clarite_python_spark.functions.hashing import md5_60bit
+    from clarite_python_spark.operators.text import _rebalance
 
     if n_buckets <= 0:
         raise ValueError("n_buckets must be positive")
@@ -194,8 +195,11 @@ def dsir_logweights(
         return md5_60bit(F.concat_ws(":", g, F.lit(salt))) % n_buckets
 
     def bucket_counts(frame: DataFrame) -> DataFrame:
+        # rebalance before the per-gram md5 chain: a single-file local
+        # scan otherwise runs the whole tokenize+hash pass on ONE task
+        # (r13; no-op at scale where the scan arrives in many splits)
         return (
-            frame.select(F.explode(_dsir_grams(text_col)).alias("__g"))
+            _rebalance(frame).select(F.explode(_dsir_grams(text_col)).alias("__g"))
             .select(bucket(F.col("__g")).alias("__b"))
             .groupBy("__b")
             .agg(F.count(F.lit(1)).alias("__c"))
@@ -236,9 +240,9 @@ def dsir_logweights(
             ).alias("__ratio")
         )
     )
-    weighted = df.select(F.col(id_col), _dsir_grams(text_col).alias("__gs")).crossJoin(
-        F.broadcast(ratio_row)
-    )
+    weighted = _rebalance(df).select(
+        F.col(id_col), _dsir_grams(text_col).alias("__gs")
+    ).crossJoin(F.broadcast(ratio_row))
     w = F.aggregate(
         F.col("__gs"),
         F.lit(0.0),

@@ -1761,9 +1761,16 @@ def embedding_neardup(
     seed: int = 42,
     exact: bool = False,
     max_exact_rows: int | None = 100_000,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (id_a < id_b) with
     cosine(vec_a, vec_b) >= ``threshold``.
+
+    ``dim`` (optional): the embedding dimensionality, when the caller
+    already knows it — skips the ``first()`` dim probe, which matters
+    when ``df`` is itself an expensive pipeline (r13:
+    incremental_embedding_neardup's within-batch pass probed the whole
+    cross-set anti-join just to read one vector's length).
 
     The default is the scale path: banded random-hyperplane LSH blocking
     (same hash family as :func:`lsh_topk`). Each vector gets ``n_bands``
@@ -1808,14 +1815,15 @@ def embedding_neardup(
                 return out
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
-        head = df.select(vec_col).first()
-        if head is None:  # empty corpus: no pairs, keep the schema
-            return (
-                a.join(b, F.col("id_a") < F.col("id_b"))
-                .withColumn("cosine", F.lit(0.0))
-                .select("id_a", "id_b", "cosine")
-            )
-        dim = len(head[0])
+        if dim is None:
+            head = df.select(vec_col).first()
+            if head is None:  # empty corpus: no pairs, keep the schema
+                return (
+                    a.join(b, F.col("id_a") < F.col("id_b"))
+                    .withColumn("cosine", F.lit(0.0))
+                    .select("id_a", "id_b", "cosine")
+                )
+            dim = len(head[0])
         planes = _hyperplanes(dim, n_planes * n_bands, seed)
         # planes as data (_planes_row): identical buckets, constant-size
         # plan — see incremental_embedding_neardup
@@ -2637,7 +2645,13 @@ def incremental_embedding_neardup(
         )
         .select(F.col("__idn").alias(id_col))
         .distinct()
-        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+        # EAGER (r13): ``kept`` feeds the within-batch band join on BOTH
+        # sides plus the final anti-join, and those stages schedule
+        # concurrently — a lazy checkpoint only dedups AFTER its first
+        # evaluation, so the racing consumers each re-ran the whole
+        # cross-set pipeline (measured 12 s vs 5 s total once the
+        # dim-probe that had accidentally serialized it was removed)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     kept = batch.join(dropped, on=id_col, how="left_anti")
     if within_batch:
@@ -2649,6 +2663,10 @@ def incremental_embedding_neardup(
             n_planes=n_planes,
             n_bands=n_bands,
             seed=seed,
+            # dim is known from the batch probe above: passing it skips
+            # embedding_neardup's first() — which would materialize the
+            # whole cross-set anti-join at plan-BUILD time (r13)
+            dim=dim,
         )
         losers = (
             pairs.select(F.col("id_b").alias(id_col))
