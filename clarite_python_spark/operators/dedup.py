@@ -2044,20 +2044,26 @@ def incremental_simhash_dedup(
     fp_long = (
         F.conv(_simhash_bits(text_col, bits, hash_family), 2, 10).cast("long")
     )
-    if seen_fp_col is None:
-        seen_fps = _rebalance(seen).select(fp_long.alias("__fp"))
-    else:
-        seen_fps = seen.select(F.col(seen_fp_col).alias("__fp"))
-    # stage both sides' fingerprints behind lazy DISK_ONLY checkpoints:
+    # stage COMPUTED fingerprints behind lazy DISK_ONLY checkpoints:
     # CollapseProject would otherwise inline the fingerprint fold into
     # every band substring (and the bucket-cap groupBy + band-join
     # consumers), multiplying the expression tree Catalyst must plan —
     # planning the big hits subtree alone measured 7.2 s at r13. The
     # checkpoint leaf keeps every downstream plan small and computes
-    # each fingerprint exactly once at runtime.
-    seen_fps = seen_fps.distinct().localCheckpoint(
-        eager=False, storageLevel=StorageLevel.DISK_ONLY
-    )
+    # each fingerprint exactly once at runtime. The persisted-history
+    # form (seen_fp_col) is NOT checkpointed: its tree is a trivial
+    # column select, and materializing a 10^12-row fingerprint table to
+    # local disk would trade multi-TB executor I/O for nothing (its two
+    # consumers share the distinct's exchange).
+    if seen_fp_col is None:
+        seen_fps = (
+            _rebalance(seen)
+            .select(fp_long.alias("__fp"))
+            .distinct()
+            .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+        )
+    else:
+        seen_fps = seen.select(F.col(seen_fp_col).alias("__fp")).distinct()
 
     def banded_fp(df: DataFrame) -> DataFrame:
         # derive the fixed-width binary form from the long (lpad of the
