@@ -598,6 +598,33 @@ def remove_contaminated_spans(
     return _delete_covered_windows(staged, dup, id_col, n)
 
 
+def _quote_col(name: str) -> str:
+    """Backtick-quote a column name for SQL rendering."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _tokens_sql(col_sql: str) -> str:
+    """SQL text of :func:`~clarite_python_spark.operators.text.tokens`:
+    whitespace split with empty tokens dropped (identical expression)."""
+    return f"filter(split(trim({col_sql}), '\\\\s+'), x -> x != '')"
+
+
+def _shingles_sql(text_col: str, n: int) -> str:
+    """SQL text of :func:`shingles` — the identical expression tree
+    rendered as one string so construction is ONE JVM parse instead of
+    dozens of py4j round trips per HOF node (the round-13 batch-12
+    idiom; measured ~1.3k round trips per minhash_dedup construction,
+    most of them here and in the signature/banding folds)."""
+    toks = _tokens_sql(_quote_col(text_col))
+    gram = f"concat_ws(' ', slice(tk, (i + 1), {n}))"
+    per_tk = (
+        f"CASE WHEN (size(tk) >= {n}) "
+        f"THEN transform(sequence(0, (size(tk) - {n})), i -> {gram}) "
+        f"ELSE array(concat_ws(' ', tk)) END"
+    )
+    return f"array_distinct(get(transform(array({toks}), tk -> {per_tk}), 0))"
+
+
 def shingles(text_col: str = "text", n: int = 3) -> Column:
     """Distinct word n-gram shingles as an array column (JVM lambdas).
 
@@ -607,16 +634,11 @@ def shingles(text_col: str = "text", n: int = 3) -> Column:
     ``tokens()`` split expression directly inside the per-gram lambda
     re-tokenizes the whole document for every gram position — O(len²)
     work per document (measured sf0.1: the shingle projection alone
-    5.24 s -> 0.77 s with the binding; identical gram lists)."""
-    toks = tokens(text_col)
-    per_tk = lambda tk: F.when(  # noqa: E731
-        F.size(tk) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(tk) - n),
-            lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", tk)))
-    return F.array_distinct(F.get(F.transform(F.array(toks), per_tk), 0))
+    5.24 s -> 0.77 s with the binding; identical gram lists).
+
+    Rendered as one SQL parse (:func:`_shingles_sql`); bit-identical to
+    the Column-API build (pinned by test_dedup parity)."""
+    return F.expr(_shingles_sql(text_col, n))
 
 
 def benchmark_grams(
@@ -892,6 +914,35 @@ def minhash_signature(
     )
 
 
+def _member_sql(hash_family: str, s: str, j: str) -> str:
+    """SQL text of one hash-family member — xxhash64(s, j) or the
+    60-bit md5 (:func:`_md5_member` /
+    :func:`~clarite_python_spark.functions.hashing.md5_60bit`)."""
+    if hash_family == "xxhash64":
+        return f"xxhash64({s}, {j})"
+    return (
+        f"CAST(conv(substring(md5(concat_ws(':', {s}, CAST({j} AS STRING))), "
+        f"1, 15), 16, 10) AS BIGINT)"
+    )
+
+
+def _minhash_signature_sql(sh_sql: str, num_hashes: int, hash_family: str) -> str:
+    """SQL text of :func:`minhash_signature` over the rendered shingle
+    expression — the identical aggregate/zip_with/transform fold as one
+    JVM parse (construction cost only; the runtime plan is unchanged)."""
+    if hash_family not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+    max_long = (1 << 63) - 1
+    member = _member_sql(hash_family, "s", "j")
+    return (
+        f"aggregate({sh_sql}, "
+        f"array_repeat(CAST({max_long} AS BIGINT), {num_hashes}), "
+        f"(acc, s) -> zip_with(acc, "
+        f"transform(sequence(0, {num_hashes - 1}), j -> {member}), "
+        f"(a, h) -> least(a, h)))"
+    )
+
+
 def _banded(
     df: DataFrame,
     text_col: str,
@@ -902,30 +953,35 @@ def _banded(
     hash_family: str,
 ) -> DataFrame:
     """(id, band, bucket) band-hash frame shared by the within-corpus
-    LSH candidates and the cross-set fuzzy contamination."""
-    rows_per_band = num_hashes // bands
-    sig = minhash_signature(shingles(text_col, shingle_n), num_hashes, hash_family)
+    LSH candidates and the cross-set fuzzy contamination.
 
-    def bucket_key(b):
-        joined = F.concat_ws(
-            ",",
-            F.transform(
-                F.slice("__sig", b * rows_per_band + 1, rows_per_band),
-                lambda v: v.cast("string"),
-            ),
+    Both the signature fold and the banding transform render as single
+    SQL parses — identical expression trees, one py4j round trip each
+    instead of one per node (round-13 construction-cost idiom)."""
+    rows_per_band = num_hashes // bands
+    sig = F.expr(
+        _minhash_signature_sql(
+            _shingles_sql(text_col, shingle_n), num_hashes, hash_family
         )
-        if hash_family == "xxhash64":
-            return F.xxhash64(joined).cast("string")
-        return joined
+    )
+    joined = (
+        "concat_ws(',', transform("
+        f"slice(__sig, ((b * {rows_per_band}) + 1), {rows_per_band}), "
+        "v -> CAST(v AS STRING)))"
+    )
+    bucket = (
+        f"CAST(xxhash64({joined}) AS STRING)"
+        if hash_family == "xxhash64"
+        else joined
+    )
+    band_structs = F.expr(
+        f"transform(sequence(0, {bands - 1}), "
+        f"b -> named_struct('band', b, 'bucket', {bucket}))"
+    )
 
     return df.select(F.col(id_col), sig.alias("__sig")).select(
         id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(b.alias("band"), bucket_key(b).alias("bucket")),
-            )
-        ).alias("bb"),
+        F.explode(band_structs).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
 
 

@@ -321,23 +321,24 @@ def quantize_binary(
     if dim <= 0:
         raise ValueError(f"vector dim must be positive, got {dim}")
     words = (dim + 31) // 32
-    v = F.col(vec_col)
-    pows = F.array(*[F.lit(p).cast("long") for p in _BIT_POWS])
-
-    def _word(w: Column) -> Column:
-        return F.aggregate(
-            F.sequence(w * 32, F.least(w * 32 + 31, F.lit(dim - 1))),
-            F.lit(0).cast("long"),
-            lambda acc, i: acc
-            + F.when(
-                F.element_at(v, (i + 1).cast("int")) > 0,
-                F.element_at(pows, (i - w * 32 + 1).cast("int")),
-            ).otherwise(F.lit(0).cast("long")),
-        )
-
+    # rendered as ONE SQL parse (the r13 construction-cost idiom): the
+    # Column-API build of the same tree costs ~100 py4j round trips
+    # (32 literal bit-powers + the two fold lambdas) per call, and the
+    # binary family constructs this 2-3x per query
+    v_sql = f"`{vec_col}`"
+    pows_sql = "array(" + ", ".join(f"CAST({p} AS BIGINT)" for p in _BIT_POWS) + ")"
+    word_sql = (
+        f"aggregate(sequence((w * 32), least(((w * 32) + 31), {dim - 1})), "
+        f"CAST(0 AS BIGINT), "
+        f"(acc, i) -> acc + CASE WHEN (element_at({v_sql}, CAST((i + 1) AS INT)) > 0) "
+        f"THEN element_at({pows_sql}, CAST(((i - (w * 32)) + 1) AS INT)) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+    )
     return df.select(
         F.col(id_col),
-        F.transform(F.sequence(F.lit(0), F.lit(words - 1)), _word).alias(out_col),
+        F.expr(f"transform(sequence(0, {words - 1}), w -> {word_sql})").alias(
+            out_col
+        ),
     )
 
 
@@ -390,6 +391,14 @@ def _hamming(a: Column, b: Column) -> Column:
         F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
         F.lit(0),
         lambda acc, x: acc + x,
+    )
+
+
+def _hamming_sql(a: str, b: str) -> str:
+    """SQL twin of :func:`_hamming` — identical fold, one parse."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> bit_count((x ^ y))), 0, "
+        "(acc, x) -> acc + x)"
     )
 
 
@@ -466,7 +475,7 @@ def hamming_topk(
     scored = bc.crossJoin(F.broadcast(bq)).select(
         F.col(query_id_col),
         F.col(id_col),
-        _hamming(F.col("bvec"), F.col("__qbvec")).alias("hamming"),
+        F.expr(_hamming_sql("bvec", "__qbvec")).alias("hamming"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.asc("hamming"), F.asc(id_col))
     return (

@@ -965,3 +965,86 @@ def test_min_label_components_multi_edges_collapse(spark):
         (r["id"], r["label"]) for r in _min_label_components(edges).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 3), (4, 3)}
+
+
+def test_sql_rendered_shingles_and_banding_bit_identical(spark):
+    """The round-13 SQL-parse rendering of shingles/_banded must
+    reproduce the Column-API expression trees value-exactly (grams,
+    signatures, band buckets) — the minhash family's oracle hashes
+    depend on every bit."""
+    from clarite_python_spark.operators.dedup import _banded, minhash_signature, shingles
+    from clarite_python_spark.operators.text import tokens
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "short"),
+        (3, ""),
+        (4, "a  b\tc   d e f g"),  # irregular whitespace
+        (5, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    # Column-API reference build (the pre-round-13 construction)
+    def ref_shingles(text_col, n):
+        toks = tokens(text_col)
+        per_tk = lambda tk: F.when(  # noqa: E731
+            F.size(tk) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(tk) - n),
+                lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", tk)))
+        return F.array_distinct(F.get(F.transform(F.array(toks), per_tk), 0))
+
+    for n in (2, 3):
+        got = df.select("doc_id", shingles("text", n).alias("s")).collect()
+        want = df.select("doc_id", ref_shingles("text", n).alias("s")).collect()
+        assert got == want
+
+    for fam in ("xxhash64", "md5"):
+        got = df.select(
+            "doc_id", minhash_signature(shingles("text", 3), 8, fam).alias("sig")
+        ).collect()
+        want = df.select(
+            "doc_id", minhash_signature(ref_shingles("text", 3), 8, fam).alias("sig")
+        ).collect()
+        assert got == want
+
+        banded = {
+            (r["doc_id"], r["band"], r["bucket"])
+            for r in _banded(df, "text", "doc_id", 8, 4, 3, fam).collect()
+        }
+        # reference banding via the Column-API pieces
+        rows_per_band = 2
+        sig = minhash_signature(ref_shingles("text", 3), 8, fam)
+
+        def bucket_key(b):
+            joined = F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice("__sig", b * rows_per_band + 1, rows_per_band),
+                    lambda v: v.cast("string"),
+                ),
+            )
+            if fam == "xxhash64":
+                return F.xxhash64(joined).cast("string")
+            return joined
+
+        ref = {
+            (r["doc_id"], r["band"], r["bucket"])
+            for r in df.select(F.col("doc_id"), sig.alias("__sig"))
+            .select(
+                "doc_id",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(3)),
+                        lambda b: F.struct(
+                            b.alias("band"), bucket_key(b).alias("bucket")
+                        ),
+                    )
+                ).alias("bb"),
+            )
+            .select("doc_id", "bb.band", "bb.bucket")
+            .collect()
+        }
+        assert banded == ref
