@@ -1851,12 +1851,12 @@ def _simhash_bits(text_col: str, bits: int, hash_family: str) -> Column:
     if hash_family not in ("xxhash64", "md5"):
         raise ValueError(f"unknown hash_family {hash_family!r}")
 
-    def token_hash(t: Column) -> Column:
-        if hash_family == "xxhash64":
-            return F.xxhash64(t)
-        from clarite_python_spark.functions.hashing import md5_60bit
-
-        return md5_60bit(t)
+    if hash_family == "xxhash64":
+        member = "xxhash64(t)"
+    else:
+        member = (
+            "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)"
+        )
 
     # hash each token ONCE, then fold the per-bit ±1 over the hashed
     # longs: higher-order-function lambdas evaluate with no common-
@@ -1866,29 +1866,25 @@ def _simhash_bits(text_col: str, bits: int, hash_family: str) -> Column:
     # family (measured: incremental_simhash_documents sf0.1 66.3 s ->
     # 11.2 s with the hoist; identical fingerprints, the hash values and
     # the ±1 sums are unchanged). ``getbit`` on a ready long is trivial.
-    hashed = F.transform(tokens(text_col), lambda t: token_hash(t))
-    zero = F.array(*[F.lit(0).cast("long") for _ in range(bits)])
-    counts = F.aggregate(
-        hashed,
-        zero,
-        lambda acc, h: F.zip_with(
-            acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bits - 1)),
-                lambda b: F.when(F.getbit(h, b) == 1, F.lit(1))
-                .otherwise(F.lit(-1))
-                .cast("long"),
-            ),
-            lambda a, x: a + x,
-        ),
+    # The whole pass renders as ONE SQL parse (the r13 construction-cost
+    # idiom) — the Column-API build of this tree paid ~300 py4j round
+    # trips per construction (the `bits` zero literals + 5 lambdas).
+    hashed = f"transform({_tokens_sql(_quote_col(text_col))}, t -> {member})"
+    zero = "array(" + ", ".join("CAST(0 AS BIGINT)" for _ in range(bits)) + ")"
+    counts = (
+        f"aggregate({hashed}, {zero}, "
+        f"(acc, h) -> zip_with(acc, "
+        f"transform(sequence(0, {bits - 1}), "
+        f"b -> CAST(CASE WHEN (getbit(h, b) = 1) THEN 1 ELSE -1 END AS BIGINT)), "
+        f"(a, x) -> a + x))"
     )
     # bit b of the hash = sign(counts[b]); assemble MSB-first binary
     # (base-converting the string avoids 64-bit signed overflow under
     # ANSI mode). An empty token array leaves every count at 0 => all
     # bits set — empty docs fingerprint identically, by design.
-    return F.concat_ws(
-        "",
-        F.transform(F.reverse(counts), lambda c: F.when(c >= 0, F.lit("1")).otherwise(F.lit("0"))),
+    return F.expr(
+        f"concat_ws('', transform(reverse({counts}), "
+        f"c -> CASE WHEN (c >= 0) THEN '1' ELSE '0' END))"
     )
 
 
@@ -1961,18 +1957,15 @@ def _simhash_pairs_from_fps(
     shared with :func:`incremental_simhash_dedup`'s within-batch pass so
     fingerprints are computed (and planned) exactly once per document."""
     width = bits // bands
+    band_structs = F.expr(
+        f"transform(sequence(0, {bands - 1}), "
+        f"i -> named_struct('band', i, "
+        f"'bucket', substring(__bs, ((i * {width}) + 1), {width})))"
+    )
     banded = fps.select(
         id_col,
         "__fp",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.struct(
-                    i.alias("band"),
-                    F.col("__bs").substr(i * width + 1, F.lit(width)).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
+        F.explode(band_structs).alias("bb"),
     ).select(id_col, "__fp", "bb.band", "bb.bucket")
     buckets = (
         banded.groupBy("band", "bucket")

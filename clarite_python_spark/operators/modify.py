@@ -461,20 +461,31 @@ def _outlier_bounds(
 ) -> DataFrame:
     """1-row frame of (lo::col, hi::col) cutoffs for every column — one agg
     pass, broadcastable back onto the data."""
+    # each bound renders as one SQL parse (r13 construction-cost idiom)
+    # — identical expression trees to the Column-API build (duplicate
+    # aggregate functions are deduplicated by PhysicalAggregation either
+    # way); the cutoff literal round-trips exactly through repr()
+    cut = repr(float(cutoff)) + "D"
     aggs: list[Column] = []
     for c in cols:
+        qc = "`" + c.replace("`", "``") + "`"
         if method == "gaussian":
-            aggs.append((F.mean(qcol(c)) - cutoff * F.stddev_samp(qcol(c))).alias(f"lo::{c}"))
-            aggs.append((F.mean(qcol(c)) + cutoff * F.stddev_samp(qcol(c))).alias(f"hi::{c}"))
+            mean, sd = f"avg({qc})", f"stddev_samp({qc})"
+            aggs.append(F.expr(f"({mean} - ({cut} * {sd}))").alias(f"lo::{c}"))
+            aggs.append(F.expr(f"({mean} + ({cut} * {sd}))").alias(f"hi::{c}"))
         elif method == "iqr":
             # ONE percentile buffer per column (array of quantiles), not two
             if exact:
-                qs = F.percentile(qcol(c), F.array(F.lit(0.25), F.lit(0.75)))
+                qs = f"percentile({qc}, array(CAST(0.25 AS DOUBLE), CAST(0.75 AS DOUBLE)))"
             else:
-                qs = F.expr(f"approx_percentile(`{c}`, array(0.25, 0.75), 10000)")
-            q1, q3 = qs.getItem(0), qs.getItem(1)
-            aggs.append((q1 - cutoff * (q3 - q1)).alias(f"lo::{c}"))
-            aggs.append((q3 + cutoff * (q3 - q1)).alias(f"hi::{c}"))
+                qs = f"approx_percentile({qc}, array(0.25, 0.75), 10000)"
+            q1, q3 = f"{qs}[0]", f"{qs}[1]"
+            aggs.append(
+                F.expr(f"({q1} - ({cut} * ({q3} - {q1})))").alias(f"lo::{c}")
+            )
+            aggs.append(
+                F.expr(f"({q3} + ({cut} * ({q3} - {q1})))").alias(f"hi::{c}")
+            )
         else:
             raise ValueError("method must be 'gaussian' or 'iqr'")
     return df.agg(*aggs)
