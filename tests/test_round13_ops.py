@@ -452,3 +452,52 @@ def test_cc_driver_shortcut_matches_distributed(spark):
         ).collect()
     )
     assert sa == sb and all(lbl == "w00" for _, lbl in sa)
+
+
+def test_language_id_staged_scores_match_direct_chain(spark):
+    """r13: language_id stages the per-language stopword scores as
+    columns before the best-of-K when-chain (the direct chain
+    re-evaluates every fold ~2^K times per row). Rows must match the
+    unstaged composition exactly, including CJK override, unknown
+    fallback, and fixed-order tie-breaks."""
+    from pyspark.sql import functions as F
+
+    from clarite_python_spark.operators.text import (
+        _LANG_STOPWORDS,
+        _stopword_hits,
+        language_id,
+        tokens,
+    )
+
+    rows = [
+        (1, "the of and to in is it for on that"),          # en
+        (2, "der die und von zu das mit sich des auf"),     # de
+        (3, "el la de que y en un ser se no"),              # es
+        (4, "le de un et est pour que une dans il"),        # fr
+        (5, "中文文本在这里"),                                 # CJK override
+        (6, "zzz qqq xxx"),                                  # unknown
+        (7, ""),                                             # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    # unstaged reference: the pre-r13 composition
+    toks = tokens("text")
+    n_tokens = F.greatest(F.size(toks), F.lit(1))
+    scores = {
+        lang: (_stopword_hits(toks, words) / n_tokens)
+        for lang, words in _LANG_STOPWORDS.items()
+    }
+    is_cjk = F.col("text").rlike("[一-鿿]")
+    best_lang, best_score = F.lit("unknown"), F.lit(0.0)
+    for lang in sorted(_LANG_STOPWORDS):
+        better = scores[lang] > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, scores[lang]).otherwise(best_score)
+    ref = df.select(
+        F.col("doc_id"),
+        F.when(is_cjk, F.lit("zh")).otherwise(best_lang).alias("lang_pred"),
+        F.when(is_cjk, F.lit(1.0)).otherwise(best_score).alias("lang_score"),
+    ).orderBy("doc_id").collect()
+
+    got = language_id(df).orderBy("doc_id").collect()
+    assert got == ref
