@@ -2891,42 +2891,39 @@ def mmr_ivf_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's correctness gate samples the FIRST 50
     # entries of this dict. Every registered query has at least one
-    # driver-green CORRECTNESS row (union r1-r10; the r10 verdict
-    # verified zero never-sampled, zero last-known-fail). Round 11
-    # rotates the HEAD-50 to: (1) the eight r11 registrations
-    # (table_diff_snapshot_orders, remove_outliers_approx_lineitem, the
-    # five binary-embedding entries, rank_eval_macro_embeddings);
-    # (2) the SS2 statistical core (association/weighted/logistic/
-    # interaction/corrected-pvalues), whose last driver rows date to
-    # r4-r7 -- driver-green is the scoreboard currency and these are the
-    # engine's reason to exist; (3) the reference QC/describe surface
-    # (same vintage); (4) every query whose code was TOUCHED this round
-    # (q3 broadcast drop; the dedup-CC family after the checkpoint/
-    # proving-round/shortcut changes; mmr after the null-vec filter).
-    # The displaced r10 head entries were all driver-proven in r10
-    # (CORRECTNESS_r10: 50/50). The local full gate
+    # driver-green CORRECTNESS row (union r1-r13; the r10 verdict
+    # verified zero never-sampled, zero last-known-fail). Round 14
+    # rotation (VERDICT.md r13 items 1 and 8): restore driver coverage
+    # of the 12 dedup/CC/describe rows the partial r12-build rotation
+    # displaced (exact_dedup, the five minhash_* rows, both simhash
+    # rows, dedup_report, connected_components/component_sizes,
+    # skewness, get_significant) — these are exactly the queries whose
+    # internals round 13 rewrote (CC kernel, simhash/minhash SQL
+    # renders, exact_dedup fingerprint) — plus ngram_jaccard_documents
+    # (the r13 inverted-index path, never driver-attested). Displaced:
+    # the 12 rows CORRECTNESS_r13 newly driver-proved (quantizer/BPE/
+    # knn_pandas family) and table_diff_snapshot_orders (driver-green
+    # r11+r12+r13, code untouched since r11). The local full gate
     # (scripts/check_correctness.py) always runs ALL entries.
     return {
-        "pack_token_sequences_documents": pack_token_sequences_documents,
-        "knn_graph_pandas_embeddings": knn_graph_pandas_embeddings,
-        "cluster_embeddings_pandas_embeddings": cluster_embeddings_pandas_embeddings,
-        "train_bpe_driver_documents": train_bpe_driver_documents,
-        "bpe_encode_pandas_documents": bpe_encode_pandas_documents,
+        "skewness_lineitem": skewness_lineitem,
+        "get_significant_documents": get_significant_documents,
+        "exact_dedup_documents": exact_dedup_documents,
+        "minhash_dedup_transitive_documents": minhash_dedup_transitive_documents,
+        "minhash_clusters_documents": minhash_clusters_documents,
+        "minhash_dedup_keep_longest_documents": minhash_dedup_keep_longest_documents,
+        "simhash_dedup_documents": simhash_dedup_documents,
+        "simhash_clusters_documents": simhash_clusters_documents,
+        "minhash_dedup_md5_transitive_documents": minhash_dedup_md5_transitive_documents,
+        "dedup_report_documents": dedup_report_documents,
+        "connected_components_customer": connected_components_customer,
+        "component_sizes_customer": component_sizes_customer,
+        "ngram_jaccard_documents": ngram_jaccard_documents,
         "knn_graph_embeddings": knn_graph_embeddings,
         "knn_graph_recall_embeddings": knn_graph_recall_embeddings,
         "train_bpe_documents": train_bpe_documents,
         "bpe_encode_documents": bpe_encode_documents,
-        # r13 rotation: the quantizer-family rows whose code the
-        # assign_impl plumb-through touched this round
-        "similarity_ivf_embeddings": similarity_ivf_embeddings,
-        "similarity_ivf_probe_embeddings": similarity_ivf_probe_embeddings,
-        "cluster_embeddings_embeddings": cluster_embeddings_embeddings,
-        "semantic_dedup_embeddings": semantic_dedup_embeddings,
-        "ivf_pq_topk_embeddings": ivf_pq_topk_embeddings,
-        "ivf_pq_residual_topk_embeddings": ivf_pq_residual_topk_embeddings,
-        "ivf_recall_embeddings": ivf_recall_embeddings,
         "binary_rerank_stored_embeddings": binary_rerank_stored_embeddings,
-        "table_diff_snapshot_orders": table_diff_snapshot_orders,
         "remove_outliers_approx_lineitem": remove_outliers_approx_lineitem,
         "quantize_binary_embeddings": quantize_binary_embeddings,
         "hamming_topk_embeddings": hamming_topk_embeddings,
@@ -2959,18 +2956,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_customer_nation": join_customer_nation,
         "merge_observations_orders": merge_observations_orders,
         "correlations_lineitem": correlations_lineitem,
-        "skewness_lineitem": skewness_lineitem,
-        "get_significant_documents": get_significant_documents,
-        "exact_dedup_documents": exact_dedup_documents,
-        "minhash_dedup_transitive_documents": minhash_dedup_transitive_documents,
-        "minhash_clusters_documents": minhash_clusters_documents,
-        "minhash_dedup_keep_longest_documents": minhash_dedup_keep_longest_documents,
-        "simhash_dedup_documents": simhash_dedup_documents,
-        "simhash_clusters_documents": simhash_clusters_documents,
-        "minhash_dedup_md5_transitive_documents": minhash_dedup_md5_transitive_documents,
-        "dedup_report_documents": dedup_report_documents,
-        "connected_components_customer": connected_components_customer,
-        "component_sizes_customer": component_sizes_customer,
+        # --- end of head-50; rows below run in the local full gate and
+        # remain driver-attested from earlier rounds ---
+        "pack_token_sequences_documents": pack_token_sequences_documents,
+        "knn_graph_pandas_embeddings": knn_graph_pandas_embeddings,
+        "cluster_embeddings_pandas_embeddings": cluster_embeddings_pandas_embeddings,
+        "train_bpe_driver_documents": train_bpe_driver_documents,
+        "bpe_encode_pandas_documents": bpe_encode_pandas_documents,
+        "similarity_ivf_embeddings": similarity_ivf_embeddings,
+        "similarity_ivf_probe_embeddings": similarity_ivf_probe_embeddings,
+        "cluster_embeddings_embeddings": cluster_embeddings_embeddings,
+        "semantic_dedup_embeddings": semantic_dedup_embeddings,
+        "ivf_pq_topk_embeddings": ivf_pq_topk_embeddings,
+        "ivf_pq_residual_topk_embeddings": ivf_pq_residual_topk_embeddings,
+        "ivf_recall_embeddings": ivf_recall_embeddings,
+        "table_diff_snapshot_orders": table_diff_snapshot_orders,
         "mmr_rerank_embeddings": mmr_rerank_embeddings,
         "mmr_ivf_rerank_embeddings": mmr_ivf_rerank_embeddings,
         "table_diff_orders": table_diff_orders,
@@ -3074,7 +3074,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video_documents": multimodal_video_documents,
         "windowed_events": windowed_events,
         "sessionized_events": sessionized_events,
-        "ngram_jaccard_documents": ngram_jaccard_documents,
         "embedding_neardup_embeddings": embedding_neardup_embeddings,
         "embedding_neardup_lsh_embeddings": embedding_neardup_lsh_embeddings,
         "paragraph_dedup_documents": paragraph_dedup_documents,

@@ -69,6 +69,7 @@ from typing import Callable, Sequence
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -273,7 +274,10 @@ def weighted_binomial_cells_rows(
                 F.sum("__w").alias("__sw"),
                 F.sum(F.col("__w") * F.col("__w")).alias("__sw2"),
             )
-            .persist()
+            # DISK_ONLY: the cell table is read twice (pre-count guard +
+            # toPandas) but a deserialized in-memory persist competes
+            # with execution memory at GWAS width (guide §5)
+            .persist(StorageLevel.DISK_ONLY)
         )
         try:
             # pre-count guard: count COMPLETE cells per variable on the

@@ -599,8 +599,13 @@ def remove_contaminated_spans(
 
 
 def _quote_col(name: str) -> str:
-    """Backtick-quote a column name for SQL rendering."""
-    return "`" + name.replace("`", "``") + "`"
+    """Backtick-quote a column reference for SQL rendering. Dots split
+    into quoted path segments so a nested-field reference like
+    ``meta.text`` keeps the ``F.col`` resolution semantics this render
+    replaced (r13) — ``F.col`` also treats dots as struct access."""
+    return ".".join(
+        "`" + seg.replace("`", "``") + "`" for seg in name.split(".")
+    )
 
 
 def _tokens_sql(col_sql: str) -> str:

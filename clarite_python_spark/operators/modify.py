@@ -465,6 +465,10 @@ def _outlier_bounds(
     # — identical expression trees to the Column-API build (duplicate
     # aggregate functions are deduplicated by PhysicalAggregation either
     # way); the cutoff literal round-trips exactly through repr()
+    if not math.isfinite(float(cutoff)):
+        # repr() would render 'infD'/'nanD' — an opaque SQL parse error
+        # instead of a clear contract violation
+        raise ValueError(f"cutoff must be finite, got {cutoff!r}")
     cut = repr(float(cutoff)) + "D"
     aggs: list[Column] = []
     for c in cols:

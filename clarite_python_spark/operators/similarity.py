@@ -325,7 +325,7 @@ def quantize_binary(
     # Column-API build of the same tree costs ~100 py4j round trips
     # (32 literal bit-powers + the two fold lambdas) per call, and the
     # binary family constructs this 2-3x per query
-    v_sql = f"`{vec_col}`"
+    v_sql = "`" + vec_col.replace("`", "``") + "`"
     pows_sql = "array(" + ", ".join(f"CAST({p} AS BIGINT)" for p in _BIT_POWS) + ")"
     word_sql = (
         f"aggregate(sequence((w * 32), least(((w * 32) + 31), {dim - 1})), "
@@ -372,16 +372,49 @@ def build_binary_index(
         dim = int(row["d"]) if row and row["d"] is not None else 0
     if dim <= 0:
         raise ValueError(f"vector dim must be positive, got {dim}")
-    quantize_binary(corpus, id_col, vec_col, dim=dim).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/bvec")
+    # the three writes are independent jobs over disjoint output dirs
+    # (bvec pack scan, raw-vector sidecar scan, 1-row stats) — submit
+    # them from a driver thread pool so the sidecar write back-fills the
+    # pack write's task tail instead of following it (guide §2.6);
+    # bytes written and artifact contents are identical to the serial
+    # form.
+    from concurrent.futures import ThreadPoolExecutor
+
+    spark = corpus.sparkSession
+
+    def _labeled_write(desc: str, write_fn) -> None:
+        spark.sparkContext.setJobDescription(desc)
+        write_fn()
+        spark.sparkContext.setJobDescription(None)
+
+    jobs = [
+        (
+            "build_binary_index: bvec pack",
+            lambda: quantize_binary(corpus, id_col, vec_col, dim=dim)
+            .write.mode("overwrite")
+            .parquet(f"{path}/bvec"),
+        ),
+        (
+            "build_binary_index: stats",
+            lambda: spark.createDataFrame([(dim,)], "__dim int")
+            .write.mode("overwrite")
+            .parquet(f"{path}/stats"),
+        ),
+    ]
     if store_vectors:
-        corpus.select(F.col(id_col), F.col(vec_col)).write.mode(
-            "overwrite"
-        ).parquet(f"{path}/vectors")
-    corpus.sparkSession.createDataFrame(
-        [(dim,)], "__dim int"
-    ).write.mode("overwrite").parquet(f"{path}/stats")
+        jobs.insert(
+            1,
+            (
+                "build_binary_index: vectors sidecar",
+                lambda: corpus.select(F.col(id_col), F.col(vec_col))
+                .write.mode("overwrite")
+                .parquet(f"{path}/vectors"),
+            ),
+        )
+    with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+        futs = [pool.submit(_labeled_write, d, fn) for d, fn in jobs]
+        for f in futs:
+            f.result()
 
 
 def _hamming(a: Column, b: Column) -> Column:

@@ -166,6 +166,19 @@ def language_id(
     staged refs are non-cheap and multi-used)."""
     toks = tokens(text_col)
     n_tokens = F.greatest(F.size(toks), F.lit(1))
+    # guard the staging prefix: an input frame already carrying a
+    # __lang_<lang> column would make the staged refs below ambiguous
+    # (AnalysisException). Dropping is output-neutral — the result only
+    # projects id/keep_cols — unless the caller asked for such a column
+    # back, which cannot be served unambiguously.
+    clash = [c for c in df.columns if c.startswith("__lang_")]
+    if any(c in {id_col, text_col, *(keep_cols or [])} for c in clash):
+        raise ValueError(
+            f"language_id reserves the __lang_* prefix for staged "
+            f"scores; rename input column(s) {sorted(clash)}"
+        )
+    if clash:
+        df = df.drop(*clash)
     staged = df.select(
         "*",
         *[
@@ -1452,14 +1465,47 @@ def build_postings(
     inline cost in the postings agg, so a stored-postings re-query pays
     seconds, not minutes (scripts/bench_bm25_postings.py).
     """
-    tf, dfreq, stats = _postings_frames(corpus, text_col, id_col)
-    tf.sortWithinPartitions("__term").write.mode("overwrite").parquet(
-        f"{path}/postings"
-    )
-    dfreq.sortWithinPartitions("__term").write.mode("overwrite").parquet(
-        f"{path}/df"
-    )
-    stats.write.mode("overwrite").parquet(f"{path}/stats")
+    from concurrent.futures import ThreadPoolExecutor
+
+    tf, _dfreq, stats = _postings_frames(corpus, text_col, id_col)
+    spark = corpus.sparkSession
+
+    # The three artifacts previously wrote serially, and each write
+    # re-ran its full lineage: the corpus was tokenized 3x and the
+    # postings agg 2x (dfreq folds off tf). Two fixes, bit-identical
+    # artifacts (guide §1.3 / §2.6):
+    #  - df/ is derived by reading BACK the just-written postings/
+    #    (its rows ARE the tf rows, so the per-term count is identical)
+    #    instead of re-running tokenize + explode + agg;
+    #  - stats/ cannot come from postings (a zero-token document has no
+    #    postings rows but still counts in __n/__avgdl), so it keeps its
+    #    own corpus pass — submitted from a driver thread so it overlaps
+    #    the postings write instead of following it.
+    def _write_tf_then_df() -> None:
+        spark.sparkContext.setJobDescription("build_postings: postings")
+        tf.sortWithinPartitions("__term").write.mode("overwrite").parquet(
+            f"{path}/postings"
+        )
+        spark.sparkContext.setJobDescription("build_postings: df from stored postings")
+        (
+            spark.read.parquet(f"{path}/postings")
+            .groupBy("__term")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .sortWithinPartitions("__term")
+            .write.mode("overwrite")
+            .parquet(f"{path}/df")
+        )
+        spark.sparkContext.setJobDescription(None)
+
+    def _write_stats() -> None:
+        spark.sparkContext.setJobDescription("build_postings: stats")
+        stats.write.mode("overwrite").parquet(f"{path}/stats")
+        spark.sparkContext.setJobDescription(None)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [pool.submit(_write_tf_then_df), pool.submit(_write_stats)]
+        for f in futs:
+            f.result()
 
 
 def bm25_topk(

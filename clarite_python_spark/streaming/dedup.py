@@ -22,6 +22,7 @@ tests/test_streaming.py)."""
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -63,7 +64,13 @@ def stream_contamination(
     from clarite_python_spark.operators.dedup import benchmark_grams, contamination
 
     bcol = bench_text_col or text_col
-    bench = benchmark_grams(benchmark, n, bcol, hash_grams).persist()
+    # DISK_ONLY: the gram table is reused across every micro-batch but a
+    # deserialized in-memory persist of a 100-TB-scale benchmark gram set
+    # competes with execution memory (the r11 CC OOM pattern — see
+    # operators/dedup.py's _min_label_components storage-level note)
+    bench = benchmark_grams(benchmark, n, bcol, hash_grams).persist(
+        StorageLevel.DISK_ONLY
+    )
     bench.count()  # materialize once; micro-batches reuse the cache
 
     reader = spark.readStream.schema(spark.read.parquet(path).schema)
@@ -196,7 +203,7 @@ def stream_neardup(
             max_bucket=max_bucket,
             seen_bands=seen_bands,
             **band_kw,
-        ).persist()
+        ).persist(StorageLevel.DISK_ONLY)
         kept.write.mode("append").parquet(out_dir)
         if band_dir is not None:
             band_table(kept, text_col=text_col, id_col=id_col, **band_kw).write.mode(
@@ -268,11 +275,11 @@ def stream_simhash_dedup(
         if fps is not None:
             kept = incremental_simhash_dedup(
                 batch_df, fps, seen_fp_col="fp", **kw
-            ).persist()
+            ).persist(StorageLevel.DISK_ONLY)
         else:
             kept = incremental_simhash_dedup(
                 batch_df, batch_df.limit(0), **kw
-            ).persist()
+            ).persist(StorageLevel.DISK_ONLY)
         kept.write.mode("append").parquet(out_dir)
         simhash_fingerprints(
             kept, text_col=text_col, id_col=id_col, bits=bits,
