@@ -1984,13 +1984,26 @@ def semantic_dedup(
             .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
         )
     else:
-        # staged dots (guide §4.1): argmax references the array twice
+        from pyspark import StorageLevel
+
+        # staged dots (guide §4.1): argmax references the array twice.
+        # r14: checkpoint the assignment like the pandas path — it feeds
+        # FOUR consumers (guard count, both pair-join sides, the final
+        # anti-join), each of which re-ran the scan + n_clusters x dim
+        # assignment folds, and the pair join's inferred
+        # isnotnull(cluster) filter inlined the argmax once more per
+        # side. One materialization, four cheap reads; interleaved A/B
+        # 2.6-3.1 -> 2.2-2.3 s at sf0.1, identical rows.
         d = F.col("__dots")
-        assigned = df.withColumn("__dots", _centroid_dots(_cast_vec_sql(vec_col), cents)).select(
-            F.col(id_col),
-            cvec.alias("__v"),
-            _norm(cvec).alias("__n"),
-            (F.array_position(d, F.array_max(d)) - 1).cast("int").alias("cluster"),
+        assigned = (
+            df.withColumn("__dots", _centroid_dots(_cast_vec_sql(vec_col), cents))
+            .select(
+                F.col(id_col),
+                cvec.alias("__v"),
+                _norm(cvec).alias("__n"),
+                (F.array_position(d, F.array_max(d)) - 1).cast("int").alias("cluster"),
+            )
+            .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
         )
     if max_cluster_rows is not None:
         biggest = (

@@ -18,12 +18,12 @@ Subcommands:
                       BASELINE.md.
 
 Corpus shape (all hash-derived, no RNG):
-- documents: 50k rows (10x sf0.1). text = 30-150 words drawn from a 4k
+- documents: 200k rows (40x sf0.1). text = 30-150 words drawn from a 4k
   vocab by xxhash(doc_id, pos); every 10th doc is a NEAR-DUP of its
   predecessor (same words, one substituted) so minhash/simhash/jaccard
   see linear pair counts (~10% of docs in 2-cliques), not replication's
   quadratic blowup. lang/source cycle through small domains.
-- embeddings: 10k rows (5x sf0.1), 64-dim floats in [-1, 1) from
+- embeddings: 20k rows (10x sf0.1), 64-dim floats in [-1, 1) from
   xxhash — knn_graph's per-cell pair work grows ~25x, enough to be
   compute-bound at 8 cores.
 - lineitem: sf0.1 lineitem replicated 4x with shifted orderkeys
@@ -40,8 +40,8 @@ import time
 sys.path.insert(0, "/root/repo")
 
 VOCAB = 4096
-N_DOCS = 50_000
-N_VECS = 10_000
+N_DOCS = 200_000
+N_VECS = 20_000
 LI_COPIES = 4
 
 DEFAULT_DIR = "/tmp/sf_r14_scale"
@@ -96,7 +96,7 @@ def gen(out_dir: str) -> None:
         )
         .withColumn("n_chars", F.length("text"))
     )
-    docs.repartition(8).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    docs.repartition(64).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
 
     # --- embeddings -----------------------------------------------
     vec = (
@@ -109,7 +109,7 @@ def gen(out_dir: str) -> None:
         F.expr(vec).alias("embedding"),
         F.expr("CAST(pmod(id, 16) AS INT)").alias("label"),
     )
-    emb.repartition(8).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+    emb.repartition(64).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
 
     # --- lineitem (replicated, keys shifted) ----------------------
     li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
@@ -121,7 +121,7 @@ def gen(out_dir: str) -> None:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    out.repartition(8).write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
+    out.repartition(64).write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
 
     # small tables pass through so joins/describe queries resolve
     for t in ["region", "nation", "customer", "supplier", "part", "orders", "events"]:
@@ -145,11 +145,15 @@ def run(sf_dir: str, only: list[str]) -> None:
         "overwrite"
     ).save()
     times = {}
+    reps = int(os.environ.get("R14_SCALE_REPS", "2"))
     for name in names:
         spark.sparkContext.setJobDescription(f"r14scale:{name}")
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(reps):  # rep 1 warms codegen/JIT; min is reported
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        dt = round(best, 3)
         times[name] = dt
         print(json.dumps({"query": name, "sec": dt, "cpus": cpus}), flush=True)
     print(
