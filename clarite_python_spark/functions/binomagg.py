@@ -197,9 +197,20 @@ def binomial_contingency_rows(
     unknown = [v for v in group if v not in known_small]
     nlev: dict[str, int] = {v: 3 for v in group if v in known_small}
     if unknown or covariates:
-        gate = df.agg(
-            *[F.approx_count_distinct(qcol(v)).alias(f"v::{v}") for v in unknown],
-            *[F.approx_count_distinct(qcol(c)).alias(f"c::{c}") for c in covariates],
+        # one selectExpr parse instead of 3-4 py4j round trips per
+        # column (r13 construction-cost idiom); identical HLL agg
+        def _qg(name: str) -> str:
+            return "`" + name.replace("`", "``") + "`"
+
+        gate = df.selectExpr(
+            *[
+                f"approx_count_distinct({_qg(v)}) AS {_qg('v::' + v)}"
+                for v in unknown
+            ],
+            *[
+                f"approx_count_distinct({_qg(c)}) AS {_qg('c::' + c)}"
+                for c in covariates
+            ],
         ).collect()[0]
         nlev.update({v: int(gate[f"v::{v}"]) for v in unknown})
         cov_lev = {c: max(int(gate[f"c::{c}"]), 1) for c in covariates}
@@ -227,12 +238,22 @@ def binomial_contingency_rows(
     native = all(rv_types[v] == CONTINUOUS for v in eligible) and len(
         {dtypes.get(v) for v in eligible}
     ) == 1
-    val_cols = (
-        [qcol(v).alias(v) for v in eligible]
+    # rendered as ONE selectExpr parse (the r13 construction-cost idiom):
+    # the Column-API build paid 2-3 py4j round trips per variable —
+    # ~2.5 s of construction at GWAS width (measured, 1,000 SNPs).
+    # Identical projection: backtick-quoted literal names (qcol
+    # semantics), same CAST, same output names.
+    def _q(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
+    val_exprs = (
+        [_q(v) for v in eligible]
         if native
-        else [qcol(v).cast("string").alias(v) for v in eligible]
+        else [f"CAST({_q(v)} AS STRING) AS {_q(v)}" for v in eligible]
     )
-    long = df.select(*id_vars, *val_cols).unpivot(id_vars, eligible, "variable", "value")
+    long = df.selectExpr(*[_q(c) for c in id_vars], *val_exprs).unpivot(
+        id_vars, eligible, "variable", "value"
+    )
     cells = (
         long.groupBy("variable", "value", outcome, *covariates)
         .agg(F.count(F.lit(1)).alias("__n"))

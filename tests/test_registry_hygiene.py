@@ -45,7 +45,7 @@ def test_no_query_emits_container_columns(spark):
         name, fn = item
         return name, _container_cols(fn(spark, SF_DIR).schema)
 
-    with ThreadPoolExecutor(max_workers=8) as pool:
+    with ThreadPoolExecutor(max_workers=12) as pool:
         checked = list(pool.map(_schema_cols, entry_mod.queries().items()))
     offenders = {name: bad for name, bad in checked if bad}
     assert not offenders, (
